@@ -1,0 +1,66 @@
+"""Public API: compile & run Pig Latin scripts on PySpark.
+
+Mirrors the reference's three entry points (SURVEY.md §3):
+- ``run(spark, script)`` — the CLI/batch path (Piglet.scala:108-345),
+  collapsed to parse → rewrite → DataFrame construction (no codegen).
+- ``PigEngine`` — library API (ref api/PigletInterpreterAPI.scala).
+- ``piglet_spark.cli`` / ``repl`` — interactive entry points.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from typing import Any, Optional
+
+from pyspark.sql import DataFrame, SparkSession
+
+from .operators.executor import Executor, GroupedRelation, Relation
+from .plans import parser as P
+from .plans import rewrite as R
+
+
+class PigEngine:
+    def __init__(self, spark: SparkSession,
+                 params: Optional[dict[str, str]] = None,
+                 options: Optional[dict[str, Any]] = None):
+        self.spark = spark
+        self.params = params or {}
+        self.executor = Executor(spark, options=options)
+
+    def parse(self, script: str):
+        ops = P.parse(script, self.params)
+        return R.rewrite(ops)
+
+    def run(self, script: str) -> dict[str, Relation]:
+        """Execute a script; returns the alias → DataFrame environment.
+        Sinks (STORE/DUMP) run eagerly; everything else stays lazy."""
+        ops = self.parse(script)
+        self.executor.script_hash = hashlib.md5(script.encode()).hexdigest()
+        return self.executor.execute(ops)
+
+    def df(self, alias: str) -> DataFrame:
+        """Materialized DataFrame for an alias (GroupedRelations are
+        realized as (group, bag))."""
+        return self.executor.df(alias)
+
+    def register_function(self, name: str, fn) -> None:
+        """Register a Column-builder (fn(*cols) -> Column) as a UDF."""
+        self.executor.udfs[name] = fn
+
+    def register_operator(self, name: str, fn) -> None:
+        """Register a STREAM THROUGH operator (fn(df, *params) -> df)."""
+        self.executor.stream_ops[name] = fn
+
+
+def run(spark: SparkSession, script: str,
+        params: Optional[dict[str, str]] = None,
+        options: Optional[dict[str, Any]] = None) -> dict[str, Relation]:
+    return PigEngine(spark, params, options).run(script)
+
+
+def run_query(spark: SparkSession, script: str, result: str,
+              params: Optional[dict[str, str]] = None) -> DataFrame:
+    """Run a script and return one alias as a DataFrame."""
+    eng = PigEngine(spark, params)
+    eng.run(script)
+    return eng.df(result)

@@ -1,0 +1,173 @@
+"""Built-in Pig function library → native Spark Column builders.
+
+Parity target: /root/reference/src/main/scala/dbis/piglet/udf/UDF.scala:28-75
+and common/src/main/scala/dbis/piglet/CommonPigFuncs.scala:24-85.
+
+Every function here stays JVM-side (pyspark.sql.functions) — no Python
+UDFs in the hot path. Aggregates have two builders:
+
+- ``fused``: operates on pre-group columns inside ``groupBy().agg()``
+  (the scale path — partial aggregation, no bag materialization);
+- ``bag``: operates on a materialized ``array<struct>`` bag column via
+  higher-order functions (only when the script truly keeps the bag).
+"""
+
+from __future__ import annotations
+
+from typing import Callable, Optional
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+
+# ------------------------------------------------------------ aggregates
+
+class AggSpec:
+    def __init__(self, fused: Callable[..., Column],
+                 bag: Callable[..., Column]):
+        self.fused = fused
+        self.bag = bag
+
+
+def _bag_nums(bag_elem_col: Column) -> Column:
+    return bag_elem_col
+
+
+AGGREGATES: dict[str, AggSpec] = {
+    # COUNT counts all rows of the bag incl. nulls (CommonPigFuncs.scala:36)
+    "count": AggSpec(
+        fused=lambda *cols: F.count(F.lit(1)),
+        bag=lambda bag, *proj: F.size(bag),
+    ),
+    "sum": AggSpec(
+        fused=lambda c: F.sum(c),
+        bag=lambda bag, c: F.aggregate(
+            bag, F.lit(0.0), lambda acc, x: acc + x[c].cast("double")
+        ),
+    ),
+    "min": AggSpec(
+        fused=lambda c: F.min(c),
+        bag=lambda bag, c: F.array_min(F.transform(bag, lambda x: x[c])),
+    ),
+    "max": AggSpec(
+        fused=lambda c: F.max(c),
+        bag=lambda bag, c: F.array_max(F.transform(bag, lambda x: x[c])),
+    ),
+    "avg": AggSpec(
+        fused=lambda c: F.avg(c),
+        bag=lambda bag, c: F.aggregate(
+            bag, F.lit(0.0), lambda acc, x: acc + x[c].cast("double")
+        ) / F.size(bag),
+    ),
+    # upper median of the sorted sequence (CommonPigFuncs.scala:30-34)
+    "median": AggSpec(
+        fused=lambda c: F.element_at(
+            F.array_sort(F.collect_list(c)),
+            (F.floor(F.count(c) / 2) + 1).cast("int"),
+        ),
+        bag=lambda bag, c: F.element_at(
+            F.array_sort(F.transform(bag, lambda x: x[c])),
+            (F.floor(F.size(bag) / 2) + 1).cast("int"),
+        ),
+    ),
+    "isempty": AggSpec(
+        fused=lambda *c: F.count(F.lit(1)) == 0,
+        bag=lambda bag, *c: F.size(bag) == 0,
+    ),
+    "nonempty": AggSpec(
+        fused=lambda *c: F.count(F.lit(1)) > 0,
+        bag=lambda bag, *c: F.size(bag) > 0,
+    ),
+    # beyond-reference but standard Pig builtins, cheap to support
+    "count_star": AggSpec(
+        fused=lambda *c: F.count(F.lit(1)),
+        bag=lambda bag, *c: F.size(bag),
+    ),
+    "var": AggSpec(
+        fused=lambda c: F.var_pop(c),
+        bag=lambda bag, c: F.aggregate(
+            bag, F.lit(0.0), lambda a, x: a + x[c].cast("double") * x[c].cast("double")
+        ) / F.size(bag)
+        - (F.aggregate(bag, F.lit(0.0), lambda a, x: a + x[c].cast("double"))
+           / F.size(bag)) ** 2,
+    ),
+    "stddev": AggSpec(
+        fused=lambda c: F.stddev_pop(c),
+        bag=lambda bag, c: F.sqrt(AGGREGATES["var"].bag(bag, c)),
+    ),
+}
+
+
+def is_aggregate(name: str) -> bool:
+    return name.lower() in AGGREGATES
+
+
+# -------------------------------------------------------------- scalars
+
+def _substring(c: Column, start: Column, stop: Column) -> Column:
+    # Pig SUBSTRING(s, start, stop) — half-open, 0-based (CommonPigFuncs.scala:66)
+    return F.substring(
+        c, start.cast("int") + F.lit(1), (stop - start).cast("int")
+    )
+
+
+def _tokenize(c: Column) -> Column:
+    # split on [, "] (CommonPigFuncs.scala:50); drop empty tokens the way
+    # Scala's split drops trailing empties
+    arr = F.split(c, '[, "]')
+    return F.filter(arr, lambda x: x != "")
+
+
+SCALARS: dict[str, Callable[..., Column]] = {
+    "tokenize": _tokenize,
+    "strsplit": lambda c, pat=None, limit=None: F.split(
+        c, pat if pat is not None else "\\s+"
+    ),
+    "startswith": lambda c, p: c.startswith(p),
+    "endswith": lambda c, p: c.endswith(p),
+    "strlen": lambda c: F.length(c),
+    "size": lambda c: F.size(c),
+    "lower": lambda c: F.lower(c),
+    "upper": lambda c: F.upper(c),
+    "concat": lambda *cs: F.concat(*cs),
+    "strcontains": lambda c, s: c.contains(s),
+    "trim": lambda c: F.trim(c),
+    "substring": _substring,
+    "indexof": lambda c, s: F.instr(c, s) - 1,
+    "replace": lambda c, a, b: F.regexp_replace(c, a, b),
+    "regex_extract": lambda c, pat, idx: F.regexp_extract(c, pat, idx),
+    "todouble": lambda c: c.cast("double"),
+    "toint": lambda c: c.cast("int"),
+    "tolong": lambda c: c.cast("long"),
+    "tofloat": lambda c: c.cast("float"),
+    "tostring": lambda c: c.cast("string"),
+    "tomap": lambda *cs: F.create_map(*cs),
+    "totuple": lambda *cs: F.struct(*cs),
+    "tobag": lambda *cs: F.array(*[F.struct(c) for c in cs]),
+    "sqrt": lambda c: F.sqrt(c.cast("double")),
+    "pow": lambda a, b: F.pow(a.cast("double"), b.cast("double")),
+    "abs": lambda c: F.abs(c),
+    "ceil": lambda c: F.ceil(c),
+    "floor": lambda c: F.floor(c),
+    "round": lambda c: F.round(c),
+    "log": lambda c: F.log(c.cast("double")),
+    "log10": lambda c: F.log10(c.cast("double")),
+    "exp": lambda c: F.exp(c.cast("double")),
+    "random": lambda: F.rand(),
+    # euclidean distance between two (x, y) points, flattened args
+    # (UDF.scala:74 S_DISTANCE — STARK euclid; we take 4 coords)
+    "s_distance": lambda x1, y1, x2, y2: F.sqrt(
+        (x1.cast("double") - x2.cast("double")) ** 2
+        + (y1.cast("double") - y2.cast("double")) ** 2
+    ),
+    # datetime helpers (streaming timestamps)
+    "getminute": lambda c: F.minute(c),
+    "gethour": lambda c: F.hour(c),
+    "getday": lambda c: F.dayofmonth(c),
+    "getmonth": lambda c: F.month(c),
+    "getyear": lambda c: F.year(c),
+}
+
+
+def lookup_scalar(name: str) -> Optional[Callable[..., Column]]:
+    return SCALARS.get(name.lower())

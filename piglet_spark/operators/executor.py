@@ -1,0 +1,854 @@
+"""Execute a Pig dataflow plan by building DataFrames directly.
+
+This replaces the reference's entire codegen/compile/submit pipeline
+(codegen/PigletCompiler.scala:95-176, tools/ScalaCompiler.scala,
+backends' Runner classes): operators construct lazy DataFrame
+expressions; Catalyst + Tungsten pick the physical plan; sinks
+(STORE/DUMP) trigger actions.
+
+Scale-critical design decisions:
+- GROUP BY is *lazy* (``GroupedRelation``): a FOREACH that only
+  aggregates fuses into ``groupBy().agg()`` — partial aggregation,
+  no bag materialization (ref materializes Iterables,
+  GroupingEmitter.scala:11-20; we only do that when the script truly
+  keeps the bag).
+- Joins/aggregations stay declarative so AQE can re-plan (broadcast,
+  skew-join) at runtime.
+- ZIP WITH INDEX is distributed (per-partition offsets + broadcast
+  join), not a single-partition window.
+"""
+
+from __future__ import annotations
+
+import hashlib
+from typing import Any, Callable, Optional, Union
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+from pyspark.storagelevel import StorageLevel
+
+from ..plans import ast as A
+from ..plans import schema as S
+from ..plans.exprs import CompileError, Ctx, compile_expr, static_dtype
+from ..plans import exprs as E
+from ..sources import storage
+
+
+class ExecError(Exception):
+    pass
+
+
+# ------------------------------------------------------------- relations
+
+class GroupedRelation:
+    """Lazy GROUP BY result: (group, bag) schema only materialized on
+    demand (ref op/Grouping.scala:89-109)."""
+
+    def __init__(self, src: DataFrame, key_exprs: list[A.Expr],
+                 rel_name: str, udfs: dict[str, Callable]):
+        self.src = src
+        self.key_exprs = key_exprs
+        self.rel_name = rel_name
+        self.udfs = udfs
+
+    def key_cols(self) -> list[tuple[str, Column]]:
+        ctx = Ctx(self.src, mode="row", udfs=self.udfs)
+        out = []
+        for i, k in enumerate(self.key_exprs):
+            col = compile_expr(k, ctx)
+            if isinstance(k, A.NamedField):
+                name = S.base_name(k.name)
+            elif isinstance(k, A.PositionalField):
+                name = S.base_name(S.positional(self.src.columns, k.pos))
+            else:
+                name = f"k{i}"
+            out.append((name, col))
+        return out
+
+    def bag_col(self) -> Column:
+        return F.collect_list(F.struct(*[self.src[c] for c in self.src.columns]))
+
+    def materialize(self) -> DataFrame:
+        keys = self.key_cols()
+        bag = self.bag_col().alias(self.rel_name)
+        if not keys:
+            return self.src.groupBy(F.lit("all").alias("group")).agg(bag)
+        if len(keys) == 1:
+            name, col = keys[0]
+            return self.src.groupBy(col.alias("group")).agg(bag)
+        gstruct = F.struct(*[c.alias(n) for n, c in keys]).alias("group")
+        return self.src.groupBy(gstruct).agg(bag)
+
+
+Relation = Union[DataFrame, GroupedRelation]
+
+
+class NestedBag:
+    """Intermediate alias in a nested FOREACH:
+    ``X = DISTINCT A.sym; ... COUNT(X)`` — fused to the cheapest
+    aggregate Spark offers (countDistinct beats
+    size(array_distinct(collect_list)))."""
+
+    def __init__(self, proj: Optional[str], whole_cols: Optional[list[str]],
+                 ops: list[tuple], src: DataFrame):
+        self.proj = proj          # projected column name, or None = whole tuple
+        self.whole_cols = whole_cols
+        self.ops = ops            # [("distinct",) | ("filter", pred) |
+                                  #  ("order", specs) | ("limit", n)]
+        self.src = src
+
+    def _elem(self) -> Column:
+        if self.proj is not None:
+            return self.src[self.proj]
+        return F.struct(*[self.src[c] for c in self.whole_cols])
+
+    def as_column(self, ctx: Ctx) -> Column:
+        arr = F.collect_list(self._elem())
+        for op in self.ops:
+            if op[0] == "distinct":
+                arr = F.array_distinct(arr)
+            elif op[0] == "order":
+                arr = F.array_sort(arr)
+            elif op[0] == "limit":
+                arr = F.slice(arr, 1, int(op[1].value))
+            elif op[0] == "filter":
+                pred = op[1]
+                arr = F.filter(arr, lambda x: _lambda_pred(pred, x, self, ctx))
+        return arr
+
+    def project(self, fname, ctx: Ctx) -> Column:
+        arr = self.as_column(ctx)
+        return F.transform(arr, lambda x: x[fname])
+
+    def aggregate(self, name: str, ctx: Ctx) -> Column:
+        simple_distinct = self.ops == [("distinct",)] and self.proj is not None
+        col = self.src[self.proj] if self.proj is not None else None
+        if simple_distinct:
+            if name in ("count", "count_star"):
+                return F.count_distinct(col)
+            if name == "sum":
+                return F.sum_distinct(col)
+            if name in ("min", "max", "isempty", "nonempty"):
+                pass  # distinct irrelevant → fall through to plain
+        if not self.ops and self.proj is not None:
+            from ..functions.builtins import AGGREGATES
+            if name in ("count", "count_star"):
+                return F.count(F.lit(1))
+            return AGGREGATES[name].fused(col)
+        if name in ("min", "max") and self.proj is not None and all(
+                op[0] == "distinct" for op in self.ops):
+            return F.min(col) if name == "min" else F.max(col)
+        # general path: array expression
+        arr = self.as_column(ctx)
+        if name in ("count", "count_star"):
+            return F.size(arr)
+        if name == "isempty":
+            return F.size(arr) == 0
+        if name == "nonempty":
+            return F.size(arr) > 0
+        if name == "sum":
+            return F.aggregate(arr, F.lit(0.0), lambda a, x: a + x.cast("double"))
+        if name == "avg":
+            return F.aggregate(arr, F.lit(0.0),
+                               lambda a, x: a + x.cast("double")) / F.size(arr)
+        if name == "min":
+            return F.array_min(arr)
+        if name == "max":
+            return F.array_max(arr)
+        if name == "median":
+            return F.element_at(F.array_sort(arr),
+                                (F.floor(F.size(arr) / 2) + 1).cast("int"))
+        raise ExecError(f"unsupported nested aggregate {name}")
+
+
+def _lambda_pred(pred: A.Expr, x: Column, bag: NestedBag, ctx: Ctx) -> Column:
+    """Compile a predicate over a bag element (lambda variable x)."""
+    def comp(e: A.Expr) -> Column:
+        if isinstance(e, A.NamedField):
+            if bag.proj is not None and e.name == bag.proj:
+                return x
+            return x[e.name]
+        if isinstance(e, A.PositionalField):
+            if bag.whole_cols:
+                return x[bag.whole_cols[e.pos]]
+            return x
+        if isinstance(e, A.Literal):
+            return F.lit(e.value)
+        if isinstance(e, A.Cmp):
+            lf, rt = comp(e.left), comp(e.right)
+            return {"==": lf == rt, "!=": lf != rt, "<": lf < rt,
+                    "<=": lf <= rt, ">": lf > rt, ">=": lf >= rt}[e.op]
+        if isinstance(e, A.And):
+            return comp(e.left) & comp(e.right)
+        if isinstance(e, A.Or):
+            return comp(e.left) | comp(e.right)
+        if isinstance(e, A.Not):
+            return ~comp(e.expr)
+        if isinstance(e, A.BinOp):
+            lf, rt = comp(e.left), comp(e.right)
+            return {"+": lf + rt, "-": lf - rt, "*": lf * rt,
+                    "/": lf / rt, "%": lf % rt}[e.op]
+        raise ExecError(f"unsupported nested-filter predicate {e!r}")
+    return comp(pred)
+
+
+# ------------------------------------------------------------- executor
+
+_PY2SPARK = {int: "long", float: "double", str: "string", bool: "boolean"}
+
+
+class Executor:
+    def __init__(self, spark: SparkSession,
+                 options: Optional[dict[str, Any]] = None):
+        self.spark = spark
+        self.env: dict[str, Relation] = {}
+        self.udfs: dict[str, Callable] = {}
+        self.stream_ops: dict[str, Callable] = {}
+        self.options: dict[str, Any] = dict(options or {})
+        self.dumped: dict[str, list] = {}
+        self.script_hash = ""
+
+    # -------------------------------------------------------- helpers
+
+    def df(self, alias: str) -> DataFrame:
+        rel = self.rel(alias)
+        if isinstance(rel, GroupedRelation):
+            df = rel.materialize()
+            self.env[alias] = df
+            return df
+        return rel
+
+    def rel(self, alias: str) -> Relation:
+        if alias not in self.env:
+            raise ExecError(f"unknown alias {alias!r}")
+        return self.env[alias]
+
+    def ctx(self, df: DataFrame, **kw) -> Ctx:
+        return Ctx(df, udfs=self.udfs, **kw)
+
+    # ---------------------------------------------------------- entry
+
+    def execute(self, ops: list[A.Op]) -> dict[str, Relation]:
+        for op in ops:
+            self.execute_op(op)
+        return self.env
+
+    def execute_op(self, op: A.Op) -> None:
+        meth = getattr(self, "op_" + type(op).__name__.lower(), None)
+        if meth is None:
+            raise ExecError(f"operator {type(op).__name__} not implemented")
+        meth(op)
+
+    # ------------------------------------------------------- sources
+
+    def op_load(self, op: A.Load) -> None:
+        df = storage.load(self.spark, op.path, op.func, op.func_args, op.schema)
+        if op.timestamp_field is not None:
+            ctx = self.ctx(df)
+            tcol = compile_expr(op.timestamp_field, ctx)
+            name = None
+            if isinstance(op.timestamp_field, A.NamedField):
+                name = E.resolve_named(op.timestamp_field, ctx)
+            elif isinstance(op.timestamp_field, A.PositionalField):
+                name = S.positional(df.columns, op.timestamp_field.pos)
+            if name:
+                df = df.withColumn(name, tcol.cast("timestamp"))
+        self.env[op.out] = df
+
+    def op_store(self, op: A.Store) -> None:
+        storage.store(self.df(op.rel), op.path, op.func, op.func_args)
+
+    def op_dump(self, op: A.Dump) -> None:
+        df = self.df(op.rel)
+        rows = storage.pig_format_tuple(df).collect()
+        lines = [r[0] for r in rows]
+        self.dumped[op.rel] = lines
+        for line in lines:
+            print(line)
+
+    def op_display(self, op: A.Display) -> None:
+        self.df(op.rel).show(truncate=False)
+
+    def op_describe(self, op: A.Describe) -> None:
+        df = self.df(op.rel)
+        print(f"{op.rel}: {_pig_schema_str(df.schema)}")
+
+    # ------------------------------------------------------ transform
+
+    def op_foreach(self, op: A.Foreach) -> None:
+        rel = self.rel(op.rel)
+        if isinstance(rel, GroupedRelation):
+            self.env[op.out] = self._foreach_fused(op, rel)
+        else:
+            self.env[op.out] = self._foreach_rows(op, rel)
+
+    def _foreach_rows(self, op: A.Foreach, df: DataFrame) -> DataFrame:
+        if op.nested_ops:
+            raise ExecError("nested FOREACH requires a grouped input")
+        ctx = self.ctx(df)
+        sel: list[Column] = []
+        names: list[Optional[str]] = []
+        flat_idx: list[int] = []
+        gen_meta: list[A.GenExpr] = []
+        for gen in op.gens:
+            if isinstance(gen.expr, A.Star) and not gen.flatten:
+                for c in df.columns:
+                    sel.append(df[c])
+                    names.append(c)
+                    gen_meta.append(gen)
+                continue
+            col = compile_expr(gen.expr, ctx)
+            name = gen.alias or _default_name(gen.expr, df, len(sel))
+            if gen.pig_type is not None and not isinstance(gen.pig_type,
+                                                           A.TupleDecl):
+                col = col.cast(S.pig_to_spark(gen.pig_type))
+            if gen.flatten:
+                flat_idx.append(len(sel))
+            sel.append(col)
+            names.append(name)
+            gen_meta.append(gen)
+        tmp = [c.alias(f"_g{i}") for i, c in enumerate(sel)]
+        out = df.select(*tmp)
+        return _finalize(out, names, flat_idx, gen_meta)
+
+    def _foreach_fused(self, op: A.Foreach, grel: GroupedRelation) -> DataFrame:
+        src = grel.src
+        ctx = Ctx(src, mode="fused", bag_name=grel.rel_name, udfs=self.udfs)
+        # nested intermediate bags
+        for nop in op.nested_ops:
+            if isinstance(nop, A.NestedAssign):
+                ctx.nested_bags[nop.out] = self._build_nested(nop, grel, ctx)
+            else:
+                raise ExecError(f"unsupported nested op {nop!r}")
+
+        keys = grel.key_cols()
+        key_names = [f"__k{i}" for i in range(len(keys))]
+        gb = [c.alias(kn) for kn, (n, c) in zip(key_names, keys)]
+
+        aggs: list[Column] = []
+        post: list[tuple[str, Any]] = []  # (out_name, "key"/"agg"/idx info)
+        names: list[str] = []
+        flat_idx: list[int] = []
+        gen_meta: list[A.GenExpr] = []
+        agg_i = 0
+        for gen in op.gens:
+            e = gen.expr
+            name = gen.alias
+            if _is_group_ref(e):
+                if isinstance(e, A.DerefTuple):
+                    fname = (e.field.name if isinstance(e.field, A.NamedField)
+                             else e.field.pos)
+                    if isinstance(fname, int):
+                        kn = key_names[fname]
+                        dflt = keys[fname][0]
+                    else:
+                        idx = next(i for i, (n, _) in enumerate(keys)
+                                   if n == fname)
+                        kn = key_names[idx]
+                        dflt = fname
+                    post.append((kn, "key"))
+                    names.append(name or dflt)
+                else:
+                    if not keys:
+                        post.append(("__all", "key"))
+                    elif len(keys) == 1:
+                        post.append((key_names[0], "key"))
+                    else:
+                        post.append(("__gstruct", "key"))
+                    names.append(name or "group")
+                gen_meta.append(gen)
+                if gen.flatten:
+                    flat_idx.append(len(names) - 1)
+                continue
+            col = compile_expr(e, ctx)
+            if gen.pig_type is not None and not isinstance(gen.pig_type,
+                                                           A.TupleDecl):
+                col = col.cast(S.pig_to_spark(gen.pig_type))
+            an = f"__a{agg_i}"
+            agg_i += 1
+            aggs.append(col.alias(an))
+            post.append((an, "agg"))
+            names.append(name or _default_name(e, src, len(names)))
+            gen_meta.append(gen)
+            if gen.flatten:
+                flat_idx.append(len(names) - 1)
+
+        if not keys:
+            grouped = src.groupBy()
+        else:
+            grouped = src.groupBy(*gb)
+        if not aggs:
+            # e.g. GENERATE group only
+            out = grouped.agg(F.count(F.lit(1)).alias("__cnt"))
+        else:
+            out = grouped.agg(*aggs)
+
+        sel = []
+        for i, (ref, kind) in enumerate(post):
+            if ref == "__all":
+                sel.append(F.lit("all").alias(f"_g{i}"))
+            elif ref == "__gstruct":
+                sel.append(F.struct(*[F.col(kn).alias(keys[j][0])
+                                      for j, kn in enumerate(key_names)])
+                           .alias(f"_g{i}"))
+            else:
+                sel.append(F.col(ref).alias(f"_g{i}"))
+        out = out.select(*sel)
+        return _finalize(out, names, flat_idx, gen_meta)
+
+    def _build_nested(self, nop: A.NestedAssign, grel: GroupedRelation,
+                      ctx: Ctx) -> NestedBag:
+        expr = nop.expr
+        ops: list[tuple] = []
+        # unwrap chained nested ops
+        while isinstance(expr, tuple):
+            kind = expr[0]
+            if kind == "distinct":
+                ops.insert(0, ("distinct",))
+                expr = expr[1]
+            elif kind == "filter":
+                ops.insert(0, ("filter", expr[2]))
+                expr = expr[1]
+            elif kind == "limit":
+                ops.insert(0, ("limit", expr[2]))
+                expr = expr[1]
+            elif kind == "order":
+                ops.insert(0, ("order", expr[2]))
+                expr = expr[1]
+            else:
+                raise ExecError(f"unknown nested op {kind}")
+        # base: A.col, A, or another nested alias
+        if isinstance(expr, A.NamedField):
+            if expr.name in ctx.nested_bags:
+                base = ctx.nested_bags[expr.name]
+                return NestedBag(base.proj, base.whole_cols, base.ops + ops,
+                                 base.src)
+            if expr.name == grel.rel_name:
+                return NestedBag(None, list(grel.src.columns), ops, grel.src)
+            # a single source column treated as bag projection
+            cname = S.resolve_column(grel.src.columns, expr.name, expr.lineage)
+            return NestedBag(cname, None, ops, grel.src)
+        if isinstance(expr, A.DerefTuple) and isinstance(expr.base, A.NamedField):
+            bname = expr.base.name
+            fname = (expr.field.name if isinstance(expr.field, A.NamedField)
+                     else S.positional(grel.src.columns, expr.field.pos))
+            if bname in ctx.nested_bags:
+                raise ExecError("projection of nested alias not supported yet")
+            cname = S.resolve_column(grel.src.columns, fname)
+            return NestedBag(cname, None, ops, grel.src)
+        raise ExecError(f"unsupported nested assignment {nop!r}")
+
+    def op_filter(self, op: A.Filter) -> None:
+        df = self.df(op.rel)
+        ctx = self.ctx(df)
+        self.env[op.out] = df.filter(compile_expr(op.pred, ctx))
+
+    def op_group(self, op: A.Group) -> None:
+        df = self.df(op.rel)
+        self.env[op.out] = GroupedRelation(df, op.keys, op.rel, self.udfs)
+
+    def op_cogroup(self, op: A.CoGroup) -> None:
+        parts = []
+        for rel, keys in zip(op.rels, op.keys):
+            df = self.df(rel)
+            g = GroupedRelation(df, keys, rel, self.udfs)
+            parts.append(g.materialize())
+        out = parts[0]
+        elem_types = {op.rels[0]: out.schema[op.rels[0]].dataType}
+        for rel, p in zip(op.rels[1:], parts[1:]):
+            elem_types[rel] = p.schema[rel].dataType
+            out = out.join(p, on="group", how="full")
+        # normalize missing bags to empty arrays
+        sel = [F.col("group")]
+        for rel in op.rels:
+            empty = F.lit(None).cast(elem_types[rel])
+            sel.append(F.coalesce(F.col(rel), F.array().cast(elem_types[rel]))
+                       .alias(rel))
+        self.env[op.out] = out.select(*sel)
+
+    # ----------------------------------------------------------- joins
+
+    def _lineage_rename(self, df: DataFrame, rel: str) -> DataFrame:
+        return df.select(*[df[c].alias(f"{rel}{S.LINEAGE_SEP}{c}")
+                           for c in df.columns])
+
+    def op_join(self, op: A.Join) -> None:
+        if op.window is not None:
+            raise ExecError("windowed stream join: use streaming dialect")
+        dfs = []
+        keycols: list[list[Column]] = []
+        for rel, keys in zip(op.rels, op.keys):
+            df = self._lineage_rename(self.df(rel), rel)
+            ctx = self.ctx(df)
+            dfs.append(df)
+            keycols.append([compile_expr(k, ctx) for k in keys])
+        out = dfs[0]
+        for i in range(1, len(dfs)):
+            cond = None
+            for kl, kr in zip(keycols[0], keycols[i]):
+                eq = kl == kr
+                cond = eq if cond is None else cond & eq
+            out = out.join(dfs[i], on=cond, how="inner")
+        self.env[op.out] = out
+
+    def op_cross(self, op: A.Cross) -> None:
+        dfs = [self._lineage_rename(self.df(r), r) for r in op.rels]
+        out = dfs[0]
+        for d in dfs[1:]:
+            out = out.crossJoin(d)
+        self.env[op.out] = out
+
+    # ------------------------------------------------------- set ops
+
+    def op_union(self, op: A.Union) -> None:
+        dfs = [self.df(r) for r in op.rels]
+        out = dfs[0]
+        for d in dfs[1:]:
+            out = out.union(d)  # positional, no dedup (Union.scala:29)
+        self.env[op.out] = out
+
+    def op_intersection(self, op: A.Intersection) -> None:
+        dfs = [self.df(r) for r in op.rels]
+        out = dfs[0]
+        for d in dfs[1:]:
+            out = out.intersect(d)
+        self.env[op.out] = out
+
+    def op_difference(self, op: A.Difference) -> None:
+        left, right = self.df(op.rels[0]), self.df(op.rels[1])
+        if op.keys:
+            lctx, rctx = self.ctx(left), self.ctx(right)
+            cond = None
+            for kl, kr in zip(op.keys[0], op.keys[1]):
+                eq = compile_expr(kl, lctx).eqNullSafe(compile_expr(kr, rctx))
+                cond = eq if cond is None else cond & eq
+            self.env[op.out] = left.join(right, on=cond, how="left_anti")
+        else:
+            cond = None
+            for lc, rc in zip(left.columns, right.columns):
+                eq = left[lc].eqNullSafe(right[rc])
+                cond = eq if cond is None else cond & eq
+            self.env[op.out] = left.join(right, on=cond, how="left_anti")
+
+    # --------------------------------------------- order/limit/sample
+
+    def op_orderby(self, op: A.OrderBy) -> None:
+        df = self.df(op.rel)
+        ctx = self.ctx(df)
+        if not op.specs:  # ORDER BY *
+            cols = [df[c].asc() if op.star_asc else df[c].desc()
+                    for c in df.columns]
+        else:
+            cols = []
+            for sp in op.specs:
+                c = compile_expr(sp.field, ctx)
+                cols.append(c.asc() if sp.asc else c.desc())
+        self.env[op.out] = df.orderBy(*cols)
+
+    def op_limit(self, op: A.Limit) -> None:
+        df = self.df(op.rel)
+        if not isinstance(op.n, A.Literal):
+            raise ExecError("LIMIT requires a literal count")
+        self.env[op.out] = df.limit(int(op.n.value))
+
+    def op_sample(self, op: A.Sample) -> None:
+        df = self.df(op.rel)
+        if not isinstance(op.fraction, A.Literal):
+            raise ExecError("SAMPLE requires a literal fraction")
+        self.env[op.out] = df.sample(float(op.fraction.value))
+
+    def op_distinct(self, op: A.Distinct) -> None:
+        self.env[op.out] = self.df(op.rel).distinct()
+
+    def op_splitinto(self, op: A.SplitInto) -> None:
+        df = self.df(op.rel)
+        ctx = self.ctx(df)
+        for br in op.branches:  # SPLIT → N filters (GeneralRuleset:99-130)
+            self.env[br.out] = df.filter(compile_expr(br.pred, ctx))
+
+    def op_accumulate(self, op: A.Accumulate) -> None:
+        df = self.df(op.rel)
+        ctx = Ctx(df, mode="fused", bag_name=op.rel, udfs=self.udfs)
+        aggs = []
+        for i, gen in enumerate(op.gens):
+            col = compile_expr(gen.expr, ctx)
+            name = gen.alias or _default_name(gen.expr, df, i)
+            aggs.append(col.alias(name))
+        self.env[op.out] = df.groupBy().agg(*aggs)
+
+    # -------------------------------------------------------------- zip
+
+    def _with_index(self, df: DataFrame) -> DataFrame:
+        """Distributed 0-based dense index (no single-partition sort):
+        monotonically_increasing_id encodes (partition, row#); add
+        per-partition offsets via a broadcast join."""
+        from pyspark.sql.window import Window
+        mid = F.monotonically_increasing_id()
+        df = df.withColumn("__mid", mid)
+        pid = (F.col("__mid") / F.lit(1 << 33)).cast("long")
+        row_in_part = F.col("__mid") % F.lit(1 << 33)
+        df = df.withColumn("__pid", pid).withColumn("__row", row_in_part)
+        counts = df.groupBy("__pid").agg(F.count(F.lit(1)).alias("__cnt"))
+        w = Window.orderBy("__pid").rowsBetween(Window.unboundedPreceding, -1)
+        offsets = counts.select(
+            "__pid", F.coalesce(F.sum("__cnt").over(w), F.lit(0)).alias("__off")
+        )
+        out = df.join(F.broadcast(offsets), on="__pid", how="inner")
+        out = out.withColumn("index", (F.col("__off") + F.col("__row"))
+                             .cast("long"))
+        return out.drop("__mid", "__pid", "__row", "__off")
+
+    def op_zip(self, op: A.Zip) -> None:
+        if op.with_index:
+            self.env[op.out] = self._with_index(self.df(op.rels[0]))
+            return
+        dfs = [self._with_index(self._lineage_rename(self.df(r), r))
+               for r in op.rels]
+        out = dfs[0]
+        for d in dfs[1:]:
+            out = out.join(d, on="index", how="inner")
+        self.env[op.out] = out.drop("index")
+
+    # ---------------------------------------------------- infrastructure
+
+    def op_streamop(self, op: A.StreamOp) -> None:
+        fn = self.stream_ops.get(op.op_name) or self.udfs.get(op.op_name)
+        if fn is None or not callable(fn):
+            raise ExecError(f"unknown STREAM THROUGH operator {op.op_name!r}")
+        df = self.df(op.rel)
+        out = fn(df, *op.params)
+        if op.schema is not None:
+            out = out.toDF(*[f.name for f in op.schema.fields])
+        self.env[op.out] = out
+
+    def op_cache(self, op: A.Cache) -> None:
+        level = getattr(StorageLevel, op.level, StorageLevel.MEMORY_AND_DISK)
+        self.env[op.out] = self.df(op.rel).persist(level)
+
+    def op_materialize(self, op: A.Materialize) -> None:
+        """Lineage-keyed parquet checkpoint
+        (ref mm/MaterializationManager.scala:86-382)."""
+        base = self.options.get("materialization_dir", "/tmp/piglet_mat")
+        key = hashlib.md5(
+            (self.script_hash + ":" + op.rel).encode()).hexdigest()[:16]
+        path = f"{base}/{op.rel}_{key}"
+        df = self.df(op.rel)
+        try:
+            cached = self.spark.read.parquet(path)
+            self.env[op.rel] = cached
+            return
+        except Exception:
+            pass
+        df.write.mode("overwrite").parquet(path)
+        self.env[op.rel] = self.spark.read.parquet(path)
+
+    def op_register(self, op: A.Register) -> None:
+        if op.path.endswith(".py"):
+            self.spark.sparkContext.addPyFile(op.path)
+
+    def op_setcmd(self, op: A.SetCmd) -> None:
+        if op.key.startswith("spark."):
+            self.spark.conf.set(op.key, str(op.value))
+        else:
+            self.options[op.key] = op.value
+
+    def op_definealias(self, op: A.DefineAlias) -> None:
+        from ..functions import builtins
+        target = builtins.lookup_scalar(op.func.split(".")[-1])
+        if target is not None:
+            self.udfs[op.alias] = target
+        elif op.func in self.udfs:
+            self.udfs[op.alias] = self.udfs[op.func]
+        else:
+            # late binding: resolved from embedded code at call time
+            self.udfs[op.alias] = _LateBound(self, op.func)
+
+    def op_definemacro(self, op: A.DefineMacro) -> None:
+        pass  # handled by rewrite pass
+
+    def op_embedcmd(self, op: A.EmbedCmd) -> None:
+        """Execute embedded ``<% python %>`` code; register callables as
+        UDFs (plain functions wrapped via F.udf with annotated types,
+        column-builders used directly)."""
+        ns: dict[str, Any] = {"F": F, "spark": self.spark}
+        exec(op.code, ns)  # noqa: S102 — user-authored script code
+        for name, obj in ns.items():
+            if name.startswith("_") or not callable(obj) or name in ("F",):
+                continue
+            if getattr(obj, "__piglet_column__", False):
+                self.udfs[name] = obj
+            elif getattr(obj, "__piglet_operator__", False):
+                self.stream_ops[name] = obj
+            elif callable(obj) and getattr(obj, "__module__", "") != "builtins":
+                ret = getattr(obj, "__annotations__", {}).get("return", str)
+                spark_t = _PY2SPARK.get(ret, "string")
+                self.udfs[name] = F.udf(obj, spark_t)
+
+    # ----------------------------------------------------------- RDF
+
+    def op_rdfload(self, op: A.RDFLoad) -> None:
+        df = storage.load(self.spark, op.path, "RDFFileStorage", [], None)
+        if op.grouped:
+            others = [c for c in ("subject", "predicate", "object")
+                      if c != op.grouped]
+            df = df.groupBy(op.grouped).agg(
+                F.collect_list(F.struct(*others)).alias("stmts"))
+        self.env[op.out] = df
+
+    def op_tuplify(self, op: A.Tuplify) -> None:
+        df = self.df(op.rel)
+        ctx = self.ctx(df)
+        key = compile_expr(op.on, ctx)
+        if isinstance(op.on, A.NamedField):
+            kname = E.resolve_named(op.on, ctx)
+        else:
+            kname = S.positional(df.columns, op.on.pos)
+        others = [c for c in df.columns if c != kname]
+        self.env[op.out] = df.groupBy(key.alias(kname)).agg(
+            F.collect_list(F.struct(*others)).alias("stmts"))
+
+    def op_bgpfilter(self, op: A.BGPFilter) -> None:
+        """SPARQL BGP over a triple relation: each pattern = filter on
+        constants; shared variables = equi-joins
+        (ref rulesets/RDFRuleset.scala star/path join generation)."""
+        triples = self.df(op.rel)
+        s, p, o = triples.columns[:3]
+        parts = []
+        for i, pat in enumerate(op.patterns):
+            df = triples
+            sel = []
+            for col, term in ((s, pat.subj), (p, pat.pred), (o, pat.obj)):
+                if isinstance(term, A.Literal):
+                    df = df.filter(F.col(col) == term.value)
+                elif isinstance(term, A.NamedField) and term.name.startswith("?"):
+                    sel.append(F.col(col).alias(term.name[1:]))
+            parts.append(df.select(*sel) if sel else df.select(F.lit(1).alias(f"_m{i}")))
+        out = parts[0]
+        for nxt in parts[1:]:
+            shared = [c for c in out.columns if c in nxt.columns]
+            out = out.join(nxt, on=shared, how="inner") if shared \
+                else out.crossJoin(nxt)
+        self.env[op.out] = out
+
+    # ------------------------------------------------------ streaming
+
+    def op_socketread(self, op: A.SocketRead) -> None:
+        from ..streaming import stream_exec
+        self.env[op.out] = stream_exec.socket_read(self.spark, op)
+
+    def op_socketwrite(self, op: A.SocketWrite) -> None:
+        from ..streaming import stream_exec
+        stream_exec.socket_write(self.df(op.rel), op)
+
+    def op_window(self, op: A.Window) -> None:
+        from ..streaming import stream_exec
+        self.env[op.out] = stream_exec.apply_window(self.df(op.rel), op)
+
+    def op_matchevent(self, op: A.MatchEvent) -> None:
+        from ..streaming import cep
+        df = self.df(op.rel)
+        self.env[op.out] = cep.match_event(df, op, self)
+
+
+class _LateBound:
+    """DEFINE alias for a function registered later via embedded code."""
+
+    def __init__(self, executor: Executor, func: str):
+        self.executor = executor
+        self.func = func
+
+    def __call__(self, *args):
+        fn = self.executor.udfs.get(self.func)
+        if fn is None or isinstance(fn, _LateBound):
+            raise ExecError(f"function {self.func!r} was never registered")
+        return fn(*args)
+
+
+# ---------------------------------------------------------- finalization
+
+def _default_name(e: A.Expr, df: DataFrame, i: int) -> str:
+    if isinstance(e, A.NamedField):
+        return S.base_name(e.name)
+    if isinstance(e, A.PositionalField):
+        return S.base_name(df.columns[e.pos]) if e.pos < len(df.columns) \
+            else f"_{i}"
+    if isinstance(e, A.DerefTuple):
+        f = e.field
+        if isinstance(f, A.NamedField):
+            return f.name
+    if isinstance(e, A.FuncCall):
+        return f"_{i}"
+    return f"_{i}"
+
+
+def _is_group_ref(e: A.Expr) -> bool:
+    if isinstance(e, A.NamedField) and e.name == "group":
+        return True
+    if isinstance(e, A.DerefTuple) and isinstance(e.base, A.NamedField) \
+            and e.base.name == "group":
+        return True
+    return False
+
+
+def _finalize(df: DataFrame, names: list[Optional[str]], flat_idx: list[int],
+              gens: list[A.GenExpr]) -> DataFrame:
+    """Rename temp columns _g{i} → output names; expand FLATTEN gens
+    (arrays → explode; structs → inline fields)."""
+    # explode arrays first (chained explodes = Pig cross-product flatten)
+    for i in flat_idx:
+        cname = f"_g{i}"
+        dt = df.schema[cname].dataType
+        if isinstance(dt, T.ArrayType):
+            df = df.withColumn(cname, F.explode(cname))
+    # build final select: expand structs of flattened gens
+    sel: list[Column] = []
+    used: set[str] = set()
+    for i, name in enumerate(names):
+        cname = f"_g{i}"
+        dt = df.schema[cname].dataType
+        flatten_this = i in flat_idx
+        if flatten_this and isinstance(dt, T.StructType):
+            decl = gens[i].pig_type if i < len(gens) else None
+            fnames = None
+            if isinstance(decl, A.TupleDecl):
+                fnames = [fd.name for fd in decl.fields]
+            for j, f in enumerate(dt.fields):
+                out_name = (fnames[j] if fnames and j < len(fnames)
+                            else f.name)
+                out_name = _uniq(out_name, used)
+                sel.append(F.col(cname)[f.name].alias(out_name))
+        else:
+            out_name = _uniq(name or cname, used)
+            sel.append(F.col(cname).alias(out_name))
+    return df.select(*sel)
+
+
+def _uniq(name: str, used: set[str]) -> str:
+    base = name
+    k = 1
+    while name in used:
+        name = f"{base}_{k}"
+        k += 1
+    used.add(name)
+    return name
+
+
+def _pig_schema_str(schema: T.StructType) -> str:
+    def fmt(dt: T.DataType) -> str:
+        if isinstance(dt, T.StructType):
+            inner = ", ".join(f"{f.name}: {fmt(f.dataType)}" for f in dt.fields)
+            return f"({inner})"
+        if isinstance(dt, T.ArrayType):
+            return "{" + fmt(dt.elementType) + "}"
+        if isinstance(dt, T.MapType):
+            return f"[{fmt(dt.valueType)}]"
+        m = {T.IntegerType: "int", T.LongType: "long", T.FloatType: "float",
+             T.DoubleType: "double", T.BooleanType: "boolean",
+             T.StringType: "chararray", T.TimestampType: "datetime"}
+        for k, v in m.items():
+            if isinstance(dt, k):
+                return v
+        return dt.simpleString()
+    inner = ", ".join(f"{f.name}: {fmt(f.dataType)}" for f in schema.fields)
+    return "{" + inner + "}"

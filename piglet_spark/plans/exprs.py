@@ -1,0 +1,391 @@
+"""Compile Pig expressions/predicates → native Spark Columns.
+
+Semantics parity: expr/ArithmeticExpr.scala (arithmetic + casts +
+constructors), expr/Predicate.scala (boolean ops), Types.scala:112-141
+(numeric escalation; bytearray+bytearray → double). Everything compiles
+to JVM-side Column expressions — no Python UDFs unless the user
+registered one.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Callable, Optional
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from . import ast as A
+from . import schema as S
+from ..functions import builtins
+
+
+class CompileError(Exception):
+    pass
+
+
+class Ctx:
+    """Expression-compilation context.
+
+    mode:
+      - "row":   plain relation; refs resolve against df columns.
+      - "fused": FOREACH over a lazy GROUP — aggregates compile to
+                 groupBy().agg() columns over the *pre-group* df.
+      - "bag":   grouped relation materialized; bag is array<struct>.
+    """
+
+    def __init__(self, df: DataFrame, mode: str = "row",
+                 bag_name: Optional[str] = None,
+                 key_cols: Optional[list[str]] = None,
+                 udfs: Optional[dict[str, Callable]] = None,
+                 nested_bags: Optional[dict[str, Any]] = None):
+        self.df = df
+        self.mode = mode
+        self.bag_name = bag_name
+        self.key_cols = key_cols or []
+        self.udfs = udfs or {}
+        # nested FOREACH: alias -> NestedBag descriptor
+        self.nested_bags = nested_bags or {}
+        # True while compiling the argument of an aggregate call:
+        # bag refs then denote pre-group columns, not collect_list
+        self.in_agg = False
+
+    @property
+    def columns(self) -> list[str]:
+        return self.df.columns
+
+    def col(self, name: str) -> Column:
+        return self.df[name]
+
+    def dtype(self, name: str) -> T.DataType:
+        return self.df.schema[name].dataType
+
+
+def _is_string(dt: Optional[T.DataType]) -> bool:
+    return isinstance(dt, (T.StringType, T.BinaryType))
+
+
+def _is_int(dt: Optional[T.DataType]) -> bool:
+    return isinstance(dt, (T.ByteType, T.ShortType, T.IntegerType, T.LongType))
+
+
+def static_dtype(expr: A.Expr, ctx: Ctx) -> Optional[T.DataType]:
+    """Best-effort static type, used for bytearray-arithmetic casts."""
+    try:
+        if isinstance(expr, A.NamedField):
+            return ctx.dtype(resolve_named(expr, ctx))
+        if isinstance(expr, A.PositionalField):
+            return ctx.dtype(S.positional(ctx.columns, expr.pos))
+        if isinstance(expr, A.Literal):
+            return S.pig_to_spark(expr.pig_type) if expr.pig_type else None
+        if isinstance(expr, A.CastExpr):
+            return S.pig_to_spark(expr.pig_type)
+        if isinstance(expr, A.BinOp):
+            lt, rt = static_dtype(expr.left, ctx), static_dtype(expr.right, ctx)
+            if isinstance(lt, T.DoubleType) or isinstance(rt, T.DoubleType):
+                return T.DoubleType()
+            if lt is None or rt is None:
+                return None
+            if _is_string(lt) or _is_string(rt):
+                return T.DoubleType()
+            return lt if _priority(lt) >= _priority(rt) else rt
+        if isinstance(expr, A.Neg):
+            return static_dtype(expr.expr, ctx)
+        if isinstance(expr, A.DerefTuple):
+            base = static_dtype(expr.base, ctx)
+            if isinstance(base, T.StructType) and isinstance(expr.field, A.NamedField):
+                return base[expr.field.name].dataType
+            return None
+    except Exception:
+        return None
+    return None
+
+
+def _priority(dt: T.DataType) -> int:
+    order = [T.IntegerType, T.LongType, T.FloatType, T.DoubleType]
+    for i, t in enumerate(order):
+        if isinstance(dt, t):
+            return i
+    return -1
+
+
+def resolve_named(expr: A.NamedField, ctx: Ctx) -> str:
+    return S.resolve_column(ctx.columns, expr.name, expr.lineage)
+
+
+def compile_expr(expr: A.Expr, ctx: Ctx) -> Column:
+    if isinstance(expr, A.Literal):
+        return F.lit(expr.value)
+
+    if isinstance(expr, A.NamedField):
+        # nested-FOREACH intermediate alias?
+        if expr.name in ctx.nested_bags:
+            return ctx.nested_bags[expr.name].as_column(ctx)
+        if ctx.mode == "fused" and expr.name == ctx.bag_name and not ctx.in_agg:
+            # bare bag ref outside an aggregate → the materialized bag
+            return F.collect_list(
+                F.struct(*[ctx.col(c) for c in ctx.columns]))
+        return ctx.col(resolve_named(expr, ctx))
+
+    if isinstance(expr, A.PositionalField):
+        return ctx.col(S.positional(ctx.columns, expr.pos))
+
+    if isinstance(expr, A.Star):
+        return F.struct(*[ctx.col(c) for c in ctx.columns])
+
+    if isinstance(expr, A.DerefTuple):
+        return compile_deref(expr, ctx)
+
+    if isinstance(expr, A.DerefMap):
+        base = compile_expr(expr.base, ctx)
+        return base[expr.key]
+
+    if isinstance(expr, A.BinOp):
+        return compile_binop(expr, ctx)
+
+    if isinstance(expr, A.Neg):
+        return -compile_expr(expr.expr, ctx)
+
+    if isinstance(expr, A.CastExpr):
+        inner = compile_expr(expr.expr, ctx)
+        return inner.cast(S.pig_to_spark(expr.pig_type))
+
+    if isinstance(expr, A.FuncCall):
+        return compile_func(expr, ctx)
+
+    if isinstance(expr, A.TupleCons):
+        return F.struct(*[compile_expr(e, ctx) for e in expr.exprs])
+
+    if isinstance(expr, A.BagCons):
+        elems = []
+        for e in expr.exprs:
+            c = compile_expr(e, ctx)
+            if isinstance(e, (A.TupleCons,)):
+                elems.append(c)
+            else:
+                elems.append(F.struct(c))
+        return F.array(*elems)
+
+    if isinstance(expr, A.MapCons):
+        return F.create_map(*[compile_expr(e, ctx) for e in expr.exprs])
+
+    if isinstance(expr, A.Cmp):
+        return compile_cmp(expr, ctx)
+
+    if isinstance(expr, A.And):
+        return compile_expr(expr.left, ctx) & compile_expr(expr.right, ctx)
+
+    if isinstance(expr, A.Or):
+        return compile_expr(expr.left, ctx) | compile_expr(expr.right, ctx)
+
+    if isinstance(expr, A.Not):
+        return ~compile_expr(expr.expr, ctx)
+
+    if isinstance(expr, A.IsNull):
+        c = compile_expr(expr.expr, ctx)
+        return c.isNotNull() if expr.negated else c.isNull()
+
+    raise CompileError(f"cannot compile expression {expr!r}")
+
+
+def compile_deref(expr: A.DerefTuple, ctx: Ctx) -> Column:
+    """`a.b`: struct-field access, bag-column projection, or (fused mode)
+    projection of the group bag → pre-group column."""
+    base = expr.base
+    fname = (expr.field.name if isinstance(expr.field, A.NamedField)
+             else expr.field.pos)
+
+    if isinstance(base, A.NamedField):
+        # fused mode: BagName.x → pre-group column x (inside aggregates)
+        # or collect_list(x) (bare bag projection)
+        if ctx.mode == "fused" and base.name == ctx.bag_name:
+            if isinstance(fname, int):
+                col = ctx.col(S.positional(ctx.columns, fname))
+            else:
+                col = ctx.col(S.resolve_column(ctx.columns, fname))
+            return col if ctx.in_agg else F.collect_list(col)
+        # nested bag alias
+        if base.name in ctx.nested_bags:
+            return ctx.nested_bags[base.name].project(fname, ctx)
+        # 'group' composite key: group.f1
+        if base.name == "group" and "group" in ctx.columns:
+            g = ctx.col("group")
+            if isinstance(ctx.dtype("group"), T.StructType):
+                return g[fname] if not isinstance(fname, int) else g[
+                    ctx.dtype("group").names[fname]]
+            return g
+
+    base_col = compile_expr(base, ctx)
+    base_dt = static_dtype(base, ctx)
+    if isinstance(base_dt, T.ArrayType):
+        # bag projection: one column per element
+        if isinstance(fname, int):
+            elem = base_dt.elementType
+            if isinstance(elem, T.StructType):
+                fname = elem.names[fname]
+        return F.transform(base_col, lambda x: x[fname])
+    if isinstance(fname, int):
+        if isinstance(base_dt, T.StructType):
+            fname = base_dt.names[fname]
+        else:
+            raise CompileError(f"positional deref on non-struct: {expr!r}")
+    return base_col[fname]
+
+
+def _numify(expr: A.Expr, col: Column, ctx: Ctx) -> Column:
+    dt = static_dtype(expr, ctx)
+    if dt is None or _is_string(dt):
+        return col.cast("double")
+    return col
+
+
+def compile_binop(expr: A.BinOp, ctx: Ctx) -> Column:
+    lt, rt = static_dtype(expr.left, ctx), static_dtype(expr.right, ctx)
+    left = compile_expr(expr.left, ctx)
+    right = compile_expr(expr.right, ctx)
+    # bytearray (string) operands behave numerically: escalate to double
+    # (ArithmeticExpr.scala:175-200)
+    if _is_string(lt) or lt is None:
+        left = left.cast("double")
+        lt = T.DoubleType()
+    if _is_string(rt) or rt is None:
+        right = right.cast("double")
+        rt = T.DoubleType()
+    if expr.op == "+":
+        return left + right
+    if expr.op == "-":
+        return left - right
+    if expr.op == "*":
+        return left * right
+    if expr.op == "%":
+        return left % right
+    if expr.op == "/":
+        res = left / right
+        # Pig int/int → int division (Java semantics: truncate toward 0)
+        if _is_int(lt) and _is_int(rt):
+            target = "long" if isinstance(lt, T.LongType) or isinstance(
+                rt, T.LongType) else "int"
+            return res.cast(target)
+        return res
+    raise CompileError(f"unknown arithmetic op {expr.op}")
+
+
+def compile_cmp(expr: A.Cmp, ctx: Ctx) -> Column:
+    lt, rt = static_dtype(expr.left, ctx), static_dtype(expr.right, ctx)
+    left = compile_expr(expr.left, ctx)
+    right = compile_expr(expr.right, ctx)
+    # untyped column vs numeric literal → numeric comparison
+    if _is_string(lt) and rt is not None and isinstance(rt, T.NumericType):
+        left = left.cast("double")
+    if _is_string(rt) and lt is not None and isinstance(lt, T.NumericType):
+        right = right.cast("double")
+    op = expr.op
+    if op == "==":
+        return left == right
+    if op == "!=":
+        return left != right
+    if op == "<":
+        return left < right
+    if op == "<=":
+        return left <= right
+    if op == ">":
+        return left > right
+    if op == ">=":
+        return left >= right
+    if op == "matches":
+        # Pig `matches` = full-string regex (String.matches)
+        if isinstance(expr.right, A.Literal):
+            return left.rlike(f"^(?:{expr.right.value})$")
+        return left.rlike(right)
+    raise CompileError(f"unknown comparison {op}")
+
+
+def compile_func(expr: A.FuncCall, ctx: Ctx) -> Column:
+    name = expr.name.lower()
+
+    if builtins.is_aggregate(name):
+        return compile_aggregate(expr, ctx)
+
+    scalar = builtins.lookup_scalar(name)
+    if scalar is not None:
+        args = [compile_expr(a, ctx) for a in expr.args]
+        # literal string/num args that builders use directly
+        return scalar(*args)
+
+    # user-registered function (DEFINE / embedded python / registry)
+    fn = ctx.udfs.get(expr.name) or ctx.udfs.get(name)
+    if fn is not None:
+        args = [compile_expr(a, ctx) for a in expr.args]
+        return fn(*args)
+
+    raise CompileError(f"unknown function {expr.name!r}")
+
+
+def compile_aggregate(expr: A.FuncCall, ctx: Ctx) -> Column:
+    """Aggregate call: COUNT(A), SUM(A.x), AVG(A.f2)…
+
+    fused mode → Catalyst partial+final aggregation over pre-group
+    columns (the 100 TB path); bag mode → higher-order functions over
+    the materialized array.
+    """
+    name = expr.name.lower()
+    spec = builtins.AGGREGATES[name]
+
+    if ctx.mode == "fused":
+        if not expr.args or isinstance(expr.args[0], A.Star):
+            return spec.fused(F.lit(1)) if name not in (
+                "count", "count_star", "isempty", "nonempty") else spec.fused()
+        arg = expr.args[0]
+        if isinstance(arg, A.NamedField):
+            if arg.name == ctx.bag_name:
+                # COUNT(A) over the whole bag
+                return spec.fused() if name in (
+                    "count", "count_star", "isempty", "nonempty"
+                ) else spec.fused(F.struct(*[ctx.col(c) for c in ctx.columns]))
+            if arg.name in ctx.nested_bags:
+                return ctx.nested_bags[arg.name].aggregate(name, ctx)
+        prev, ctx.in_agg = ctx.in_agg, True
+        try:
+            col = compile_expr(arg, ctx)
+        finally:
+            ctx.in_agg = prev
+        if name in ("count", "count_star"):
+            return F.count(F.lit(1))
+        return spec.fused(col)
+
+    if ctx.mode == "bag" or ctx.mode == "row":
+        arg = expr.args[0] if expr.args else None
+        if isinstance(arg, A.DerefTuple) and isinstance(arg.base, A.NamedField):
+            bag = compile_expr(arg.base, ctx)
+            fname = (arg.field.name if isinstance(arg.field, A.NamedField)
+                     else arg.field.pos)
+            dt = static_dtype(arg.base, ctx)
+            if isinstance(fname, int) and isinstance(dt, T.ArrayType) and \
+                    isinstance(dt.elementType, T.StructType):
+                fname = dt.elementType.names[fname]
+            return spec.bag(bag, fname)
+        if arg is not None:
+            bag = compile_expr(arg, ctx)
+            if name in ("count", "count_star", "isempty", "nonempty"):
+                return spec.bag(bag)
+            # bag of single-field tuples → project field 0
+            dt = static_dtype(arg, ctx)
+            if isinstance(dt, T.ArrayType) and isinstance(dt.elementType,
+                                                          T.StructType):
+                return spec.bag(bag, dt.elementType.names[0])
+            # array of scalars
+            if name == "sum":
+                return F.aggregate(bag, F.lit(0.0), lambda a, x: a + x.cast("double"))
+            if name == "avg":
+                return F.aggregate(bag, F.lit(0.0),
+                                   lambda a, x: a + x.cast("double")) / F.size(bag)
+            if name == "min":
+                return F.array_min(bag)
+            if name == "max":
+                return F.array_max(bag)
+            if name == "median":
+                return F.element_at(F.array_sort(bag),
+                                    (F.floor(F.size(bag) / 2) + 1).cast("int"))
+        raise CompileError(f"cannot compile aggregate {expr!r} in {ctx.mode} mode")
+
+    raise CompileError(f"aggregate {name} in unexpected mode {ctx.mode}")

@@ -1,0 +1,131 @@
+"""Front-end plan rewrites.
+
+Kept from the reference's rule set (rulesets/GeneralRuleset.scala) are
+only the rewrites that are *language-level* — macro expansion
+(:290-312, param substitution PigOperator.resolveParameters:137-158)
+and SPLIT→filter routing (:99-130, done in the executor). Catalyst
+already performs filter pushdown, combine-filters, combine-limits,
+top-k fusion etc. (SURVEY.md §4.1), so those rules are intentionally
+absent here.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Any
+
+from . import ast as A
+
+
+class RewriteError(Exception):
+    pass
+
+
+def _subst_expr(e: Any, mapping: dict[str, A.Expr], alias_map: dict[str, str]) -> Any:
+    if isinstance(e, A.NamedField):
+        if e.name in mapping and not e.lineage:
+            return mapping[e.name]
+        if e.name in alias_map and not e.lineage:
+            return A.NamedField(name=alias_map[e.name])
+        if e.lineage:
+            lin = tuple(alias_map.get(x, x) for x in e.lineage)
+            return A.NamedField(name=e.name, lineage=lin)
+        return e
+    if dataclasses.is_dataclass(e) and not isinstance(e, type):
+        changes = {}
+        for f in dataclasses.fields(e):
+            v = getattr(e, f.name)
+            nv = _subst_any(v, mapping, alias_map)
+            if nv is not v:
+                changes[f.name] = nv
+        return dataclasses.replace(e, **changes) if changes else e
+    return e
+
+
+def _subst_any(v: Any, mapping: dict[str, A.Expr], alias_map: dict[str, str]) -> Any:
+    if isinstance(v, list):
+        return [_subst_any(x, mapping, alias_map) for x in v]
+    if isinstance(v, tuple):
+        return tuple(_subst_any(x, mapping, alias_map) for x in v)
+    if isinstance(v, dict):
+        return {k: _subst_any(x, mapping, alias_map) for k, x in v.items()}
+    if dataclasses.is_dataclass(v) and not isinstance(v, type):
+        return _subst_expr(v, mapping, alias_map)
+    return v
+
+
+def _subst_str(s: str, mapping: dict[str, A.Expr], alias_map: dict[str, str]) -> str:
+    if s in alias_map:
+        return alias_map[s]
+    if s in mapping:
+        m = mapping[s]
+        if isinstance(m, A.NamedField):
+            return m.full
+        if isinstance(m, A.Literal):
+            return str(m.value)
+    return s
+
+
+def expand_macros(ops: list[A.Op]) -> list[A.Op]:
+    """Expand MacroCall sites with the macro body, substituting `$param`
+    refs with call arguments and renaming body-internal aliases."""
+    macros: dict[str, A.DefineMacro] = {}
+    out: list[A.Op] = []
+    counter = [0]
+
+    def expand_call(call: A.MacroCall) -> list[A.Op]:
+        macro = macros.get(call.name)
+        if macro is None:
+            raise RewriteError(f"unknown macro {call.name!r}")
+        if len(call.args) != len(macro.params):
+            raise RewriteError(
+                f"macro {call.name}: expected {len(macro.params)} args, "
+                f"got {len(call.args)}"
+            )
+        counter[0] += 1
+        n = counter[0]
+        # $param → arg expr (both '$p' and 'p' spellings)
+        mapping: dict[str, A.Expr] = {}
+        for p, a in zip(macro.params, call.args):
+            mapping[f"${p}"] = a
+            mapping[p] = a
+        # rename body-internal aliases; RETURNS alias → call output
+        alias_map: dict[str, str] = {}
+        for op in macro.body:
+            if op.out and op.out != macro.returns:
+                alias_map[op.out] = f"__{call.name}_{n}_{op.out}"
+        if macro.returns:
+            alias_map[macro.returns] = call.out
+            alias_map[f"${macro.returns}"] = call.out
+        expanded: list[A.Op] = []
+        for op in macro.body:
+            new_op = _subst_expr(op, mapping, alias_map)
+            # rel-name string fields need alias/param mapping too
+            str_fields = {}
+            for f in dataclasses.fields(new_op):
+                v = getattr(new_op, f.name)
+                if f.name in ("rel", "out") and isinstance(v, str):
+                    str_fields[f.name] = _subst_str(v, mapping, alias_map)
+                elif f.name == "rels" and isinstance(v, list):
+                    str_fields[f.name] = [_subst_str(x, mapping, alias_map)
+                                          for x in v]
+            if str_fields:
+                new_op = dataclasses.replace(new_op, **str_fields)
+            if isinstance(new_op, A.MacroCall):
+                expanded.extend(expand_call(new_op))
+            else:
+                expanded.append(new_op)
+        return expanded
+
+    for op in ops:
+        if isinstance(op, A.DefineMacro):
+            macros[op.name] = op
+        elif isinstance(op, A.MacroCall):
+            out.extend(expand_call(op))
+        else:
+            out.append(op)
+    return out
+
+
+def rewrite(ops: list[A.Op]) -> list[A.Op]:
+    return expand_macros(ops)

@@ -1,0 +1,203 @@
+"""Pluggable LOAD/STORE storage functions.
+
+Parity: sparklib/src/main/scala/dbis/piglet/backends/spark/Storage.scala
+(PigStorage :38-68, TextLoader :85-100, RDFFileStorage :126-143,
+BinStorage :147-162, JsonStorage :207-247, JdbcStorage :251-275).
+
+All loaders return a DataFrame whose scan benefits from Catalyst
+pushdown (schemas passed to the reader, not applied post-hoc).
+"""
+
+from __future__ import annotations
+
+from typing import Any, Optional
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from ..plans import ast as A
+from ..plans import schema as S
+
+
+class StorageError(Exception):
+    pass
+
+
+# ---------------------------------------------------------------- load
+
+def load(spark: SparkSession, path: str, func: Optional[str],
+         args: list[Any], decl: Optional[A.TupleDecl]) -> DataFrame:
+    name = (func or "PigStorage").split(".")[-1].lower()
+    fn = _LOADERS.get(name)
+    if fn is None:
+        raise StorageError(f"unknown load function {func!r}")
+    return fn(spark, path, args, decl)
+
+
+def _schema_or_none(decl: Optional[A.TupleDecl]) -> Optional[T.StructType]:
+    return S.tuple_decl_to_struct(decl) if decl is not None else None
+
+
+def _load_pigstorage(spark, path, args, decl):
+    # PigStorage('delim', skipFirstRow, skipEmpty, comments)
+    # default delimiter is TAB (Storage.scala:40); trailing empty fields kept
+    delim = str(args[0]) if args else "\t"
+    skip_first = bool(args[1]) if len(args) > 1 else False
+    comments = str(args[3]) if len(args) > 3 else None
+    reader = (spark.read.format("csv")
+              .option("sep", delim)
+              .option("header", "false")
+              .option("mode", "PERMISSIVE")
+              .option("emptyValue", ""))
+    if comments:
+        reader = reader.option("comment", comments[0])
+    schema = _schema_or_none(decl)
+    if schema is not None:
+        reader = reader.schema(schema)
+    df = reader.load(path)
+    if skip_first:
+        first = df.limit(1).collect()
+        if first:
+            # drop header row by anti-matching the first line's values
+            cond = None
+            for c, v in zip(df.columns, first[0]):
+                e = F.col(c).cast("string") == F.lit(str(v))
+                cond = e if cond is None else cond & e
+            df = df.filter(~F.coalesce(cond, F.lit(False)))
+    return df
+
+
+def _load_textloader(spark, path, args, decl):
+    df = spark.read.text(path)
+    name = "line"
+    if decl is not None and decl.fields:
+        name = decl.fields[0].name or "line"
+    return df.select(F.col("value").alias(name))
+
+
+def _load_rdf(spark, path, args, decl):
+    # N-triples: <subj> <pred> <obj> .  (Storage.scala:126-143 regex split)
+    pat = r'^\s*(\S+)\s+(\S+)\s+(.+?)\s*\.\s*$'
+    names = ["subject", "predicate", "object"]
+    if decl is not None and len(decl.fields) == 3:
+        names = [f.name or names[i] for i, f in enumerate(decl.fields)]
+    df = spark.read.text(path)
+    return df.select(
+        F.regexp_extract("value", pat, 1).alias(names[0]),
+        F.regexp_extract("value", pat, 2).alias(names[1]),
+        F.regexp_extract("value", pat, 3).alias(names[2]),
+    ).filter(F.col(names[0]) != "")
+
+
+def _load_json(spark, path, args, decl):
+    reader = spark.read
+    schema = _schema_or_none(decl)
+    if schema is not None:
+        reader = reader.schema(schema)
+    return reader.json(path)
+
+
+def _load_parquet(spark, path, args, decl):
+    df = spark.read.parquet(path)
+    if decl is not None:
+        names = [f.name for f in decl.fields]
+        df = df.toDF(*[n or c for n, c in zip(names, df.columns)])
+    return df
+
+
+def _load_jdbc(spark, path, args, decl):
+    # JdbcStorage('driver', 'url?user=x&password=y'); path = table name
+    if len(args) < 2:
+        raise StorageError("JdbcStorage needs (driver, url)")
+    driver, url = str(args[0]), str(args[1])
+    return (spark.read.format("jdbc")
+            .option("driver", driver)
+            .option("url", url)
+            .option("dbtable", path)
+            .load())
+
+
+def _load_orc(spark, path, args, decl):
+    return spark.read.orc(path)
+
+
+def _load_avro(spark, path, args, decl):
+    return spark.read.format("avro").load(path)
+
+
+_LOADERS = {
+    "pigstorage": _load_pigstorage,
+    "textloader": _load_textloader,
+    "rdffilestorage": _load_rdf,
+    "jsonstorage": _load_json,
+    "jsonstorage2": _load_json,
+    "binstorage": _load_parquet,  # our binary format is parquet
+    "parquetstorage": _load_parquet,
+    "jdbcstorage": _load_jdbc,
+    "orcstorage": _load_orc,
+    "avrostorage": _load_avro,
+}
+
+
+# --------------------------------------------------------------- store
+
+def store(df: DataFrame, path: str, func: Optional[str],
+          args: list[Any]) -> None:
+    name = (func or "PigStorage").split(".")[-1].lower()
+    if name == "pigstorage":
+        delim = str(args[0]) if args else ","
+        formatted = pig_format_rows(df, delim)
+        formatted.write.mode("overwrite").text(path)
+        return
+    if name in ("binstorage", "parquetstorage"):
+        df.write.mode("overwrite").parquet(path)
+        return
+    if name in ("jsonstorage", "jsonstorage2"):
+        df.write.mode("overwrite").json(path)
+        return
+    if name == "orcstorage":
+        df.write.mode("overwrite").orc(path)
+        return
+    if name == "jdbcstorage":
+        (df.write.format("jdbc").option("driver", str(args[0]))
+         .option("url", str(args[1])).option("dbtable", path).save())
+        return
+    raise StorageError(f"unknown store function {func!r}")
+
+
+# ----------------------------------------------- Pig output formatting
+
+def _fmt(col, dt: T.DataType):
+    """Pig rendering (ScalaEmitter.scala:466-472): bags `{t1,t2}`,
+    maps `[k#v]`, tuples `(a,b)`; null → empty string."""
+    if isinstance(dt, T.StructType):
+        parts = []
+        for f in dt.fields:
+            parts.append(_fmt(col[f.name], f.dataType))
+        return F.concat(F.lit("("), F.concat_ws(",", *parts), F.lit(")"))
+    if isinstance(dt, T.ArrayType):
+        elem = dt.elementType
+        inner = F.transform(col, lambda x: _fmt(x, elem))
+        return F.concat(F.lit("{"), F.array_join(inner, ","), F.lit("}"))
+    if isinstance(dt, T.MapType):
+        entries = F.transform(
+            F.map_entries(col),
+            lambda e: F.concat(e["key"].cast("string"), F.lit("#"),
+                               F.coalesce(e["value"].cast("string"), F.lit(""))),
+        )
+        return F.concat(F.lit("["), F.array_join(entries, ","), F.lit("]"))
+    return F.coalesce(col.cast("string"), F.lit(""))
+
+
+def pig_format_rows(df: DataFrame, delim: str = ",") -> DataFrame:
+    cols = [_fmt(df[c], df.schema[c].dataType) for c in df.columns]
+    return df.select(F.concat_ws(delim, *cols).alias("value"))
+
+
+def pig_format_tuple(df: DataFrame) -> DataFrame:
+    """DUMP format: `(f1,f2,...)` per row."""
+    cols = [_fmt(df[c], df.schema[c].dataType) for c in df.columns]
+    return df.select(
+        F.concat(F.lit("("), F.concat_ws(",", *cols), F.lit(")")).alias("value")
+    )
