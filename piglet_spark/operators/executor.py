@@ -195,7 +195,9 @@ def _lambda_pred(pred: A.Expr, x: Column, bag: NestedBag, ctx: Ctx) -> Column:
 
 # ------------------------------------------------------------- executor
 
-_PY2SPARK = {int: "long", float: "double", str: "string", bool: "boolean"}
+_PY2SPARK = {int: "long", float: "double", str: "string", bool: "boolean",
+             "int": "long", "float": "double", "str": "string",
+             "bool": "boolean"}
 
 
 class Executor:
@@ -672,7 +674,8 @@ class Executor:
         UDFs (plain functions wrapped via F.udf with annotated types,
         column-builders used directly)."""
         ns: dict[str, Any] = {"F": F, "spark": self.spark}
-        exec(op.code, ns)  # noqa: S102 — user-authored script code
+        code = compile(op.code, "<piglet-embed>", "exec", dont_inherit=True)
+        exec(code, ns)  # noqa: S102 — user-authored script code
         for name, obj in ns.items():
             if name.startswith("_") or not callable(obj) or name in ("F",):
                 continue
@@ -715,20 +718,27 @@ class Executor:
         triples = self.df(op.rel)
         s, p, o = triples.columns[:3]
         parts = []
-        for i, pat in enumerate(op.patterns):
+        var_order: list[str] = []  # output schema = bound vars in
+        for i, pat in enumerate(op.patterns):  # first-appearance order
             df = triples
             sel = []
             for col, term in ((s, pat.subj), (p, pat.pred), (o, pat.obj)):
                 if isinstance(term, A.Literal):
                     df = df.filter(F.col(col) == term.value)
                 elif isinstance(term, A.NamedField) and term.name.startswith("?"):
-                    sel.append(F.col(col).alias(term.name[1:]))
+                    v = term.name[1:]
+                    sel.append(F.col(col).alias(v))
+                    if v not in var_order:
+                        var_order.append(v)
             parts.append(df.select(*sel) if sel else df.select(F.lit(1).alias(f"_m{i}")))
         out = parts[0]
         for nxt in parts[1:]:
             shared = [c for c in out.columns if c in nxt.columns]
             out = out.join(nxt, on=shared, how="inner") if shared \
                 else out.crossJoin(nxt)
+        sel = [c for c in var_order if c in out.columns]
+        if sel:
+            out = out.select(*sel)
         self.env[op.out] = out
 
     # ------------------------------------------------------ streaming

@@ -159,7 +159,9 @@ class Parser:
 
     def ident(self) -> str:
         t = self.cur
-        if t.kind != "id":
+        # `$name` params stand in for aliases inside macro bodies;
+        # resolved at expansion time (rewrite.expand_macros)
+        if t.kind not in ("id", "param"):
             raise ParseError(f"line {t.line}: expected identifier, got {t.text!r}")
         return self.advance().text
 
@@ -187,6 +189,13 @@ class Parser:
 
     def parse_statement(self) -> Optional[A.Op]:
         t = self.cur
+        if t.kind == "param":
+            # `$r = <op>` inside a macro body
+            alias = self.advance().text
+            self.eat("=")
+            op = self.parse_operator(alias)
+            self.eat(";")
+            return op
         if t.kind != "id":
             raise ParseError(f"line {t.line}: expected statement, got {t.text!r}")
         kw = t.text.lower()
@@ -1050,8 +1059,9 @@ def parse_number(text: str) -> A.Literal:
 
 
 PARAM_RE = re.compile(r"\$([A-Za-z_][A-Za-z0-9_]*)")
-DECLARE_RE = re.compile(r"%declare\s+\$?([A-Za-z_][A-Za-z0-9_]*)\s+(\S+)\s*;?",
-                        re.IGNORECASE)
+DECLARE_RE = re.compile(
+    r"%declare\s+\$?([A-Za-z_][A-Za-z0-9_]*)\s+('[^']*'|[^;\s]+)\s*;?",
+    re.IGNORECASE)
 
 
 def substitute_params(src: str, params: dict[str, str]) -> str:

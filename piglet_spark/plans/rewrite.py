@@ -92,8 +92,9 @@ def expand_macros(ops: list[A.Op]) -> list[A.Op]:
         # rename body-internal aliases; RETURNS alias → call output
         alias_map: dict[str, str] = {}
         for op in macro.body:
-            if op.out and op.out != macro.returns:
-                alias_map[op.out] = f"__{call.name}_{n}_{op.out}"
+            if op.out and op.out.lstrip("$") != macro.returns \
+                    and op.out.lstrip("$") not in macro.params:
+                alias_map[op.out] = f"__{call.name}_{n}_{op.out.lstrip('$')}"
         if macro.returns:
             alias_map[macro.returns] = call.out
             alias_map[f"${macro.returns}"] = call.out

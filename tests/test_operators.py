@@ -1,0 +1,343 @@
+"""Operator end-to-end tests on local Spark (model: reference
+src/it golden-output corpus, SparkCompileIt.scala:25-85)."""
+
+import pytest
+
+import piglet_spark as pg
+
+
+def rows(df):
+    return sorted(tuple(r) for r in df.collect())
+
+
+def run(spark, script, alias):
+    eng = pg.PigEngine(spark)
+    eng.run(script)
+    return eng.df(alias)
+
+
+def test_load_filter_foreach(spark, data_dir):
+    df = run(spark, f"""
+A = LOAD '{data_dir}/t.csv' USING PigStorage(',') AS (f1:int, f2:int, f3:int);
+B = FILTER A BY f1 > 1;
+C = FOREACH B GENERATE f1, f2 * 2 AS d2;
+""", "C")
+    assert rows(df) == [(4, 10), (7, 16)]
+
+
+def test_load_default_tab(spark, data_dir):
+    df = run(spark, f"""
+A = LOAD '{data_dir}/person.tsv' AS (name:chararray, age:int);
+B = FILTER A BY age >= 21;
+""", "B")
+    assert rows(df) == [("anna", 21), ("bob", 35)]
+
+
+def test_positional_untyped(spark, data_dir):
+    df = run(spark, f"""
+A = LOAD '{data_dir}/t.csv' USING PigStorage(',');
+B = FOREACH A GENERATE $0 + $2 AS s;
+""", "B")
+    assert rows(df) == [(4.0,), (5.0,), (10.0,), (16.0,)]
+
+
+def test_group_fused_agg(spark, data_dir):
+    df = run(spark, f"""
+A = LOAD '{data_dir}/t.csv' USING PigStorage(',') AS (f1:int, f2:int, f3:int);
+G = GROUP A BY f1;
+S = FOREACH G GENERATE group AS f1, COUNT(A) AS n, SUM(A.f3) AS s;
+""", "S")
+    assert rows(df) == [(1, 2, 7), (4, 1, 6), (7, 1, 9)]
+    # scale check: plan must NOT materialize bags
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "collect_list" not in plan
+
+
+def test_group_keep_bag(spark, data_dir):
+    df = run(spark, f"""
+A = LOAD '{data_dir}/nested.csv' USING PigStorage(',') AS (ex:chararray, sym:chararray);
+G = GROUP A BY ex;
+""", "G")
+    out = {r["group"]: sorted(t["sym"] for t in r["A"]) for r in df.collect()}
+    assert out == {"AA": ["sym1", "sym1", "sym2"], "BB": ["sym3"]}
+
+
+def test_group_all_and_composite(spark, data_dir):
+    df = run(spark, f"""
+A = LOAD '{data_dir}/t.csv' USING PigStorage(',') AS (f1:int, f2:int, f3:int);
+G = GROUP A ALL;
+S = FOREACH G GENERATE group, COUNT(A) AS n;
+""", "S")
+    assert rows(df) == [("all", 4)]
+    df2 = run(spark, f"""
+A = LOAD '{data_dir}/t.csv' USING PigStorage(',') AS (f1:int, f2:int, f3:int);
+G = GROUP A BY (f1, f2);
+S = FOREACH G GENERATE group.f1 AS f1, group.f2 AS f2, COUNT(A) AS n;
+""", "S")
+    assert rows(df2) == [(1, 2, 2), (4, 5, 1), (7, 8, 1)]
+
+
+def test_nested_foreach_distinct(spark, data_dir):
+    df = run(spark, f"""
+daily = LOAD '{data_dir}/nested.csv' USING PigStorage(',') AS (ex:chararray, sym:chararray);
+G = GROUP daily BY ex;
+U = FOREACH G {{ s = daily.sym; u = DISTINCT s; GENERATE group AS ex, COUNT(u) AS n; }};
+""", "U")
+    assert rows(df) == [("AA", 2), ("BB", 1)]
+
+
+def test_nested_foreach_filter_limit(spark, data_dir):
+    df = run(spark, f"""
+A = LOAD '{data_dir}/t.csv' USING PigStorage(',') AS (f1:int, f2:int, f3:int);
+G = GROUP A BY f1;
+U = FOREACH G {{ big = FILTER A BY f3 >= 4; GENERATE group AS f1, COUNT(big) AS n; }};
+""", "U")
+    assert rows(df) == [(1, 1), (4, 1), (7, 1)]
+
+
+def test_join_lineage(spark, data_dir):
+    df = run(spark, f"""
+A = LOAD '{data_dir}/t.csv' USING PigStorage(',') AS (f1:int, f2:int, f3:int);
+B = LOAD '{data_dir}/t.csv' USING PigStorage(',') AS (g1:int, g2:int, g3:int);
+J = JOIN A BY f1, B BY g1;
+P = FOREACH J GENERATE A::f1 AS a, g3 AS b;
+""", "P")
+    assert rows(df) == [(1, 3), (1, 3), (1, 4), (1, 4), (4, 6), (7, 9)]
+
+
+def test_multikey_join(spark, data_dir):
+    df = run(spark, f"""
+A = LOAD '{data_dir}/t.csv' USING PigStorage(',') AS (f1:int, f2:int, f3:int);
+B = LOAD '{data_dir}/t.csv' USING PigStorage(',') AS (g1:int, g2:int, g3:int);
+J = JOIN A BY (f1, f3), B BY (g1, g3);
+""", "J")
+    assert len(rows(df)) == 4  # only exact (f1,f3) matches
+
+
+def test_cross(spark, data_dir):
+    df = run(spark, f"""
+A = LOAD '{data_dir}/dup.csv' USING PigStorage(',') AS (x:int, y:int);
+B = LOAD '{data_dir}/dup.csv' USING PigStorage(',') AS (u:int, v:int);
+C = CROSS A, B;
+""", "C")
+    assert len(rows(df)) == 9
+
+
+def test_union_distinct(spark, data_dir):
+    df = run(spark, f"""
+A = LOAD '{data_dir}/dup.csv' USING PigStorage(',') AS (x:int, y:int);
+B = LOAD '{data_dir}/dup.csv' USING PigStorage(',') AS (x:int, y:int);
+U = UNION A, B;
+D = DISTINCT U;
+""", "D")
+    assert rows(df) == [(1, 1), (2, 2)]
+
+
+def test_intersection_difference(spark, data_dir):
+    script = f"""
+A = LOAD '{data_dir}/t.csv' USING PigStorage(',') AS (f1:int, f2:int, f3:int);
+LO = FILTER A BY f3 <= 6;
+HI = FILTER A BY f3 >= 4;
+I = INTERSECTION LO, HI;
+D = DIFFERENCE LO, HI;
+"""
+    eng = pg.PigEngine(spark)
+    eng.run(script)
+    assert rows(eng.df("I")) == [(1, 2, 4), (4, 5, 6)]
+    assert rows(eng.df("D")) == [(1, 2, 3)]
+
+
+def test_difference_keyed(spark, data_dir):
+    df = run(spark, f"""
+A = LOAD '{data_dir}/t.csv' USING PigStorage(',') AS (f1:int, f2:int, f3:int);
+B = LOAD '{data_dir}/dup.csv' USING PigStorage(',') AS (x:int, y:int);
+D = DIFFERENCE A BY f1, B BY x;
+""", "D")
+    assert rows(df) == [(4, 5, 6), (7, 8, 9)]
+
+
+def test_order_limit_top(spark, data_dir):
+    df = run(spark, f"""
+A = LOAD '{data_dir}/t.csv' USING PigStorage(',') AS (f1:int, f2:int, f3:int);
+S = ORDER A BY f3 DESC;
+T = LIMIT S 2;
+""", "T")
+    assert [r[2] for r in df.collect()] == [9, 6]
+    # Catalyst should fuse into TakeOrderedAndProject
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_split_into(spark, data_dir):
+    eng = pg.PigEngine(spark)
+    eng.run(f"""
+A = LOAD '{data_dir}/t.csv' USING PigStorage(',') AS (f1:int, f2:int, f3:int);
+SPLIT A INTO X IF f1 < 4, Y IF f1 >= 4, Z IF f1 == 1;
+""")
+    assert len(rows(eng.df("X"))) == 2
+    assert len(rows(eng.df("Y"))) == 2
+    assert len(rows(eng.df("Z"))) == 2  # overlapping branches allowed
+
+
+def test_sample(spark, data_dir):
+    df = run(spark, f"""
+A = LOAD '{data_dir}/t.csv' USING PigStorage(',') AS (f1:int, f2:int, f3:int);
+S = SAMPLE A 0.5;
+""", "S")
+    assert 0 <= df.count() <= 4
+
+
+def test_accumulate(spark, data_dir):
+    df = run(spark, f"""
+A = LOAD '{data_dir}/t.csv' USING PigStorage(',') AS (f1:int, f2:int, f3:int);
+S = ACCUMULATE A GENERATE COUNT(f1) AS c, MIN(f2) AS mn, MAX(f3) AS mx, AVG(f1) AS av;
+""", "S")
+    assert rows(df) == [(4, 2, 9, 3.25)]
+
+
+def test_zip_with_index(spark, data_dir):
+    df = run(spark, f"""
+A = LOAD '{data_dir}/t.csv' USING PigStorage(',') AS (f1:int, f2:int, f3:int);
+Z = ZIP A WITH INDEX;
+""", "Z")
+    idx = sorted(r["index"] for r in df.collect())
+    assert idx == [0, 1, 2, 3]
+
+
+def test_cogroup(spark, data_dir):
+    df = run(spark, f"""
+A = LOAD '{data_dir}/t.csv' USING PigStorage(',') AS (f1:int, f2:int, f3:int);
+B = LOAD '{data_dir}/dup.csv' USING PigStorage(',') AS (x:int, y:int);
+C = COGROUP A BY f1, B BY x;
+""", "C")
+    out = {r["group"]: (len(r["A"]), len(r["B"])) for r in df.collect()}
+    assert out == {1: (2, 2), 2: (0, 1), 4: (1, 0), 7: (1, 0)}
+
+
+def test_flatten_wordcount(spark, data_dir):
+    df = run(spark, f"""
+raw = LOAD '{data_dir}/mary.txt' USING TextLoader() AS (line:chararray);
+words = FOREACH raw GENERATE FLATTEN(TOKENIZE(line)) AS word;
+G = GROUP words BY word;
+C = FOREACH G GENERATE group AS word, COUNT(words) AS n;
+""", "C")
+    counts = dict(rows(df))
+    assert counts["Mary"] == 2 and counts["lamb"] == 2 and counts["the"] == 1
+
+
+def test_flatten_tuple(spark, data_dir):
+    df = run(spark, f"""
+A = LOAD '{data_dir}/js.json' USING JsonStorage() AS (address:(city:chararray, zipcode:chararray), name:chararray);
+B = FOREACH A GENERATE name, FLATTEN(address);
+""", "B")
+    assert df.columns == ["name", "city", "zipcode"]
+    assert ("Hage", "Ilmenau", "98693") in rows(df)
+
+
+def test_json_deref(spark, data_dir):
+    df = run(spark, f"""
+A = LOAD '{data_dir}/js.json' USING JsonStorage() AS (address:(city:chararray, zipcode:chararray), name:chararray);
+B = FOREACH A GENERATE name, address.city AS city;
+""", "B")
+    assert rows(df) == [("Hage", "Ilmenau"), ("Meier", "Erfurt")]
+
+
+def test_scalar_funcs(spark, data_dir):
+    df = run(spark, f"""
+A = LOAD '{data_dir}/person.tsv' AS (name:chararray, age:int);
+B = FOREACH A GENERATE UPPER(name) AS u, STRLEN(name) AS l, SUBSTRING(name, 0, 2) AS s2, SQRT(age) AS r;
+""", "B")
+    r = {t[0]: t for t in rows(df)}
+    assert r["ANNA"][1] == 4 and r["ANNA"][2] == "an"
+    assert abs(r["BOB"][3] - 35 ** 0.5) < 1e-9
+
+
+def test_median_upper(spark, data_dir):
+    df = run(spark, f"""
+A = LOAD '{data_dir}/t.csv' USING PigStorage(',') AS (f1:int, f2:int, f3:int);
+G = GROUP A ALL;
+M = FOREACH G GENERATE MEDIAN(A.f3) AS m;
+""", "M")
+    # sorted f3 = [3,4,6,9]; upper median = 6
+    assert rows(df) == [(6,)]
+
+
+def test_tuplify_rdf(spark, data_dir):
+    df = run(spark, f"""
+T = LOAD '{data_dir}/triples.nt' USING RDFFileStorage();
+G = TUPLIFY T ON subject;
+""", "G")
+    out = {r["subject"]: len(r["stmts"]) for r in df.collect()}
+    assert out == {"<a>": 2, "<b>": 2}
+
+
+def test_bgp_filter(spark, data_dir):
+    df = run(spark, f"""
+T = LOAD '{data_dir}/triples.nt' USING RDFFileStorage();
+B = BGP_FILTER T BY {{ ?s <knows> ?o . ?o <age> ?a }};
+""", "B")
+    assert rows(df) == [("<a>", "<b>", '"25"')]
+
+
+def test_store_roundtrip(spark, data_dir, tmp_path):
+    out = tmp_path / "out"
+    pg.run(spark, f"""
+A = LOAD '{data_dir}/t.csv' USING PigStorage(',') AS (f1:int, f2:int, f3:int);
+B = FILTER A BY f1 == 1;
+STORE B INTO '{out}' USING PigStorage(',');
+""")
+    lines = sorted(
+        line for f in out.glob("part-*") for line in f.read_text().splitlines()
+    )
+    assert lines == ["1,2,3", "1,2,4"]
+
+
+def test_macro_expansion(spark, data_dir):
+    df = run(spark, f"""
+DEFINE minfilter($rel, $lim) RETURNS r {{ $r = FILTER $rel BY f1 >= $lim; }};
+A = LOAD '{data_dir}/t.csv' USING PigStorage(',') AS (f1:int, f2:int, f3:int);
+X = minfilter(A, 4);
+""", "X")
+    assert rows(df) == [(4, 5, 6), (7, 8, 9)]
+
+
+def test_embedded_python_udf(spark, data_dir):
+    df = run(spark, f"""
+<%
+def double_it(x: int) -> int:
+    return x * 2
+%>
+A = LOAD '{data_dir}/t.csv' USING PigStorage(',') AS (f1:int, f2:int, f3:int);
+B = FOREACH A GENERATE double_it(f1) AS d;
+""", "B")
+    assert rows(df) == [(2,), (2,), (8,), (14,)]
+
+
+def test_stream_through(spark, data_dir):
+    eng = pg.PigEngine(spark)
+    eng.register_operator("myop", lambda df, k: df.filter(df["f1"] > int(k)))
+    eng.run(f"""
+A = LOAD '{data_dir}/t.csv' USING PigStorage(',') AS (f1:int, f2:int, f3:int);
+B = STREAM A THROUGH myop(3);
+""")
+    assert rows(eng.df("B")) == [(4, 5, 6), (7, 8, 9)]
+
+
+def test_matches_and_map(spark, data_dir):
+    df = run(spark, f"""
+A = LOAD '{data_dir}/person.tsv' AS (name:chararray, age:int);
+B = FILTER A BY name MATCHES 'a.*';
+M = FOREACH B GENERATE [name, age] AS m;
+C = FOREACH M GENERATE m#'anna' AS v;
+""", "C")
+    assert rows(df) == [(21,)]
+
+
+def test_parquet_load(spark, sf_dir):
+    df = run(spark, f"""
+L = LOAD '{sf_dir}/lineitem.parquet' USING ParquetStorage();
+G = GROUP L BY l_returnflag;
+S = FOREACH G GENERATE group AS flag, COUNT(L) AS n;
+""", "S")
+    flags = {r[0] for r in df.collect()}
+    assert flags == {"A", "N", "R"}
