@@ -1,10 +1,10 @@
 """Driver contract for the spark-graft builder (PySpark target).
 
-The driver's verify runs ``entry(spark)`` as a smoke check, runs
-each ``queries()[name]`` at sf=0.01 and compares it against the
-matching ``oracle_sql()[name]`` via DuckDB (row-count + schema +
-order-insensitive value-hash → CORRECTNESS_r{N}.json). Fill these in
-as you implement operators from SURVEY.md §2.
+Each ``queries()`` entry exercises an operator family from SURVEY.md §2
+(most run a real Pig Latin script through the piglet_spark engine —
+that is the product being verified); ``oracle_sql()`` gives the
+DuckDB-equivalent ANSI SQL. Datapipe entries (dedup / similarity /
+text analysis) run through piglet_spark.datapipe.
 """
 
 from __future__ import annotations
@@ -12,27 +12,566 @@ from __future__ import annotations
 from collections.abc import Callable
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
+import piglet_spark as pg
+from piglet_spark.datapipe import dedup as dp_dedup
+from piglet_spark.datapipe import similarity as dp_sim
+from piglet_spark.datapipe import text as dp_text
+
+
+def _pig(script: str, result: str) -> Callable[[SparkSession, str], DataFrame]:
+    def runner(spark: SparkSession, sf_dir: str) -> DataFrame:
+        eng = pg.PigEngine(spark, params={"sf": sf_dir})
+        eng.run(script)
+        return eng.df(result)
+    return runner
+
+
+# --------------------------------------------------------------- entry
 
 def entry(spark: SparkSession) -> DataFrame:
-    """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
-    raise NotImplementedError("fill in: load sf0.001 parquet → run flagship query")
+    """Flagship: TPC-H Q1-style pricing summary via the Pig engine."""
+    return queries()["q1_pricing_summary"](spark, "/root/testdata/sf0.001")
+
+
+# ------------------------------------------------------------- queries
+
+Q1 = """
+L = LOAD '$sf/lineitem.parquet' USING ParquetStorage();
+LF = FILTER L BY l_shipdate <= '1998-09-01';
+G = GROUP LF BY (l_returnflag, l_linestatus);
+S = FOREACH G GENERATE group.l_returnflag AS l_returnflag,
+    group.l_linestatus AS l_linestatus,
+    SUM(LF.l_quantity) AS sum_qty,
+    SUM(LF.l_extendedprice) AS sum_base_price,
+    ROUND(SUM(LF.l_extendedprice * (1 - LF.l_discount)), 4) AS sum_disc_price,
+    ROUND(SUM(LF.l_extendedprice * (1 - LF.l_discount) * (1 + LF.l_tax)), 4) AS sum_charge,
+    AVG(LF.l_quantity) AS avg_qty,
+    COUNT(LF) AS count_order;
+"""
+
+Q1_SQL = """
+SELECT l_returnflag, l_linestatus,
+       SUM(l_quantity) AS sum_qty,
+       SUM(l_extendedprice) AS sum_base_price,
+       ROUND(SUM(l_extendedprice * (1 - l_discount)), 4) AS sum_disc_price,
+       ROUND(SUM(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 4) AS sum_charge,
+       AVG(l_quantity) AS avg_qty,
+       COUNT(*) AS count_order
+FROM lineitem
+WHERE l_shipdate <= TIMESTAMP '1998-09-01'
+GROUP BY l_returnflag, l_linestatus
+"""
+
+Q3 = """
+C = LOAD '$sf/customer.parquet' USING ParquetStorage();
+O = LOAD '$sf/orders.parquet' USING ParquetStorage();
+L = LOAD '$sf/lineitem.parquet' USING ParquetStorage();
+CB = FILTER C BY c_mktsegment == 'BUILDING';
+J1 = JOIN CB BY c_custkey, O BY o_custkey;
+J2 = JOIN J1 BY o_orderkey, L BY l_orderkey;
+P = FOREACH J2 GENERATE o_orderkey,
+    l_extendedprice * (1 - l_discount) AS rev;
+G = GROUP P BY o_orderkey;
+S = FOREACH G GENERATE group AS o_orderkey, ROUND(SUM(P.rev), 4) AS revenue;
+SR = ORDER S BY revenue DESC, o_orderkey ASC;
+TOP = LIMIT SR 10;
+"""
+
+Q3_SQL = """
+SELECT o_orderkey, ROUND(SUM(l_extendedprice * (1 - l_discount)), 4) AS revenue
+FROM customer JOIN orders ON c_custkey = o_custkey
+              JOIN lineitem ON o_orderkey = l_orderkey
+WHERE c_mktsegment = 'BUILDING'
+GROUP BY o_orderkey
+ORDER BY revenue DESC, o_orderkey ASC
+LIMIT 10
+"""
+
+Q5 = """
+R = LOAD '$sf/region.parquet' USING ParquetStorage();
+N = LOAD '$sf/nation.parquet' USING ParquetStorage();
+S = LOAD '$sf/supplier.parquet' USING ParquetStorage();
+L = LOAD '$sf/lineitem.parquet' USING ParquetStorage();
+RN = JOIN R BY r_regionkey, N BY n_regionkey;
+SN = JOIN RN BY n_nationkey, S BY s_nationkey;
+LS = JOIN SN BY s_suppkey, L BY l_suppkey;
+P = FOREACH LS GENERATE r_name, n_name,
+    l_extendedprice * (1 - l_discount) AS rev;
+G = GROUP P BY (r_name, n_name);
+A = FOREACH G GENERATE group.r_name AS r_name, group.n_name AS n_name,
+    ROUND(SUM(P.rev), 4) AS revenue, COUNT(P) AS n_items;
+"""
+
+Q5_SQL = """
+SELECT r_name, n_name,
+       ROUND(SUM(l_extendedprice * (1 - l_discount)), 4) AS revenue,
+       COUNT(*) AS n_items
+FROM region JOIN nation ON r_regionkey = n_regionkey
+            JOIN supplier ON n_nationkey = s_nationkey
+            JOIN lineitem ON s_suppkey = l_suppkey
+GROUP BY r_name, n_name
+"""
+
+FILTER_PROJECT = """
+L = LOAD '$sf/lineitem.parquet' USING ParquetStorage();
+H = FILTER L BY l_quantity > 45.0 AND l_discount >= 0.05;
+P = FOREACH H GENERATE l_orderkey, l_linenumber,
+    l_extendedprice * (1 - l_discount) * (1 + l_tax) AS charge;
+"""
+
+FILTER_PROJECT_SQL = """
+SELECT l_orderkey, l_linenumber,
+       l_extendedprice * (1 - l_discount) * (1 + l_tax) AS charge
+FROM lineitem WHERE l_quantity > 45.0 AND l_discount >= 0.05
+"""
+
+GROUP_HAVING = """
+O = LOAD '$sf/orders.parquet' USING ParquetStorage();
+G = GROUP O BY o_custkey;
+A = FOREACH G GENERATE group AS o_custkey, COUNT(O) AS n_orders,
+    ROUND(SUM(O.o_totalprice), 4) AS total;
+H = FILTER A BY n_orders >= 8;
+"""
+
+GROUP_HAVING_SQL = """
+SELECT o_custkey, COUNT(*) AS n_orders, ROUND(SUM(o_totalprice), 4) AS total
+FROM orders GROUP BY o_custkey HAVING COUNT(*) >= 8
+"""
+
+DISTINCT_Q = """
+C = LOAD '$sf/customer.parquet' USING ParquetStorage();
+P = FOREACH C GENERATE c_mktsegment, c_nationkey;
+D = DISTINCT P;
+"""
+
+DISTINCT_SQL = "SELECT DISTINCT c_mktsegment, c_nationkey FROM customer"
+
+INTERSECTION_Q = """
+O = LOAD '$sf/orders.parquet' USING ParquetStorage();
+OO = FILTER O BY o_orderstatus == 'O';
+OF = FILTER O BY o_orderstatus == 'F';
+KO = FOREACH OO GENERATE o_custkey;
+KF = FOREACH OF GENERATE o_custkey;
+I = INTERSECTION KO, KF;
+"""
+
+INTERSECTION_SQL = """
+SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'
+INTERSECT
+SELECT o_custkey FROM orders WHERE o_orderstatus = 'F'
+"""
+
+DIFFERENCE_Q = """
+C = LOAD '$sf/customer.parquet' USING ParquetStorage();
+O = LOAD '$sf/orders.parquet' USING ParquetStorage();
+D = DIFFERENCE C BY c_custkey, O BY o_custkey;
+P = FOREACH D GENERATE c_custkey, c_name;
+"""
+
+DIFFERENCE_SQL = """
+SELECT c_custkey, c_name FROM customer
+WHERE c_custkey NOT IN (SELECT o_custkey FROM orders)
+"""
+
+UNION_Q = """
+C = LOAD '$sf/customer.parquet' USING ParquetStorage();
+S = LOAD '$sf/supplier.parquet' USING ParquetStorage();
+CN = FOREACH C GENERATE c_name AS name, c_acctbal AS acctbal;
+SN = FOREACH S GENERATE s_name AS name, s_acctbal AS acctbal;
+U = UNION CN, SN;
+"""
+
+UNION_SQL = """
+SELECT c_name AS name, c_acctbal AS acctbal FROM customer
+UNION ALL
+SELECT s_name AS name, s_acctbal AS acctbal FROM supplier
+"""
+
+TOP_PARTS = """
+P = LOAD '$sf/part.parquet' USING ParquetStorage();
+S = ORDER P BY p_retailprice DESC, p_partkey ASC;
+T = LIMIT S 10;
+R = FOREACH T GENERATE p_partkey, p_name, p_retailprice;
+"""
+
+TOP_PARTS_SQL = """
+SELECT p_partkey, p_name, p_retailprice FROM part
+ORDER BY p_retailprice DESC, p_partkey ASC LIMIT 10
+"""
+
+CROSS_Q = """
+R = LOAD '$sf/region.parquet' USING ParquetStorage();
+N = LOAD '$sf/nation.parquet' USING ParquetStorage();
+X = CROSS R, N;
+P = FOREACH X GENERATE r_name, n_name;
+"""
+
+CROSS_SQL = "SELECT r_name, n_name FROM region CROSS JOIN nation"
+
+COGROUP_Q = """
+C = LOAD '$sf/customer.parquet' USING ParquetStorage();
+S = LOAD '$sf/supplier.parquet' USING ParquetStorage();
+CG = COGROUP C BY c_nationkey, S BY s_nationkey;
+A = FOREACH CG GENERATE group AS nationkey, COUNT(C) AS n_cust, COUNT(S) AS n_supp;
+"""
+
+COGROUP_SQL = """
+SELECT COALESCE(c.k, s.k) AS nationkey,
+       COALESCE(c.n, 0) AS n_cust, COALESCE(s.n, 0) AS n_supp
+FROM (SELECT c_nationkey k, COUNT(*) n FROM customer GROUP BY 1) c
+FULL OUTER JOIN (SELECT s_nationkey k, COUNT(*) n FROM supplier GROUP BY 1) s
+ON c.k = s.k
+"""
+
+SPLIT_Q = """
+O = LOAD '$sf/orders.parquet' USING ParquetStorage();
+SPLIT O INTO BIG IF o_totalprice >= 150000.0, SMALL IF o_totalprice < 150000.0;
+P = FOREACH BIG GENERATE o_orderkey, o_totalprice;
+"""
+
+SPLIT_SQL = """
+SELECT o_orderkey, o_totalprice FROM orders WHERE o_totalprice >= 150000.0
+"""
+
+NESTED_DISTINCT = """
+E = LOAD '$sf/events.parquet' USING ParquetStorage();
+G = GROUP E BY user_id;
+U = FOREACH G { t = E.event_type; ut = DISTINCT t; GENERATE group AS user_id, COUNT(ut) AS n_types, COUNT(E) AS n_events; };
+"""
+
+NESTED_DISTINCT_SQL = """
+SELECT user_id, COUNT(DISTINCT event_type) AS n_types, COUNT(*) AS n_events
+FROM events GROUP BY user_id
+"""
+
+MEDIAN_Q = """
+L = LOAD '$sf/lineitem.parquet' USING ParquetStorage();
+G = GROUP L BY l_returnflag;
+M = FOREACH G GENERATE group AS l_returnflag, MEDIAN(L.l_quantity) AS med_qty,
+    COUNT(L) AS n;
+"""
+
+MEDIAN_SQL = """
+SELECT l_returnflag,
+       (list_sort(list(l_quantity)))[(FLOOR(COUNT(*) / 2) + 1)::INT] AS med_qty,
+       COUNT(*) AS n
+FROM lineitem GROUP BY l_returnflag
+"""
+
+ACCUMULATE_Q = """
+L = LOAD '$sf/lineitem.parquet' USING ParquetStorage();
+A = ACCUMULATE L GENERATE COUNT(l_orderkey) AS n, MIN(l_quantity) AS min_qty,
+    MAX(l_quantity) AS max_qty, ROUND(AVG(l_extendedprice), 4) AS avg_price;
+"""
+
+ACCUMULATE_SQL = """
+SELECT COUNT(*) AS n, MIN(l_quantity) AS min_qty, MAX(l_quantity) AS max_qty,
+       ROUND(AVG(l_extendedprice), 4) AS avg_price
+FROM lineitem
+"""
+
+EVENTS_HOURLY = """
+E = LOAD '$sf/events.parquet' USING ParquetStorage();
+-- ts arrives as long nanos (legacy nanosAsLong); seconds → datetime
+P = FOREACH E GENERATE event_type, GETHOUR((datetime)(ts / 1000000000)) AS hr, value;
+G = GROUP P BY (event_type, hr);
+A = FOREACH G GENERATE group.event_type AS event_type, group.hr AS hr,
+    COUNT(P) AS n, ROUND(SUM(P.value), 4) AS total_value;
+"""
+
+EVENTS_HOURLY_SQL = """
+SELECT event_type, EXTRACT(hour FROM ts)::INT AS hr, COUNT(*) AS n,
+       ROUND(SUM(value), 4) AS total_value
+FROM events GROUP BY 1, 2
+"""
+
+WORDCOUNT = """
+D = LOAD '$sf/documents.parquet' USING ParquetStorage();
+W = FOREACH D GENERATE FLATTEN(TOKENIZE(text)) AS word;
+G = GROUP W BY word;
+C = FOREACH G GENERATE group AS word, COUNT(W) AS n;
+S = ORDER C BY n DESC, word ASC;
+T = LIMIT S 20;
+"""
+
+WORDCOUNT_SQL = """
+SELECT word, COUNT(*)::BIGINT AS n FROM (
+    SELECT unnest(string_split_regex(text, '[, "]')) AS word FROM documents
+) WHERE word <> '' GROUP BY word ORDER BY n DESC, word ASC LIMIT 20
+"""
+
+SELFJOIN = """
+N = LOAD '$sf/nation.parquet' USING ParquetStorage();
+M = LOAD '$sf/nation.parquet' USING ParquetStorage();
+J = JOIN N BY n_regionkey, M BY n_regionkey;
+P = FOREACH J GENERATE N::n_name AS a, M::n_name AS b;
+Q = FILTER P BY a < b;
+"""
+
+SELFJOIN_SQL = """
+SELECT n.n_name AS a, m.n_name AS b
+FROM nation n JOIN nation m ON n.n_regionkey = m.n_regionkey
+WHERE n.n_name < m.n_name
+"""
+
+
+# ------------------------------------------------ datapipe (DataFrame)
+
+def _docs(spark, sf_dir):
+    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+
+
+def _emb(spark, sf_dir):
+    return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+
+
+def q_dedup_exact(spark, sf_dir):
+    return dp_dedup.exact_dedup(_docs(spark, sf_dir))
+
+
+DEDUP_EXACT_SQL = """
+SELECT md5(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'),
+                               ' +', ' ', 'g'))) AS fp,
+       MIN(doc_id) AS keep_id, COUNT(*) AS n_copies
+FROM documents GROUP BY 1
+"""
+
+
+def q_doc_tokens(spark, sf_dir):
+    df = _docs(spark, sf_dir)
+    t = F.col("text")
+    return df.select(
+        "doc_id",
+        dp_text.ws_token_count(t).alias("n_tokens"),
+        dp_text.bpe_token_count(t).alias("n_bpe_tokens"),
+        F.length(t).alias("n_chars"),
+        dp_text.fingerprint(t).alias("fp"),
+    )
+
+
+DOC_TOKENS_SQL = """
+SELECT doc_id,
+       CASE WHEN length(trim(text)) = 0 THEN 0
+            ELSE len(string_split_regex(trim(text), '\\s+')) END AS n_tokens,
+       len(regexp_extract_all(text, '[A-Za-z0-9_]+|[^A-Za-z0-9_\\s]')) AS n_bpe_tokens,
+       length(text) AS n_chars,
+       md5(trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]', ' ', 'g'),
+                               ' +', ' ', 'g'))) AS fp
+FROM documents
+"""
+
+
+def q_lang_id(spark, sf_dir):
+    df = _docs(spark, sf_dir)
+    return (df.select("lang", dp_text.lang_id(F.col("text")).alias("lang_pred"))
+            .groupBy("lang", "lang_pred")
+            .agg(F.count(F.lit(1)).alias("n")))
+
+
+def _lang_id_sql() -> str:
+    score = {}
+    for lang, words in dp_text.LANG_MARKERS.items():
+        parts = [
+            f"((length(' ' || lower(text) || ' ') - "
+            f"length(replace(' ' || lower(text) || ' ', ' {w} ', ''))) "
+            f"/ {len(w) + 2})"
+            for w in words
+        ]
+        score[lang] = "(" + " + ".join(parts) + ")::BIGINT"
+    langs = sorted(score)
+    # same argmax + tie-break as datapipe.text.lang_id
+    expr = "'und'"
+    best = "0::BIGINT"
+    for lang in langs:
+        expr = (f"CASE WHEN {score[lang]} > {best} THEN '{lang}' "
+                f"ELSE {expr} END")
+        best = (f"CASE WHEN {score[lang]} > {best} THEN {score[lang]} "
+                f"ELSE {best} END")
+    return (f"SELECT lang, {expr} AS lang_pred, COUNT(*) AS n "
+            f"FROM documents GROUP BY 1, 2")
+
+
+def q_cosine_topk(spark, sf_dir):
+    emb = _emb(spark, sf_dir)
+    qrow = emb.filter(F.col("vec_id") == 0).collect()[0]
+    q = [float(x) for x in qrow["embedding"]]
+    return dp_sim.cosine_topk(emb, q, k=10)
+
+
+COSINE_TOPK_SQL = """
+WITH q AS (SELECT embedding::DOUBLE[] qv FROM embeddings WHERE vec_id = 0)
+SELECT vec_id,
+       ROUND(list_dot_product(embedding::DOUBLE[], q.qv)
+             / (sqrt(list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]))
+                * sqrt(list_dot_product(q.qv, q.qv))), 6) AS cos
+FROM embeddings, q
+ORDER BY cos DESC, vec_id ASC LIMIT 10
+"""
+
+
+def q_embedding_neardup_exact(spark, sf_dir):
+    """Brute-force all-pairs cosine above threshold (exact oracle path;
+    the LSH variant is benchmarked separately)."""
+    emb = _emb(spark, sf_dir)
+    v = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    base = emb.select(F.col("vec_id").alias("_id"), v.alias("_v"))
+    a, b = base.alias("a"), base.alias("b")
+    cand = a.join(b, F.col("a._id") < F.col("b._id"))
+    cos = dp_sim.cosine(F.col("a._v"), F.col("b._v"))
+    return (cand.select(F.col("a._id").alias("id_a"),
+                        F.col("b._id").alias("id_b"),
+                        F.round(cos, 6).alias("cos"))
+            .filter(F.col("cos") >= 0.4))
+
+
+EMB_NEARDUP_SQL = """
+SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       ROUND(list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[])
+             / (sqrt(list_dot_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[]))
+                * sqrt(list_dot_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[]))),
+             6) AS cos
+FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+WHERE list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[])
+      / (sqrt(list_dot_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[]))
+         * sqrt(list_dot_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[]))) >= 0.4
+"""
+
+
+def q_minhash_lsh(spark, sf_dir):
+    """MinHash-LSH near-dup pairs (no SQL oracle: xxhash64 signatures;
+    verified against brute-force Jaccard in tests/test_datapipe.py)."""
+    return dp_dedup.minhash_lsh_pairs(_docs(spark, sf_dir), threshold=0.2)
+
+
+def q_simhash(spark, sf_dir):
+    """SimHash near-dup pairs (rows-only: xxhash64-based)."""
+    return dp_dedup.simhash_pairs(_docs(spark, sf_dir), max_hamming=16)
+
+
+def q_ngram_jaccard(spark, sf_dir):
+    """Exact n-gram Jaccard pairs via inverted shingle index."""
+    return dp_dedup.ngram_jaccard_pairs(_docs(spark, sf_dir), threshold=0.1)
+
+
+NGRAM_JACCARD_SQL = """
+WITH toks AS (
+    SELECT doc_id,
+           string_split(trim(regexp_replace(regexp_replace(lower(text),
+                        '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g')), ' ') AS t
+    FROM documents
+), sh AS (
+    SELECT doc_id,
+           list_distinct([array_to_string(t[i:i+2], ' ')
+                          for i in range(1, len(t) - 1)]) AS s
+    FROM toks WHERE len(t) >= 3
+), inv AS (
+    SELECT doc_id, unnest(s) AS g FROM sh
+), shared AS (
+    SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS inter
+    FROM inv a JOIN inv b ON a.g = b.g AND a.doc_id < b.doc_id
+    GROUP BY 1, 2
+)
+SELECT id_a, id_b,
+       ROUND(inter::DOUBLE / (sa.n + sb.n - inter), 6) AS jaccard
+FROM shared
+JOIN (SELECT doc_id, len(s) n FROM sh) sa ON sa.doc_id = id_a
+JOIN (SELECT doc_id, len(s) n FROM sh) sb ON sb.doc_id = id_b
+WHERE inter::DOUBLE / (sa.n + sb.n - inter) >= 0.1
+"""
+
+
+def q_ann_lsh(spark, sf_dir):
+    """Hyperplane-LSH approximate top-k (rows-only: approximation)."""
+    emb = _emb(spark, sf_dir)
+    qrow = emb.filter(F.col("vec_id") == 0).collect()[0]
+    q = [float(x) for x in qrow["embedding"]]
+    return dp_sim.ann_lsh_topk(emb, q, k=10)
+
+
+def q_ivf(spark, sf_dir):
+    """IVF-style ANN top-k (rows-only: approximation)."""
+    emb = _emb(spark, sf_dir)
+    qrow = emb.filter(F.col("vec_id") == 0).collect()[0]
+    q = [float(x) for x in qrow["embedding"]]
+    return dp_sim.ivf_topk(emb, q, k=10)
+
+
+def q_multimodal(spark, sf_dir):
+    """Binary-column plumbing: synthetic payloads → mapInPandas feature
+    extraction (rows-only: stubbed codec)."""
+    from piglet_spark.datapipe import multimodal
+    docs = _docs(spark, sf_dir)
+    with_bin = multimodal.attach_binary_payload(docs)
+    return multimodal.decode_images(with_bin, deterministic_fake=True) \
+        .select("doc_id", "width", "height")
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
-    """One entry per implemented operator from SURVEY.md §2.
-
-    Each callable takes (spark, sf_dir) and returns a DataFrame.
-    Alias every computed/aggregate column so names match ``oracle_sql``.
-    """
-    return {}
+    return {
+        # relational core (Pig scripts through the engine)
+        "q1_pricing_summary": _pig(Q1, "S"),
+        "q3_top_revenue": _pig(Q3, "TOP"),
+        "q5_region_revenue": _pig(Q5, "A"),
+        "filter_project": _pig(FILTER_PROJECT, "P"),
+        "group_having": _pig(GROUP_HAVING, "H"),
+        "distinct_op": _pig(DISTINCT_Q, "D"),
+        "intersection_op": _pig(INTERSECTION_Q, "I"),
+        "difference_keyed": _pig(DIFFERENCE_Q, "P"),
+        "union_op": _pig(UNION_Q, "U"),
+        "order_limit_top": _pig(TOP_PARTS, "R"),
+        "cross_op": _pig(CROSS_Q, "P"),
+        "cogroup_op": _pig(COGROUP_Q, "A"),
+        "split_into": _pig(SPLIT_Q, "P"),
+        "nested_foreach_distinct": _pig(NESTED_DISTINCT, "U"),
+        "median_agg": _pig(MEDIAN_Q, "M"),
+        "accumulate_op": _pig(ACCUMULATE_Q, "A"),
+        "events_hourly": _pig(EVENTS_HOURLY, "A"),
+        "wordcount_flatten": _pig(WORDCOUNT, "T"),
+        "selfjoin_lineage": _pig(SELFJOIN, "Q"),
+        # training-data pipeline operators
+        "dedup_exact": q_dedup_exact,
+        "doc_token_stats": q_doc_tokens,
+        "lang_id_distribution": q_lang_id,
+        "similarity_cosine_topk": q_cosine_topk,
+        "embedding_neardup_exact": q_embedding_neardup_exact,
+        "ngram_jaccard_pairs": q_ngram_jaccard,
+        "dedup_minhash_lsh": q_minhash_lsh,
+        "dedup_simhash": q_simhash,
+        "similarity_ann_lsh": q_ann_lsh,
+        "similarity_ivf": q_ivf,
+        "multimodal_features": q_multimodal,
+    }
 
 
 def oracle_sql() -> dict[str, str]:
-    """For each key in ``queries()``, equivalent ANSI SQL runnable by
-    DuckDB on the same parquet tables (pre-registered views: region
-    nation customer supplier part orders lineitem events documents
-    embeddings). Omit for non-SQL-expressible ops → driver records a
-    weaker rows-only check.
-    """
-    return {}
+    return {
+        "q1_pricing_summary": Q1_SQL,
+        "q3_top_revenue": Q3_SQL,
+        "q5_region_revenue": Q5_SQL,
+        "filter_project": FILTER_PROJECT_SQL,
+        "group_having": GROUP_HAVING_SQL,
+        "distinct_op": DISTINCT_SQL,
+        "intersection_op": INTERSECTION_SQL,
+        "difference_keyed": DIFFERENCE_SQL,
+        "union_op": UNION_SQL,
+        "order_limit_top": TOP_PARTS_SQL,
+        "cross_op": CROSS_SQL,
+        "cogroup_op": COGROUP_SQL,
+        "split_into": SPLIT_SQL,
+        "nested_foreach_distinct": NESTED_DISTINCT_SQL,
+        "median_agg": MEDIAN_SQL,
+        "accumulate_op": ACCUMULATE_SQL,
+        "events_hourly": EVENTS_HOURLY_SQL,
+        "wordcount_flatten": WORDCOUNT_SQL,
+        "selfjoin_lineage": SELFJOIN_SQL,
+        "dedup_exact": DEDUP_EXACT_SQL,
+        "doc_token_stats": DOC_TOKENS_SQL,
+        "lang_id_distribution": _lang_id_sql(),
+        "similarity_cosine_topk": COSINE_TOPK_SQL,
+        "embedding_neardup_exact": EMB_NEARDUP_SQL,
+        "ngram_jaccard_pairs": NGRAM_JACCARD_SQL,
+        # minhash/simhash/ann/ivf/multimodal: non-SQL-expressible
+        # (hash-seeded or approximate) → rows-only checks
+    }

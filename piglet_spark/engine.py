@@ -51,6 +51,20 @@ class PigEngine:
         """Register a STREAM THROUGH operator (fn(df, *params) -> df)."""
         self.executor.stream_ops[name] = fn
 
+    @property
+    def stream_queries(self):
+        """Active StreamingQuery handles started by STORE/SOCKET_WRITE
+        on streaming relations."""
+        return self.executor.stream_queries
+
+    def stop_streams(self) -> None:
+        for q in self.executor.stream_queries:
+            try:
+                q.stop()
+            except Exception:
+                pass
+        self.executor.stream_queries.clear()
+
 
 def run(spark: SparkSession, script: str,
         params: Optional[dict[str, str]] = None,

@@ -104,8 +104,10 @@ def is_aggregate(name: str) -> bool:
 
 # -------------------------------------------------------------- scalars
 
-def _substring(c: Column, start: Column, stop: Column) -> Column:
+def _substring(c: Column, start, stop) -> Column:
     # Pig SUBSTRING(s, start, stop) — half-open, 0-based (CommonPigFuncs.scala:66)
+    start = F.lit(start) if not isinstance(start, Column) else start
+    stop = F.lit(stop) if not isinstance(stop, Column) else stop
     return F.substring(
         c, start.cast("int") + F.lit(1), (stop - start).cast("int")
     )
@@ -145,11 +147,13 @@ SCALARS: dict[str, Callable[..., Column]] = {
     "totuple": lambda *cs: F.struct(*cs),
     "tobag": lambda *cs: F.array(*[F.struct(c) for c in cs]),
     "sqrt": lambda c: F.sqrt(c.cast("double")),
-    "pow": lambda a, b: F.pow(a.cast("double"), b.cast("double")),
+    "pow": lambda a, b: F.pow(
+        a.cast("double") if isinstance(a, Column) else F.lit(float(a)),
+        b.cast("double") if isinstance(b, Column) else F.lit(float(b))),
     "abs": lambda c: F.abs(c),
     "ceil": lambda c: F.ceil(c),
     "floor": lambda c: F.floor(c),
-    "round": lambda c: F.round(c),
+    "round": lambda c, s=0: F.round(c, s if isinstance(s, int) else 0),
     "log": lambda c: F.log(c.cast("double")),
     "log10": lambda c: F.log10(c.cast("double")),
     "exp": lambda c: F.exp(c.cast("double")),

@@ -46,11 +46,14 @@ class GroupedRelation:
     demand (ref op/Grouping.scala:89-109)."""
 
     def __init__(self, src: DataFrame, key_exprs: list[A.Expr],
-                 rel_name: str, udfs: dict[str, Callable]):
+                 rel_name: str, udfs: dict[str, Callable],
+                 window_spec=None):
         self.src = src
         self.key_exprs = key_exprs
         self.rel_name = rel_name
         self.udfs = udfs
+        # streaming WINDOW upstream → F.window() joins the grouping keys
+        self.window_spec = window_spec
 
     def key_cols(self) -> list[tuple[str, Column]]:
         ctx = Ctx(self.src, mode="row", udfs=self.udfs)
@@ -69,16 +72,24 @@ class GroupedRelation:
     def bag_col(self) -> Column:
         return F.collect_list(F.struct(*[self.src[c] for c in self.src.columns]))
 
+    def window_cols(self) -> list[Column]:
+        if self.window_spec is None:
+            return []
+        return [self.window_spec.window_col().alias("window")]
+
     def materialize(self) -> DataFrame:
         keys = self.key_cols()
+        wcols = self.window_cols()
         bag = self.bag_col().alias(self.rel_name)
         if not keys:
+            if wcols:
+                return self.src.groupBy(*wcols).agg(bag)
             return self.src.groupBy(F.lit("all").alias("group")).agg(bag)
         if len(keys) == 1:
             name, col = keys[0]
-            return self.src.groupBy(col.alias("group")).agg(bag)
+            return self.src.groupBy(*wcols, col.alias("group")).agg(bag)
         gstruct = F.struct(*[c.alias(n) for n, c in keys]).alias("group")
-        return self.src.groupBy(gstruct).agg(bag)
+        return self.src.groupBy(*wcols, gstruct).agg(bag)
 
 
 Relation = Union[DataFrame, GroupedRelation]
@@ -210,6 +221,10 @@ class Executor:
         self.options: dict[str, Any] = dict(options or {})
         self.dumped: dict[str, list] = {}
         self.script_hash = ""
+        # streaming metadata per alias
+        self.window_specs: dict[str, Any] = {}
+        self.ts_fields: dict[str, str] = {}
+        self.stream_queries: list[Any] = []  # active StreamingQuery handles
 
     # -------------------------------------------------------- helpers
 
@@ -241,10 +256,42 @@ class Executor:
         if meth is None:
             raise ExecError(f"operator {type(op).__name__} not implemented")
         meth(op)
+        self._propagate_stream_meta(op)
+
+    def _propagate_stream_meta(self, op: A.Op) -> None:
+        """Window/timestamp metadata follows pass-through operators
+        (the reference's windowMode marking, WindowSupport.scala:37-120)."""
+        if not op.inputs:
+            return
+        src = op.inputs[0]
+        outs = [op.out] if op.out else []
+        if isinstance(op, A.SplitInto):
+            outs = [b.out for b in op.branches]
+        if not isinstance(op, (A.Filter, A.Distinct, A.Sample, A.Limit,
+                               A.Foreach, A.SplitInto, A.OrderBy, A.Cache)):
+            return
+        for out in outs:
+            rel = self.env.get(out)
+            cols = rel.columns if isinstance(rel, DataFrame) else []
+            if src in self.ts_fields and out not in self.ts_fields:
+                if self.ts_fields[src] in cols:
+                    self.ts_fields[out] = self.ts_fields[src]
+            if src in self.window_specs and out not in self.window_specs:
+                spec = self.window_specs[src]
+                if spec.ts_col in cols:
+                    self.window_specs[out] = spec
 
     # ------------------------------------------------------- sources
 
     def op_load(self, op: A.Load) -> None:
+        if self.options.get("streaming"):
+            from ..streaming import stream_exec
+            df = stream_exec.stream_load(self.spark, op.path, op.func,
+                                         op.func_args, op.schema,
+                                         op.timestamp_field)
+            self.env[op.out] = df
+            self._record_ts(op.out, op.timestamp_field, df)
+            return
         df = storage.load(self.spark, op.path, op.func, op.func_args, op.schema)
         if op.timestamp_field is not None:
             ctx = self.ctx(df)
@@ -256,10 +303,26 @@ class Executor:
                 name = S.positional(df.columns, op.timestamp_field.pos)
             if name:
                 df = df.withColumn(name, tcol.cast("timestamp"))
+                self.ts_fields[op.out] = name
         self.env[op.out] = df
 
+    def _record_ts(self, alias: str, ts_field, df: DataFrame) -> None:
+        if ts_field is None:
+            return
+        if isinstance(ts_field, A.PositionalField):
+            self.ts_fields[alias] = df.columns[ts_field.pos]
+        elif isinstance(ts_field, A.NamedField):
+            self.ts_fields[alias] = ts_field.name
+
     def op_store(self, op: A.Store) -> None:
-        storage.store(self.df(op.rel), op.path, op.func, op.func_args)
+        df = self.df(op.rel)
+        if df.isStreaming:
+            from ..streaming import stream_exec
+            q = stream_exec.stream_store(df, op.path, op.func, op.func_args,
+                                         self.options)
+            self.stream_queries.append(q)
+            return
+        storage.store(df, op.path, op.func, op.func_args)
 
     def op_dump(self, op: A.Dump) -> None:
         df = self.df(op.rel)
@@ -326,7 +389,8 @@ class Executor:
 
         keys = grel.key_cols()
         key_names = [f"__k{i}" for i in range(len(keys))]
-        gb = [c.alias(kn) for kn, (n, c) in zip(key_names, keys)]
+        gb = grel.window_cols() + [c.alias(kn)
+                                   for kn, (n, c) in zip(key_names, keys)]
 
         aggs: list[Column] = []
         post: list[tuple[str, Any]] = []  # (out_name, "key"/"agg"/idx info)
@@ -334,6 +398,11 @@ class Executor:
         flat_idx: list[int] = []
         gen_meta: list[A.GenExpr] = []
         agg_i = 0
+        if grel.window_spec is not None:
+            # per-window results carry their window identity
+            post.append(("window", "key"))
+            names.append("window")
+            gen_meta.append(A.GenExpr(expr=A.NamedField(name="window")))
         for gen in op.gens:
             e = gen.expr
             name = gen.alias
@@ -376,10 +445,7 @@ class Executor:
             if gen.flatten:
                 flat_idx.append(len(names) - 1)
 
-        if not keys:
-            grouped = src.groupBy()
-        else:
-            grouped = src.groupBy(*gb)
+        grouped = src.groupBy(*gb)
         if not aggs:
             # e.g. GENERATE group only
             out = grouped.agg(F.count(F.lit(1)).alias("__cnt"))
@@ -448,7 +514,9 @@ class Executor:
 
     def op_group(self, op: A.Group) -> None:
         df = self.df(op.rel)
-        self.env[op.out] = GroupedRelation(df, op.keys, op.rel, self.udfs)
+        self.env[op.out] = GroupedRelation(
+            df, op.keys, op.rel, self.udfs,
+            window_spec=self.window_specs.get(op.rel))
 
     def op_cogroup(self, op: A.CoGroup) -> None:
         parts = []
@@ -745,15 +813,26 @@ class Executor:
 
     def op_socketread(self, op: A.SocketRead) -> None:
         from ..streaming import stream_exec
-        self.env[op.out] = stream_exec.socket_read(self.spark, op)
+        df = stream_exec.socket_read(self.spark, op)
+        self.env[op.out] = df
+        self._record_ts(op.out, op.timestamp_field, df)
 
     def op_socketwrite(self, op: A.SocketWrite) -> None:
         from ..streaming import stream_exec
-        stream_exec.socket_write(self.df(op.rel), op)
+        q = stream_exec.socket_write(self.df(op.rel), op, self.options)
+        if q is not None:
+            self.stream_queries.append(q)
 
     def op_window(self, op: A.Window) -> None:
         from ..streaming import stream_exec
-        self.env[op.out] = stream_exec.apply_window(self.df(op.rel), op)
+        df = self.df(op.rel)
+        wm = self.options.get("watermark") or self.options.get(
+            "piglet.watermark")
+        df, spec = stream_exec.apply_window(
+            df, op, ts_col=self.ts_fields.get(op.rel), watermark=wm)
+        self.env[op.out] = df
+        self.window_specs[op.out] = spec
+        self.ts_fields[op.out] = spec.ts_col
 
     def op_matchevent(self, op: A.MatchEvent) -> None:
         from ..streaming import cep

@@ -308,8 +308,10 @@ def compile_func(expr: A.FuncCall, ctx: Ctx) -> Column:
 
     scalar = builtins.lookup_scalar(name)
     if scalar is not None:
-        args = [compile_expr(a, ctx) for a in expr.args]
-        # literal string/num args that builders use directly
+        # literal args pass through raw (builders need python ints for
+        # e.g. round scale / substring bounds; pyspark auto-lits scalars)
+        args = [a.value if isinstance(a, A.Literal) else compile_expr(a, ctx)
+                for a in expr.args]
         return scalar(*args)
 
     # user-registered function (DEFINE / embedded python / registry)

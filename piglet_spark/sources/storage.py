@@ -99,7 +99,14 @@ def _load_json(spark, path, args, decl):
 
 
 def _load_parquet(spark, path, args, decl):
-    df = spark.read.parquet(path)
+    try:
+        df = spark.read.parquet(path)
+        df.schema  # force schema resolution
+    except Exception as e:  # TIMESTAMP(NANOS) parquet needs legacy conf
+        if "PARQUET_TYPE_ILLEGAL" not in str(e):
+            raise
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        df = spark.read.parquet(path)
     if decl is not None:
         names = [f.name for f in decl.fields]
         df = df.toDF(*[n or c for n, c in zip(names, df.columns)])

@@ -1,0 +1,188 @@
+"""MATCH_EVENT — complex-event pattern matching (CEP).
+
+Reference: op/Matcher.scala:83 + NFA runtime in
+ceplib/src/main/scala/dbis/piglet/cep/** (SEQ/AND/OR/NEG patterns,
+skip_till_next_match / skip_till_any_match modes, WITHIN horizon).
+
+Spark-first re-expression: the NFA runs inside Arrow-batched
+``applyInPandas`` groups. With ``piglet.cep.partition_key`` set
+(SET command), matching is per-key and fully distributed — the scale
+path. Without a key, events are matched globally: they are sorted and
+processed in a single group (documented driver-size limitation, same
+as any global-order CEP).
+
+Output: one row per match, with each pattern event's fields prefixed
+``<EventName>::`` (same lineage convention as JOIN).
+"""
+
+from __future__ import annotations
+
+import operator
+from typing import Any, Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from ..plans import ast as A
+
+_CMP = {"==": operator.eq, "!=": operator.ne, "<": operator.lt,
+        "<=": operator.le, ">": operator.gt, ">=": operator.ge}
+_ARITH = {"+": operator.add, "-": operator.sub, "*": operator.mul,
+          "/": operator.truediv, "%": operator.mod}
+
+_UNIT_SECONDS = {"SECONDS": 1, "SECOND": 1, "MINUTES": 60, "MINUTE": 60,
+                 "HOURS": 3600, "HOUR": 3600}
+
+
+def compile_pred(expr: A.Expr):
+    """Pig predicate AST → python row-predicate (row: dict-like)."""
+    if isinstance(expr, A.Literal):
+        return lambda row: expr.value
+    if isinstance(expr, A.NamedField):
+        name = expr.name
+        return lambda row: row[name]
+    if isinstance(expr, A.PositionalField):
+        pos = expr.pos
+        return lambda row: row.iloc[pos]
+    if isinstance(expr, A.Cmp):
+        lf, rf = compile_pred(expr.left), compile_pred(expr.right)
+        op = _CMP[expr.op]
+        return lambda row: op(lf(row), rf(row))
+    if isinstance(expr, A.And):
+        lf, rf = compile_pred(expr.left), compile_pred(expr.right)
+        return lambda row: bool(lf(row)) and bool(rf(row))
+    if isinstance(expr, A.Or):
+        lf, rf = compile_pred(expr.left), compile_pred(expr.right)
+        return lambda row: bool(lf(row)) or bool(rf(row))
+    if isinstance(expr, A.Not):
+        f = compile_pred(expr.expr)
+        return lambda row: not bool(f(row))
+    if isinstance(expr, A.BinOp):
+        lf, rf = compile_pred(expr.left), compile_pred(expr.right)
+        op = _ARITH[expr.op]
+        return lambda row: op(float(lf(row)), float(rf(row)))
+    if isinstance(expr, A.Neg):
+        f = compile_pred(expr.expr)
+        return lambda row: -f(row)
+    raise ValueError(f"unsupported CEP predicate {expr!r}")
+
+
+def _seq_events(pattern: Any) -> list[tuple[str, bool]]:
+    """Flatten a SEQ pattern into [(event_name, negated)]."""
+    kind, payload = pattern
+    if kind == "event":
+        return [(payload, False)]
+    if kind == "seq":
+        out = []
+        for child in payload:
+            out.extend(_seq_events(child))
+        return out
+    if kind == "neg":
+        inner = _seq_events(payload[0])
+        return [(n, True) for n, _ in inner]
+    raise ValueError(f"only SEQ/NEG patterns flatten to sequences: {kind}")
+
+
+def match_event(df: DataFrame, op: A.MatchEvent, executor) -> DataFrame:
+    kind = op.pattern[0]
+    if kind in ("seq", "event", "neg"):
+        steps = _seq_events(op.pattern)
+    elif kind in ("and", "or"):
+        # AND/OR over single events: treat as filters (any/all present
+        # in same window) — restricted support, like the reference's
+        # simpler engines
+        raise NotImplementedError(
+            "AND/OR CEP patterns not yet supported; use SEQ")
+    else:
+        raise ValueError(f"unknown pattern {kind}")
+
+    preds = {name: compile_pred(p) for name, p in op.definitions.items()}
+    within = None
+    if op.within is not None:
+        within = op.within[0] * _UNIT_SECONDS[op.within[1]]
+    mode = op.mode
+
+    in_fields = df.schema.fields
+    ts_col = executor.ts_fields.get(op.rel) if hasattr(executor, "ts_fields") \
+        else None
+    if ts_col is None:
+        for f_ in in_fields:
+            if isinstance(f_.dataType, T.TimestampType):
+                ts_col = f_.name
+                break
+    order_col = ts_col or in_fields[0].name
+
+    out_fields = []
+    for name, neg in steps:
+        if neg:
+            continue
+        for f_ in in_fields:
+            out_fields.append(T.StructField(f"{name}::{f_.name}",
+                                            f_.dataType, True))
+    out_schema = T.StructType(out_fields)
+    pos_steps = [(n, neg) for n, neg in steps]
+    colnames = [f_.name for f_ in in_fields]
+
+    def run_nfa(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(order_col, kind="mergesort")
+        matches = []
+        partial: list[pd.Series] = []
+        step_i = 0
+        start_ts = None
+        for _, row in pdf.iterrows():
+            while True:
+                name, neg = pos_steps[step_i]
+                pred = preds.get(name)
+                ok = bool(pred(row)) if pred is not None else True
+                if neg:
+                    if ok:  # negated event occurred → abort the run
+                        partial, step_i, start_ts = [], 0, None
+                        break
+                    step_i += 1  # NEG step passes without consuming
+                    if step_i >= len(pos_steps):
+                        partial, step_i, start_ts = [], 0, None
+                    continue
+                if ok:
+                    if within is not None and ts_col is not None and partial:
+                        dt = (row[ts_col] - start_ts).total_seconds()
+                        if dt > within:
+                            partial, step_i, start_ts = [], 0, None
+                            continue
+                    if not partial:
+                        start_ts = row[ts_col] if ts_col else None
+                    partial.append(row)
+                    step_i += 1
+                    if step_i >= len(pos_steps):
+                        out = {}
+                        for (n, neg2), r in zip(
+                                [s for s in pos_steps if not s[1]], partial):
+                            for c in colnames:
+                                out[f"{n}::{c}"] = r[c]
+                        matches.append(out)
+                        partial, step_i, start_ts = [], 0, None
+                elif mode == "strict" and partial:
+                    # contiguity violated → reset
+                    partial, step_i, start_ts = [], 0, None
+                break
+        if not matches:
+            return pd.DataFrame(columns=[f.name for f in out_schema])
+        return pd.DataFrame(matches)
+
+    key = None
+    if hasattr(executor, "options"):
+        key = executor.options.get("piglet.cep.partition_key") \
+            or executor.options.get("cep.partition_key")
+    if key:
+        return df.groupBy(key).applyInPandas(
+            lambda _k, pdf: run_nfa(pdf), out_schema)
+
+    def global_nfa(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        pdf = pd.concat(list(batches), ignore_index=True) if batches else None
+        if pdf is None or len(pdf) == 0:
+            yield pd.DataFrame(columns=[f.name for f in out_schema])
+            return
+        yield run_nfa(pdf)
+
+    return df.coalesce(1).mapInPandas(global_nfa, out_schema)

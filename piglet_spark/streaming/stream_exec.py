@@ -1,0 +1,175 @@
+"""Streaming dialect on Structured Streaming.
+
+Reference semantics: SOCKET_READ/SOCKET_WRITE (op/SocketRead.scala:34,
+op/SocketWrite.scala:28), stream LOAD/STORE
+(codegen/spark/StreamLoadEmitter.scala:9), WINDOW (op/Window.scala:29,
+codegen/spark/StreamWindowEmitter.scala:26-28).
+
+Upgrades over the reference (DStream era): event-time windows ride
+``F.window`` + ``withWatermark`` (real late-data handling — the
+reference has none); sinks are Structured Streaming sinks. ROWS
+(count-based) windows are not expressible in Structured Streaming —
+``apply_window`` raises with guidance (documented limitation,
+SURVEY.md §2.8).
+"""
+
+from __future__ import annotations
+
+import socket as pysocket
+from typing import Optional
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from ..plans import ast as A
+from ..plans import schema as S
+
+
+class StreamingError(Exception):
+    pass
+
+
+_UNIT_SECONDS = {
+    "SECONDS": 1, "SECOND": 1, "MINUTES": 60, "MINUTE": 60,
+    "HOURS": 3600, "HOUR": 3600,
+}
+
+
+def window_duration(spec: tuple[int, str]) -> str:
+    n, unit = spec
+    if unit == "ROWS":
+        raise StreamingError(
+            "ROWS (count-based) windows are not supported on Structured "
+            "Streaming; use RANGE windows or foreachBatch")
+    return f"{n * _UNIT_SECONDS[unit]} seconds"
+
+
+def socket_read(spark: SparkSession, op: A.SocketRead) -> DataFrame:
+    if op.mode and op.mode.lower() == "zmq":
+        raise StreamingError("ZMQ socket mode is not supported")
+    raw = (spark.readStream.format("socket")
+           .option("host", op.host or "localhost")
+           .option("port", op.port)
+           .load())
+    return _parse_lines(raw, op.func, op.func_args, op.schema,
+                        op.timestamp_field)
+
+
+def stream_load(spark: SparkSession, path: str, func: Optional[str],
+                args: list, decl: Optional[A.TupleDecl],
+                ts_field=None) -> DataFrame:
+    """File-stream source: watch a directory of delimited text/json."""
+    name = (func or "PigStorage").split(".")[-1].lower()
+    if name in ("jsonstorage", "jsonstorage2"):
+        reader = spark.readStream
+        if decl is not None:
+            reader = reader.schema(S.tuple_decl_to_struct(decl))
+        return reader.json(path)
+    delim = str(args[0]) if args else "\t"
+    if decl is None:
+        raise StreamingError("stream LOAD requires an AS(...) schema")
+    reader = (spark.readStream.format("csv")
+              .option("sep", delim)
+              .schema(S.tuple_decl_to_struct(decl)))
+    df = reader.load(path)
+    return _apply_timestamp(df, ts_field)
+
+
+def _parse_lines(raw: DataFrame, func: Optional[str], args: list,
+                 decl: Optional[A.TupleDecl], ts_field) -> DataFrame:
+    name = (func or "PigStorage").split(".")[-1].lower()
+    if decl is None or name == "textloader":
+        out = raw.select(F.col("value").alias(
+            (decl.fields[0].name if decl and decl.fields else "line")))
+        return _apply_timestamp(out, ts_field)
+    delim = str(args[0]) if args else "\t"
+    parts = F.split(F.col("value"), delim, -1)
+    cols = []
+    for i, fd in enumerate(decl.fields):
+        c = parts[i].cast(S.pig_to_spark(fd.pig_type))
+        cols.append(c.alias(fd.name or f"_c{i}"))
+    return _apply_timestamp(raw.select(*cols), ts_field)
+
+
+def _apply_timestamp(df: DataFrame, ts_field) -> DataFrame:
+    if ts_field is None:
+        return df
+    if isinstance(ts_field, A.PositionalField):
+        name = df.columns[ts_field.pos]
+    else:
+        name = ts_field.name
+    return df.withColumn(name, F.col(name).cast("timestamp"))
+
+
+class WindowSpec:
+    """WINDOW op result metadata: downstream grouping adds
+    F.window(ts, size, slide) to its keys (the Structured-Streaming
+    equivalent of the reference's windowMode rewrite,
+    internals/WindowSupport.scala:37-120)."""
+
+    def __init__(self, size: str, slide: Optional[str], ts_col: str):
+        self.size = size
+        self.slide = slide
+        self.ts_col = ts_col
+
+    def window_col(self):
+        if self.slide and self.slide != self.size:
+            return F.window(F.col(self.ts_col), self.size, self.slide)
+        return F.window(F.col(self.ts_col), self.size)
+
+
+def apply_window(df: DataFrame, op: A.Window,
+                 ts_col: Optional[str] = None,
+                 watermark: Optional[str] = None
+                 ) -> tuple[DataFrame, WindowSpec]:
+    size = window_duration(op.size)
+    slide = window_duration(op.slide) if op.slide else None
+    if ts_col is None:
+        # arrival time (reference default: DStream batch time)
+        df = df.withColumn("__event_time", F.current_timestamp())
+        ts_col = "__event_time"
+    if watermark and df.isStreaming:
+        df = df.withWatermark(ts_col, watermark)
+    return df, WindowSpec(size, slide, ts_col)
+
+
+def socket_write(df: DataFrame, op: A.SocketWrite,
+                 options: Optional[dict] = None):
+    """Send each row as a text line to a TCP endpoint via foreachBatch
+    (SS has no socket sink)."""
+    from ..sources.storage import pig_format_rows
+    host, port = op.host or "localhost", op.port
+
+    def send_batch(batch_df: DataFrame, _batch_id: int):
+        lines = [r[0] for r in pig_format_rows(batch_df).collect()]
+        with pysocket.create_connection((host, port), timeout=10) as sock:
+            for line in lines:
+                sock.sendall((line + "\n").encode())
+
+    if not df.isStreaming:
+        send_batch(df, 0)
+        return None
+    opts = options or {}
+    return (df.writeStream.outputMode(opts.get("output_mode", "append"))
+            .foreachBatch(send_batch)
+            .trigger(processingTime=opts.get("trigger", "1 second"))
+            .start())
+
+
+def stream_store(df: DataFrame, path: str, func: Optional[str],
+                 args: list, options: Optional[dict] = None):
+    name = (func or "PigStorage").split(".")[-1].lower()
+    opts = options or {}
+    checkpoint = opts.get("checkpoint", path.rstrip("/") + "_chk")
+    if name in ("binstorage", "parquetstorage"):
+        fmt = "parquet"
+        out = df
+    else:
+        from ..sources.storage import pig_format_rows
+        fmt = "text"
+        out = pig_format_rows(df, str(args[0]) if args else ",")
+    return (out.writeStream.format(fmt)
+            .option("path", path)
+            .option("checkpointLocation", checkpoint)
+            .outputMode("append")
+            .start())

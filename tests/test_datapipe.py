@@ -1,0 +1,178 @@
+"""Training-data pipeline operators: dedup, similarity, text analysis,
+multimodal plumbing — verified against brute-force references."""
+
+import math
+
+import pytest
+from pyspark.sql import functions as F
+
+from piglet_spark.datapipe import dedup, multimodal, similarity, text
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [
+        (0, "the quick brown fox jumps over the lazy dog"),
+        (1, "the quick brown fox jumps over the lazy cat"),
+        (2, "The Quick Brown Fox Jumps Over The Lazy Dog"),  # = 0 normalized
+        (3, "completely different content about spark engines"),
+        (4, "spark engines about completely different content"),  # permutation of 3
+        (5, "der schnelle braune fuchs und die faule katze und der hund"),
+    ]
+    return spark.createDataFrame(rows, ["doc_id", "text"])
+
+
+def test_exact_dedup(docs):
+    out = dedup.exact_dedup(docs).collect()
+    kept = sorted(r["keep_id"] for r in out)
+    assert kept == [0, 1, 3, 4, 5]  # 2 collapses into 0
+    copies = {r["keep_id"]: r["n_copies"] for r in out}
+    assert copies[0] == 2
+
+
+def brute_jaccard(a, b, k=3):
+    def sh(t):
+        toks = t.lower().split()
+        return {" ".join(toks[i:i + k]) for i in range(len(toks) - k + 1)}
+    A, B = sh(a), sh(b)
+    return len(A & B) / len(A | B) if A | B else 0.0
+
+
+def test_minhash_lsh_finds_neardups(docs, spark):
+    pairs = dedup.minhash_lsh_pairs(docs, threshold=0.3, num_hashes=32,
+                                    bands=16)
+    got = {(r["id_a"], r["id_b"]): r["jaccard"] for r in pairs.collect()}
+    # (0,1) share most shingles; (0,2) identical after normalization
+    assert (0, 2) in got and got[(0, 2)] == 1.0
+    assert (0, 1) in got
+    # verified jaccard must equal brute force
+    texts = {r["doc_id"]: r["text"] for r in docs.collect()}
+    for (a, b), j in got.items():
+        assert abs(j - brute_jaccard(texts[a], texts[b])) < 1e-6
+
+
+def test_ngram_jaccard_exact(docs):
+    pairs = dedup.ngram_jaccard_pairs(docs, threshold=0.2)
+    got = {(r["id_a"], r["id_b"]): r["jaccard"] for r in pairs.collect()}
+    texts = {r["doc_id"]: r["text"] for r in docs.toLocalIterator()}
+    # exact algorithm: must find every pair above threshold
+    expected = {}
+    ids = sorted(texts)
+    for i in ids:
+        for j in ids:
+            if i < j:
+                jac = brute_jaccard(texts[i], texts[j])
+                if jac >= 0.2:
+                    expected[(i, j)] = round(jac, 6)
+    assert got == expected
+
+
+def test_simhash_identical_and_near(docs):
+    df = dedup.simhash(docs)
+    h = {r["doc_id"]: r["simhash"] for r in df.collect()}
+    assert h[0] == h[2]  # normalization-identical
+    # 4 and 3 are permutations of the same token multiset → same simhash
+    assert h[3] == h[4]
+    pairs = dedup.simhash_pairs(docs, max_hamming=12)
+    got = {(r["id_a"], r["id_b"]) for r in pairs.collect()}
+    assert (0, 2) in got and (3, 4) in got
+
+
+def test_embedding_neardup(spark):
+    rows = [
+        (0, [1.0, 0.0, 0.0, 0.0]),
+        (1, [0.99, 0.01, 0.0, 0.0]),
+        (2, [0.0, 1.0, 0.0, 0.0]),
+        (3, [-1.0, 0.0, 0.0, 0.0]),
+    ]
+    df = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    # brute threshold check via the cosine() column itself
+    pairs = dedup.embedding_neardup_pairs(df, threshold=0.95, n_planes=2)
+    got = {(r["id_a"], r["id_b"]) for r in pairs.collect()}
+    assert (0, 1) in got
+    assert all(a != 3 and b != 3 for a, b in got)
+
+
+def test_cosine_topk_exact(spark, sf_dir):
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    qrow = emb.filter(F.col("vec_id") == 0).collect()[0]
+    q = [float(x) for x in qrow["embedding"]]
+    got = similarity.cosine_topk(emb, q, k=5).collect()
+    assert got[0]["vec_id"] == 0 and abs(got[0]["cos"] - 1.0) < 1e-6
+    # brute force in python
+    rows = emb.collect()
+    def cos(a, b):
+        d = sum(x * y for x, y in zip(a, b))
+        na = math.sqrt(sum(x * x for x in a))
+        nb = math.sqrt(sum(x * x for x in b))
+        return d / (na * nb)
+    brute = sorted(((round(cos([float(x) for x in r["embedding"]], q), 6),
+                     -r["vec_id"]) for r in rows), reverse=True)[:5]
+    assert [r["vec_id"] for r in got] == [-i for _, i in brute]
+
+
+def test_ann_lsh_recall(spark, sf_dir):
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    qrow = emb.filter(F.col("vec_id") == 0).collect()[0]
+    q = [float(x) for x in qrow["embedding"]]
+    exact = [r["vec_id"] for r in similarity.cosine_topk(emb, q, 10).collect()]
+    approx = [r["vec_id"] for r in similarity.ann_lsh_topk(emb, q, 10).collect()]
+    # multi-probe LSH should keep decent recall on the true top-10
+    assert len(set(exact) & set(approx)) >= 5
+    assert approx[0] == 0
+
+
+def test_ivf_topk(spark, sf_dir):
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    qrow = emb.filter(F.col("vec_id") == 0).collect()[0]
+    q = [float(x) for x in qrow["embedding"]]
+    got = similarity.ivf_topk(emb, q, k=5).collect()
+    assert len(got) == 5
+    assert all(-1.0 <= r["cos"] <= 1.0 for r in got)
+
+
+def test_doc_stats(docs):
+    out = {r["doc_id"]: r for r in text.doc_stats(docs).collect()}
+    assert out[0]["n_tokens"] == 9
+    assert out[0]["n_chars"] == len("the quick brown fox jumps over the lazy dog")
+    assert 0.0 <= out[0]["quality"] <= 1.0
+    assert out[0]["fp"] == out[2]["fp"]  # normalization-identical
+    assert out[0]["lang_pred"] == "en"
+    assert out[5]["lang_pred"] == "de"
+
+
+def test_bpe_token_count(spark):
+    df = spark.createDataFrame([(0, "hello, world! it's 42")], ["id", "t"])
+    n = df.select(text.bpe_token_count(F.col("t")).alias("n")).collect()[0]["n"]
+    # hello , world ! it ' s 42
+    assert n == 8
+
+
+def test_multimodal_image_plumbing(docs):
+    with_bin = multimodal.attach_binary_payload(docs)
+    assert dict(with_bin.dtypes)["payload"] == "binary"
+    feats = multimodal.decode_images(with_bin, deterministic_fake=True)
+    rows = feats.collect()
+    assert len(rows) == 6
+    assert all(len(r["embedding"]) == 8 for r in rows)
+    assert all(64 <= r["width"] < 256 for r in rows)
+    # determinism: same payload → same features
+    again = {r["doc_id"]: r["embedding"]
+             for r in multimodal.decode_images(
+                 with_bin, deterministic_fake=True).collect()}
+    first = {r["doc_id"]: r["embedding"] for r in rows}
+    assert again == first
+
+
+def test_multimodal_stub_raises(docs):
+    with_bin = multimodal.attach_binary_payload(docs)
+    with pytest.raises(NotImplementedError):
+        multimodal.decode_images(with_bin)
+
+
+def test_audio_frame_sampling(docs):
+    with_bin = multimodal.attach_binary_payload(docs)
+    frames = multimodal.sample_audio_frames(with_bin, n_frames=4,
+                                            deterministic_fake=True)
+    assert frames.count() == 6 * 4
+    assert frames.groupBy("doc_id").count().distinct().collect()[0]["count"] == 4

@@ -1,0 +1,146 @@
+"""Streaming dialect (Structured Streaming) + CEP tests."""
+
+import time
+
+import pytest
+
+import piglet_spark as pg
+
+
+@pytest.fixture()
+def stream_dir(tmp_path):
+    d = tmp_path / "in"
+    d.mkdir()
+    (d / "a.csv").write_text(
+        "1,2024-01-01 00:00:01,7.0\n"
+        "2,2024-01-01 00:00:03,1.5\n"
+        "3,2024-01-01 00:00:12,9.0\n"
+        "4,2024-01-01 00:00:14,0.5\n"
+    )
+    return d
+
+
+def _drain(df, name, mode="append"):
+    q = (df.writeStream.format("memory").queryName(name)
+         .outputMode(mode).start())
+    q.processAllAvailable()
+    q.stop()
+
+
+def test_stream_load_filter(spark, stream_dir):
+    eng = pg.PigEngine(spark, options={"streaming": True})
+    eng.run(f"""
+E = LOAD '{stream_dir}' USING PigStorage(',') AS (id:int, ts:chararray, v:double);
+H = FILTER E BY v > 2.0;
+""")
+    df = eng.df("H")
+    assert df.isStreaming
+    _drain(df, "t_filter")
+    rows = spark.sql("select id from t_filter order by id").collect()
+    assert [r["id"] for r in rows] == [1, 3]
+
+
+def test_stream_window_grouping(spark, stream_dir):
+    eng = pg.PigEngine(spark, options={"streaming": True})
+    eng.run(f"""
+E = LOAD '{stream_dir}' USING PigStorage(',') AS (id:int, ts:datetime, v:double) TIMESTAMP(ts);
+W = WINDOW E RANGE 10 SECONDS;
+G = GROUP W BY id;
+""")
+    # windowed aggregation via fused FOREACH
+    eng.run("C = FOREACH G GENERATE group AS id, COUNT(W) AS n;")
+    df = eng.df("C")
+    assert df.isStreaming
+    assert "window" in df.columns
+    _drain(df, "t_window", mode="complete")
+    rows = spark.sql(
+        "select window.start, id, n from t_window order by 1, 2").collect()
+    # two 10s tumbling windows, one row per id per window
+    assert len(rows) == 4
+    assert all(r["n"] == 1 for r in rows)
+
+
+def test_stream_window_global_count(spark, stream_dir):
+    eng = pg.PigEngine(spark, options={"streaming": True})
+    eng.run(f"""
+E = LOAD '{stream_dir}' USING PigStorage(',') AS (id:int, ts:datetime, v:double) TIMESTAMP(ts);
+W = WINDOW E RANGE 10 SECONDS;
+G = GROUP W ALL;
+C = FOREACH G GENERATE COUNT(W) AS n;
+""")
+    df = eng.df("C")
+    _drain(df, "t_gwin", mode="complete")
+    counts = sorted(r["n"] for r in spark.sql("select n from t_gwin").collect())
+    assert counts == [2, 2]
+
+
+def test_socket_write_batch(spark, data_dir):
+    import socket
+    import threading
+    received = []
+    srv = socket.socket()
+    srv.bind(("127.0.0.1", 0))
+    srv.listen(1)
+    port = srv.getsockname()[1]
+
+    def accept():
+        conn, _ = srv.accept()
+        buf = b""
+        while True:
+            chunk = conn.recv(4096)
+            if not chunk:
+                break
+            buf += chunk
+        received.extend(buf.decode().splitlines())
+        conn.close()
+
+    th = threading.Thread(target=accept, daemon=True)
+    th.start()
+    pg.run(spark, f"""
+A = LOAD '{data_dir}/t.csv' USING PigStorage(',') AS (f1:int, f2:int, f3:int);
+B = FILTER A BY f1 == 1;
+SOCKET_WRITE B TO '127.0.0.1:{port}';
+""")
+    th.join(timeout=10)
+    srv.close()
+    assert sorted(received) == ["1,2,3", "1,2,4"]
+
+
+def test_cep_seq_match(spark, tmp_path):
+    p = tmp_path / "ev.csv"
+    p.write_text(
+        "1,2024-01-01 00:00:01,9.0\n"
+        "2,2024-01-01 00:00:02,3.0\n"
+        "3,2024-01-01 00:00:03,1.0\n"
+        "4,2024-01-01 00:00:10,8.0\n"
+        "5,2024-01-01 00:00:30,0.5\n"
+    )
+    eng = pg.PigEngine(spark)
+    eng.run(f"""
+E = LOAD '{p}' USING PigStorage(',') AS (id:int, ts:datetime, v:double) TIMESTAMP(ts);
+M = MATCH_EVENT E PATTERN SEQ(X, Y) WITH (X: v > 5.0, Y: v < 2.0) WITHIN 15 SECONDS;
+""")
+    rows = sorted(tuple(r) for r in eng.df("M")
+                  .select("X::id", "Y::id").collect())
+    # (1 → 3) matches within 15s; 4 → 5 is 20s apart → no match
+    assert rows == [(1, 3)]
+
+
+def test_cep_partitioned(spark, tmp_path):
+    p = tmp_path / "ev2.csv"
+    p.write_text(
+        "a,1,2024-01-01 00:00:01,9.0\n"
+        "a,2,2024-01-01 00:00:02,1.0\n"
+        "b,3,2024-01-01 00:00:01,8.0\n"
+        "b,4,2024-01-01 00:00:05,1.5\n"
+        "b,5,2024-01-01 00:00:06,7.5\n"
+    )
+    eng = pg.PigEngine(spark)
+    eng.run(f"""
+SET piglet.cep.partition_key 'k';
+E = LOAD '{p}' USING PigStorage(',') AS (k:chararray, id:int, ts:datetime, v:double) TIMESTAMP(ts);
+M = MATCH_EVENT E PATTERN SEQ(HI, LO) WITH (HI: v > 5.0, LO: v < 2.0);
+""")
+    rows = sorted(tuple(r) for r in eng.df("M")
+                  .select("HI::id", "LO::id").collect())
+    assert rows == [(1, 2), (3, 4)]
