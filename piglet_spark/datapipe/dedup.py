@@ -145,9 +145,14 @@ def minhash_lsh_pairs(df: DataFrame, text_col: str = "text",
             .select(F.col("l._id").alias("id_a"),
                     F.col("r._id").alias("id_b"))
             .dropDuplicates(["id_a", "id_b"]))
-    # exact-Jaccard verification only for candidate pairs
-    sh = df.select(F.col(id_col).alias("_id"),
-                   shingles_of(F.col(text_col), shingle_k).alias("_sh"))
+    # exact-Jaccard verification only for candidate pairs; shingle
+    # identity = 64-bit hash (collision odds ~n²/2^64) so the verify
+    # joins shuffle long arrays, not strings
+    sh = df.select(
+        F.col(id_col).alias("_id"),
+        F.array_distinct(
+            shingle_hashes(shingles_of(F.col(text_col), shingle_k))
+        ).alias("_sh"))
     out = (cand
            .join(sh.select(F.col("_id").alias("id_a"),
                            F.col("_sh").alias("sh_a")), on="id_a")

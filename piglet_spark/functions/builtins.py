@@ -173,5 +173,33 @@ SCALARS: dict[str, Callable[..., Column]] = {
 }
 
 
+def _register_datapipe() -> None:
+    """Expose the training-data-pipeline operators as Pig scalar
+    functions (beyond-reference surface, SURVEY.md §7 step 10)."""
+    from ..datapipe import text as dt
+
+    SCALARS.update({
+        "langid": dt.lang_id,
+        "quality_score": dt.quality_score,
+        "token_count": dt.ws_token_count,
+        "bpe_token_count": dt.bpe_token_count,
+        "fingerprint": dt.fingerprint,
+        "normalize_text": dt.normalize_text,
+        "ngrams": lambda c, n=3: dt.ngrams(
+            F.split(dt.normalize_text(c), " "), int(n)),
+        "cosine_sim": _cosine_sim,
+    })
+
+
+def _cosine_sim(a: Column, b: Column) -> Column:
+    from ..datapipe import similarity as sim
+    ad = F.transform(a, lambda x: x.cast("double"))
+    bd = F.transform(b, lambda x: x.cast("double"))
+    return sim.cosine(ad, bd)
+
+
+_register_datapipe()
+
+
 def lookup_scalar(name: str) -> Optional[Callable[..., Column]]:
     return SCALARS.get(name.lower())

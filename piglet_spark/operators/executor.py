@@ -225,6 +225,35 @@ class Executor:
         self.window_specs: dict[str, Any] = {}
         self.ts_fields: dict[str, str] = {}
         self.stream_queries: list[Any] = []  # active StreamingQuery handles
+        self._register_datapipe_ops()
+
+    def _register_datapipe_ops(self) -> None:
+        """Training-data-pipeline operators usable via
+        `B = STREAM A THROUGH <op>(args);` out of the box."""
+        from ..datapipe import dedup as dp
+        from ..datapipe import similarity as sim
+        from ..datapipe import text as dt
+
+        self.stream_ops.update({
+            "doc_stats": lambda df, text="text", idc="doc_id":
+                dt.doc_stats(df, str(text), str(idc)),
+            "exact_dedup": lambda df, text="text", idc="doc_id":
+                dp.exact_dedup(df, str(text), str(idc)),
+            "minhash_pairs": lambda df, thr=0.5, text="text", idc="doc_id":
+                dp.minhash_lsh_pairs(df, str(text), str(idc),
+                                     threshold=float(thr)),
+            "simhash": lambda df, text="text", idc="doc_id":
+                dp.simhash(df, str(text), str(idc)),
+            "simhash_pairs": lambda df, maxham=8, text="text", idc="doc_id":
+                dp.simhash_pairs(df, str(text), str(idc),
+                                 max_hamming=int(maxham)),
+            "ngram_jaccard_pairs": lambda df, thr=0.5, text="text",
+                idc="doc_id": dp.ngram_jaccard_pairs(
+                    df, str(text), str(idc), threshold=float(thr)),
+            "embedding_neardup": lambda df, thr=0.95, vec="embedding",
+                idc="vec_id": dp.embedding_neardup_pairs(
+                    df, str(vec), str(idc), threshold=float(thr)),
+        })
 
     # -------------------------------------------------------- helpers
 
@@ -755,6 +784,37 @@ class Executor:
                 ret = getattr(obj, "__annotations__", {}).get("return", str)
                 spark_t = _PY2SPARK.get(ret, "string")
                 self.udfs[name] = F.udf(obj, spark_t)
+
+    # ----------------------------------- beyond-reference statements
+
+    def op_dedup(self, op: "A.Dedup") -> None:
+        df = self.df(op.rel)
+        if not op.keys:
+            self.env[op.out] = df.distinct()
+            return
+        ctx = self.ctx(df)
+        keycols = [compile_expr(k, ctx) for k in op.keys]
+        # keep the lexicographically-first row per key: min(struct(*))
+        # fuses into partial aggregation — one shuffle, no window sort
+        packed = df.groupBy(*keycols).agg(
+            F.min(F.struct(*[df[c] for c in df.columns])).alias("_row"))
+        self.env[op.out] = packed.select(
+            *[F.col("_row")[c].alias(c) for c in df.columns])
+
+    def op_neardup(self, op: "A.NearDup") -> None:
+        from ..datapipe import dedup as dp
+        df = self.df(op.rel)
+        ctx = self.ctx(df)
+        text_col = E.resolve_named(op.on, ctx) if isinstance(
+            op.on, A.NamedField) else S.positional(df.columns, op.on.pos)
+        if op.id_field is not None:
+            id_col = E.resolve_named(op.id_field, ctx) if isinstance(
+                op.id_field, A.NamedField) else S.positional(
+                    df.columns, op.id_field.pos)
+        else:
+            id_col = df.columns[0]
+        self.env[op.out] = dp.minhash_lsh_pairs(
+            df, text_col=text_col, id_col=id_col, threshold=op.threshold)
 
     # ----------------------------------------------------------- RDF
 

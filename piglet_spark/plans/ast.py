@@ -494,6 +494,36 @@ class Generate(Op):
     out: Optional[str] = None
 
 
+# beyond-reference statements (training-data pipeline)
+
+@dataclass
+class Dedup(Op):
+    """`B = DEDUP A [ON k1, k2];` — exact dedup; with ON keeps the
+    lexicographically-first row per key (deterministic)."""
+
+    out: str
+    rel: str
+    keys: list[Expr] = field(default_factory=list)
+
+    def __post_init__(self):
+        self.inputs = [self.rel]
+
+
+@dataclass
+class NearDup(Op):
+    """`B = NEARDUP A ON text [BY id] [THRESHOLD 0.5];` — MinHash-LSH
+    near-duplicate pairs."""
+
+    out: str
+    rel: str
+    on: Expr = None
+    id_field: Optional[Expr] = None
+    threshold: float = 0.5
+
+    def __post_init__(self):
+        self.inputs = [self.rel]
+
+
 # commands
 
 @dataclass

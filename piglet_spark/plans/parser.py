@@ -659,6 +659,31 @@ class Parser:
             level = self.ident().upper()
         return A.Cache(out=alias, rel=rel, level=level)
 
+    def op_dedup(self, alias: str) -> A.Op:
+        self.eat_kw("dedup")
+        rel = self.ident()
+        keys: list[A.Expr] = []
+        if self.try_kw("on"):
+            while True:
+                keys.append(self.parse_ref())
+                if not self.try_eat(","):
+                    break
+        return A.Dedup(out=alias, rel=rel, keys=keys)
+
+    def op_neardup(self, alias: str) -> A.Op:
+        self.eat_kw("neardup")
+        rel = self.ident()
+        self.eat_kw("on")
+        on = self.parse_ref()
+        id_field = None
+        if self.try_kw("by"):
+            id_field = self.parse_ref()
+        threshold = 0.5
+        if self.try_kw("threshold"):
+            threshold = float(self.advance().text)
+        return A.NearDup(out=alias, rel=rel, on=on, id_field=id_field,
+                         threshold=threshold)
+
     def op_tuplify(self, alias: str) -> A.Op:
         self.eat_kw("tuplify")
         rel = self.ident()

@@ -1,0 +1,73 @@
+"""Interactive REPL — statement-at-a-time execution.
+
+Mirror of the reference REPL (PigletREPL.scala:436-475: commands dump,
+describe, prettyprint, rewrite, fs; statement buffer re-run on DUMP).
+DataFrame laziness makes re-execution free: the alias environment
+persists and only actions run, so no buffer-recompile is needed.
+"""
+
+from __future__ import annotations
+
+import sys
+
+
+HELP = """\
+commands:
+  dump <alias>        print alias contents (Pig tuple format)
+  describe <alias>    print alias schema
+  display <alias>     show alias as a table
+  explain <alias>     physical plan
+  aliases             list defined aliases
+  help                this help
+  quit                exit
+anything else is parsed as Pig Latin (may span lines until ';')."""
+
+
+def repl(engine, input_fn=input, out=sys.stdout) -> int:
+    print("piglet-spark REPL — 'help' for commands", file=out)
+    buffer = ""
+    while True:
+        try:
+            prompt = "piglet> " if not buffer else "      | "
+            line = input_fn(prompt)
+        except (EOFError, KeyboardInterrupt):
+            print("", file=out)
+            return 0
+        stripped = line.strip()
+        if not buffer:
+            low = stripped.lower()
+            if low in ("quit", "exit"):
+                return 0
+            if low == "help":
+                print(HELP, file=out)
+                continue
+            if low == "aliases":
+                print(", ".join(sorted(engine.executor.env)) or "(none)",
+                      file=out)
+                continue
+            first = low.split(" ")[0] if low else ""
+            if first in ("dump", "describe", "display", "explain") and \
+                    not stripped.endswith(";"):
+                parts = stripped.split()
+                if len(parts) != 2:
+                    print(f"usage: {first} <alias>", file=out)
+                    continue
+                alias = parts[1]
+                try:
+                    if first == "explain":
+                        engine.df(alias).explain("formatted")
+                    else:
+                        engine.run(f"{first.upper()} {alias};")
+                except Exception as e:
+                    print(f"error: {type(e).__name__}: {e}", file=out)
+                continue
+            if not stripped:
+                continue
+        buffer += line + "\n"
+        if stripped.endswith(";") or stripped.endswith("%>"):
+            try:
+                engine.run(buffer)
+            except Exception as e:
+                print(f"error: {type(e).__name__}: {e}", file=out)
+            buffer = ""
+    return 0

@@ -1,0 +1,155 @@
+"""CLI, REPL, and beyond-reference language statements."""
+
+import io
+
+import piglet_spark as pg
+from piglet_spark import cli, repl
+
+
+def rows(df):
+    return sorted(tuple(r) for r in df.collect())
+
+
+def test_cli_runs_script(spark, data_dir, tmp_path, monkeypatch):
+    out = tmp_path / "cliout"
+    script = tmp_path / "s.pig"
+    script.write_text(
+        f"A = LOAD '{data_dir}/t.csv' USING PigStorage(',') "
+        f"AS (f1:int, f2:int, f3:int);\n"
+        f"B = FILTER A BY f1 >= $lim;\n"
+        f"STORE B INTO '{out}' USING PigStorage(',');\n"
+    )
+    monkeypatch.setattr(cli, "make_session", lambda *a, **k: spark)
+    rc = cli.main([str(script), "-p", "lim=4"])
+    assert rc == 0
+    lines = sorted(line for f in out.glob("part-*")
+                   for line in f.read_text().splitlines())
+    assert lines == ["4,5,6", "7,8,9"]
+
+
+def test_cli_bad_param(spark, monkeypatch, capsys):
+    monkeypatch.setattr(cli, "make_session", lambda *a, **k: spark)
+    assert cli.main(["x.pig", "-p", "noequals"]) == 2
+
+
+def test_cli_missing_script(spark, monkeypatch):
+    monkeypatch.setattr(cli, "make_session", lambda *a, **k: spark)
+    assert cli.main(["/nonexistent/file.pig"]) == 2
+
+
+def test_cli_script_error(spark, tmp_path, monkeypatch, capsys):
+    script = tmp_path / "bad.pig"
+    script.write_text("A = FILTER nosuch BY x > 1;\n")
+    monkeypatch.setattr(cli, "make_session", lambda *a, **k: spark)
+    assert cli.main([str(script)]) == 1
+    assert "ExecError" in capsys.readouterr().err
+
+
+def test_repl_session(spark, data_dir, capsys):
+    eng = pg.PigEngine(spark)
+    inputs = iter([
+        f"A = LOAD '{data_dir}/t.csv' USING PigStorage(',') "
+        f"AS (f1:int, f2:int, f3:int);",
+        "B = FILTER A BY",     # multi-line statement
+        "  f1 == 1;",
+        "aliases",
+        "dump B",
+        "describe B",
+        "quit",
+    ])
+    out = io.StringIO()
+    rc = repl.repl(eng, input_fn=lambda _p: next(inputs), out=out)
+    assert rc == 0
+    captured = capsys.readouterr().out + out.getvalue()
+    assert "A, B" in captured
+    assert "(1,2,3)" in captured and "(1,2,4)" in captured
+    assert "f1: int" in captured
+
+
+def test_dedup_statement(spark, data_dir):
+    eng = pg.PigEngine(spark)
+    eng.run(f"""
+A = LOAD '{data_dir}/dup.csv' USING PigStorage(',') AS (x:int, y:int);
+D = DEDUP A;
+K = DEDUP A ON x;
+""")
+    assert rows(eng.df("D")) == [(1, 1), (2, 2)]
+    assert rows(eng.df("K")) == [(1, 1), (2, 2)]
+
+
+def test_dedup_on_keeps_first(spark, tmp_path):
+    p = tmp_path / "d.csv"
+    p.write_text("1,b\n1,a\n2,z\n")
+    eng = pg.PigEngine(spark)
+    eng.run(f"""
+A = LOAD '{p}' USING PigStorage(',') AS (k:int, v:chararray);
+D = DEDUP A ON k;
+""")
+    assert rows(eng.df("D")) == [(1, "a"), (2, "z")]  # lexicographic first
+
+
+def test_neardup_statement(spark, tmp_path):
+    p = tmp_path / "docs.csv"
+    p.write_text(
+        "0|the quick brown fox jumps over the lazy dog today\n"
+        "1|the quick brown fox jumps over the lazy cat today\n"
+        "2|totally unrelated text with different words here\n"
+    )
+    eng = pg.PigEngine(spark)
+    eng.run(f"""
+A = LOAD '{p}' USING PigStorage('|') AS (id:int, body:chararray);
+P = NEARDUP A ON body BY id THRESHOLD 0.3;
+""")
+    got = {(r["id_a"], r["id_b"]) for r in eng.df("P").collect()}
+    assert (0, 1) in got
+    assert all(2 not in pair for pair in got)
+
+
+def test_datapipe_scalar_funcs(spark, tmp_path):
+    p = tmp_path / "docs2.csv"
+    p.write_text("0|the cat and the dog of the house\n")
+    eng = pg.PigEngine(spark)
+    eng.run(f"""
+A = LOAD '{p}' USING PigStorage('|') AS (id:int, body:chararray);
+S = FOREACH A GENERATE id, LANGID(body) AS lang, TOKEN_COUNT(body) AS nt,
+    QUALITY_SCORE(body) AS q, FINGERPRINT(body) AS fp;
+""")
+    r = eng.df("S").collect()[0]
+    assert r["lang"] == "en" and r["nt"] == 8
+    assert 0.0 <= r["q"] <= 1.0 and len(r["fp"]) == 32
+
+
+def test_stream_through_datapipe(spark, sf_dir):
+    eng = pg.PigEngine(spark)
+    eng.run(f"""
+D = LOAD '{sf_dir}/documents.parquet' USING ParquetStorage();
+S = STREAM D THROUGH doc_stats();
+""")
+    df = eng.df("S")
+    assert "quality" in df.columns and "lang_pred" in df.columns
+    assert df.count() > 0
+
+
+def test_cache_and_materialize(spark, data_dir, tmp_path):
+    eng = pg.PigEngine(spark, options={
+        "materialization_dir": str(tmp_path / "mat")})
+    eng.run(f"""
+A = LOAD '{data_dir}/t.csv' USING PigStorage(',') AS (f1:int, f2:int, f3:int);
+C = CACHE A;
+MATERIALIZE C;
+""")
+    assert rows(eng.df("C")) == [(1, 2, 3), (1, 2, 4), (4, 5, 6), (7, 8, 9)]
+    assert list((tmp_path / "mat").iterdir())  # parquet checkpoint written
+
+
+def test_zip_two_relations(spark, data_dir):
+    eng = pg.PigEngine(spark)
+    eng.run(f"""
+A = LOAD '{data_dir}/t.csv' USING PigStorage(',') AS (f1:int, f2:int, f3:int);
+B = LOAD '{data_dir}/t.csv' USING PigStorage(',') AS (g1:int, g2:int, g3:int);
+Z = ZIP A WITH B;
+""")
+    df = eng.df("Z")
+    assert df.count() == 4
+    assert sorted(df.columns) == sorted(
+        ["A::f1", "A::f2", "A::f3", "B::g1", "B::g2", "B::g3"])
