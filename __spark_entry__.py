@@ -498,6 +498,52 @@ def q_ivf(spark, sf_dir):
     return dp_sim.ivf_topk(emb, q, k=10)
 
 
+ZIP_INDEX = """
+N = LOAD '$sf/customer.parquet' USING ParquetStorage();
+Z = ZIP N WITH INDEX;
+A = ACCUMULATE Z GENERATE COUNT(index) AS n, MIN(index) AS min_idx,
+    MAX(index) AS max_idx;
+"""
+
+ZIP_INDEX_SQL = """
+SELECT COUNT(*) AS n, 0 AS min_idx, COUNT(*) - 1 AS max_idx FROM customer
+"""
+
+SAMPLE_Q = """
+L = LOAD '$sf/lineitem.parquet' USING ParquetStorage();
+S = SAMPLE L 0.1;
+P = FOREACH S GENERATE l_orderkey;
+"""
+
+CEP_SEQ = """
+SET piglet.cep.partition_key 'user_id';
+E = LOAD '$sf/events.parquet' USING ParquetStorage();
+F = FOREACH E GENERATE event_id, (datetime)(ts / 1000000000) AS ets, user_id,
+    event_type, value;
+M = MATCH_EVENT F PATTERN SEQ(ERR, CLK)
+    WITH (ERR: event_type == 'error', CLK: event_type == 'click')
+    WITHIN 2 HOURS;
+P = FOREACH M GENERATE ERR::event_id AS err_id, CLK::event_id AS clk_id,
+    ERR::user_id AS user_id;
+"""
+
+SPATIAL_Q = """
+E = LOAD '$sf/events.parquet' USING ParquetStorage();
+P = FOREACH E GENERATE event_id,
+    geometry('POINT(' + (double)user_id / 10.0 + ' ' + value + ')') AS loc;
+Q = SPATIAL_FILTER P BY containedby(loc,
+    geometry('POLYGON((0 0, 5 0, 5 5, 0 5, 0 0))'));
+R = FOREACH Q GENERATE event_id;
+"""
+
+# ray-cast semantics for the axis-aligned square (0,0)-(5,5):
+# inside ⟺ 0 <= x < 5 ∧ 0 <= y < 5
+SPATIAL_SQL = """
+SELECT event_id FROM events
+WHERE user_id < 50 AND value >= 0 AND value < 5
+"""
+
+
 def q_multimodal(spark, sf_dir):
     """Binary-column plumbing: synthetic payloads → mapInPandas feature
     extraction (rows-only: stubbed codec)."""
@@ -542,6 +588,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "similarity_ann_lsh": q_ann_lsh,
         "similarity_ivf": q_ivf,
         "multimodal_features": q_multimodal,
+        "zip_index_stats": _pig(ZIP_INDEX, "A"),
+        "sample_op": _pig(SAMPLE_Q, "P"),
+        "cep_seq_match": _pig(CEP_SEQ, "P"),
+        "spatial_filter_pip": _pig(SPATIAL_Q, "R"),
     }
 
 
@@ -572,6 +622,9 @@ def oracle_sql() -> dict[str, str]:
         "similarity_cosine_topk": COSINE_TOPK_SQL,
         "embedding_neardup_exact": EMB_NEARDUP_SQL,
         "ngram_jaccard_pairs": NGRAM_JACCARD_SQL,
-        # minhash/simhash/ann/ivf/multimodal: non-SQL-expressible
-        # (hash-seeded or approximate) → rows-only checks
+        "zip_index_stats": ZIP_INDEX_SQL,
+        "spatial_filter_pip": SPATIAL_SQL,
+        # minhash/simhash/ann/ivf/multimodal/sample/cep: non-SQL-
+        # expressible (hash-seeded, approximate, nondeterministic
+        # sampling, or stateful NFA) → rows-only checks
     }

@@ -198,7 +198,25 @@ def _cosine_sim(a: Column, b: Column) -> Column:
     return sim.cosine(ad, bd)
 
 
+def _register_spatial_matrix() -> None:
+    from . import matrix as mx
+    from . import spatial as sp
+
+    SCALARS.update({
+        "geometry": sp.geometry,
+        "st_contains": sp.contains,
+        "st_containedby": sp.containedby,
+        "st_intersects": sp.intersects,
+        "st_distance": sp.distance,
+        "contains": sp.contains,
+        "containedby": sp.containedby,
+        "intersects": sp.intersects,
+    })
+    mx.register(SCALARS)
+
+
 _register_datapipe()
+_register_spatial_matrix()
 
 
 def lookup_scalar(name: str) -> Optional[Callable[..., Column]]:

@@ -1,0 +1,122 @@
+"""Spatial type + predicates, pure Spark Column implementation.
+
+Reference: geometry/STObject via the STARK library
+(expr/ArithmeticExpr.scala:306-316, expr/Predicate.scala:190-222
+CONTAINS/CONTAINEDBY/INTERSECTS, op/SpatialFilter.scala:36,
+op/SpatialJoin.scala:12). This container has no geo libraries, so the
+rebuild supports the WKT subset the reference's test corpus uses —
+POINT and POLYGON — with geometry as a struct column
+``(gtype, xs array<double>, ys array<double>)`` and predicates as
+JVM-side expressions (point-in-polygon = ray casting via
+higher-order functions; polygons are small so per-edge lambda cost
+is irrelevant).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+
+def geometry(wkt: Column) -> Column:
+    """Parse WKT POINT/POLYGON into (gtype, xs, ys)."""
+    if not isinstance(wkt, Column):
+        wkt = F.lit(str(wkt))
+    gtype = F.upper(F.regexp_extract(wkt, r"^\s*([A-Za-z]+)", 1))
+    inner = F.regexp_extract(wkt, r"\(\(?([^()]*)\)?\)", 1)
+    pairs = F.split(F.trim(inner), r"\s*,\s*")
+    xs = F.transform(pairs, lambda p: F.split(F.trim(p), r"\s+")[0]
+                     .cast("double"))
+    ys = F.transform(pairs, lambda p: F.split(F.trim(p), r"\s+")[1]
+                     .cast("double"))
+    return F.struct(gtype.alias("gtype"), xs.alias("xs"), ys.alias("ys"))
+
+
+def _is_point(g: Column) -> Column:
+    return g["gtype"] == "POINT"
+
+
+def _px(g: Column) -> Column:
+    return g["xs"][0]
+
+
+def _py(g: Column) -> Column:
+    return g["ys"][0]
+
+
+def _bbox_overlap(a: Column, b: Column) -> Column:
+    return (
+        (F.array_min(a["xs"]) <= F.array_max(b["xs"]))
+        & (F.array_max(a["xs"]) >= F.array_min(b["xs"]))
+        & (F.array_min(a["ys"]) <= F.array_max(b["ys"]))
+        & (F.array_max(a["ys"]) >= F.array_min(b["ys"]))
+    )
+
+
+def point_in_polygon(px: Column, py: Column, poly: Column) -> Column:
+    """Ray casting: odd number of edge crossings → inside."""
+    xs, ys = poly["xs"], poly["ys"]
+    n = F.size(xs)
+    idx = F.sequence(F.lit(1), n - 1)  # edges (i-1, i), 1-based element_at
+    crossings = F.aggregate(
+        idx,
+        F.lit(0),
+        lambda acc, i: acc + F.when(
+            ((F.element_at(ys, i) > py) != (F.element_at(ys, i + 1) > py))
+            & (px < (F.element_at(xs, i + 1) - F.element_at(xs, i))
+               * (py - F.element_at(ys, i))
+               / (F.element_at(ys, i + 1) - F.element_at(ys, i))
+               + F.element_at(xs, i)),
+            F.lit(1)).otherwise(F.lit(0)),
+    )
+    return crossings % 2 == 1
+
+
+def contains(a: Column, b: Column) -> Column:
+    """a CONTAINS b (point⊇point = equality; polygon⊇point = PIP)."""
+    pt_pt = (_px(a) == _px(b)) & (_py(a) == _py(b))
+    poly_pt = point_in_polygon(_px(b), _py(b), a)
+    return F.when(_is_point(a) & _is_point(b), pt_pt).otherwise(
+        F.when(~_is_point(a) & _is_point(b), poly_pt).otherwise(
+            _bbox_overlap(a, b)))  # polygon⊇polygon approximated by bbox
+
+
+def containedby(a: Column, b: Column) -> Column:
+    return contains(b, a)
+
+
+def intersects(a: Column, b: Column) -> Column:
+    pt_pt = (_px(a) == _px(b)) & (_py(a) == _py(b))
+    a_pt = _is_point(a) & ~_is_point(b)
+    b_pt = _is_point(b) & ~_is_point(a)
+    return F.when(_is_point(a) & _is_point(b), pt_pt).otherwise(
+        F.when(a_pt, point_in_polygon(_px(a), _py(a), b)).otherwise(
+            F.when(b_pt, point_in_polygon(_px(b), _py(b), a)).otherwise(
+                _bbox_overlap(a, b))))
+
+
+def distance(a: Column, b: Column) -> Column:
+    """Euclidean distance between two point geometries (STARK euclid,
+    UDF.scala:74)."""
+    return F.sqrt((_px(a) - _px(b)) ** 2 + (_py(a) - _py(b)) ** 2)
+
+
+def grid_cell(g: Column, cell_size: float) -> Column:
+    """Grid cell id of a point geometry (spatial-join bucketing)."""
+    cx = F.floor(_px(g) / F.lit(cell_size)).cast("long")
+    cy = F.floor(_py(g) / F.lit(cell_size)).cast("long")
+    return cx * F.lit(1_000_003) + cy
+
+
+def grid_cells_bbox(g: Column, cell_size: float) -> Column:
+    """All grid cells covered by a geometry's bbox (polygon side of a
+    spatial join)."""
+    x0 = F.floor(F.array_min(g["xs"]) / F.lit(cell_size)).cast("long")
+    x1 = F.floor(F.array_max(g["xs"]) / F.lit(cell_size)).cast("long")
+    y0 = F.floor(F.array_min(g["ys"]) / F.lit(cell_size)).cast("long")
+    y1 = F.floor(F.array_max(g["ys"]) / F.lit(cell_size)).cast("long")
+    return F.flatten(F.transform(
+        F.sequence(x0, x1),
+        lambda cx: F.transform(F.sequence(y0, y1),
+                               lambda cy: cx * F.lit(1_000_003) + cy),
+    ))

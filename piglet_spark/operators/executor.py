@@ -785,6 +785,142 @@ class Executor:
                 spark_t = _PY2SPARK.get(ret, "string")
                 self.udfs[name] = F.udf(obj, spark_t)
 
+    # ------------------------------------------ spatial / long tail
+
+    def op_spatialfilter(self, op: "A.SpatialFilter") -> None:
+        # index hint ignored: partition pruning subsumes live rtrees
+        df = self.df(op.rel)
+        ctx = self.ctx(df)
+        self.env[op.out] = df.filter(compile_expr(op.pred, ctx))
+
+    def op_spatialjoin(self, op: "A.SpatialJoin") -> None:
+        """Grid-bucket pre-join + exact predicate (the scale pattern:
+        candidates ∝ spatial locality, never the n² cross product).
+        Ref op/SpatialJoin.scala:12 (STARK grid/BSP partitioners)."""
+        from ..functions import spatial as sp
+        if len(op.rels) != 2 or not isinstance(op.pred, A.FuncCall) \
+                or len(op.pred.args) != 2:
+            raise ExecError("SPATIAL_JOIN needs two inputs and a binary "
+                            "predicate pred(left_field, right_field)")
+        cell = 1.0
+        for part in op.partitioners or []:
+            if part and part[1]:
+                try:
+                    cell = float(part[1][-1])
+                except (TypeError, ValueError):
+                    pass
+        lrel, rrel = op.rels
+        left = self._lineage_rename(self.df(lrel), lrel) \
+            .withColumn("__lid", F.monotonically_increasing_id())
+        right = self._lineage_rename(self.df(rrel), rrel) \
+            .withColumn("__rid", F.monotonically_increasing_id())
+        lgeom = compile_expr(op.pred.args[0], self.ctx(left.drop("__lid")))
+        rgeom = compile_expr(op.pred.args[1], self.ctx(right.drop("__rid")))
+        lc = left.withColumn("__cell", F.explode(
+            sp.grid_cells_bbox(lgeom, cell)))
+        rc = right.withColumn("__cell", F.explode(
+            sp.grid_cells_bbox(rgeom, cell)))
+        joined = (lc.join(rc, on="__cell", how="inner")
+                  .dropDuplicates(["__lid", "__rid"]))
+        # pred args resolve positionally: first → left, second → right
+        # (ref SpatialJoin schema rules; see spatialjoin.pig comment) —
+        # the per-side Columns stay valid through the join
+        from ..functions import builtins as bi
+        fn = bi.lookup_scalar(op.pred.name.lower())
+        if fn is None:
+            raise ExecError(f"unknown spatial predicate {op.pred.name!r}")
+        self.env[op.out] = (joined.filter(fn(lgeom, rgeom))
+                            .drop("__cell", "__lid", "__rid"))
+
+    def op_partition(self, op: "A.Partition") -> None:
+        from ..functions import spatial as sp
+        df = self.df(op.rel)
+        ctx = self.ctx(df)
+        col = compile_expr(op.on, ctx)
+        if op.scheme == "grid":
+            cell = float(op.args[-1]) if op.args else 1.0
+            dt = E.static_dtype(op.on, ctx)
+            if isinstance(dt, T.StructType):  # geometry column
+                col = sp.grid_cell(col, cell)
+            else:  # plain numeric field → 1-D grid
+                col = F.floor(col.cast("double") / F.lit(cell)).cast("long")
+        self.env[op.out] = df.repartition(col)
+
+    def op_indexop(self, op: "A.IndexOp") -> None:
+        # No rtree bags: Catalyst partition pruning + the grid-bucket
+        # spatial join subsume the reference's live index
+        # (op/IndexOp.scala:18). Identity with a persist hint.
+        self.env[op.out] = self.df(op.rel)
+
+    def op_delay(self, op: "A.Delay") -> None:
+        # profiling-only artificial latency (op/Delay.scala) — identity
+        self.env[op.out] = self.df(op.rel)
+
+    def op_visualize(self, op: "A.Visualize") -> None:
+        """Scatter plot of point geometries → SVG (no plotting libs in
+        this environment; ref op/Visualize.scala:5)."""
+        df = self.df(op.rel)
+        ctx = self.ctx(df)
+        g = compile_expr(op.field_ref, ctx)
+        pts = (df.select(g["xs"][0].alias("x"), g["ys"][0].alias("y"))
+               .limit(10000).collect())
+        xs = [r["x"] for r in pts if r["x"] is not None]
+        ys = [r["y"] for r in pts if r["y"] is not None]
+        w, h = op.width, op.height
+        if xs:
+            x0, x1 = min(xs), max(xs)
+            y0, y1 = min(ys), max(ys)
+            sx = (w - 20) / ((x1 - x0) or 1.0)
+            sy = (h - 20) / ((y1 - y0) or 1.0)
+            circles = "".join(
+                f'<circle cx="{10 + (x - x0) * sx:.1f}" '
+                f'cy="{h - 10 - (y - y0) * sy:.1f}" r="2" fill="#336"/>'
+                for x, y in zip(xs, ys))
+        else:
+            circles = ""
+        svg = (f'<svg xmlns="http://www.w3.org/2000/svg" width="{w}" '
+               f'height="{h}">{circles}</svg>')
+        path = op.path if op.path.endswith(".svg") else op.path + ".svg"
+        with open(path, "w") as f:
+            f.write(svg)
+
+    def op_rscript(self, op: "A.RScript") -> None:
+        try:
+            import rpy2  # noqa: F401
+        except ImportError:
+            raise ExecError(
+                "RSCRIPT requires an R runtime (rpy2), which is not "
+                "installed in this environment") from None
+        raise ExecError("RSCRIPT: rpy2 bridge not implemented")
+
+    def op_hdfscmd(self, op: "A.HdfsCmd") -> None:
+        """fs -cmd args (ref op/cmd/HdfsCmd.scala:28 / HDFSService).
+        Local-filesystem semantics — no HDFS in this environment."""
+        import os
+        import shutil
+        cmd, args = op.cmd.lower(), op.args
+        if cmd in ("copytolocal", "cp", "copyfromlocal") and len(args) >= 2:
+            shutil.copy(args[0], args[1])
+        elif cmd == "mv" and len(args) >= 2:
+            shutil.move(args[0], args[1])
+        elif cmd in ("rm", "rmr", "rm_r"):
+            for a in args:
+                if os.path.isdir(a):
+                    shutil.rmtree(a)
+                elif os.path.exists(a):
+                    os.remove(a)
+        elif cmd == "mkdir":
+            for a in args:
+                os.makedirs(a, exist_ok=True)
+        elif cmd == "ls":
+            for a in args or ["."]:
+                print("\n".join(sorted(os.listdir(a))))
+        elif cmd in ("touchz", "touch"):
+            for a in args:
+                open(a, "a").close()
+        else:
+            raise ExecError(f"unsupported fs command -{op.cmd}")
+
     # ----------------------------------- beyond-reference statements
 
     def op_dedup(self, op: "A.Dedup") -> None:

@@ -494,6 +494,96 @@ class Generate(Op):
     out: Optional[str] = None
 
 
+# spatial / infrastructure operators
+
+@dataclass
+class SpatialFilter(Op):
+    out: str
+    rel: str
+    pred: Expr = None
+    index: Optional[tuple[str, list]] = None
+
+    def __post_init__(self):
+        self.inputs = [self.rel]
+
+
+@dataclass
+class SpatialJoin(Op):
+    out: str
+    rels: list[str] = field(default_factory=list)
+    pred: Expr = None  # FuncCall(name, [left_ref, right_ref])
+    partitioners: list = field(default_factory=list)
+    index: Optional[tuple[str, list]] = None
+
+    def __post_init__(self):
+        self.inputs = list(self.rels)
+
+
+@dataclass
+class Partition(Op):
+    out: str
+    rel: str
+    on: Expr = None
+    scheme: str = ""
+    args: list = field(default_factory=list)
+
+    def __post_init__(self):
+        self.inputs = [self.rel]
+
+
+@dataclass
+class IndexOp(Op):
+    out: str
+    rel: str
+    on: Expr = None
+    method: str = "rtree"
+    args: list = field(default_factory=list)
+
+    def __post_init__(self):
+        self.inputs = [self.rel]
+
+
+@dataclass
+class Delay(Op):
+    out: str
+    rel: str
+    size: Expr = None
+    wtime: Expr = None
+
+    def __post_init__(self):
+        self.inputs = [self.rel]
+
+
+@dataclass
+class Visualize(Op):
+    rel: str
+    field_ref: Expr = None
+    path: str = ""
+    width: int = 800
+    height: int = 600
+
+    def __post_init__(self):
+        self.inputs = [self.rel]
+        self.out = None
+
+
+@dataclass
+class RScript(Op):
+    out: str
+    rel: str
+    code: str = ""
+
+    def __post_init__(self):
+        self.inputs = [self.rel]
+
+
+@dataclass
+class HdfsCmd(Op):
+    cmd: str = ""
+    args: list[str] = field(default_factory=list)
+    out: Optional[str] = None
+
+
 # beyond-reference statements (training-data pipeline)
 
 @dataclass

@@ -239,7 +239,33 @@ def _numify(expr: A.Expr, col: Column, ctx: Ctx) -> Column:
     return col
 
 
+_STRING_FUNCS = {"concat", "lower", "upper", "trim", "substring", "replace",
+                 "tostring", "normalize_text", "fingerprint", "langid",
+                 "regex_extract"}
+
+
+def _is_stringy(e: A.Expr) -> bool:
+    """Definitely-string expression (vs an untyped bytearray column
+    that must behave numerically): string literal, chararray cast, a
+    string-returning function, or a concat chain."""
+    if isinstance(e, A.Literal):
+        return e.pig_type == "chararray"
+    if isinstance(e, A.CastExpr):
+        return e.pig_type == "chararray"
+    if isinstance(e, A.FuncCall):
+        return e.name.lower() in _STRING_FUNCS
+    if isinstance(e, A.BinOp) and e.op == "+":
+        return _is_stringy(e.left) or _is_stringy(e.right)
+    return False
+
+
 def compile_binop(expr: A.BinOp, ctx: Ctx) -> Column:
+    # `"POINT(" + lat + " " + lon` — reference Scala codegen makes `+`
+    # string concatenation when an operand is a string (spatialfilter.pig)
+    if expr.op == "+" and (_is_stringy(expr.left) or _is_stringy(expr.right)):
+        left = compile_expr(expr.left, ctx).cast("string")
+        right = compile_expr(expr.right, ctx).cast("string")
+        return F.concat(left, right)
     lt, rt = static_dtype(expr.left, ctx), static_dtype(expr.right, ctx)
     left = compile_expr(expr.left, ctx)
     right = compile_expr(expr.right, ctx)
@@ -308,10 +334,16 @@ def compile_func(expr: A.FuncCall, ctx: Ctx) -> Column:
 
     scalar = builtins.lookup_scalar(name)
     if scalar is not None:
+        raw_args = list(expr.args)
+        # matrix constructors take the bag's elements directly:
+        # ddmatrix(2, 3, {v1, v2, ...}) (Language.md matrix constructor)
+        if name.endswith("matrix") and len(raw_args) == 3 and \
+                isinstance(raw_args[2], A.BagCons):
+            raw_args = raw_args[:2] + raw_args[2].exprs
         # literal args pass through raw (builders need python ints for
         # e.g. round scale / substring bounds; pyspark auto-lits scalars)
         args = [a.value if isinstance(a, A.Literal) else compile_expr(a, ctx)
-                for a in expr.args]
+                for a in raw_args]
         return scalar(*args)
 
     # user-registered function (DEFINE / embedded python / registry)

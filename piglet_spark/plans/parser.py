@@ -24,7 +24,7 @@ TOKEN_RE = re.compile(
     (?P<ws>\s+)
   | (?P<comment>--[^\n]*|/\*.*?\*/)
   | (?P<embed><%.*?%>)
-  | (?P<str>'(?:[^'\\]|\\.)*')
+  | (?P<str>'(?:[^'\\]|\\.)*'|"(?:[^"\\]|\\.)*")
   | (?P<num>\d+\.\d+([eE][-+]?\d+)?[fF]?|\d+[lLfF]?|\.\d+)
   | (?P<pos>\$\d+)
   | (?P<param>\$[A-Za-z_][A-Za-z0-9_]*)
@@ -86,12 +86,11 @@ def tokenize(src: str) -> list[Token]:
 
 
 def unquote(s: str) -> str:
-    body = s[1:-1]
+    body = s[1:-1]  # strips matching ' or " quotes
     return re.sub(
         r"\\(.)",
-        lambda m: {"n": "\n", "t": "\t", "r": "\r", "\\": "\\", "'": "'"}.get(
-            m.group(1), m.group(1)
-        ),
+        lambda m: {"n": "\n", "t": "\t", "r": "\r", "\\": "\\",
+                   "'": "'", '"': '"'}.get(m.group(1), m.group(1)),
         body,
     )
 
@@ -263,6 +262,34 @@ class Parser:
             rel = self.ident()
             self.eat(";")
             return A.Materialize(rel=rel)
+        if kw == "visualize":
+            self.advance()
+            rel = self.ident()
+            self.eat_kw("by")
+            ref = self.parse_ref()
+            self.eat_kw("into")
+            path = self.string()
+            w, h = 800, 600
+            if self.try_kw("as"):
+                self.eat("(")
+                w = int(self.advance().text)
+                self.eat(",")
+                h = int(self.advance().text)
+                self.eat(")")
+            self.eat(";")
+            return A.Visualize(rel=rel, field_ref=ref, path=path,
+                               width=w, height=h)
+        if kw == "fs":
+            # fs -cmd 'arg' 'arg';  (quoted args; HdfsCmd.scala:28)
+            self.advance()
+            self.eat("-")
+            cmd = self.ident()
+            args = []
+            while not self.at(";"):
+                args.append(self.string() if self.cur.kind == "str"
+                            else self.advance().text)
+            self.eat(";")
+            return A.HdfsCmd(cmd=cmd, args=args)
         if kw == "socket_write":
             self.advance()
             rel = self.ident()
@@ -658,6 +685,80 @@ class Parser:
         if self.cur.kind == "id" and not self.at(";"):
             level = self.ident().upper()
         return A.Cache(out=alias, rel=rel, level=level)
+
+    def op_spatial_filter(self, alias: str) -> A.Op:
+        self.eat_kw("spatial_filter")
+        rel = self.ident()
+        self.eat_kw("by")
+        pred = self.parse_predicate()
+        index = None
+        if self.try_kw("using"):
+            self.eat_kw("index")
+            name, args = self.parse_storage_func()
+            index = (name.lower(), args)
+        return A.SpatialFilter(out=alias, rel=rel, pred=pred, index=index)
+
+    def op_spatial_join(self, alias: str) -> A.Op:
+        self.eat_kw("spatial_join")
+        rels, parts = [], []
+        while True:
+            rels.append(self.ident())
+            part = None
+            if self.try_kw("partition"):
+                self.eat_kw("by")
+                part = self.parse_storage_func()
+            parts.append(part)
+            if not self.try_eat(","):
+                break
+        self.eat_kw("on")
+        pred = self.parse_predicate()
+        index = None
+        if self.try_kw("using"):
+            self.eat_kw("index")
+            name, args = self.parse_storage_func()
+            index = (name.lower(), args)
+        return A.SpatialJoin(out=alias, rels=rels, pred=pred,
+                             partitioners=parts, index=index)
+
+    def op_partition(self, alias: str) -> A.Op:
+        self.eat_kw("partition")
+        rel = self.ident()
+        self.eat_kw("on")
+        on = self.parse_ref()
+        scheme, args = "", []
+        if self.try_kw("using"):
+            scheme, args = self.parse_storage_func()
+        return A.Partition(out=alias, rel=rel, on=on,
+                           scheme=scheme.lower(), args=args)
+
+    def op_index(self, alias: str) -> A.Op:
+        self.eat_kw("index")
+        rel = self.ident()
+        self.eat_kw("on")
+        on = self.parse_ref()
+        method, args = "rtree", []
+        if self.try_kw("using"):
+            method, args = self.parse_storage_func()
+        return A.IndexOp(out=alias, rel=rel, on=on,
+                         method=method.lower(), args=args)
+
+    def op_delay(self, alias: str) -> A.Op:
+        self.eat_kw("delay")
+        rel = self.ident()
+        self.eat_kw("by")
+        self.eat("(")
+        size = self.parse_expr()
+        self.eat(",")
+        wtime = self.parse_expr()
+        self.eat(")")
+        return A.Delay(out=alias, rel=rel, size=size, wtime=wtime)
+
+    def op_rscript(self, alias: str) -> A.Op:
+        self.eat_kw("rscript")
+        rel = self.ident()
+        self.eat_kw("using")
+        code = self.string()
+        return A.RScript(out=alias, rel=rel, code=code)
 
     def op_dedup(self, alias: str) -> A.Op:
         self.eat_kw("dedup")

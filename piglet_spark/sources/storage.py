@@ -179,6 +179,19 @@ def _fmt(col, dt: T.DataType):
     """Pig rendering (ScalaEmitter.scala:466-472): bags `{t1,t2}`,
     maps `[k#v]`, tuples `(a,b)`; null → empty string."""
     if isinstance(dt, T.StructType):
+        if [f.name for f in dt.fields] == ["gtype", "xs", "ys"]:
+            # geometry struct → WKT (parity with the reference's
+            # STObject rendering)
+            coords = F.array_join(
+                F.zip_with(col["xs"], col["ys"],
+                           lambda x, y: F.concat_ws(" ", x.cast("string"),
+                                                    y.cast("string"))),
+                ", ")
+            return F.when(
+                col["gtype"] == "POINT",
+                F.concat(F.lit("POINT("), coords, F.lit(")"))
+            ).otherwise(
+                F.concat(col["gtype"], F.lit("(("), coords, F.lit("))")))
         parts = []
         for f in dt.fields:
             parts.append(_fmt(col[f.name], f.dataType))

@@ -1,0 +1,134 @@
+"""Spatial operators, matrix type, infrastructure long tail."""
+
+import piglet_spark as pg
+
+
+def rows(df):
+    return sorted(tuple(r) for r in df.collect())
+
+
+def test_geometry_point_filter(spark, tmp_path):
+    p = tmp_path / "ev.csv"
+    p.write_text("a,50.1,10.2\nb,50.5,10.9\nc,50.1,10.2\n")
+    eng = pg.PigEngine(spark)
+    eng.run(f"""
+a = LOAD '{p}' USING PigStorage(',') AS (name: chararray, lat: double, lon: chararray);
+b = FOREACH a GENERATE name, geometry('POINT(' + lat + ' ' + lon + ')') AS loc;
+c = SPATIAL_FILTER b BY containedby(loc, geometry('POINT(50.1 10.2)'));
+d = FOREACH c GENERATE name;
+""")
+    assert rows(eng.df("d")) == [("a",), ("c",)]
+
+
+def test_point_in_polygon(spark, tmp_path):
+    p = tmp_path / "pts.csv"
+    p.write_text("in1,0.5,0.5\nout1,2.0,2.0\nin2,0.9,0.1\nedgeout,1.5,0.5\n")
+    eng = pg.PigEngine(spark)
+    eng.run(f"""
+a = LOAD '{p}' USING PigStorage(',') AS (name: chararray, x: double, y: double);
+b = FOREACH a GENERATE name, geometry('POINT(' + x + ' ' + y + ')') AS loc;
+c = SPATIAL_FILTER b BY containedby(loc, geometry('POLYGON((0 0, 1 0, 1 1, 0 1, 0 0))'));
+d = FOREACH c GENERATE name;
+""")
+    assert rows(eng.df("d")) == [("in1",), ("in2",)]
+
+
+def test_spatial_join(spark, tmp_path):
+    p = tmp_path / "ev2.csv"
+    p.write_text("a,1.0,1.0\nb,2.0,2.0\nc,1.0,1.0\n")
+    eng = pg.PigEngine(spark)
+    eng.run(f"""
+a1 = LOAD '{p}' USING PigStorage(',') AS (name: chararray, x: double, y: double);
+b1 = FOREACH a1 GENERATE name, geometry('POINT(' + x + ' ' + y + ')') AS loc;
+a2 = LOAD '{p}' USING PigStorage(',') AS (name: chararray, x: double, y: double);
+b2 = FOREACH a2 GENERATE name, geometry('POINT(' + x + ' ' + y + ')') AS loc;
+c = SPATIAL_JOIN b1, b2 ON containedby(loc, loc);
+d = FOREACH c GENERATE b1::name AS n1, b2::name AS n2;
+""")
+    got = rows(eng.df("d"))
+    # a and c coincide; b only matches itself
+    assert got == [("a", "a"), ("a", "c"), ("b", "b"), ("c", "a"), ("c", "c")]
+
+
+def test_st_distance(spark, tmp_path):
+    p = tmp_path / "d.csv"
+    p.write_text("a,0.0,0.0\n")
+    eng = pg.PigEngine(spark)
+    eng.run(f"""
+a = LOAD '{p}' USING PigStorage(',') AS (name: chararray, x: double, y: double);
+b = FOREACH a GENERATE ST_DISTANCE(geometry('POINT(' + x + ' ' + y + ')'),
+                                   geometry('POINT(3.0 4.0)')) AS d;
+""")
+    assert rows(eng.df("b")) == [(5.0,)]
+
+
+def test_matrix_constructor(spark, tmp_path):
+    p = tmp_path / "m.csv"
+    p.write_text("1.0,2.0,3.0,4.0,5.0,6.0\n")
+    eng = pg.PigEngine(spark)
+    eng.run(f"""
+A = LOAD '{p}' USING PigStorage(',') AS (v11: double, v12: double, v21: double, v22: double, v31: double, v32: double);
+B = FOREACH A GENERATE ddmatrix(2, 3, {{v11, v12, v21, v22, v31, v32}}) AS m;
+C = FOREACH B GENERATE m.rows AS r, m.cols AS c, matrix_get(m, 1, 2) AS e12;
+""")
+    assert rows(eng.df("C")) == [(2, 3, 6.0)]
+
+
+def test_matrix_scalar_args(spark, tmp_path):
+    p = tmp_path / "m2.csv"
+    p.write_text("1,2,3,4\n")
+    eng = pg.PigEngine(spark)
+    eng.run(f"""
+A = LOAD '{p}' USING PigStorage(',') AS (a: int, b: int, c: int, d: int);
+B = FOREACH A GENERATE dimatrix(2, 2, a, b, c, d) AS m;
+C = FOREACH B GENERATE matrix_get(m, 0, 1) AS e01, matrix_get(m, 1, 0) AS e10;
+""")
+    assert rows(eng.df("C")) == [(2, 3)]
+
+
+def test_partition_and_index(spark, data_dir):
+    eng = pg.PigEngine(spark)
+    eng.run(f"""
+A = LOAD '{data_dir}/t.csv' USING PigStorage(',') AS (f1:int, f2:int, f3:int);
+P = PARTITION A ON f1 USING grid(2.0);
+I = INDEX P ON f1 USING rtree();
+D = DELAY I BY (1, 0.0);
+""")
+    assert len(rows(eng.df("D"))) == 4
+
+
+def test_visualize_svg(spark, tmp_path):
+    p = tmp_path / "pts.csv"
+    p.write_text("a,1.0,2.0\nb,3.0,4.0\n")
+    out = tmp_path / "plot"
+    eng = pg.PigEngine(spark)
+    eng.run(f"""
+a = LOAD '{p}' USING PigStorage(',') AS (name: chararray, x: double, y: double);
+b = FOREACH a GENERATE geometry('POINT(' + x + ' ' + y + ')') AS loc;
+VISUALIZE b BY loc INTO '{out}' AS (200, 100);
+""")
+    svg = (tmp_path / "plot.svg").read_text()
+    assert svg.count("<circle") == 2 and 'width="200"' in svg
+
+
+def test_fs_cmd(spark, tmp_path):
+    src = tmp_path / "src.txt"
+    src.write_text("hello")
+    dst = tmp_path / "dst.txt"
+    pg.run(spark, f"""
+fs -mkdir '{tmp_path}/newdir';
+fs -cp '{src}' '{dst}';
+""")
+    assert dst.read_text() == "hello"
+    assert (tmp_path / "newdir").is_dir()
+
+
+def test_rscript_clear_error(spark, data_dir):
+    import pytest
+    from piglet_spark.operators.executor import ExecError
+    with pytest.raises(ExecError, match="RSCRIPT"):
+        pg.run(spark, f"""
+A = LOAD '{data_dir}/t.csv' USING PigStorage(',') AS (f1:int, f2:int, f3:int);
+B = RSCRIPT A USING 'res <- $_';
+C = FOREACH B GENERATE $0;
+""")
