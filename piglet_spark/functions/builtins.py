@@ -115,9 +115,11 @@ def _substring(c: Column, start, stop) -> Column:
 
 def _tokenize(c: Column) -> Column:
     # split on [, "] (CommonPigFuncs.scala:50); drop empty tokens the way
-    # Scala's split drops trailing empties
+    # Scala's split drops trailing empties. Pig parity: bag of 1-field
+    # tuples, so DUMP/STORE renders {(Mary),(had)}.
     arr = F.split(c, '[, "]')
-    return F.filter(arr, lambda x: x != "")
+    arr = F.filter(arr, lambda x: x != "")
+    return F.transform(arr, lambda x: F.struct(x.alias("token")))
 
 
 SCALARS: dict[str, Callable[..., Column]] = {

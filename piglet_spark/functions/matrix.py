@@ -41,21 +41,25 @@ def matrix_cons(elem_type: str, rows, cols, *vals) -> Column:
 
 
 def matrix_get(m: Column, i, j) -> Column:
-    """0-based element access, row-major."""
+    """0-based element access. Storage is COLUMN-major — Breeze
+    DenseMatrix semantics, which the reference's constructor follows
+    (verified against truth/simple-matrix-res.data)."""
     i = F.lit(int(i)) if not isinstance(i, Column) else i
     j = F.lit(int(j)) if not isinstance(j, Column) else j
-    return F.element_at(m["data"], (i * m["cols"] + j + 1).cast("int"))
+    return F.element_at(m["data"], (j * m["rows"] + i + 1).cast("int"))
 
 
 def matrix_transpose(m: Column) -> Column:
     r, c = m["rows"], m["cols"]
     n = r * c
     idx = F.sequence(F.lit(0), (n - 1).cast("int"))
+    # T is c×r col-major; T(i'=k%c, j'=k div c) = M(j', i')
+    # → old col-major index j' + i'·r
     data = F.transform(
         idx,
         lambda k: F.element_at(
-            m["data"], ((k % r) * c + F.floor(k / r).cast("int") + 1)
-            .cast("int")),
+            m["data"],
+            (F.floor(k / c).cast("int") + (k % c) * r + 1).cast("int")),
     )
     return F.struct(c.alias("rows"), r.alias("cols"), data.alias("data"))
 

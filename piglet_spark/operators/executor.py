@@ -20,6 +20,7 @@ Scale-critical design decisions:
 
 from __future__ import annotations
 
+import dataclasses
 import hashlib
 from typing import Any, Callable, Optional, Union
 
@@ -427,14 +428,41 @@ class Executor:
         flat_idx: list[int] = []
         gen_meta: list[A.GenExpr] = []
         agg_i = 0
+        # GENERATE * on a grouped relation expands to (group, bag)
+        expanded_gens: list[A.GenExpr] = []
+        for gen in op.gens:
+            if isinstance(gen.expr, A.Star):
+                expanded_gens.append(A.GenExpr(
+                    expr=A.NamedField(name="group"), alias=gen.alias))
+                expanded_gens.append(A.GenExpr(
+                    expr=A.NamedField(name=grel.rel_name)))
+            else:
+                expanded_gens.append(gen)
+        op = dataclasses.replace(op, gens=expanded_gens) \
+            if expanded_gens != op.gens else op
         if grel.window_spec is not None:
             # per-window results carry their window identity
             post.append(("window", "key"))
             names.append("window")
             gen_meta.append(A.GenExpr(expr=A.NamedField(name="window")))
+        key_names_set = {n for n, _ in keys}
         for gen in op.gens:
             e = gen.expr
             name = gen.alias
+            # `A.f1` where f1 is the group key → the key itself
+            # (ref GeneralRuleset.scala:243-282 lineage simplification)
+            if isinstance(e, A.DerefTuple) and \
+                    isinstance(e.base, A.NamedField) and \
+                    e.base.name == grel.rel_name and \
+                    isinstance(e.field, A.NamedField) and \
+                    e.field.name in key_names_set:
+                if name is None:
+                    name = e.field.name
+                if len(keys) == 1:
+                    e = A.NamedField(name="group")
+                else:
+                    e = A.DerefTuple(base=A.NamedField(name="group"),
+                                     field=A.NamedField(name=e.field.name))
             if _is_group_ref(e):
                 if isinstance(e, A.DerefTuple):
                     fname = (e.field.name if isinstance(e.field, A.NamedField)
@@ -771,8 +799,19 @@ class Executor:
         UDFs (plain functions wrapped via F.udf with annotated types,
         column-builders used directly)."""
         ns: dict[str, Any] = {"F": F, "spark": self.spark}
-        code = compile(op.code, "<piglet-embed>", "exec", dont_inherit=True)
-        exec(code, ns)  # noqa: S102 — user-authored script code
+        try:
+            code = compile(op.code, "<piglet-embed>", "exec",
+                           dont_inherit=True)
+            exec(code, ns)  # noqa: S102 — user-authored script code
+        except (SyntaxError, NameError):
+            # reference scripts embed single-expression Scala defs
+            # (udf/ScalaUDFParser.scala); translate the simple form
+            # `def f(a: Int, b: Int): Int = expr` (NameError: the Scala
+            # type names leak as python annotations)
+            ns = {"F": F, "spark": self.spark}
+            src = _scala_defs_to_python(op.code)
+            code = compile(src, "<piglet-embed>", "exec", dont_inherit=True)
+            exec(code, ns)  # noqa: S102
         for name, obj in ns.items():
             if name.startswith("_") or not callable(obj) or name in ("F",):
                 continue
@@ -981,9 +1020,19 @@ class Executor:
         (ref rulesets/RDFRuleset.scala star/path join generation)."""
         triples = self.df(op.rel)
         s, p, o = triples.columns[:3]
+        if len(op.patterns) == 1:
+            # single pattern = plain filter; schema stays the triple
+            # (ref truth/bgpfilter.data keeps (s, p, o))
+            pat = op.patterns[0]
+            df = triples
+            for col, term in ((s, pat.subj), (p, pat.pred), (o, pat.obj)):
+                if isinstance(term, A.Literal):
+                    df = df.filter(F.col(col) == term.value)
+            self.env[op.out] = df
+            return
         parts = []
-        var_order: list[str] = []  # output schema = bound vars in
-        for i, pat in enumerate(op.patterns):  # first-appearance order
+        variables: set[str] = set()
+        for i, pat in enumerate(op.patterns):
             df = triples
             sel = []
             for col, term in ((s, pat.subj), (p, pat.pred), (o, pat.obj)):
@@ -992,15 +1041,16 @@ class Executor:
                 elif isinstance(term, A.NamedField) and term.name.startswith("?"):
                     v = term.name[1:]
                     sel.append(F.col(col).alias(v))
-                    if v not in var_order:
-                        var_order.append(v)
+                    variables.add(v)
             parts.append(df.select(*sel) if sel else df.select(F.lit(1).alias(f"_m{i}")))
         out = parts[0]
         for nxt in parts[1:]:
             shared = [c for c in out.columns if c in nxt.columns]
             out = out.join(nxt, on=shared, how="inner") if shared \
                 else out.crossJoin(nxt)
-        sel = [c for c in var_order if c in out.columns]
+        # output schema = bound variables, alphabetical (matches the
+        # reference's truth ordering for star/path joins)
+        sel = [c for c in sorted(variables) if c in out.columns]
         if sel:
             out = out.select(*sel)
         self.env[op.out] = out
@@ -1034,6 +1084,35 @@ class Executor:
         from ..streaming import cep
         df = self.df(op.rel)
         self.env[op.out] = cep.match_event(df, op, self)
+
+
+_SCALA_DEF_RE = None
+
+
+def _scala_defs_to_python(src: str) -> str:
+    """Translate `def name(a: Int, b: String): Int = <expr>` Scala
+    one-liners (the form the reference's ScalaUDFParser accepts) into
+    annotated python defs."""
+    import re as _re
+    tmap = {"Int": "int", "Long": "int", "Double": "float",
+            "Float": "float", "String": "str", "Boolean": "bool"}
+
+    def repl(m: "_re.Match") -> str:
+        name, params, ret, body = m.groups()
+        py_params = []
+        for p in params.split(","):
+            p = p.strip()
+            if not p:
+                continue
+            pname, _, ptype = p.partition(":")
+            py_params.append(
+                f"{pname.strip()}: {tmap.get(ptype.strip(), 'str')}")
+        return (f"def {name}({', '.join(py_params)}) -> "
+                f"{tmap.get(ret.strip(), 'str')}:\n    return {body.strip()}")
+
+    return _re.sub(
+        r"def\s+(\w+)\s*\(([^)]*)\)\s*:\s*(\w+)\s*=\s*([^\n]+)",
+        repl, src)
 
 
 class _LateBound:
@@ -1098,6 +1177,9 @@ def _finalize(df: DataFrame, names: list[Optional[str]], flat_idx: list[int],
             fnames = None
             if isinstance(decl, A.TupleDecl):
                 fnames = [fd.name for fd in decl.fields]
+            elif len(dt.fields) == 1 and name:
+                # FLATTEN(single-field bag) AS alias → alias names it
+                fnames = [name]
             for j, f in enumerate(dt.fields):
                 out_name = (fnames[j] if fnames and j < len(fnames)
                             else f.name)

@@ -163,7 +163,8 @@ def compile_expr(expr: A.Expr, ctx: Ctx) -> Column:
             if isinstance(e, (A.TupleCons,)):
                 elems.append(c)
             else:
-                elems.append(F.struct(c))
+                # uniform field name so array element types unify
+                elems.append(F.struct(c.alias("_0")))
         return F.array(*elems)
 
     if isinstance(expr, A.MapCons):

@@ -175,6 +175,8 @@ class Parser:
     def parse_script(self) -> list[A.Op]:
         ops: list[A.Op] = []
         while self.cur.kind != "eof":
+            if self.try_eat(";"):  # tolerate stray semicolons
+                continue
             if self.cur.kind == "embed":
                 code = self.cur.text[2:-2]
                 self.advance()
@@ -394,7 +396,10 @@ class Parser:
             return parse_number(self.advance().text).value
         if t.kind == "id" and t.text.lower() in ("true", "false"):
             return self.advance().text.lower() == "true"
-        return self.advance().text
+        tok = self.advance().text
+        if self.try_eat("="):  # k=v option args, e.g. rtree(order=2)
+            return f"{tok}={self.parse_literal_arg()}"
+        return tok
 
     def op_load(self, alias: str) -> A.Op:
         self.eat_kw("load")

@@ -49,6 +49,9 @@ def _load_pigstorage(spark, path, args, decl):
               .option("sep", delim)
               .option("header", "false")
               .option("mode", "PERMISSIVE")
+              # plain split semantics — no CSV quote/escape handling
+              # (Storage.scala:54 split(delim, -1))
+              .option("quote", "")
               .option("emptyValue", ""))
     if comments:
         reader = reader.option("comment", comments[0])
@@ -77,8 +80,12 @@ def _load_textloader(spark, path, args, decl):
 
 
 def _load_rdf(spark, path, args, decl):
-    # N-triples: <subj> <pred> <obj> .  (Storage.scala:126-143 regex split)
-    pat = r'^\s*(\S+)\s+(\S+)\s+(.+?)\s*\.\s*$'
+    # N-triples tokenization parity (Storage.scala:127 pattern
+    # `([^"]\S*|".+?")\s*`, first 3 tokens): a token is a quoted
+    # string (shortest) or a bare word — typed-literal suffixes
+    # (^^<...>) and the trailing dot fall off as tokens 4+
+    tok = r'("[^"]*"|\S+)'
+    pat = rf'^\s*{tok}\s+{tok}\s+{tok}'
     names = ["subject", "predicate", "object"]
     if decl is not None and len(decl.fields) == 3:
         names = [f.name or names[i] for i, f in enumerate(decl.fields)]
@@ -179,19 +186,41 @@ def _fmt(col, dt: T.DataType):
     """Pig rendering (ScalaEmitter.scala:466-472): bags `{t1,t2}`,
     maps `[k#v]`, tuples `(a,b)`; null → empty string."""
     if isinstance(dt, T.StructType):
-        if [f.name for f in dt.fields] == ["gtype", "xs", "ys"]:
-            # geometry struct → WKT (parity with the reference's
-            # STObject rendering)
+        names = [f.name for f in dt.fields]
+        if names == ["gtype", "xs", "ys"]:
+            # geometry → the reference's STObject rendering
+            # (STARK toString, see truth/spatialfilter.data):
+            # STObject(POINT (50.1 10.2),None)
             coords = F.array_join(
                 F.zip_with(col["xs"], col["ys"],
                            lambda x, y: F.concat_ws(" ", x.cast("string"),
                                                     y.cast("string"))),
                 ", ")
-            return F.when(
+            wkt = F.when(
                 col["gtype"] == "POINT",
-                F.concat(F.lit("POINT("), coords, F.lit(")"))
+                F.concat(F.lit("POINT ("), coords, F.lit(")"))
             ).otherwise(
-                F.concat(col["gtype"], F.lit("(("), coords, F.lit("))")))
+                F.concat(col["gtype"], F.lit(" (("), coords, F.lit("))")))
+            return F.concat(F.lit("STObject("), wkt, F.lit(",None)"))
+        if names == ["rows", "cols", "data"]:
+            # matrix → Breeze DenseMatrix.toString parity
+            # (truth/simple-matrix-res.data): rows of `v  v  v  `
+            # joined by newlines; storage is column-major
+            r, c = col["rows"], col["cols"]
+            row_idx = F.sequence(F.lit(0), (r - 1).cast("int"))
+            col_idx = F.sequence(F.lit(0), (c - 1).cast("int"))
+            lines = F.transform(
+                row_idx,
+                lambda i: F.concat(F.array_join(
+                    F.transform(
+                        col_idx,
+                        lambda j: F.concat(
+                            F.element_at(col["data"],
+                                         (j * r + i + 1).cast("int"))
+                            .cast("string"), F.lit("  "))),
+                    ""), F.lit("")),
+            )
+            return F.array_join(lines, "\n")
         parts = []
         for f in dt.fields:
             parts.append(_fmt(col[f.name], f.dataType))

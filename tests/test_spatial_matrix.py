@@ -83,7 +83,8 @@ A = LOAD '{p}' USING PigStorage(',') AS (a: int, b: int, c: int, d: int);
 B = FOREACH A GENERATE dimatrix(2, 2, a, b, c, d) AS m;
 C = FOREACH B GENERATE matrix_get(m, 0, 1) AS e01, matrix_get(m, 1, 0) AS e10;
 """)
-    assert rows(eng.df("C")) == [(2, 3)]
+    # column-major (Breeze) layout: [1,2,3,4] → (0,1)=3, (1,0)=2
+    assert rows(eng.df("C")) == [(3, 2)]
 
 
 def test_partition_and_index(spark, data_dir):
