@@ -53,11 +53,16 @@ def main(argv=None) -> int:
         k, v = p.split("=", 1)
         params[k] = v
 
+    import os
+
     from .engine import PigEngine
 
     spark = make_session(args.master, args.shuffle_partitions)
     options = {"streaming": True} if args.streaming else {}
-    eng = PigEngine(spark, params=params, options=options)
+    base_dir = os.path.dirname(os.path.abspath(args.script)) \
+        if args.script else "."
+    eng = PigEngine(spark, params=params, options=options,
+                    base_dir=base_dir)
 
     if args.script is None:
         from .repl import repl

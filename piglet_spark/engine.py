@@ -22,12 +22,15 @@ from .plans import rewrite as R
 class PigEngine:
     def __init__(self, spark: SparkSession,
                  params: Optional[dict[str, str]] = None,
-                 options: Optional[dict[str, Any]] = None):
+                 options: Optional[dict[str, Any]] = None,
+                 base_dir: str = "."):
         self.spark = spark
         self.params = params or {}
+        self.base_dir = base_dir  # IMPORT resolution root
         self.executor = Executor(spark, options=options)
 
     def parse(self, script: str):
+        script = P.resolve_imports(script, self.base_dir)
         ops = P.parse(script, self.params)
         return R.rewrite(ops)
 

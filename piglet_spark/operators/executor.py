@@ -600,9 +600,49 @@ class Executor:
         return df.select(*[df[c].alias(f"{rel}{S.LINEAGE_SEP}{c}")
                            for c in df.columns])
 
+    _UNIT_SECONDS = {"SECONDS": 1, "SECOND": 1, "MINUTES": 60,
+                     "MINUTE": 60, "HOURS": 3600, "HOUR": 3600}
+
+    def _windowed_join(self, op: A.Join) -> None:
+        """`JOIN A BY k, B BY k WINDOW n SECONDS` — equi-join scoped to
+        |ts_A − ts_B| ≤ n (ref op/Join.scala:35 timeWindow +
+        WindowSupport rewrite). On streams this is the standard
+        Structured-Streaming stream-stream join with a time-range
+        condition; watermarks (piglet.watermark option) bound state."""
+        if len(op.rels) != 2:
+            raise ExecError("windowed JOIN supports exactly two inputs")
+        horizon = op.window[0] * self._UNIT_SECONDS[op.window[1]]
+        wm = self.options.get("watermark") or self.options.get(
+            "piglet.watermark")
+        sides = []
+        for rel, keys in zip(op.rels, op.keys):
+            df = self.df(rel)
+            ts = self.ts_fields.get(rel)
+            if ts is None:
+                raise ExecError(
+                    f"windowed JOIN needs TIMESTAMP(...) on input {rel!r}")
+            if wm and df.isStreaming:
+                df = df.withWatermark(ts, wm)
+            renamed = df.select(*[df[c].alias(f"{rel}{S.LINEAGE_SEP}{c}")
+                                  for c in df.columns])
+            ctx = self.ctx(renamed)
+            sides.append((renamed,
+                          [compile_expr(k, ctx) for k in keys],
+                          renamed[f"{rel}{S.LINEAGE_SEP}{ts}"]))
+        (ldf, lkeys, lts), (rdf, rkeys, rts) = sides
+        cond = None
+        for kl, kr in zip(lkeys, rkeys):
+            eq = kl == kr
+            cond = eq if cond is None else cond & eq
+        rng = (lts >= rts - F.expr(f"INTERVAL {horizon} SECONDS")) & \
+              (lts <= rts + F.expr(f"INTERVAL {horizon} SECONDS"))
+        cond = rng if cond is None else cond & rng
+        self.env[op.out] = ldf.join(rdf, on=cond, how="inner")
+
     def op_join(self, op: A.Join) -> None:
         if op.window is not None:
-            raise ExecError("windowed stream join: use streaming dialect")
+            self._windowed_join(op)
+            return
         dfs = []
         keycols: list[list[Column]] = []
         for rel, keys in zip(op.rels, op.keys):
@@ -820,9 +860,14 @@ class Executor:
             elif getattr(obj, "__piglet_operator__", False):
                 self.stream_ops[name] = obj
             elif callable(obj) and getattr(obj, "__module__", "") != "builtins":
+                import warnings
                 ret = getattr(obj, "__annotations__", {}).get("return", str)
                 spark_t = _PY2SPARK.get(ret, "string")
-                self.udfs[name] = F.udf(obj, spark_t)
+                with warnings.catch_warnings():
+                    # pyspark warns it can't infer an eval type from the
+                    # hints; we pass the return type explicitly
+                    warnings.simplefilter("ignore", UserWarning)
+                    self.udfs[name] = F.udf(obj, spark_t)
 
     # ------------------------------------------ spatial / long tail
 

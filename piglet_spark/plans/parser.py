@@ -304,11 +304,13 @@ class Parser:
             host, _, port = addr.rpartition(":")
             return A.SocketWrite(rel=rel, host=host, port=int(port), mode=mode)
         if kw == "import":
-            # IMPORT 'file.pig'; resolved by the front-end before execution
+            # IMPORT is textually resolved before parsing
+            # (resolve_imports); reaching here means resolution was
+            # skipped — treat as a no-op define-source marker
             self.advance()
-            path = self.string()
+            self.string()
             self.eat(";")
-            return A.Register(path=path)  # treated as include by plan builder
+            return None
         # otherwise: alias = <operator>
         alias = self.ident()
         self.eat("=")
@@ -1187,6 +1189,32 @@ def parse_number(text: str) -> A.Literal:
     if "." in text or "e" in low:
         return A.Literal(value=float(text), pig_type="double")
     return A.Literal(value=int(text), pig_type="int")
+
+
+IMPORT_RE = re.compile(r"^\s*import\s+'([^']+)'\s*;\s*$",
+                       re.IGNORECASE | re.MULTILINE)
+
+
+def resolve_imports(src: str, base_dir: str = ".",
+                    _depth: int = 0) -> str:
+    """Textually inline IMPORT'd scripts (ref PigletCompiler resolves
+    imports before parsing); paths resolve against base_dir, falling
+    back to the path as given."""
+    import os
+    if _depth > 10:
+        raise ParseError("IMPORT nesting too deep (cycle?)")
+
+    def repl(m: re.Match) -> str:
+        path = m.group(1)
+        for candidate in (os.path.join(base_dir, path), path):
+            if os.path.exists(candidate):
+                inner = open(candidate).read()
+                return resolve_imports(inner,
+                                       os.path.dirname(candidate) or ".",
+                                       _depth + 1)
+        raise ParseError(f"IMPORT: cannot find {path!r}")
+
+    return IMPORT_RE.sub(repl, src)
 
 
 PARAM_RE = re.compile(r"\$([A-Za-z_][A-Za-z0-9_]*)")

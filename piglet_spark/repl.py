@@ -34,6 +34,18 @@ def repl(engine, input_fn=input, out=sys.stdout) -> int:
             print("", file=out)
             return 0
         stripped = line.strip()
+        if buffer and stripped.lower() in ("dump", "describe", "display",
+                                           "aliases", "help", "quit",
+                                           "cancel") or \
+                (buffer and stripped.lower().split(" ")[0] in
+                 ("dump", "describe", "display", "explain")):
+            if stripped.lower() == "cancel":
+                buffer = ""
+                print("(discarded buffered statement)", file=out)
+                continue
+            print("(still buffering a statement — end it with ';' or type "
+                  "'cancel' to discard)", file=out)
+            continue
         if not buffer:
             low = stripped.lower()
             if low in ("quit", "exit"):

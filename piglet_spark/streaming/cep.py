@@ -69,6 +69,75 @@ def compile_pred(expr: A.Expr):
     raise ValueError(f"unsupported CEP predicate {expr!r}")
 
 
+def _match_conjunction(df: DataFrame, op: A.MatchEvent, executor,
+                       names: list[str], require_all: bool) -> DataFrame:
+    """AND: every event occurs (any order, distinct events) within the
+    horizon; OR: any one occurs. Matched slots carry the event's
+    fields, unmatched slots are null (ref cep engines Any/First)."""
+    preds = {n: compile_pred(op.definitions[n])
+             for n in names if n in op.definitions}
+    within = None
+    if op.within is not None:
+        within = op.within[0] * _UNIT_SECONDS[op.within[1]]
+    in_fields = df.schema.fields
+    ts_col = None
+    for f_ in in_fields:
+        if isinstance(f_.dataType, T.TimestampType):
+            ts_col = f_.name
+            break
+    order_col = ts_col or in_fields[0].name
+    colnames = [f_.name for f_ in in_fields]
+    out_schema = T.StructType(
+        [T.StructField(f"{n}::{f_.name}", f_.dataType, True)
+         for n in names for f_ in in_fields])
+
+    def run(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(order_col, kind="mergesort")
+        matches = []
+        slots: dict[str, pd.Series] = {}
+        start_ts = None
+        for _, row in pdf.iterrows():
+            if within is not None and ts_col is not None and slots and \
+                    (row[ts_col] - start_ts).total_seconds() > within:
+                slots, start_ts = {}, None
+            for n in names:
+                pred = preds.get(n)
+                if n not in slots and (pred is None or bool(pred(row))):
+                    if not slots:
+                        start_ts = row[ts_col] if ts_col else None
+                    slots[n] = row
+                    break
+            done = (len(slots) == len(names)) if require_all else bool(slots)
+            if done:
+                out = {}
+                for n in names:
+                    r = slots.get(n)
+                    for c in colnames:
+                        out[f"{n}::{c}"] = r[c] if r is not None else None
+                matches.append(out)
+                slots, start_ts = {}, None
+        if not matches:
+            return pd.DataFrame(columns=[f.name for f in out_schema])
+        return pd.DataFrame(matches)
+
+    key = None
+    if hasattr(executor, "options"):
+        key = executor.options.get("piglet.cep.partition_key") \
+            or executor.options.get("cep.partition_key")
+    if key:
+        return df.groupBy(key).applyInPandas(lambda _k, pdf: run(pdf),
+                                             out_schema)
+
+    def global_run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        pdf = pd.concat(list(batches), ignore_index=True) if batches else None
+        if pdf is None or len(pdf) == 0:
+            yield pd.DataFrame(columns=[f.name for f in out_schema])
+            return
+        yield run(pdf)
+
+    return df.coalesce(1).mapInPandas(global_run, out_schema)
+
+
 def _seq_events(pattern: Any) -> list[tuple[str, bool]]:
     """Flatten a SEQ pattern into [(event_name, negated)]."""
     kind, payload = pattern
@@ -90,11 +159,14 @@ def match_event(df: DataFrame, op: A.MatchEvent, executor) -> DataFrame:
     if kind in ("seq", "event", "neg"):
         steps = _seq_events(op.pattern)
     elif kind in ("and", "or"):
-        # AND/OR over single events: treat as filters (any/all present
-        # in same window) — restricted support, like the reference's
-        # simpler engines
-        raise NotImplementedError(
-            "AND/OR CEP patterns not yet supported; use SEQ")
+        names = []
+        for child in op.pattern[1]:
+            if child[0] != "event":
+                raise ValueError(
+                    "AND/OR patterns support single events as children")
+            names.append(child[1])
+        return _match_conjunction(df, op, executor, names,
+                                  require_all=(kind == "and"))
     else:
         raise ValueError(f"unknown pattern {kind}")
 

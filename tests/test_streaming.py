@@ -144,3 +144,79 @@ M = MATCH_EVENT E PATTERN SEQ(HI, LO) WITH (HI: v > 5.0, LO: v < 2.0);
     rows = sorted(tuple(r) for r in eng.df("M")
                   .select("HI::id", "LO::id").collect())
     assert rows == [(1, 2), (3, 4)]
+
+
+def test_windowed_join_batch(spark, tmp_path):
+    a = tmp_path / "a.csv"
+    a.write_text("1,2024-01-01 00:00:01\n2,2024-01-01 00:01:00\n")
+    b = tmp_path / "b.csv"
+    b.write_text("1,2024-01-01 00:00:05\n2,2024-01-01 00:05:00\n")
+    eng = pg.PigEngine(spark)
+    eng.run(f"""
+A = LOAD '{a}' USING PigStorage(',') AS (k:int, ts:datetime) TIMESTAMP(ts);
+B = LOAD '{b}' USING PigStorage(',') AS (k:int, ts:datetime) TIMESTAMP(ts);
+J = JOIN A BY k, B BY k WINDOW 10 SECONDS;
+""")
+    rows = eng.df("J").collect()
+    # k=1: 4s apart → joins; k=2: 4min apart → excluded
+    assert len(rows) == 1 and rows[0]["A::k"] == 1
+
+
+def test_windowed_join_stream(spark, stream_dir, tmp_path):
+    d2 = tmp_path / "in2"
+    d2.mkdir()
+    (d2 / "b.csv").write_text(
+        "1,2024-01-01 00:00:02,1.0\n3,2024-01-01 00:00:40,2.0\n")
+    eng = pg.PigEngine(spark, options={"streaming": True,
+                                       "watermark": "1 minute"})
+    eng.run(f"""
+A = LOAD '{stream_dir}' USING PigStorage(',') AS (id:int, ts:datetime, v:double) TIMESTAMP(ts);
+B = LOAD '{d2}' USING PigStorage(',') AS (id:int, ts:datetime, w:double) TIMESTAMP(ts);
+J = JOIN A BY id, B BY id WINDOW 10 SECONDS;
+""")
+    df = eng.df("J")
+    assert df.isStreaming
+    _drain(df, "t_wjoin")
+    got = spark.sql("select `A::id` from t_wjoin").collect()
+    assert [r[0] for r in got] == [1]
+
+
+def test_import_statement(spark, data_dir, tmp_path):
+    inc = tmp_path / "inc.pig"
+    inc.write_text(f"A = LOAD '{data_dir}/t.csv' USING PigStorage(',') "
+                   f"AS (f1:int, f2:int, f3:int);\n")
+    eng = pg.PigEngine(spark, base_dir=str(tmp_path))
+    eng.run("IMPORT 'inc.pig';\nB = FILTER A BY f1 >= 4;\n")
+    assert eng.df("B").count() == 2
+
+
+def test_cep_and_pattern(spark, tmp_path):
+    p = tmp_path / "ev3.csv"
+    p.write_text(
+        "1,2024-01-01 00:00:01,9.0\n"
+        "2,2024-01-01 00:00:02,1.0\n"
+        "3,2024-01-01 00:00:50,8.5\n"
+    )
+    eng = pg.PigEngine(spark)
+    eng.run(f"""
+E = LOAD '{p}' USING PigStorage(',') AS (id:int, ts:datetime, v:double) TIMESTAMP(ts);
+M = MATCH_EVENT E PATTERN AND(HI, LO) WITH (HI: v > 5.0, LO: v < 2.0) WITHIN 20 SECONDS;
+""")
+    rows = [(r["HI::id"], r["LO::id"]) for r in eng.df("M").collect()]
+    assert rows == [(1, 2)]  # event 3 alone can't complete the AND
+
+
+def test_cep_or_pattern(spark, tmp_path):
+    p = tmp_path / "ev4.csv"
+    p.write_text(
+        "1,2024-01-01 00:00:01,9.0\n"
+        "2,2024-01-01 00:00:02,3.0\n"
+        "3,2024-01-01 00:00:03,1.0\n"
+    )
+    eng = pg.PigEngine(spark)
+    eng.run(f"""
+E = LOAD '{p}' USING PigStorage(',') AS (id:int, ts:datetime, v:double) TIMESTAMP(ts);
+M = MATCH_EVENT E PATTERN OR(HI, LO) WITH (HI: v > 5.0, LO: v < 2.0);
+""")
+    got = [(r["HI::id"], r["LO::id"]) for r in eng.df("M").collect()]
+    assert got == [(1, None), (None, 3)]
