@@ -544,6 +544,40 @@ WHERE user_id < 50 AND value >= 0 AND value < 5
 """
 
 
+BGP_Q = """
+E = LOAD '$sf/events.parquet' USING ParquetStorage();
+T = FOREACH E GENERATE (chararray)user_id AS s, event_type AS p,
+    (chararray)event_id AS o;
+B = BGP_FILTER T BY {
+    ?u 'error' ?e1 .
+    ?u 'purchase' ?e2
+};
+"""
+
+# multi-pattern BGP = self-join on the shared variable; output = bound
+# vars alphabetically (e1, e2, u)
+BGP_SQL = """
+SELECT a.o AS e1, b.o AS e2, a.s AS u
+FROM (SELECT user_id::VARCHAR s, event_type p, event_id::VARCHAR o
+      FROM events WHERE event_type = 'error') a
+JOIN (SELECT user_id::VARCHAR s, event_type p, event_id::VARCHAR o
+      FROM events WHERE event_type = 'purchase') b
+ON a.s = b.s
+"""
+
+TUPLIFY_Q = """
+E = LOAD '$sf/events.parquet' USING ParquetStorage();
+T = FOREACH E GENERATE (chararray)user_id AS s, event_type AS p,
+    (chararray)event_id AS o;
+G = TUPLIFY T ON s;
+C = FOREACH G GENERATE s, COUNT(stmts) AS n_stmts;
+"""
+
+TUPLIFY_SQL = """
+SELECT user_id::VARCHAR AS s, COUNT(*) AS n_stmts FROM events GROUP BY 1
+"""
+
+
 def q_multimodal(spark, sf_dir):
     """Binary-column plumbing: synthetic payloads → mapInPandas feature
     extraction (rows-only: stubbed codec)."""
@@ -592,6 +626,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "sample_op": _pig(SAMPLE_Q, "P"),
         "cep_seq_match": _pig(CEP_SEQ, "P"),
         "spatial_filter_pip": _pig(SPATIAL_Q, "R"),
+        "bgp_filter_join": _pig(BGP_Q, "B"),
+        "tuplify_group": _pig(TUPLIFY_Q, "C"),
     }
 
 
@@ -624,6 +660,8 @@ def oracle_sql() -> dict[str, str]:
         "ngram_jaccard_pairs": NGRAM_JACCARD_SQL,
         "zip_index_stats": ZIP_INDEX_SQL,
         "spatial_filter_pip": SPATIAL_SQL,
+        "bgp_filter_join": BGP_SQL,
+        "tuplify_group": TUPLIFY_SQL,
         # minhash/simhash/ann/ivf/multimodal/sample/cep: non-SQL-
         # expressible (hash-seeded, approximate, nondeterministic
         # sampling, or stateful NFA) → rows-only checks

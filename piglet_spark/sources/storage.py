@@ -105,11 +105,33 @@ def _load_json(spark, path, args, decl):
     return reader.json(path)
 
 
+def _has_nanos_timestamp(path: str) -> bool:
+    """Cheap driver-side footer probe: Spark can't read
+    TIMESTAMP(NANOS) without the legacy conf, and setting it after a
+    failed job spams executor ERROR logs."""
+    try:
+        import glob
+        import os
+
+        import pyarrow.parquet as pq
+        candidates = [path] if os.path.isfile(path) else sorted(
+            glob.glob(os.path.join(path, "*.parquet")))[:1]
+        for f in candidates:
+            schema = pq.read_schema(f)
+            if any("timestamp[ns" in str(t) for t in schema.types):
+                return True
+    except Exception:
+        pass
+    return False
+
+
 def _load_parquet(spark, path, args, decl):
+    if _has_nanos_timestamp(path):
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     try:
         df = spark.read.parquet(path)
         df.schema  # force schema resolution
-    except Exception as e:  # TIMESTAMP(NANOS) parquet needs legacy conf
+    except Exception as e:  # fallback if the probe missed it
         if "PARQUET_TYPE_ILLEGAL" not in str(e):
             raise
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")

@@ -1,0 +1,93 @@
+"""Property-based tests (hypothesis): engine semantics vs brute-force
+python references on randomized inputs. The reference repo has no
+property tests (SURVEY.md §5.3) — this is added rigor."""
+
+import re
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+from pyspark.sql import functions as F
+
+from piglet_spark.datapipe import dedup, text
+
+WORDS = ["spark", "data", "row", "table", "scan", "join", "agg", "key",
+         "fast", "slow", "batch", "stream"]
+
+docs_strategy = st.lists(
+    st.lists(st.sampled_from(WORDS), min_size=0, max_size=12)
+    .map(" ".join),
+    min_size=1, max_size=8,
+)
+
+SETTINGS = settings(max_examples=8, deadline=None,
+                    suppress_health_check=[HealthCheck.too_slow])
+
+
+def brute_ngrams(toks: list[str], n: int) -> list[str]:
+    return [" ".join(toks[i:i + n]) for i in range(len(toks) - n + 1)]
+
+
+@given(docs_strategy)
+@SETTINGS
+def test_ngrams_match_reference(spark, texts):
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], ["doc_id", "text"])
+    got = {r["doc_id"]: list(r["g"]) for r in df.select(
+        "doc_id",
+        text.ngrams(F.split(F.col("text"), " "), 3).alias("g")).collect()}
+    for i, t in enumerate(texts):
+        toks = t.split(" ")
+        expected = brute_ngrams(toks, 3) if len(toks) >= 3 else []
+        assert got[i] == expected
+
+
+@given(docs_strategy)
+@SETTINGS
+def test_exact_dedup_partitions_docs(spark, texts):
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], ["doc_id", "text"])
+    out = dedup.exact_dedup(df).collect()
+    # every doc accounted for exactly once, keep_id is the min of its class
+    norm = {}
+    for i, t in enumerate(texts):
+        key = re.sub(r" +", " ", re.sub(r"[^a-z0-9 ]", " ", t.lower())).strip()
+        norm.setdefault(key, []).append(i)
+    assert sorted(r["keep_id"] for r in out) == sorted(
+        min(v) for v in norm.values())
+    assert sum(r["n_copies"] for r in out) == len(texts)
+
+
+@given(docs_strategy)
+@SETTINGS
+def test_jaccard_pairs_exact(spark, texts):
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], ["doc_id", "text"])
+    got = {(r["id_a"], r["id_b"]): r["jaccard"]
+           for r in dedup.ngram_jaccard_pairs(df, k=2, threshold=0.01)
+           .collect()}
+
+    def shingles(t):
+        toks = [w for w in t.lower().split() if w]
+        return set(brute_ngrams(toks, 2))
+    for a in range(len(texts)):
+        for b in range(a + 1, len(texts)):
+            sa, sb = shingles(texts[a]), shingles(texts[b])
+            if not sa or not sb:
+                continue
+            j = len(sa & sb) / len(sa | sb)
+            if j >= 0.01:
+                assert (a, b) in got
+                assert abs(got[(a, b)] - round(j, 6)) < 1e-6
+
+
+@given(st.lists(st.integers(-1000, 1000), min_size=1, max_size=30))
+@SETTINGS
+def test_median_upper_semantics(spark, values):
+    df = spark.createDataFrame([(v,) for v in values], ["v"])
+    import piglet_spark as pg
+    eng = pg.PigEngine(spark)
+    eng.executor.env["A"] = df
+    eng.run("G = GROUP A ALL; M = FOREACH G GENERATE MEDIAN(A.v) AS m;")
+    got = eng.df("M").collect()[0]["m"]
+    expected = sorted(values)[len(values) // 2]  # upper median
+    assert got == expected
