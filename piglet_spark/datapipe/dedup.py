@@ -64,23 +64,6 @@ def shingle_hashes(sh: Column) -> Column:
     return F.transform(sh, lambda s: F.xxhash64(s).bitwiseAND(F.lit(0xFFFFFFFF)))
 
 
-def signature_from_hashes(hashes: Column, num_hashes: int = 32) -> Column:
-    """MinHash signature from a *bound* base-hash column: min over
-    shingle hashes of (a_i·x + b_i) mod p. Staging matters: computing
-    base hashes once (their own column) instead of per hash function
-    is a ~30× win — see minhash_signatures()."""
-
-    def hasher(a: int, b: int):
-        # factory closure: PySpark introspects lambda arity → 1-arg lambda
-        return lambda x: (x * F.lit(a) + F.lit(b)) % F.lit(_P)
-
-    sigs = []
-    for a, b in _hash_params(num_hashes):
-        sigs.append(F.coalesce(F.array_min(F.transform(hashes, hasher(a, b))),
-                               F.lit(_P)))
-    return F.array(*sigs)
-
-
 def minhash_signatures(df: DataFrame, text_col: str = "text",
                        id_col: str = "doc_id", num_hashes: int = 32,
                        shingle_k: int = 3,
@@ -167,15 +150,45 @@ def minhash_lsh_pairs(df: DataFrame, text_col: str = "text",
 
 def ngram_jaccard_pairs(df: DataFrame, text_col: str = "text",
                         id_col: str = "doc_id", k: int = 3,
-                        threshold: float = 0.5) -> DataFrame:
+                        threshold: float = 0.5,
+                        max_df: int | None = None) -> DataFrame:
     """Exact n-gram Jaccard pairs via inverted shingle index — a
     distributed exact algorithm (explode shingles → co-occurrence
     join → count shared shingles → Jaccard), no LSH approximation.
-    Shuffle volume ∝ total shingles, not n²."""
+    Shuffle volume ∝ total shingles, not n².
+
+    ``max_df``: optional document-frequency cap — shingles appearing in
+    more than max_df documents are excluded from CANDIDATE GENERATION
+    (they explode the co-occurrence join quadratically at corpus
+    scale) but still count in the Jaccard itself, so reported values
+    stay exact; only pairs whose *every* shared shingle is hot can be
+    missed."""
     base = df.select(F.col(id_col).alias("_id"),
                      shingles_of(F.col(text_col), k).alias("_sh"))
     sizes = base.select("_id", F.size("_sh").alias("_n"))
     inv = base.select("_id", F.explode("_sh").alias("_s"))
+    if max_df is not None:
+        hot = (inv.groupBy("_s").agg(F.count(F.lit(1)).alias("_df"))
+               .filter(F.col("_df") > max_df).select("_s"))
+        inv = inv.join(hot, on="_s", how="left_anti")
+        # exact verify on the full shingle sets for surviving candidates
+        cand = (inv.alias("a").join(
+                    inv.alias("b"),
+                    on=[F.col("a._s") == F.col("b._s"),
+                        F.col("a._id") < F.col("b._id")])
+                .select(F.col("a._id").alias("id_a"),
+                        F.col("b._id").alias("id_b"))
+                .dropDuplicates(["id_a", "id_b"]))
+        out = (cand
+               .join(base.select(F.col("_id").alias("id_a"),
+                                 F.col("_sh").alias("sh_a")), on="id_a")
+               .join(base.select(F.col("_id").alias("id_b"),
+                                 F.col("_sh").alias("sh_b")), on="id_b"))
+        inter = F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
+        union = F.size(F.array_union("sh_a", "sh_b")).cast("double")
+        jac = F.when(union > 0, inter / union).otherwise(F.lit(0.0))
+        return (out.select("id_a", "id_b", F.round(jac, 6).alias("jaccard"))
+                .filter(F.col("jaccard") >= threshold))
     shared = (inv.alias("a").join(
                   inv.alias("b"),
                   on=[F.col("a._s") == F.col("b._s"),

@@ -29,10 +29,6 @@ class AggSpec:
         self.bag = bag
 
 
-def _bag_nums(bag_elem_col: Column) -> Column:
-    return bag_elem_col
-
-
 AGGREGATES: dict[str, AggSpec] = {
     # COUNT counts all rows of the bag incl. nulls (CommonPigFuncs.scala:36)
     "count": AggSpec(

@@ -225,6 +225,7 @@ class Executor:
         # streaming metadata per alias
         self.window_specs: dict[str, Any] = {}
         self.ts_fields: dict[str, str] = {}
+        self.lineage: dict[str, str] = {}  # alias → plan-chain signature
         self.stream_queries: list[Any] = []  # active StreamingQuery handles
         self._register_datapipe_ops()
 
@@ -287,6 +288,23 @@ class Executor:
             raise ExecError(f"operator {type(op).__name__} not implemented")
         meth(op)
         self._propagate_stream_meta(op)
+        self._update_lineage(op)
+
+    def _update_lineage(self, op: A.Op) -> None:
+        """Per-alias lineage signature = hash of this operator + its
+        inputs' signatures (ref PigOperator.lineageSignature:226-239).
+        Keys MATERIALIZE so checkpoints survive unrelated script
+        edits."""
+        outs = [op.out] if op.out else []
+        if isinstance(op, A.SplitInto):
+            outs = [b.out for b in op.branches]
+        if not outs:
+            return
+        parts = [type(op).__name__, repr(op)]
+        parts.extend(self.lineage.get(i, i) for i in op.inputs)
+        sig = hashlib.md5("|".join(parts).encode()).hexdigest()
+        for o in outs:
+            self.lineage[o] = sig
 
     def _propagate_stream_meta(self, op: A.Op) -> None:
         """Window/timestamp metadata follows pass-through operators
@@ -797,8 +815,10 @@ class Executor:
         """Lineage-keyed parquet checkpoint
         (ref mm/MaterializationManager.scala:86-382)."""
         base = self.options.get("materialization_dir", "/tmp/piglet_mat")
-        key = hashlib.md5(
-            (self.script_hash + ":" + op.rel).encode()).hexdigest()[:16]
+        key = self.lineage.get(
+            op.rel,
+            hashlib.md5((self.script_hash + ":" + op.rel).encode())
+            .hexdigest())[:16]
         path = f"{base}/{op.rel}_{key}"
         df = self.df(op.rel)
         try:
@@ -1129,9 +1149,6 @@ class Executor:
         from ..streaming import cep
         df = self.df(op.rel)
         self.env[op.out] = cep.match_event(df, op, self)
-
-
-_SCALA_DEF_RE = None
 
 
 def _scala_defs_to_python(src: str) -> str:

@@ -153,3 +153,36 @@ Z = ZIP A WITH B;
     assert df.count() == 4
     assert sorted(df.columns) == sorted(
         ["A::f1", "A::f2", "A::f3", "B::g1", "B::g2", "B::g3"])
+
+
+def test_materialize_survives_script_edit(spark, data_dir, tmp_path):
+    """Lineage-keyed checkpoint: adding an unrelated statement must
+    not invalidate the materialization of an untouched alias."""
+    opts = {"materialization_dir": str(tmp_path / "mat")}
+    s1 = f"""
+A = LOAD '{data_dir}/t.csv' USING PigStorage(',') AS (f1:int, f2:int, f3:int);
+B = FILTER A BY f1 >= 4;
+MATERIALIZE B;
+"""
+    pg.PigEngine(spark, options=opts).run(s1)
+    paths1 = sorted(p.name for p in (tmp_path / "mat").iterdir())
+    # same pipeline + unrelated extra statement → same checkpoint path
+    s2 = s1 + "C = DISTINCT A;\n"
+    pg.PigEngine(spark, options=opts).run(s2)
+    paths2 = sorted(p.name for p in (tmp_path / "mat").iterdir())
+    assert paths1 == paths2  # reused, not re-keyed
+
+
+def test_ngram_jaccard_max_df(spark):
+    from piglet_spark.datapipe import dedup
+    rows = [(0, "the quick brown fox jumps high"),
+            (1, "the quick brown fox jumps low"),
+            (2, "something else entirely different here now")]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    full = {(r["id_a"], r["id_b"]): r["jaccard"]
+            for r in dedup.ngram_jaccard_pairs(df, threshold=0.1).collect()}
+    capped = {(r["id_a"], r["id_b"]): r["jaccard"]
+              for r in dedup.ngram_jaccard_pairs(
+                  df, threshold=0.1, max_df=10).collect()}
+    assert full == capped  # cap above all DFs → identical results
+    assert (0, 1) in full
