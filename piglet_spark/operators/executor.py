@@ -661,6 +661,12 @@ class Executor:
         if op.window is not None:
             self._windowed_join(op)
             return
+        if len(set(op.rels)) != len(op.rels):
+            # same Pig restriction as the reference: self-joins need two
+            # aliases of the input (lineage prefixes must be unique)
+            raise ExecError(
+                "JOIN inputs must be distinct aliases; for a self-join, "
+                "load or FOREACH-copy the relation under a second alias")
         dfs = []
         keycols: list[list[Column]] = []
         for rel, keys in zip(op.rels, op.keys):
@@ -688,6 +694,13 @@ class Executor:
 
     def op_union(self, op: A.Union) -> None:
         dfs = [self.df(r) for r in op.rels]
+        width = len(dfs[0].columns)
+        for rel, d in zip(op.rels[1:], dfs[1:]):
+            if len(d.columns) != width:
+                raise ExecError(
+                    f"UNION: {op.rels[0]!r} has {width} fields but "
+                    f"{rel!r} has {len(d.columns)} — Pig unions are "
+                    f"positional and need equal arity")
         out = dfs[0]
         for d in dfs[1:]:
             out = out.union(d)  # positional, no dedup (Union.scala:29)

@@ -344,3 +344,22 @@ S = FOREACH G GENERATE group AS flag, COUNT(L) AS n;
 """, "S")
     flags = {r[0] for r in df.collect()}
     assert flags == {"A", "N", "R"}
+
+
+def test_join_same_alias_error(spark, data_dir):
+    from piglet_spark.operators.executor import ExecError
+    with pytest.raises(ExecError, match="distinct aliases"):
+        pg.run(spark, f"""
+A = LOAD '{data_dir}/t.csv' USING PigStorage(',') AS (f1:int, f2:int, f3:int);
+J = JOIN A BY f1, A BY f2;
+""")
+
+
+def test_union_arity_error(spark, data_dir):
+    from piglet_spark.operators.executor import ExecError
+    with pytest.raises(ExecError, match="equal arity"):
+        pg.run(spark, f"""
+A = LOAD '{data_dir}/t.csv' USING PigStorage(',') AS (f1:int, f2:int, f3:int);
+B = LOAD '{data_dir}/dup.csv' USING PigStorage(',') AS (x:int, y:int);
+U = UNION A, B;
+""")
