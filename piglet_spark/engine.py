@@ -39,6 +39,13 @@ class PigEngine:
         Sinks (STORE/DUMP) run eagerly; everything else stays lazy."""
         ops = self.parse(script)
         self.executor.script_hash = hashlib.md5(script.encode()).hexdigest()
+        if self.executor.options.get("auto_cache"):
+            # simplified port of the reference's adaptive
+            # materialization (mm/): persist shared subplans —
+            # aliases consumed by 2+ downstream operators — so the
+            # DAG fan-out doesn't recompute them per consumer
+            self.executor.shared_aliases = {
+                a for a, n in R.consumer_counts(ops).items() if n >= 2}
         return self.executor.execute(ops)
 
     def df(self, alias: str) -> DataFrame:

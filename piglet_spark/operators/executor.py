@@ -226,6 +226,10 @@ class Executor:
         self.window_specs: dict[str, Any] = {}
         self.ts_fields: dict[str, str] = {}
         self.lineage: dict[str, str] = {}  # alias → plan-chain signature
+        # aliases consumed 2+ times (set by engine when auto_cache on)
+        self.shared_aliases: set[str] = set()
+        self._cached: set[str] = set()
+        self._loads: set[str] = set()  # raw-scan aliases (never cached)
         self.stream_queries: list[Any] = []  # active StreamingQuery handles
         self._register_datapipe_ops()
 
@@ -264,7 +268,17 @@ class Executor:
         if isinstance(rel, GroupedRelation):
             df = rel.materialize()
             self.env[alias] = df
-            return df
+            rel = df
+        if alias in self.shared_aliases and alias not in self._cached:
+            # shared subplan → persist once instead of recomputing per
+            # consumer (LOADs excluded: the scan is already shared via
+            # the file cache and persisting raw inputs wastes memory)
+            if not isinstance(rel, DataFrame) or rel.isStreaming or \
+                    alias in self._loads:
+                return rel
+            rel = rel.persist(StorageLevel.MEMORY_AND_DISK)
+            self.env[alias] = rel
+            self._cached.add(alias)
         return rel
 
     def rel(self, alias: str) -> Relation:
@@ -339,8 +353,10 @@ class Executor:
                                          op.timestamp_field)
             self.env[op.out] = df
             self._record_ts(op.out, op.timestamp_field, df)
+            self._loads.add(op.out)
             return
         df = storage.load(self.spark, op.path, op.func, op.func_args, op.schema)
+        self._loads.add(op.out)
         if op.timestamp_field is not None:
             ctx = self.ctx(df)
             tcol = compile_expr(op.timestamp_field, ctx)

@@ -353,7 +353,13 @@ def compile_func(expr: A.FuncCall, ctx: Ctx) -> Column:
         args = [compile_expr(a, ctx) for a in expr.args]
         return fn(*args)
 
-    raise CompileError(f"unknown function {expr.name!r}")
+    import difflib
+    known = list(builtins.SCALARS) + list(builtins.AGGREGATES) + \
+        list(ctx.udfs)
+    close = difflib.get_close_matches(name, known, n=3, cutoff=0.6)
+    hint = f"; did you mean {', '.join(c.upper() for c in close)}?" \
+        if close else ""
+    raise CompileError(f"unknown function {expr.name!r}{hint}")
 
 
 def compile_aggregate(expr: A.FuncCall, ctx: Ctx) -> Column:

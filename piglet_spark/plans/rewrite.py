@@ -128,5 +128,18 @@ def expand_macros(ops: list[A.Op]) -> list[A.Op]:
     return out
 
 
+def consumer_counts(ops: list[A.Op]) -> dict[str, int]:
+    """How many downstream operators consume each alias — the DAG-
+    sharing signal the reference's adaptive materialization uses
+    (mm/MaterializationManager.insertMaterializationPoints:99-280
+    picks max-benefit points; we use the simple shared-subplan
+    heuristic)."""
+    counts: dict[str, int] = {}
+    for op in ops:
+        for rel in op.inputs:
+            counts[rel] = counts.get(rel, 0) + 1
+    return counts
+
+
 def rewrite(ops: list[A.Op]) -> list[A.Op]:
     return expand_macros(ops)

@@ -186,3 +186,30 @@ def test_ngram_jaccard_max_df(spark):
                   df, threshold=0.1, max_df=10).collect()}
     assert full == capped  # cap above all DFs → identical results
     assert (0, 1) in full
+
+
+def test_auto_cache_shared_subplan(spark, data_dir):
+    eng = pg.PigEngine(spark, options={"auto_cache": True})
+    eng.run(f"""
+A = LOAD '{data_dir}/t.csv' USING PigStorage(',') AS (f1:int, f2:int, f3:int);
+E = FOREACH A GENERATE f1, f2 + f3 AS s;
+X = FILTER E BY s > 5;
+Y = FILTER E BY s <= 5;
+U = UNION X, Y;
+""")
+    assert len(rows(eng.df("U"))) == 4
+    # the shared subplan E (2 consumers) got persisted; the raw load didn't
+    assert "E" in eng.executor._cached
+    assert "A" not in eng.executor._cached
+    plan = eng.df("X")._jdf.queryExecution().executedPlan().toString()
+    assert "InMemoryTableScan" in plan
+
+
+def test_unknown_function_suggestion(spark, data_dir):
+    from piglet_spark.plans.exprs import CompileError
+    import pytest as _pytest
+    with _pytest.raises(CompileError, match="did you mean.*TOKENIZE"):
+        pg.run(spark, f"""
+A = LOAD '{data_dir}/t.csv' USING PigStorage(',') AS (f1:int, f2:int, f3:int);
+B = FOREACH A GENERATE TOKENIZEE(f1);
+""")
