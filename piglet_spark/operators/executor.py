@@ -674,6 +674,14 @@ class Executor:
         self.env[op.out] = ldf.join(rdf, on=cond, how="inner")
 
     def op_join(self, op: A.Join) -> None:
+        if op.window is None and len(op.rels) == 2 and all(
+                r in self.window_specs for r in op.rels):
+            # JOIN of two WINDOW'd relations is window-scoped (the
+            # reference's windowMode rewrite applies the upstream
+            # window to the join, windowJoin.pig)
+            spec = self.window_specs[op.rels[0]]
+            secs = int(spec.size.split()[0])
+            op = dataclasses.replace(op, window=(secs, "SECONDS"))
         if op.window is not None:
             self._windowed_join(op)
             return

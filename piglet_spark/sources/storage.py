@@ -164,6 +164,7 @@ def _load_avro(spark, path, args, decl):
 
 _LOADERS = {
     "pigstorage": _load_pigstorage,
+    "pigstream": _load_pigstorage,  # stream func, batch-compatible parse
     "textloader": _load_textloader,
     "rdffilestorage": _load_rdf,
     "jsonstorage": _load_json,

@@ -78,6 +78,19 @@ def stream_load(spark: SparkSession, path: str, func: Optional[str],
 def _parse_lines(raw: DataFrame, func: Optional[str], args: list,
                  decl: Optional[A.TupleDecl], ts_field) -> DataFrame:
     name = (func or "PigStorage").split(".")[-1].lower()
+    if name == "rdfstream":
+        # RDFStream(): lines → (subject, predicate, object)
+        # (Language.md Socket Read; token rule = RDFFileStorage's)
+        tok = r'("[^"]*"|\S+)'
+        pat = rf'^\s*{tok}\s+{tok}\s+{tok}'
+        names = ["subject", "predicate", "object"]
+        if decl is not None and len(decl.fields) == 3:
+            names = [f.name or names[i] for i, f in enumerate(decl.fields)]
+        out = raw.select(*[
+            F.regexp_extract(F.col("value"), pat, i + 1).alias(n)
+            for i, n in enumerate(names)
+        ]).filter(F.col(names[0]) != "")
+        return _apply_timestamp(out, ts_field)
     if decl is None or name == "textloader":
         out = raw.select(F.col("value").alias(
             (decl.fields[0].name if decl and decl.fields else "line")))

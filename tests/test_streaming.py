@@ -220,3 +220,33 @@ M = MATCH_EVENT E PATTERN OR(HI, LO) WITH (HI: v > 5.0, LO: v < 2.0);
 """)
     got = [(r["HI::id"], r["LO::id"]) for r in eng.df("M").collect()]
     assert got == [(1, None), (None, 3)]
+
+
+def test_reference_window_join_script(spark):
+    """windowJoin.pig (streaming corpus) runs: JOIN of two WINDOW'd
+    relations becomes window-scoped automatically."""
+    import pathlib
+    REF = pathlib.Path("/root/reference/src/it/resources")
+    src = (REF / "windowJoin.pig").read_text()
+    src = src.replace("STORE X INTO '$outfile';", "")
+    eng = pg.PigEngine(spark, params={"inbase": str(REF)})
+    eng.run(src)
+    df = eng.df("X")
+    # batch arrival-time windows: every matching key joins
+    assert df.count() > 0
+    assert "C::a1" in df.columns and "D::b1" in df.columns
+
+
+def test_reference_splitinto_script(spark, tmp_path):
+    import pathlib
+    REF = pathlib.Path("/root/reference/src/it/resources")
+    src = (REF / "splitInto.pig").read_text()
+    src = src.replace("DUMP Y;", "").replace("DUMP Z;", "")
+    out = tmp_path / "x"
+    eng = pg.PigEngine(spark, params={"inbase": str(REF),
+                                      "outfile": str(out)})
+    eng.run(src)
+    lines = sorted(l for f in out.glob("part-*")
+                   for l in f.read_text().splitlines())
+    truth = sorted((REF / "truth" / "splitX.data").read_text().splitlines())
+    assert lines == [l for l in truth if l.strip()]
