@@ -1062,6 +1062,14 @@ class Executor:
         else:
             raise ExecError(f"unsupported fs command -{op.cmd}")
 
+    def op_sqlstmt(self, op: "A.SqlStmt") -> None:
+        """Register every defined alias as a temp view, run Spark SQL.
+        Aliases with `::` lineage columns are queryable via backticks."""
+        for alias, rel in list(self.env.items()):
+            if isinstance(rel, DataFrame) and not rel.isStreaming:
+                rel.createOrReplaceTempView(alias)
+        self.env[op.out] = self.spark.sql(op.query)
+
     # ----------------------------------- beyond-reference statements
 
     def op_dedup(self, op: "A.Dedup") -> None:

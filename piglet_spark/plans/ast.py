@@ -584,6 +584,17 @@ class HdfsCmd(Op):
     out: Optional[str] = None
 
 
+@dataclass
+class SqlStmt(Op):
+    """`B = SQL 'select ... from A ...';` — Spark SQL over the alias
+    environment (aliases are registered as temp views). Beyond-
+    reference: native escape hatch to the full Spark SQL surface."""
+
+    out: str
+    query: str = ""
+    inputs: list[str] = field(default_factory=list)
+
+
 # beyond-reference statements (training-data pipeline)
 
 @dataclass

@@ -767,6 +767,11 @@ class Parser:
         code = self.string()
         return A.RScript(out=alias, rel=rel, code=code)
 
+    def op_sql(self, alias: str) -> A.Op:
+        self.eat_kw("sql")
+        query = self.string()
+        return A.SqlStmt(out=alias, query=query)
+
     def op_dedup(self, alias: str) -> A.Op:
         self.eat_kw("dedup")
         rel = self.ident()

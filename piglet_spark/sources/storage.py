@@ -58,14 +58,20 @@ def _load_pigstorage(spark, path, args, decl):
     schema = _schema_or_none(decl)
     if schema is not None:
         reader = reader.schema(schema)
+        if skip_first:
+            # with an explicit schema, header=true skips the first line
+            # of each file without consuming it as column names
+            reader = reader.option("header", "true")
+            skip_first = False
     df = reader.load(path)
     if skip_first:
+        # schemaless: drop the first physical line (single-file case)
         first = df.limit(1).collect()
         if first:
-            # drop header row by anti-matching the first line's values
+            header_vals = [str(v) for v in first[0]]
             cond = None
-            for c, v in zip(df.columns, first[0]):
-                e = F.col(c).cast("string") == F.lit(str(v))
+            for c, v in zip(df.columns, header_vals):
+                e = F.col(c).cast("string") == F.lit(v)
                 cond = e if cond is None else cond & e
             df = df.filter(~F.coalesce(cond, F.lit(False)))
     return df

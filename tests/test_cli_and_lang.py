@@ -213,3 +213,24 @@ def test_unknown_function_suggestion(spark, data_dir):
 A = LOAD '{data_dir}/t.csv' USING PigStorage(',') AS (f1:int, f2:int, f3:int);
 B = FOREACH A GENERATE TOKENIZEE(f1);
 """)
+
+
+def test_sql_statement(spark, data_dir):
+    eng = pg.PigEngine(spark)
+    eng.run(f"""
+A = LOAD '{data_dir}/t.csv' USING PigStorage(',') AS (f1:int, f2:int, f3:int);
+S = SQL 'select f1, sum(f3) as total from A group by f1 having sum(f3) > 5';
+T = FILTER S BY total < 9;
+""")
+    assert rows(eng.df("T")) == [(1, 7), (4, 6)]
+
+
+def test_skip_first_row(spark, tmp_path):
+    p = tmp_path / "h.csv"
+    p.write_text("f1,f2\n1,2\n1,2\n3,4\n")  # data row equals... header differs
+    eng = pg.PigEngine(spark)
+    eng.run(f"""
+A = LOAD '{p}' USING PigStorage(',', true) AS (f1:int, f2:int);
+""")
+    # header skipped; duplicate DATA rows preserved (old impl dropped them)
+    assert rows(eng.df("A")) == [(1, 2), (1, 2), (3, 4)]
