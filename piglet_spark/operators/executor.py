@@ -31,7 +31,7 @@ from pyspark.storagelevel import StorageLevel
 
 from ..plans import ast as A
 from ..plans import schema as S
-from ..plans.exprs import CompileError, Ctx, compile_expr, static_dtype
+from ..plans.exprs import Ctx, compile_expr, static_dtype
 from ..plans import exprs as E
 from ..sources import storage
 
@@ -237,7 +237,6 @@ class Executor:
         """Training-data-pipeline operators usable via
         `B = STREAM A THROUGH <op>(args);` out of the box."""
         from ..datapipe import dedup as dp
-        from ..datapipe import similarity as sim
         from ..datapipe import text as dt
 
         self.stream_ops.update({
