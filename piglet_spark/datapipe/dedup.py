@@ -250,10 +250,14 @@ def simhash(df: DataFrame, text_col: str = "text",
 
 
 def simhash_pairs(df: DataFrame, text_col: str = "text",
-                  id_col: str = "doc_id", max_hamming: int = 8) -> DataFrame:
-    """Near-dup pairs by SimHash: band the 64-bit hash into 4 chunks
-    (pigeonhole: hamming ≤ max → some chunk equal for max ≤ 3·16),
-    bucket-join, verify bit_count(xor) ≤ max_hamming."""
+                  id_col: str = "doc_id", max_hamming: int = 3) -> DataFrame:
+    """Near-dup pairs by SimHash: band the 64-bit hash into 4 16-bit
+    chunks, bucket-join, verify bit_count(xor) ≤ max_hamming.
+
+    Recall guarantee (pigeonhole): with 4 chunks every pair at
+    hamming ≤ 3 shares a chunk and is found. Larger max_hamming
+    values are permitted but approximate — a pair whose differing
+    bits spread across all 4 chunks is never a candidate."""
     base = (simhash(df, text_col, id_col)
             .select(F.col(id_col).alias("_id"),
                     F.col("simhash").alias("_h")))
@@ -290,7 +294,10 @@ def embedding_neardup_pairs(df: DataFrame, vec_col: str = "embedding",
         F.col(id_col).alias("_id"),
         F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("_v"),
     )
-    dim = 64
+    # hyperplanes must match the embedding dimensionality — zip_with
+    # null-pads mismatched lengths, which would bucket every row to 0
+    first = df.select(F.size(F.col(vec_col)).alias("n")).first()
+    dim = int(first["n"]) if first is not None else 64
     bucketed = base.withColumn(
         "_bucket", hyperplane_bucket(F.col("_v"), dim, n_planes))
     cand = (bucketed.alias("a").join(

@@ -76,11 +76,12 @@ def cosine_topk(df: DataFrame, query_vec: list[float], k: int = 10,
 
 def ann_lsh_topk(df: DataFrame, query_vec: list[float], k: int = 10,
                  vec_col: str = "embedding", id_col: str = "vec_id",
-                 n_planes: int = 4, dim: int = 64) -> DataFrame:
+                 n_planes: int = 4, dim: int | None = None) -> DataFrame:
     """Approximate top-k: restrict to vectors whose hyperplane bucket
     is within hamming distance 1 of the query's bucket (multi-probe),
     then exact cosine re-rank. Bucketing is map-only; the filter
     prunes ~(1+n_planes)/2^n_planes of the data."""
+    dim = dim if dim is not None else len(query_vec)
     planes = hyperplanes(dim, n_planes)
     qbits = 0
     for i, p in enumerate(planes):

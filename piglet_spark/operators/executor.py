@@ -121,13 +121,40 @@ class NestedBag:
             if op[0] == "distinct":
                 arr = F.array_distinct(arr)
             elif op[0] == "order":
-                arr = F.array_sort(arr)
+                arr = self._sorted(arr, op[1])
             elif op[0] == "limit":
                 arr = F.slice(arr, 1, int(op[1].value))
             elif op[0] == "filter":
                 pred = op[1]
                 arr = F.filter(arr, lambda x: _lambda_pred(pred, x, self, ctx))
         return arr
+
+    def _sorted(self, arr: Column, specs) -> Column:
+        """Honor ORDER BY field/direction via an array_sort comparator
+        (natural sort only when no spec says otherwise)."""
+        if not specs:
+            return F.array_sort(arr)
+
+        def field_of(elem: Column, sp) -> Column:
+            f = sp.field
+            if self.proj is not None:
+                return elem  # scalar projection: the element itself
+            if isinstance(f, A.PositionalField):
+                return elem[self.whole_cols[f.pos]]
+            return elem[f.name]
+
+        def comparator(left: Column, right: Column) -> Column:
+            result = F.lit(0)
+            for sp in reversed(specs):
+                lf, rf = field_of(left, sp), field_of(right, sp)
+                lt, gt = (-1, 1) if sp.asc else (1, -1)
+                result = F.when(lf < rf, F.lit(lt)) \
+                          .when(lf > rf, F.lit(gt)).otherwise(result)
+            return result
+
+        if self.proj is not None and all(sp.asc for sp in specs):
+            return F.array_sort(arr)
+        return F.array_sort(arr, comparator)
 
     def project(self, fname, ctx: Ctx) -> Column:
         arr = self.as_column(ctx)
@@ -807,8 +834,10 @@ class Executor:
         from pyspark.sql.window import Window
         mid = F.monotonically_increasing_id()
         df = df.withColumn("__mid", mid)
-        pid = (F.col("__mid") / F.lit(1 << 33)).cast("long")
-        row_in_part = F.col("__mid") % F.lit(1 << 33)
+        # exact bit arithmetic — double division loses precision past
+        # 2^53 and can truncate to a neighboring partition id
+        pid = F.shiftright(F.col("__mid"), 33)
+        row_in_part = F.col("__mid").bitwiseAND(F.lit((1 << 33) - 1))
         df = df.withColumn("__pid", pid).withColumn("__row", row_in_part)
         counts = df.groupBy("__pid").agg(F.count(F.lit(1)).alias("__cnt"))
         w = Window.orderBy("__pid").rowsBetween(Window.unboundedPreceding, -1)

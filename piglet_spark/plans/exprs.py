@@ -320,10 +320,12 @@ def compile_cmp(expr: A.Cmp, ctx: Ctx) -> Column:
     if op == ">=":
         return left >= right
     if op == "matches":
-        # Pig `matches` = full-string regex (String.matches)
+        # Pig `matches` = full-string regex (String.matches) — anchor
+        # column-valued patterns too
         if isinstance(expr.right, A.Literal):
             return left.rlike(f"^(?:{expr.right.value})$")
-        return left.rlike(right)
+        return F.regexp_like(
+            left, F.concat(F.lit("^(?:"), right, F.lit(")$")))
     raise CompileError(f"unknown comparison {op}")
 
 
@@ -341,11 +343,21 @@ def compile_func(expr: A.FuncCall, ctx: Ctx) -> Column:
         if name.endswith("matrix") and len(raw_args) == 3 and \
                 isinstance(raw_args[2], A.BagCons):
             raw_args = raw_args[:2] + raw_args[2].exprs
-        # literal args pass through raw (builders need python ints for
-        # e.g. round scale / substring bounds; pyspark auto-lits scalars)
-        args = [a.value if isinstance(a, A.Literal) else compile_expr(a, ctx)
-                for a in raw_args]
-        return scalar(*args)
+        # number/bool literals pass through raw (builders need python
+        # ints for round scale / substring bounds / matrix dims).
+        # STRING literals become F.lit — otherwise F.concat/create_map
+        # would resolve them as column names — except for builders
+        # whose Spark function requires a raw regex/substring string.
+        raw_str_ok = name in ("strsplit", "regex_extract", "indexof")
+
+        def conv(a):
+            if isinstance(a, A.Literal):
+                if isinstance(a.value, str) and not raw_str_ok:
+                    return F.lit(a.value)
+                return a.value
+            return compile_expr(a, ctx)
+
+        return scalar(*[conv(a) for a in raw_args])
 
     # user-registered function (DEFINE / embedded python / registry)
     fn = ctx.udfs.get(expr.name) or ctx.udfs.get(name)

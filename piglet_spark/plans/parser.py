@@ -305,12 +305,15 @@ class Parser:
             return A.SocketWrite(rel=rel, host=host, port=int(port), mode=mode)
         if kw == "import":
             # IMPORT is textually resolved before parsing
-            # (resolve_imports); reaching here means resolution was
-            # skipped — treat as a no-op define-source marker
+            # (resolve_imports, own-line statements only); reaching the
+            # parser means it was not inlined — fail loudly instead of
+            # silently dropping the include
             self.advance()
-            self.string()
+            path = self.string()
             self.eat(";")
-            return None
+            raise ParseError(
+                f"IMPORT {path!r} was not resolved — IMPORT must be a "
+                f"statement on its own line")
         # otherwise: alias = <operator>
         alias = self.ident()
         self.eat("=")
@@ -1196,8 +1199,9 @@ def parse_number(text: str) -> A.Literal:
     return A.Literal(value=int(text), pig_type="int")
 
 
-IMPORT_RE = re.compile(r"^\s*import\s+'([^']+)'\s*;\s*$",
-                       re.IGNORECASE | re.MULTILINE)
+IMPORT_RE = re.compile(
+    r"^\s*import\s+(?:'([^']+)'|\"([^\"]+)\")\s*;\s*$",
+    re.IGNORECASE | re.MULTILINE)
 
 
 def resolve_imports(src: str, base_dir: str = ".",
@@ -1210,7 +1214,7 @@ def resolve_imports(src: str, base_dir: str = ".",
         raise ParseError("IMPORT nesting too deep (cycle?)")
 
     def repl(m: re.Match) -> str:
-        path = m.group(1)
+        path = m.group(1) or m.group(2)
         for candidate in (os.path.join(base_dir, path), path):
             if os.path.exists(candidate):
                 inner = open(candidate).read()

@@ -43,7 +43,9 @@ def _load_pigstorage(spark, path, args, decl):
     # PigStorage('delim', skipFirstRow, skipEmpty, comments)
     # default delimiter is TAB (Storage.scala:40); trailing empty fields kept
     delim = str(args[0]) if args else "\t"
-    skip_first = bool(args[1]) if len(args) > 1 else False
+    # Pig convention quotes UDF args, so 'false' must read as False
+    skip_first = str(args[1]).lower() in ("true", "1", "yes") \
+        if len(args) > 1 else False
     comments = str(args[3]) if len(args) > 3 else None
     reader = (spark.read.format("csv")
               .option("sep", delim)

@@ -128,11 +128,11 @@ def _match_conjunction(df: DataFrame, op: A.MatchEvent, executor,
                                              out_schema)
 
     def global_run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        pdf = pd.concat(list(batches), ignore_index=True) if batches else None
-        if pdf is None or len(pdf) == 0:
+        dfs = [b for b in batches if len(b)]
+        if not dfs:  # pd.concat([]) raises; empty input = zero matches
             yield pd.DataFrame(columns=[f.name for f in out_schema])
             return
-        yield run(pdf)
+        yield run(pd.concat(dfs, ignore_index=True))
 
     return df.coalesce(1).mapInPandas(global_run, out_schema)
 
@@ -250,10 +250,10 @@ def match_event(df: DataFrame, op: A.MatchEvent, executor) -> DataFrame:
             lambda _k, pdf: run_nfa(pdf), out_schema)
 
     def global_nfa(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        pdf = pd.concat(list(batches), ignore_index=True) if batches else None
-        if pdf is None or len(pdf) == 0:
+        dfs = [b for b in batches if len(b)]
+        if not dfs:  # pd.concat([]) raises; empty input = zero matches
             yield pd.DataFrame(columns=[f.name for f in out_schema])
             return
-        yield run_nfa(pdf)
+        yield run_nfa(pd.concat(dfs, ignore_index=True))
 
     return df.coalesce(1).mapInPandas(global_nfa, out_schema)

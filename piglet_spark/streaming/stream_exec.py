@@ -64,7 +64,7 @@ def stream_load(spark: SparkSession, path: str, func: Optional[str],
         reader = spark.readStream
         if decl is not None:
             reader = reader.schema(S.tuple_decl_to_struct(decl))
-        return reader.json(path)
+        return _apply_timestamp(reader.json(path), ts_field)
     delim = str(args[0]) if args else "\t"
     if decl is None:
         raise StreamingError("stream LOAD requires an AS(...) schema")

@@ -176,3 +176,16 @@ def test_audio_frame_sampling(docs):
                                             deterministic_fake=True)
     assert frames.count() == 6 * 4
     assert frames.groupBy("doc_id").count().distinct().collect()[0]["count"] == 4
+
+
+def test_embedding_neardup_infers_dim(spark):
+    """Review regression: non-64-dim embeddings must still bucket
+    (dim inferred from data, not hardcoded)."""
+    rows_ = [(0, [1.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0]),
+             (1, [0.99, 0.01, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0]),
+             (2, [0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 0.0, 1.0])]
+    df = spark.createDataFrame(rows_, ["vec_id", "embedding"])
+    got = {(r["id_a"], r["id_b"])
+           for r in dedup.embedding_neardup_pairs(
+               df, threshold=0.9, n_planes=2).collect()}
+    assert (0, 1) in got

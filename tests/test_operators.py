@@ -363,3 +363,53 @@ A = LOAD '{data_dir}/t.csv' USING PigStorage(',') AS (f1:int, f2:int, f3:int);
 B = LOAD '{data_dir}/dup.csv' USING PigStorage(',') AS (x:int, y:int);
 U = UNION A, B;
 """)
+
+
+def test_concat_string_literal_args(spark, data_dir):
+    """Review regression: string literals to CONCAT/TOMAP must be
+    literals, not column references."""
+    df = run(spark, f"""
+A = LOAD '{data_dir}/person.tsv' AS (name:chararray, age:int);
+B = FOREACH A GENERATE CONCAT('id_', name) AS tagged, TOMAP('k', age) AS m;
+C = FOREACH B GENERATE tagged, m#'k' AS v;
+""", "C")
+    assert ("id_anna", 21) in rows(df)
+
+
+def test_nested_order_desc_limit(spark, tmp_path):
+    """Review regression: nested ORDER BY field DESC + LIMIT must
+    return the max, not the natural-sort min."""
+    p = tmp_path / "o.csv"
+    p.write_text("g1,1,9\ng1,2,5\ng1,3,7\n")
+    df = run(spark, f"""
+A = LOAD '{p}' USING PigStorage(',') AS (g:chararray, id:int, v:int);
+G = GROUP A BY g;
+T = FOREACH G {{ s = ORDER A BY v DESC; t1 = LIMIT s 1; GENERATE group AS g, t1; }};
+""", "T")
+    r = df.collect()[0]
+    assert r["t1"][0]["v"] == 9  # highest v, not lowest id
+
+
+def test_cep_empty_input(spark, tmp_path):
+    """Review regression: MATCH_EVENT over zero rows returns zero
+    matches instead of crashing on pd.concat([])."""
+    p = tmp_path / "e.csv"
+    p.write_text("1,2024-01-01 00:00:01,9.0\n")
+    df = run(spark, f"""
+E = LOAD '{p}' USING PigStorage(',') AS (id:int, ts:datetime, v:double) TIMESTAMP(ts);
+N = FILTER E BY v > 100.0;
+M = MATCH_EVENT N PATTERN SEQ(X, Y) WITH (X: v > 5.0, Y: v < 2.0);
+""", "M")
+    assert df.count() == 0
+
+
+def test_matches_column_pattern(spark, tmp_path):
+    """Review regression: MATCHES with a column-valued pattern is
+    full-string anchored."""
+    p = tmp_path / "m.csv"
+    p.write_text("abc123,[0-9]+\n123,[0-9]+\n")
+    df = run(spark, f"""
+A = LOAD '{p}' USING PigStorage(',') AS (s:chararray, pat:chararray);
+B = FILTER A BY s MATCHES pat;
+""", "B")
+    assert rows(df) == [("123", "[0-9]+")]  # abc123 is only a partial match
