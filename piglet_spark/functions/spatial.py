@@ -72,13 +72,75 @@ def point_in_polygon(px: Column, py: Column, poly: Column) -> Column:
     return crossings % 2 == 1
 
 
+def _edge_idx(g: Column) -> Column:
+    """Edge indices (i, i+1), 1-based; WKT rings are closed so the last
+    vertex repeats the first and edges 1..n-1 cover the ring."""
+    return F.sequence(F.lit(1), F.size(g["xs"]) - 1)
+
+
+def _orient(ox: Column, oy: Column, ax: Column, ay: Column,
+            bx: Column, by: Column) -> Column:
+    """Cross product (a-o)×(b-o): sign gives the turn direction."""
+    return (ax - ox) * (by - oy) - (ay - oy) * (bx - ox)
+
+
+def _edges_cross(a: Column, b: Column) -> Column:
+    """Any proper (interior) crossing between an edge of a and an edge
+    of b. O(n·m) per pair — polygon rings are small; stays in codegen."""
+    axs, ays, bxs, bys = a["xs"], a["ys"], b["xs"], b["ys"]
+
+    def pair_crosses(i: Column, j: Column) -> Column:
+        p1x, p1y = F.element_at(axs, i), F.element_at(ays, i)
+        p2x, p2y = F.element_at(axs, i + 1), F.element_at(ays, i + 1)
+        q1x, q1y = F.element_at(bxs, j), F.element_at(bys, j)
+        q2x, q2y = F.element_at(bxs, j + 1), F.element_at(bys, j + 1)
+        d1 = _orient(q1x, q1y, q2x, q2y, p1x, p1y)
+        d2 = _orient(q1x, q1y, q2x, q2y, p2x, p2y)
+        d3 = _orient(p1x, p1y, p2x, p2y, q1x, q1y)
+        d4 = _orient(p1x, p1y, p2x, p2y, q2x, q2y)
+        return (d1 * d2 < 0) & (d3 * d4 < 0)
+
+    return F.exists(_edge_idx(a),
+                    lambda i: F.exists(_edge_idx(b),
+                                       lambda j: pair_crosses(i, j)))
+
+
+def _vertices_in(b: Column, a: Column) -> Column:
+    """All vertices of b strictly inside polygon a (ray casting)."""
+    bxs, bys = b["xs"], b["ys"]
+    return F.forall(
+        F.sequence(F.lit(1), F.size(bxs)),
+        lambda i: point_in_polygon(F.element_at(bxs, i),
+                                   F.element_at(bys, i), a))
+
+
+def _any_vertex_in(b: Column, a: Column) -> Column:
+    bxs, bys = b["xs"], b["ys"]
+    return F.exists(
+        F.sequence(F.lit(1), F.size(bxs)),
+        lambda i: point_in_polygon(F.element_at(bxs, i),
+                                   F.element_at(bys, i), a))
+
+
+def _shares_vertex(a: Column, b: Column) -> Column:
+    """Coincident vertices (catches identical / boundary-touching rings
+    that strict ray casting and proper-crossing tests both miss)."""
+    return F.arrays_overlap(F.arrays_zip(a["xs"], a["ys"]),
+                            F.arrays_zip(b["xs"], b["ys"]))
+
+
 def contains(a: Column, b: Column) -> Column:
-    """a CONTAINS b (point⊇point = equality; polygon⊇point = PIP)."""
+    """a CONTAINS b. point⊇point = equality; polygon⊇point = ray-cast
+    PIP; polygon⊇polygon exact for simple rings: every vertex of b
+    inside a and no proper edge crossing (boundary-touching containment
+    is reported false — strict interior semantics)."""
     pt_pt = (_px(a) == _px(b)) & (_py(a) == _py(b))
     poly_pt = point_in_polygon(_px(b), _py(b), a)
+    poly_poly = F.when(~_bbox_overlap(a, b), F.lit(False)).otherwise(
+        _vertices_in(b, a) & ~_edges_cross(a, b))
     return F.when(_is_point(a) & _is_point(b), pt_pt).otherwise(
         F.when(~_is_point(a) & _is_point(b), poly_pt).otherwise(
-            _bbox_overlap(a, b)))  # polygon⊇polygon approximated by bbox
+            F.when(_is_point(a), F.lit(False)).otherwise(poly_poly)))
 
 
 def containedby(a: Column, b: Column) -> Column:
@@ -89,10 +151,13 @@ def intersects(a: Column, b: Column) -> Column:
     pt_pt = (_px(a) == _px(b)) & (_py(a) == _py(b))
     a_pt = _is_point(a) & ~_is_point(b)
     b_pt = _is_point(b) & ~_is_point(a)
+    poly_poly = F.when(~_bbox_overlap(a, b), F.lit(False)).otherwise(
+        _edges_cross(a, b) | _any_vertex_in(b, a)
+        | _any_vertex_in(a, b) | _shares_vertex(a, b))
     return F.when(_is_point(a) & _is_point(b), pt_pt).otherwise(
         F.when(a_pt, point_in_polygon(_px(a), _py(a), b)).otherwise(
             F.when(b_pt, point_in_polygon(_px(b), _py(b), a)).otherwise(
-                _bbox_overlap(a, b))))
+                poly_poly)))
 
 
 def distance(a: Column, b: Column) -> Column:

@@ -50,6 +50,36 @@ d = FOREACH c GENERATE b1::name AS n1, b2::name AS n2;
     assert got == [("a", "a"), ("a", "c"), ("b", "b"), ("c", "a"), ("c", "c")]
 
 
+def test_polygon_polygon_exact(spark):
+    """Exact polygon⊇polygon / polygon∩polygon (not bbox-approximate):
+    bbox-overlapping-but-disjoint triangles must NOT intersect; a
+    partially-escaping polygon must intersect but not be contained."""
+    from pyspark.sql import functions as F
+    from piglet_spark.functions import spatial as sp
+
+    outer = "POLYGON((0 0, 10 0, 0 10, 0 0))"          # lower-left triangle
+    corner = "POLYGON((9 9, 10 9, 9 10, 9 9))"         # in bbox, outside shape
+    inner = "POLYGON((1 1, 3 1, 1 3, 1 1))"            # fully inside outer
+    crossing = "POLYGON((4 4, 14 4, 4 14, 4 4))"       # straddles the edge
+    df = spark.range(1).select(
+        sp.geometry(F.lit(outer)).alias("a"),
+        sp.geometry(F.lit(corner)).alias("corner"),
+        sp.geometry(F.lit(inner)).alias("inner"),
+        sp.geometry(F.lit(crossing)).alias("crossing"))
+    row = df.select(
+        sp.intersects(F.col("a"), F.col("corner")).alias("i_corner"),
+        sp.contains(F.col("a"), F.col("inner")).alias("c_inner"),
+        sp.intersects(F.col("a"), F.col("inner")).alias("i_inner"),
+        sp.contains(F.col("a"), F.col("crossing")).alias("c_crossing"),
+        sp.intersects(F.col("a"), F.col("crossing")).alias("i_crossing"),
+        sp.intersects(F.col("a"), F.col("a")).alias("i_self"),
+    ).collect()[0]
+    assert row.i_corner is False      # bbox overlap alone is not enough
+    assert row.c_inner is True and row.i_inner is True
+    assert row.c_crossing is False and row.i_crossing is True
+    assert row.i_self is True         # shared vertices → intersecting
+
+
 def test_st_distance(spark, tmp_path):
     p = tmp_path / "d.csv"
     p.write_text("a,0.0,0.0\n")
