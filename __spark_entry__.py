@@ -316,6 +316,96 @@ FROM nation n JOIN nation m ON n.n_regionkey = m.n_regionkey
 WHERE n.n_name < m.n_name
 """
 
+Q6 = """
+L = LOAD '$sf/lineitem.parquet' USING ParquetStorage();
+LF = FILTER L BY l_shipdate >= '1996-01-01' AND l_shipdate < '1997-01-01'
+    AND l_discount >= 0.05 AND l_discount <= 0.07 AND l_quantity < 24.0;
+P = FOREACH LF GENERATE l_extendedprice * l_discount AS rev;
+G = GROUP P ALL;
+S = FOREACH G GENERATE ROUND(SUM(P.rev), 4) AS revenue;
+"""
+
+Q6_SQL = """
+SELECT ROUND(SUM(l_extendedprice * l_discount), 4) AS revenue
+FROM lineitem
+WHERE l_shipdate >= TIMESTAMP '1996-01-01' AND l_shipdate < TIMESTAMP '1997-01-01'
+  AND l_discount BETWEEN 0.05 AND 0.07 AND l_quantity < 24.0
+"""
+
+Q10 = """
+C = LOAD '$sf/customer.parquet' USING ParquetStorage();
+O = LOAD '$sf/orders.parquet' USING ParquetStorage();
+L = LOAD '$sf/lineitem.parquet' USING ParquetStorage();
+N = LOAD '$sf/nation.parquet' USING ParquetStorage();
+LR = FILTER L BY l_returnflag == 'R';
+J1 = JOIN O BY o_custkey, C BY c_custkey;
+J2 = JOIN J1 BY o_orderkey, LR BY l_orderkey;
+J3 = JOIN J2 BY c_nationkey, N BY n_nationkey;
+P = FOREACH J3 GENERATE c_custkey, c_name, n_name,
+    l_extendedprice * (1 - l_discount) AS rev;
+G = GROUP P BY (c_custkey, c_name, n_name);
+A = FOREACH G GENERATE group.c_custkey AS c_custkey, group.c_name AS c_name,
+    group.n_name AS n_name, ROUND(SUM(P.rev), 4) AS revenue;
+S = ORDER A BY revenue DESC, c_custkey ASC;
+T = LIMIT S 20;
+"""
+
+Q10_SQL = """
+SELECT c_custkey, c_name, n_name,
+       ROUND(SUM(l_extendedprice * (1 - l_discount)), 4) AS revenue
+FROM orders JOIN customer ON o_custkey = c_custkey
+            JOIN lineitem ON o_orderkey = l_orderkey
+            JOIN nation ON c_nationkey = n_nationkey
+WHERE l_returnflag = 'R'
+GROUP BY c_custkey, c_name, n_name
+ORDER BY revenue DESC, c_custkey ASC
+LIMIT 20
+"""
+
+# no conditional expression exists in the language (reference parity),
+# so the promo/total ratio is two GROUP ALL branches merged by CROSS
+Q14 = """
+L = LOAD '$sf/lineitem.parquet' USING ParquetStorage();
+P = LOAD '$sf/part.parquet' USING ParquetStorage();
+LF = FILTER L BY l_shipdate >= '1996-01-01' AND l_shipdate < '1997-01-01';
+J = JOIN LF BY l_partkey, P BY p_partkey;
+R = FOREACH J GENERATE p_type, l_extendedprice * (1 - l_discount) AS rev;
+PR = FILTER R BY p_type == 'PROMO';
+GT = GROUP R ALL;
+TA = FOREACH GT GENERATE SUM(R.rev) AS total_rev;
+GP = GROUP PR ALL;
+PA = FOREACH GP GENERATE SUM(PR.rev) AS promo_rev;
+X = CROSS PA, TA;
+Q = FOREACH X GENERATE ROUND(100.0 * promo_rev / total_rev, 4) AS promo_pct;
+"""
+
+Q14_SQL = """
+SELECT ROUND(100.0 * SUM(CASE WHEN p_type = 'PROMO' THEN
+                 l_extendedprice * (1 - l_discount) ELSE 0 END)
+             / SUM(l_extendedprice * (1 - l_discount)), 4) AS promo_pct
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+  AND l_shipdate < TIMESTAMP '1997-01-01'
+"""
+
+Q4_SEMI = """
+O = LOAD '$sf/orders.parquet' USING ParquetStorage();
+L = LOAD '$sf/lineitem.parquet' USING ParquetStorage();
+LR = FILTER L BY l_returnflag == 'R';
+K = FOREACH LR GENERATE l_orderkey;
+D = DISTINCT K;
+J = JOIN O BY o_orderkey, D BY l_orderkey;
+G = GROUP J BY o_orderpriority;
+A = FOREACH G GENERATE group AS o_orderpriority, COUNT(J) AS n_orders;
+"""
+
+Q4_SEMI_SQL = """
+SELECT o_orderpriority, COUNT(*) AS n_orders
+FROM orders
+WHERE o_orderkey IN (SELECT l_orderkey FROM lineitem WHERE l_returnflag = 'R')
+GROUP BY o_orderpriority
+"""
+
 
 # ------------------------------------------------ datapipe (DataFrame)
 
@@ -610,6 +700,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "events_hourly": _pig(EVENTS_HOURLY, "A"),
         "wordcount_flatten": _pig(WORDCOUNT, "T"),
         "selfjoin_lineage": _pig(SELFJOIN, "Q"),
+        "q6_forecast_revenue": _pig(Q6, "S"),
+        "q10_returned_items": _pig(Q10, "T"),
+        "q14_promo_revenue": _pig(Q14, "Q"),
+        "q4_semijoin_priority": _pig(Q4_SEMI, "A"),
         # training-data pipeline operators
         "dedup_exact": q_dedup_exact,
         "doc_token_stats": q_doc_tokens,
@@ -652,6 +746,10 @@ def oracle_sql() -> dict[str, str]:
         "events_hourly": EVENTS_HOURLY_SQL,
         "wordcount_flatten": WORDCOUNT_SQL,
         "selfjoin_lineage": SELFJOIN_SQL,
+        "q6_forecast_revenue": Q6_SQL,
+        "q10_returned_items": Q10_SQL,
+        "q14_promo_revenue": Q14_SQL,
+        "q4_semijoin_priority": Q4_SEMI_SQL,
         "dedup_exact": DEDUP_EXACT_SQL,
         "doc_token_stats": DOC_TOKENS_SQL,
         "lang_id_distribution": _lang_id_sql(),
