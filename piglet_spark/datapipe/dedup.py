@@ -18,6 +18,7 @@ from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from .text import normalize_text, fingerprint, ngrams
+from .util import spread as _spread
 
 # Mersenne prime for the universal-hash family h_i(x) = (a_i x + b_i) mod p
 _P = (1 << 61) - 1
@@ -76,8 +77,9 @@ def minhash_signatures(df: DataFrame, text_col: str = "text",
     carries only num_hashes longs per document. Measured ~20× faster
     than per-row transform() lambdas (higher-order functions are
     interpreted per element)."""
-    base = df.select(F.col(id_col).alias("_id"),
-                     shingles_of(F.col(text_col), shingle_k).alias("_sh"))
+    base = _spread(df, id_col).select(
+        F.col(id_col).alias("_id"),
+        shingles_of(F.col(text_col), shingle_k).alias("_sh"))
     exploded = base.select(
         "_id", F.explode_outer(F.col("_sh")).alias("_s"))
     x = F.xxhash64(F.col("_s")).bitwiseAND(F.lit(0xFFFFFFFF))
@@ -131,7 +133,7 @@ def minhash_lsh_pairs(df: DataFrame, text_col: str = "text",
     # exact-Jaccard verification only for candidate pairs; shingle
     # identity = 64-bit hash (collision odds ~n²/2^64) so the verify
     # joins shuffle long arrays, not strings
-    sh = df.select(
+    sh = _spread(df, id_col).select(
         F.col(id_col).alias("_id"),
         F.array_distinct(
             shingle_hashes(shingles_of(F.col(text_col), shingle_k))
@@ -163,8 +165,8 @@ def ngram_jaccard_pairs(df: DataFrame, text_col: str = "text",
     scale) but still count in the Jaccard itself, so reported values
     stay exact; only pairs whose *every* shared shingle is hot can be
     missed."""
-    base = df.select(F.col(id_col).alias("_id"),
-                     shingles_of(F.col(text_col), k).alias("_sh"))
+    base = _spread(df).select(F.col(id_col).alias("_id"),
+                              shingles_of(F.col(text_col), k).alias("_sh"))
     sizes = base.select("_id", F.size("_sh").alias("_n"))
     inv = base.select("_id", F.explode("_sh").alias("_s"))
     if max_df is not None:
@@ -243,7 +245,7 @@ def simhash(df: DataFrame, text_col: str = "text",
             id_col: str = "doc_id") -> DataFrame:
     """(id, simhash) table — two projections so whole-stage codegen
     sees the counts array as a bound attribute."""
-    return (df
+    return (_spread(df)
             .select(F.col(id_col),
                     simhash_counts(F.col(text_col)).alias("_cnt"))
             .select(id_col, simhash_from_counts(F.col("_cnt")).alias("simhash")))
@@ -290,7 +292,7 @@ def embedding_neardup_pairs(df: DataFrame, vec_col: str = "embedding",
     """Embedding near-dups: random-hyperplane LSH bucket (map-only,
     deterministic planes) → cosine verify on candidates."""
     from .similarity import cosine, hyperplane_bucket
-    base = df.select(
+    base = _spread(df).select(
         F.col(id_col).alias("_id"),
         F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("_v"),
     )

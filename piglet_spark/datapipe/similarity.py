@@ -17,6 +17,8 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
+from .util import spread as _spread
+
 
 def _lcg(seed: int):
     state = seed
@@ -69,7 +71,7 @@ def cosine_topk(df: DataFrame, query_vec: list[float], k: int = 10,
     q = F.array(*[F.lit(float(x)) for x in query_vec])
     v = _as_double(F.col(vec_col))
     cos = F.round(cosine(v, q), 6)
-    return (df.select(F.col(id_col), cos.alias("cos"))
+    return (_spread(df).select(F.col(id_col), cos.alias("cos"))
             .orderBy(F.col("cos").desc(), F.col(id_col).asc())
             .limit(k))
 
@@ -92,7 +94,7 @@ def ann_lsh_topk(df: DataFrame, query_vec: list[float], k: int = 10,
     bucket = hyperplane_bucket(v, dim, n_planes)
     q = F.array(*[F.lit(float(x)) for x in query_vec])
     cos = F.round(cosine(v, q), 6)
-    return (df.select(F.col(id_col), bucket.alias("_b"), cos.alias("cos"))
+    return (_spread(df).select(F.col(id_col), bucket.alias("_b"), cos.alias("cos"))
             .filter(F.col("_b").isin(probe))
             .orderBy(F.col("cos").desc(), F.col(id_col).asc())
             .limit(k)
@@ -110,7 +112,8 @@ def ivf_topk(df: DataFrame, query_vec: list[float], k: int = 10,
     cents = (df.orderBy(F.col(id_col).asc()).limit(n_cells)
              .select(F.col(id_col).alias("_cid"),
                      _as_double(F.col(vec_col)).alias("_cv")))
-    rows = df.select(F.col(id_col), _as_double(F.col(vec_col)).alias("_v"))
+    rows = _spread(df).select(F.col(id_col),
+                              _as_double(F.col(vec_col)).alias("_v"))
     scored = (rows.crossJoin(F.broadcast(cents))
               .withColumn("_d", cosine(F.col("_v"), F.col("_cv"))))
     from pyspark.sql.window import Window
