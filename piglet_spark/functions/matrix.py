@@ -1,11 +1,13 @@
-"""Matrix data type — struct(rows, cols, data) columns.
+"""Matrix data type — struct(rows, cols, idx, data) columns.
 
 Reference: `[sd][di]matrix(rows, cols)` Breeze-backed type
 (schema/ComplexTypes.scala:175-194, parser PigParser.scala:292-298,
-Language.md "Matrix data types"). The rebuild keeps a dense
-row-major representation for all four spellings (sparse maps to
-dense; adequate for the constructor + access surface the reference's
-corpus exercises).
+Language.md "Matrix data types"). Dense spellings (`d?matrix`) store
+the full column-major array with `idx = NULL`; sparse spellings
+(`s?matrix`) store only nonzeros as parallel (idx, data) arrays —
+COO with column-major linear indices, mirroring Breeze's
+CSCMatrix-vs-DenseMatrix split, so a mostly-zero matrix costs
+O(nnz) not O(rows*cols) per row at scale.
 """
 
 from __future__ import annotations
@@ -14,14 +16,7 @@ from pyspark.sql import Column
 from pyspark.sql import functions as F
 
 
-def _flatten_args(args) -> list[Column]:
-    cols = []
-    for a in args:
-        cols.append(a if isinstance(a, Column) else F.lit(a))
-    return cols
-
-
-def matrix_cons(elem_type: str, rows, cols, *vals) -> Column:
+def matrix_cons(elem_type: str, sparse: bool, rows, cols, *vals) -> Column:
     """`didmatrix(r, c, v...)` / `ddmatrix(r, c, {bag})` constructor.
     vals: either r*c scalars or a single array/bag column."""
     r = int(rows) if not isinstance(rows, Column) else rows
@@ -33,11 +28,30 @@ def matrix_cons(elem_type: str, rows, cols, *vals) -> Column:
     else:
         data = F.array(*[(v if isinstance(v, Column) else F.lit(v))
                          .cast(cast_t) for v in vals])
+    if sparse:
+        # keep only nonzeros: 0-based column-major linear indices
+        pos = F.filter(F.sequence(F.lit(1), F.size(data)),
+                       lambda k: F.element_at(data, k) != 0)
+        idx = F.transform(pos, lambda k: (k - 1).cast("int"))
+        nz = F.transform(pos, lambda k: F.element_at(data, k))
+        return F.struct(
+            F.lit(r).cast("int").alias("rows"),
+            F.lit(c).cast("int").alias("cols"),
+            idx.alias("idx"),
+            nz.alias("data"),
+        )
     return F.struct(
         F.lit(r).cast("int").alias("rows"),
         F.lit(c).cast("int").alias("cols"),
+        F.lit(None).cast("array<int>").alias("idx"),
         data.alias("data"),
     )
+
+
+def _sparse_get(m: Column, linear: Column) -> Column:
+    pos = F.array_position(m["idx"], linear.cast("int"))
+    return F.when(pos > 0, F.element_at(m["data"], pos.cast("int"))) \
+            .otherwise(F.lit(0))  # absent from idx → zero (type-coerced)
 
 
 def matrix_get(m: Column, i, j) -> Column:
@@ -46,7 +60,11 @@ def matrix_get(m: Column, i, j) -> Column:
     (verified against truth/simple-matrix-res.data)."""
     i = F.lit(int(i)) if not isinstance(i, Column) else i
     j = F.lit(int(j)) if not isinstance(j, Column) else j
-    return F.element_at(m["data"], (j * m["rows"] + i + 1).cast("int"))
+    linear = j * m["rows"] + i
+    return F.when(
+        m["idx"].isNull(),
+        F.element_at(m["data"], (linear + 1).cast("int"))
+    ).otherwise(_sparse_get(m, linear))
 
 
 def matrix_transpose(m: Column) -> Column:
@@ -55,19 +73,34 @@ def matrix_transpose(m: Column) -> Column:
     idx = F.sequence(F.lit(0), (n - 1).cast("int"))
     # T is c×r col-major; T(i'=k%c, j'=k div c) = M(j', i')
     # → old col-major index j' + i'·r
-    data = F.transform(
+    dense = F.transform(
         idx,
         lambda k: F.element_at(
             m["data"],
             (F.floor(k / c).cast("int") + (k % c) * r + 1).cast("int")),
     )
-    return F.struct(c.alias("rows"), r.alias("cols"), data.alias("data"))
+    # sparse: remap each nonzero k=(i + j·r) → i·c + j, then re-sort
+    # the (idx, data) pairs by the new linear index
+    pairs = F.array_sort(F.zip_with(
+        m["idx"], m["data"],
+        lambda k, v: F.struct(((k % r) * c + F.floor(k / r)).cast("int")
+                              .alias("k"), v.alias("v"))))
+    return F.when(
+        m["idx"].isNull(),
+        F.struct(c.alias("rows"), r.alias("cols"),
+                 F.lit(None).cast("array<int>").alias("idx"),
+                 dense.alias("data")),
+    ).otherwise(
+        F.struct(c.alias("rows"), r.alias("cols"),
+                 F.transform(pairs, lambda p: p["k"]).alias("idx"),
+                 F.transform(pairs, lambda p: p["v"]).alias("data")))
 
 
 def register(scalars: dict) -> None:
     for prefix, et in (("di", "int"), ("dd", "double"),
                        ("si", "int"), ("sd", "double")):
+        sparse = prefix.startswith("s")
         scalars[f"{prefix}matrix"] = (
-            lambda r, c, *v, _et=et: matrix_cons(_et, r, c, *v))
+            lambda r, c, *v, _et=et, _sp=sparse: matrix_cons(_et, _sp, r, c, *v))
     scalars["matrix_get"] = matrix_get
     scalars["matrix_transpose"] = matrix_transpose

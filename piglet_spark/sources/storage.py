@@ -233,11 +233,11 @@ def _fmt(col, dt: T.DataType):
             ).otherwise(
                 F.concat(col["gtype"], F.lit(" (("), coords, F.lit("))")))
             return F.concat(F.lit("STObject("), wkt, F.lit(",None)"))
-        if names == ["rows", "cols", "data"]:
-            # matrix → Breeze DenseMatrix.toString parity
+        if names == ["rows", "cols", "idx", "data"]:
+            r, c = col["rows"], col["cols"]
+            # dense (idx null) → Breeze DenseMatrix.toString parity
             # (truth/simple-matrix-res.data): rows of `v  v  v  `
             # joined by newlines; storage is column-major
-            r, c = col["rows"], col["cols"]
             row_idx = F.sequence(F.lit(0), (r - 1).cast("int"))
             col_idx = F.sequence(F.lit(0), (c - 1).cast("int"))
             lines = F.transform(
@@ -251,7 +251,19 @@ def _fmt(col, dt: T.DataType):
                             .cast("string"), F.lit("  "))),
                     ""), F.lit("")),
             )
-            return F.array_join(lines, "\n")
+            dense = F.array_join(lines, "\n")
+            # sparse → Breeze CSCMatrix-style: header + `(i,j) v` lines
+            header = F.concat(r.cast("string"), F.lit(" x "),
+                              c.cast("string"), F.lit(" CSCMatrix"))
+            entries = F.zip_with(
+                col["idx"], col["data"],
+                lambda k, v: F.concat(
+                    F.lit("("), (k % r).cast("string"), F.lit(","),
+                    F.floor(k / r).cast("int").cast("string"), F.lit(") "),
+                    v.cast("string")))
+            sparse = F.array_join(
+                F.concat(F.array(header), entries), "\n")
+            return F.when(col["idx"].isNull(), dense).otherwise(sparse)
         parts = []
         for f in dt.fields:
             parts.append(_fmt(col[f.name], f.dataType))

@@ -117,6 +117,28 @@ C = FOREACH B GENERATE matrix_get(m, 0, 1) AS e01, matrix_get(m, 1, 0) AS e10;
     assert rows(eng.df("C")) == [(3, 2)]
 
 
+def test_matrix_sparse(spark, tmp_path):
+    """Sparse spellings store only nonzeros (COO over column-major
+    linear indices); access and transpose agree with the dense path."""
+    p = tmp_path / "m3.csv"
+    p.write_text("0.0,5.0,0.0,0.0,0.0,7.0\n")
+    eng = pg.PigEngine(spark)
+    eng.run(f"""
+A = LOAD '{p}' USING PigStorage(',') AS (a: double, b: double, c: double, d: double, e: double, f: double);
+B = FOREACH A GENERATE sdmatrix(2, 3, a, b, c, d, e, f) AS m;
+C = FOREACH B GENERATE m.rows AS r, m.cols AS c, matrix_get(m, 1, 0) AS nz,
+    matrix_get(m, 0, 0) AS z, matrix_get(m, 1, 2) AS f_val;
+D = FOREACH B GENERATE matrix_transpose(m) AS t;
+E = FOREACH D GENERATE t.rows AS r, t.cols AS c, matrix_get(t, 0, 1) AS nz,
+    matrix_get(t, 2, 1) AS f_val;
+""")
+    assert rows(eng.df("C")) == [(2, 3, 5.0, 0.0, 7.0)]
+    assert rows(eng.df("E")) == [(3, 2, 5.0, 7.0)]
+    # only the two nonzeros are stored
+    m = eng.df("B").collect()[0]["m"]
+    assert list(m["idx"]) == [1, 5] and list(m["data"]) == [5.0, 7.0]
+
+
 def test_partition_and_index(spark, data_dir):
     eng = pg.PigEngine(spark)
     eng.run(f"""
