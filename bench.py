@@ -47,8 +47,12 @@ def main():
         .config("spark.sql.shuffle.partitions", str(max(int(cpus), 8)))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        # 4g, not bigger: with a 16g heap G1 young-gen grows to
+        # multi-GB and minor-GC pauses become multi-second stragglers
+        # (measured 19→38→87s run degradation on the same query);
+        # sf0.1 needs well under 4g
         .config("spark.driver.memory",
-                os.environ.get("SPARK_GRAFT_DRIVER_MEM", "16g"))
+                os.environ.get("SPARK_GRAFT_DRIVER_MEM", "4g"))
         .config("spark.ui.enabled", "false")
         .config("spark.ui.showConsoleProgress", "false")
         .appName("piglet-spark-bench")
