@@ -379,13 +379,18 @@ X = CROSS PA, TA;
 Q = FOREACH X GENERATE ROUND(100.0 * promo_rev / total_rev, 4) AS promo_pct;
 """
 
+# the no-ELSE CASE and outer IS NOT NULL filter mirror the Pig side's
+# empty-group behavior: zero PROMO rows → GROUP ALL yields no group,
+# the CROSS vanishes, zero result rows
 Q14_SQL = """
-SELECT ROUND(100.0 * SUM(CASE WHEN p_type = 'PROMO' THEN
-                 l_extendedprice * (1 - l_discount) ELSE 0 END)
-             / SUM(l_extendedprice * (1 - l_discount)), 4) AS promo_pct
-FROM lineitem JOIN part ON l_partkey = p_partkey
-WHERE l_shipdate >= TIMESTAMP '1996-01-01'
-  AND l_shipdate < TIMESTAMP '1997-01-01'
+SELECT ROUND(100.0 * promo_rev / total_rev, 4) AS promo_pct
+FROM (SELECT SUM(CASE WHEN p_type = 'PROMO' THEN
+                 l_extendedprice * (1 - l_discount) END) AS promo_rev,
+             SUM(l_extendedprice * (1 - l_discount)) AS total_rev
+      FROM lineitem JOIN part ON l_partkey = p_partkey
+      WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+        AND l_shipdate < TIMESTAMP '1997-01-01')
+WHERE promo_rev IS NOT NULL
 """
 
 Q4_SEMI = """

@@ -29,9 +29,14 @@ def matrix_cons(elem_type: str, sparse: bool, rows, cols, *vals) -> Column:
         data = F.array(*[(v if isinstance(v, Column) else F.lit(v))
                          .cast(cast_t) for v in vals])
     if sparse:
-        # keep only nonzeros: 0-based column-major linear indices
-        pos = F.filter(F.sequence(F.lit(1), F.size(data)),
-                       lambda k: F.element_at(data, k) != 0)
+        # keep nonzeros AND nulls (dropping nulls would silently read
+        # as 0 where the dense spelling preserves NULL) — 0-based
+        # column-major linear indices. sequence(1, 0) would descend,
+        # so guard the empty-data case explicitly.
+        pos = F.when(F.size(data) > 0, F.filter(
+            F.sequence(F.lit(1), F.size(data)),
+            lambda k: F.coalesce(F.element_at(data, k) != 0, F.lit(True)),
+        )).otherwise(F.array().cast("array<int>"))
         idx = F.transform(pos, lambda k: (k - 1).cast("int"))
         nz = F.transform(pos, lambda k: F.element_at(data, k))
         return F.struct(

@@ -122,11 +122,28 @@ def _any_vertex_in(b: Column, a: Column) -> Column:
                                    F.element_at(bys, i), a))
 
 
-def _shares_vertex(a: Column, b: Column) -> Column:
-    """Coincident vertices (catches identical / boundary-touching rings
-    that strict ray casting and proper-crossing tests both miss)."""
-    return F.arrays_overlap(F.arrays_zip(a["xs"], a["ys"]),
-                            F.arrays_zip(b["xs"], b["ys"]))
+def _vertex_on_edge(b: Column, a: Column) -> Column:
+    """Any vertex of b lying ON an edge of a (collinear and within the
+    edge's bbox). Catches every boundary-touching configuration that
+    strict ray casting and proper-crossing both miss — coincident
+    vertices, T-touches, and collinear edge overlap (an overlapping
+    collinear segment always puts one ring's endpoint on the other's
+    edge)."""
+    axs, ays, bxs, bys = a["xs"], a["ys"], b["xs"], b["ys"]
+
+    def on_edge(i: Column, j: Column) -> Column:
+        vx, vy = F.element_at(bxs, j), F.element_at(bys, j)
+        e1x, e1y = F.element_at(axs, i), F.element_at(ays, i)
+        e2x, e2y = F.element_at(axs, i + 1), F.element_at(ays, i + 1)
+        collinear = _orient(e1x, e1y, e2x, e2y, vx, vy) == 0
+        inbox = ((vx >= F.least(e1x, e2x)) & (vx <= F.greatest(e1x, e2x))
+                 & (vy >= F.least(e1y, e2y)) & (vy <= F.greatest(e1y, e2y)))
+        return collinear & inbox
+
+    return F.exists(
+        _edge_idx(a),
+        lambda i: F.exists(F.sequence(F.lit(1), F.size(bxs)),
+                           lambda j: on_edge(i, j)))
 
 
 def contains(a: Column, b: Column) -> Column:
@@ -153,7 +170,8 @@ def intersects(a: Column, b: Column) -> Column:
     b_pt = _is_point(b) & ~_is_point(a)
     poly_poly = F.when(~_bbox_overlap(a, b), F.lit(False)).otherwise(
         _edges_cross(a, b) | _any_vertex_in(b, a)
-        | _any_vertex_in(a, b) | _shares_vertex(a, b))
+        | _any_vertex_in(a, b) | _vertex_on_edge(b, a)
+        | _vertex_on_edge(a, b))
     return F.when(_is_point(a) & _is_point(b), pt_pt).otherwise(
         F.when(a_pt, point_in_polygon(_px(a), _py(a), b)).otherwise(
             F.when(b_pt, point_in_polygon(_px(b), _py(b), a)).otherwise(

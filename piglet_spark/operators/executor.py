@@ -562,7 +562,10 @@ class Executor:
             if gen.flatten:
                 flat_idx.append(len(names) - 1)
 
-        grouped = src.groupBy(*gb)
+        # GROUP ALL: group on a literal key, NOT a global agg — Pig's
+        # groupBy yields zero rows on empty input, a global agg one
+        grouped = src.groupBy(*gb) if gb \
+            else src.groupBy(F.lit("all").alias("__k_all"))
         if not aggs:
             # e.g. GENERATE group only
             out = grouped.agg(F.count(F.lit(1)).alias("__cnt"))

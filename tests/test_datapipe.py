@@ -178,6 +178,18 @@ def test_audio_frame_sampling(docs):
     assert frames.groupBy("doc_id").count().distinct().collect()[0]["count"] == 4
 
 
+def test_spread_skips_wide_plans(spark):
+    """Review regression: spread() must not probe (and thereby
+    execute, under AQE) plans that already contain a shuffle — it
+    returns them unchanged."""
+    from piglet_spark.datapipe.util import spread
+    df = spark.createDataFrame([(1, "a")], ["id", "t"])
+    wide = df.groupBy("t").count()
+    assert spread(wide) is wide
+    joined = df.join(df.withColumnRenamed("t", "u"), on="id")
+    assert spread(joined) is joined
+
+
 def test_embedding_neardup_infers_dim(spark):
     """Review regression: non-64-dim embeddings must still bucket
     (dim inferred from data, not hardcoded)."""

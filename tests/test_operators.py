@@ -77,6 +77,18 @@ S = FOREACH G GENERATE group.f1 AS f1, group.f2 AS f2, COUNT(A) AS n;
     assert rows(df2) == [(1, 2, 2), (4, 5, 1), (7, 8, 1)]
 
 
+def test_group_all_empty_input(spark, data_dir):
+    """Pig parity: GROUP ALL over an empty relation yields NO group
+    (reference groupBy on empty RDD), not one zero-valued row."""
+    df = run(spark, f"""
+A = LOAD '{data_dir}/t.csv' USING PigStorage(',') AS (f1:int, f2:int, f3:int);
+E = FILTER A BY f1 > 1000000;
+G = GROUP E ALL;
+S = FOREACH G GENERATE group, COUNT(E) AS n;
+""", "S")
+    assert df.count() == 0
+
+
 def test_nested_foreach_distinct(spark, data_dir):
     df = run(spark, f"""
 daily = LOAD '{data_dir}/nested.csv' USING PigStorage(',') AS (ex:chararray, sym:chararray);

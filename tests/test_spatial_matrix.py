@@ -80,6 +80,54 @@ def test_polygon_polygon_exact(spark):
     assert row.i_self is True         # shared vertices → intersecting
 
 
+def test_polygon_touch_intersects(spark):
+    """Boundary-touching polygons intersect (JTS/STARK 'touches' ⊂
+    intersects): edge-adjacent with no shared vertex, and T-touch."""
+    from pyspark.sql import functions as F
+    from piglet_spark.functions import spatial as sp
+
+    a = "POLYGON((0 0, 4 0, 4 4, 0 4, 0 0))"
+    edge_adj = "POLYGON((4 1, 8 1, 8 3, 4 3, 4 1))"   # shares x=4 segment
+    t_touch = "POLYGON((4 2, 8 5, 8 6, 4 2))"         # vertex on a's edge
+    away = "POLYGON((5 5, 8 5, 8 8, 5 5))"            # bbox-overlap only
+    df = spark.range(1).select(
+        sp.geometry(F.lit(a)).alias("a"),
+        sp.geometry(F.lit(edge_adj)).alias("e"),
+        sp.geometry(F.lit(t_touch)).alias("t"),
+        sp.geometry(F.lit(away)).alias("w"))
+    row = df.select(
+        sp.intersects(F.col("a"), F.col("e")).alias("i_edge"),
+        sp.intersects(F.col("a"), F.col("t")).alias("i_t"),
+        sp.intersects(F.col("a"), F.col("w")).alias("i_away"),
+    ).collect()[0]
+    assert row.i_edge is True
+    assert row.i_t is True
+    assert row.i_away is False
+
+
+def test_matrix_sparse_empty_and_null(spark):
+    """Sparse constructor handles all-zero/empty data; NULL elements
+    are preserved (not silently read back as 0)."""
+    from pyspark.sql import functions as F
+    from piglet_spark.functions.matrix import matrix_cons, matrix_get
+
+    df = spark.range(1).select(
+        matrix_cons("double", True, 2, 2,
+                    F.lit(0.0), F.lit(0.0), F.lit(0.0), F.lit(0.0))
+        .alias("z"),
+        matrix_cons("double", True, 2, 2,
+                    F.lit(None).cast("double"), F.lit(3.0),
+                    F.lit(0.0), F.lit(0.0)).alias("n"))
+    row = df.select(
+        F.col("z")["idx"].alias("z_idx"),
+        matrix_get(F.col("z"), 1, 1).alias("z_get"),
+        matrix_get(F.col("n"), 0, 0).alias("n_null"),
+        matrix_get(F.col("n"), 1, 0).alias("n_val"),
+    ).collect()[0]
+    assert list(row.z_idx) == [] and row.z_get == 0.0
+    assert row.n_null is None and row.n_val == 3.0
+
+
 def test_st_distance(spark, tmp_path):
     p = tmp_path / "d.csv"
     p.write_text("a,0.0,0.0\n")
