@@ -24,6 +24,10 @@ HEADLINE = [
     "q1_pricing_summary",
     "q3_top_revenue",
     "q5_region_revenue",
+    "q6_forecast_revenue",
+    "q10_returned_items",
+    "q14_promo_revenue",
+    "q4_semijoin_priority",
     "filter_project",
     "group_having",
     "nested_foreach_distinct",
