@@ -458,6 +458,43 @@ FROM documents
 """
 
 
+def q_doc_quality(spark, sf_dir):
+    """Per-language quality-score rollup (C4/Gopher-style heuristic);
+    the SQL oracle replicates the score formula term-for-term in the
+    same operation order so doubles match bit-for-bit."""
+    df = _docs(spark, sf_dir)
+    q = dp_text.quality_score(F.col("text"))
+    return (df.select(F.col("lang"), q.alias("q"))
+            .groupBy("lang")
+            .agg(F.count(F.lit(1)).alias("n_docs"),
+                 F.round(F.sum("q"), 4).alias("sum_quality"),
+                 F.sum(F.when(F.col("q") >= 0.5, 1).otherwise(0))
+                 .alias("n_good")))
+
+
+DOC_QUALITY_SQL = """
+SELECT lang, COUNT(*) AS n_docs, ROUND(SUM(q), 4) AS sum_quality,
+       SUM(CASE WHEN q >= 0.5 THEN 1 ELSE 0 END)::BIGINT AS n_good
+FROM (
+  SELECT lang, ROUND(
+      0.4 * LEAST(length(text) / 500.0, 1.0)
+    + 0.3 * (CASE WHEN length(text) > 0
+             THEN length(regexp_replace(text, '[^A-Za-z]', '', 'g'))::DOUBLE
+                  / length(text) ELSE 0.0 END)
+    + 0.3 * (CASE WHEN ntok > 0
+                   AND (length(text) - nspace)::DOUBLE / ntok BETWEEN 3 AND 10
+             THEN 1.0 ELSE 0.0 END), 6) AS q
+  FROM (
+    SELECT lang, text,
+           CASE WHEN length(trim(text)) = 0 THEN 0
+                ELSE len(string_split_regex(trim(text), '\\s+')) END AS ntok,
+           length(text) - length(replace(text, ' ', '')) AS nspace
+    FROM documents)
+)
+GROUP BY lang
+"""
+
+
 def q_lang_id(spark, sf_dir):
     df = _docs(spark, sf_dir)
     return (df.select("lang", dp_text.lang_id(F.col("text")).alias("lang_pred"))
@@ -712,6 +749,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # training-data pipeline operators
         "dedup_exact": q_dedup_exact,
         "doc_token_stats": q_doc_tokens,
+        "doc_quality_rollup": q_doc_quality,
         "lang_id_distribution": q_lang_id,
         "similarity_cosine_topk": q_cosine_topk,
         "embedding_neardup_exact": q_embedding_neardup_exact,
@@ -757,6 +795,7 @@ def oracle_sql() -> dict[str, str]:
         "q4_semijoin_priority": Q4_SEMI_SQL,
         "dedup_exact": DEDUP_EXACT_SQL,
         "doc_token_stats": DOC_TOKENS_SQL,
+        "doc_quality_rollup": DOC_QUALITY_SQL,
         "lang_id_distribution": _lang_id_sql(),
         "similarity_cosine_topk": COSINE_TOPK_SQL,
         "embedding_neardup_exact": EMB_NEARDUP_SQL,
