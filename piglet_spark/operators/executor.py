@@ -40,6 +40,25 @@ class ExecError(Exception):
     pass
 
 
+def _is_internal_col(name: str) -> bool:
+    """Engine bookkeeping columns (``__``-prefixed, possibly behind a
+    ``::`` lineage prefix after a join)."""
+    return name.split("::")[-1].startswith("__")
+
+
+def _strip_internal(df: DataFrame) -> DataFrame:
+    """Remove bookkeeping columns from user-visible output: internal
+    ``__`` columns and the window-identity struct (the reference's
+    WindowApply flattens per-window results back to a plain stream —
+    window identity is never part of the stored tuple)."""
+    drops = [c for c in df.columns if _is_internal_col(c)]
+    for f in df.schema.fields:
+        if f.name == "window" and isinstance(f.dataType, T.StructType) \
+                and [x.name for x in f.dataType.fields] == ["start", "end"]:
+            drops.append(f.name)
+    return df.drop(*drops) if drops else df
+
+
 # ------------------------------------------------------------- relations
 
 class GroupedRelation:
@@ -71,7 +90,10 @@ class GroupedRelation:
         return out
 
     def bag_col(self) -> Column:
-        return F.collect_list(F.struct(*[self.src[c] for c in self.src.columns]))
+        # engine bookkeeping (e.g. __event_time from arrival-time
+        # windows) never enters user-visible bags
+        cols = [c for c in self.src.columns if not _is_internal_col(c)]
+        return F.collect_list(F.struct(*[self.src[c] for c in cols]))
 
     def window_cols(self) -> list[Column]:
         if self.window_spec is None:
@@ -405,7 +427,7 @@ class Executor:
             self.ts_fields[alias] = ts_field.name
 
     def op_store(self, op: A.Store) -> None:
-        df = self.df(op.rel)
+        df = _strip_internal(self.df(op.rel))
         if df.isStreaming:
             from ..streaming import stream_exec
             q = stream_exec.stream_store(df, op.path, op.func, op.func_args,
@@ -415,7 +437,7 @@ class Executor:
         storage.store(df, op.path, op.func, op.func_args)
 
     def op_dump(self, op: A.Dump) -> None:
-        df = self.df(op.rel)
+        df = _strip_internal(self.df(op.rel))
         rows = storage.pig_format_tuple(df).collect()
         lines = [r[0] for r in rows]
         self.dumped[op.rel] = lines
@@ -423,7 +445,7 @@ class Executor:
             print(line)
 
     def op_display(self, op: A.Display) -> None:
-        self.df(op.rel).show(truncate=False)
+        _strip_internal(self.df(op.rel)).show(truncate=False)
 
     def op_describe(self, op: A.Describe) -> None:
         df = self.df(op.rel)
@@ -1206,7 +1228,8 @@ class Executor:
 
     def op_socketwrite(self, op: A.SocketWrite) -> None:
         from ..streaming import stream_exec
-        q = stream_exec.socket_write(self.df(op.rel), op, self.options)
+        q = stream_exec.socket_write(_strip_internal(self.df(op.rel)),
+                                     op, self.options)
         if q is not None:
             self.stream_queries.append(q)
 

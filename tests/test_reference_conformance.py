@@ -61,6 +61,21 @@ SCRIPTS = [
     ("spatialfilterwithindex.pig", "spatialfilter.data", False),
     ("spatialjoin.pig", "spatialjoin.data", False),
     ("spatialjoinwithindex.pig", "spatialjoin.data", False),
+    # --- streaming-backend table (SparksCompileIt.scala:25-43, active
+    # rows): bounded inputs, whole file = one arrival-time window, so
+    # batch execution reproduces the DStream truth files exactly
+    ("splitInto.pig", "splitX.data", False),
+    ("stream_load.pig", "result1.data", True),
+    ("stream_load2.pig", "result2.data", True),
+    ("stream_foreach1.pig", "distances.data", True),
+    ("stream_filter.pig", "filtered.data", True),
+    ("windowJoin.pig", "joined.data", False),
+    ("windowGrouping.pig", "grouping.data", False),
+    ("windowNforeach.pig", "nested.data", False),
+    ("windowFilter.pig", "filtered.data", False),
+    ("windowCount.pig", "marycount.data", False),
+    ("windowDistinct.pig", "unique.data", False),
+    ("windowSort.pig", "sorted.data", True),
 ]
 
 
