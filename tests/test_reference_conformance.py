@@ -76,6 +76,9 @@ SCRIPTS = [
     ("windowCount.pig", "marycount.data", False),
     ("windowDistinct.pig", "unique.data", False),
     ("windowSort.pig", "sorted.data", True),
+    # from the Flink streaming table (FlinksCompileIt.scala:36) — the
+    # only extra active script not in the sparks table
+    ("windowCross.pig", "crossed.data", False),
 ]
 
 
