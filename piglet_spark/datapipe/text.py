@@ -126,6 +126,22 @@ def doc_stats(df: DataFrame, text_col: str = "text",
     )
 
 
+def text_ngrams(text: Column, n: int) -> Column:
+    """Word n-grams straight off a normalized text column (single
+    codegen'd regex pass, no higher-order functions).
+
+    One lookahead regex — ``(?=(\\S+ \\S+ …))\\S+`` — captures the
+    n-gram starting at every token and consumes one token per match,
+    so matches overlap correctly. Measured ~5× faster than the
+    zip_with formulation in :func:`ngrams` (higher-order-function
+    lambdas are interpreted per element; a regex scan is one JVM call
+    per row). Only valid when tokens are single-space separated with
+    no empty tokens — exactly what :func:`normalize_text` produces.
+    For arbitrary token arrays use :func:`ngrams`."""
+    pat = "(?=(" + " ".join([r"\S+"] * n) + r"))\S+"
+    return F.regexp_extract_all(text, F.lit(pat), 1)
+
+
 def ngrams(tokens: Column, n: int) -> Column:
     """Word n-grams of a token array (space-joined).
 

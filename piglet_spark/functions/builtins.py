@@ -183,8 +183,8 @@ def _register_datapipe() -> None:
         "bpe_token_count": dt.bpe_token_count,
         "fingerprint": dt.fingerprint,
         "normalize_text": dt.normalize_text,
-        "ngrams": lambda c, n=3: dt.ngrams(
-            F.split(dt.normalize_text(c), " "), int(n)),
+        "ngrams": lambda c, n=3: dt.text_ngrams(
+            dt.normalize_text(c), int(n)),
         "cosine_sim": _cosine_sim,
     })
 

@@ -41,6 +41,23 @@ def test_ngrams_match_reference(spark, texts):
         assert got[i] == expected
 
 
+@given(st.lists(st.text(
+    alphabet=st.characters(codec="ascii"), max_size=60),
+    min_size=1, max_size=8))
+@SETTINGS
+def test_text_ngrams_matches_zip_with_formulation(spark, texts):
+    """The regex fast path must agree with the generic array
+    formulation on any normalized text, including empty/short docs."""
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], ["doc_id", "text"])
+    norm = text.normalize_text(F.col("text"))
+    rows = df.select(
+        text.ngrams(F.split(norm, " "), 3).alias("a"),
+        text.text_ngrams(norm, 3).alias("b")).collect()
+    for r in rows:
+        assert list(r["a"] or []) == list(r["b"] or [])
+
+
 @given(docs_strategy)
 @SETTINGS
 def test_exact_dedup_partitions_docs(spark, texts):
