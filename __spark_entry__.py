@@ -578,8 +578,52 @@ def q_minhash_lsh(spark, sf_dir):
 
 
 def q_simhash(spark, sf_dir):
-    """SimHash near-dup pairs (rows-only: xxhash64-based)."""
+    """SimHash near-dup pairs. Fully oracled: the 60-bit md5-based
+    token hash (datapipe/dedup.py token_hash60) is portable, so DuckDB
+    reproduces signatures, banding, and verification bit-for-bit."""
     return dp_dedup.simhash_pairs(_docs(spark, sf_dir), max_hamming=16)
+
+
+def _simhash_sql(max_hamming: int = 16) -> str:
+    """Generated oracle for q_simhash: same normalize → 60-bit md5
+    token hash → per-bit ±1 sums → sign fold → 4×15-bit banding →
+    bit_count(xor) verify as the Spark pipeline."""
+    bits = 60
+    sums = ",\n           ".join(
+        f"SUM(CASE WHEN (h >> {b}) & 1 = 1 THEN 1 ELSE -1 END) AS c{b}"
+        for b in range(bits))
+    fold = "\n           + ".join(
+        f"(CASE WHEN c{b} > 0 THEN {1 << b} ELSE 0 END)"
+        for b in range(bits))
+    return f"""
+WITH toks AS (
+    SELECT doc_id,
+           unnest(string_split(trim(regexp_replace(regexp_replace(lower(text),
+                  '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g')), ' ')) AS t
+    FROM documents
+), th AS (
+    SELECT doc_id, ('0x' || substr(md5(t), 1, 15))::BIGINT AS h FROM toks
+), cnt AS (
+    SELECT doc_id,
+           {sums}
+    FROM th GROUP BY doc_id
+), sh AS (
+    SELECT doc_id,
+           {fold} AS sim
+    FROM cnt
+), chunks AS (
+    SELECT doc_id, sim, i AS chunk_i, (sim >> (i * 15)) & 32767 AS chunk
+    FROM sh, range(4) r(i)
+), cand AS (
+    SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b,
+           a.sim AS h_a, b.sim AS h_b
+    FROM chunks a JOIN chunks b
+      ON a.chunk_i = b.chunk_i AND a.chunk = b.chunk
+     AND a.doc_id < b.doc_id
+)
+SELECT id_a, id_b, bit_count(xor(h_a, h_b))::INT AS hamming
+FROM cand WHERE bit_count(xor(h_a, h_b)) <= {max_hamming}
+"""
 
 
 def q_ngram_jaccard(spark, sf_dir):
@@ -804,7 +848,9 @@ def oracle_sql() -> dict[str, str]:
         "spatial_filter_pip": SPATIAL_SQL,
         "bgp_filter_join": BGP_SQL,
         "tuplify_group": TUPLIFY_SQL,
-        # minhash/simhash/ann/ivf/multimodal/sample/cep: non-SQL-
-        # expressible (hash-seeded, approximate, nondeterministic
-        # sampling, or stateful NFA) → rows-only checks
+        "dedup_simhash": _simhash_sql(),
+        # minhash/ann/ivf/multimodal/sample/cep: non-SQL-expressible
+        # (xxhash64-seeded signatures, approximate candidate sets,
+        # nondeterministic sampling, or stateful NFA) → rows-only
+        # checks
     }

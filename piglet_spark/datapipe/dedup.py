@@ -210,51 +210,52 @@ def ngram_jaccard_pairs(df: DataFrame, text_col: str = "text",
             .filter(F.col("jaccard") >= threshold))
 
 
-def simhash_counts(text: Column, bits: int = 64) -> Column:
-    """Per-bit ±1 sums over xxhash64(token) — array<long>[bits].
-    JVM-side via higher-order functions."""
-    toks = tokens_of(text)
-
-    def tok_bits(t: Column) -> Column:
-        h = F.xxhash64(t)
-        return F.array(*[
-            F.when(F.shiftright(h, b).bitwiseAND(F.lit(1)) == 1,
-                   F.lit(1).cast("long")).otherwise(F.lit(-1).cast("long"))
-            for b in range(bits)
-        ])
-
-    return F.aggregate(
-        toks,
-        F.array_repeat(F.lit(0).cast("long"), bits),
-        lambda acc, t: F.zip_with(acc, tok_bits(t), lambda a, x: a + x),
-    )
+# SimHash width: 15 hex chars of md5 = 60 bits. md5 (not xxhash64)
+# so the token hash is portable to ANSI SQL engines and the whole
+# pipeline is oracle-checkable; 60 bits keeps every intermediate
+# (including the folded hash) positive in a signed 64-bit long.
+_SIMHASH_BITS = 60
 
 
-def simhash_from_counts(counts: Column, bits: int = 64) -> Column:
-    """Fold sign bits into a long. Compute counts into its own column
-    first (two-step) so the aggregate isn't replicated per bit."""
-    out = F.lit(0).cast("long")
-    for b in range(bits):
-        val = (1 << b) if b < 63 else -(1 << 63)  # sign bit of long
-        out = out.bitwiseOR(
-            F.when(F.element_at(counts, b + 1) > 0,
-                   F.lit(val).cast("long")).otherwise(F.lit(0).cast("long")))
-    return out
+def token_hash60(t: Column) -> Column:
+    """Portable 60-bit token hash: first 15 hex chars of md5.
+    DuckDB computes the identical value as
+    ``('0x' || substr(md5(t), 1, 15))::BIGINT``."""
+    return F.conv(F.substring(F.md5(t), 1, 15), 16, 10).cast("long")
 
 
 def simhash(df: DataFrame, text_col: str = "text",
             id_col: str = "doc_id") -> DataFrame:
-    """(id, simhash) table — two projections so whole-stage codegen
-    sees the counts array as a bound attribute."""
-    return (_spread(df)
-            .select(F.col(id_col),
-                    simhash_counts(F.col(text_col)).alias("_cnt"))
-            .select(id_col, simhash_from_counts(F.col("_cnt")).alias("simhash")))
+    """(id, simhash) table.
+
+    Formulation: explode tokens → one plain ``sum(±1)`` aggregate per
+    bit → fold sign bits (disjoint powers of two, so a plain sum).
+    All whole-stage codegen; map-side partial aggregation means the
+    shuffle carries 60 longs per document — same explode+agg shape
+    that made MinHash ~20× faster than per-element higher-order
+    lambdas."""
+    base = _spread(df, id_col).select(
+        F.col(id_col).alias("_id"),
+        tokens_of(F.col(text_col)).alias("_tk"))
+    expl = base.select("_id", F.explode_outer("_tk").alias("_t"))
+    h = token_hash60(F.col("_t"))
+    aggs = [
+        F.sum(F.when(F.shiftright(h, b).bitwiseAND(F.lit(1)) == 1,
+                     F.lit(1)).otherwise(F.lit(-1))).alias(f"_c{b}")
+        for b in range(_SIMHASH_BITS)
+    ]
+    fold = None
+    for b in range(_SIMHASH_BITS):
+        term = F.when(F.col(f"_c{b}") > 0,
+                      F.lit(1 << b).cast("long")).otherwise(F.lit(0).cast("long"))
+        fold = term if fold is None else fold + term
+    return (expl.groupBy("_id").agg(*aggs)
+            .select(F.col("_id").alias(id_col), fold.alias("simhash")))
 
 
 def simhash_pairs(df: DataFrame, text_col: str = "text",
                   id_col: str = "doc_id", max_hamming: int = 3) -> DataFrame:
-    """Near-dup pairs by SimHash: band the 64-bit hash into 4 16-bit
+    """Near-dup pairs by SimHash: band the 60-bit hash into 4 15-bit
     chunks, bucket-join, verify bit_count(xor) ≤ max_hamming.
 
     Recall guarantee (pigeonhole): with 4 chunks every pair at
@@ -267,7 +268,7 @@ def simhash_pairs(df: DataFrame, text_col: str = "text",
     chunks = base.select(
         "_id", "_h",
         F.posexplode(F.array(*[
-            F.shiftright(F.col("_h"), i * 16).bitwiseAND(F.lit(0xFFFF))
+            F.shiftright(F.col("_h"), i * 15).bitwiseAND(F.lit(0x7FFF))
             for i in range(4)
         ])).alias("_chunk_i", "_chunk"),
     )
