@@ -756,12 +756,24 @@ SELECT user_id::VARCHAR AS s, COUNT(*) AS n_stmts FROM events GROUP BY 1
 
 def q_multimodal(spark, sf_dir):
     """Binary-column plumbing: synthetic payloads → mapInPandas feature
-    extraction (rows-only: stubbed codec)."""
+    extraction. Oracled: the deterministic fake decode is sha256-based,
+    which DuckDB reproduces byte-for-byte (the real codec stays a
+    documented stub — no image libs in this container)."""
     from piglet_spark.datapipe import multimodal
     docs = _docs(spark, sf_dir)
     with_bin = multimodal.attach_binary_payload(docs)
     return multimodal.decode_images(with_bin, deterministic_fake=True) \
         .select("doc_id", "width", "height")
+
+
+# fake decode (multimodal.py _fake_image_features): sha256(payload),
+# width/height from bytes 0/1 — '0x'+hex-pair cast reproduces them
+MULTIMODAL_SQL = """
+SELECT doc_id,
+       (64 + ('0x' || substr(sha256(text), 1, 2))::INT % 192)::INT AS width,
+       (64 + ('0x' || substr(sha256(text), 3, 2))::INT % 192)::INT AS height
+FROM documents
+"""
 
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
@@ -849,8 +861,9 @@ def oracle_sql() -> dict[str, str]:
         "bgp_filter_join": BGP_SQL,
         "tuplify_group": TUPLIFY_SQL,
         "dedup_simhash": _simhash_sql(),
-        # minhash/ann/ivf/multimodal/sample/cep: non-SQL-expressible
-        # (xxhash64-seeded signatures, approximate candidate sets,
+        "multimodal_features": MULTIMODAL_SQL,
+        # minhash/ann/ivf/sample/cep: non-SQL-expressible (xxhash64-
+        # seeded signatures, approximate candidate sets,
         # nondeterministic sampling, or stateful NFA) → rows-only
         # checks
     }
