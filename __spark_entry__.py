@@ -572,9 +572,76 @@ WHERE list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[])
 
 
 def q_minhash_lsh(spark, sf_dir):
-    """MinHash-LSH near-dup pairs (no SQL oracle: xxhash64 signatures;
-    verified against brute-force Jaccard in tests/test_datapipe.py)."""
+    """MinHash-LSH near-dup pairs. Fully oracled: signatures, band
+    buckets, and the exact-Jaccard verify all use portable md5-prefix
+    hashes (datapipe/dedup.py), so DuckDB reproduces the entire
+    pipeline — including the approximate candidate set — value-for-
+    value. Also cross-checked against brute-force Jaccard in
+    tests/test_datapipe.py."""
     return dp_dedup.minhash_lsh_pairs(_docs(spark, sf_dir), threshold=0.2)
+
+
+def _minhash_sql(num_hashes: int = 32, bands: int = 8,
+                 threshold: float = 0.2) -> str:
+    """Generated oracle for q_minhash_lsh: same shingling, universal
+    hashes, banding, and Jaccard verify as the Spark pipeline."""
+    from piglet_spark.datapipe.dedup import _P, _hash_params
+    rpb = num_hashes // bands
+    params = _hash_params(num_hashes)
+    mins = ",\n           ".join(
+        f"COALESCE(MIN((x * {a} + {b}) % {_P}), {_P}) AS m{i}"
+        for i, (a, b) in enumerate(params))
+    buckets = ",\n           ".join(
+        "('0x' || substr(md5('{}' || ',' || {}), 1, 15))::BIGINT AS bk{}"
+        .format(b, " || ',' || ".join(
+            f"m{b * rpb + i}::VARCHAR" for i in range(rpb)), b)
+        for b in range(bands))
+    unpivot = "\n    UNION ALL ".join(
+        f"SELECT doc_id, {b} AS band, bk{b} AS bucket FROM sigb"
+        for b in range(bands))
+    return f"""
+WITH toks AS (
+    SELECT doc_id,
+           string_split(trim(regexp_replace(regexp_replace(lower(text),
+                        '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g')), ' ') AS t
+    FROM documents
+), sh AS (
+    SELECT doc_id,
+           list_distinct([array_to_string(t[i:i+2], ' ')
+                          for i in range(1, len(t) - 1)]) AS s
+    FROM toks
+), hs AS (
+    SELECT doc_id, ('0x' || substr(md5(g), 1, 8))::BIGINT AS x
+    FROM (SELECT doc_id, unnest(s) AS g FROM sh)
+), sig AS (
+    SELECT d.doc_id,
+           {mins}
+    FROM documents d LEFT JOIN hs ON hs.doc_id = d.doc_id
+    GROUP BY d.doc_id
+), sigb AS (
+    SELECT doc_id,
+           {buckets}
+    FROM sig
+), bandrows AS (
+    {unpivot}
+), cand AS (
+    SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+    FROM bandrows a JOIN bandrows b
+      ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+), verif AS (
+    SELECT id_a, id_b,
+           len(list_intersect(sa.s, sb.s))::DOUBLE AS inter,
+           (len(sa.s) + len(sb.s) - len(list_intersect(sa.s, sb.s)))::DOUBLE
+               AS un
+    FROM cand
+    JOIN sh sa ON sa.doc_id = id_a
+    JOIN sh sb ON sb.doc_id = id_b
+)
+SELECT id_a, id_b,
+       ROUND(CASE WHEN un > 0 THEN inter / un ELSE 0.0 END, 6) AS jaccard
+FROM verif
+WHERE CASE WHEN un > 0 THEN inter / un ELSE 0.0 END >= {threshold}
+"""
 
 
 def q_simhash(spark, sf_dir):
@@ -861,9 +928,9 @@ def oracle_sql() -> dict[str, str]:
         "bgp_filter_join": BGP_SQL,
         "tuplify_group": TUPLIFY_SQL,
         "dedup_simhash": _simhash_sql(),
+        "dedup_minhash_lsh": _minhash_sql(),
         "multimodal_features": MULTIMODAL_SQL,
-        # minhash/ann/ivf/sample/cep: non-SQL-expressible (xxhash64-
-        # seeded signatures, approximate candidate sets,
-        # nondeterministic sampling, or stateful NFA) → rows-only
-        # checks
+        # ann/ivf/sample/cep: non-SQL-expressible (plan-dependent
+        # candidate pruning, nondeterministic sampling, stateful NFA)
+        # → rows-only checks
     }

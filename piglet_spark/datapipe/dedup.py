@@ -8,8 +8,14 @@ Scale design (the point of each algorithm):
   self-join, and buckets are tiny by construction. No O(n²) stage.
 - verification joins fetch candidate pairs only (semi-join pattern).
 
-All hash math uses xxhash64 (JVM, seedable) — deterministic across
-runs/partitionings.
+All hash math uses portable md5-prefix hashes (``conv(substr(md5(x),
+1, n), 16, 10)``) — deterministic across runs/partitionings AND
+reproducible in ANSI SQL engines (DuckDB: ``('0x' || substr(md5(x),
+1, n))::BIGINT``), so the driver oracle checks MinHash-LSH and
+SimHash value-for-value. md5 costs ~5-10× more per byte than
+xxhash64, but hashing is a small slice of these pipelines (the
+normalize/shingle regex scan dominates); swap in ``F.xxhash64`` for
+the last few percent if oracle parity is not needed.
 """
 
 from __future__ import annotations
@@ -60,10 +66,11 @@ def _hash_params(num_hashes: int, seed: int = 42) -> list[tuple[int, int]]:
     return params
 
 
-def shingle_hashes(sh: Column) -> Column:
-    """32-bit base hashes of a shingle array (xxhash64 truncated so the
-    universal-hash products stay under 2^63 in ANSI mode)."""
-    return F.transform(sh, lambda s: F.xxhash64(s).bitwiseAND(F.lit(0xFFFFFFFF)))
+def shingle_hash32(s: Column) -> Column:
+    """Portable 32-bit shingle hash (first 8 md5 hex chars), sized so
+    the universal-hash products stay under 2^63 in ANSI mode.
+    DuckDB: ``('0x' || substr(md5(s), 1, 8))::BIGINT``."""
+    return F.conv(F.substring(F.md5(s), 1, 8), 16, 10).cast("long")
 
 
 def minhash_signatures(df: DataFrame, text_col: str = "text",
@@ -83,7 +90,7 @@ def minhash_signatures(df: DataFrame, text_col: str = "text",
         shingles_of(F.col(text_col), shingle_k).alias("_sh"))
     exploded = base.select(
         "_id", F.explode_outer(F.col("_sh")).alias("_s"))
-    x = F.xxhash64(F.col("_s")).bitwiseAND(F.lit(0xFFFFFFFF))
+    x = shingle_hash32(F.col("_s"))
     aggs = [
         F.coalesce(F.min((x * F.lit(a) + F.lit(b)) % F.lit(_P)),
                    F.lit(_P)).alias(f"_m{i}")
@@ -115,11 +122,11 @@ def minhash_lsh_pairs(df: DataFrame, text_col: str = "text",
     # sides' signature aggregation.
     band_cols = []
     for b in range(bands):
-        piece = F.concat_ws(",", *[
+        piece = F.concat_ws(",", F.lit(str(b)), *[
             F.element_at(F.col("_sig"), b * rows_per_band + i + 1)
              .cast("string")
             for i in range(rows_per_band)])
-        band_cols.append(F.xxhash64(piece, F.lit(b)))
+        band_cols.append(token_hash60(piece))
     banded = sigs.select(
         "_id", F.posexplode(F.array(*band_cols)).alias("_band", "_bucket"))
     cand = (banded.alias("l").join(
@@ -131,14 +138,13 @@ def minhash_lsh_pairs(df: DataFrame, text_col: str = "text",
             .select(F.col("l._id").alias("id_a"),
                     F.col("r._id").alias("id_b"))
             .dropDuplicates(["id_a", "id_b"]))
-    # exact-Jaccard verification only for candidate pairs; shingle
-    # identity = 64-bit hash (collision odds ~n²/2^64) so the verify
-    # joins shuffle long arrays, not strings
+    # exact-Jaccard verification only for candidate pairs, on the
+    # shingle strings themselves (candidates are a tiny subset, so
+    # the string arrays in this join are cheap; hash the shingles
+    # first if verify-shuffle volume ever matters)
     sh = _spread(df, id_col).select(
         F.col(id_col).alias("_id"),
-        F.array_distinct(
-            shingle_hashes(shingles_of(F.col(text_col), shingle_k))
-        ).alias("_sh"))
+        shingles_of(F.col(text_col), shingle_k).alias("_sh"))
     out = (cand
            .join(sh.select(F.col("_id").alias("id_a"),
                            F.col("_sh").alias("sh_a")), on="id_a")
