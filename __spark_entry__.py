@@ -726,19 +726,96 @@ WHERE inter::DOUBLE / (sa.n + sb.n - inter) >= 0.1
 
 
 def q_ann_lsh(spark, sf_dir):
-    """Hyperplane-LSH approximate top-k (rows-only: approximation)."""
+    """Hyperplane-LSH approximate top-k. Oracled: the planes are a
+    deterministic LCG sequence, so DuckDB reproduces the buckets, the
+    multi-probe candidate set, and the re-rank exactly."""
     emb = _emb(spark, sf_dir)
     qrow = emb.filter(F.col("vec_id") == 0).collect()[0]
     q = [float(x) for x in qrow["embedding"]]
     return dp_sim.ann_lsh_topk(emb, q, k=10)
 
 
+_COS_Q = ("list_dot_product({v}, q.qv)"
+          " / (sqrt(list_dot_product({v}, {v}))"
+          " * sqrt(list_dot_product(q.qv, q.qv)))")
+
+
+def _ann_lsh_sql(n_planes: int = 4, dim: int = 64, k: int = 10) -> str:
+    """Generated oracle for q_ann_lsh: literal LCG hyperplanes →
+    sign-pattern buckets for every row AND the query (vec_id 0) →
+    hamming≤1 multi-probe filter → exact cosine re-rank."""
+    from piglet_spark.datapipe.similarity import hyperplanes
+    planes = hyperplanes(dim, n_planes)
+
+    def bucket(v: str) -> str:
+        return " + ".join(
+            "(CASE WHEN list_dot_product({}, [{}]::DOUBLE[]) > 0"
+            " THEN {} ELSE 0 END)".format(
+                v, ", ".join(repr(x) for x in p), 1 << i)
+            for i, p in enumerate(planes))
+
+    probe_xors = ", ".join(str(x) for x in [0] + [1 << i
+                                                  for i in range(n_planes)])
+    cos = _COS_Q.format(v="e.embedding::DOUBLE[]")
+    return f"""
+WITH q AS (
+    SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0
+), scored AS (
+    SELECT e.vec_id,
+           {bucket("e.embedding::DOUBLE[]")} AS bkt,
+           {bucket("q.qv")} AS qbits,
+           ROUND({cos}, 6) AS cos
+    FROM embeddings e, q
+)
+SELECT vec_id, cos FROM scored
+WHERE xor(bkt::BIGINT, qbits::BIGINT) IN ({probe_xors})
+ORDER BY cos DESC, vec_id ASC LIMIT {k}
+"""
+
+
 def q_ivf(spark, sf_dir):
-    """IVF-style ANN top-k (rows-only: approximation)."""
+    """IVF-style ANN top-k. Oracled: centroids are the first n_cells
+    rows by id (deterministic), so assignment, cell probing, and the
+    re-rank reproduce exactly in SQL."""
     emb = _emb(spark, sf_dir)
     qrow = emb.filter(F.col("vec_id") == 0).collect()[0]
     q = [float(x) for x in qrow["embedding"]]
     return dp_sim.ivf_topk(emb, q, k=10)
+
+
+def _ivf_sql(n_cells: int = 16, n_probe: int = 4, k: int = 10) -> str:
+    """Generated oracle for q_ivf: first-N-rows centroids → nearest-
+    centroid assignment (row_number window, same tie-break) → probe
+    the query's nearest cells → exact cosine re-rank."""
+    cos_vc = ("list_dot_product(e.embedding::DOUBLE[], c.cv)"
+              " / (sqrt(list_dot_product(e.embedding::DOUBLE[],"
+              " e.embedding::DOUBLE[])) * sqrt(list_dot_product(c.cv, c.cv)))")
+    cos_cq = ("list_dot_product(c.cv, q.qv)"
+              " / (sqrt(list_dot_product(c.cv, c.cv))"
+              " * sqrt(list_dot_product(q.qv, q.qv)))")
+    cos_vq = _COS_Q.format(v="a.v")
+    return f"""
+WITH q AS (
+    SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0
+), cents AS (
+    SELECT vec_id AS cid, embedding::DOUBLE[] AS cv
+    FROM embeddings ORDER BY vec_id ASC LIMIT {n_cells}
+), assigned AS (
+    SELECT vec_id, v, cid FROM (
+        SELECT e.vec_id, e.embedding::DOUBLE[] AS v, c.cid,
+               ROW_NUMBER() OVER (PARTITION BY e.vec_id
+                   ORDER BY {cos_vc} DESC, c.cid ASC) AS rk
+        FROM embeddings e CROSS JOIN cents c)
+    WHERE rk = 1
+), probe AS (
+    SELECT c.cid FROM cents c, q
+    ORDER BY {cos_cq} DESC, c.cid ASC LIMIT {n_probe}
+)
+SELECT a.vec_id, ROUND({cos_vq}, 6) AS cos
+FROM assigned a, q
+WHERE a.cid IN (SELECT cid FROM probe)
+ORDER BY cos DESC, vec_id ASC LIMIT {k}
+"""
 
 
 ZIP_INDEX = """
@@ -930,7 +1007,9 @@ def oracle_sql() -> dict[str, str]:
         "dedup_simhash": _simhash_sql(),
         "dedup_minhash_lsh": _minhash_sql(),
         "multimodal_features": MULTIMODAL_SQL,
-        # ann/ivf/sample/cep: non-SQL-expressible (plan-dependent
-        # candidate pruning, nondeterministic sampling, stateful NFA)
-        # → rows-only checks
+        "similarity_ann_lsh": _ann_lsh_sql(),
+        "similarity_ivf": _ivf_sql(),
+        # sample/cep: non-SQL-expressible (nondeterministic Bernoulli
+        # sampling; stateful skip-till-next-match NFA) → rows-only
+        # checks
     }
