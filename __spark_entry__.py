@@ -565,9 +565,9 @@ SELECT a.vec_id AS id_a, b.vec_id AS id_b,
                 * sqrt(list_dot_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[]))),
              6) AS cos
 FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
-WHERE list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[])
+WHERE ROUND(list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[])
       / (sqrt(list_dot_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[]))
-         * sqrt(list_dot_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[]))) >= 0.4
+         * sqrt(list_dot_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[]))), 6) >= 0.4
 """
 
 
@@ -640,7 +640,7 @@ WITH toks AS (
 SELECT id_a, id_b,
        ROUND(CASE WHEN un > 0 THEN inter / un ELSE 0.0 END, 6) AS jaccard
 FROM verif
-WHERE CASE WHEN un > 0 THEN inter / un ELSE 0.0 END >= {threshold}
+WHERE ROUND(CASE WHEN un > 0 THEN inter / un ELSE 0.0 END, 6) >= {threshold}
 """
 
 
@@ -721,7 +721,7 @@ SELECT id_a, id_b,
 FROM shared
 JOIN (SELECT doc_id, len(s) n FROM sh) sa ON sa.doc_id = id_a
 JOIN (SELECT doc_id, len(s) n FROM sh) sb ON sb.doc_id = id_b
-WHERE inter::DOUBLE / (sa.n + sb.n - inter) >= 0.1
+WHERE ROUND(inter::DOUBLE / (sa.n + sb.n - inter), 6) >= 0.1
 """
 
 

@@ -23,7 +23,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from .text import normalize_text, fingerprint, ngrams, text_ngrams
+from .text import normalize_text, fingerprint, text_ngrams
 from .util import spread as _spread
 
 # Mersenne prime for the universal-hash family h_i(x) = (a_i x + b_i) mod p

@@ -48,14 +48,11 @@ def _is_internal_col(name: str) -> bool:
 
 def _strip_internal(df: DataFrame) -> DataFrame:
     """Remove bookkeeping columns from user-visible output: internal
-    ``__`` columns and the window-identity struct (the reference's
-    WindowApply flattens per-window results back to a plain stream —
-    window identity is never part of the stored tuple)."""
+    ``__``-prefixed columns only. Engine-generated columns (e.g. the
+    ``__window`` identity struct, ``__event_time``) all use the prefix
+    so user data with coincidental names ('window', …) is never
+    dropped."""
     drops = [c for c in df.columns if _is_internal_col(c)]
-    for f in df.schema.fields:
-        if f.name == "window" and isinstance(f.dataType, T.StructType) \
-                and [x.name for x in f.dataType.fields] == ["start", "end"]:
-            drops.append(f.name)
     return df.drop(*drops) if drops else df
 
 
@@ -98,7 +95,10 @@ class GroupedRelation:
     def window_cols(self) -> list[Column]:
         if self.window_spec is None:
             return []
-        return [self.window_spec.window_col().alias("window")]
+        # __-prefixed: window identity is engine bookkeeping (the
+        # reference's WindowApply flattens per-window results back to
+        # a plain stream), stripped from user-visible output
+        return [self.window_spec.window_col().alias("__window")]
 
     def materialize(self) -> DataFrame:
         keys = self.key_cols()
@@ -524,9 +524,10 @@ class Executor:
             if expanded_gens != op.gens else op
         if grel.window_spec is not None:
             # per-window results carry their window identity
-            post.append(("window", "key"))
-            names.append("window")
-            gen_meta.append(A.GenExpr(expr=A.NamedField(name="window")))
+            # (internal __ name: stripped at STORE/DUMP)
+            post.append(("__window", "key"))
+            names.append("__window")
+            gen_meta.append(A.GenExpr(expr=A.NamedField(name="__window")))
         key_names_set = {n for n, _ in keys}
         for gen in op.gens:
             e = gen.expr

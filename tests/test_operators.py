@@ -307,6 +307,25 @@ STORE B INTO '{out}' USING PigStorage(',');
     assert lines == ["1,2,3", "1,2,4"]
 
 
+def test_user_column_named_window_survives_store(spark, tmp_path):
+    """User data with a column literally named 'window' of
+    struct<start,end> shape (e.g. output of a vanilla Spark streaming
+    job) must NOT be stripped — only engine-internal __ columns are."""
+    src = tmp_path / "w.parquet"
+    spark.createDataFrame(
+        [(1, (10, 20))], "id: long, window: struct<start:long, end:long>"
+    ).write.parquet(str(src))
+    out = tmp_path / "out"
+    pg.run(spark, f"""
+A = LOAD '{src}' USING ParquetStorage();
+STORE A INTO '{out}' USING ParquetStorage();
+""")
+    back = spark.read.parquet(str(out))
+    assert "window" in back.columns
+    assert back.select("id", "window.start", "window.end").collect() == [
+        (1, 10, 20)]
+
+
 def test_macro_expansion(spark, data_dir):
     df = run(spark, f"""
 DEFINE minfilter($rel, $lim) RETURNS r {{ $r = FILTER $rel BY f1 >= $lim; }};

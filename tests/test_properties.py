@@ -58,6 +58,18 @@ def test_text_ngrams_matches_zip_with_formulation(spark, texts):
         assert list(r["a"] or []) == list(r["b"] or [])
 
 
+def test_text_ngrams_empty_text_yields_no_grams(spark):
+    """Intentional: empty/punctuation-only text has NO n-grams for any
+    n (the pre-regex formulation emitted a single empty-string 1-gram
+    for n=1 via split('')==[''] — that was an artifact, not a gram)."""
+    df = spark.createDataFrame([("",), ("!!!",), ("ok",)], ["text"])
+    rows = df.select(
+        *[text.text_ngrams(text.normalize_text(F.col("text")), n)
+          .alias(f"g{n}") for n in (1, 2, 3)]).collect()
+    assert [list(r["g1"]) for r in rows] == [[], [], ["ok"]]
+    assert all(list(r["g2"]) == [] and list(r["g3"]) == [] for r in rows)
+
+
 @given(docs_strategy)
 @SETTINGS
 def test_exact_dedup_partitions_docs(spark, texts):

@@ -51,10 +51,10 @@ G = GROUP W BY id;
     eng.run("C = FOREACH G GENERATE group AS id, COUNT(W) AS n;")
     df = eng.df("C")
     assert df.isStreaming
-    assert "window" in df.columns
+    assert "__window" in df.columns
     _drain(df, "t_window", mode="complete")
     rows = spark.sql(
-        "select window.start, id, n from t_window order by 1, 2").collect()
+        "select __window.start, id, n from t_window order by 1, 2").collect()
     # two 10s tumbling windows, one row per id per window
     assert len(rows) == 4
     assert all(r["n"] == 1 for r in rows)
