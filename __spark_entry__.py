@@ -547,15 +547,20 @@ def q_embedding_neardup_exact(spark, sf_dir):
     """Brute-force all-pairs cosine above threshold (exact oracle path;
     the LSH variant is benchmarked separately)."""
     emb = _emb(spark, sf_dir)
+    dim = dp_sim.probe_dim(emb)
     v = F.transform(F.col("embedding"), lambda x: x.cast("double"))
-    base = emb.select(F.col("vec_id").alias("_id"), v.alias("_v"))
-    a, b = base.alias("a"), base.alias("b")
-    cand = a.join(b, F.col("a._id") < F.col("b._id"))
-    cos = dp_sim.cosine(F.col("a._v"), F.col("b._v"))
-    return (cand.select(F.col("a._id").alias("id_a"),
-                        F.col("b._id").alias("id_b"),
-                        F.round(cos, 6).alias("cos"))
-            .filter(F.col("cos") >= 0.4))
+    a = (emb.select(F.col("vec_id").alias("id_a"), v.alias("_va"))
+         .withColumn("_na", dp_sim.norm_expr("_va", dim)))
+    b = (emb.select(F.col("vec_id").alias("id_b"), v.alias("_vb"))
+         .withColumn("_nb", dp_sim.norm_expr("_vb", dim)))
+    cos = dp_sim.cosine_with_norms("_va", "_vb", "_na", "_nb", dim)
+    # threshold inside the join condition, cheap id< FIRST: the
+    # nested-loop join evaluates the conjunction left-to-right, so the
+    # 64-term dot runs for n²/2 pairs, not n², and survivors never
+    # materialize below threshold
+    cand = a.join(b, (F.col("id_a") < F.col("id_b"))
+                  & (F.round(cos, 6) >= 0.4))
+    return cand.select("id_a", "id_b", F.round(cos, 6).alias("cos"))
 
 
 EMB_NEARDUP_SQL = """

@@ -299,17 +299,18 @@ def embedding_neardup_pairs(df: DataFrame, vec_col: str = "embedding",
                             n_planes: int = 8) -> DataFrame:
     """Embedding near-dups: random-hyperplane LSH bucket (map-only,
     deterministic planes) → cosine verify on candidates."""
-    from .similarity import cosine, hyperplane_bucket
+    from .similarity import cosine_with_norms, hyperplane_bucket, \
+        norm_expr, probe_dim
     base = _spread(df).select(
         F.col(id_col).alias("_id"),
         F.transform(F.col(vec_col), lambda x: x.cast("double")).alias("_v"),
     )
     # hyperplanes must match the embedding dimensionality — zip_with
     # null-pads mismatched lengths, which would bucket every row to 0
-    first = df.select(F.size(F.col(vec_col)).alias("n")).first()
-    dim = int(first["n"]) if first is not None else 64
-    bucketed = base.withColumn(
-        "_bucket", hyperplane_bucket(F.col("_v"), dim, n_planes))
+    dim = probe_dim(df, vec_col)
+    bucketed = (base
+                .withColumn("_bucket", hyperplane_bucket("_v", dim, n_planes))
+                .withColumn("_n", norm_expr("_v", dim)))
     cand = (bucketed.alias("a").join(
                 bucketed.alias("b"),
                 on=[F.col("a._bucket") == F.col("b._bucket"),
@@ -317,7 +318,9 @@ def embedding_neardup_pairs(df: DataFrame, vec_col: str = "embedding",
             .select(F.col("a._id").alias("id_a"),
                     F.col("b._id").alias("id_b"),
                     F.col("a._v").alias("v_a"),
-                    F.col("b._v").alias("v_b")))
-    cos = cosine(F.col("v_a"), F.col("v_b"))
+                    F.col("b._v").alias("v_b"),
+                    F.col("a._n").alias("n_a"),
+                    F.col("b._n").alias("n_b")))
+    cos = cosine_with_norms("v_a", "v_b", "n_a", "n_b", dim)
     return (cand.select("id_a", "id_b", F.round(cos, 6).alias("cos"))
             .filter(F.col("cos") >= threshold))

