@@ -86,6 +86,30 @@ def test_exact_dedup_partitions_docs(spark, texts):
     assert sum(r["n_copies"] for r in out) == len(texts)
 
 
+def brute_simhash(t: str) -> int:
+    """Python reference for datapipe.dedup.simhash: 60-bit md5-prefix
+    token hashes, per-bit ±1 sums, sign fold."""
+    import hashlib
+    norm = re.sub(r" +", " ",
+                  re.sub(r"[^a-z0-9 ]", " ", t.lower())).strip()
+    counts = [0] * 60
+    for tok in norm.split(" "):
+        h = int(hashlib.md5(tok.encode()).hexdigest()[:15], 16)
+        for b in range(60):
+            counts[b] += 1 if (h >> b) & 1 else -1
+    return sum((1 << b) for b in range(60) if counts[b] > 0)
+
+
+@given(docs_strategy)
+@SETTINGS
+def test_simhash_matches_brute_force(spark, texts):
+    df = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], ["doc_id", "text"])
+    got = {r["doc_id"]: r["simhash"] for r in dedup.simhash(df).collect()}
+    for i, t in enumerate(texts):
+        assert got[i] == brute_simhash(t), t
+
+
 @given(docs_strategy)
 @SETTINGS
 def test_jaccard_pairs_exact(spark, texts):
