@@ -560,6 +560,9 @@ def q_embedding_neardup_exact(spark, sf_dir):
     # materialize below threshold
     cand = a.join(b, (F.col("id_a") < F.col("id_b"))
                   & (F.round(cos, 6) >= 0.4))
+    # the projection re-evaluates the dot for SURVIVING pairs only
+    # (~1e-4 of candidates) — no way to share an expression across
+    # the join condition and its output without materializing n² rows
     return cand.select("id_a", "id_b", F.round(cos, 6).alias("cos"))
 
 

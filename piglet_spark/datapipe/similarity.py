@@ -60,11 +60,28 @@ def cosine(a: Column, b: Column) -> Column:
 # formulation, so results are bit-identical and oracle SQL written
 # against the generic formula still matches.
 
+def _flit(x: float) -> str:
+    """A double literal that Spark SQL parses for ANY float value —
+    repr() of nan/inf is an identifier, not a literal."""
+    if x != x:
+        return "cast('NaN' as double)"
+    if x == float("inf"):
+        return "cast('Infinity' as double)"
+    if x == float("-inf"):
+        return "cast('-Infinity' as double)"
+    return repr(x)
+
+
 def dot_sql(a: str, b: str, dim: int) -> str:
     """SQL text for the dot product of two array<double> columns
-    (``a``/``b`` are SQL identifiers)."""
-    terms = " + ".join(f"(element_at({a}, {i + 1}) * element_at({b}, {i + 1}))"
-                       for i in range(dim))
+    (``a``/``b`` are SQL identifiers). try_element_at, not
+    element_at: a row whose array is shorter than the probed dim
+    yields a null product → null cosine → filtered/sorted out, the
+    same graceful degradation the zip_with formulation had
+    (element_at would throw INVALID_ARRAY_INDEX under ANSI mode)."""
+    terms = " + ".join(
+        f"(try_element_at({a}, {i + 1}) * try_element_at({b}, {i + 1}))"
+        for i in range(dim))
     return f"(0.0 + {terms})"
 
 
@@ -73,23 +90,13 @@ def norm_expr(v: str, dim: int) -> Column:
     return F.expr(f"sqrt({dot_sql(v, v, dim)})")
 
 
-def cosine_expr(a: str, b: str, dim: int) -> Column:
-    """Codegen'd cosine of two named array<double> columns.
-
-    NOTE for join stages: this inlines THREE dim-term sums; inside a
-    nested-loop-join consume function that can overflow janino's 64 KB
-    method limit and fall back to interpreted eval. For pairwise
-    cosine after a join, precompute :func:`norm_expr` on each side
-    map-side and use :func:`cosine_with_norms` (bit-identical —
-    cosine is dot/(nₐ·n_b) either way)."""
-    return F.expr(f"{dot_sql(a, b, dim)} / (sqrt({dot_sql(a, a, dim)})"
-                  f" * sqrt({dot_sql(b, b, dim)}))")
-
-
 def cosine_with_norms(a: str, b: str, norm_a: str, norm_b: str,
                       dim: int) -> Column:
-    """Cosine from precomputed per-side norms: one dim-term sum in
-    the join stage instead of three."""
+    """Cosine of two named array<double> columns from precomputed
+    per-side norms (:func:`norm_expr` map-side before the join).
+    Don't inline norms into a join-stage expression: three dim-term
+    sums inside a nested-loop-join consume function overflow janino's
+    64 KB method limit and silently fall back to interpreted eval."""
     return F.expr(f"{dot_sql(a, b, dim)} / ({norm_a} * {norm_b})")
 
 
@@ -104,16 +111,21 @@ def cosine_to_query_expr(v: str, query_vec: list[float]) -> Column:
     for x in query_vec:
         nq = nq + x * x
     nq = math.sqrt(nq)  # correctly-rounded IEEE sqrt = JVM Math.sqrt
-    dot = " + ".join(f"(element_at({v}, {i + 1}) * {query_vec[i]!r})"
+    dot = " + ".join(f"(try_element_at({v}, {i + 1}) * {_flit(query_vec[i])})"
                      for i in range(dim))
-    return F.expr(f"(0.0 + {dot}) / (sqrt({dot_sql(v, v, dim)}) * {nq!r})")
+    return F.expr(f"(0.0 + {dot}) / (sqrt({dot_sql(v, v, dim)})"
+                  f" * {_flit(nq)})")
 
 
 def probe_dim(df: DataFrame, vec_col: str = "embedding",
               default: int = 64) -> int:
-    """Read the embedding dimensionality from the first row (driver-
-    side metadata probe; one tiny job)."""
-    first = df.select(F.size(F.col(vec_col)).alias("n")).first()
+    """Read the embedding dimensionality from the first row with a
+    non-empty vector (driver-side metadata probe; one tiny job that
+    stops at the first match). Null/empty leading rows are skipped —
+    size(NULL) is null under ANSI and a 0 dim would generate
+    unparseable '(0.0 + )' SQL."""
+    first = (df.select(F.size(F.col(vec_col)).alias("n"))
+             .filter(F.col("n") > 0).first())
     return int(first["n"]) if first is not None else default
 
 
@@ -124,7 +136,7 @@ def hyperplane_bucket(vec: str, dim: int, n_planes: int,
     planes = hyperplanes(dim, n_planes, seed)
     terms = []
     for i, p in enumerate(planes):
-        d = " + ".join(f"(element_at({vec}, {j + 1}) * {p[j]!r})"
+        d = " + ".join(f"(try_element_at({vec}, {j + 1}) * {_flit(p[j])})"
                        for j in range(dim))
         terms.append(f"(CASE WHEN (0.0 + {d}) > 0 THEN {1 << i}L"
                      f" ELSE 0L END)")

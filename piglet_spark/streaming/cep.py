@@ -36,36 +36,42 @@ _UNIT_SECONDS = {"SECONDS": 1, "SECOND": 1, "MINUTES": 60, "MINUTE": 60,
                  "HOURS": 3600, "HOUR": 3600}
 
 
-def compile_pred(expr: A.Expr):
-    """Pig predicate AST → python row-predicate (row: dict-like)."""
+def compile_pred(expr: A.Expr, colnames: list[str]):
+    """Pig predicate AST → python row-predicate (row: dict). Positional
+    fields resolve to column NAMES at compile time (rows are dicts, so
+    per-row positional lookup would rebuild the key list in the hot
+    NFA loop)."""
     if isinstance(expr, A.Literal):
         return lambda row: expr.value
     if isinstance(expr, A.NamedField):
         name = expr.name
         return lambda row: row[name]
     if isinstance(expr, A.PositionalField):
-        pos = expr.pos
-        # rows are dicts (insertion order = column order)
-        return lambda row: row[list(row.keys())[pos]]
+        name = colnames[expr.pos]
+        return lambda row: row[name]
     if isinstance(expr, A.Cmp):
-        lf, rf = compile_pred(expr.left), compile_pred(expr.right)
+        lf = compile_pred(expr.left, colnames)
+        rf = compile_pred(expr.right, colnames)
         op = _CMP[expr.op]
         return lambda row: op(lf(row), rf(row))
     if isinstance(expr, A.And):
-        lf, rf = compile_pred(expr.left), compile_pred(expr.right)
+        lf = compile_pred(expr.left, colnames)
+        rf = compile_pred(expr.right, colnames)
         return lambda row: bool(lf(row)) and bool(rf(row))
     if isinstance(expr, A.Or):
-        lf, rf = compile_pred(expr.left), compile_pred(expr.right)
+        lf = compile_pred(expr.left, colnames)
+        rf = compile_pred(expr.right, colnames)
         return lambda row: bool(lf(row)) or bool(rf(row))
     if isinstance(expr, A.Not):
-        f = compile_pred(expr.expr)
+        f = compile_pred(expr.expr, colnames)
         return lambda row: not bool(f(row))
     if isinstance(expr, A.BinOp):
-        lf, rf = compile_pred(expr.left), compile_pred(expr.right)
+        lf = compile_pred(expr.left, colnames)
+        rf = compile_pred(expr.right, colnames)
         op = _ARITH[expr.op]
         return lambda row: op(float(lf(row)), float(rf(row)))
     if isinstance(expr, A.Neg):
-        f = compile_pred(expr.expr)
+        f = compile_pred(expr.expr, colnames)
         return lambda row: -f(row)
     raise ValueError(f"unsupported CEP predicate {expr!r}")
 
@@ -75,12 +81,12 @@ def _match_conjunction(df: DataFrame, op: A.MatchEvent, executor,
     """AND: every event occurs (any order, distinct events) within the
     horizon; OR: any one occurs. Matched slots carry the event's
     fields, unmatched slots are null (ref cep engines Any/First)."""
-    preds = {n: compile_pred(op.definitions[n])
+    in_fields = df.schema.fields
+    preds = {n: compile_pred(op.definitions[n], [f.name for f in in_fields])
              for n in names if n in op.definitions}
     within = None
     if op.within is not None:
         within = op.within[0] * _UNIT_SECONDS[op.within[1]]
-    in_fields = df.schema.fields
     ts_col = None
     for f_ in in_fields:
         if isinstance(f_.dataType, T.TimestampType):
@@ -160,7 +166,9 @@ def _run_per_key(df: DataFrame, key: str, run, out_schema) -> DataFrame:
         if not dfs:
             return
         pdf = _pd.concat(dfs, ignore_index=True)
-        for _, grp in pdf.groupby(key, sort=False):
+        # dropna=False: Spark's groupBy treats a null key as a real
+        # group — pandas would silently drop those events
+        for _, grp in pdf.groupby(key, sort=False, dropna=False):
             out = run(grp)
             if len(out):
                 yield out
@@ -201,13 +209,13 @@ def match_event(df: DataFrame, op: A.MatchEvent, executor) -> DataFrame:
     else:
         raise ValueError(f"unknown pattern {kind}")
 
-    preds = {name: compile_pred(p) for name, p in op.definitions.items()}
+    in_fields = df.schema.fields
+    preds = {name: compile_pred(p, [f.name for f in in_fields])
+             for name, p in op.definitions.items()}
     within = None
     if op.within is not None:
         within = op.within[0] * _UNIT_SECONDS[op.within[1]]
     mode = op.mode
-
-    in_fields = df.schema.fields
     ts_col = executor.ts_fields.get(op.rel) if hasattr(executor, "ts_fields") \
         else None
     if ts_col is None:

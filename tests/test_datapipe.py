@@ -93,6 +93,18 @@ def test_embedding_neardup(spark):
     assert all(a != 3 and b != 3 for a, b in got)
 
 
+def test_cosine_topk_ragged_vectors_dont_crash(spark):
+    """A row whose vector is shorter than the probed dim must degrade
+    to a null cosine (try_element_at), not throw INVALID_ARRAY_INDEX
+    under ANSI mode — the guarantee the zip_with formulation gave."""
+    emb = spark.createDataFrame(
+        [(0, [1.0, 0.0, 0.0]), (1, [0.5, 0.5, 0.0]), (2, [1.0])],
+        ["vec_id", "embedding"])
+    got = similarity.cosine_topk(emb, [1.0, 0.0, 0.0], k=3).collect()
+    assert [r["vec_id"] for r in got[:2]] == [0, 1]
+    assert got[2]["cos"] is None  # short vector sorts last, not a crash
+
+
 def test_cosine_topk_exact(spark, sf_dir):
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     qrow = emb.filter(F.col("vec_id") == 0).collect()[0]

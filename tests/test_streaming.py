@@ -146,6 +146,27 @@ M = MATCH_EVENT E PATTERN SEQ(HI, LO) WITH (HI: v > 5.0, LO: v < 2.0);
     assert rows == [(1, 2), (3, 4)]
 
 
+def test_cep_null_partition_key_not_dropped(spark, tmp_path):
+    """Spark's groupBy treats a null key as a real group; the pandas
+    partition-runner must too (groupby dropna=False)."""
+    p = tmp_path / "ev3.csv"
+    p.write_text(
+        "a,1,2024-01-01 00:00:01,9.0\n"
+        "a,2,2024-01-01 00:00:02,1.0\n"
+        ",3,2024-01-01 00:00:01,8.0\n"
+        ",4,2024-01-01 00:00:02,1.5\n"
+    )
+    eng = pg.PigEngine(spark)
+    eng.run(f"""
+SET piglet.cep.partition_key 'k';
+E = LOAD '{p}' USING PigStorage(',') AS (k:chararray, id:int, ts:datetime, v:double) TIMESTAMP(ts);
+M = MATCH_EVENT E PATTERN SEQ(HI, LO) WITH (HI: v > 5.0, LO: v < 2.0);
+""")
+    rows = sorted(tuple(r) for r in eng.df("M")
+                  .select("HI::id", "LO::id").collect())
+    assert rows == [(1, 2), (3, 4)]
+
+
 def test_windowed_join_batch(spark, tmp_path):
     a = tmp_path / "a.csv"
     a.write_text("1,2024-01-01 00:00:01\n2,2024-01-01 00:01:00\n")
