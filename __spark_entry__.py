@@ -706,6 +706,45 @@ def q_ngram_jaccard(spark, sf_dir):
     return dp_dedup.ngram_jaccard_pairs(_docs(spark, sf_dir), threshold=0.1)
 
 
+def q_contamination(spark, sf_dir):
+    """Benchmark decontamination: per-document fraction of 5-gram
+    shingles appearing in the pseudo-benchmark corpus (source=src0)."""
+    docs = _docs(spark, sf_dir)
+    return dp_dedup.contamination_scores(
+        docs.filter(F.col("source") != "src0"),
+        docs.filter(F.col("source") == "src0"), k=5)
+
+
+CONTAMINATION_SQL = """
+WITH toks AS (
+    SELECT doc_id, source,
+           string_split(trim(regexp_replace(regexp_replace(lower(text),
+                        '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g')), ' ') AS t
+    FROM documents
+), sh AS (
+    SELECT doc_id, source,
+           list_distinct([array_to_string(t[i:i+4], ' ')
+                          for i in range(1, len(t) - 3)]) AS s
+    FROM toks
+), bench AS (
+    SELECT DISTINCT unnest(s) AS g FROM sh WHERE source = 'src0'
+), docs AS (
+    SELECT doc_id, s FROM sh WHERE source != 'src0'
+), hits AS (
+    SELECT doc_id, COUNT(*) AS n_contaminated
+    FROM (SELECT doc_id, unnest(s) AS g FROM docs)
+    WHERE g IN (SELECT g FROM bench)
+    GROUP BY doc_id
+)
+SELECT d.doc_id, len(d.s)::INT AS n_shingles,
+       COALESCE(h.n_contaminated, 0) AS n_contaminated,
+       ROUND(CASE WHEN len(d.s) > 0
+             THEN COALESCE(h.n_contaminated, 0)::DOUBLE / len(d.s)
+             ELSE 0.0 END, 6) AS contamination
+FROM docs d LEFT JOIN hits h USING (doc_id)
+"""
+
+
 NGRAM_JACCARD_SQL = """
 WITH toks AS (
     SELECT doc_id,
@@ -962,6 +1001,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "similarity_cosine_topk": q_cosine_topk,
         "embedding_neardup_exact": q_embedding_neardup_exact,
         "ngram_jaccard_pairs": q_ngram_jaccard,
+        "contamination_scores": q_contamination,
         "dedup_minhash_lsh": q_minhash_lsh,
         "dedup_simhash": q_simhash,
         "similarity_ann_lsh": q_ann_lsh,
@@ -1008,6 +1048,7 @@ def oracle_sql() -> dict[str, str]:
         "similarity_cosine_topk": COSINE_TOPK_SQL,
         "embedding_neardup_exact": EMB_NEARDUP_SQL,
         "ngram_jaccard_pairs": NGRAM_JACCARD_SQL,
+        "contamination_scores": CONTAMINATION_SQL,
         "zip_index_stats": ZIP_INDEX_SQL,
         "spatial_filter_pip": SPATIAL_SQL,
         "bgp_filter_join": BGP_SQL,

@@ -216,6 +216,49 @@ def ngram_jaccard_pairs(df: DataFrame, text_col: str = "text",
             .filter(F.col("jaccard") >= threshold))
 
 
+def contamination_scores(df: DataFrame, bench_df: DataFrame,
+                         text_col: str = "text", id_col: str = "doc_id",
+                         k: int = 5) -> DataFrame:
+    """Benchmark decontamination: per document, the fraction of its
+    distinct k-gram shingles that appear anywhere in the benchmark
+    corpus — the standard pre-training hygiene check (shape follows
+    public practice: GPT-3 used 13-gram, most open pipelines 8-13;
+    k is a parameter).
+
+    Returns (id, n_shingles, n_contaminated, contamination) with
+    contamination = n_contaminated / n_shingles (0.0 for shingle-less
+    docs).
+
+    Scale shape: benchmark shingles are DISTINCT'd first (an
+    aggregate, so AQE sizes it — broadcast when the benchmark is
+    small, shuffle-join on the shingle otherwise); document shingles
+    explode map-side; one left-semi-style join + per-doc count. No
+    n² stage; shuffle ∝ total shingles."""
+    doc_sh = _spread(df, id_col).select(
+        F.col(id_col).alias("_id"),
+        shingles_of(F.col(text_col), k).alias("_sh"))
+    sizes = doc_sh.select("_id", F.size("_sh").alias("n_shingles"))
+    exploded = doc_sh.select("_id", F.explode("_sh").alias("_s"))
+    bench_sh = (bench_df
+                .select(F.explode(shingles_of(F.col(text_col), k))
+                        .alias("_s"))
+                .distinct())
+    hits = (exploded.join(bench_sh, on="_s", how="left_semi")
+            .groupBy("_id").agg(F.count(F.lit(1)).alias("n_contaminated")))
+    out = (sizes.join(hits, on="_id", how="left")
+           .select(
+               F.col("_id").alias(id_col),
+               "n_shingles",
+               F.coalesce(F.col("n_contaminated"), F.lit(0))
+                .alias("n_contaminated"),
+               F.round(
+                   F.when(F.col("n_shingles") > 0,
+                          F.coalesce(F.col("n_contaminated"), F.lit(0))
+                          .cast("double") / F.col("n_shingles"))
+                   .otherwise(F.lit(0.0)), 6).alias("contamination")))
+    return out
+
+
 # SimHash width: 15 hex chars of md5 = 60 bits. md5 (not xxhash64)
 # so the token hash is portable to ANSI SQL engines and the whole
 # pipeline is oracle-checkable; 60 bits keeps every intermediate

@@ -307,6 +307,12 @@ class Executor:
             "embedding_neardup": lambda df, thr=0.95, vec="embedding",
                 idc="vec_id": dp.embedding_neardup_pairs(
                     df, str(vec), str(idc), threshold=float(thr)),
+            # benchmark = rows of the same relation whose `source`
+            # column equals the first argument
+            "contamination": lambda df, src="src0", k=5:
+                dp.contamination_scores(
+                    df.filter(F.col("source") != str(src)),
+                    df.filter(F.col("source") == str(src)), k=int(k)),
         })
 
     # -------------------------------------------------------- helpers

@@ -93,6 +93,34 @@ def test_embedding_neardup(spark):
     assert all(a != 3 and b != 3 for a, b in got)
 
 
+def test_contamination_scores_brute_force(spark):
+    bench = spark.createDataFrame(
+        [(100, "the quick brown fox jumps over the dog")],
+        ["doc_id", "text"])
+    docs = spark.createDataFrame([
+        (0, "the quick brown fox runs fast today ok"),  # partial overlap
+        (1, "completely different words here entirely now"),
+        (2, "tiny"),                                    # no shingles
+    ], ["doc_id", "text"])
+    got = {r["doc_id"]: r for r in
+           dedup.contamination_scores(docs, bench, k=3).collect()}
+
+    def sh(t, k=3):
+        toks = t.split()
+        return {" ".join(toks[i:i + k]) for i in range(len(toks) - k + 1)}
+    bset = sh("the quick brown fox jumps over the dog")
+    for did, text in [(0, "the quick brown fox runs fast today ok"),
+                      (1, "completely different words here entirely now"),
+                      (2, "tiny")]:
+        s = sh(text)
+        hits = len(s & bset)
+        assert got[did]["n_shingles"] == len(s)
+        assert got[did]["n_contaminated"] == hits
+        expected = round(hits / len(s), 6) if s else 0.0
+        assert abs(got[did]["contamination"] - expected) < 1e-9
+    assert got[0]["n_contaminated"] == 2  # 'the quick brown','quick brown fox'
+
+
 def test_cosine_topk_ragged_vectors_dont_crash(spark):
     """A row whose vector is shorter than the probed dim must degrade
     to a null cosine (try_element_at), not throw INVALID_ARRAY_INDEX
