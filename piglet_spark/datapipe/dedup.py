@@ -88,9 +88,12 @@ def minhash_signatures(df: DataFrame, text_col: str = "text",
     base = _spread(df, id_col).select(
         F.col(id_col).alias("_id"),
         shingles_of(F.col(text_col), shingle_k).alias("_sh"))
-    exploded = base.select(
-        "_id", F.explode_outer(F.col("_sh")).alias("_s"))
-    x = shingle_hash32(F.col("_s"))
+    # hash ONCE in its own projection — inlined in each agg, md5
+    # would recompute per HASH FUNCTION (no cross-aggregate CSE)
+    exploded = (base
+                .select("_id", F.explode_outer(F.col("_sh")).alias("_s"))
+                .select("_id", shingle_hash32(F.col("_s")).alias("_x")))
+    x = F.col("_x")
     aggs = [
         F.coalesce(F.min((x * F.lit(a) + F.lit(b)) % F.lit(_P)),
                    F.lit(_P)).alias(f"_m{i}")
@@ -286,8 +289,12 @@ def simhash(df: DataFrame, text_col: str = "text",
     base = _spread(df, id_col).select(
         F.col(id_col).alias("_id"),
         tokens_of(F.col(text_col)).alias("_tk"))
-    expl = base.select("_id", F.explode_outer("_tk").alias("_t"))
-    h = token_hash60(F.col("_t"))
+    # materialize the token hash ONCE in its own projection — inlining
+    # it in each agg recomputes md5 per BIT (no cross-aggregate
+    # subexpression elimination; measured 3×)
+    expl = (base.select("_id", F.explode_outer("_tk").alias("_t"))
+            .select("_id", token_hash60(F.col("_t")).alias("_h")))
+    h = F.col("_h")
     aggs = [
         F.sum(F.when(F.shiftright(h, b).bitwiseAND(F.lit(1)) == 1,
                      F.lit(1)).otherwise(F.lit(-1))).alias(f"_c{b}")
