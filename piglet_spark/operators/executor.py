@@ -307,12 +307,14 @@ class Executor:
             "embedding_neardup": lambda df, thr=0.95, vec="embedding",
                 idc="vec_id": dp.embedding_neardup_pairs(
                     df, str(vec), str(idc), threshold=float(thr)),
-            # benchmark = rows of the same relation whose `source`
+            # benchmark = rows of the same relation whose `src_col`
             # column equals the first argument
-            "contamination": lambda df, src="src0", k=5:
+            "contamination": lambda df, src="src0", k=5, text="text",
+                idc="doc_id", src_col="source":
                 dp.contamination_scores(
-                    df.filter(F.col("source") != str(src)),
-                    df.filter(F.col("source") == str(src)), k=int(k)),
+                    df.filter(F.col(str(src_col)) != str(src)),
+                    df.filter(F.col(str(src_col)) == str(src)),
+                    str(text), str(idc), k=int(k)),
         })
 
     # -------------------------------------------------------- helpers

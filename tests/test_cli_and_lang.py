@@ -130,6 +130,26 @@ S = STREAM D THROUGH doc_stats();
     assert df.count() > 0
 
 
+def test_stream_through_contamination(spark, sf_dir):
+    """The DSL path: arg coercion, source-split, and column params of
+    the contamination stream op (not just the datapipe function)."""
+    eng = pg.PigEngine(spark)
+    eng.run(f"""
+D = LOAD '{sf_dir}/documents.parquet' USING ParquetStorage();
+C = STREAM D THROUGH contamination('src0', 5);
+""")
+    df = eng.df("C")
+    assert df.columns == ["doc_id", "n_shingles", "n_contaminated",
+                          "contamination"]
+    rows = df.collect()
+    assert len(rows) > 0
+    assert all(0.0 <= r["contamination"] <= 1.0 for r in rows)
+    # benchmark rows themselves are excluded from scoring
+    bench_ids = {r["doc_id"] for r in eng.df("D")
+                 .filter("source = 'src0'").select("doc_id").collect()}
+    assert bench_ids.isdisjoint({r["doc_id"] for r in rows})
+
+
 def test_cache_and_materialize(spark, data_dir, tmp_path):
     eng = pg.PigEngine(spark, options={
         "materialization_dir": str(tmp_path / "mat")})
