@@ -1,0 +1,78 @@
+"""Physical-plan regression guards: the 100 TB design properties that
+must survive refactors — filter pushdown into parquet scans, column
+pruning, TakeOrderedAndProject for top-k (no global sort shuffle),
+no collect_list in fused group-aggregates, and whole-stage codegen on
+the hot dedup path. These assert plan SHAPE, not timings, so they are
+stable on any machine."""
+
+import importlib.util
+import os
+
+import pytest
+
+
+@pytest.fixture(scope="module")
+def entry():
+    spec = importlib.util.spec_from_file_location(
+        "entrymod", os.path.join(os.path.dirname(__file__), "..",
+                                 "__spark_entry__.py"))
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    return mod
+
+
+SF = "/root/testdata/sf0.001"
+
+
+def _plan(df) -> str:
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def test_q3_pushes_segment_filter_and_prunes_columns(spark, entry):
+    plan = _plan(entry.queries()["q3_top_revenue"](spark, SF))
+    # the literal filter reaches the parquet reader, not a post-scan
+    # Filter only
+    assert "PushedFilters" in plan or "EqualTo(c_mktsegment,BUILDING)" \
+        in plan
+    assert "EqualTo(c_mktsegment,BUILDING)" in plan
+    # column pruning: the 16-column lineitem scan reads only 3
+    assert "l_comment" not in plan and "l_shipmode" not in plan
+
+
+def test_q3_topk_avoids_global_sort(spark, entry):
+    plan = _plan(entry.queries()["q3_top_revenue"](spark, SF))
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_cosine_topk_avoids_global_sort(spark, entry):
+    plan = _plan(entry.queries()["similarity_cosine_topk"](spark, SF))
+    assert "TakeOrderedAndProject" in plan
+    # the dot product is the unrolled codegen formulation (rendered
+    # as element_at(..., failOnError=false)), not an interpreted
+    # aggregate() lambda fold; the only lambda left is the
+    # once-per-row float->double cast transform
+    assert "element_at" in plan
+    assert "aggregate(" not in plan
+
+
+def test_q1_group_foreach_fuses_without_bags(spark, entry):
+    plan = _plan(entry.queries()["q1_pricing_summary"](spark, SF))
+    assert "collect_list" not in plan
+    assert "partial_sum" in plan  # map-side combine happened
+
+
+def test_minhash_signature_aggregates_map_side(spark, entry):
+    df = entry.queries()["dedup_minhash_lsh"](spark, SF)
+    plan = _plan(df)
+    # partial min() aggregation before the shuffle: the signature
+    # shuffle carries 32 longs/doc, not shingle sets
+    assert "partial_min" in plan
+    assert "collect_list" not in plan
+
+
+def test_events_hourly_pushes_column_pruning(spark, entry):
+    plan = _plan(entry.queries()["events_hourly"](spark, SF))
+    # events has payload-ish wide columns; the hourly rollup must not
+    # read them
+    assert "ReadSchema" in plan or "Scan parquet" in plan
+    assert "partial_" in plan  # partial aggregation present
