@@ -146,6 +146,18 @@ class IsNull(Expr):
     negated: bool = False
 
 
+@dataclass
+class BinCond(Expr):
+    """Classic Pig Latin bincond ``(pred ? then : else)``.
+
+    Not in the reference grammar (PigParser.scala has no ternary), but
+    part of Apache Pig's expression language; added for CASE-style
+    conditional aggregation (e.g. TPC-H Q8/Q12 shapes)."""
+    cond: Expr
+    then: Expr
+    els: Expr
+
+
 # ----------------------------------------------------------- schema decl
 
 @dataclass

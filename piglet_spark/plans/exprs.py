@@ -91,6 +91,14 @@ def static_dtype(expr: A.Expr, ctx: Ctx) -> Optional[T.DataType]:
             return lt if _priority(lt) >= _priority(rt) else rt
         if isinstance(expr, A.Neg):
             return static_dtype(expr.expr, ctx)
+        if isinstance(expr, A.BinCond):
+            lt = static_dtype(expr.then, ctx)
+            rt = static_dtype(expr.els, ctx)
+            if lt is None or rt is None or type(lt) is type(rt):
+                return lt if lt is not None else rt
+            if _priority(lt) >= 0 and _priority(rt) >= 0:
+                return lt if _priority(lt) >= _priority(rt) else rt
+            return None
         if isinstance(expr, A.DerefTuple):
             base = static_dtype(expr.base, ctx)
             if isinstance(base, T.StructType) and isinstance(expr.field, A.NamedField):
@@ -185,6 +193,13 @@ def compile_expr(expr: A.Expr, ctx: Ctx) -> Column:
     if isinstance(expr, A.IsNull):
         c = compile_expr(expr.expr, ctx)
         return c.isNotNull() if expr.negated else c.isNull()
+
+    if isinstance(expr, A.BinCond):
+        # Pig bincond (p ? a : b) — F.when keeps the whole conditional
+        # inside Catalyst codegen (CaseWhen expression).
+        return F.when(compile_expr(expr.cond, ctx),
+                      compile_expr(expr.then, ctx)) \
+                .otherwise(compile_expr(expr.els, ctx))
 
     raise CompileError(f"cannot compile expression {expr!r}")
 

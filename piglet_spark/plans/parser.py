@@ -1033,7 +1033,15 @@ class Parser:
 
     # expression entry (allows comparisons so bare predicates work too)
     def parse_expr(self) -> A.Expr:
-        return self.parse_or()
+        e = self.parse_or()
+        # classic Pig bincond: pred ? then : else (right-associative)
+        if self.at("?"):
+            self.advance()
+            then = self.parse_expr()
+            self.eat(":")
+            els = self.parse_expr()
+            return A.BinCond(cond=e, then=then, els=els)
+        return e
 
     def parse_add(self) -> A.Expr:
         left = self.parse_mul()

@@ -444,3 +444,24 @@ A = LOAD '{p}' USING PigStorage(',') AS (s:chararray, pat:chararray);
 B = FILTER A BY s MATCHES pat;
 """, "B")
     assert rows(df) == [("123", "[0-9]+")]  # abc123 is only a partial match
+
+
+def test_bincond_exec(spark, data_dir):
+    df = run(spark, f"""
+A = LOAD '{data_dir}/person.tsv' AS (name:chararray, age:int);
+B = FOREACH A GENERATE name, (age >= 30 ? 'old' : 'young') AS lvl,
+    (age >= 30 ? age : 0) AS capped;
+""", "B")
+    r = {t[0]: t for t in rows(df)}
+    assert r["bob"][1] == "old" and r["bob"][2] == 35
+    assert r["anna"][1] == "young" and r["anna"][2] == 0
+
+
+def test_bincond_in_aggregate(spark, data_dir):
+    df = run(spark, f"""
+A = LOAD '{data_dir}/person.tsv' AS (name:chararray, age:int);
+G = GROUP A ALL;
+S = FOREACH G GENERATE SUM(A.age >= 30 ? 1 : 0) AS n_old, COUNT(A) AS n;
+""", "S")
+    n_old, n = rows(df)[0]
+    assert n_old >= 1 and n > n_old

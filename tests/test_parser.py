@@ -147,3 +147,15 @@ def test_matcher():
     )
     assert isinstance(op, A.MatchEvent)
     assert op.pattern[0] == "seq" and op.within == (30, "SECONDS")
+
+
+def test_bincond():
+    op = parse1("B = FOREACH A GENERATE (x > 1 ? 'hi' : 'lo') AS lvl;")
+    e = op.gens[0].expr
+    assert isinstance(e, A.BinCond)
+    assert isinstance(e.cond, A.Cmp) and e.cond.op == ">"
+    assert e.then.value == "hi" and e.els.value == "lo"
+    # right-associative nesting
+    op2 = parse1("B = FOREACH A GENERATE (x > 2 ? 1 : x > 1 ? 2 : 3) AS v;")
+    inner = op2.gens[0].expr.els
+    assert isinstance(inner, A.BinCond) and inner.then.value == 2
