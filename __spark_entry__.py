@@ -362,8 +362,9 @@ ORDER BY revenue DESC, c_custkey ASC
 LIMIT 20
 """
 
-# no conditional expression exists in the language (reference parity),
-# so the promo/total ratio is two GROUP ALL branches merged by CROSS
+# kept bincond-free deliberately: the promo/total ratio as two GROUP
+# ALL branches merged by CROSS exercises the reference-parity surface
+# (Q8/Q12 below cover the bincond formulation)
 Q14 = """
 L = LOAD '$sf/lineitem.parquet' USING ParquetStorage();
 P = LOAD '$sf/part.parquet' USING ParquetStorage();
@@ -409,6 +410,264 @@ SELECT o_orderpriority, COUNT(*) AS n_orders
 FROM orders
 WHERE o_orderkey IN (SELECT l_orderkey FROM lineitem WHERE l_returnflag = 'R')
 GROUP BY o_orderpriority
+"""
+
+# TPC-H Q7 shape: bilateral trade volume between two nations by ship
+# year. Each join is followed by a projection to plain names, so no
+# deep lineage chains; GETYEAR keeps the year extraction in codegen.
+Q7 = """
+L = LOAD '$sf/lineitem.parquet' USING ParquetStorage();
+S = LOAD '$sf/supplier.parquet' USING ParquetStorage();
+O = LOAD '$sf/orders.parquet' USING ParquetStorage();
+C = LOAD '$sf/customer.parquet' USING ParquetStorage();
+N1 = LOAD '$sf/nation.parquet' USING ParquetStorage();
+N2 = LOAD '$sf/nation.parquet' USING ParquetStorage();
+J1 = JOIN L BY l_suppkey, S BY s_suppkey;
+J2 = JOIN J1 BY s_nationkey, N1 BY n_nationkey;
+P2 = FOREACH J2 GENERATE l_orderkey, GETYEAR(l_shipdate) AS l_year,
+    l_extendedprice * (1 - l_discount) AS volume, n_name AS supp_nation;
+J3 = JOIN P2 BY l_orderkey, O BY o_orderkey;
+J4 = JOIN J3 BY o_custkey, C BY c_custkey;
+J5 = JOIN J4 BY c_nationkey, N2 BY n_nationkey;
+P5 = FOREACH J5 GENERATE supp_nation, n_name AS cust_nation, l_year, volume;
+F = FILTER P5 BY (supp_nation == 'NATION_1' AND cust_nation == 'NATION_2')
+    OR (supp_nation == 'NATION_2' AND cust_nation == 'NATION_1');
+G = GROUP F BY (supp_nation, cust_nation, l_year);
+A = FOREACH G GENERATE group.supp_nation AS supp_nation,
+    group.cust_nation AS cust_nation, group.l_year AS l_year,
+    ROUND(SUM(F.volume), 4) AS revenue;
+"""
+
+Q7_SQL = """
+SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
+       EXTRACT(year FROM l_shipdate)::INT AS l_year,
+       ROUND(SUM(l_extendedprice * (1 - l_discount)), 4) AS revenue
+FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+              JOIN nation n1 ON s_nationkey = n1.n_nationkey
+              JOIN orders ON l_orderkey = o_orderkey
+              JOIN customer ON o_custkey = c_custkey
+              JOIN nation n2 ON c_nationkey = n2.n_nationkey
+WHERE (n1.n_name = 'NATION_1' AND n2.n_name = 'NATION_2')
+   OR (n1.n_name = 'NATION_2' AND n2.n_name = 'NATION_1')
+GROUP BY 1, 2, 3
+"""
+
+# TPC-H Q8 shape: one nation's share of STANDARD-part order volume in
+# a region, per order year — the bincond conditional-aggregation form
+Q8 = """
+L = LOAD '$sf/lineitem.parquet' USING ParquetStorage();
+P = LOAD '$sf/part.parquet' USING ParquetStorage();
+S = LOAD '$sf/supplier.parquet' USING ParquetStorage();
+O = LOAD '$sf/orders.parquet' USING ParquetStorage();
+C = LOAD '$sf/customer.parquet' USING ParquetStorage();
+N1 = LOAD '$sf/nation.parquet' USING ParquetStorage();
+N2 = LOAD '$sf/nation.parquet' USING ParquetStorage();
+R = LOAD '$sf/region.parquet' USING ParquetStorage();
+PS = FILTER P BY p_type == 'STANDARD';
+J1 = JOIN L BY l_partkey, PS BY p_partkey;
+J2 = JOIN J1 BY l_suppkey, S BY s_suppkey;
+J3 = JOIN J2 BY s_nationkey, N1 BY n_nationkey;
+P3 = FOREACH J3 GENERATE l_orderkey,
+    l_extendedprice * (1 - l_discount) AS volume, n_name AS supp_nation;
+J4 = JOIN P3 BY l_orderkey, O BY o_orderkey;
+J5 = JOIN J4 BY o_custkey, C BY c_custkey;
+J6 = JOIN J5 BY c_nationkey, N2 BY n_nationkey;
+J7 = JOIN J6 BY n_regionkey, R BY r_regionkey;
+F = FILTER J7 BY r_name == 'ASIA';
+P7 = FOREACH F GENERATE GETYEAR(o_orderdate) AS o_year, volume,
+    (supp_nation == 'NATION_5' ? volume : 0.0) AS nation_volume;
+G = GROUP P7 BY o_year;
+A = FOREACH G GENERATE group AS o_year,
+    ROUND(SUM(P7.nation_volume) / SUM(P7.volume), 6) AS mkt_share,
+    ROUND(SUM(P7.volume), 4) AS total_volume;
+"""
+
+Q8_SQL = """
+SELECT EXTRACT(year FROM o_orderdate)::INT AS o_year,
+       ROUND(SUM(CASE WHEN n1.n_name = 'NATION_5'
+                      THEN l_extendedprice * (1 - l_discount)
+                      ELSE 0.0 END)
+             / SUM(l_extendedprice * (1 - l_discount)), 6) AS mkt_share,
+       ROUND(SUM(l_extendedprice * (1 - l_discount)), 4) AS total_volume
+FROM lineitem JOIN part ON l_partkey = p_partkey
+              JOIN supplier ON l_suppkey = s_suppkey
+              JOIN nation n1 ON s_nationkey = n1.n_nationkey
+              JOIN orders ON l_orderkey = o_orderkey
+              JOIN customer ON o_custkey = c_custkey
+              JOIN nation n2 ON c_nationkey = n2.n_nationkey
+              JOIN region ON n2.n_regionkey = r_regionkey
+WHERE p_type = 'STANDARD' AND r_name = 'ASIA'
+GROUP BY 1
+"""
+
+# TPC-H Q12 shape (no l_shipmode/l_commitdate in the synthetic
+# schema): high- vs low-priority order counts per line status for one
+# ship year, via bincond counting
+Q12 = """
+O = LOAD '$sf/orders.parquet' USING ParquetStorage();
+L = LOAD '$sf/lineitem.parquet' USING ParquetStorage();
+LF = FILTER L BY l_shipdate >= '1997-01-01' AND l_shipdate < '1998-01-01';
+J = JOIN O BY o_orderkey, LF BY l_orderkey;
+P = FOREACH J GENERATE l_linestatus,
+    (o_orderpriority == '1-URGENT' OR o_orderpriority == '2-HIGH' ? 1 : 0) AS is_high;
+G = GROUP P BY l_linestatus;
+A = FOREACH G GENERATE group AS l_linestatus,
+    SUM(P.is_high) AS high_line_count,
+    SUM(1 - P.is_high) AS low_line_count;
+"""
+
+Q12_SQL = """
+SELECT l_linestatus,
+       SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                THEN 1 ELSE 0 END)::BIGINT AS high_line_count,
+       (COUNT(*) - SUM(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                            THEN 1 ELSE 0 END))::BIGINT AS low_line_count
+FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+  AND l_shipdate < TIMESTAMP '1998-01-01'
+GROUP BY l_linestatus
+"""
+
+# TPC-H Q13 shape: distribution of per-customer order counts.
+# COGROUP keeps customers with zero orders (empty bag ⇒ COUNT 0) —
+# the left-outer-join semantics the language otherwise lacks.
+Q13 = """
+C = LOAD '$sf/customer.parquet' USING ParquetStorage();
+O = LOAD '$sf/orders.parquet' USING ParquetStorage();
+CG = COGROUP C BY c_custkey, O BY o_custkey;
+D = FOREACH CG GENERATE group AS c_custkey, COUNT(O) AS c_count;
+G = GROUP D BY c_count;
+A = FOREACH G GENERATE group AS c_count, COUNT(D) AS custdist;
+S = ORDER A BY custdist DESC, c_count DESC;
+"""
+
+Q13_SQL = """
+SELECT c_count, COUNT(*) AS custdist
+FROM (SELECT c_custkey, COUNT(o_orderkey)::BIGINT AS c_count
+      FROM customer LEFT JOIN orders ON c_custkey = o_custkey
+      GROUP BY c_custkey)
+GROUP BY c_count
+ORDER BY custdist DESC, c_count DESC
+"""
+
+# TPC-H Q17 shape: revenue impact of small-quantity orders for one
+# brand. The per-part average arrives via a self-grouped join; the
+# threshold is rounded on BOTH sides so the filter boundary is stable
+# across engines.
+Q17 = """
+L = LOAD '$sf/lineitem.parquet' USING ParquetStorage();
+P = LOAD '$sf/part.parquet' USING ParquetStorage();
+G = GROUP L BY l_partkey;
+T = FOREACH G GENERATE group AS t_partkey,
+    ROUND(0.2 * AVG(L.l_quantity), 6) AS qty_limit;
+PB = FILTER P BY p_brand == 'Brand#3';
+J1 = JOIN L BY l_partkey, PB BY p_partkey;
+J2 = JOIN J1 BY p_partkey, T BY t_partkey;
+F = FILTER J2 BY l_quantity < qty_limit;
+GA = GROUP F ALL;
+A = FOREACH GA GENERATE ROUND(SUM(F.l_extendedprice) / 7.0, 4) AS avg_yearly,
+    COUNT(F) AS n_lines;
+"""
+
+Q17_SQL = """
+SELECT ROUND(SUM(l_extendedprice) / 7.0, 4) AS avg_yearly,
+       COUNT(*) AS n_lines
+FROM lineitem JOIN part ON l_partkey = p_partkey
+JOIN (SELECT l_partkey AS t_partkey,
+             ROUND(0.2 * AVG(l_quantity), 6) AS qty_limit
+      FROM lineitem GROUP BY l_partkey) ON l_partkey = t_partkey
+WHERE p_brand = 'Brand#3' AND l_quantity < qty_limit
+HAVING COUNT(*) > 0
+"""
+
+# TPC-H Q18 shape: large-volume orders (sum qty > 200) with customer
+Q18 = """
+L = LOAD '$sf/lineitem.parquet' USING ParquetStorage();
+O = LOAD '$sf/orders.parquet' USING ParquetStorage();
+C = LOAD '$sf/customer.parquet' USING ParquetStorage();
+G = GROUP L BY l_orderkey;
+Q = FOREACH G GENERATE group AS q_orderkey, SUM(L.l_quantity) AS sum_qty;
+B = FILTER Q BY sum_qty > 200.0;
+J1 = JOIN B BY q_orderkey, O BY o_orderkey;
+J2 = JOIN J1 BY o_custkey, C BY c_custkey;
+P = FOREACH J2 GENERATE c_name, c_custkey, o_orderkey, o_totalprice, sum_qty;
+S = ORDER P BY o_totalprice DESC, o_orderkey ASC;
+T = LIMIT S 100;
+"""
+
+Q18_SQL = """
+SELECT c_name, c_custkey, o_orderkey, o_totalprice, sum_qty
+FROM (SELECT l_orderkey AS q_orderkey, SUM(l_quantity) AS sum_qty
+      FROM lineitem GROUP BY l_orderkey HAVING SUM(l_quantity) > 200.0)
+JOIN orders ON q_orderkey = o_orderkey
+JOIN customer ON o_custkey = c_custkey
+ORDER BY o_totalprice DESC, o_orderkey ASC
+LIMIT 100
+"""
+
+# TPC-H Q19 shape: disjunctive brand/size/quantity predicate over the
+# part-lineitem join (no shipmode/container columns in the synthetic
+# schema) — exercises OR-of-ANDs predicate pushdown
+Q19 = """
+L = LOAD '$sf/lineitem.parquet' USING ParquetStorage();
+P = LOAD '$sf/part.parquet' USING ParquetStorage();
+J = JOIN L BY l_partkey, P BY p_partkey;
+F = FILTER J BY
+    (p_brand == 'Brand#12' AND p_size >= 1 AND p_size <= 5
+     AND l_quantity >= 1.0 AND l_quantity <= 11.0)
+    OR (p_brand == 'Brand#23' AND p_size >= 1 AND p_size <= 10
+     AND l_quantity >= 10.0 AND l_quantity <= 20.0)
+    OR (p_brand == 'Brand#34' AND p_size >= 1 AND p_size <= 15
+     AND l_quantity >= 20.0 AND l_quantity <= 30.0);
+PR = FOREACH F GENERATE l_extendedprice * (1 - l_discount) AS rev;
+G = GROUP PR ALL;
+A = FOREACH G GENERATE ROUND(SUM(PR.rev), 4) AS revenue, COUNT(PR) AS n_lines;
+"""
+
+Q19_SQL = """
+SELECT ROUND(SUM(l_extendedprice * (1 - l_discount)), 4) AS revenue,
+       COUNT(*) AS n_lines
+FROM lineitem JOIN part ON l_partkey = p_partkey
+WHERE (p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 5
+       AND l_quantity BETWEEN 1.0 AND 11.0)
+   OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 10
+       AND l_quantity BETWEEN 10.0 AND 20.0)
+   OR (p_brand = 'Brand#34' AND p_size BETWEEN 1 AND 15
+       AND l_quantity BETWEEN 20.0 AND 30.0)
+HAVING COUNT(*) > 0
+"""
+
+# TPC-H Q22 shape: above-average-balance customers with no
+# large orders (every synthetic customer has SOME order, so the
+# anti-join target is the big-ticket subset), rolled up per nation.
+# GROUP ALL average → CROSS → filter, then keyed DIFFERENCE as the
+# anti-join. Threshold rounded on both sides (filter-boundary
+# stability across engines).
+Q22 = """
+C = LOAD '$sf/customer.parquet' USING ParquetStorage();
+O = LOAD '$sf/orders.parquet' USING ParquetStorage();
+OB = FILTER O BY o_totalprice >= 250000.0;
+CP = FILTER C BY c_acctbal > 0.0;
+GA = GROUP CP ALL;
+AV = FOREACH GA GENERATE ROUND(AVG(CP.c_acctbal), 4) AS avg_bal;
+X = CROSS C, AV;
+RICH = FILTER X BY c_acctbal > avg_bal;
+NOORD = DIFFERENCE RICH BY c_custkey, OB BY o_custkey;
+G = GROUP NOORD BY c_nationkey;
+A = FOREACH G GENERATE group AS c_nationkey, COUNT(NOORD) AS numcust,
+    ROUND(SUM(NOORD.c_acctbal), 4) AS totacctbal;
+S = ORDER A BY c_nationkey ASC;
+"""
+
+Q22_SQL = """
+SELECT c_nationkey, COUNT(*) AS numcust, ROUND(SUM(c_acctbal), 4) AS totacctbal
+FROM customer
+WHERE c_acctbal > (SELECT ROUND(AVG(c_acctbal), 4) FROM customer
+                   WHERE c_acctbal > 0.0)
+  AND c_custkey NOT IN (SELECT o_custkey FROM orders
+                        WHERE o_totalprice >= 250000.0)
+GROUP BY c_nationkey
+ORDER BY c_nationkey ASC
 """
 
 
@@ -993,6 +1252,14 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q10_returned_items": _pig(Q10, "T"),
         "q14_promo_revenue": _pig(Q14, "Q"),
         "q4_semijoin_priority": _pig(Q4_SEMI, "A"),
+        "q7_volume_shipping": _pig(Q7, "A"),
+        "q8_market_share": _pig(Q8, "A"),
+        "q12_priority_lines": _pig(Q12, "A"),
+        "q13_custdist_cogroup": _pig(Q13, "S"),
+        "q17_small_qty_revenue": _pig(Q17, "A"),
+        "q18_large_orders": _pig(Q18, "T"),
+        "q19_disjunctive_rev": _pig(Q19, "A"),
+        "q22_no_order_customers": _pig(Q22, "S"),
         # training-data pipeline operators
         "dedup_exact": q_dedup_exact,
         "doc_token_stats": q_doc_tokens,
@@ -1041,6 +1308,14 @@ def oracle_sql() -> dict[str, str]:
         "q10_returned_items": Q10_SQL,
         "q14_promo_revenue": Q14_SQL,
         "q4_semijoin_priority": Q4_SEMI_SQL,
+        "q7_volume_shipping": Q7_SQL,
+        "q8_market_share": Q8_SQL,
+        "q12_priority_lines": Q12_SQL,
+        "q13_custdist_cogroup": Q13_SQL,
+        "q17_small_qty_revenue": Q17_SQL,
+        "q18_large_orders": Q18_SQL,
+        "q19_disjunctive_rev": Q19_SQL,
+        "q22_no_order_customers": Q22_SQL,
         "dedup_exact": DEDUP_EXACT_SQL,
         "doc_token_stats": DOC_TOKENS_SQL,
         "doc_quality_rollup": DOC_QUALITY_SQL,

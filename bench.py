@@ -28,6 +28,14 @@ HEADLINE = [
     "q10_returned_items",
     "q14_promo_revenue",
     "q4_semijoin_priority",
+    "q7_volume_shipping",
+    "q8_market_share",
+    "q12_priority_lines",
+    "q13_custdist_cogroup",
+    "q17_small_qty_revenue",
+    "q18_large_orders",
+    "q19_disjunctive_rev",
+    "q22_no_order_customers",
     "filter_project",
     "group_having",
     "nested_foreach_distinct",

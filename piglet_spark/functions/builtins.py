@@ -29,16 +29,31 @@ class AggSpec:
         self.bag = bag
 
 
+def _bag_avg(bag: Column, c: str) -> Column:
+    """AVG over a bag column, NULL-skipping like F.avg: sum of
+    non-null values / count of non-null values; NULL when none."""
+    vals = F.filter(F.transform(bag, lambda x: x[c].cast("double")),
+                    lambda v: v.isNotNull())
+    n = F.size(vals)
+    return F.when(n > 0, F.aggregate(
+        vals, F.lit(0.0), lambda acc, v: acc + v) / n)
+
+
 AGGREGATES: dict[str, AggSpec] = {
     # COUNT counts all rows of the bag incl. nulls (CommonPigFuncs.scala:36)
     "count": AggSpec(
         fused=lambda *cols: F.count(F.lit(1)),
         bag=lambda bag, *proj: F.size(bag),
     ),
+    # SUM/AVG skip NULL values (Pig + SQL aggregate semantics; keeps
+    # the bag path consistent with the fused F.sum/F.avg path — a
+    # NULL element must not poison the fold, and AVG's denominator
+    # counts non-null values only)
     "sum": AggSpec(
         fused=lambda c: F.sum(c),
         bag=lambda bag, c: F.aggregate(
-            bag, F.lit(0.0), lambda acc, x: acc + x[c].cast("double")
+            bag, F.lit(0.0),
+            lambda acc, x: acc + F.coalesce(x[c].cast("double"), F.lit(0.0))
         ),
     ),
     "min": AggSpec(
@@ -51,9 +66,7 @@ AGGREGATES: dict[str, AggSpec] = {
     ),
     "avg": AggSpec(
         fused=lambda c: F.avg(c),
-        bag=lambda bag, c: F.aggregate(
-            bag, F.lit(0.0), lambda acc, x: acc + x[c].cast("double")
-        ) / F.size(bag),
+        bag=lambda bag, c: _bag_avg(bag, c),
     ),
     # upper median of the sorted sequence (CommonPigFuncs.scala:30-34)
     "median": AggSpec(

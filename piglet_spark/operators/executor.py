@@ -115,7 +115,43 @@ class GroupedRelation:
         return self.src.groupBy(*wcols, gstruct).agg(bag)
 
 
-Relation = Union[DataFrame, GroupedRelation]
+class CoGroupedRelation:
+    """Lazy COGROUP result (ref op/cmd/CoGroup.scala:7).
+
+    Like GROUP, the (group, bagA, bagB, …) shape only materializes when
+    a consumer truly needs the bags; a FOREACH that merely aggregates
+    them fuses to per-side ``groupBy().agg()`` + full-outer join on the
+    key — partial aggregation on both sides, no ``collect_list``, so a
+    hot key costs agg state instead of an in-memory array (the 100 TB
+    path; see _foreach_cogroup_fused)."""
+
+    def __init__(self, sides: list[tuple[str, DataFrame, list[A.Expr]]],
+                 udfs: dict[str, Callable]):
+        self.sides = sides  # (rel_name, df, key_exprs) per input
+        self.udfs = udfs
+
+    def grouped(self) -> list[GroupedRelation]:
+        return [GroupedRelation(df, keys, rel, self.udfs)
+                for rel, df, keys in self.sides]
+
+    def materialize(self) -> DataFrame:
+        parts = [g.materialize() for g in self.grouped()]
+        rels = [rel for rel, _, _ in self.sides]
+        out = parts[0]
+        elem_types = {rels[0]: out.schema[rels[0]].dataType}
+        for rel, p in zip(rels[1:], parts[1:]):
+            elem_types[rel] = p.schema[rel].dataType
+            out = out.join(p, on="group", how="full")
+        # normalize missing bags to empty arrays
+        sel = [F.col("group")]
+        for rel in rels:
+            sel.append(F.coalesce(F.col(rel),
+                                  F.array().cast(elem_types[rel]))
+                       .alias(rel))
+        return out.select(*sel)
+
+
+Relation = Union[DataFrame, GroupedRelation, CoGroupedRelation]
 
 
 class NestedBag:
@@ -321,7 +357,7 @@ class Executor:
 
     def df(self, alias: str) -> DataFrame:
         rel = self.rel(alias)
-        if isinstance(rel, GroupedRelation):
+        if isinstance(rel, (GroupedRelation, CoGroupedRelation)):
             df = rel.materialize()
             self.env[alias] = df
             rel = df
@@ -465,6 +501,10 @@ class Executor:
         rel = self.rel(op.rel)
         if isinstance(rel, GroupedRelation):
             self.env[op.out] = self._foreach_fused(op, rel)
+        elif isinstance(rel, CoGroupedRelation):
+            fused = self._foreach_cogroup_fused(op, rel)
+            self.env[op.out] = fused if fused is not None \
+                else self._foreach_rows(op, self.df(op.rel))
         else:
             self.env[op.out] = self._foreach_rows(op, rel)
 
@@ -616,6 +656,164 @@ class Executor:
         out = out.select(*sel)
         return _finalize(out, names, flat_idx, gen_meta)
 
+    # aggregates a cogroup FOREACH can fuse, with empty-side parity:
+    # value each must take when the key is absent on that side (bag
+    # would have been empty). None ⇒ leave the outer-join NULL (same
+    # as array_min/max on an empty bag).
+    _COGROUP_FUSABLE = {"count", "count_star", "isempty", "nonempty",
+                        "sum", "min", "max", "avg"}
+
+    def _foreach_cogroup_fused(self, op: A.Foreach,
+                               cg: CoGroupedRelation) -> Optional[DataFrame]:
+        """FOREACH over COGROUP where every bag use is an aggregate →
+        per-side partial aggregation + full-outer join on the key.
+
+        Returns None when any generator needs the materialized bags
+        (caller falls back). Empty-side parity with the bag path:
+        COUNT→0 (F.size of empty array), SUM→0.0 (fold from 0.0,
+        CommonPigFuncs.scala:38 sums an empty Iterable to 0),
+        MIN/MAX/AVG→NULL."""
+        if op.nested_ops:
+            return None
+        side_names = {rel for rel, _, _ in cg.sides}
+        # per-side aggregate requests: (side, aggname, field|None)
+        requests: list[tuple[str, str, Optional[str]]] = []
+
+        def rewrite(e: A.Expr) -> Optional[A.Expr]:
+            """Replace fusable aggregate calls with placeholder column
+            refs; None ⇒ not fusable."""
+            if isinstance(e, A.FuncCall) and E.builtins.is_aggregate(
+                    e.name.lower()):
+                name = e.name.lower()
+                if name not in self._COGROUP_FUSABLE:
+                    return None
+                arg = e.args[0] if e.args else None
+                if isinstance(arg, A.NamedField) and arg.name in side_names:
+                    side, field = arg.name, None
+                elif isinstance(arg, A.DerefTuple) and \
+                        isinstance(arg.base, A.NamedField) and \
+                        arg.base.name in side_names and \
+                        isinstance(arg.field, A.NamedField):
+                    side, field = arg.base.name, arg.field.name
+                else:
+                    return None
+                if field is None and name not in (
+                        "count", "count_star", "isempty", "nonempty"):
+                    return None  # SUM(O) without a field → bag path
+                requests.append((side, name, field))
+                return A.NamedField(name=f"__cg{len(requests) - 1}")
+            if isinstance(e, A.PositionalField):
+                # positions refer to the (group, bags…) shape — needs
+                # the materialized frame
+                return None
+            if isinstance(e, (A.NamedField, A.Literal)):
+                # bare bag ref outside an aggregate needs the array
+                if isinstance(e, A.NamedField) and e.name in side_names:
+                    return None
+                return e
+            kids = {
+                A.BinOp: ("left", "right"), A.Neg: ("expr",),
+                A.CastExpr: ("expr",), A.Cmp: ("left", "right"),
+                A.And: ("left", "right"), A.Or: ("left", "right"),
+                A.Not: ("expr",), A.IsNull: ("expr",),
+                A.BinCond: ("cond", "then", "els"),
+            }.get(type(e))
+            if kids is not None:
+                repl = {}
+                for k in kids:
+                    sub = rewrite(getattr(e, k))
+                    if sub is None:
+                        return None
+                    repl[k] = sub
+                return dataclasses.replace(e, **repl)
+            if isinstance(e, A.FuncCall):  # scalar call
+                new_args = []
+                for a in e.args:
+                    sub = rewrite(a)
+                    if sub is None:
+                        return None
+                    new_args.append(sub)
+                return dataclasses.replace(e, args=new_args)
+            if isinstance(e, A.DerefTuple):
+                # group.key is fine; anything touching a bag is not
+                base = e.base
+                if isinstance(base, A.NamedField) and base.name == "group":
+                    return e
+                return None
+            return None
+
+        new_gens: list[A.GenExpr] = []
+        for gi, gen in enumerate(op.gens):
+            if gen.flatten or isinstance(gen.expr, A.Star):
+                return None
+            ne = rewrite(gen.expr)
+            if ne is None:
+                return None
+            # name from the ORIGINAL expr — the placeholder would
+            # yield an internal __cg name and be stripped at output
+            alias = gen.alias or _default_name(gen.expr, None, gi)
+            new_gens.append(dataclasses.replace(gen, expr=ne, alias=alias))
+
+        # per-side groupBy().agg() with only the requested aggregates
+        by_side: dict[str, list[tuple[int, str, Optional[str]]]] = {}
+        for i, (side, name, field) in enumerate(requests):
+            by_side.setdefault(side, []).append((i, name, field))
+        parts: list[DataFrame] = []
+        for grel in cg.grouped():
+            # every side contributes its keys — the cogroup key set is
+            # the union over ALL inputs, so a side without requested
+            # aggregates still joins its distinct keys (else groups
+            # that exist only there vanish, e.g. zero-order customers
+            # in a COUNT(orders) distribution)
+            wanted = by_side.get(grel.rel_name, [])
+            aggs = [F.count(F.lit(1)).alias(f"__side_{grel.rel_name}")] \
+                if not wanted else []
+            ctx = Ctx(grel.src, mode="row", udfs=self.udfs)
+            for i, name, field in wanted:
+                if name in ("count", "count_star", "isempty", "nonempty"):
+                    aggs.append(F.count(F.lit(1)).alias(f"__cg{i}"))
+                    continue
+                col = ctx.col(S.resolve_column(grel.src.columns, field))
+                if name == "sum":
+                    # bag path folds doubles from 0.0 — keep the type
+                    aggs.append(F.sum(col.cast("double")).alias(f"__cg{i}"))
+                else:
+                    aggs.append(getattr(F, name)(col).alias(f"__cg{i}"))
+            keys = grel.key_cols()
+            if len(keys) == 1:
+                gb = [keys[0][1].alias("group")]
+            else:
+                gb = [F.struct(*[c.alias(n) for n, c in keys])
+                      .alias("group")]
+            parts.append(grel.src.groupBy(*gb).agg(*aggs))
+        if not parts:
+            return None
+        joined = parts[0]
+        for p in parts[1:]:
+            joined = joined.join(p, on="group", how="full")
+
+        # empty-side normalization, matching the bag path's values
+        fixed = []
+        for i, (side, name, field) in enumerate(requests):
+            c = F.col(f"__cg{i}")
+            if name in ("count", "count_star"):
+                # stays long: casting to int (the bag path's F.size
+                # type) would silently wrap past 2^31 rows per key —
+                # the hot-key case is exactly what fusion is for
+                c = F.coalesce(c, F.lit(0).cast("long"))
+            elif name == "isempty":
+                c = F.coalesce(c, F.lit(0)) == 0
+            elif name == "nonempty":
+                c = F.coalesce(c, F.lit(0)) > 0
+            elif name == "sum":
+                c = F.coalesce(c, F.lit(0.0))
+            fixed.append(c.alias(f"__cg{i}"))
+        joined = joined.select("group", *fixed)
+
+        # evaluate the rewritten generators over the joined frame
+        fop = dataclasses.replace(op, gens=new_gens, nested_ops=[])
+        return self._foreach_rows(fop, joined)
+
     def _build_nested(self, nop: A.NestedAssign, grel: GroupedRelation,
                       ctx: Ctx) -> NestedBag:
         expr = nop.expr
@@ -670,23 +868,9 @@ class Executor:
             window_spec=self.window_specs.get(op.rel))
 
     def op_cogroup(self, op: A.CoGroup) -> None:
-        parts = []
-        for rel, keys in zip(op.rels, op.keys):
-            df = self.df(rel)
-            g = GroupedRelation(df, keys, rel, self.udfs)
-            parts.append(g.materialize())
-        out = parts[0]
-        elem_types = {op.rels[0]: out.schema[op.rels[0]].dataType}
-        for rel, p in zip(op.rels[1:], parts[1:]):
-            elem_types[rel] = p.schema[rel].dataType
-            out = out.join(p, on="group", how="full")
-        # normalize missing bags to empty arrays
-        sel = [F.col("group")]
-        for rel in op.rels:
-            empty = F.lit(None).cast(elem_types[rel])
-            sel.append(F.coalesce(F.col(rel), F.array().cast(elem_types[rel]))
-                       .alias(rel))
-        self.env[op.out] = out.select(*sel)
+        sides = [(rel, self.df(rel), keys)
+                 for rel, keys in zip(op.rels, op.keys)]
+        self.env[op.out] = CoGroupedRelation(sides, self.udfs)
 
     # ----------------------------------------------------------- joins
 

@@ -100,6 +100,13 @@ def static_dtype(expr: A.Expr, ctx: Ctx) -> Optional[T.DataType]:
                 return lt if _priority(lt) >= _priority(rt) else rt
             return None
         if isinstance(expr, A.DerefTuple):
+            # fused mode: `A.x` projects the group bag → a pre-group
+            # source column whose type we know exactly
+            if ctx.mode == "fused" and isinstance(expr.base, A.NamedField) \
+                    and expr.base.name == ctx.bag_name \
+                    and isinstance(expr.field, A.NamedField):
+                return ctx.dtype(S.resolve_column(ctx.columns,
+                                                  expr.field.name))
             base = static_dtype(expr.base, ctx)
             if isinstance(base, T.StructType) and isinstance(expr.field, A.NamedField):
                 return base[expr.field.name].dataType
@@ -195,11 +202,13 @@ def compile_expr(expr: A.Expr, ctx: Ctx) -> Column:
         return c.isNotNull() if expr.negated else c.isNull()
 
     if isinstance(expr, A.BinCond):
-        # Pig bincond (p ? a : b) — F.when keeps the whole conditional
-        # inside Catalyst codegen (CaseWhen expression).
-        return F.when(compile_expr(expr.cond, ctx),
-                      compile_expr(expr.then, ctx)) \
-                .otherwise(compile_expr(expr.els, ctx))
+        # Pig bincond (p ? a : b) — CaseWhen, stays in codegen. Two
+        # WHEN branches and no OTHERWISE: a NULL condition matches
+        # neither and yields NULL (Pig's documented bincond behavior),
+        # not the else value.
+        cond = compile_expr(expr.cond, ctx)
+        return F.when(cond, compile_expr(expr.then, ctx)) \
+                .when(~cond, compile_expr(expr.els, ctx))
 
     raise CompileError(f"cannot compile expression {expr!r}")
 

@@ -465,3 +465,51 @@ S = FOREACH G GENERATE SUM(A.age >= 30 ? 1 : 0) AS n_old, COUNT(A) AS n;
 """, "S")
     n_old, n = rows(df)[0]
     assert n_old >= 1 and n > n_old
+
+
+def test_cogroup_fused_agg(spark, data_dir):
+    """COGROUP + aggregate-only FOREACH fuses to per-side aggs + outer
+    join — no bag materialization — and keeps one-sided keys."""
+    df = run(spark, f"""
+A = LOAD '{data_dir}/t.csv' USING PigStorage(',') AS (f1:int, f2:int, f3:int);
+B = LOAD '{data_dir}/dup.csv' USING PigStorage(',') AS (x:int, y:int);
+C = COGROUP A BY f1, B BY x;
+D = FOREACH C GENERATE group AS k, COUNT(A) AS na, COUNT(B) AS nb,
+    SUM(B.y) AS sy, MAX(A.f3) AS mx;
+""", "D")
+    out = {r["k"]: (r["na"], r["nb"], r["sy"], r["mx"]) for r in df.collect()}
+    assert out == {1: (2, 2, 2.0, 4), 2: (0, 1, 2.0, None),
+                   4: (1, 0, 0.0, 6), 7: (1, 0, 0.0, 9)}
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "collect_list" not in plan
+
+
+def test_bincond_null_condition(spark, tmp_path):
+    """Pig bincond: a NULL condition yields NULL, not the else value."""
+    p = tmp_path / "nulls.csv"
+    p.write_text("a,30\nb,\nc,10\n")
+    df = run(spark, f"""
+A = LOAD '{p}' USING PigStorage(',') AS (name:chararray, age:int);
+B = FOREACH A GENERATE name, (age >= 20 ? 1 : 0) AS flag;
+""", "B")
+    r = dict(rows(df))
+    assert r["a"] == 1 and r["c"] == 0 and r["b"] is None
+
+
+def test_bag_aggs_skip_nulls(spark, tmp_path):
+    """Bag-path SUM/AVG skip NULL values like the fused F.sum/F.avg
+    path — a NULL element must not poison the fold. (The all-NULL
+    bag edge differs by design: bag SUM folds from 0.0 for reference
+    empty-Iterable parity, fused F.sum yields NULL.)"""
+    p = tmp_path / "nv.csv"
+    p.write_text("k1,2.0\nk1,\nk2,\n")
+    script = f"""
+A = LOAD '{p}' USING PigStorage(',') AS (k:chararray, v:double);
+G = GROUP A BY k;
+H = FILTER G BY group != 'zzz';
+S = FOREACH H GENERATE group AS k, SUM(A.v) AS s, AVG(A.v) AS m;
+"""  # the FILTER materializes the bags → FOREACH takes the bag path
+    df = run(spark, script, "S")
+    out = {r["k"]: (r["s"], r["m"]) for r in df.collect()}
+    assert out["k1"] == (2.0, 2.0)  # NULL skipped in sum AND avg denom
+    assert out["k2"] == (0.0, None)
