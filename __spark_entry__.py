@@ -852,6 +852,14 @@ def _minhash_sql(num_hashes: int = 32, bands: int = 8,
                  threshold: float = 0.2) -> str:
     """Generated oracle for q_minhash_lsh: same shingling, universal
     hashes, banding, and Jaccard verify as the Spark pipeline."""
+    return (f"WITH {_minhash_ctes(num_hashes, bands, threshold)}\n"
+            f"SELECT id_a, id_b, jaccard FROM pairs")
+
+
+def _minhash_ctes(num_hashes: int = 32, bands: int = 8,
+                  threshold: float = 0.2) -> str:
+    """CTE chain ending in ``pairs(id_a, id_b, jaccard)`` — shared by
+    the pair oracle and the clustering oracle built on top of it."""
     from piglet_spark.datapipe.dedup import _P, _hash_params
     rpb = num_hashes // bands
     params = _hash_params(num_hashes)
@@ -866,8 +874,7 @@ def _minhash_sql(num_hashes: int = 32, bands: int = 8,
     unpivot = "\n    UNION ALL ".join(
         f"SELECT doc_id, {b} AS band, bk{b} AS bucket FROM sigb"
         for b in range(bands))
-    return f"""
-WITH toks AS (
+    return f"""toks AS (
     SELECT doc_id,
            string_split(trim(regexp_replace(regexp_replace(lower(text),
                         '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g')), ' ') AS t
@@ -903,11 +910,46 @@ WITH toks AS (
     FROM cand
     JOIN sh sa ON sa.doc_id = id_a
     JOIN sh sb ON sb.doc_id = id_b
+), pairs AS (
+    SELECT id_a, id_b,
+           ROUND(CASE WHEN un > 0 THEN inter / un ELSE 0.0 END, 6) AS jaccard
+    FROM verif
+    WHERE ROUND(CASE WHEN un > 0 THEN inter / un ELSE 0.0 END, 6)
+          >= {threshold}
+)"""
+
+
+def q_neardup_clusters(spark, sf_dir):
+    """Corpus-level dedup: connected components over the MinHash-LSH
+    pair graph (min-label propagation on the edge subgraph only),
+    cluster id = min doc id, one canonical doc per cluster. Fully
+    oracled: same portable pair set as q_minhash_lsh, closure
+    reproduced in DuckDB by a recursive CTE."""
+    out = dp_dedup.neardup_clusters(_docs(spark, sf_dir), threshold=0.2)
+    return out.select(
+        "doc_id", "cluster_id", F.col("is_canonical").cast("int").alias("canon"))
+
+
+def _cluster_sql(threshold: float = 0.2) -> str:
+    """Generated oracle for q_neardup_clusters: the q_minhash_lsh CTE
+    chain + transitive closure (recursive CTE) + min-reachable label."""
+    return f"""
+WITH RECURSIVE {_minhash_ctes(threshold=threshold)},
+edges AS (
+    SELECT id_a AS a, id_b AS b FROM pairs
+    UNION ALL
+    SELECT id_b AS a, id_a AS b FROM pairs
+), reach(v, u) AS (
+    SELECT a, b FROM edges
+    UNION
+    SELECT r.v, e.b FROM reach r JOIN edges e ON e.a = r.u
+), lbl AS (
+    SELECT v, LEAST(v, MIN(u)) AS cl FROM reach GROUP BY v
 )
-SELECT id_a, id_b,
-       ROUND(CASE WHEN un > 0 THEN inter / un ELSE 0.0 END, 6) AS jaccard
-FROM verif
-WHERE ROUND(CASE WHEN un > 0 THEN inter / un ELSE 0.0 END, 6) >= {threshold}
+SELECT d.doc_id,
+       COALESCE(l.cl, d.doc_id) AS cluster_id,
+       (d.doc_id = COALESCE(l.cl, d.doc_id))::INT AS canon
+FROM documents d LEFT JOIN lbl l ON l.v = d.doc_id
 """
 
 
@@ -1270,6 +1312,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ngram_jaccard_pairs": q_ngram_jaccard,
         "contamination_scores": q_contamination,
         "dedup_minhash_lsh": q_minhash_lsh,
+        "dedup_cluster_canonical": q_neardup_clusters,
         "dedup_simhash": q_simhash,
         "similarity_ann_lsh": q_ann_lsh,
         "similarity_ivf": q_ivf,
@@ -1330,6 +1373,7 @@ def oracle_sql() -> dict[str, str]:
         "tuplify_group": TUPLIFY_SQL,
         "dedup_simhash": _simhash_sql(),
         "dedup_minhash_lsh": _minhash_sql(),
+        "dedup_cluster_canonical": _cluster_sql(),
         "multimodal_features": MULTIMODAL_SQL,
         "similarity_ann_lsh": _ann_lsh_sql(),
         "similarity_ivf": _ivf_sql(),

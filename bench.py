@@ -45,6 +45,7 @@ HEADLINE = [
     "doc_token_stats",
     "similarity_cosine_topk",
     "dedup_minhash_lsh",
+    "dedup_cluster_canonical",
     "dedup_simhash",
     "ngram_jaccard_pairs",
     "similarity_ann_lsh",

@@ -343,6 +343,61 @@ def simhash_pairs(df: DataFrame, text_col: str = "text",
             .filter(F.col("hamming") <= max_hamming))
 
 
+def neardup_clusters(df: DataFrame, text_col: str = "text",
+                     id_col: str = "doc_id",
+                     pairs: DataFrame | None = None,
+                     max_iters: int = 20, **lsh_kwargs) -> DataFrame:
+    """Connected components over near-duplicate candidate pairs →
+    one row per document ``(doc_id, cluster_id, is_canonical)``.
+
+    ``cluster_id`` is the minimum doc id in the component; exactly one
+    document per cluster (the minimum) is canonical — the keep-list of
+    a corpus-level dedup pass is ``is_canonical = true``. Documents in
+    no pair are their own singleton cluster (via the final left join,
+    they never enter the iteration).
+
+    Algorithm: min-label propagation restricted to the edge subgraph.
+    The LSH pair set is a tiny fraction of the corpus, so each
+    iteration shuffles only the candidate subgraph — the full corpus
+    is touched exactly twice (pair generation + the final left join).
+    Each iteration is one join + one min-aggregate; convergence in
+    O(component diameter) iterations, and near-dup clusters are
+    low-diameter by construction (band collisions are transitive-ish).
+    For adversarial long-path graphs switch to large-star/small-star
+    (O(log n) rounds, same primitives). ``localCheckpoint`` truncates
+    the lineage each round so the plan does not grow exponentially;
+    on a real cluster with failure-tolerance requirements use
+    ``spark.sparkContext.setCheckpointDir`` + ``checkpoint()``.
+    """
+    if pairs is None:
+        pairs = minhash_lsh_pairs(df, text_col, id_col, **lsh_kwargs)
+    edges = (pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
+             .union(pairs.select(F.col("id_b").alias("src"),
+                                 F.col("id_a").alias("dst")))
+             .localCheckpoint())
+    labels = (edges.select(F.col("src").alias("v")).distinct()
+              .select("v", F.col("v").alias("l")).localCheckpoint())
+    for _ in range(max_iters):
+        neighbor = (edges.join(labels, on=edges.dst == labels.v)
+                    .select(F.col("src").alias("v"), F.col("l")))
+        new_labels = (labels.union(neighbor)
+                      .groupBy("v").agg(F.min("l").alias("l"))
+                      .localCheckpoint())
+        changed = (new_labels.alias("n")
+                   .join(labels.alias("o"), on="v")
+                   .filter(F.col("n.l") < F.col("o.l")).limit(1).count())
+        labels = new_labels
+        if changed == 0:
+            break
+    out = (df.select(F.col(id_col).alias("doc_id"))
+           .join(labels.withColumnRenamed("v", "doc_id"),
+                 on="doc_id", how="left"))
+    cluster = F.coalesce(F.col("l"), F.col("doc_id"))
+    return out.select(
+        "doc_id", cluster.alias("cluster_id"),
+        (F.col("doc_id") == cluster).alias("is_canonical"))
+
+
 def embedding_neardup_pairs(df: DataFrame, vec_col: str = "embedding",
                             id_col: str = "vec_id",
                             threshold: float = 0.95,

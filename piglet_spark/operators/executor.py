@@ -1344,8 +1344,12 @@ class Executor:
                     df.columns, op.id_field.pos)
         else:
             id_col = df.columns[0]
-        self.env[op.out] = dp.minhash_lsh_pairs(
-            df, text_col=text_col, id_col=id_col, threshold=op.threshold)
+        if op.cluster:
+            self.env[op.out] = dp.neardup_clusters(
+                df, text_col=text_col, id_col=id_col, threshold=op.threshold)
+        else:
+            self.env[op.out] = dp.minhash_lsh_pairs(
+                df, text_col=text_col, id_col=id_col, threshold=op.threshold)
 
     # ----------------------------------------------------------- RDF
 

@@ -624,14 +624,16 @@ class Dedup(Op):
 
 @dataclass
 class NearDup(Op):
-    """`B = NEARDUP A ON text [BY id] [THRESHOLD 0.5];` — MinHash-LSH
-    near-duplicate pairs."""
+    """`B = NEARDUP A ON text [BY id] [THRESHOLD 0.5] [CLUSTER];` —
+    MinHash-LSH near-duplicate pairs; with CLUSTER, connected
+    components over the pair graph → (id, cluster_id, is_canonical)."""
 
     out: str
     rel: str
     on: Expr = None
     id_field: Optional[Expr] = None
     threshold: float = 0.5
+    cluster: bool = False
 
     def __post_init__(self):
         self.inputs = [self.rel]

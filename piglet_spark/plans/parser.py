@@ -797,8 +797,9 @@ class Parser:
         threshold = 0.5
         if self.try_kw("threshold"):
             threshold = float(self.advance().text)
+        cluster = self.try_kw("cluster")
         return A.NearDup(out=alias, rel=rel, on=on, id_field=id_field,
-                         threshold=threshold)
+                         threshold=threshold, cluster=cluster)
 
     def op_tuplify(self, alias: str) -> A.Op:
         self.eat_kw("tuplify")

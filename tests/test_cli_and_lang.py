@@ -105,6 +105,24 @@ P = NEARDUP A ON body BY id THRESHOLD 0.3;
     assert all(2 not in pair for pair in got)
 
 
+def test_neardup_cluster_statement(spark, tmp_path):
+    p = tmp_path / "docs_cl.csv"
+    p.write_text(
+        "0|the quick brown fox jumps over the lazy dog today\n"
+        "1|the quick brown fox jumps over the lazy cat today\n"
+        "2|totally unrelated text with different words here\n"
+    )
+    eng = pg.PigEngine(spark)
+    eng.run(f"""
+A = LOAD '{p}' USING PigStorage('|') AS (id:int, body:chararray);
+C = NEARDUP A ON body BY id THRESHOLD 0.3 CLUSTER;
+K = FILTER C BY is_canonical;
+""")
+    got = {r["doc_id"]: r["cluster_id"] for r in eng.df("C").collect()}
+    assert got == {0: 0, 1: 0, 2: 2}
+    assert sorted(r["doc_id"] for r in eng.df("K").collect()) == [0, 2]
+
+
 def test_datapipe_scalar_funcs(spark, tmp_path):
     p = tmp_path / "docs2.csv"
     p.write_text("0|the cat and the dog of the house\n")

@@ -241,3 +241,44 @@ def test_embedding_neardup_infers_dim(spark):
            for r in dedup.embedding_neardup_pairs(
                df, threshold=0.9, n_planes=2).collect()}
     assert (0, 1) in got
+
+
+def test_neardup_clusters_union_find(spark):
+    """Connected components must match a Python union-find over the
+    same edge set, including chained (transitive) near-dups and
+    singleton docs that appear in no pair."""
+    rows = [(i, t) for i, t in enumerate([
+        "alpha beta gamma delta epsilon zeta eta theta",
+        "alpha beta gamma delta epsilon zeta eta iota",  # ~0 (1 tok, J=.71)
+        "mu beta gamma delta epsilon zeta eta iota",     # ~1 (1 tok, J=.71)
+        "totally unrelated text about query engines here",
+        "totally unrelated text about query engines there",  # ~ 3
+        "a lone singleton document with no duplicates at all",
+    ])]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    pairs = dedup.minhash_lsh_pairs(docs, threshold=0.3, num_hashes=32,
+                                    bands=16)
+    edges = [(r["id_a"], r["id_b"]) for r in pairs.collect()]
+    # brute-force union-find over the identical edge set
+    parent = list(range(len(rows)))
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        parent[find(a)] = find(b)
+    want = {i: min(j for j in range(len(rows)) if find(j) == find(i))
+            for i in range(len(rows))}
+
+    out = dedup.neardup_clusters(docs, pairs=pairs)
+    got = {r["doc_id"]: (r["cluster_id"], r["is_canonical"])
+           for r in out.collect()}
+    assert len(got) == len(rows)
+    for i in range(len(rows)):
+        assert got[i] == (want[i], i == want[i])
+    # the chain 0-1-2 must land in ONE cluster even if (0,2) is no pair
+    assert got[0][0] == got[1][0] == got[2][0]
+    assert got[5] == (5, True)  # singleton
