@@ -1183,6 +1183,62 @@ S = SAMPLE L 0.1;
 P = FOREACH S GENERATE l_orderkey;
 """
 
+# classic-Pig CUBE/ROLLUP (beyond the reference grammar): all grouping
+# sets in ONE pass — fuses to df.cube()/rollup().agg(), partial
+# aggregation per set, no bag materialization (executor.CubedRelation)
+# rolled-up dims are NULL; coalesced to 'ALL' on both sides because
+# the driver's row-sort compare can't order NULL against strings
+CUBE_Q = """
+L = LOAD '$sf/lineitem.parquet' USING ParquetStorage();
+C = CUBE L BY CUBE(l_returnflag, l_linestatus);
+G = FOREACH C GENERATE FLATTEN(group), COUNT(cube) AS n,
+    ROUND(SUM(cube.l_quantity), 2) AS qty;
+S = FOREACH G GENERATE
+    (l_returnflag IS NULL ? 'ALL' : l_returnflag) AS rflag,
+    (l_linestatus IS NULL ? 'ALL' : l_linestatus) AS lstatus, n, qty;
+"""
+
+CUBE_SQL = """
+SELECT COALESCE(l_returnflag, 'ALL') AS rflag,
+       COALESCE(l_linestatus, 'ALL') AS lstatus,
+       COUNT(*) AS n, ROUND(SUM(l_quantity), 2) AS qty
+FROM lineitem
+GROUP BY CUBE (l_returnflag, l_linestatus)
+"""
+
+ROLLUP_Q = """
+O = LOAD '$sf/orders.parquet' USING ParquetStorage();
+C = CUBE O BY ROLLUP(o_orderstatus, o_orderpriority);
+G = FOREACH C GENERATE group.o_orderstatus AS st,
+    group.o_orderpriority AS pr, COUNT(cube) AS n,
+    ROUND(SUM(cube.o_totalprice), 2) AS total;
+S = FOREACH G GENERATE (st IS NULL ? 'ALL' : st) AS status,
+    (pr IS NULL ? 'ALL' : pr) AS priority, n, total;
+"""
+
+ROLLUP_SQL = """
+SELECT COALESCE(o_orderstatus, 'ALL') AS status,
+       COALESCE(o_orderpriority, 'ALL') AS priority,
+       COUNT(*) AS n, ROUND(SUM(o_totalprice), 2) AS total
+FROM orders
+GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+"""
+
+# classic-Pig RANK (beyond the reference grammar): global total-order
+# rank with ties, computed scale-correctly (range repartition +
+# per-partition rank + broadcast offsets — executor.op_rank)
+RANK_Q = """
+P = LOAD '$sf/part.parquet' USING ParquetStorage();
+R = RANK P BY p_size ASC, p_brand DESC;
+O = FOREACH R GENERATE rank_P AS rnk, p_partkey, p_size, p_brand;
+"""
+
+RANK_SQL = """
+SELECT RANK() OVER (ORDER BY p_size ASC, p_brand DESC) AS rnk,
+       p_partkey, p_size, p_brand
+FROM part
+"""
+
 CEP_SEQ = """
 SET piglet.cep.partition_key 'user_id';
 E = LOAD '$sf/events.parquet' USING ParquetStorage();
@@ -1318,6 +1374,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "similarity_ivf": q_ivf,
         "multimodal_features": q_multimodal,
         "zip_index_stats": _pig(ZIP_INDEX, "A"),
+        "rank_parts": _pig(RANK_Q, "O"),
+        "cube_lineitem_status": _pig(CUBE_Q, "S"),
+        "rollup_orders_priority": _pig(ROLLUP_Q, "S"),
         "sample_op": _pig(SAMPLE_Q, "P"),
         "cep_seq_match": _pig(CEP_SEQ, "P"),
         "spatial_filter_pip": _pig(SPATIAL_Q, "R"),
@@ -1368,6 +1427,9 @@ def oracle_sql() -> dict[str, str]:
         "ngram_jaccard_pairs": NGRAM_JACCARD_SQL,
         "contamination_scores": CONTAMINATION_SQL,
         "zip_index_stats": ZIP_INDEX_SQL,
+        "rank_parts": RANK_SQL,
+        "cube_lineitem_status": CUBE_SQL,
+        "rollup_orders_priority": ROLLUP_SQL,
         "spatial_filter_pip": SPATIAL_SQL,
         "bgp_filter_join": BGP_SQL,
         "tuplify_group": TUPLIFY_SQL,

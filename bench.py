@@ -44,6 +44,8 @@ HEADLINE = [
     "dedup_exact",
     "doc_token_stats",
     "similarity_cosine_topk",
+    "cube_lineitem_status",
+    "rank_parts",
     "dedup_minhash_lsh",
     "dedup_cluster_canonical",
     "dedup_simhash",

@@ -100,6 +100,11 @@ class GroupedRelation:
         # a plain stream), stripped from user-visible output
         return [self.window_spec.window_col().alias("__window")]
 
+    def grouping(self, src: DataFrame, gb: list[Column]):
+        """The grouping construct the fused FOREACH aggregates over —
+        CubedRelation swaps in cube()/rollup()."""
+        return src.groupBy(*gb)
+
     def materialize(self) -> DataFrame:
         keys = self.key_cols()
         wcols = self.window_cols()
@@ -113,6 +118,36 @@ class GroupedRelation:
             return self.src.groupBy(*wcols, col.alias("group")).agg(bag)
         gstruct = F.struct(*[c.alias(n) for n, c in keys]).alias("group")
         return self.src.groupBy(*wcols, gstruct).agg(bag)
+
+
+class CubedRelation(GroupedRelation):
+    """Lazy CUBE/ROLLUP result (classic Pig `CUBE A BY CUBE(...)`; not
+    in the reference grammar). Rolled-up dimensions are NULL in the
+    group, like Pig and SQL. Same fusion contract as GROUP: an
+    aggregate-only FOREACH compiles straight to ``df.cube()/rollup()
+    .agg()`` (partial aggregation, no bags); bags only materialize
+    when kept."""
+
+    def __init__(self, src: DataFrame, key_exprs: list[A.Expr],
+                 rel_name: str, udfs: dict[str, Callable],
+                 rollup: bool = False):
+        super().__init__(src, key_exprs, rel_name, udfs)
+        self.rollup = rollup
+
+    def grouping(self, src: DataFrame, gb: list[Column]):
+        return src.rollup(*gb) if self.rollup else src.cube(*gb)
+
+    def materialize(self) -> DataFrame:
+        keys = self.key_cols()
+        bag = self.bag_col().alias(self.rel_name)
+        # cube over the individual key columns (a struct key would
+        # defeat per-dimension rollup), struct assembled afterwards
+        out = self.grouping(self.src,
+                            [c.alias(n) for n, c in keys]).agg(bag)
+        if len(keys) == 1:
+            return out.withColumnRenamed(keys[0][0], "group")
+        gstruct = F.struct(*[F.col(n) for n, _ in keys]).alias("group")
+        return out.select(gstruct, F.col(self.rel_name))
 
 
 class CoGroupedRelation:
@@ -635,7 +670,7 @@ class Executor:
 
         # GROUP ALL: group on a literal key, NOT a global agg — Pig's
         # groupBy yields zero rows on empty input, a global agg one
-        grouped = src.groupBy(*gb) if gb \
+        grouped = grel.grouping(src, gb) if gb \
             else src.groupBy(F.lit("all").alias("__k_all"))
         if not aggs:
             # e.g. GENERATE group only
@@ -867,6 +902,12 @@ class Executor:
             df, op.keys, op.rel, self.udfs,
             window_spec=self.window_specs.get(op.rel))
 
+    def op_cube(self, op: A.Cube) -> None:
+        df = self.df(op.rel)
+        # Pig names the cube bag "cube" (not the input alias)
+        self.env[op.out] = CubedRelation(df, op.keys, "cube", self.udfs,
+                                         rollup=op.rollup)
+
     def op_cogroup(self, op: A.CoGroup) -> None:
         sides = [(rel, self.df(rel), keys)
                  for rel, keys in zip(op.rels, op.keys)]
@@ -1017,6 +1058,60 @@ class Executor:
         if not isinstance(op.n, A.Literal):
             raise ExecError("LIMIT requires a literal count")
         self.env[op.out] = df.limit(int(op.n.value))
+
+    def op_rank(self, op: A.Rank) -> None:
+        """RANK (classic Pig; not in the reference grammar): prepend
+        ``rank_<rel>``.
+
+        BY form: range-repartition on the sort key (equal keys
+        colocate under RangePartitioner, so per-partition rank() /
+        dense_rank() is globally correct), then add broadcast
+        cumulative offsets (rows before partition; distinct keys
+        before partition for DENSE) — a global total order with no
+        single-partition window. No-BY form: 1-based input-order row
+        number via the ``_with_index`` offsets machinery."""
+        from pyspark.sql.window import Window
+        df = self.df(op.rel)
+        rank_name = f"rank_{op.rel}"
+        if not op.specs:
+            out = self._with_index(df).withColumn(
+                rank_name, (F.col("index") + 1).cast("long"))
+            self.env[op.out] = out.select(rank_name, *df.columns)
+            return
+        ctx = self.ctx(df)
+        keys = [compile_expr(sp.field, ctx) for sp in op.specs]
+        order = [k.asc() if sp.asc else k.desc()
+                 for k, sp in zip(keys, op.specs)]
+        nparts = int(df.sparkSession.conf.get(
+            "spark.sql.shuffle.partitions"))
+        # localCheckpoint pins the range partitioning: the stats branch
+        # and the window branch below consume it as separate subplans,
+        # and AQE may coalesce the two copies of the exchange
+        # differently — spark_partition_id would then disagree between
+        # offset computation and ranking (observed at sf0.1). A global
+        # total order needs this materialization barrier anyway
+        # (sample → range-partition → count → offset, the TeraSort
+        # pattern).
+        base = (df.repartitionByRange(nparts, *order)
+                .withColumn("__pid", F.spark_partition_id())
+                .localCheckpoint())
+        aggs = [F.count(F.lit(1)).alias("__cnt")]
+        if op.dense:
+            # struct() so an all-NULL key still counts as one group
+            aggs.append(F.count_distinct(F.struct(*keys)).alias("__dcnt"))
+        stats = base.groupBy("__pid").agg(*aggs)
+        cumw = Window.orderBy("__pid").rowsBetween(
+            Window.unboundedPreceding, -1)
+        src = "__dcnt" if op.dense else "__cnt"
+        offsets = stats.select(
+            "__pid",
+            F.coalesce(F.sum(src).over(cumw), F.lit(0)).alias("__off"))
+        w = Window.partitionBy("__pid").orderBy(*order)
+        ranker = F.dense_rank() if op.dense else F.rank()
+        ranked = (base.join(F.broadcast(offsets), on="__pid")
+                  .withColumn(rank_name, (ranker.over(w)
+                                          + F.col("__off")).cast("long")))
+        self.env[op.out] = ranked.select(rank_name, *df.columns)
 
     def op_sample(self, op: A.Sample) -> None:
         df = self.df(op.rel)

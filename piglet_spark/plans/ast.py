@@ -351,6 +351,37 @@ class OrderBy(Op):
 
 
 @dataclass
+class Cube(Op):
+    """`B = CUBE A BY CUBE(f1, f2);` / `BY ROLLUP(f1, f2)` (classic
+    Pig; not in the reference grammar). Output (group, cube:{bag});
+    rolled-up dimensions are NULL in group."""
+
+    out: str
+    rel: str
+    keys: list[Expr] = field(default_factory=list)
+    rollup: bool = False
+
+    def __post_init__(self):
+        self.inputs = [self.rel]
+
+
+@dataclass
+class Rank(Op):
+    """`B = RANK A [BY f [ASC|DESC], … [DENSE]];` (classic Pig; not in
+    the reference grammar). Prepends `rank_<rel>`: SQL RANK over the
+    BY order (DENSE → dense_rank), or 1-based row number in input
+    order without BY."""
+
+    out: str
+    rel: str
+    specs: list[OrderSpec] = field(default_factory=list)
+    dense: bool = False
+
+    def __post_init__(self):
+        self.inputs = [self.rel]
+
+
+@dataclass
 class Sample(Op):
     out: str
     rel: str

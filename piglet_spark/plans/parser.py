@@ -619,6 +619,47 @@ class Parser:
                 break
         return A.OrderBy(out=alias, rel=rel, specs=specs)
 
+    def op_cube(self, alias: str) -> A.Op:
+        # CUBE A BY CUBE(f1, f2);  /  CUBE A BY ROLLUP(f1, f2);
+        self.eat_kw("cube")
+        rel = self.ident()
+        self.eat_kw("by")
+        kind = self.ident().lower()
+        if kind not in ("cube", "rollup"):
+            raise ParseError(
+                f"line {self.cur.line}: CUBE ... BY expects CUBE(...) or "
+                f"ROLLUP(...), got {kind!r}")
+        self.eat("(")
+        keys = [self.parse_ref()]
+        while self.try_eat(","):
+            keys.append(self.parse_ref())
+        self.eat(")")
+        if self.try_eat(","):
+            raise ParseError(
+                f"line {self.cur.line}: mixed CUBE/ROLLUP clauses are not "
+                f"supported — use the SQL statement (GROUP BY GROUPING "
+                f"SETS) for combined sets")
+        return A.Cube(out=alias, rel=rel, keys=keys,
+                      rollup=(kind == "rollup"))
+
+    def op_rank(self, alias: str) -> A.Op:
+        # RANK A [BY f [ASC|DESC], ... [DENSE]];  (classic Pig)
+        self.eat_kw("rank")
+        rel = self.ident()
+        specs: list[A.OrderSpec] = []
+        dense = False
+        if self.try_kw("by"):
+            while True:
+                f = self.parse_ref()
+                asc = True
+                if self.at_kw("asc", "desc"):
+                    asc = self.advance().text.lower() == "asc"
+                specs.append(A.OrderSpec(field=f, asc=asc))
+                if not self.try_eat(","):
+                    break
+            dense = self.try_kw("dense")
+        return A.Rank(out=alias, rel=rel, specs=specs, dense=dense)
+
     def op_sample(self, alias: str) -> A.Op:
         self.eat_kw("sample")
         rel = self.ident()

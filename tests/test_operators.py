@@ -513,3 +513,85 @@ S = FOREACH H GENERATE group AS k, SUM(A.v) AS s, AVG(A.v) AS m;
     out = {r["k"]: (r["s"], r["m"]) for r in df.collect()}
     assert out["k1"] == (2.0, 2.0)  # NULL skipped in sum AND avg denom
     assert out["k2"] == (0.0, None)
+
+
+def test_rank_by_with_ties(spark, tmp_path):
+    """RANK BY: SQL rank semantics (ties share, gaps after), correct
+    across range-partition boundaries; DENSE removes the gaps."""
+    p = tmp_path / "scores.csv"
+    p.write_text("a,50\nb,30\nc,50\nd,10\ne,30\nf,30\n")
+    script = f"""
+A = LOAD '{p}' USING PigStorage(',') AS (name:chararray, score:int);
+R = RANK A BY score DESC;
+D = RANK A BY score DESC DENSE;
+"""
+    eng = pg.PigEngine(spark)
+    eng.run(script)
+    got = {r["name"]: r["rank_A"] for r in eng.df("R").collect()}
+    assert got == {"a": 1, "c": 1, "b": 3, "e": 3, "f": 3, "d": 6}
+    dense = {r["name"]: r["rank_A"] for r in eng.df("D").collect()}
+    assert dense == {"a": 1, "c": 1, "b": 2, "e": 2, "f": 2, "d": 3}
+    # rank column is prepended, original columns preserved
+    assert eng.df("R").columns == ["rank_A", "name", "score"]
+
+
+def test_rank_multikey_and_no_by(spark, tmp_path):
+    p = tmp_path / "mk.csv"
+    p.write_text("x,2\nx,1\ny,2\nx,2\n")
+    script = f"""
+A = LOAD '{p}' USING PigStorage(',') AS (k:chararray, v:int);
+R = RANK A BY k ASC, v DESC;
+N = RANK A;
+"""
+    eng = pg.PigEngine(spark)
+    eng.run(script)
+    got = sorted((r["k"], r["v"], r["rank_A"]) for r in eng.df("R").collect())
+    assert got == [("x", 1, 3), ("x", 2, 1), ("x", 2, 1), ("y", 2, 4)]
+    # no-BY: 1..n input-order row numbers, each exactly once
+    assert sorted(r["rank_A"] for r in eng.df("N").collect()) == [1, 2, 3, 4]
+
+
+def test_cube_fused_agg(spark, data_dir):
+    """CUBE + aggregate-only FOREACH fuses to df.cube().agg() — all
+    2^d grouping sets, NULL for rolled-up dims, no collect_list."""
+    df = run(spark, f"""
+A = LOAD '{data_dir}/t.csv' USING PigStorage(',') AS (f1:int, f2:int, f3:int);
+C = CUBE A BY CUBE(f1, f2);
+S = FOREACH C GENERATE FLATTEN(group), COUNT(cube) AS n, SUM(cube.f3) AS s;
+""", "S")
+    got = {(r["f1"], r["f2"]): (r["n"], r["s"]) for r in df.collect()}
+    # t.csv: (1,2,3),(4,5,6),(7,8,9),(1,2,4) — grand total:
+    assert got[(None, None)] == (4, 22.0)
+    assert got[(1, None)] == (2, 7.0)
+    assert got[(1, 2)] == (2, 7.0)
+    assert got[(None, 2)] == (2, 7.0)
+    assert got[(4, 5)] == (1, 6.0)
+    assert len(got) == 1 + 3 + 3 + 3  # (), (f1), (f2), (f1,f2) sets
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "collect_list" not in plan
+
+
+def test_rollup_fused_agg(spark, data_dir):
+    df = run(spark, f"""
+A = LOAD '{data_dir}/t.csv' USING PigStorage(',') AS (f1:int, f2:int, f3:int);
+C = CUBE A BY ROLLUP(f1, f2);
+S = FOREACH C GENERATE group.f1 AS f1, group.f2 AS f2, COUNT(cube) AS n;
+""", "S")
+    got = {(r["f1"], r["f2"]): r["n"] for r in df.collect()}
+    assert got[(None, None)] == 4      # grand total
+    assert got[(1, None)] == 2         # f1 subtotal
+    assert (None, 2) not in got        # no f2-only set in rollup
+    assert len(got) == 1 + 3 + 3
+
+
+def test_cube_bag_path(spark, data_dir):
+    """A consumer that needs the bags (FILTER between CUBE and FOREACH)
+    materializes (group, cube) like GROUP does."""
+    df = run(spark, f"""
+A = LOAD '{data_dir}/t.csv' USING PigStorage(',') AS (f1:int, f2:int, f3:int);
+C = CUBE A BY CUBE(f1, f2);
+F = FILTER C BY group.f1 IS NOT NULL AND group.f2 IS NOT NULL;
+S = FOREACH F GENERATE group.f1 AS f1, COUNT(cube) AS n;
+""", "S")
+    got = sorted((r["f1"], r["n"]) for r in df.collect())
+    assert got == [(1, 2), (4, 1), (7, 1)]
