@@ -346,7 +346,7 @@ def simhash_pairs(df: DataFrame, text_col: str = "text",
 def neardup_clusters(df: DataFrame, text_col: str = "text",
                      id_col: str = "doc_id",
                      pairs: DataFrame | None = None,
-                     max_iters: int = 20, **lsh_kwargs) -> DataFrame:
+                     max_iters: int = 24, **lsh_kwargs) -> DataFrame:
     """Connected components over near-duplicate candidate pairs →
     one row per document ``(doc_id, cluster_id, is_canonical)``.
 
@@ -356,17 +356,19 @@ def neardup_clusters(df: DataFrame, text_col: str = "text",
     no pair are their own singleton cluster (via the final left join,
     they never enter the iteration).
 
-    Algorithm: min-label propagation restricted to the edge subgraph.
-    The LSH pair set is a tiny fraction of the corpus, so each
-    iteration shuffles only the candidate subgraph — the full corpus
-    is touched exactly twice (pair generation + the final left join).
-    Each iteration is one join + one min-aggregate; convergence in
-    O(component diameter) iterations, and near-dup clusters are
-    low-diameter by construction (band collisions are transitive-ish).
-    For adversarial long-path graphs switch to large-star/small-star
-    (O(log n) rounds, same primitives). ``localCheckpoint`` truncates
-    the lineage each round so the plan does not grow exponentially;
-    on a real cluster with failure-tolerance requirements use
+    Algorithm: min-label propagation + pointer jumping, restricted to
+    the edge subgraph. The LSH pair set is a tiny fraction of the
+    corpus, so each round shuffles only the candidate subgraph — the
+    full corpus is touched exactly twice (pair generation + the final
+    left join). Each round takes min over {own label, neighbors'
+    labels, label-of-label l(l(v))}; the pointer jump doubles the
+    propagation distance per round, so convergence is O(log diameter)
+    — a 2^20-long path converges within the default 24 rounds.
+    Raises if the cap is still hit (a silently split component would
+    leave documents with no canonical representative).
+    ``localCheckpoint`` truncates the lineage each round so the plan
+    does not grow exponentially; on a real cluster with
+    failure-tolerance requirements use
     ``spark.sparkContext.setCheckpointDir`` + ``checkpoint()``.
     """
     if pairs is None:
@@ -377,10 +379,14 @@ def neardup_clusters(df: DataFrame, text_col: str = "text",
              .localCheckpoint())
     labels = (edges.select(F.col("src").alias("v")).distinct()
               .select("v", F.col("v").alias("l")).localCheckpoint())
+    converged = False
     for _ in range(max_iters):
         neighbor = (edges.join(labels, on=edges.dst == labels.v)
                     .select(F.col("src").alias("v"), F.col("l")))
-        new_labels = (labels.union(neighbor)
+        jump = (labels.alias("a")
+                .join(labels.alias("b"), on=F.col("a.l") == F.col("b.v"))
+                .select(F.col("a.v").alias("v"), F.col("b.l").alias("l")))
+        new_labels = (labels.union(neighbor).union(jump)
                       .groupBy("v").agg(F.min("l").alias("l"))
                       .localCheckpoint())
         changed = (new_labels.alias("n")
@@ -388,7 +394,13 @@ def neardup_clusters(df: DataFrame, text_col: str = "text",
                    .filter(F.col("n.l") < F.col("o.l")).limit(1).count())
         labels = new_labels
         if changed == 0:
+            converged = True
             break
+    if not converged:
+        raise RuntimeError(
+            f"neardup_clusters did not converge within max_iters="
+            f"{max_iters} label-propagation rounds — the component "
+            f"diameter exceeds ~2^{max_iters}; raise max_iters")
     out = (df.select(F.col(id_col).alias("doc_id"))
            .join(labels.withColumnRenamed("v", "doc_id"),
                  on="doc_id", how="left"))

@@ -48,9 +48,12 @@ AGGREGATES: dict[str, AggSpec] = {
     # SUM/AVG skip NULL values (Pig + SQL aggregate semantics; keeps
     # the bag path consistent with the fused F.sum/F.avg path — a
     # NULL element must not poison the fold, and AVG's denominator
-    # counts non-null values only)
+    # counts non-null values only). SUM of an all-NULL group is 0,
+    # not NULL: reference parity (CommonPigFuncs.scala:38 sums an
+    # empty Iterable to 0) and consistency with the bag path and the
+    # COGROUP-fused empty-side normalization.
     "sum": AggSpec(
-        fused=lambda c: F.sum(c),
+        fused=lambda c: F.coalesce(F.sum(c), F.lit(0)),
         bag=lambda bag, c: F.aggregate(
             bag, F.lit(0.0),
             lambda acc, x: acc + F.coalesce(x[c].cast("double"), F.lit(0.0))

@@ -1100,12 +1100,8 @@ class Executor:
             # struct() so an all-NULL key still counts as one group
             aggs.append(F.count_distinct(F.struct(*keys)).alias("__dcnt"))
         stats = base.groupBy("__pid").agg(*aggs)
-        cumw = Window.orderBy("__pid").rowsBetween(
-            Window.unboundedPreceding, -1)
-        src = "__dcnt" if op.dense else "__cnt"
-        offsets = stats.select(
-            "__pid",
-            F.coalesce(F.sum(src).over(cumw), F.lit(0)).alias("__off"))
+        offsets = self._cum_offsets(stats,
+                                    "__dcnt" if op.dense else "__cnt")
         w = Window.partitionBy("__pid").orderBy(*order)
         ranker = F.dense_rank() if op.dense else F.rank()
         ranked = (base.join(F.broadcast(offsets), on="__pid")
@@ -1140,11 +1136,21 @@ class Executor:
 
     # -------------------------------------------------------------- zip
 
+    @staticmethod
+    def _cum_offsets(stats: DataFrame, count_col: str) -> DataFrame:
+        """Per-partition stats → (__pid, __off): cumulative count of
+        earlier partitions. The window frame is the tiny per-partition
+        stats relation (≤ numPartitions rows), never the data."""
+        from pyspark.sql.window import Window
+        w = Window.orderBy("__pid").rowsBetween(Window.unboundedPreceding, -1)
+        return stats.select(
+            "__pid",
+            F.coalesce(F.sum(count_col).over(w), F.lit(0)).alias("__off"))
+
     def _with_index(self, df: DataFrame) -> DataFrame:
         """Distributed 0-based dense index (no single-partition sort):
         monotonically_increasing_id encodes (partition, row#); add
         per-partition offsets via a broadcast join."""
-        from pyspark.sql.window import Window
         mid = F.monotonically_increasing_id()
         df = df.withColumn("__mid", mid)
         # exact bit arithmetic — double division loses precision past
@@ -1153,10 +1159,7 @@ class Executor:
         row_in_part = F.col("__mid").bitwiseAND(F.lit((1 << 33) - 1))
         df = df.withColumn("__pid", pid).withColumn("__row", row_in_part)
         counts = df.groupBy("__pid").agg(F.count(F.lit(1)).alias("__cnt"))
-        w = Window.orderBy("__pid").rowsBetween(Window.unboundedPreceding, -1)
-        offsets = counts.select(
-            "__pid", F.coalesce(F.sum("__cnt").over(w), F.lit(0)).alias("__off")
-        )
+        offsets = self._cum_offsets(counts, "__cnt")
         out = df.join(F.broadcast(offsets), on="__pid", how="inner")
         out = out.withColumn("index", (F.col("__off") + F.col("__row"))
                              .cast("long"))

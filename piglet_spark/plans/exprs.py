@@ -9,6 +9,7 @@ registered one.
 
 from __future__ import annotations
 
+import dataclasses
 from typing import Any, Callable, Optional
 
 from pyspark.sql import Column, DataFrame
@@ -205,12 +206,32 @@ def compile_expr(expr: A.Expr, ctx: Ctx) -> Column:
         # Pig bincond (p ? a : b) — CaseWhen, stays in codegen. Two
         # WHEN branches and no OTHERWISE: a NULL condition matches
         # neither and yields NULL (Pig's documented bincond behavior),
-        # not the else value.
+        # not the else value. CaseWhen branches each re-evaluate the
+        # condition expression, which is wrong for a NONDETERMINISTIC
+        # condition (RANDOM() < 0.5 could be false in both branches →
+        # spurious NULL); those can never be NULL, so they take the
+        # single-evaluation when/otherwise form instead.
         cond = compile_expr(expr.cond, ctx)
-        return F.when(cond, compile_expr(expr.then, ctx)) \
-                .when(~cond, compile_expr(expr.els, ctx))
+        then = compile_expr(expr.then, ctx)
+        els = compile_expr(expr.els, ctx)
+        if _is_nondeterministic(expr.cond):
+            return F.when(cond, then).otherwise(els)
+        return F.when(cond, then).when(~cond, els)
 
     raise CompileError(f"cannot compile expression {expr!r}")
+
+
+def _is_nondeterministic(expr: Any) -> bool:
+    """Whether an expression (sub)tree contains a nondeterministic
+    builtin call (RANDOM). User UDFs are assumed deterministic."""
+    if isinstance(expr, A.FuncCall) and expr.name.lower() == "random":
+        return True
+    if dataclasses.is_dataclass(expr):
+        return any(_is_nondeterministic(getattr(expr, f.name))
+                   for f in dataclasses.fields(expr))
+    if isinstance(expr, (list, tuple)):
+        return any(_is_nondeterministic(v) for v in expr)
+    return False
 
 
 def compile_deref(expr: A.DerefTuple, ctx: Ctx) -> Column:

@@ -282,3 +282,20 @@ def test_neardup_clusters_union_find(spark):
     # the chain 0-1-2 must land in ONE cluster even if (0,2) is no pair
     assert got[0][0] == got[1][0] == got[2][0]
     assert got[5] == (5, True)  # singleton
+
+
+def test_neardup_clusters_long_chain(spark):
+    """Pointer jumping: a 40-link chain (diameter 40) converges well
+    inside the default round cap, in one cluster; an absurdly low cap
+    raises instead of silently splitting the component."""
+    n = 40
+    docs = spark.createDataFrame([(i, "t") for i in range(n)],
+                                 ["doc_id", "text"])
+    pairs = spark.createDataFrame([(i, i + 1) for i in range(n - 1)],
+                                  ["id_a", "id_b"])
+    out = dedup.neardup_clusters(docs, pairs=pairs)
+    got = {r["doc_id"]: (r["cluster_id"], r["is_canonical"])
+           for r in out.collect()}
+    assert all(got[i] == (0, i == 0) for i in range(n))
+    with pytest.raises(RuntimeError, match="did not converge"):
+        dedup.neardup_clusters(docs, pairs=pairs, max_iters=2)

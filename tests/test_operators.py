@@ -497,10 +497,10 @@ B = FOREACH A GENERATE name, (age >= 20 ? 1 : 0) AS flag;
 
 
 def test_bag_aggs_skip_nulls(spark, tmp_path):
-    """Bag-path SUM/AVG skip NULL values like the fused F.sum/F.avg
-    path — a NULL element must not poison the fold. (The all-NULL
-    bag edge differs by design: bag SUM folds from 0.0 for reference
-    empty-Iterable parity, fused F.sum yields NULL.)"""
+    """SUM/AVG skip NULL values on every path, and an all-NULL group
+    sums to 0 (reference parity: CommonPigFuncs.scala:38 sums an
+    empty Iterable to 0) with the SAME result whether the aggregate
+    runs bag-path, GROUP-fused, or COGROUP-fused."""
     p = tmp_path / "nv.csv"
     p.write_text("k1,2.0\nk1,\nk2,\n")
     script = f"""
@@ -508,11 +508,21 @@ A = LOAD '{p}' USING PigStorage(',') AS (k:chararray, v:double);
 G = GROUP A BY k;
 H = FILTER G BY group != 'zzz';
 S = FOREACH H GENERATE group AS k, SUM(A.v) AS s, AVG(A.v) AS m;
+G2 = GROUP A BY k;
+S2 = FOREACH G2 GENERATE group AS k, SUM(A.v) AS s, AVG(A.v) AS m;
+B = A;
+CG = COGROUP A BY k, B BY k;
+S3 = FOREACH CG GENERATE group AS k, SUM(A.v) AS s;
 """  # the FILTER materializes the bags → FOREACH takes the bag path
-    df = run(spark, script, "S")
-    out = {r["k"]: (r["s"], r["m"]) for r in df.collect()}
+    eng = pg.PigEngine(spark)
+    eng.run(script)
+    out = {r["k"]: (r["s"], r["m"]) for r in eng.df("S").collect()}
     assert out["k1"] == (2.0, 2.0)  # NULL skipped in sum AND avg denom
     assert out["k2"] == (0.0, None)
+    fused = {r["k"]: (r["s"], r["m"]) for r in eng.df("S2").collect()}
+    assert fused == out  # GROUP-fused agrees with the bag path
+    cg = {r["k"]: r["s"] for r in eng.df("S3").collect()}
+    assert cg == {"k1": 2.0, "k2": 0.0}  # COGROUP-fused agrees too
 
 
 def test_rank_by_with_ties(spark, tmp_path):
@@ -595,3 +605,19 @@ S = FOREACH F GENERATE group.f1 AS f1, COUNT(cube) AS n;
 """, "S")
     got = sorted((r["f1"], r["n"]) for r in df.collect())
     assert got == [(1, 2), (4, 1), (7, 1)]
+
+
+def test_bincond_random_never_null(spark, tmp_path):
+    """A nondeterministic condition (RANDOM) takes the single-eval
+    when/otherwise form — the two-WHEN form would re-evaluate RANDOM
+    per branch and produce spurious NULLs (~25% of rows)."""
+    p = tmp_path / "rnd.csv"
+    p.write_text("".join(f"{i}\n" for i in range(400)))
+    df = run(spark, f"""
+A = LOAD '{p}' USING PigStorage(',') AS (i:int);
+B = FOREACH A GENERATE i, (RANDOM() < 0.5 ? 'lo' : 'hi') AS bucket;
+""", "B")
+    vals = [r["bucket"] for r in df.collect()]
+    assert len(vals) == 400
+    assert all(v in ("lo", "hi") for v in vals)  # no NULLs, ever
+    assert {"lo", "hi"} <= set(vals)  # both branches actually taken
