@@ -274,8 +274,7 @@ FROM lineitem
 
 EVENTS_HOURLY = """
 E = LOAD '$sf/events.parquet' USING ParquetStorage();
--- ts arrives as long nanos (legacy nanosAsLong); seconds → datetime
-P = FOREACH E GENERATE event_type, GETHOUR((datetime)(ts / 1000000000)) AS hr, value;
+P = FOREACH E GENERATE event_type, GETHOUR(ts) AS hr, value;
 G = GROUP P BY (event_type, hr);
 A = FOREACH G GENERATE group.event_type AS event_type, group.hr AS hr,
     COUNT(P) AS n, ROUND(SUM(P.value), 4) AS total_value;
@@ -1242,7 +1241,7 @@ FROM part
 CEP_SEQ = """
 SET piglet.cep.partition_key 'user_id';
 E = LOAD '$sf/events.parquet' USING ParquetStorage();
-F = FOREACH E GENERATE event_id, (datetime)(ts / 1000000000) AS ets, user_id,
+F = FOREACH E GENERATE event_id, ts AS ets, user_id,
     event_type, value;
 M = MATCH_EVENT F PATTERN SEQ(ERR, CLK)
     WITH (ERR: event_type == 'error', CLK: event_type == 'click')
