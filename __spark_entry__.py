@@ -189,6 +189,45 @@ UNION ALL
 SELECT s_name AS name, s_acctbal AS acctbal FROM supplier
 """
 
+# UNION + INTERSECTION + DIFFERENCE proven in ONE driver row (the
+# driver adjudicates at most 50 queries; merging keeps every set-op
+# driver-proven without dropping coverage). Tags disambiguate which
+# operator produced each row.
+SET_OPS_Q = """
+C = LOAD '$sf/customer.parquet' USING ParquetStorage();
+S = LOAD '$sf/supplier.parquet' USING ParquetStorage();
+O = LOAD '$sf/orders.parquet' USING ParquetStorage();
+OO = FILTER O BY o_orderstatus == 'O';
+OF = FILTER O BY o_orderstatus == 'F';
+KO = FOREACH OO GENERATE o_custkey;
+KF = FOREACH OF GENERATE o_custkey;
+I = INTERSECTION KO, KF;
+IT = FOREACH I GENERATE 'i' AS tag, (chararray)o_custkey AS a, 0.0 AS v;
+D = DIFFERENCE C BY c_custkey, O BY o_custkey;
+DT = FOREACH D GENERATE 'd' AS tag,
+    CONCAT((chararray)c_custkey, c_name) AS a, 0.0 AS v;
+CN = FOREACH C GENERATE c_name AS name, c_acctbal AS acctbal;
+SN = FOREACH S GENERATE s_name AS name, s_acctbal AS acctbal;
+U = UNION CN, SN;
+UT = FOREACH U GENERATE 'u' AS tag, name AS a, acctbal AS v;
+A = UNION IT, DT, UT;
+"""
+
+SET_OPS_SQL = """
+SELECT 'i' AS tag, o_custkey::VARCHAR AS a, 0.0 AS v FROM (
+  SELECT o_custkey FROM orders WHERE o_orderstatus = 'O'
+  INTERSECT
+  SELECT o_custkey FROM orders WHERE o_orderstatus = 'F')
+UNION ALL
+SELECT 'd', c_custkey::VARCHAR || c_name, 0.0 FROM customer
+WHERE c_custkey NOT IN (SELECT o_custkey FROM orders)
+UNION ALL
+SELECT 'u', name, acctbal FROM (
+  SELECT c_name AS name, c_acctbal AS acctbal FROM customer
+  UNION ALL
+  SELECT s_name AS name, s_acctbal AS acctbal FROM supplier)
+"""
+
 TOP_PARTS = """
 P = LOAD '$sf/part.parquet' USING ParquetStorage();
 S = ORDER P BY p_retailprice DESC, p_partkey ASC;
@@ -783,6 +822,74 @@ def _lang_id_sql() -> str:
             f"FROM documents GROUP BY 1, 2")
 
 
+def q_doc_quality_lang(spark, sf_dir):
+    """Quality rollup + lang-id distribution in one driver row
+    (50-query driver cap; see SET_OPS_Q). Rows are tagged 'q'
+    (per-language quality aggregates) or 'l' (lang × predicted-lang
+    counts); both halves keep their original value columns."""
+    quality = q_doc_quality(spark, sf_dir).select(
+        F.lit("q").alias("tag"), F.col("lang"),
+        F.lit("").alias("k2"), F.col("n_docs").alias("n"),
+        F.col("sum_quality").alias("v"), F.col("n_good").alias("m"))
+    lang = q_lang_id(spark, sf_dir).select(
+        F.lit("l").alias("tag"), F.col("lang"),
+        F.col("lang_pred").alias("k2"), F.col("n"),
+        F.lit(0.0).alias("v"), F.lit(0).cast("long").alias("m"))
+    return quality.unionByName(lang)
+
+
+def _doc_quality_lang_sql() -> str:
+    qpart = DOC_QUALITY_SQL.strip().rstrip()
+    lpart = _lang_id_sql()
+    return f"""
+SELECT 'q' AS tag, lang, '' AS k2, n_docs AS n, sum_quality AS v,
+       n_good AS m
+FROM ({qpart})
+UNION ALL
+SELECT 'l', lang, lang_pred, n, 0.0, 0::BIGINT FROM ({lpart})
+"""
+
+
+# Portable oracle for the CEP SEQ NFA (skip_till_next_match,
+# non-overlapping, per-user, WITHIN inclusive): one recursion step
+# consumes one event per user in ts order — pend_* is the automaton
+# state (first unconsumed error), err/clk mark an emitted match.
+# Well-defined because events has no (user_id, ts) ties and ≤99
+# events/user (bounded recursion).
+CEP_SEQ_SQL = """
+WITH RECURSIVE ev AS (
+  SELECT user_id, event_id, ts, event_type,
+         ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts) AS rn
+  FROM events
+), nfa AS (
+  SELECT user_id, 0::BIGINT AS rn,
+         NULL::BIGINT AS pend_id, NULL::TIMESTAMP AS pend_ts,
+         NULL::BIGINT AS err_id, NULL::BIGINT AS clk_id
+  FROM (SELECT DISTINCT user_id FROM events)
+  UNION ALL
+  SELECT e.user_id, e.rn,
+         CASE WHEN n.pend_id IS NULL AND e.event_type = 'error'
+                   THEN e.event_id
+              WHEN n.pend_id IS NOT NULL AND e.event_type = 'click'
+                   THEN NULL
+              ELSE n.pend_id END,
+         CASE WHEN n.pend_id IS NULL AND e.event_type = 'error'
+                   THEN e.ts
+              WHEN n.pend_id IS NOT NULL AND e.event_type = 'click'
+                   THEN NULL
+              ELSE n.pend_ts END,
+         CASE WHEN n.pend_id IS NOT NULL AND e.event_type = 'click'
+                   AND e.ts <= n.pend_ts + INTERVAL 2 HOUR
+                   THEN n.pend_id END,
+         CASE WHEN n.pend_id IS NOT NULL AND e.event_type = 'click'
+                   AND e.ts <= n.pend_ts + INTERVAL 2 HOUR
+                   THEN e.event_id END
+  FROM nfa n JOIN ev e ON e.user_id = n.user_id AND e.rn = n.rn + 1
+)
+SELECT err_id, clk_id, user_id FROM nfa WHERE err_id IS NOT NULL
+"""
+
+
 def q_cosine_topk(spark, sf_dir):
     emb = _emb(spark, sf_dir)
     qrow = emb.filter(F.col("vec_id") == 0).collect()[0]
@@ -1223,6 +1330,38 @@ FROM orders
 GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
 """
 
+# CUBE + ROLLUP proven in one driver row (50-query driver cap; see
+# SET_OPS_Q). Both grouping-set shapes go through executor.CubedRelation.
+CUBE_ROLLUP_Q = """
+L = LOAD '$sf/lineitem.parquet' USING ParquetStorage();
+O = LOAD '$sf/orders.parquet' USING ParquetStorage();
+C1 = CUBE L BY CUBE(l_returnflag, l_linestatus);
+G1 = FOREACH C1 GENERATE FLATTEN(group), COUNT(cube) AS n,
+    ROUND(SUM(cube.l_quantity), 2) AS val;
+S1 = FOREACH G1 GENERATE 'c' AS tag,
+    (l_returnflag IS NULL ? 'ALL' : l_returnflag) AS d1,
+    (l_linestatus IS NULL ? 'ALL' : l_linestatus) AS d2, n, val;
+C2 = CUBE O BY ROLLUP(o_orderstatus, o_orderpriority);
+G2 = FOREACH C2 GENERATE group.o_orderstatus AS st,
+    group.o_orderpriority AS pr, COUNT(cube) AS n,
+    ROUND(SUM(cube.o_totalprice), 2) AS val;
+S2 = FOREACH G2 GENERATE 'r' AS tag, (st IS NULL ? 'ALL' : st) AS d1,
+    (pr IS NULL ? 'ALL' : pr) AS d2, n, val;
+A = UNION S1, S2;
+"""
+
+CUBE_ROLLUP_SQL = """
+SELECT 'c' AS tag, COALESCE(l_returnflag, 'ALL') AS d1,
+       COALESCE(l_linestatus, 'ALL') AS d2,
+       COUNT(*) AS n, ROUND(SUM(l_quantity), 2) AS val
+FROM lineitem GROUP BY CUBE (l_returnflag, l_linestatus)
+UNION ALL
+SELECT 'r', COALESCE(o_orderstatus, 'ALL'),
+       COALESCE(o_orderpriority, 'ALL'),
+       COUNT(*), ROUND(SUM(o_totalprice), 2)
+FROM orders GROUP BY ROLLUP (o_orderstatus, o_orderpriority)
+"""
+
 # classic-Pig RANK (beyond the reference grammar): global total-order
 # rank with ties, computed scale-correctly (range repartition +
 # per-partition rank + broadcast offsets — executor.op_rank)
@@ -1332,10 +1471,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "filter_project": _pig(FILTER_PROJECT, "P"),
         "group_having": _pig(GROUP_HAVING, "H"),
         "distinct_op": _pig(DISTINCT_Q, "D"),
-        "intersection_op": _pig(INTERSECTION_Q, "I"),
-        "difference_keyed": _pig(DIFFERENCE_Q, "P"),
-        "union_op": _pig(UNION_Q, "U"),
+        "set_ops_combined": _pig(SET_OPS_Q, "A"),
         "order_limit_top": _pig(TOP_PARTS, "R"),
+        # formerly the last 4 dict entries — they fell past the
+        # driver's 50-query cap in r01 and got no CORRECTNESS row;
+        # run them early
+        "cep_seq_match": _pig(CEP_SEQ, "P"),
+        "spatial_filter_pip": _pig(SPATIAL_Q, "R"),
+        "bgp_filter_join": _pig(BGP_Q, "B"),
+        "tuplify_group": _pig(TUPLIFY_Q, "C"),
         "cross_op": _pig(CROSS_Q, "P"),
         "cogroup_op": _pig(COGROUP_Q, "A"),
         "split_into": _pig(SPLIT_Q, "P"),
@@ -1360,8 +1504,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # training-data pipeline operators
         "dedup_exact": q_dedup_exact,
         "doc_token_stats": q_doc_tokens,
-        "doc_quality_rollup": q_doc_quality,
-        "lang_id_distribution": q_lang_id,
+        "doc_quality_lang": q_doc_quality_lang,
         "similarity_cosine_topk": q_cosine_topk,
         "embedding_neardup_exact": q_embedding_neardup_exact,
         "ngram_jaccard_pairs": q_ngram_jaccard,
@@ -1374,13 +1517,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_features": q_multimodal,
         "zip_index_stats": _pig(ZIP_INDEX, "A"),
         "rank_parts": _pig(RANK_Q, "O"),
-        "cube_lineitem_status": _pig(CUBE_Q, "S"),
-        "rollup_orders_priority": _pig(ROLLUP_Q, "S"),
+        "cube_rollup_grouping": _pig(CUBE_ROLLUP_Q, "A"),
         "sample_op": _pig(SAMPLE_Q, "P"),
-        "cep_seq_match": _pig(CEP_SEQ, "P"),
-        "spatial_filter_pip": _pig(SPATIAL_Q, "R"),
-        "bgp_filter_join": _pig(BGP_Q, "B"),
-        "tuplify_group": _pig(TUPLIFY_Q, "C"),
     }
 
 
@@ -1392,10 +1530,12 @@ def oracle_sql() -> dict[str, str]:
         "filter_project": FILTER_PROJECT_SQL,
         "group_having": GROUP_HAVING_SQL,
         "distinct_op": DISTINCT_SQL,
-        "intersection_op": INTERSECTION_SQL,
-        "difference_keyed": DIFFERENCE_SQL,
-        "union_op": UNION_SQL,
+        "set_ops_combined": SET_OPS_SQL,
         "order_limit_top": TOP_PARTS_SQL,
+        "cep_seq_match": CEP_SEQ_SQL,
+        "spatial_filter_pip": SPATIAL_SQL,
+        "bgp_filter_join": BGP_SQL,
+        "tuplify_group": TUPLIFY_SQL,
         "cross_op": CROSS_SQL,
         "cogroup_op": COGROUP_SQL,
         "split_into": SPLIT_SQL,
@@ -1419,26 +1559,21 @@ def oracle_sql() -> dict[str, str]:
         "q22_no_order_customers": Q22_SQL,
         "dedup_exact": DEDUP_EXACT_SQL,
         "doc_token_stats": DOC_TOKENS_SQL,
-        "doc_quality_rollup": DOC_QUALITY_SQL,
-        "lang_id_distribution": _lang_id_sql(),
+        "doc_quality_lang": _doc_quality_lang_sql(),
         "similarity_cosine_topk": COSINE_TOPK_SQL,
         "embedding_neardup_exact": EMB_NEARDUP_SQL,
         "ngram_jaccard_pairs": NGRAM_JACCARD_SQL,
         "contamination_scores": CONTAMINATION_SQL,
         "zip_index_stats": ZIP_INDEX_SQL,
         "rank_parts": RANK_SQL,
-        "cube_lineitem_status": CUBE_SQL,
-        "rollup_orders_priority": ROLLUP_SQL,
-        "spatial_filter_pip": SPATIAL_SQL,
-        "bgp_filter_join": BGP_SQL,
-        "tuplify_group": TUPLIFY_SQL,
+        "cube_rollup_grouping": CUBE_ROLLUP_SQL,
         "dedup_simhash": _simhash_sql(),
         "dedup_minhash_lsh": _minhash_sql(),
         "dedup_cluster_canonical": _cluster_sql(),
         "multimodal_features": MULTIMODAL_SQL,
         "similarity_ann_lsh": _ann_lsh_sql(),
         "similarity_ivf": _ivf_sql(),
-        # sample/cep: non-SQL-expressible (nondeterministic Bernoulli
-        # sampling; stateful skip-till-next-match NFA) → rows-only
-        # checks
+        # sample: non-SQL-expressible (nondeterministic Bernoulli
+        # sampling) → rows-only check. cep_seq_match gained a
+        # recursive-CTE oracle in r02 (CEP_SEQ_SQL).
     }

@@ -44,7 +44,7 @@ HEADLINE = [
     "dedup_exact",
     "doc_token_stats",
     "similarity_cosine_topk",
-    "cube_lineitem_status",
+    "cube_rollup_grouping",
     "rank_parts",
     "dedup_minhash_lsh",
     "dedup_cluster_canonical",

@@ -76,6 +76,18 @@ def compile_pred(expr: A.Expr, colnames: list[str]):
     raise ValueError(f"unsupported CEP predicate {expr!r}")
 
 
+def _find_ts_col(in_fields) -> str | None:
+    """First timestamp-typed field — either flavor. Parquet written with
+    isAdjustedToUTC=false loads as TimestampNTZType, not TimestampType;
+    matching only the latter silently disabled WITHIN enforcement and
+    time-ordering (found via the r02 CEP oracle)."""
+    ts_types = (T.TimestampType, T.TimestampNTZType)
+    for f_ in in_fields:
+        if isinstance(f_.dataType, ts_types):
+            return f_.name
+    return None
+
+
 def _match_conjunction(df: DataFrame, op: A.MatchEvent, executor,
                        names: list[str], require_all: bool) -> DataFrame:
     """AND: every event occurs (any order, distinct events) within the
@@ -87,11 +99,7 @@ def _match_conjunction(df: DataFrame, op: A.MatchEvent, executor,
     within = None
     if op.within is not None:
         within = op.within[0] * _UNIT_SECONDS[op.within[1]]
-    ts_col = None
-    for f_ in in_fields:
-        if isinstance(f_.dataType, T.TimestampType):
-            ts_col = f_.name
-            break
+    ts_col = _find_ts_col(in_fields)
     order_col = ts_col or in_fields[0].name
     colnames = [f_.name for f_ in in_fields]
     out_schema = T.StructType(
@@ -219,10 +227,7 @@ def match_event(df: DataFrame, op: A.MatchEvent, executor) -> DataFrame:
     ts_col = executor.ts_fields.get(op.rel) if hasattr(executor, "ts_fields") \
         else None
     if ts_col is None:
-        for f_ in in_fields:
-            if isinstance(f_.dataType, T.TimestampType):
-                ts_col = f_.name
-                break
+        ts_col = _find_ts_col(in_fields)
     order_col = ts_col or in_fields[0].name
 
     out_fields = []
