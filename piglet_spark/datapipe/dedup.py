@@ -107,15 +107,35 @@ def minhash_signatures(df: DataFrame, text_col: str = "text",
     return sigs
 
 
+def _cap_buckets(bucketed: DataFrame, keys: list[str],
+                 max_bucket: int | None) -> DataFrame:
+    """Drop rows in LSH buckets larger than ``max_bucket`` before a
+    bucket self-join. Within a bucket the join is quadratic; real
+    corpora have pathological buckets (boilerplate → one bucket with
+    10⁶ docs → 5·10¹¹ candidate pairs), so candidate generation must
+    be bounded. The hot-bucket list is tiny (≤ n/max_bucket keys), so
+    AQE broadcasts the anti-join. Recall note: pairs whose every
+    shared bucket is hot are missed — run ``exact_dedup`` first so
+    exact copies don't pile into one bucket. ``None`` disables."""
+    if max_bucket is None:
+        return bucketed
+    hot = (bucketed.groupBy(*keys).agg(F.count(F.lit(1)).alias("_bsz"))
+           .filter(F.col("_bsz") > max_bucket).select(*keys))
+    return bucketed.join(hot, on=keys, how="left_anti")
+
+
 def minhash_lsh_pairs(df: DataFrame, text_col: str = "text",
                       id_col: str = "doc_id", num_hashes: int = 32,
                       bands: int = 8, shingle_k: int = 3,
-                      threshold: float = 0.5) -> DataFrame:
+                      threshold: float = 0.5,
+                      max_bucket: int | None = 1024) -> DataFrame:
     """Near-duplicate pairs via MinHash banding + exact Jaccard verify.
 
     signature (map-only) → explode bands → bucket self-join (the only
     shuffle) → exact Jaccard on candidates → filter ≥ threshold.
     Returns (id_a, id_b, jaccard) with id_a < id_b.
+    ``max_bucket`` bounds the per-bucket quadratic blowup
+    (see ``_cap_buckets``).
     """
     rows_per_band = num_hashes // bands
     sigs = minhash_signatures(df, text_col, id_col, num_hashes, shingle_k)
@@ -132,6 +152,7 @@ def minhash_lsh_pairs(df: DataFrame, text_col: str = "text",
         band_cols.append(token_hash60(piece))
     banded = sigs.select(
         "_id", F.posexplode(F.array(*band_cols)).alias("_band", "_bucket"))
+    banded = _cap_buckets(banded, ["_band", "_bucket"], max_bucket)
     cand = (banded.alias("l").join(
                 banded.alias("r"),
                 on=[F.col("l._band") == F.col("r._band"),
@@ -163,44 +184,38 @@ def minhash_lsh_pairs(df: DataFrame, text_col: str = "text",
 def ngram_jaccard_pairs(df: DataFrame, text_col: str = "text",
                         id_col: str = "doc_id", k: int = 3,
                         threshold: float = 0.5,
-                        max_df: int | None = None) -> DataFrame:
+                        max_df: int | None = 256) -> DataFrame:
     """Exact n-gram Jaccard pairs via inverted shingle index — a
     distributed exact algorithm (explode shingles → co-occurrence
     join → count shared shingles → Jaccard), no LSH approximation.
     Shuffle volume ∝ total shingles, not n².
 
-    ``max_df``: optional document-frequency cap — shingles appearing in
-    more than max_df documents are excluded from CANDIDATE GENERATION
-    (they explode the co-occurrence join quadratically at corpus
-    scale) but still count in the Jaccard itself, so reported values
-    stay exact; only pairs whose *every* shared shingle is hot can be
-    missed."""
+    ``max_df`` (default 256): document-frequency cap. A shingle in d
+    documents yields d²/2 co-occurrence rows — one stop-word-ish
+    shingle at corpus scale is the classic inverted-index blowup, so
+    hot shingles (df > max_df) are excluded from CANDIDATE
+    GENERATION. They still count in the Jaccard VALUE exactly: the
+    cold-shingle co-occurrence count is topped up with
+    |hot(a) ∩ hot(b)| from tiny per-document hot-shingle sets (the
+    hot list is small by construction — at most total_shingles/max_df
+    entries — so these joins broadcast). Reported values are exact;
+    the only approximation is recall: a pair whose *every* shared
+    shingle is hot is never generated as a candidate. Run
+    ``exact_dedup`` first to keep boilerplate out of the hot list.
+    ``max_df=None`` disables the cap (quadratic on hot shingles —
+    test-scale only)."""
     base = _spread(df).select(F.col(id_col).alias("_id"),
                               shingles_of(F.col(text_col), k).alias("_sh"))
     sizes = base.select("_id", F.size("_sh").alias("_n"))
     inv = base.select("_id", F.explode("_sh").alias("_s"))
+    doc_hot = None
     if max_df is not None:
         hot = (inv.groupBy("_s").agg(F.count(F.lit(1)).alias("_df"))
                .filter(F.col("_df") > max_df).select("_s"))
+        # per-doc hot-shingle sets: ≤ a handful of entries per doc
+        doc_hot = (inv.join(hot, on="_s", how="left_semi")
+                   .groupBy("_id").agg(F.collect_set("_s").alias("_hs")))
         inv = inv.join(hot, on="_s", how="left_anti")
-        # exact verify on the full shingle sets for surviving candidates
-        cand = (inv.alias("a").join(
-                    inv.alias("b"),
-                    on=[F.col("a._s") == F.col("b._s"),
-                        F.col("a._id") < F.col("b._id")])
-                .select(F.col("a._id").alias("id_a"),
-                        F.col("b._id").alias("id_b"))
-                .dropDuplicates(["id_a", "id_b"]))
-        out = (cand
-               .join(base.select(F.col("_id").alias("id_a"),
-                                 F.col("_sh").alias("sh_a")), on="id_a")
-               .join(base.select(F.col("_id").alias("id_b"),
-                                 F.col("_sh").alias("sh_b")), on="id_b"))
-        inter = F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
-        union = F.size(F.array_union("sh_a", "sh_b")).cast("double")
-        jac = F.when(union > 0, inter / union).otherwise(F.lit(0.0))
-        return (out.select("id_a", "id_b", F.round(jac, 6).alias("jaccard"))
-                .filter(F.col("jaccard") >= threshold))
     shared = (inv.alias("a").join(
                   inv.alias("b"),
                   on=[F.col("a._s") == F.col("b._s"),
@@ -213,8 +228,18 @@ def ngram_jaccard_pairs(df: DataFrame, text_col: str = "text",
                  .withColumnRenamed("_n", "_na"), on="id_a")
            .join(sizes.withColumnRenamed("_id", "id_b")
                  .withColumnRenamed("_n", "_nb"), on="id_b"))
-    jac = F.col("_inter").cast("double") / (
-        F.col("_na") + F.col("_nb") - F.col("_inter")).cast("double")
+    inter = F.col("_inter").cast("double")
+    if doc_hot is not None:
+        out = (out
+               .join(doc_hot.withColumnRenamed("_id", "id_a")
+                     .withColumnRenamed("_hs", "_ha"), on="id_a", how="left")
+               .join(doc_hot.withColumnRenamed("_id", "id_b")
+                     .withColumnRenamed("_hs", "_hb"), on="id_b", how="left"))
+        hot_inter = F.when(
+            F.col("_ha").isNotNull() & F.col("_hb").isNotNull(),
+            F.size(F.array_intersect("_ha", "_hb"))).otherwise(F.lit(0))
+        inter = inter + hot_inter.cast("double")
+    jac = inter / (F.col("_na") + F.col("_nb") - inter).cast("double")
     return (out.select("id_a", "id_b", F.round(jac, 6).alias("jaccard"))
             .filter(F.col("jaccard") >= threshold))
 
@@ -310,14 +335,17 @@ def simhash(df: DataFrame, text_col: str = "text",
 
 
 def simhash_pairs(df: DataFrame, text_col: str = "text",
-                  id_col: str = "doc_id", max_hamming: int = 3) -> DataFrame:
+                  id_col: str = "doc_id", max_hamming: int = 3,
+                  max_bucket: int | None = 1024) -> DataFrame:
     """Near-dup pairs by SimHash: band the 60-bit hash into 4 15-bit
     chunks, bucket-join, verify bit_count(xor) ≤ max_hamming.
 
     Recall guarantee (pigeonhole): with 4 chunks every pair at
-    hamming ≤ 3 shares a chunk and is found. Larger max_hamming
-    values are permitted but approximate — a pair whose differing
-    bits spread across all 4 chunks is never a candidate."""
+    hamming ≤ 3 shares a chunk and is found — unless a chunk bucket
+    exceeds ``max_bucket`` and is dropped (see ``_cap_buckets``).
+    Larger max_hamming values are permitted but approximate — a pair
+    whose differing bits spread across all 4 chunks is never a
+    candidate."""
     base = (simhash(df, text_col, id_col)
             .select(F.col(id_col).alias("_id"),
                     F.col("simhash").alias("_h")))
@@ -328,6 +356,7 @@ def simhash_pairs(df: DataFrame, text_col: str = "text",
             for i in range(4)
         ])).alias("_chunk_i", "_chunk"),
     )
+    chunks = _cap_buckets(chunks, ["_chunk_i", "_chunk"], max_bucket)
     cand = (chunks.alias("a").join(
                 chunks.alias("b"),
                 on=[F.col("a._chunk_i") == F.col("b._chunk_i"),
@@ -413,9 +442,12 @@ def neardup_clusters(df: DataFrame, text_col: str = "text",
 def embedding_neardup_pairs(df: DataFrame, vec_col: str = "embedding",
                             id_col: str = "vec_id",
                             threshold: float = 0.95,
-                            n_planes: int = 8) -> DataFrame:
+                            n_planes: int = 8,
+                            max_bucket: int | None = 1024) -> DataFrame:
     """Embedding near-dups: random-hyperplane LSH bucket (map-only,
-    deterministic planes) → cosine verify on candidates."""
+    deterministic planes) → cosine verify on candidates.
+    ``max_bucket`` bounds the per-bucket quadratic blowup
+    (see ``_cap_buckets``)."""
     from .similarity import cosine_with_norms, hyperplane_bucket, \
         norm_expr, probe_dim
     base = _spread(df).select(
@@ -428,6 +460,7 @@ def embedding_neardup_pairs(df: DataFrame, vec_col: str = "embedding",
     bucketed = (base
                 .withColumn("_bucket", hyperplane_bucket("_v", dim, n_planes))
                 .withColumn("_n", norm_expr("_v", dim)))
+    bucketed = _cap_buckets(bucketed, ["_bucket"], max_bucket)
     cand = (bucketed.alias("a").join(
                 bucketed.alias("b"),
                 on=[F.col("a._bucket") == F.col("b._bucket"),

@@ -299,3 +299,92 @@ def test_neardup_clusters_long_chain(spark):
     assert all(got[i] == (0, i == 0) for i in range(n))
     with pytest.raises(RuntimeError, match="did not converge"):
         dedup.neardup_clusters(docs, pairs=pairs, max_iters=2)
+
+
+# --- quadratic-blowup caps (r02: scale safety for hot shingles/buckets) ---
+
+
+def test_ngram_jaccard_max_df_exact_values(spark):
+    """Hot shingles are excluded from candidate generation but still
+    count in the Jaccard value (topped up from per-doc hot-shingle
+    sets), so any reported pair's value is exact."""
+    # "common common common" is a hot shingle shared by ALL docs;
+    # docs 0/1 also share cold shingles, 2/3 share ONLY the hot one
+    rows = [
+        (0, "alpha beta gamma delta common common common"),
+        (1, "alpha beta gamma delta common common common epsilon"),
+        (2, "common common common zeta eta theta"),
+        (3, "common common common iota kappa lam"),
+        (4, "common common common mu nu xi"),
+        (5, "common common common omicron pi rho"),
+    ]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    texts = dict(rows)
+    capped = {(r["id_a"], r["id_b"]): r["jaccard"]
+              for r in dedup.ngram_jaccard_pairs(
+                  docs, threshold=0.01, max_df=3).collect()}
+    # (0,1) survives: shares cold shingles; its value must include the
+    # hot shingle in the intersection — i.e. equal brute force exactly
+    assert (0, 1) in capped
+    assert abs(capped[(0, 1)] - brute_jaccard(texts[0], texts[1])) < 1e-6
+    # pairs sharing ONLY the hot shingle are dropped (documented recall
+    # cost of the cap)
+    assert (2, 3) not in capped
+    # uncapped finds them
+    uncapped = {(r["id_a"], r["id_b"])
+                for r in dedup.ngram_jaccard_pairs(
+                    docs, threshold=0.01, max_df=None).collect()}
+    assert (2, 3) in uncapped
+
+
+def test_lsh_bucket_cap_triggers(spark):
+    """A pathological bucket (many identical docs) is dropped when it
+    exceeds max_bucket; generous caps keep every pair."""
+    rows = [(i, "identical boilerplate text repeated everywhere wins")
+            for i in range(12)]
+    rows += [(100, "some unique document about distributed query engines"),
+             (101, "some unique document about distributed query engine")]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    # the 12 identical docs share every band bucket → 66 pairs uncapped
+    uncapped = dedup.minhash_lsh_pairs(docs, threshold=0.3,
+                                       max_bucket=None).count()
+    assert uncapped >= 66
+    capped = {(r["id_a"], r["id_b"])
+              for r in dedup.minhash_lsh_pairs(
+                  docs, threshold=0.3, max_bucket=8).collect()}
+    # the hot bucket (size 12 > 8) is dropped entirely...
+    assert not any(a < 100 and b < 100 for a, b in capped)
+    # ...but small buckets still match
+    assert (100, 101) in capped
+
+
+def test_simhash_bucket_cap_triggers(spark):
+    rows = [(i, "identical boilerplate text repeated everywhere wins")
+            for i in range(12)]
+    rows += [(100, "some unique document about distributed query engines"),
+             (101, "some unique document about distributed query engines")]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    uncapped = dedup.simhash_pairs(docs, max_bucket=None).count()
+    assert uncapped >= 66
+    capped = {(r["id_a"], r["id_b"])
+              for r in dedup.simhash_pairs(docs, max_bucket=8).collect()}
+    assert not any(a < 100 and b < 100 for a, b in capped)
+    assert (100, 101) in capped
+
+
+def test_embedding_bucket_cap_triggers(spark):
+    import numpy as np
+    rng = np.random.default_rng(7)
+    base = rng.normal(size=8)
+    rows = [(i, [float(x) for x in base]) for i in range(12)]
+    other = rng.normal(size=8)
+    rows += [(100, [float(x) for x in other]),
+             (101, [float(x) for x in other + 1e-4])]
+    emb = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    uncapped = dedup.embedding_neardup_pairs(emb, max_bucket=None).count()
+    assert uncapped >= 66
+    capped = {(r["id_a"], r["id_b"])
+              for r in dedup.embedding_neardup_pairs(
+                  emb, max_bucket=8).collect()}
+    assert not any(a < 100 and b < 100 for a, b in capped)
+    assert (100, 101) in capped
