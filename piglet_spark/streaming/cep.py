@@ -140,15 +140,7 @@ def _match_conjunction(df: DataFrame, op: A.MatchEvent, executor,
     key = _partition_key(executor)
     if key:
         return _run_per_key(df, key, run, out_schema)
-
-    def global_run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        dfs = [b for b in batches if len(b)]
-        if not dfs:  # pd.concat([]) raises; empty input = zero matches
-            yield pd.DataFrame(columns=[f.name for f in out_schema])
-            return
-        yield run(pd.concat(dfs, ignore_index=True))
-
-    return df.coalesce(1).mapInPandas(global_run, out_schema)
+    return _run_global(df, run, out_schema, executor)
 
 
 def _partition_key(executor) -> str | None:
@@ -156,6 +148,52 @@ def _partition_key(executor) -> str | None:
         return executor.options.get("piglet.cep.partition_key") \
             or executor.options.get("cep.partition_key")
     return None
+
+
+# Un-keyed matching is inherently single-task (a totally-ordered
+# global NFA); above this many rows it is almost certainly a mistake
+# — refuse instead of silently serializing the corpus through one
+# task. Override with SET piglet.cep.max_global_rows, or better, SET
+# piglet.cep.partition_key for the distributed per-key path.
+_MAX_GLOBAL_ROWS = 5_000_000
+
+
+def _run_global(df: DataFrame, run, out_schema, executor) -> DataFrame:
+    """Global (un-keyed) matching: totally-ordered NFA in ONE task.
+    Warns at plan time and refuses at execution time above the
+    configurable row limit (checked inside the task — no extra
+    driver-side count job)."""
+    import warnings
+    limit = _MAX_GLOBAL_ROWS
+    if hasattr(executor, "options"):
+        limit = int(executor.options.get("piglet.cep.max_global_rows",
+                                         limit))
+    warnings.warn(
+        "MATCH_EVENT without piglet.cep.partition_key runs a GLOBAL "
+        "totally-ordered NFA in a single task — set SET "
+        "piglet.cep.partition_key '<col>' for distributed per-key "
+        f"matching (refuses above {limit} rows)", stacklevel=3)
+
+    def global_run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        dfs, total = [], 0
+        for b in batches:
+            if len(b):
+                total += len(b)
+                if total > limit:
+                    raise RuntimeError(
+                        f"un-keyed MATCH_EVENT over more than {limit} "
+                        f"rows: global totally-ordered matching would "
+                        f"serialize the input through one task. SET "
+                        f"piglet.cep.partition_key '<col>' (distributed "
+                        f"per-key path) or raise "
+                        f"piglet.cep.max_global_rows")
+                dfs.append(b)
+        if not dfs:  # pd.concat([]) raises; empty input = zero matches
+            yield pd.DataFrame(columns=[f.name for f in out_schema])
+            return
+        yield run(pd.concat(dfs, ignore_index=True))
+
+    return df.coalesce(1).mapInPandas(global_run, out_schema)
 
 
 def _run_per_key(df: DataFrame, key: str, run, out_schema) -> DataFrame:
@@ -290,12 +328,4 @@ def match_event(df: DataFrame, op: A.MatchEvent, executor) -> DataFrame:
     key = _partition_key(executor)
     if key:
         return _run_per_key(df, key, run_nfa, out_schema)
-
-    def global_nfa(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        dfs = [b for b in batches if len(b)]
-        if not dfs:  # pd.concat([]) raises; empty input = zero matches
-            yield pd.DataFrame(columns=[f.name for f in out_schema])
-            return
-        yield run_nfa(pd.concat(dfs, ignore_index=True))
-
-    return df.coalesce(1).mapInPandas(global_nfa, out_schema)
+    return _run_global(df, run_nfa, out_schema, executor)

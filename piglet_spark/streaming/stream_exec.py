@@ -149,15 +149,27 @@ def apply_window(df: DataFrame, op: A.Window,
 def socket_write(df: DataFrame, op: A.SocketWrite,
                  options: Optional[dict] = None):
     """Send each row as a text line to a TCP endpoint via foreachBatch
-    (SS has no socket sink)."""
+    (SS has no socket sink). Rows are sent from the EXECUTORS —
+    ``foreachPartition`` opens one connection per partition — so no
+    batch is ever materialized on the driver (at scale a driver-side
+    collect-and-send serializes the whole stream through one
+    process)."""
     from ..sources.storage import pig_format_rows
     host, port = op.host or "localhost", op.port
 
+    def send_partition(rows):
+        import socket as _socket
+        it = iter(rows)
+        first = next(it, None)
+        if first is None:  # empty partition: don't open a connection
+            return
+        with _socket.create_connection((host, port), timeout=10) as sock:
+            sock.sendall((first[0] + "\n").encode())
+            for r in it:
+                sock.sendall((r[0] + "\n").encode())
+
     def send_batch(batch_df: DataFrame, _batch_id: int):
-        lines = [r[0] for r in pig_format_rows(batch_df).collect()]
-        with pysocket.create_connection((host, port), timeout=10) as sock:
-            for line in lines:
-                sock.sendall((line + "\n").encode())
+        pig_format_rows(batch_df).foreachPartition(send_partition)
 
     if not df.isStreaming:
         send_batch(df, 0)

@@ -271,3 +271,77 @@ def test_reference_splitinto_script(spark, tmp_path):
                    for l in f.read_text().splitlines())
     truth = sorted((REF / "truth" / "splitX.data").read_text().splitlines())
     assert lines == [l for l in truth if l.strip()]
+
+
+def test_cep_unkeyed_warns(spark, tmp_path):
+    """Un-keyed MATCH_EVENT serializes through one task — it must say
+    so loudly (r02: scale safety)."""
+    import warnings as _w
+    p = tmp_path / "warn_ev.csv"
+    p.write_text("1,2024-01-01 00:00:01,9.0\n2,2024-01-01 00:00:02,1.0\n")
+    eng = pg.PigEngine(spark)
+    with _w.catch_warnings(record=True) as caught:
+        _w.simplefilter("always")
+        eng.run(f"""
+E = LOAD '{p}' USING PigStorage(',') AS (id:int, ts:datetime, v:double) TIMESTAMP(ts);
+M = MATCH_EVENT E PATTERN SEQ(X, Y) WITH (X: v > 5.0, Y: v < 2.0);
+""")
+    assert any("partition_key" in str(w.message) for w in caught)
+
+
+def test_cep_unkeyed_refuses_above_limit(spark, tmp_path):
+    p = tmp_path / "big_ev.csv"
+    p.write_text("".join(
+        f"{i},2024-01-01 00:00:{i % 60:02d},{i % 10}.0\n" for i in range(50)))
+    eng = pg.PigEngine(spark)
+    eng.run(f"""
+SET piglet.cep.max_global_rows '10';
+E = LOAD '{p}' USING PigStorage(',') AS (id:int, ts:datetime, v:double) TIMESTAMP(ts);
+M = MATCH_EVENT E PATTERN SEQ(X, Y) WITH (X: v > 5.0, Y: v < 2.0);
+""")
+    with pytest.raises(Exception, match="piglet.cep.partition_key"):
+        eng.df("M").count()
+
+
+def test_socket_write_multi_partition(spark):
+    """foreachPartition sink: one connection per non-empty partition,
+    all rows arrive, nothing is collected on the driver."""
+    import socket
+    import threading
+    received = []
+    srv = socket.socket()
+    srv.bind(("127.0.0.1", 0))
+    srv.listen(16)
+    srv.settimeout(15)
+    port = srv.getsockname()[1]
+    done = threading.Event()
+
+    def accept_loop():
+        while not done.is_set():
+            try:
+                conn, _ = srv.accept()
+            except OSError:
+                break
+            buf = b""
+            while True:
+                chunk = conn.recv(4096)
+                if not chunk:
+                    break
+                buf += chunk
+            received.extend(buf.decode().splitlines())
+            conn.close()
+
+    th = threading.Thread(target=accept_loop, daemon=True)
+    th.start()
+    df = spark.range(0, 8).repartition(4).selectExpr("id", "id * 2 AS d")
+    from piglet_spark.plans import ast as A
+    from piglet_spark.streaming.stream_exec import socket_write
+    socket_write(df, A.SocketWrite(rel="X", host="127.0.0.1", port=port,
+                                   mode=""))
+    import time
+    deadline = time.time() + 10
+    while len(received) < 8 and time.time() < deadline:
+        time.sleep(0.1)
+    done.set()
+    srv.close()
+    assert sorted(received) == sorted(f"{i},{i * 2}" for i in range(8))
