@@ -1228,37 +1228,54 @@ ORDER BY cos DESC, vec_id ASC LIMIT {k}
 
 
 def q_ivf(spark, sf_dir):
-    """IVF-style ANN top-k. Oracled: centroids are the first n_cells
-    rows by id (deterministic), so assignment, cell probing, and the
-    re-rank reproduce exactly in SQL."""
+    """IVF-style ANN top-k with a trained coarse quantizer (md5-spread
+    seeds + one Lloyd refinement). Every step is deterministic —
+    seeds, assignment (max_by argmin, ties → smallest cid),
+    element-wise mean refinement, probing — so the full pipeline
+    reproduces exactly in SQL."""
     emb = _emb(spark, sf_dir)
     qrow = emb.filter(F.col("vec_id") == 0).collect()[0]
     q = [float(x) for x in qrow["embedding"]]
     return dp_sim.ivf_topk(emb, q, k=10)
 
 
-def _ivf_sql(n_cells: int = 16, n_probe: int = 4, k: int = 10) -> str:
-    """Generated oracle for q_ivf: first-N-rows centroids → nearest-
-    centroid assignment (row_number window, same tie-break) → probe
-    the query's nearest cells → exact cosine re-rank."""
-    cos_vc = ("list_dot_product(e.embedding::DOUBLE[], c.cv)"
-              " / (sqrt(list_dot_product(e.embedding::DOUBLE[],"
-              " e.embedding::DOUBLE[])) * sqrt(list_dot_product(c.cv, c.cv)))")
-    cos_cq = ("list_dot_product(c.cv, q.qv)"
-              " / (sqrt(list_dot_product(c.cv, c.cv))"
-              " * sqrt(list_dot_product(q.qv, q.qv)))")
+def _ivf_sql(n_cells: int = 16, n_probe: int = 4, k: int = 10,
+             dim: int = 64) -> str:
+    """Generated oracle for q_ivf, mirroring similarity.ivf_topk:
+    md5-spread seeds → argmin assignment → per-cell element-wise mean
+    (one Lloyd iteration, dim unrolled AVGs) → reassign against the
+    refined centroids → probe the query's nearest cells → exact
+    cosine re-rank."""
+    def cos_vc(v: str, c: str) -> str:
+        return (f"list_dot_product({v}, {c})"
+                f" / (sqrt(list_dot_product({v}, {v}))"
+                f" * sqrt(list_dot_product({c}, {c})))")
+    cos_cq = cos_vc("c.cv", "q.qv")
     cos_vq = _COS_Q.format(v="a.v")
+    mean_list = ", ".join(f"AVG(v[{i + 1}])" for i in range(dim))
     return f"""
 WITH q AS (
     SELECT embedding::DOUBLE[] AS qv FROM embeddings WHERE vec_id = 0
-), cents AS (
+), seeds AS (
     SELECT vec_id AS cid, embedding::DOUBLE[] AS cv
-    FROM embeddings ORDER BY vec_id ASC LIMIT {n_cells}
+    FROM embeddings ORDER BY md5(vec_id::VARCHAR) ASC, vec_id ASC
+    LIMIT {n_cells}
+), a0 AS (
+    SELECT vec_id, v, cid FROM (
+        SELECT e.vec_id, e.embedding::DOUBLE[] AS v, c.cid,
+               ROW_NUMBER() OVER (PARTITION BY e.vec_id
+                   ORDER BY {cos_vc("e.embedding::DOUBLE[]", "c.cv")} DESC,
+                            c.cid ASC) AS rk
+        FROM embeddings e CROSS JOIN seeds c)
+    WHERE rk = 1
+), cents AS (
+    SELECT cid, [{mean_list}]::DOUBLE[] AS cv FROM a0 GROUP BY cid
 ), assigned AS (
     SELECT vec_id, v, cid FROM (
         SELECT e.vec_id, e.embedding::DOUBLE[] AS v, c.cid,
                ROW_NUMBER() OVER (PARTITION BY e.vec_id
-                   ORDER BY {cos_vc} DESC, c.cid ASC) AS rk
+                   ORDER BY {cos_vc("e.embedding::DOUBLE[]", "c.cv")} DESC,
+                            c.cid ASC) AS rk
         FROM embeddings e CROSS JOIN cents c)
     WHERE rk = 1
 ), probe AS (

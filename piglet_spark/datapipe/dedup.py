@@ -408,6 +408,15 @@ def neardup_clusters(df: DataFrame, text_col: str = "text",
              .localCheckpoint())
     labels = (edges.select(F.col("src").alias("v")).distinct()
               .select("v", F.col("v").alias("l")).localCheckpoint())
+    # convergence check folded into the per-round job (r01 ran a
+    # second join+count action per round): the vertex set is fixed
+    # and labels only decrease, so sum(l) strictly decreases iff any
+    # label changed. decimal(38,0) keeps the sum exact at any corpus
+    # size (sum of longs can overflow long). The lazy localCheckpoint
+    # materializes inside the same action that computes the sum — ONE
+    # job per round.
+    label_sum = F.sum(F.col("l").cast("decimal(38,0)")).alias("s")
+    prev_sum = labels.agg(label_sum).first()["s"]
     converged = False
     for _ in range(max_iters):
         neighbor = (edges.join(labels, on=edges.dst == labels.v)
@@ -417,14 +426,13 @@ def neardup_clusters(df: DataFrame, text_col: str = "text",
                 .select(F.col("a.v").alias("v"), F.col("b.l").alias("l")))
         new_labels = (labels.union(neighbor).union(jump)
                       .groupBy("v").agg(F.min("l").alias("l"))
-                      .localCheckpoint())
-        changed = (new_labels.alias("n")
-                   .join(labels.alias("o"), on="v")
-                   .filter(F.col("n.l") < F.col("o.l")).limit(1).count())
+                      .localCheckpoint(eager=False))
+        cur_sum = new_labels.agg(label_sum).first()["s"]
         labels = new_labels
-        if changed == 0:
+        if cur_sum == prev_sum:
             converged = True
             break
+        prev_sum = cur_sum
     if not converged:
         raise RuntimeError(
             f"neardup_clusters did not converge within max_iters="

@@ -185,39 +185,74 @@ def ann_lsh_topk(df: DataFrame, query_vec: list[float], k: int = 10,
             .select(id_col, "cos"))
 
 
-def ivf_topk(df: DataFrame, query_vec: list[float], k: int = 10,
-             vec_col: str = "embedding", id_col: str = "vec_id",
-             n_cells: int = 16, n_probe: int = 4) -> DataFrame:
-    """IVF-style ANN: centroids = the first n_cells rows by id
-    (deterministic coarse quantizer, stands in for trained k-means —
-    the Spark plumbing is identical). Assign rows to nearest centroid
-    via a broadcast crossJoin + per-row argmin; probe the n_probe
-    cells nearest the query."""
-    dim = len(query_vec)
-    cents = (df.orderBy(F.col(id_col).asc()).limit(n_cells)
-             .select(F.col(id_col).alias("_cid"),
-                     _as_double(F.col(vec_col)).alias("_cv"))
-             .withColumn("_ncv", norm_expr("_cv", dim)))
-    rows = (_spread(df).select(F.col(id_col),
-                               _as_double(F.col(vec_col)).alias("_v"))
-            .withColumn("_nv", norm_expr("_v", dim)))
+def _argmin_assign(rows: DataFrame, cents: DataFrame, id_col: str,
+                   dim: int) -> DataFrame:
+    """(id, _v, _cid): nearest centroid per row. Broadcast crossJoin →
+    ``max_by`` aggregation (ties → smallest _cid). max_by gets
+    map-side partial aggregation, so the shuffle carries ONE row per
+    vector — a row_number window shuffles all n×C scored rows and
+    sorts them (the r01 formulation; measured and flagged by the r01
+    audit)."""
     scored = (rows.crossJoin(F.broadcast(cents))
               .withColumn("_d", cosine_with_norms("_v", "_cv",
                                                   "_nv", "_ncv", dim)))
-    from pyspark.sql.window import Window
-    w = Window.partitionBy(id_col).orderBy(F.col("_d").desc(),
-                                           F.col("_cid").asc())
-    assigned = (scored.withColumn("_rk", F.row_number().over(w))
-                .filter(F.col("_rk") == 1)
-                .select(id_col, "_v", "_cid"))
-    # query's nearest cells (driver-side tiny computation)
+    return (scored.groupBy(id_col)
+            .agg(F.max_by(F.struct(F.col("_cid"), F.col("_v")),
+                          F.struct(F.col("_d"), -F.col("_cid")))
+                 .alias("_b"))
+            .select(F.col(id_col), F.col("_b._v").alias("_v"),
+                    F.col("_b._cid").alias("_cid")))
+
+
+def ivf_topk(df: DataFrame, query_vec: list[float], k: int = 10,
+             vec_col: str = "embedding", id_col: str = "vec_id",
+             n_cells: int = 16, n_probe: int = 4,
+             refine_iters: int = 1) -> DataFrame:
+    """IVF-style ANN with a trained coarse quantizer.
+
+    Seeds = the n_cells rows with the smallest md5(id) — a
+    deterministic hash-spread sample (not "first N by id", which
+    clusters seeds in id-correlated data). ``refine_iters`` Lloyd
+    iterations refine them: assign every vector to its nearest seed
+    (broadcast crossJoin + max_by argmin), recompute each cell's
+    element-wise mean via dim unrolled avg() aggregates (whole-stage
+    codegen, map-side partial agg — shuffle is C×dim doubles per
+    partition, not the vectors). Cells that lose all members drop
+    out. Probing: the n_probe refined cells nearest the query.
+
+    Every step is deterministic and reproducible in ANSI SQL, so the
+    driver oracle checks the full pipeline value-for-value."""
+    dim = len(query_vec)
+    seeds = (df.select(F.col(id_col).alias("_cid"),
+                       _as_double(F.col(vec_col)).alias("_cv"))
+             .orderBy(F.md5(F.col("_cid").cast("string")).asc(),
+                      F.col("_cid").asc())
+             .limit(n_cells))
+    rows = (_spread(df).select(F.col(id_col),
+                               _as_double(F.col(vec_col)).alias("_v"))
+            .withColumn("_nv", norm_expr("_v", dim)))
+    cents = seeds.withColumn("_ncv", norm_expr("_cv", dim))
+    for _ in range(refine_iters):
+        assigned = _argmin_assign(rows, cents, id_col, dim)
+        means = [F.avg(F.expr(f"try_element_at(_v, {i + 1})"))
+                 .alias(f"_m{i}") for i in range(dim)]
+        cents = (assigned.groupBy("_cid").agg(*means)
+                 .select("_cid", F.array(*[F.col(f"_m{i}")
+                                           for i in range(dim)]).alias("_cv"))
+                 .withColumn("_ncv", norm_expr("_cv", dim)))
+    assigned = _argmin_assign(rows, cents, id_col, dim)
+    # query's nearest cells (driver-side tiny computation over ≤
+    # n_cells refined centroids)
     cent_rows = cents.collect()
+
     def cos_py(a, b):
         num = sum(x * y for x, y in zip(a, b))
         na = sum(x * x for x in a) ** 0.5
         nb = sum(x * x for x in b) ** 0.5
         return num / (na * nb) if na and nb else 0.0
-    best = sorted(cent_rows, key=lambda r: -cos_py(r["_cv"], query_vec))
+
+    best = sorted(cent_rows,
+                  key=lambda r: (-cos_py(r["_cv"], query_vec), r["_cid"]))
     probe = [r["_cid"] for r in best[:n_probe]]
     return (assigned.filter(F.col("_cid").isin(probe))
             .select(F.col(id_col),

@@ -388,3 +388,57 @@ def test_embedding_bucket_cap_triggers(spark):
                   emb, max_bucket=8).collect()}
     assert not any(a < 100 and b < 100 for a, b in capped)
     assert (100, 101) in capped
+
+
+def test_ivf_recall_vs_brute_force(spark, sf_dir):
+    """The refined quantizer (md5-spread seeds + one Lloyd iteration)
+    must keep decent recall against exact brute force, and probing
+    all cells must recover the exact top-k."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    qrow = emb.filter(F.col("vec_id") == 0).collect()[0]
+    q = [float(x) for x in qrow["embedding"]]
+    exact = [r["vec_id"] for r in similarity.cosine_topk(emb, q, 10).collect()]
+    approx = [r["vec_id"] for r in
+              similarity.ivf_topk(emb, q, k=10, n_cells=8,
+                                  n_probe=3).collect()]
+    assert approx[0] == 0  # the query vector itself is cell-probed
+    assert len(set(exact) & set(approx)) >= 5
+    # n_probe = n_cells → no pruning → exact result
+    full = [r["vec_id"] for r in
+            similarity.ivf_topk(emb, q, k=10, n_cells=8,
+                                n_probe=8).collect()]
+    assert full == exact
+
+
+def test_neardup_clusters_one_action_per_round(spark, monkeypatch):
+    """r02: the convergence check is folded into the round's
+    checkpoint+sum action — exactly one driver action (.first) per
+    round and NO per-round join+count job (the r01 shape)."""
+    try:  # PySpark 4: the concrete class overrides the base methods
+        from pyspark.sql.classic.dataframe import DataFrame
+    except ImportError:
+        from pyspark.sql import DataFrame
+    calls = {"count": 0, "first": 0}
+    orig_count, orig_first = DataFrame.count, DataFrame.first
+
+    def counting_count(self):
+        calls["count"] += 1
+        return orig_count(self)
+
+    def counting_first(self):
+        calls["first"] += 1
+        return orig_first(self)
+
+    monkeypatch.setattr(DataFrame, "count", counting_count)
+    monkeypatch.setattr(DataFrame, "first", counting_first)
+    rows = [(i, f"doc number {i} unique content") for i in range(6)]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    pairs = spark.createDataFrame(
+        [(0, 1, 1.0), (1, 2, 1.0), (3, 4, 1.0)],
+        ["id_a", "id_b", "jaccard"])
+    out = dedup.neardup_clusters(docs, pairs=pairs)
+    rowsout = {r["doc_id"]: r["cluster_id"] for r in out.collect()}
+    assert rowsout == {0: 0, 1: 0, 2: 0, 3: 3, 4: 3, 5: 5}
+    assert calls["count"] == 0  # r01 ran a count per round
+    # init sum + one per round; this graph converges in ≤4 rounds
+    assert 2 <= calls["first"] <= 5
