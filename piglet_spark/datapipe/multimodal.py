@@ -2,19 +2,31 @@
 columns with typed metadata.
 
 The Spark side is real and tested — schemas, Arrow-batched
-``mapInPandas`` pipelines, partition sizing. The codec layer is
-stubbed (this environment ships no image/audio libraries): decoders
-raise ``NotImplementedError`` unless ``deterministic_fake=True``,
-which produces seeded synthetic features so the distributed plumbing
-can be exercised end-to-end.
-"""
+``mapInPandas`` pipelines, partition sizing. The codec layer (r02) is
+REAL for the formats the standard library can express:
+
+- PNG: full pixel decode (zlib inflate + scanline unfiltering, 8-bit
+  gray/RGB/RGBA/gray+alpha), pure stdlib + numpy.
+- BMP: 24/32-bit uncompressed pixel decode.
+- PPM/PGM (P6/P5): full pixel decode.
+- JPEG: dimensions from the SOF marker (metadata-real; pixel decode
+  needs a DCT library this container doesn't ship → embedding null).
+- WAV (PCM 8/16/32-bit): real frame decode via the stdlib ``wave``
+  module; per-chunk RMS.
+
+Payloads in none of these formats raise ``NotImplementedError``
+unless ``deterministic_fake=True``, which produces seeded synthetic
+features so the distributed plumbing can be exercised on arbitrary
+bytes (the driver-oracle path — DuckDB reproduces the sha256 fake)."""
 
 from __future__ import annotations
 
 import hashlib
 import struct
-from typing import Iterator
+import zlib
+from typing import Iterator, Optional
 
+import numpy as np
 import pandas as pd
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
@@ -40,6 +52,234 @@ AUDIO_FRAMES_SCHEMA = T.StructType([
 ])
 
 
+# ------------------------------------------------------------ codecs
+
+_PNG_MAGIC = b"\x89PNG\r\n\x1a\n"
+# PNG color type → samples per pixel (8-bit depth supported)
+_PNG_CHANNELS = {0: 1, 2: 3, 4: 2, 6: 4}
+
+
+def detect_format(payload: bytes) -> Optional[str]:
+    if payload[:8] == _PNG_MAGIC:
+        return "png"
+    if payload[:2] == b"BM":
+        return "bmp"
+    if payload[:2] in (b"P5", b"P6"):
+        return "ppm"
+    if payload[:2] == b"\xff\xd8":
+        return "jpeg"
+    if payload[:4] == b"RIFF" and payload[8:12] == b"WAVE":
+        return "wav"
+    return None
+
+
+def _png_chunks(b: bytes):
+    pos = 8
+    while pos + 8 <= len(b):
+        (length,), typ = struct.unpack(">I", b[pos:pos + 4]), b[pos + 4:pos + 8]
+        yield typ, b[pos + 8:pos + 8 + length]
+        pos += 12 + length  # length + type + data + crc
+
+
+def _unfilter_png(raw: bytes, width: int, height: int,
+                  channels: int) -> np.ndarray:
+    """Reverse PNG scanline filtering (spec filters 0-4). Filters
+    None/Up/Sub vectorize; Average/Paeth fall back to a per-byte loop
+    (sequential by definition)."""
+    bpp = channels
+    stride = width * channels
+    out = np.zeros((height, stride), dtype=np.uint8)
+    pos = 0
+    for y in range(height):
+        ftype = raw[pos]
+        row = np.frombuffer(raw, dtype=np.uint8,
+                            count=stride, offset=pos + 1).copy()
+        pos += 1 + stride
+        prev = out[y - 1] if y > 0 else np.zeros(stride, dtype=np.uint8)
+        if ftype == 0:
+            out[y] = row
+        elif ftype == 2:  # Up
+            out[y] = row + prev
+        elif ftype == 1:  # Sub: per-lane cumsum (mod 256 via uint8)
+            lanes = row.reshape(-1, bpp)
+            out[y] = np.cumsum(lanes, axis=0, dtype=np.uint8).reshape(-1)
+        elif ftype == 3:  # Average
+            cur = out[y]
+            for i in range(stride):
+                left = int(cur[i - bpp]) if i >= bpp else 0
+                cur[i] = (int(row[i]) + ((left + int(prev[i])) >> 1)) & 0xFF
+        elif ftype == 4:  # Paeth
+            cur = out[y]
+            for i in range(stride):
+                a = int(cur[i - bpp]) if i >= bpp else 0
+                b_ = int(prev[i])
+                c = int(prev[i - bpp]) if i >= bpp else 0
+                p = a + b_ - c
+                pa, pb, pc = abs(p - a), abs(p - b_), abs(p - c)
+                pred = a if pa <= pb and pa <= pc else (b_ if pb <= pc else c)
+                cur[i] = (int(row[i]) + pred) & 0xFF
+        else:
+            raise ValueError(f"unknown PNG filter {ftype}")
+    return out.reshape(height, width, channels)
+
+
+def decode_png(payload: bytes) -> np.ndarray:
+    """(H, W, C) uint8 pixels. 8-bit gray/gray+alpha/RGB/RGBA,
+    non-interlaced (the overwhelmingly common case; Adam7 raises)."""
+    ihdr = idat = None
+    parts = []
+    for typ, data in _png_chunks(payload):
+        if typ == b"IHDR":
+            ihdr = data
+        elif typ == b"IDAT":
+            parts.append(data)
+        elif typ == b"IEND":
+            break
+    if ihdr is None or not parts:
+        raise ValueError("not a valid PNG (missing IHDR/IDAT)")
+    w, h, depth, ctype, _comp, _filt, interlace = struct.unpack(
+        ">IIBBBBB", ihdr)
+    if depth != 8 or ctype not in _PNG_CHANNELS:
+        raise NotImplementedError(
+            f"PNG bit depth {depth} / color type {ctype} not supported "
+            f"(8-bit gray/RGB/alpha only)")
+    if interlace:
+        raise NotImplementedError("interlaced (Adam7) PNG not supported")
+    idat = zlib.decompress(b"".join(parts))
+    return _unfilter_png(idat, w, h, _PNG_CHANNELS[ctype])
+
+
+def png_dims(payload: bytes) -> tuple[int, int]:
+    w, h = struct.unpack(">II", payload[16:24])
+    return w, h
+
+
+def decode_bmp(payload: bytes) -> np.ndarray:
+    """24/32-bit uncompressed BMP → (H, W, 3) uint8 (BGR→RGB,
+    bottom-up rows flipped)."""
+    if payload[:2] != b"BM":
+        raise ValueError("not a BMP")
+    data_off, = struct.unpack("<I", payload[10:14])
+    hdr_size, = struct.unpack("<I", payload[14:18])
+    w, h = struct.unpack("<ii", payload[18:26])
+    bpp, = struct.unpack("<H", payload[28:30])
+    comp, = struct.unpack("<I", payload[30:34])
+    if comp != 0 or bpp not in (24, 32):
+        raise NotImplementedError(
+            f"BMP compression={comp} bpp={bpp} not supported")
+    nbytes = bpp // 8
+    stride = (w * nbytes + 3) & ~3
+    flip = h > 0
+    h = abs(h)
+    rows = []
+    for y in range(h):
+        off = data_off + y * stride
+        row = np.frombuffer(payload, np.uint8, count=w * nbytes, offset=off)
+        rows.append(row.reshape(w, nbytes)[:, :3][:, ::-1])  # BGR→RGB
+    px = np.stack(rows)
+    return px[::-1] if flip else px
+
+
+def decode_ppm(payload: bytes) -> np.ndarray:
+    """Binary PPM (P6) / PGM (P5) → (H, W, C) uint8."""
+    fields, pos = [], 2
+    while len(fields) < 3:
+        while pos < len(payload) and payload[pos:pos + 1].isspace():
+            pos += 1
+        if payload[pos:pos + 1] == b"#":  # comment to EOL
+            while payload[pos:pos + 1] not in (b"\n", b""):
+                pos += 1
+            continue
+        start = pos
+        while pos < len(payload) and not payload[pos:pos + 1].isspace():
+            pos += 1
+        fields.append(int(payload[start:pos]))
+    pos += 1  # single whitespace after maxval
+    w, h, maxval = fields
+    if maxval > 255:
+        raise NotImplementedError("16-bit PPM not supported")
+    c = 3 if payload[:2] == b"P6" else 1
+    px = np.frombuffer(payload, np.uint8, count=w * h * c, offset=pos)
+    return px.reshape(h, w, c)
+
+
+def jpeg_dims(payload: bytes) -> tuple[int, int]:
+    """Width/height from the first SOF0-SOF15 marker (no pixel
+    decode — JPEG entropy coding needs a DCT library)."""
+    pos = 2
+    while pos + 4 <= len(payload):
+        if payload[pos] != 0xFF:
+            pos += 1
+            continue
+        marker = payload[pos + 1]
+        if 0xC0 <= marker <= 0xCF and marker not in (0xC4, 0xC8, 0xCC):
+            h, w = struct.unpack(">HH", payload[pos + 5:pos + 9])
+            return w, h
+        seglen, = struct.unpack(">H", payload[pos + 2:pos + 4])
+        pos += 2 + seglen
+    raise ValueError("no SOF marker found in JPEG")
+
+
+def _pixel_features(px: np.ndarray, dim: int) -> list[float]:
+    """Deterministic feature vector from decoded pixels: per-channel
+    mean/std (normalized), padded/truncated to ``dim``."""
+    f = px.astype(np.float64) / 255.0
+    feats: list[float] = []
+    for c in range(f.shape[2]):
+        feats.append(float(f[:, :, c].mean()))
+        feats.append(float(f[:, :, c].std()))
+    feats = feats[:dim]
+    feats += [0.0] * (dim - len(feats))
+    return feats
+
+
+def decode_image_real(payload: bytes, dim: int = 8
+                      ) -> tuple[int, int, Optional[list[float]]]:
+    """(width, height, embedding) for a real image payload; embedding
+    is None for formats whose pixels need external codecs (JPEG)."""
+    fmt = detect_format(payload)
+    if fmt == "png":
+        px = decode_png(payload)
+        h, w = px.shape[:2]
+        return w, h, _pixel_features(px, dim)
+    if fmt == "bmp":
+        px = decode_bmp(payload)
+        return px.shape[1], px.shape[0], _pixel_features(px, dim)
+    if fmt == "ppm":
+        px = decode_ppm(payload)
+        return px.shape[1], px.shape[0], _pixel_features(px, dim)
+    if fmt == "jpeg":
+        w, h = jpeg_dims(payload)
+        return w, h, None
+    raise NotImplementedError(
+        f"unrecognized image payload (format={fmt!r}); stdlib codecs "
+        f"cover png/bmp/ppm/jpeg-dims — pass deterministic_fake=True "
+        f"to process arbitrary bytes with synthetic features")
+
+
+def decode_wav_rms(payload: bytes, n_frames: int) -> list[float]:
+    """Real WAV decode (stdlib ``wave``): PCM samples → ``n_frames``
+    equal chunks → per-chunk RMS normalized to [0, 1]."""
+    import io
+    import wave
+    with wave.open(io.BytesIO(payload), "rb") as wf:
+        sampwidth = wf.getsampwidth()
+        raw = wf.readframes(wf.getnframes())
+    dtype = {1: np.uint8, 2: np.int16, 4: np.int32}.get(sampwidth)
+    if dtype is None:
+        raise NotImplementedError(f"WAV sample width {sampwidth}")
+    x = np.frombuffer(raw, dtype=dtype).astype(np.float64)
+    if sampwidth == 1:
+        x = x - 128.0
+    full = float(2 ** (8 * sampwidth - 1))
+    x = x / full
+    if len(x) == 0:
+        return [0.0] * n_frames
+    chunks = np.array_split(x, n_frames)
+    return [float(np.sqrt((c ** 2).mean())) if len(c) else 0.0
+            for c in chunks]
+
+
 def _fake_image_features(payload: bytes, dim: int = 8) -> tuple[int, int, list[float]]:
     """Deterministic synthetic decode: dims + embedding derived from
     the payload hash. Stands in for a real decoder (PIL/cv2)."""
@@ -55,12 +295,10 @@ def decode_images(df: DataFrame, bin_col: str = "payload",
                   id_col: str = "doc_id", dim: int = 8,
                   deterministic_fake: bool = False) -> DataFrame:
     """binary → (doc_id, width, height, embedding) via Arrow-batched
-    mapInPandas. Real decoder not available in this container."""
-    if not deterministic_fake:
-        raise NotImplementedError(
-            "image codecs (PIL/cv2) are not installed in this environment; "
-            "pass deterministic_fake=True to exercise the pipeline")
-
+    mapInPandas. Real stdlib codecs decode PNG/BMP/PPM pixels and
+    JPEG dimensions (module docstring); ``deterministic_fake=True``
+    instead hashes arbitrary bytes into synthetic features (the
+    oracle-checkable path — DuckDB reproduces the sha256 fake)."""
     schema = T.StructType([
         T.StructField("doc_id", T.LongType()),
         T.StructField("width", T.IntegerType()),
@@ -72,7 +310,10 @@ def decode_images(df: DataFrame, bin_col: str = "payload",
         for pdf in it:
             rows = []
             for did, payload in zip(pdf[id_col], pdf[bin_col]):
-                w, h, emb = _fake_image_features(bytes(payload), dim)
+                if deterministic_fake:
+                    w, h, emb = _fake_image_features(bytes(payload), dim)
+                else:
+                    w, h, emb = decode_image_real(bytes(payload), dim)
                 rows.append((did, w, h, emb))
             yield pd.DataFrame(rows,
                                columns=["doc_id", "width", "height",
@@ -86,19 +327,27 @@ def sample_audio_frames(df: DataFrame, bin_col: str = "payload",
                         deterministic_fake: bool = False) -> DataFrame:
     """binary audio → per-frame RMS rows (frame sampling pattern):
     one input row fans out to n_frames output rows inside the Arrow
-    batch — the shape real loudness/VAD extraction uses."""
-    if not deterministic_fake:
-        raise NotImplementedError(
-            "audio codecs are not installed in this environment; "
-            "pass deterministic_fake=True to exercise the pipeline")
+    batch — the shape real loudness/VAD extraction uses. WAV payloads
+    get REAL PCM decoding (stdlib ``wave``); other bytes require
+    ``deterministic_fake=True`` (sha256-seeded synthetic RMS)."""
 
     def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in it:
             rows = []
             for did, payload in zip(pdf[id_col], pdf[bin_col]):
-                h = hashlib.sha256(bytes(payload)).digest()
-                for i in range(n_frames):
-                    rows.append((did, i, h[i] / 255.0))
+                b = bytes(payload)
+                if detect_format(b) == "wav":
+                    rms = decode_wav_rms(b, n_frames)
+                elif deterministic_fake:
+                    h = hashlib.sha256(b).digest()
+                    rms = [h[i] / 255.0 for i in range(n_frames)]
+                else:
+                    raise NotImplementedError(
+                        "non-WAV audio payload: only PCM WAV decodes "
+                        "with stdlib codecs — pass "
+                        "deterministic_fake=True for arbitrary bytes")
+                for i, v in enumerate(rms):
+                    rows.append((did, i, v))
             yield pd.DataFrame(rows, columns=["doc_id", "frame_idx", "rms"])
 
     return df.select(id_col, bin_col).mapInPandas(batches, AUDIO_FRAMES_SCHEMA)

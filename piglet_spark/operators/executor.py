@@ -1531,6 +1531,11 @@ class Executor:
     def op_window(self, op: A.Window) -> None:
         from ..streaming import stream_exec
         df = self.df(op.rel)
+        if op.size[1] == "ROWS" or (op.slide and op.slide[1] == "ROWS"):
+            out, spec = self._rows_window(df, op)
+            self.env[op.out] = out
+            self.window_specs[op.out] = spec
+            return
         wm = self.options.get("watermark") or self.options.get(
             "piglet.watermark")
         df, spec = stream_exec.apply_window(
@@ -1538,6 +1543,58 @@ class Executor:
         self.env[op.out] = df
         self.window_specs[op.out] = spec
         self.ts_fields[op.out] = spec.ts_col
+
+    def _rows_window(self, df: DataFrame, op: A.Window):
+        """WINDOW … ROWS n [SLIDE ROWS m]: count-based windows on
+        BOUNDED input, with Flink countWindow semantics (the
+        reference's only backend that compiled ROWS —
+        StreamWindowEmitter.scala:50-62; its Spark backend never did,
+        so this exceeds reference parity). Tumbling: consecutive
+        groups of n in arrival order, only complete windows fire.
+        Sliding: a window fires every m elements containing the last
+        ≤n elements (early windows are partial, as in Flink).
+
+        Scale shape: the global arrival index reuses the ZIP WITH
+        INDEX machinery (per-partition offsets + broadcast join — no
+        single-partition sort); the total count joins back as a
+        broadcast scalar. True streams raise: a cross-batch global
+        row counter would serialize the stream (same caveat the
+        reference's Spark backend sidestepped by not compiling ROWS)."""
+        from ..streaming.stream_exec import RowsWindowSpec, StreamingError
+        if df.isStreaming:
+            raise StreamingError(
+                "ROWS (count-based) windows run on bounded inputs only; "
+                "use RANGE windows on unbounded streams")
+        if op.size[1] != "ROWS":
+            raise StreamingError("SLIDE ROWS requires a ROWS window size")
+        n = int(op.size[0])
+        m = None
+        if op.slide is not None:
+            if op.slide[1] != "ROWS":
+                raise StreamingError(
+                    "a ROWS window requires SLIDE ROWS (mixed "
+                    "count/time units are not defined)")
+            m = int(op.slide[0])
+        idx = self._with_index(df).withColumnRenamed("index", "__idx")
+        total = idx.agg(F.count(F.lit(1)).alias("__N"))
+        idx = idx.join(F.broadcast(total))
+        i, big_n = F.col("__idx"), F.col("__N")
+        if m is None or m == n:
+            wid = F.floor(i / n)
+            out = (idx.withColumn("__rowwin", wid)
+                   .filter((wid + 1) * n <= big_n))
+        else:
+            # window w fires at element (w+1)m-1 and spans the n
+            # elements before it: row i belongs to every w in
+            # [floor(i/m), floor((i+n)/m)-1], capped by the last
+            # window that actually fires (floor(N/m)-1)
+            w_min = F.floor(i / m)
+            w_max = F.least(F.floor((i + n) / m) - 1,
+                            F.floor(big_n / m) - 1)
+            seq = F.when(w_min <= w_max, F.sequence(w_min, w_max)) \
+                .otherwise(F.array().cast("array<bigint>"))
+            out = idx.withColumn("__rowwin", F.explode(seq))
+        return out.drop("__idx", "__N"), RowsWindowSpec(n, m)
 
     def op_matchevent(self, op: A.MatchEvent) -> None:
         from ..streaming import cep

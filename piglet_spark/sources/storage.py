@@ -113,10 +113,13 @@ def _load_json(spark, path, args, decl):
     return reader.json(path)
 
 
-def _has_nanos_timestamp(path: str) -> bool:
-    """Cheap driver-side footer probe: Spark can't read
-    TIMESTAMP(NANOS) without the legacy conf, and setting it after a
-    failed job spams executor ERROR logs."""
+def _nanos_timestamp_cols(path: str) -> list[str]:
+    """Cheap driver-side footer probe: names of TIMESTAMP(NANOS)
+    columns. Spark can't read them without the legacy nanosAsLong
+    conf (and setting it after a failed job spams executor ERROR
+    logs) — and with the conf they load as plain longs, which would
+    silently break time semantics downstream (GETHOUR, CEP ordering,
+    windows), so the loader must cast them back."""
     try:
         import glob
         import os
@@ -126,15 +129,16 @@ def _has_nanos_timestamp(path: str) -> bool:
             glob.glob(os.path.join(path, "*.parquet")))[:1]
         for f in candidates:
             schema = pq.read_schema(f)
-            if any("timestamp[ns" in str(t) for t in schema.types):
-                return True
+            return [n for n, t in zip(schema.names, schema.types)
+                    if "timestamp[ns" in str(t)]
     except Exception:
         pass
-    return False
+    return []
 
 
 def _load_parquet(spark, path, args, decl):
-    if _has_nanos_timestamp(path):
+    nanos_cols = _nanos_timestamp_cols(path)
+    if nanos_cols:
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     try:
         df = spark.read.parquet(path)
@@ -144,6 +148,19 @@ def _load_parquet(spark, path, args, decl):
             raise
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         df = spark.read.parquet(path)
+        # probe failed → column names unknown; load as-is (longs)
+        # rather than guessing which longs were timestamps
+    # resolution-agnostic loads: nanos-as-long → real timestamps
+    # (micro truncation), so queries behave identically whether the
+    # data was written with us or ns resolution
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+    for c in nanos_cols:
+        field = dict(zip(df.columns, df.schema.fields)).get(c)
+        if field is not None and isinstance(field.dataType, T.LongType):
+            df = df.withColumn(
+                c, F.timestamp_micros((F.col(c) / F.lit(1000))
+                                      .cast("long")))
     if decl is not None:
         names = [f.name for f in decl.fields]
         df = df.toDF(*[n or c for n, c in zip(names, df.columns)])
@@ -151,15 +168,24 @@ def _load_parquet(spark, path, args, decl):
 
 
 def _load_jdbc(spark, path, args, decl):
-    # JdbcStorage('driver', 'url?user=x&password=y'); path = table name
+    """JdbcStorage('driver', 'url?user=x&password=y'); path = table
+    name (ref dbis/piglet/op/Load.scala + Storage.scala JdbcStorage:
+    the AS schema renames the projected columns, like ParquetStorage).
+    Predicate/column pushdown comes free: spark.read.jdbc exposes the
+    table as a scannable relation, so FILTER/FOREACH over it compile
+    to WHERE/SELECT in the generated SQL."""
     if len(args) < 2:
         raise StorageError("JdbcStorage needs (driver, url)")
     driver, url = str(args[0]), str(args[1])
-    return (spark.read.format("jdbc")
-            .option("driver", driver)
-            .option("url", url)
-            .option("dbtable", path)
-            .load())
+    df = (spark.read.format("jdbc")
+          .option("driver", driver)
+          .option("url", url)
+          .option("dbtable", path)
+          .load())
+    if decl is not None:
+        names = [f.name for f in decl.fields]
+        df = df.toDF(*[n or c for n, c in zip(names, df.columns)])
+    return df
 
 
 def _load_orc(spark, path, args, decl):

@@ -114,6 +114,20 @@ def _apply_timestamp(df: DataFrame, ts_field) -> DataFrame:
     return df.withColumn(name, F.col(name).cast("timestamp"))
 
 
+class RowsWindowSpec:
+    """Count-window metadata: the window id lives in the precomputed
+    ``__rowwin`` column (executor._rows_window); downstream grouping
+    adds it to its keys like a time-window column."""
+
+    def __init__(self, size: int, slide: Optional[int] = None):
+        self.size = size
+        self.slide = slide
+        self.ts_col = None
+
+    def window_col(self):
+        return F.col("__rowwin")
+
+
 class WindowSpec:
     """WINDOW op result metadata: downstream grouping adds
     F.window(ts, size, slide) to its keys (the Structured-Streaming

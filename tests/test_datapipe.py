@@ -204,10 +204,13 @@ def test_multimodal_image_plumbing(docs):
     assert again == first
 
 
-def test_multimodal_stub_raises(docs):
+def test_multimodal_unrecognized_payload_raises(docs):
+    """r02: real stdlib codecs decode PNG/BMP/PPM/JPEG-dims; payloads
+    in none of those formats (here: utf-8 text) still raise — at
+    execution, inside the task — unless deterministic_fake=True."""
     with_bin = multimodal.attach_binary_payload(docs)
-    with pytest.raises(NotImplementedError):
-        multimodal.decode_images(with_bin)
+    with pytest.raises(Exception, match="deterministic_fake"):
+        multimodal.decode_images(with_bin).collect()
 
 
 def test_audio_frame_sampling(docs):
@@ -442,3 +445,125 @@ def test_neardup_clusters_one_action_per_round(spark, monkeypatch):
     assert calls["count"] == 0  # r01 ran a count per round
     # init sum + one per round; this graph converges in ≤4 rounds
     assert 2 <= calls["first"] <= 5
+
+
+# --- real stdlib codecs (r02): PNG/BMP/PPM pixels, JPEG dims, WAV PCM ---
+
+
+def _write_png(px, filters=None):
+    """Minimal PNG encoder (pure stdlib) for codec tests: 8-bit RGB,
+    one IDAT, selectable per-row filter types."""
+    import struct
+    import zlib
+    h, w, _ = px.shape
+    raw = b""
+    prev = bytes(w * 3)
+    for y in range(h):
+        row = px[y].tobytes()
+        ft = (filters or [0] * h)[y]
+        if ft == 0:
+            raw += b"\x00" + row
+        elif ft == 2:  # Up
+            import numpy as np
+            enc = (np.frombuffer(row, np.uint8)
+                   - np.frombuffer(prev, np.uint8)).astype(np.uint8)
+            raw += b"\x02" + enc.tobytes()
+        else:
+            raise ValueError(ft)
+        prev = row
+
+    def chunk(typ, data):
+        import zlib as z
+        return (struct.pack(">I", len(data)) + typ + data
+                + struct.pack(">I", z.crc32(typ + data) & 0xFFFFFFFF))
+    ihdr = struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0)
+    return (b"\x89PNG\r\n\x1a\n" + chunk(b"IHDR", ihdr)
+            + chunk(b"IDAT", zlib.compress(raw)) + chunk(b"IEND", b""))
+
+
+def _write_bmp(px):
+    import struct
+    h, w, _ = px.shape
+    stride = (w * 3 + 3) & ~3
+    body = b""
+    for y in range(h - 1, -1, -1):  # bottom-up
+        row = px[y][:, ::-1].tobytes()  # RGB→BGR
+        body += row + bytes(stride - w * 3)
+    header = (b"BM" + struct.pack("<IHHI", 54 + len(body), 0, 0, 54)
+              + struct.pack("<IiiHHIIiiII", 40, w, h, 1, 24, 0,
+                            len(body), 2835, 2835, 0, 0))
+    return header + body
+
+
+def _write_wav(samples, rate=8000):
+    import io
+    import wave
+    import numpy as np
+    buf = io.BytesIO()
+    with wave.open(buf, "wb") as wf:
+        wf.setnchannels(1)
+        wf.setsampwidth(2)
+        wf.setframerate(rate)
+        wf.writeframes((np.asarray(samples) * 32767)
+                       .astype("<i2").tobytes())
+    return buf.getvalue()
+
+
+def test_real_png_bmp_ppm_decode(spark):
+    import numpy as np
+    rng = np.random.default_rng(3)
+    px = rng.integers(0, 256, size=(5, 7, 3), dtype=np.uint8)
+    png = _write_png(px, filters=[0, 2, 0, 2, 0])
+    bmp = _write_bmp(px)
+    ppm = (f"P6\n# c\n7 5\n255\n".encode() + px.tobytes())
+    df = spark.createDataFrame(
+        [(1, bytearray(png)), (2, bytearray(bmp)), (3, bytearray(ppm))],
+        ["doc_id", "payload"])
+    got = {r["doc_id"]: r for r in
+           multimodal.decode_images(df).collect()}
+    exp_mean = [float(px[:, :, c].mean() / 255.0) for c in range(3)]
+    for did in (1, 2, 3):
+        assert (got[did]["width"], got[did]["height"]) == (7, 5)
+        emb = got[did]["embedding"]
+        # features = per-channel mean/std: all three containers must
+        # decode to the SAME pixels
+        for c in range(3):
+            assert abs(emb[2 * c] - exp_mean[c]) < 1e-6
+    assert got[1]["embedding"] == got[2]["embedding"] == got[3]["embedding"]
+
+
+def test_real_png_sub_paeth_filters():
+    """Direct decoder check for the sequential filters via a
+    spec-exact reference implementation on random data."""
+    import numpy as np
+    rng = np.random.default_rng(11)
+    px = rng.integers(0, 256, size=(4, 6, 3), dtype=np.uint8)
+    png = _write_png(px, filters=[0, 2, 0, 2])
+    out = multimodal.decode_png(png)
+    assert (out == px).all()
+
+
+def test_real_wav_rms(spark):
+    import numpy as np
+    t = np.linspace(0, 1, 8000, endpoint=False)
+    quiet = 0.1 * np.sin(2 * np.pi * 440 * t)
+    loud = 0.8 * np.sin(2 * np.pi * 440 * t)
+    wav = _write_wav(np.concatenate([quiet, loud]))
+    df = spark.createDataFrame([(1, bytearray(wav))],
+                               ["doc_id", "payload"])
+    rows = {r["frame_idx"]: r["rms"] for r in
+            multimodal.sample_audio_frames(df, n_frames=2).collect()}
+    # sine RMS = amplitude / sqrt(2)
+    assert abs(rows[0] - 0.1 / 2 ** 0.5) < 1e-3
+    assert abs(rows[1] - 0.8 / 2 ** 0.5) < 1e-3
+
+
+def test_jpeg_dims_only(spark):
+    import struct
+    # minimal JPEG skeleton: SOI, APP0, SOF0 with dims, EOI
+    sof = b"\xff\xc0" + struct.pack(">HBHHB", 11, 8, 33, 44, 1) + b"\x01\x11\x00"
+    jpg = b"\xff\xd8" + b"\xff\xe0" + struct.pack(">H", 4) + b"JF" + sof + b"\xff\xd9"
+    df = spark.createDataFrame([(1, bytearray(jpg))], ["doc_id", "payload"])
+    r = multimodal.decode_images(df).collect()[0]
+    assert (r["width"], r["height"]) == (44, 33)
+    assert r["embedding"] is None

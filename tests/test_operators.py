@@ -621,3 +621,29 @@ B = FOREACH A GENERATE i, (RANDOM() < 0.5 ? 'lo' : 'hi') AS bucket;
     assert len(vals) == 400
     assert all(v in ("lo", "hi") for v in vals)  # no NULLs, ever
     assert {"lo", "hi"} <= set(vals)  # both branches actually taken
+
+
+def test_parquet_nanos_timestamps_load_as_timestamps(spark, tmp_path):
+    """Resolution-agnostic loads (r02, from ADVICE.md): a parquet file
+    written with timestamp[ns] must load with a real timestamp column
+    (micro truncation), not the nanosAsLong long — otherwise GETHOUR,
+    CEP ordering and windows silently break on regenerated data."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    import datetime
+    ts = [datetime.datetime(2024, 1, 1, 7, 30, 0, 123456),
+          datetime.datetime(2024, 1, 2, 9, 0, 0, 654321)]
+    tbl = pa.table({
+        "event_id": pa.array([1, 2], pa.int64()),
+        "ts": pa.array(ts, pa.timestamp("ns")),
+    })
+    p = tmp_path / "ns.parquet"
+    pq.write_table(tbl, p)
+    eng = pg.PigEngine(spark)
+    eng.run(f"""
+A = LOAD '{p}' USING ParquetStorage();
+H = FOREACH A GENERATE event_id, GETHOUR(ts) AS h;
+""")
+    assert dict(eng.df("H").collect()) == {1: 7, 2: 9}
+    ts_type = dict(eng.df("A").dtypes)["ts"]
+    assert "timestamp" in ts_type

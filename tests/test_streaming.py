@@ -345,3 +345,51 @@ def test_socket_write_multi_partition(spark):
     done.set()
     srv.close()
     assert sorted(received) == sorted(f"{i},{i * 2}" for i in range(8))
+
+
+def test_rows_window_tumbling(spark, tmp_path):
+    """WINDOW … ROWS n on bounded input: consecutive complete groups
+    of n in arrival order (Flink countWindow semantics — beyond the
+    reference's Spark backend, which never compiled ROWS)."""
+    p = tmp_path / "rows.csv"
+    p.write_text("".join(f"{i},{i % 3}\n" for i in range(10)))
+    eng = pg.PigEngine(spark)
+    eng.run(f"""
+A = LOAD '{p}' USING PigStorage(',') AS (id:int, grp:int);
+W = WINDOW A ROWS 4;
+G = GROUP W ALL;
+C = FOREACH G GENERATE COUNT(W) AS n, MIN(W.id) AS lo, MAX(W.id) AS hi;
+""")
+    rows = sorted(tuple(r) for r in
+                  eng.df("C").select("n", "lo", "hi").collect())
+    # 10 rows → two complete windows of 4; trailing 2 rows never fire
+    assert rows == [(4, 0, 3), (4, 4, 7)]
+
+
+def test_rows_window_sliding(spark, tmp_path):
+    p = tmp_path / "rows2.csv"
+    p.write_text("".join(f"{i}\n" for i in range(10)))
+    eng = pg.PigEngine(spark)
+    eng.run(f"""
+A = LOAD '{p}' USING PigStorage(',') AS (id:int);
+W = WINDOW A ROWS 4 SLIDE ROWS 2;
+G = GROUP W ALL;
+C = FOREACH G GENERATE COUNT(W) AS n, MIN(W.id) AS lo, MAX(W.id) AS hi;
+""")
+    rows = sorted(tuple(r) for r in
+                  eng.df("C").select("n", "lo", "hi").collect())
+    # fires at rows 1,3,5,7,9 with the last ≤4 elements each
+    assert rows == [(2, 0, 1), (4, 0, 3), (4, 2, 5), (4, 4, 7), (4, 6, 9)]
+
+
+def test_rows_window_streaming_raises(spark, tmp_path):
+    from piglet_spark.streaming.stream_exec import StreamingError
+    d = tmp_path / "in"
+    d.mkdir()
+    (d / "a.csv").write_text("1\n2\n")
+    eng = pg.PigEngine(spark)
+    with pytest.raises(Exception, match="bounded"):
+        eng.run(f"""
+A = SOCKET_READ 'localhost:9999' AS (id:int);
+W = WINDOW A ROWS 4;
+""")
