@@ -1240,12 +1240,13 @@ def q_ivf(spark, sf_dir):
 
 
 def _ivf_sql(n_cells: int = 16, n_probe: int = 4, k: int = 10,
-             dim: int = 64) -> str:
+             dim: int = 64, train_sample: int = 256) -> str:
     """Generated oracle for q_ivf, mirroring similarity.ivf_topk:
-    md5-spread seeds → argmin assignment → per-cell element-wise mean
-    (one Lloyd iteration, dim unrolled AVGs) → reassign against the
-    refined centroids → probe the query's nearest cells → exact
-    cosine re-rank."""
+    md5-spread seeds → argmin assignment of the md5-spread TRAINING
+    SAMPLE → per-cell element-wise mean (one Lloyd iteration, dim
+    unrolled AVGs) → one full-corpus assignment against the refined
+    centroids → probe the query's nearest cells → exact cosine
+    re-rank."""
     def cos_vc(v: str, c: str) -> str:
         return (f"list_dot_product({v}, {c})"
                 f" / (sqrt(list_dot_product({v}, {v}))"
@@ -1260,13 +1261,17 @@ WITH q AS (
     SELECT vec_id AS cid, embedding::DOUBLE[] AS cv
     FROM embeddings ORDER BY md5(vec_id::VARCHAR) ASC, vec_id ASC
     LIMIT {n_cells}
+), sample AS (
+    SELECT vec_id, embedding::DOUBLE[] AS sv
+    FROM embeddings ORDER BY md5(vec_id::VARCHAR) ASC, vec_id ASC
+    LIMIT {train_sample}
 ), a0 AS (
     SELECT vec_id, v, cid FROM (
-        SELECT e.vec_id, e.embedding::DOUBLE[] AS v, c.cid,
-               ROW_NUMBER() OVER (PARTITION BY e.vec_id
-                   ORDER BY {cos_vc("e.embedding::DOUBLE[]", "c.cv")} DESC,
+        SELECT s.vec_id, s.sv AS v, c.cid,
+               ROW_NUMBER() OVER (PARTITION BY s.vec_id
+                   ORDER BY {cos_vc("s.sv", "c.cv")} DESC,
                             c.cid ASC) AS rk
-        FROM embeddings e CROSS JOIN seeds c)
+        FROM sample s CROSS JOIN seeds c)
     WHERE rk = 1
 ), cents AS (
     SELECT cid, [{mean_list}]::DOUBLE[] AS cv FROM a0 GROUP BY cid

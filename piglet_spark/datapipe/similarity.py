@@ -207,43 +207,72 @@ def _argmin_assign(rows: DataFrame, cents: DataFrame, id_col: str,
 def ivf_topk(df: DataFrame, query_vec: list[float], k: int = 10,
              vec_col: str = "embedding", id_col: str = "vec_id",
              n_cells: int = 16, n_probe: int = 4,
-             refine_iters: int = 1) -> DataFrame:
+             refine_iters: int = 1, train_sample: int = 256) -> DataFrame:
     """IVF-style ANN with a trained coarse quantizer.
 
     Seeds = the n_cells rows with the smallest md5(id) — a
     deterministic hash-spread sample (not "first N by id", which
     clusters seeds in id-correlated data). ``refine_iters`` Lloyd
-    iterations refine them: assign every vector to its nearest seed
-    (broadcast crossJoin + max_by argmin), recompute each cell's
-    element-wise mean via dim unrolled avg() aggregates (whole-stage
-    codegen, map-side partial agg — shuffle is C×dim doubles per
-    partition, not the vectors). Cells that lose all members drop
-    out. Probing: the n_probe refined cells nearest the query.
+    iterations refine them on the bounded TRAINING SAMPLE (the
+    ``train_sample`` rows with smallest md5(id)), driver-side in
+    numpy — the textbook IVF recipe: k-means on a sample, one
+    distributed full-corpus assignment against broadcast centroids.
+    Cells that lose all sample members drop out. Probing: the
+    n_probe refined cells nearest the query.
 
-    Every step is deterministic and reproducible in ANSI SQL, so the
-    driver oracle checks the full pipeline value-for-value."""
+    Every step is deterministic and reproducible in ANSI SQL
+    (assignment ties → smallest cid, matching the oracle's
+    ROW_NUMBER ORDER BY cos DESC, cid ASC), so the driver oracle
+    checks the full pipeline value-for-value."""
+    import numpy as np
     dim = len(query_vec)
-    seeds = (df.select(F.col(id_col).alias("_cid"),
-                       _as_double(F.col(vec_col)).alias("_cv"))
-             .orderBy(F.md5(F.col("_cid").cast("string")).asc(),
-                      F.col("_cid").asc())
-             .limit(n_cells))
+    # ONE distributed job collects the bounded training sample
+    # (train_sample × dim doubles — driver-safe at any corpus size);
+    # Lloyd runs in numpy on the driver; the refined centroids go
+    # back as literals so the full corpus is scanned exactly once.
+    # (Training distributedly re-executed its subtree inside the
+    # final plan and cost 3 extra jobs — measured 2× the whole
+    # query at sf0.1.)
+    sample_rows = (df.select(F.col(id_col).alias("_cid"),
+                             _as_double(F.col(vec_col)).alias("_cv"))
+                   .orderBy(F.md5(F.col("_cid").cast("string")).asc(),
+                            F.col("_cid").asc())
+                   .limit(train_sample).collect())
+    s_ids = [int(r["_cid"]) for r in sample_rows]
+    s_vecs = np.array([[float(x) for x in r["_cv"]] for r in sample_rows],
+                      dtype=np.float64)
+    cent_ids = list(s_ids[:n_cells])
+    cent_vecs = s_vecs[:n_cells].copy()
+    s_norm = np.sqrt((s_vecs ** 2).sum(axis=1))
+    for _ in range(refine_iters):
+        # ascending-cid centroid order: np.argmax picks the FIRST
+        # max, which then matches the SQL tie-break (cos DESC,
+        # cid ASC) used by the oracle and the distributed argmin
+        order = sorted(range(len(cent_ids)), key=lambda i: cent_ids[i])
+        cent_ids = [cent_ids[i] for i in order]
+        cent_vecs = cent_vecs[order]
+        c_norm = np.sqrt((cent_vecs ** 2).sum(axis=1))
+        cos = (s_vecs @ cent_vecs.T) / np.outer(s_norm, c_norm)
+        assign = np.argmax(cos, axis=1)
+        new_ids, new_vecs = [], []
+        for ci in range(len(cent_ids)):
+            members = s_vecs[assign == ci]
+            if len(members):  # empty cells drop (SQL GROUP BY ditto)
+                new_ids.append(cent_ids[ci])
+                new_vecs.append(members.mean(axis=0))
+        cent_ids, cent_vecs = new_ids, np.array(new_vecs)
+    cent_rows = [
+        {"_cid": cid, "_cv": [float(x) for x in vec],
+         "_ncv": float(np.sqrt((vec ** 2).sum()))}
+        for cid, vec in zip(cent_ids, cent_vecs)]
+    spark = df.sparkSession
+    cents_lit = spark.createDataFrame(
+        [(r["_cid"], r["_cv"], r["_ncv"]) for r in cent_rows],
+        schema="_cid long, _cv array<double>, _ncv double")
     rows = (_spread(df).select(F.col(id_col),
                                _as_double(F.col(vec_col)).alias("_v"))
             .withColumn("_nv", norm_expr("_v", dim)))
-    cents = seeds.withColumn("_ncv", norm_expr("_cv", dim))
-    for _ in range(refine_iters):
-        assigned = _argmin_assign(rows, cents, id_col, dim)
-        means = [F.avg(F.expr(f"try_element_at(_v, {i + 1})"))
-                 .alias(f"_m{i}") for i in range(dim)]
-        cents = (assigned.groupBy("_cid").agg(*means)
-                 .select("_cid", F.array(*[F.col(f"_m{i}")
-                                           for i in range(dim)]).alias("_cv"))
-                 .withColumn("_ncv", norm_expr("_cv", dim)))
-    assigned = _argmin_assign(rows, cents, id_col, dim)
-    # query's nearest cells (driver-side tiny computation over ≤
-    # n_cells refined centroids)
-    cent_rows = cents.collect()
+    assigned = _argmin_assign(rows, cents_lit, id_col, dim)
 
     def cos_py(a, b):
         num = sum(x * y for x, y in zip(a, b))
