@@ -41,6 +41,64 @@ def exact_dedup(df: DataFrame, text_col: str = "text",
                  F.count(F.lit(1)).alias("n_copies")))
 
 
+def line_dedup_stats(df: DataFrame, text_col: str = "text",
+                     id_col: str = "doc_id", min_len: int = 1,
+                     granularity: str = "line") -> DataFrame:
+    """Corpus-level duplicate-LINE (or paragraph) statistics — the
+    MassiveText/Gopher hygiene pass that strips boilerplate repeated
+    across documents (nav bars, cookie banners, license headers).
+
+    Returns one row per distinct normalized line that appears in MORE
+    than one document: ``(line_fp, n_docs, n_occurrences,
+    example_doc)``. Feed the fingerprints to :func:`strip_dup_lines`
+    to rewrite the corpus.
+
+    Scale shape: explode lines map-side → one shuffle on the 128-bit
+    line fingerprint (never raw text; count + min aggregates get
+    map-side partial agg). Duplicate detection is cross-document
+    (``n_docs > 1``), so within-doc repetition alone doesn't flag a
+    line."""
+    sep = "\n\n" if granularity == "paragraph" else "\n"
+    lines = (_spread(df, id_col).select(
+        F.col(id_col).alias("_id"),
+        F.explode(F.split(F.col(text_col), sep)).alias("_line"))
+        .select("_id", F.trim(F.col("_line")).alias("_line"))
+        .filter(F.length("_line") >= min_len))
+    return (lines
+            .select("_id", F.md5(F.col("_line")).alias("line_fp"))
+            .groupBy("line_fp")
+            .agg(F.count_distinct("_id").alias("n_docs"),
+                 F.count(F.lit(1)).alias("n_occurrences"),
+                 F.min("_id").alias("example_doc"))
+            .filter(F.col("n_docs") > 1))
+
+
+def strip_dup_lines(df: DataFrame, dup_fps: DataFrame,
+                    text_col: str = "text", id_col: str = "doc_id",
+                    granularity: str = "line") -> DataFrame:
+    """Rewrite each document with the flagged duplicate lines removed
+    (``dup_fps``: output of :func:`line_dedup_stats`, or any relation
+    with a ``line_fp`` column). Explode → anti-join on the
+    fingerprint → re-assemble in original line order (collect_list
+    over a per-doc position, not a window sort)."""
+    sep = "\n\n" if granularity == "paragraph" else "\n"
+    lines = (_spread(df, id_col).select(
+        F.col(id_col).alias("_id"),
+        F.posexplode(F.split(F.col(text_col), sep))
+        .alias("_pos", "_line")))
+    kept = (lines
+            .withColumn("line_fp", F.md5(F.trim(F.col("_line"))))
+            .join(dup_fps.select("line_fp"), on="line_fp", how="left_anti"))
+    return (kept.groupBy("_id")
+            .agg(F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(
+                        F.struct(F.col("_pos"), F.col("_line")))),
+                    lambda s: s["_line"]),
+                sep).alias(text_col))
+            .select(F.col("_id").alias(id_col), text_col))
+
+
 def tokens_of(text: Column) -> Column:
     return F.split(normalize_text(text), " ")
 

@@ -386,6 +386,16 @@ class Executor:
                     df.filter(F.col(str(src_col)) != str(src)),
                     df.filter(F.col(str(src_col)) == str(src)),
                     str(text), str(idc), k=int(k)),
+            # MassiveText/Gopher-style cross-document duplicate-line
+            # hygiene (r02)
+            "line_dedup_stats": lambda df, gran="line", text="text",
+                idc="doc_id": dp.line_dedup_stats(
+                    df, str(text), str(idc), granularity=str(gran)),
+            "strip_dup_lines": lambda df, gran="line", text="text",
+                idc="doc_id": dp.strip_dup_lines(
+                    df, dp.line_dedup_stats(df, str(text), str(idc),
+                                            granularity=str(gran)),
+                    str(text), str(idc), granularity=str(gran)),
         })
 
     # -------------------------------------------------------- helpers

@@ -567,3 +567,69 @@ def test_jpeg_dims_only(spark):
     r = multimodal.decode_images(df).collect()[0]
     assert (r["width"], r["height"]) == (44, 33)
     assert r["embedding"] is None
+
+
+# --- line/paragraph dedup (r02: MassiveText/Gopher hygiene pass) ---
+
+
+def test_line_dedup_stats_and_strip(spark):
+    rows = [
+        (0, "unique intro zero\nSubscribe to our newsletter!\nreal content A"),
+        (1, "different text one\nSubscribe to our newsletter!\nreal content B"),
+        (2, "Subscribe to our newsletter!\nanother unique paragraph two"),
+        (3, "nothing shared here\nall original three"),
+        # within-doc repetition only — must NOT flag (cross-doc rule)
+        (4, "echo echo line\necho echo line"),
+    ]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    stats = dedup.line_dedup_stats(docs)
+    flagged = {r["line_fp"]: r for r in stats.collect()}
+    import hashlib
+    banner_fp = hashlib.md5(b"Subscribe to our newsletter!").hexdigest()
+    echo_fp = hashlib.md5(b"echo echo line").hexdigest()
+    assert set(flagged) == {banner_fp}
+    assert flagged[banner_fp]["n_docs"] == 3
+    assert flagged[banner_fp]["n_occurrences"] == 3
+    assert flagged[banner_fp]["example_doc"] == 0
+    assert echo_fp not in flagged  # same-doc repeats don't count
+    # strip: banner removed everywhere, order and other lines intact
+    out = {r["doc_id"]: r["text"]
+           for r in dedup.strip_dup_lines(docs, stats).collect()}
+    assert out[0] == "unique intro zero\nreal content A"
+    assert out[1] == "different text one\nreal content B"
+    assert out[2] == "another unique paragraph two"
+    assert out[3] == "nothing shared here\nall original three"
+    assert out[4] == "echo echo line\necho echo line"
+
+
+def test_paragraph_dedup_granularity(spark):
+    rows = [
+        (0, "para one\nstill para one\n\nCOMMON FOOTER\nlegal text"),
+        (1, "other content\n\nCOMMON FOOTER\nlegal text"),
+    ]
+    docs = spark.createDataFrame(rows, ["doc_id", "text"])
+    stats = dedup.line_dedup_stats(docs, granularity="paragraph")
+    got = stats.collect()
+    assert len(got) == 1 and got[0]["n_docs"] == 2
+    out = {r["doc_id"]: r["text"] for r in
+           dedup.strip_dup_lines(docs, stats,
+                                 granularity="paragraph").collect()}
+    assert out[0] == "para one\nstill para one"
+    assert out[1] == "other content"
+
+
+def test_line_dedup_via_stream_through(spark):
+    import piglet_spark as pg
+    eng = pg.PigEngine(spark)
+    docs = spark.createDataFrame(
+        [(0, "keep me\nCOMMON BANNER"), (1, "other\nCOMMON BANNER")],
+        ["doc_id", "text"])
+    docs.createOrReplaceTempView("line_docs")
+    eng.run("""
+A = SQL 'SELECT * FROM line_docs';
+S = STREAM A THROUGH line_dedup_stats();
+C = STREAM A THROUGH strip_dup_lines();
+""")
+    assert eng.df("S").count() == 1
+    out = {r["doc_id"]: r["text"] for r in eng.df("C").collect()}
+    assert out == {0: "keep me", 1: "other"}
