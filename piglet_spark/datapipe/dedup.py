@@ -242,30 +242,80 @@ def minhash_lsh_pairs(df: DataFrame, text_col: str = "text",
 def ngram_jaccard_pairs(df: DataFrame, text_col: str = "text",
                         id_col: str = "doc_id", k: int = 3,
                         threshold: float = 0.5,
-                        max_df: int | None = 256) -> DataFrame:
+                        max_df: int | None = 256,
+                        method: str = "auto") -> DataFrame:
     """Exact n-gram Jaccard pairs via inverted shingle index — a
-    distributed exact algorithm (explode shingles → co-occurrence
-    join → count shared shingles → Jaccard), no LSH approximation.
-    Shuffle volume ∝ total shingles, not n².
+    distributed exact algorithm, no LSH approximation.
 
-    ``max_df`` (default 256): document-frequency cap. A shingle in d
-    documents yields d²/2 co-occurrence rows — one stop-word-ish
-    shingle at corpus scale is the classic inverted-index blowup, so
-    hot shingles (df > max_df) are excluded from CANDIDATE
-    GENERATION. They still count in the Jaccard VALUE exactly: the
-    cold-shingle co-occurrence count is topped up with
-    |hot(a) ∩ hot(b)| from tiny per-document hot-shingle sets (the
-    hot list is small by construction — at most total_shingles/max_df
-    entries — so these joins broadcast). Reported values are exact;
-    the only approximation is recall: a pair whose *every* shared
-    shingle is hot is never generated as a candidate. Run
-    ``exact_dedup`` first to keep boilerplate out of the hot list.
-    ``max_df=None`` disables the cap (quadratic on hot shingles —
-    test-scale only)."""
+    Two plans, same exact output:
+
+    - ``cooccur`` (default): co-occurrence counting (explode →
+      self-join → count shared), with hot-shingle top-up so values
+      stay exact under ``max_df``. Fastest measured plan up to
+      moderate overlap density (fewer passes over the shingling
+      regex, one wide shuffle).
+    - ``prefix``: AllPairs/PPJoin-style prefix filtering. Shingles
+      get a global (df, shingle) order; each document indexes only
+      its first n - ceil(t·n) + 1 shingles in that order (its RAREST
+      ones). Any pair with Jaccard ≥ t must share a prefix shingle
+      (the smallest shared shingle is in both prefixes — standard
+      AllPairs theorem), so the candidate join sees a ~(1-t)-fraction
+      index biased toward rare shingles: use this on corpora where
+      pairs sharing ≥1 shingle vastly outnumber pairs above the
+      threshold (the regime where co-occurrence counting blows up
+      even under ``max_df``). Candidates verify on full shingle
+      arrays (array_intersect — exact, hot shingles included).
+
+    ``max_df`` (default 256): document-frequency cap bounding the
+    candidate join in BOTH plans (hot shingles never enter the
+    index). Reported values are always exact; recall caveat: a pair
+    is missed only if every shared shingle is hot (cooccur) / its
+    required prefix extends into the hot tail (prefix). Run
+    ``exact_dedup`` first so boilerplate never piles up that hot.
+    ``max_df=None`` disables the cap (test-scale only)."""
     base = _spread(df).select(F.col(id_col).alias("_id"),
                               shingles_of(F.col(text_col), k).alias("_sh"))
     sizes = base.select("_id", F.size("_sh").alias("_n"))
     inv = base.select("_id", F.explode("_sh").alias("_s"))
+    use_prefix = method == "prefix"
+    if use_prefix:
+        dftab = inv.groupBy("_s").agg(F.count(F.lit(1)).alias("_df"))
+        if max_df is not None:
+            dftab = dftab.filter(F.col("_df") <= max_df)
+        # per-doc shingles in global (df, shingle) order; prefix
+        # length uses the FULL distinct-set size n (theorem), slice
+        # caps at the cold-list length
+        ranked = inv.join(dftab, on="_s")
+        pref = (ranked.groupBy("_id")
+                .agg(F.array_sort(
+                    F.collect_list(F.struct("_df", "_s"))).alias("_o"))
+                .join(sizes, on="_id"))
+        ell = (F.col("_n")
+               - F.ceil(F.lit(float(threshold)) * F.col("_n")) + 1)
+        pref_inv = (pref
+                    .withColumn("_ell", ell.cast("int"))
+                    .select("_id",
+                            F.explode(F.expr(
+                                "slice(transform(_o, x -> x._s), 1, _ell)"))
+                            .alias("_s")))
+        cand = (pref_inv.alias("a").join(
+                    pref_inv.alias("b"),
+                    on=[F.col("a._s") == F.col("b._s"),
+                        F.col("a._id") < F.col("b._id")])
+                .select(F.col("a._id").alias("id_a"),
+                        F.col("b._id").alias("id_b"))
+                .dropDuplicates(["id_a", "id_b"]))
+        out = (cand
+               .join(base.select(F.col("_id").alias("id_a"),
+                                 F.col("_sh").alias("sh_a")), on="id_a")
+               .join(base.select(F.col("_id").alias("id_b"),
+                                 F.col("_sh").alias("sh_b")), on="id_b"))
+        inter = F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
+        union = F.size(F.array_union("sh_a", "sh_b")).cast("double")
+        jac = F.when(union > 0, inter / union).otherwise(F.lit(0.0))
+        return (out.select("id_a", "id_b",
+                           F.round(jac, 6).alias("jaccard"))
+                .filter(F.col("jaccard") >= threshold))
     doc_hot = None
     if max_df is not None:
         hot = (inv.groupBy("_s").agg(F.count(F.lit(1)).alias("_df"))

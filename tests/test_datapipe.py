@@ -633,3 +633,20 @@ C = STREAM A THROUGH strip_dup_lines();
     assert eng.df("S").count() == 1
     out = {r["doc_id"]: r["text"] for r in eng.df("C").collect()}
     assert out == {0: "keep me", 1: "other"}
+
+
+def test_ngram_jaccard_prefix_method_exact(docs):
+    """The AllPairs prefix-filtered plan must produce the identical
+    exact pair set as the co-occurrence plan and brute force."""
+    got = {(r["id_a"], r["id_b"]): r["jaccard"]
+           for r in dedup.ngram_jaccard_pairs(
+               docs, threshold=0.2, method="prefix").collect()}
+    texts = {r["doc_id"]: r["text"] for r in docs.toLocalIterator()}
+    expected = {}
+    for i in sorted(texts):
+        for j in sorted(texts):
+            if i < j:
+                jac = brute_jaccard(texts[i], texts[j])
+                if jac >= 0.2:
+                    expected[(i, j)] = round(jac, 6)
+    assert got == expected
