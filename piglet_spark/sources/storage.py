@@ -193,7 +193,21 @@ def _load_orc(spark, path, args, decl):
 
 
 def _load_avro(spark, path, args, decl):
-    return spark.read.format("avro").load(path)
+    """Avro is an external datasource module since Spark 2.4; this
+    container's Spark ships only the core avro jars, not the
+    spark-avro connector — fail with guidance instead of Spark's
+    cryptic 'Failed to find data source'."""
+    try:
+        df = spark.read.format("avro").load(path)
+        df.schema  # force datasource resolution
+        return df
+    except Exception as e:
+        if "Failed to find data source" in str(e):
+            raise StorageError(
+                "AvroStorage needs the spark-avro connector "
+                "(org.apache.spark:spark-avro on --packages); it is "
+                "not deployed in this environment") from e
+        raise
 
 
 _LOADERS = {

@@ -647,3 +647,14 @@ H = FOREACH A GENERATE event_id, GETHOUR(ts) AS h;
     assert dict(eng.df("H").collect()) == {1: 7, 2: 9}
     ts_type = dict(eng.df("A").dtypes)["ts"]
     assert "timestamp" in ts_type
+
+
+def test_avro_clear_error(spark, tmp_path):
+    """No spark-avro connector in this container: LOAD ... USING
+    AvroStorage() must fail with guidance, not Spark's cryptic
+    'Failed to find data source'."""
+    from piglet_spark.sources.storage import StorageError
+    eng = pg.PigEngine(spark)
+    with pytest.raises(Exception, match="spark-avro"):
+        eng.run(f"A = LOAD '{tmp_path}/x.avro' USING AvroStorage();")
+        eng.df("A").count()
