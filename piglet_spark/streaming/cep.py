@@ -106,11 +106,16 @@ def _match_conjunction(df: DataFrame, op: A.MatchEvent, executor,
         [T.StructField(f"{n}::{f_.name}", f_.dataType, True)
          for n in names for f_ in in_fields])
 
-    def run(pdf: pd.DataFrame) -> pd.DataFrame:
+    def step_conj(pdf: pd.DataFrame, state0=None):
+        """Resumable conjunction matcher (see step_nfa): state is
+        (slots, start_ts)."""
         pdf = pdf.sort_values(order_col, kind="mergesort")
         matches = []
-        slots: dict[str, dict] = {}
-        start_ts = None
+        if state0 is None:
+            slots, start_ts = {}, None
+        else:
+            slots, start_ts = state0
+            slots = dict(slots)
         # dict records, not iterrows: pandas Series construction per
         # row costs ~100µs — the NFA scan is ~10× faster on dicts
         for row in pdf.to_dict("records"):
@@ -134,10 +139,17 @@ def _match_conjunction(df: DataFrame, op: A.MatchEvent, executor,
                 matches.append(out)
                 slots, start_ts = {}, None
         if not matches:
-            return pd.DataFrame(columns=[f.name for f in out_schema])
-        return pd.DataFrame(matches)
+            out_df = pd.DataFrame(columns=[f.name for f in out_schema])
+        else:
+            out_df = pd.DataFrame(matches)
+        return out_df, (slots, start_ts)
+
+    def run(pdf: pd.DataFrame) -> pd.DataFrame:
+        return step_conj(pdf)[0]
 
     key = _partition_key(executor)
+    if df.isStreaming:
+        return _run_stream_stateful(df, key, step_conj, out_schema)
     if key:
         return _run_per_key(df, key, run, out_schema)
     return _run_global(df, run, out_schema, executor)
@@ -279,12 +291,19 @@ def match_event(df: DataFrame, op: A.MatchEvent, executor) -> DataFrame:
     pos_steps = [(n, neg) for n, neg in steps]
     colnames = [f_.name for f_ in in_fields]
 
-    def run_nfa(pdf: pd.DataFrame) -> pd.DataFrame:
+    def step_nfa(pdf: pd.DataFrame, state0=None):
+        """Resumable NFA: run over a (sorted) frame starting from
+        ``state0 = (step_i, start_ts, partial)`` and return
+        (matches_df, state1). Batch execution starts from the empty
+        state and discards state1; the streaming path carries state1
+        across micro-batches (GroupState)."""
         pdf = pdf.sort_values(order_col, kind="mergesort")
         matches = []
-        partial: list[dict] = []
-        step_i = 0
-        start_ts = None
+        if state0 is None:
+            partial, step_i, start_ts = [], 0, None
+        else:
+            step_i, start_ts, partial = state0
+            partial = list(partial)
         # dict records, not iterrows (see _match_conjunction.run)
         for row in pdf.to_dict("records"):
             while True:
@@ -322,10 +341,66 @@ def match_event(df: DataFrame, op: A.MatchEvent, executor) -> DataFrame:
                     partial, step_i, start_ts = [], 0, None
                 break
         if not matches:
-            return pd.DataFrame(columns=[f.name for f in out_schema])
-        return pd.DataFrame(matches)
+            out_df = pd.DataFrame(columns=[f.name for f in out_schema])
+        else:
+            out_df = pd.DataFrame(matches)
+        return out_df, (step_i, start_ts, partial)
+
+    def run_nfa(pdf: pd.DataFrame) -> pd.DataFrame:
+        return step_nfa(pdf)[0]
 
     key = _partition_key(executor)
+    if df.isStreaming:
+        return _run_stream_stateful(df, key, step_nfa, out_schema)
     if key:
         return _run_per_key(df, key, run_nfa, out_schema)
     return _run_global(df, run_nfa, out_schema, executor)
+
+
+# GroupState value: one pickled blob of the NFA resume state —
+# (step_i, start_ts, partial row dicts). Pickle (not JSON) so
+# timestamps and arbitrary column values round-trip with their types.
+_STREAM_STATE_SCHEMA = T.StructType(
+    [T.StructField("blob", T.BinaryType(), True)])
+
+
+def _run_stream_stateful(df: DataFrame, key: str | None, step_fn,
+                         out_schema) -> DataFrame:
+    """Streaming MATCH_EVENT with per-key NFA state that SURVIVES
+    micro-batch boundaries (``applyInPandasWithState``) — the
+    Structured-Streaming re-expression of the reference's DStream CEP
+    engine, which kept its NFA alive across batches
+    (ceplib ``NFAController``). Events are time-ordered within each
+    micro-batch; cross-batch ordering follows arrival, as in the
+    reference. Requires a partition key: per-key state is what makes
+    the operator distributable AND bounded — a global streaming NFA
+    would need a single totally-ordered task holding the whole
+    stream."""
+    import pickle
+
+    from pyspark.sql.streaming.state import (GroupState,
+                                             GroupStateTimeout)
+
+    if not key:
+        raise ValueError(
+            "streaming MATCH_EVENT requires SET piglet.cep."
+            "partition_key '<col>' — per-key NFA state is the "
+            "distributable formulation (a global streaming NFA would "
+            "serialize the stream through one task)")
+
+    def with_state(key_tuple, pdf_iter, state: "GroupState"):
+        if state.exists:
+            st = pickle.loads(bytes(state.get[0]))
+        else:
+            st = None
+        frames = [p for p in pdf_iter if len(p)]
+        if frames:
+            out, st = step_fn(pd.concat(frames, ignore_index=True), st)
+            state.update((pickle.dumps(st),))
+            if len(out):
+                yield out
+
+    return (df.groupBy(key)
+            .applyInPandasWithState(
+                with_state, out_schema, _STREAM_STATE_SCHEMA,
+                "append", GroupStateTimeout.NoTimeout))

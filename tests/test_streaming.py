@@ -393,3 +393,68 @@ def test_rows_window_streaming_raises(spark, tmp_path):
 A = SOCKET_READ 'localhost:9999' AS (id:int);
 W = WINDOW A ROWS 4;
 """)
+
+
+def test_cep_streaming_cross_batch_state(spark, tmp_path):
+    """Streaming MATCH_EVENT keeps per-key NFA state ACROSS
+    micro-batches (applyInPandasWithState) — the SS re-expression of
+    the reference's DStream CEP, whose NFA survived batch boundaries.
+    Here X arrives in batch 1 and Y in batch 2; the match must still
+    fire."""
+    import os
+    from pyspark.sql import functions as F
+    from piglet_spark.plans import parser
+    from piglet_spark.streaming import cep
+
+    d = tmp_path / "in"
+    d.mkdir()
+    f1 = d / "a.csv"
+    f2 = d / "b.csv"
+    f1.write_text("1,1,2024-01-01 00:00:01,9.0\n"
+                  "1,5,2024-01-01 00:00:02,4.0\n")
+    f2.write_text("1,2,2024-01-01 00:00:05,1.0\n")
+    os.utime(f1, (1000, 1000))     # force file order = batch order
+    os.utime(f2, (2000, 2000))
+    sdf = (spark.readStream
+           .schema("k int, id int, ts timestamp, v double")
+           .option("maxFilesPerTrigger", 1)
+           .csv(str(d)))
+    stmts = parser.parse(
+        "M = MATCH_EVENT E PATTERN SEQ(X, Y) "
+        "WITH (X: v > 5.0, Y: v < 2.0) WITHIN 15 SECONDS;")
+    op = [s for s in stmts if type(s).__name__ == "MatchEvent"][0]
+
+    class Ex:
+        options = {"piglet.cep.partition_key": "k"}
+        ts_fields = {}
+
+    out = cep.match_event(sdf, op, Ex())
+    assert out.isStreaming
+    q = (out.writeStream.format("memory").queryName("t_cep_state")
+         .outputMode("append").start())
+    q.processAllAvailable()
+    q.stop()
+    rows = spark.sql(
+        "select `X::id`, `Y::id` from t_cep_state").collect()
+    assert [(r[0], r[1]) for r in rows] == [(1, 2)]
+
+
+def test_cep_streaming_requires_key(spark, tmp_path):
+    from piglet_spark.plans import parser
+    from piglet_spark.streaming import cep
+    d = tmp_path / "in2"
+    d.mkdir()
+    (d / "a.csv").write_text("1,2024-01-01 00:00:01,9.0\n")
+    sdf = (spark.readStream.schema("id int, ts timestamp, v double")
+           .csv(str(d)))
+    stmts = parser.parse(
+        "M = MATCH_EVENT E PATTERN SEQ(X, Y) "
+        "WITH (X: v > 5.0, Y: v < 2.0);")
+    op = [s for s in stmts if type(s).__name__ == "MatchEvent"][0]
+
+    class Ex:
+        options = {}
+        ts_fields = {}
+
+    with pytest.raises(ValueError, match="partition_key"):
+        cep.match_event(sdf, op, Ex())
