@@ -2,7 +2,7 @@
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import Column, DataFrame
 
 # logical nodes that imply an exchange downstream of the scan — if one
 # is present, the data is already redistributed across
@@ -40,3 +40,38 @@ def spread(df: DataFrame, *key_cols: str) -> DataFrame:
             return df.repartition(target, *[F.col(c) for c in key_cols])
         return df.repartition(target)
     return df
+
+
+def salted_join(big: DataFrame, dim: DataFrame, on: str | list[str],
+                how: str = "inner", salt: int = 16) -> DataFrame:
+    """Skew-resistant equi-join: salt the BIG side's key with a
+    deterministic hash-derived suffix (0..salt-1) and replicate the
+    dim side ``salt``× so each hot key's rows spread over ``salt``
+    reducer partitions instead of one straggler task.
+
+    Use when one join key carries a disproportionate share of the big
+    side (the classic web-corpus 'null/empty/default key' skew) and
+    AQE's skew-join splitting isn't available or isn't enough. The
+    salt is `pmod(hash(all big-side columns), salt)` — deterministic,
+    no RNG, so retried tasks salt identically (a nondeterministic
+    salt breaks exactly-once under task retry). Replicating the dim
+    side costs salt× its size — keep it for genuinely small dims
+    (the broadcast-join regime, when broadcast alone can't fix the
+    reducer skew of a shuffle join downstream).
+
+    Result equals ``big.join(dim, on, how)`` column-for-column; only
+    inner and left joins are supported (a right/full join would need
+    dim-side dedup of the replicated unmatched rows)."""
+    from pyspark.sql import functions as F
+
+    if how not in ("inner", "left", "left_outer"):
+        raise ValueError(f"salted_join supports inner/left, got {how!r}")
+    keys = [on] if isinstance(on, str) else list(on)
+    big_salted = big.withColumn(
+        "__salt", F.pmod(F.hash(*[F.col(c) for c in big.columns]),
+                         F.lit(salt)).cast("int"))
+    dim_rep = dim.withColumn(
+        "__salt", F.explode(F.sequence(F.lit(0), F.lit(salt - 1))))
+    dim_rep = dim_rep.withColumn("__salt", F.col("__salt").cast("int"))
+    out = big_salted.join(dim_rep, on=keys + ["__salt"], how=how)
+    return out.drop("__salt")

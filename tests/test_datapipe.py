@@ -650,3 +650,25 @@ def test_ngram_jaccard_prefix_method_exact(docs):
                 if jac >= 0.2:
                     expected[(i, j)] = round(jac, 6)
     assert got == expected
+
+
+def test_salted_join_equals_plain_join(spark):
+    """salted_join must produce exactly the rows of the plain join,
+    for inner and left, including unmatched left rows."""
+    from piglet_spark.datapipe.util import salted_join
+    big = spark.createDataFrame(
+        [(k, i) for i in range(200) for k in ("hot", "hot", "x", None)],
+        ["k", "payload"])
+    dim = spark.createDataFrame(
+        [("hot", 1), ("x", 2), ("y", 3)], ["k", "dimval"])
+    def norm(rows):  # null key sorts via repr
+        return sorted((tuple(r) for r in rows),
+                      key=lambda t: tuple(map(repr, t)))
+    for how in ("inner", "left"):
+        plain = norm(big.join(dim, on="k", how=how).collect())
+        salted = norm(salted_join(big, dim, on="k", how=how,
+                                  salt=8).collect())
+        assert salted == plain, how
+    import pytest as _pytest
+    with _pytest.raises(ValueError, match="inner/left"):
+        salted_join(big, dim, on="k", how="full")
