@@ -96,13 +96,23 @@ def main():
         # min of 2 timed runs: this VM shows intermittent CPU-steal
         # spikes (noisy neighbor) that can inflate a single run 5-20×
         best, n = None, 0
+        err = None
         for _ in range(2):
             t0 = time.perf_counter()
-            df = fn(spark, sf_dir)
-            n = df.count() if name != "q1_pricing_summary" \
-                else len(df.collect())
+            try:
+                df = fn(spark, sf_dir)
+                n = df.count() if name != "q1_pricing_summary" \
+                    else len(df.collect())
+            except Exception as e:  # one broken query must not zero
+                err = e             # the whole bench artifact
+                continue
             dt = time.perf_counter() - t0
             best = dt if best is None or dt < best else best
+        if best is None:
+            timings[name] = 600.0  # sentinel: query failed both runs
+            print(f"# {name}: FAILED ({type(err).__name__}: "
+                  f"{str(err)[:120]})", file=sys.stderr)
+            continue
         timings[name] = round(best, 3)
         print(f"# {name}: {timings[name]}s ({n} rows)", file=sys.stderr)
 
