@@ -76,3 +76,25 @@ def test_events_hourly_pushes_column_pruning(spark, entry):
     # read them
     assert "ReadSchema" in plan or "Scan parquet" in plan
     assert "partial_" in plan  # partial aggregation present
+
+
+def test_no_cartesian_product_in_dedup_family(spark, entry):
+    """The pair-generation joins are all equi-joins on bucket/shingle
+    keys (plus the id inequality as a post-condition) — a
+    CartesianProduct in any of these plans means the bucketing
+    broke and the operator went all-pairs."""
+    qs = entry.queries()
+    for name in ("dedup_minhash_lsh", "dedup_simhash",
+                 "ngram_jaccard_pairs", "embedding_neardup_exact",
+                 "contamination_scores", "dedup_exact"):
+        plan = _plan(qs[name](spark, SF))
+        assert "CartesianProduct" not in plan, name
+
+
+def test_ivf_crossjoin_is_broadcast(spark, entry):
+    """IVF's deliberate crossJoin against ≤ n_cells centroids must be
+    a BroadcastNestedLoopJoin (tiny side shipped to executors), never
+    a CartesianProduct shuffle."""
+    plan = _plan(entry.queries()["similarity_ivf"](spark, SF))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" in plan
