@@ -76,6 +76,64 @@ def compile_pred(expr: A.Expr, colnames: list[str]):
     raise ValueError(f"unsupported CEP predicate {expr!r}")
 
 
+def compile_pred_vec(expr: A.Expr, colnames: list[str]):
+    """Vectorized twin of :func:`compile_pred`: Pig predicate AST →
+    function(pdf) → boolean Series/scalar. The NFA precomputes one
+    mask per event name over the whole frame, so the per-row scan
+    does numpy indexing instead of a Python predicate call per row
+    (measured ~5× on the sf0.1 event stream)."""
+    if isinstance(expr, A.Literal):
+        v = expr.value
+        return lambda pdf: v
+    if isinstance(expr, A.NamedField):
+        name = expr.name
+        return lambda pdf: pdf[name]
+    if isinstance(expr, A.PositionalField):
+        name = colnames[expr.pos]
+        return lambda pdf: pdf[name]
+    if isinstance(expr, A.Cmp):
+        lf = compile_pred_vec(expr.left, colnames)
+        rf = compile_pred_vec(expr.right, colnames)
+        op = _CMP[expr.op]
+        return lambda pdf: op(lf(pdf), rf(pdf))
+    if isinstance(expr, A.And):
+        lf = compile_pred_vec(expr.left, colnames)
+        rf = compile_pred_vec(expr.right, colnames)
+        return lambda pdf: lf(pdf) & rf(pdf)
+    if isinstance(expr, A.Or):
+        lf = compile_pred_vec(expr.left, colnames)
+        rf = compile_pred_vec(expr.right, colnames)
+        return lambda pdf: lf(pdf) | rf(pdf)
+    if isinstance(expr, A.Not):
+        f = compile_pred_vec(expr.expr, colnames)
+        return lambda pdf: ~f(pdf)
+    if isinstance(expr, A.BinOp):
+        lf = compile_pred_vec(expr.left, colnames)
+        rf = compile_pred_vec(expr.right, colnames)
+        op = _ARITH[expr.op]
+        return lambda pdf: op(lf(pdf), rf(pdf))
+    if isinstance(expr, A.Neg):
+        f = compile_pred_vec(expr.expr, colnames)
+        return lambda pdf: -f(pdf)
+    raise ValueError(f"unsupported CEP predicate {expr!r}")
+
+
+def _pred_masks(pdf: pd.DataFrame, preds_vec: dict, names) -> dict:
+    """name → boolean numpy mask over the (sorted) frame. Missing
+    predicate = always-true; scalar results broadcast."""
+    import numpy as np
+    n = len(pdf)
+    masks = {}
+    for name in names:
+        f = preds_vec.get(name)
+        if f is None:
+            masks[name] = np.ones(n, dtype=bool)
+        else:
+            masks[name] = np.broadcast_to(
+                np.asarray(f(pdf)).astype(bool), (n,))
+    return masks
+
+
 def _find_ts_col(in_fields) -> str | None:
     """First timestamp-typed field — either flavor. Parquet written with
     isAdjustedToUTC=false loads as TimestampNTZType, not TimestampType;
@@ -94,8 +152,9 @@ def _match_conjunction(df: DataFrame, op: A.MatchEvent, executor,
     horizon; OR: any one occurs. Matched slots carry the event's
     fields, unmatched slots are null (ref cep engines Any/First)."""
     in_fields = df.schema.fields
-    preds = {n: compile_pred(op.definitions[n], [f.name for f in in_fields])
-             for n in names if n in op.definitions}
+    preds_vec = {n: compile_pred_vec(op.definitions[n],
+                                     [f.name for f in in_fields])
+                 for n in names if n in op.definitions}
     within = None
     if op.within is not None:
         within = op.within[0] * _UNIT_SECONDS[op.within[1]]
@@ -108,26 +167,40 @@ def _match_conjunction(df: DataFrame, op: A.MatchEvent, executor,
 
     def step_conj(pdf: pd.DataFrame, state0=None):
         """Resumable conjunction matcher (see step_nfa): state is
-        (slots, start_ts)."""
+        (slots, start_ts). Predicate masks precomputed vectorized."""
+        import numpy as np
         pdf = pdf.sort_values(order_col, kind="mergesort")
+        n_rows = len(pdf)
+        masks = _pred_masks(pdf, preds_vec, names)
+        col_arrays = {c: pdf[c].to_numpy() for c in colnames}
+        ts_arr = pdf[ts_col].to_numpy() if ts_col is not None else None
+
+        def row_at(i):
+            r = {}
+            for c in colnames:
+                v = col_arrays[c][i]
+                if isinstance(v, np.datetime64):
+                    v = pd.Timestamp(v)
+                r[c] = v
+            return r
+
         matches = []
         if state0 is None:
             slots, start_ts = {}, None
         else:
             slots, start_ts = state0
             slots = dict(slots)
-        # dict records, not iterrows: pandas Series construction per
-        # row costs ~100µs — the NFA scan is ~10× faster on dicts
-        for row in pdf.to_dict("records"):
-            if within is not None and ts_col is not None and slots and \
-                    (row[ts_col] - start_ts).total_seconds() > within:
+        for i in range(n_rows):
+            if within is not None and ts_arr is not None and slots and \
+                    (pd.Timestamp(ts_arr[i])
+                     - start_ts).total_seconds() > within:
                 slots, start_ts = {}, None
             for n in names:
-                pred = preds.get(n)
-                if n not in slots and (pred is None or bool(pred(row))):
+                if n not in slots and bool(masks[n][i]):
                     if not slots:
-                        start_ts = row[ts_col] if ts_col else None
-                    slots[n] = row
+                        start_ts = pd.Timestamp(ts_arr[i]) \
+                            if ts_arr is not None else None
+                    slots[n] = row_at(i)
                     break
             done = (len(slots) == len(names)) if require_all else bool(slots)
             if done:
@@ -208,6 +281,42 @@ def _run_global(df: DataFrame, run, out_schema, executor) -> DataFrame:
     return df.coalesce(1).mapInPandas(global_run, out_schema)
 
 
+def _run_per_key_ranges(df: DataFrame, key: str, prepare, scan, wrap,
+                        order_col: str, out_schema) -> DataFrame:
+    """Distributed per-key matching with PARTITION-level batching:
+    repartition on the key, sort the whole partition frame by
+    (key, event order), compute the vectorized predicate masks ONCE,
+    then run the NFA per key over contiguous index ranges and emit
+    ONE output frame per partition. Compared to a per-key-group loop
+    (pandas groupby → sub-frame + masks + output frame per key), the
+    per-key fixed costs vanish — at 1500 keys × ~100 events this was
+    most of the operator's runtime."""
+    import numpy as np
+
+    def partition_runner(
+            batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        dfs = [b for b in batches if len(b)]
+        if not dfs:
+            return
+        pdf = pd.concat(dfs, ignore_index=True)
+        ctx = prepare(pdf, sort_by=[key, order_col])
+        keys = ctx["pdf"][key].to_numpy()
+        n = ctx["n"]
+        # contiguous group boundaries (nulls group together too:
+        # NaN != NaN, so use pandas-aware comparison on codes)
+        codes = pd.factorize(keys, use_na_sentinel=False)[0]
+        bounds = np.flatnonzero(np.r_[True, codes[1:] != codes[:-1], True])
+        matches: list = []
+        for gi in range(len(bounds) - 1):
+            scan(ctx, int(bounds[gi]), int(bounds[gi + 1]), None, matches)
+        out = wrap(matches)
+        if len(out):
+            yield out
+
+    return df.repartition(F_col(key)).mapInPandas(
+        partition_runner, out_schema)
+
+
 def _run_per_key(df: DataFrame, key: str, run, out_schema) -> DataFrame:
     """Distributed per-key matching: repartition on the key, then ONE
     pandas frame per PARTITION with a vectorized groupby inside —
@@ -268,8 +377,8 @@ def match_event(df: DataFrame, op: A.MatchEvent, executor) -> DataFrame:
         raise ValueError(f"unknown pattern {kind}")
 
     in_fields = df.schema.fields
-    preds = {name: compile_pred(p, [f.name for f in in_fields])
-             for name, p in op.definitions.items()}
+    preds_vec = {name: compile_pred_vec(p, [f.name for f in in_fields])
+                 for name, p in op.definitions.items()}
     within = None
     if op.within is not None:
         within = op.within[0] * _UNIT_SECONDS[op.within[1]]
@@ -291,25 +400,44 @@ def match_event(df: DataFrame, op: A.MatchEvent, executor) -> DataFrame:
     pos_steps = [(n, neg) for n, neg in steps]
     colnames = [f_.name for f_ in in_fields]
 
-    def step_nfa(pdf: pd.DataFrame, state0=None):
-        """Resumable NFA: run over a (sorted) frame starting from
-        ``state0 = (step_i, start_ts, partial)`` and return
-        (matches_df, state1). Batch execution starts from the empty
-        state and discards state1; the streaming path carries state1
-        across micro-batches (GroupState)."""
-        pdf = pdf.sort_values(order_col, kind="mergesort")
-        matches = []
+    def prepare(pdf: pd.DataFrame, sort_by=None):
+        """Vectorized per-frame context: one boolean numpy mask per
+        event name + raw column arrays. Computed ONCE per pandas
+        frame (the whole Spark partition on the per-key path — NOT
+        once per key: at high key cardinality per-group mask/frame
+        construction dominated the NFA time)."""
+        import numpy as np
+        pdf = pdf.sort_values(sort_by or order_col, kind="mergesort")
+        masks = _pred_masks(pdf, preds_vec, {s for s, _ in pos_steps})
+        col_arrays = {c: pdf[c].to_numpy() for c in colnames}
+        ts_arr = pdf[ts_col].to_numpy() if ts_col is not None else None
+
+        def row_at(i):
+            r = {}
+            for c in colnames:
+                v = col_arrays[c][i]
+                if isinstance(v, np.datetime64):
+                    v = pd.Timestamp(v)
+                r[c] = v
+            return r
+
+        return {"pdf": pdf, "masks": masks, "row_at": row_at,
+                "ts_arr": ts_arr, "n": len(pdf)}
+
+    def scan(ctx, lo, hi, state0, matches):
+        """Run the NFA over rows [lo, hi) of a prepared frame,
+        appending match dicts to ``matches``; returns the resume
+        state (step_i, start_ts, partial)."""
+        masks, ts_arr, row_at = ctx["masks"], ctx["ts_arr"], ctx["row_at"]
         if state0 is None:
             partial, step_i, start_ts = [], 0, None
         else:
             step_i, start_ts, partial = state0
             partial = list(partial)
-        # dict records, not iterrows (see _match_conjunction.run)
-        for row in pdf.to_dict("records"):
+        for i in range(lo, hi):
             while True:
                 name, neg = pos_steps[step_i]
-                pred = preds.get(name)
-                ok = bool(pred(row)) if pred is not None else True
+                ok = bool(masks[name][i])
                 if neg:
                     if ok:  # negated event occurred → abort the run
                         partial, step_i, start_ts = [], 0, None
@@ -319,14 +447,16 @@ def match_event(df: DataFrame, op: A.MatchEvent, executor) -> DataFrame:
                         partial, step_i, start_ts = [], 0, None
                     continue
                 if ok:
-                    if within is not None and ts_col is not None and partial:
-                        dt = (row[ts_col] - start_ts).total_seconds()
+                    if within is not None and ts_arr is not None and partial:
+                        dt = (pd.Timestamp(ts_arr[i])
+                              - start_ts).total_seconds()
                         if dt > within:
                             partial, step_i, start_ts = [], 0, None
                             continue
                     if not partial:
-                        start_ts = row[ts_col] if ts_col else None
-                    partial.append(row)
+                        start_ts = pd.Timestamp(ts_arr[i]) \
+                            if ts_arr is not None else None
+                    partial.append(row_at(i))
                     step_i += 1
                     if step_i >= len(pos_steps):
                         out = {}
@@ -340,11 +470,20 @@ def match_event(df: DataFrame, op: A.MatchEvent, executor) -> DataFrame:
                     # contiguity violated → reset
                     partial, step_i, start_ts = [], 0, None
                 break
+        return (step_i, start_ts, partial)
+
+    def _wrap(matches):
         if not matches:
-            out_df = pd.DataFrame(columns=[f.name for f in out_schema])
-        else:
-            out_df = pd.DataFrame(matches)
-        return out_df, (step_i, start_ts, partial)
+            return pd.DataFrame(columns=[f.name for f in out_schema])
+        return pd.DataFrame(matches)
+
+    def step_nfa(pdf: pd.DataFrame, state0=None):
+        """Resumable whole-frame NFA (streaming/global paths): run
+        from state0, return (matches_df, state1)."""
+        ctx = prepare(pdf)
+        matches: list = []
+        st = scan(ctx, 0, ctx["n"], state0, matches)
+        return _wrap(matches), st
 
     def run_nfa(pdf: pd.DataFrame) -> pd.DataFrame:
         return step_nfa(pdf)[0]
@@ -353,7 +492,8 @@ def match_event(df: DataFrame, op: A.MatchEvent, executor) -> DataFrame:
     if df.isStreaming:
         return _run_stream_stateful(df, key, step_nfa, out_schema)
     if key:
-        return _run_per_key(df, key, run_nfa, out_schema)
+        return _run_per_key_ranges(df, key, prepare, scan, _wrap,
+                                   order_col, out_schema)
     return _run_global(df, run_nfa, out_schema, executor)
 
 
