@@ -1131,8 +1131,20 @@ class Executor:
     def op_splitinto(self, op: A.SplitInto) -> None:
         df = self.df(op.rel)
         ctx = self.ctx(df)
-        for br in op.branches:  # SPLIT → N filters (GeneralRuleset:99-130)
-            self.env[br.out] = df.filter(compile_expr(br.pred, ctx))
+        conds = [(br, compile_expr(br.pred, ctx)
+                  if br.pred is not None else None)
+                 for br in op.branches]
+        for br, cond in conds:  # SPLIT → N filters (GeneralRuleset:99-130)
+            if cond is None:
+                # OTHERWISE: matches no other branch; null conditions
+                # count as non-matching (Pig semantics), hence coalesce
+                disj = None
+                for _, other in conds:
+                    if other is not None:
+                        disj = other if disj is None else (disj | other)
+                cond = F.lit(True) if disj is None \
+                    else ~F.coalesce(disj, F.lit(False))
+            self.env[br.out] = df.filter(cond)
 
     def op_accumulate(self, op: A.Accumulate) -> None:
         df = self.df(op.rel)

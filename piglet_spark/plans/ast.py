@@ -394,7 +394,7 @@ class Sample(Op):
 @dataclass
 class SplitBranch:
     out: str
-    pred: Expr
+    pred: Optional[Expr]  # None = OTHERWISE (matches no other branch)
 
 
 @dataclass

@@ -232,9 +232,15 @@ class Parser:
             branches = []
             while True:
                 out = self.ident()
-                self.eat_kw("if")
-                pred = self.parse_predicate()
-                branches.append(A.SplitBranch(out=out, pred=pred))
+                # classic-Pig OTHERWISE (beyond the reference grammar):
+                # rows that match NO other branch (null conds included,
+                # per Pig semantics)
+                if self.try_kw("otherwise"):
+                    branches.append(A.SplitBranch(out=out, pred=None))
+                else:
+                    self.eat_kw("if")
+                    pred = self.parse_predicate()
+                    branches.append(A.SplitBranch(out=out, pred=pred))
                 if not self.try_eat(","):
                     break
             self.eat(";")

@@ -658,3 +658,20 @@ def test_avro_clear_error(spark, tmp_path):
     with pytest.raises(Exception, match="spark-avro"):
         eng.run(f"A = LOAD '{tmp_path}/x.avro' USING AvroStorage();")
         eng.df("A").count()
+
+
+def test_split_otherwise(spark, tmp_path):
+    """Classic-Pig SPLIT ... OTHERWISE (beyond the reference grammar):
+    rows matching no other branch, including rows whose conditions
+    evaluate to null."""
+    p = tmp_path / "s.csv"
+    p.write_text("1,10\n2,\n3,70\n4,5\n")
+    eng = pg.PigEngine(spark)
+    eng.run(f"""
+A = LOAD '{p}' USING PigStorage(',') AS (id:int, v:int);
+SPLIT A INTO HI IF v > 50, MID IF v > 8 AND v <= 50, REST OTHERWISE;
+""")
+    assert [r["id"] for r in eng.df("HI").collect()] == [3]
+    assert [r["id"] for r in eng.df("MID").collect()] == [1]
+    # id=2 has null v (both conds null) → OTHERWISE, id=4 fails both
+    assert sorted(r["id"] for r in eng.df("REST").collect()) == [2, 4]
