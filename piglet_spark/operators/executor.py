@@ -1011,15 +1011,38 @@ class Executor:
 
     # ------------------------------------------------------- set ops
 
+    def op_assert(self, op: A.Assert) -> None:
+        """Classic-Pig ASSERT: guard the alias with a lazy DISTRIBUTED
+        row check — any violating row (condition false OR null, Pig
+        semantics) raises at execution, inside the scan, with the
+        user's message. No driver-side count job: the check rides
+        whatever action touches the alias next."""
+        df = self.df(op.rel)
+        ctx = self.ctx(df)
+        cond = F.coalesce(compile_expr(op.pred, ctx), F.lit(False))
+        msg = op.message or f"ASSERT on {op.rel} violated"
+        guard = F.when(cond, F.lit(True)).otherwise(
+            F.raise_error(F.lit(msg)))
+        self.env[op.rel] = df.filter(guard)
+
     def op_union(self, op: A.Union) -> None:
         dfs = [self.df(r) for r in op.rels]
+        if getattr(op, "onschema", False):
+            # classic-Pig UNION ONSCHEMA: align by column name,
+            # null-fill columns a side lacks (unionByName)
+            out = dfs[0]
+            for d in dfs[1:]:
+                out = out.unionByName(d, allowMissingColumns=True)
+            self.env[op.out] = out
+            return
         width = len(dfs[0].columns)
         for rel, d in zip(op.rels[1:], dfs[1:]):
             if len(d.columns) != width:
                 raise ExecError(
                     f"UNION: {op.rels[0]!r} has {width} fields but "
                     f"{rel!r} has {len(d.columns)} — Pig unions are "
-                    f"positional and need equal arity")
+                    f"positional and need equal arity (or use UNION "
+                    f"ONSCHEMA to merge by column name)")
         out = dfs[0]
         for d in dfs[1:]:
             out = out.union(d)  # positional, no dedup (Union.scala:29)

@@ -408,9 +408,20 @@ class SplitInto(Op):
 
 
 @dataclass
+class Assert(Op):
+    rel: str = ""
+    pred: Optional[Expr] = None
+    message: Optional[str] = None
+
+    def __post_init__(self):
+        self.inputs = [self.rel]
+
+
+@dataclass
 class Union(Op):
     out: str
     rels: list[str] = field(default_factory=list)
+    onschema: bool = False  # classic Pig: by-name union, null-fill
 
     def __post_init__(self):
         self.inputs = list(self.rels)

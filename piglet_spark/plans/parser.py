@@ -225,6 +225,18 @@ class Parser:
                 func, fargs = self.parse_storage_func()
             self.eat(";")
             return A.Store(rel=rel, path=path, func=func, func_args=fargs)
+        if kw == "assert":
+            # classic-Pig ASSERT (beyond the reference grammar):
+            # ASSERT A BY cond [, 'message'];
+            self.advance()
+            rel = self.ident()
+            self.eat_kw("by")
+            pred = self.parse_predicate()
+            msg = None
+            if self.try_eat(","):
+                msg = self.string()
+            self.eat(";")
+            return A.Assert(rel=rel, pred=pred, message=msg)
         if kw == "split":
             self.advance()
             rel = self.ident()
@@ -674,10 +686,13 @@ class Parser:
 
     def op_union(self, alias: str) -> A.Op:
         self.eat_kw("union")
+        # classic-Pig ONSCHEMA (beyond the reference grammar): merge
+        # by column NAME, null-filling columns missing on a side
+        onschema = self.try_kw("onschema")
         rels = [self.ident()]
         while self.try_eat(","):
             rels.append(self.ident())
-        return A.Union(out=alias, rels=rels)
+        return A.Union(out=alias, rels=rels, onschema=onschema)
 
     def op_intersection(self, alias: str) -> A.Op:
         self.eat_kw("intersection")

@@ -675,3 +675,44 @@ SPLIT A INTO HI IF v > 50, MID IF v > 8 AND v <= 50, REST OTHERWISE;
     assert [r["id"] for r in eng.df("MID").collect()] == [1]
     # id=2 has null v (both conds null) → OTHERWISE, id=4 fails both
     assert sorted(r["id"] for r in eng.df("REST").collect()) == [2, 4]
+
+
+def test_assert_passes_and_fails(spark, tmp_path):
+    """Classic-Pig ASSERT: lazy distributed row guard — passing data
+    flows through unchanged; a violating row (false OR null) raises
+    the user's message at execution time."""
+    p = tmp_path / "as.csv"
+    p.write_text("1,10\n2,20\n")
+    eng = pg.PigEngine(spark)
+    eng.run(f"""
+A = LOAD '{p}' USING PigStorage(',') AS (id:int, v:int);
+ASSERT A BY v > 0, 'v must be positive';
+B = FOREACH A GENERATE id;
+""")
+    assert sorted(r["id"] for r in eng.df("B").collect()) == [1, 2]
+    p2 = tmp_path / "as2.csv"
+    p2.write_text("1,10\n2,-5\n3,\n")
+    eng2 = pg.PigEngine(spark)
+    eng2.run(f"""
+A = LOAD '{p2}' USING PigStorage(',') AS (id:int, v:int);
+ASSERT A BY v > 0, 'v must be positive';
+""")
+    with pytest.raises(Exception, match="v must be positive"):
+        eng2.df("A").count()
+
+
+def test_union_onschema(spark, tmp_path):
+    """Classic-Pig UNION ONSCHEMA: align by column name, null-fill
+    missing columns (positional UNION would reject the arity)."""
+    a = tmp_path / "ua.csv"
+    a.write_text("1,x\n")
+    b = tmp_path / "ub.csv"
+    b.write_text("2,y,9\n")
+    eng = pg.PigEngine(spark)
+    eng.run(f"""
+A = LOAD '{a}' USING PigStorage(',') AS (id:int, name:chararray);
+B = LOAD '{b}' USING PigStorage(',') AS (id:int, name:chararray, extra:int);
+U = UNION ONSCHEMA A, B;
+""")
+    rows = {r["id"]: (r["name"], r["extra"]) for r in eng.df("U").collect()}
+    assert rows == {1: ("x", None), 2: ("y", 9)}
