@@ -454,9 +454,16 @@ def simhash_pairs(df: DataFrame, text_col: str = "text",
     Larger max_hamming values are permitted but approximate — a pair
     whose differing bits spread across all 4 chunks is never a
     candidate."""
+    # lazy localCheckpoint: the 60-aggregate signature pass is the
+    # expensive stage and has THREE consumers (bucket-size agg + both
+    # self-join sides); without the materialization each one re-runs
+    # it (measured 3.45s → 2.95s at sf0.1). minhash doesn't get the
+    # same treatment — its signature stage is cheap enough that the
+    # checkpoint write costs more than the recompute.
     base = (simhash(df, text_col, id_col)
             .select(F.col(id_col).alias("_id"),
-                    F.col("simhash").alias("_h")))
+                    F.col("simhash").alias("_h"))
+            .localCheckpoint(eager=False))
     chunks = base.select(
         "_id", "_h",
         F.posexplode(F.array(*[
