@@ -107,6 +107,16 @@ AGGREGATES: dict[str, AggSpec] = {
         fused=lambda c: F.stddev_pop(c),
         bag=lambda bag, c: F.sqrt(AGGREGATES["var"].bag(bag, c)),
     ),
+    # HyperLogLog++ cardinality (beyond-reference; the aggregate a
+    # 100 TB pipeline actually uses where COUNT(DISTINCT x) would
+    # shuffle every distinct value — HLL state is a few KB per group,
+    # map-side combined). Bag form falls back to exact distinct
+    # (already-materialized arrays are small by construction).
+    "approx_distinct": AggSpec(
+        fused=lambda c: F.approx_count_distinct(c),
+        bag=lambda bag, c: F.size(F.array_distinct(
+            F.transform(bag, lambda x: x[c]))).cast("long"),
+    ),
 }
 
 

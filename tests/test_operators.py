@@ -716,3 +716,22 @@ U = UNION ONSCHEMA A, B;
 """)
     rows = {r["id"]: (r["name"], r["extra"]) for r in eng.df("U").collect()}
     assert rows == {1: ("x", None), 2: ("y", 9)}
+
+
+def test_approx_distinct_aggregate(spark, sf_dir):
+    """APPROX_DISTINCT (HyperLogLog++, beyond-reference): within the
+    default 5% relative error of the exact distinct count, fused into
+    groupBy().agg() like any other aggregate."""
+    eng = pg.PigEngine(spark)
+    eng.run(f"""
+O = LOAD '{sf_dir}/orders.parquet' USING ParquetStorage();
+G = GROUP O BY o_orderstatus;
+S = FOREACH G GENERATE group AS st, APPROX_DISTINCT(O.o_custkey) AS nc;
+""")
+    got = {r["st"]: r["nc"] for r in eng.df("S").collect()}
+    exact = {r["o_orderstatus"]: r["n"] for r in spark.sql(f"""
+        SELECT o_orderstatus, COUNT(DISTINCT o_custkey) AS n
+        FROM parquet.`{sf_dir}/orders.parquet` GROUP BY 1""").collect()}
+    assert set(got) == set(exact)
+    for st in exact:
+        assert abs(got[st] - exact[st]) <= max(2, 0.05 * exact[st]), st
