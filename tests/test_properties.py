@@ -144,3 +144,32 @@ def test_median_upper_semantics(spark, values):
     got = eng.df("M").collect()[0]["m"]
     expected = sorted(values)[len(values) // 2]  # upper median
     assert got == expected
+
+
+@given(st.lists(st.tuples(st.integers(0, 1000),
+                          st.one_of(st.none(), st.integers(-100, 100))),
+                min_size=1, max_size=30))
+@SETTINGS
+def test_split_otherwise_partitions_input(spark, rows):
+    """SPLIT with disjoint IF branches + OTHERWISE partitions the
+    input exactly: every row lands in precisely one output (null
+    conditions route to OTHERWISE, Pig semantics)."""
+    import piglet_spark as pg
+    df = spark.createDataFrame([(i, v) for i, (_, v) in enumerate(rows)],
+                               "id int, v int")
+    df.createOrReplaceTempView("prop_split_in")
+    eng = pg.PigEngine(spark)
+    eng.run("""
+A = SQL 'SELECT * FROM prop_split_in';
+SPLIT A INTO P IF v > 0, Z IF v == 0, N OTHERWISE;
+""")
+    p = {r["id"] for r in eng.df("P").collect()}
+    z = {r["id"] for r in eng.df("Z").collect()}
+    n = {r["id"] for r in eng.df("N").collect()}
+    allids = {i for i in range(len(rows))}
+    assert p | z | n == allids
+    assert not (p & z) and not (p & n) and not (z & n)
+    vals = {i: v for i, (_, v) in enumerate(rows)}
+    assert p == {i for i, v in vals.items() if v is not None and v > 0}
+    assert z == {i for i, v in vals.items() if v == 0 and v is not None}
+    assert n == {i for i, v in vals.items() if v is None or v < 0}
