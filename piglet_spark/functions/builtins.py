@@ -114,8 +114,11 @@ AGGREGATES: dict[str, AggSpec] = {
     # (already-materialized arrays are small by construction).
     "approx_distinct": AggSpec(
         fused=lambda c: F.approx_count_distinct(c),
-        bag=lambda bag, c: F.size(F.array_distinct(
-            F.transform(bag, lambda x: x[c]))).cast("long"),
+        # filter nulls so both forms agree: approx_count_distinct
+        # ignores nulls (HLL semantics), array_distinct would keep one
+        bag=lambda bag, c: F.size(F.filter(
+            F.array_distinct(F.transform(bag, lambda x: x[c])),
+            lambda v: v.isNotNull())).cast("long"),
     ),
 }
 

@@ -477,7 +477,14 @@ class Executor:
                     self.ts_fields[out] = self.ts_fields[src]
             if src in self.window_specs and out not in self.window_specs:
                 spec = self.window_specs[src]
-                if spec.ts_col in cols:
+                # time windows key on spec.ts_col; ROWS windows
+                # (ts_col None) key on the precomputed __rowwin column
+                # — checking only ts_col silently dropped count-window
+                # grouping through FILTER etc. (r02 code review)
+                if spec.ts_col is not None:
+                    if spec.ts_col in cols:
+                        self.window_specs[out] = spec
+                elif "__rowwin" in cols:
                     self.window_specs[out] = spec
 
     # ------------------------------------------------------- sources
@@ -975,6 +982,12 @@ class Executor:
             # reference's windowMode rewrite applies the upstream
             # window to the join, windowJoin.pig)
             spec = self.window_specs[op.rels[0]]
+            if not isinstance(spec.size, str):
+                # RowsWindowSpec.size is an int (count window) — a
+                # count-scoped join has no time horizon to rewrite to
+                raise ExecError(
+                    "JOIN of ROWS-windowed relations is not supported; "
+                    "use RANGE windows (time-scoped) for windowed joins")
             secs = int(spec.size.split()[0])
             op = dataclasses.replace(op, window=(secs, "SECONDS"))
         if op.window is not None:
@@ -1620,7 +1633,11 @@ class Executor:
                     "a ROWS window requires SLIDE ROWS (mixed "
                     "count/time units are not defined)")
             m = int(op.slide[0])
-        idx = self._with_index(df).withColumnRenamed("index", "__idx")
+        # lazy localCheckpoint: idx feeds both the broadcast total
+        # and the main side — without it the whole index subtree
+        # (scan + offsets) executes twice (r02 code review)
+        idx = (self._with_index(df).withColumnRenamed("index", "__idx")
+               .localCheckpoint(eager=False))
         total = idx.agg(F.count(F.lit(1)).alias("__N"))
         idx = idx.join(F.broadcast(total))
         i, big_n = F.col("__idx"), F.col("__N")

@@ -158,9 +158,12 @@ def _load_parquet(spark, path, args, decl):
     for c in nanos_cols:
         field = dict(zip(df.columns, df.schema.fields)).get(c)
         if field is not None and isinstance(field.dataType, T.LongType):
+            # integer `div`, NOT `/`: long/long is DOUBLE division in
+            # Spark and ns-epoch values (~1.6e18, double ulp 256ns)
+            # lose precision BEFORE dividing — ~half of all values
+            # come out 1µs off (caught by r02 code review)
             df = df.withColumn(
-                c, F.timestamp_micros((F.col(c) / F.lit(1000))
-                                      .cast("long")))
+                c, F.expr(f"timestamp_micros(`{c}` div 1000)"))
     if decl is not None:
         names = [f.name for f in decl.fields]
         df = df.toDF(*[n or c for n, c in zip(names, df.columns)])

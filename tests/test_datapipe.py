@@ -672,3 +672,53 @@ def test_salted_join_equals_plain_join(spark):
     import pytest as _pytest
     with _pytest.raises(ValueError, match="inner/left"):
         salted_join(big, dim, on="k", how="full")
+
+
+def test_strip_dup_lines_keeps_empty_docs_and_columns(spark):
+    """r02 code-review fix: a document whose every line is flagged
+    boilerplate keeps an empty-text row (doesn't vanish), and
+    non-text columns survive the rewrite."""
+    rows = [
+        (0, "real content\nCOMMON BANNER", "en"),
+        (1, "COMMON BANNER", "de"),       # boilerplate-only
+        (2, "other stuff\nCOMMON BANNER", "fr"),
+    ]
+    docs = spark.createDataFrame(rows, ["doc_id", "text", "lang"])
+    stats = dedup.line_dedup_stats(docs)
+    out = {r["doc_id"]: (r["text"], r["lang"]) for r in
+           dedup.strip_dup_lines(docs, stats).collect()}
+    assert out == {0: ("real content", "en"), 1: ("", "de"),
+                   2: ("other stuff", "fr")}
+
+
+def test_ivf_string_ids(spark):
+    """r02 code-review fix: ivf_topk must work with non-numeric id
+    columns (tie-break via min_by(-cos, id), literal centroid schema
+    copies the id type)."""
+    import numpy as np
+    rng = np.random.default_rng(5)
+    rows = [(f"doc-{i:04d}", [float(x) for x in rng.normal(size=8)])
+            for i in range(40)]
+    emb = spark.createDataFrame(rows, ["vec_id", "embedding"])
+    q = rows[0][1]
+    got = similarity.ivf_topk(emb, q, k=5, n_cells=4, n_probe=4,
+                              train_sample=40).collect()
+    assert got[0]["vec_id"] == "doc-0000"
+    assert len(got) == 5
+
+
+def test_audio_fake_wins_over_wav_detection(spark):
+    """r02 code-review fix: deterministic_fake=True must take
+    precedence even for RIFF/WAVE-looking payloads (same precedence
+    as decode_images; the sha256 fake is the oracle path)."""
+    import hashlib
+    wav = _write_wav([0.0] * 100)
+    df = spark.createDataFrame([(1, bytearray(wav))],
+                               ["doc_id", "payload"])
+    rows = {r["frame_idx"]: r["rms"] for r in
+            multimodal.sample_audio_frames(
+                df, n_frames=2, deterministic_fake=True).collect()}
+    h = hashlib.sha256(wav).digest()
+    # rms column is float32 — compare within its precision
+    assert abs(rows[0] - h[0] / 255.0) < 1e-6
+    assert abs(rows[1] - h[1] / 255.0) < 1e-6

@@ -735,3 +735,30 @@ S = FOREACH G GENERATE group AS st, APPROX_DISTINCT(O.o_custkey) AS nc;
     assert set(got) == set(exact)
     for st in exact:
         assert abs(got[st] - exact[st]) <= max(2, 0.05 * exact[st]), st
+
+
+def test_parquet_nanos_no_microsecond_drift(spark, tmp_path):
+    """r02 code-review fix: ns→us conversion must use integer `div`,
+    not `/` (double division corrupts ~half of ns-epoch values by
+    1µs). Exact-microsecond inputs must round-trip bit-exact."""
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+    # values crafted to break double division: X*1000 ns with X near
+    # 1.6e15 (epoch-scale microseconds)
+    base_us = 1_600_000_000_000_000
+    us_vals = [base_us + k for k in range(128)]
+    tbl = pa.table({
+        "event_id": pa.array(range(128), pa.int64()),
+        "ts": pa.array([v * 1000 for v in us_vals],
+                       pa.timestamp("ns")),
+    })
+    p = tmp_path / "nsdrift.parquet"
+    pq.write_table(tbl, p)
+    eng = pg.PigEngine(spark)
+    eng.run(f"A = LOAD '{p}' USING ParquetStorage();")
+    got = {r["event_id"]: r["ts"] for r in eng.df("A").collect()}
+    import datetime
+    for i, v in enumerate(us_vals):
+        expect = datetime.datetime.utcfromtimestamp(v / 1_000_000) \
+            .replace(microsecond=v % 1_000_000)
+        assert got[i].microsecond == expect.microsecond, (i, got[i])

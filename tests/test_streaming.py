@@ -458,3 +458,23 @@ def test_cep_streaming_requires_key(spark, tmp_path):
 
     with pytest.raises(ValueError, match="partition_key"):
         cep.match_event(sdf, op, Ex())
+
+
+def test_rows_window_survives_filter(spark, tmp_path):
+    """r02 code-review fix: the ROWS window spec must propagate
+    through pass-through operators (FILTER) so downstream grouping
+    stays per-window."""
+    p = tmp_path / "rowsf.csv"
+    p.write_text("".join(f"{i}\n" for i in range(8)))
+    eng = pg.PigEngine(spark)
+    eng.run(f"""
+A = LOAD '{p}' USING PigStorage(',') AS (id:int);
+W = WINDOW A ROWS 4;
+K = FILTER W BY id != 2;
+G = GROUP K ALL;
+C = FOREACH G GENERATE COUNT(K) AS n, MIN(K.id) AS lo;
+""")
+    rows = sorted(tuple(r) for r in
+                  eng.df("C").select("n", "lo").collect())
+    # window 0 = rows 0-3 minus the filtered id 2 → 3; window 1 = 4
+    assert rows == [(3, 0), (4, 4)]
