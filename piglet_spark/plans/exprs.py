@@ -61,6 +61,20 @@ class Ctx:
     def dtype(self, name: str) -> T.DataType:
         return self.df.schema[name].dataType
 
+    def with_bag_element(self, bag_name: str, elem: Column) -> "Ctx":
+        """Child context for compiling an expression INSIDE a
+        higher-order-function lambda over bag ``bag_name``:
+        ``bag.field`` derefs resolve to the lambda element's field,
+        everything else still resolves against the outer row (Spark
+        HOF lambdas may reference outer attributes)."""
+        sub = Ctx(self.df, mode=self.mode, bag_name=self.bag_name,
+                  key_cols=self.key_cols, udfs=self.udfs,
+                  nested_bags=self.nested_bags)
+        sub.in_agg = self.in_agg
+        sub.bag_elements = dict(getattr(self, "bag_elements", {}))
+        sub.bag_elements[bag_name] = elem
+        return sub
+
 
 def _is_string(dt: Optional[T.DataType]) -> bool:
     return isinstance(dt, (T.StringType, T.BinaryType))
@@ -242,6 +256,17 @@ def compile_deref(expr: A.DerefTuple, ctx: Ctx) -> Column:
              else expr.field.pos)
 
     if isinstance(base, A.NamedField):
+        # inside a HOF lambda over this bag (correlated bag-aggregate
+        # expressions): bag.field = the lambda element's field
+        elems = getattr(ctx, "bag_elements", None)
+        if elems and base.name in elems:
+            elem = elems[base.name]
+            if isinstance(fname, int):
+                dt = static_dtype(base, ctx)
+                if isinstance(dt, T.ArrayType) and \
+                        isinstance(dt.elementType, T.StructType):
+                    fname = dt.elementType.names[fname]
+            return elem[fname]
         # fused mode: BagName.x → pre-group column x (inside aggregates)
         # or collect_list(x) (bare bag projection)
         if ctx.mode == "fused" and base.name == ctx.bag_name:
@@ -419,6 +444,70 @@ def compile_func(expr: A.FuncCall, ctx: Ctx) -> Column:
     raise CompileError(f"unknown function {expr.name!r}{hint}")
 
 
+def _bag_bases_in(e, ctx: Ctx) -> set[str]:
+    """Names of bag (array<struct>) columns dereferenced anywhere in
+    the expression tree (generic dataclass walk)."""
+    import dataclasses as _dc
+    found: set[str] = set()
+
+    def walk(node):
+        if isinstance(node, A.DerefTuple) and \
+                isinstance(node.base, A.NamedField):
+            try:
+                dt = static_dtype(node.base, ctx)
+            except Exception:
+                dt = None
+            if isinstance(dt, T.ArrayType) and \
+                    isinstance(dt.elementType, T.StructType):
+                found.add(node.base.name)
+            return
+        if _dc.is_dataclass(node) and not isinstance(node, type):
+            for f in _dc.fields(node):
+                v = getattr(node, f.name)
+                if _dc.is_dataclass(v) and not isinstance(v, type):
+                    walk(v)
+                elif isinstance(v, (list, tuple)):
+                    for item in v:
+                        if _dc.is_dataclass(item) and \
+                                not isinstance(item, type):
+                            walk(item)
+
+    walk(e)
+    return found
+
+
+def _scalar_array_agg(name: str, arr: Column) -> Column:
+    """Aggregate over an array of scalars (the mapped form of a
+    correlated bag expression)."""
+    if name in ("count", "count_star"):
+        return F.size(arr).cast("long")
+    if name == "sum":
+        return F.aggregate(arr, F.lit(0.0),
+                           lambda a, x: a + F.coalesce(x.cast("double"),
+                                                       F.lit(0.0)))
+    if name == "avg":
+        vals = F.filter(arr, lambda v: v.isNotNull())
+        return F.when(F.size(vals) > 0, F.aggregate(
+            vals, F.lit(0.0),
+            lambda a, x: a + x.cast("double")) / F.size(vals))
+    if name == "min":
+        return F.array_min(arr)
+    if name == "max":
+        return F.array_max(arr)
+    if name == "median":
+        return F.element_at(F.array_sort(arr),
+                            (F.floor(F.size(arr) / 2) + 1).cast("int"))
+    if name == "isempty":
+        return F.size(arr) == 0
+    if name == "nonempty":
+        return F.size(arr) > 0
+    if name == "approx_distinct":
+        return F.size(F.filter(F.array_distinct(arr),
+                               lambda v: v.isNotNull())).cast("long")
+    raise CompileError(
+        f"aggregate {name} not supported over a correlated bag expression")
+
+
 def compile_aggregate(expr: A.FuncCall, ctx: Ctx) -> Column:
     """Aggregate call: COUNT(A), SUM(A.x), AVG(A.f2)…
 
@@ -453,6 +542,27 @@ def compile_aggregate(expr: A.FuncCall, ctx: Ctx) -> Column:
 
     if ctx.mode == "bag" or ctx.mode == "row":
         arg = expr.args[0] if expr.args else None
+        # correlated bag expression: SUM((B.x != outer_col ? 1 : 0)) —
+        # a COMPOSITE expression over exactly one bag compiles to
+        # transform(bag, elem → expr) with outer references, then a
+        # scalar-array aggregate
+        if arg is not None and not isinstance(
+                arg, (A.NamedField, A.DerefTuple, A.Star)):
+            bag_bases = _bag_bases_in(arg, ctx)
+            if len(bag_bases) == 1:
+                bname = next(iter(bag_bases))
+                bag_col = ctx.col(bname)
+
+                def _make_mapper(a, b):
+                    # exactly-one-arg closure: F.transform inspects
+                    # the callable's arity (a 2nd param would be
+                    # interpreted as the element index)
+                    def mapper(e):
+                        return compile_expr(a, ctx.with_bag_element(b, e))
+                    return mapper
+
+                mapped = F.transform(bag_col, _make_mapper(arg, bname))
+                return _scalar_array_agg(name, mapped)
         if isinstance(arg, A.DerefTuple) and isinstance(arg.base, A.NamedField):
             bag = compile_expr(arg.base, ctx)
             fname = (arg.field.name if isinstance(arg.field, A.NamedField)
