@@ -207,12 +207,13 @@ def minhash_lsh_pairs(df: DataFrame, text_col: str = "text",
     """
     rows_per_band = num_hashes // bands
     # one shingling pass shared by the signature pipeline AND the
-    # exact-Jaccard verify join (lazy localCheckpoint — without it
-    # the regex scan runs once per consumer)
+    # exact-Jaccard verify join (persist — without it the regex scan
+    # runs once per consumer; persist, not localCheckpoint: cached
+    # partitions stay RECOMPUTABLE on executor loss)
     base = _spread(df, id_col).select(
         F.col(id_col).alias("_id"),
         shingles_of(F.col(text_col), shingle_k).alias("_sh")) \
-        .localCheckpoint(eager=False)
+        .persist()
     sigs = minhash_signatures(df, text_col, id_col, num_hashes, shingle_k,
                               base_df=base)
     # band buckets: (band#, hash of the signature slice). Only
@@ -289,13 +290,13 @@ def ngram_jaccard_pairs(df: DataFrame, text_col: str = "text",
     required prefix extends into the hot tail (prefix). Run
     ``exact_dedup`` first so boilerplate never piles up that hot.
     ``max_df=None`` disables the cap (test-scale only)."""
-    # lazy localCheckpoint: the shingling regex pass feeds sizes, the
+    # persist(): the shingling regex pass feeds sizes, the
     # inverted index (plus its df/hot aggregates) and the final
     # verify/size joins — up to 5 consumers that would each re-run
     # the regex scan (measured 3.2s → 1.8s at sf0.1)
     base = _spread(df).select(F.col(id_col).alias("_id"),
                               shingles_of(F.col(text_col), k).alias("_sh")) \
-        .localCheckpoint(eager=False)
+        .persist()
     sizes = base.select("_id", F.size("_sh").alias("_n"))
     inv = base.select("_id", F.explode("_sh").alias("_s"))
     use_prefix = method == "prefix"
@@ -475,7 +476,7 @@ def simhash_pairs(df: DataFrame, text_col: str = "text",
     Larger max_hamming values are permitted but approximate — a pair
     whose differing bits spread across all 4 chunks is never a
     candidate."""
-    # lazy localCheckpoint: the 60-aggregate signature pass is the
+    # persist(): the 60-aggregate signature pass is the
     # expensive stage and has THREE consumers (bucket-size agg + both
     # self-join sides); without the materialization each one re-runs
     # it (measured 3.45s → 2.95s at sf0.1). minhash doesn't get the
@@ -484,7 +485,7 @@ def simhash_pairs(df: DataFrame, text_col: str = "text",
     base = (simhash(df, text_col, id_col)
             .select(F.col(id_col).alias("_id"),
                     F.col("simhash").alias("_h"))
-            .localCheckpoint(eager=False))
+            .persist())
     chunks = base.select(
         "_id", "_h",
         F.posexplode(F.array(*[

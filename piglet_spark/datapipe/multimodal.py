@@ -209,20 +209,30 @@ def jpeg_dims(payload: bytes) -> tuple[int, int]:
     fill bytes (ISO 10918 B.1.1.2) and length-less markers
     (SOI/EOI/RSTn/TEM), which a naive segment walk misparses."""
     pos = 2
-    while pos + 4 <= len(payload):
+    n = len(payload)
+    while pos + 4 <= n:
         if payload[pos] != 0xFF:
             pos += 1
             continue
         # skip fill bytes: any number of 0xFF may pad before a marker
-        while pos + 1 < len(payload) and payload[pos + 1] == 0xFF:
+        while pos + 1 < n and payload[pos + 1] == 0xFF:
             pos += 1
+        # the skip can run to the buffer edge — every read below must
+        # re-check bounds (truncated payloads raise the documented
+        # ValueError, not IndexError/struct.error)
+        if pos + 2 > n:
+            break
         marker = payload[pos + 1]
         if 0xC0 <= marker <= 0xCF and marker not in (0xC4, 0xC8, 0xCC):
+            if pos + 9 > n:
+                break
             h, w = struct.unpack(">HH", payload[pos + 5:pos + 9])
             return w, h
         if marker in (0x01, 0xD8, 0xD9) or 0xD0 <= marker <= 0xD7:
             pos += 2  # TEM/SOI/EOI/RSTn carry no length field
             continue
+        if pos + 4 > n:
+            break
         seglen, = struct.unpack(">H", payload[pos + 2:pos + 4])
         pos += 2 + seglen
     raise ValueError("no SOF marker found in JPEG")

@@ -188,7 +188,8 @@ def ann_lsh_topk(df: DataFrame, query_vec: list[float], k: int = 10,
 def _argmin_assign(rows: DataFrame, cents: DataFrame, id_col: str,
                    dim: int) -> DataFrame:
     """(id, _v, _cid): nearest centroid per row. Broadcast crossJoin →
-    ``max_by`` aggregation (ties → smallest _cid). max_by gets
+    ``min_by(struct(-cos, cid))`` aggregation — argmax cosine, ties →
+    smallest _cid, valid for ANY orderable id type. min_by gets
     map-side partial aggregation, so the shuffle carries ONE row per
     vector — a row_number window shuffles all n×C scored rows and
     sorts them (the r01 formulation; measured and flagged by the r01

@@ -449,6 +449,12 @@ class Executor:
         outs = [op.out] if op.out else []
         if isinstance(op, A.SplitInto):
             outs = [b.out for b in op.branches]
+        if isinstance(op, A.Assert):
+            # ASSERT rebinds its input alias in place (no out pipe);
+            # the guard must still change the alias's lineage so a
+            # MATERIALIZE checkpoint keyed on the pre-ASSERT signature
+            # doesn't silently bypass the assertion (r02 review)
+            outs = [op.rel]
         if not outs:
             return
         parts = [type(op).__name__, repr(op)]
@@ -1029,7 +1035,15 @@ class Executor:
         row check — any violating row (condition false OR null, Pig
         semantics) raises at execution, inside the scan, with the
         user's message. No driver-side count job: the check rides
-        whatever action touches the alias next."""
+        whatever action touches the alias next.
+
+        Semantics note (same as Apache Pig's FILTER-with-throwing-UDF
+        implementation): the guard evaluates over the rows the plan
+        actually READS — a downstream LIMIT that stops the scan
+        early, or datasource pruning that eliminates whole row
+        groups, can skip violating rows it never materializes. For a
+        guaranteed full-corpus audit, DUMP/STORE/count the asserted
+        alias itself."""
         df = self.df(op.rel)
         ctx = self.ctx(df)
         cond = F.coalesce(compile_expr(op.pred, ctx), F.lit(False))
@@ -1633,11 +1647,12 @@ class Executor:
                     "a ROWS window requires SLIDE ROWS (mixed "
                     "count/time units are not defined)")
             m = int(op.slide[0])
-        # lazy localCheckpoint: idx feeds both the broadcast total
-        # and the main side — without it the whole index subtree
-        # (scan + offsets) executes twice (r02 code review)
+        # persist: idx feeds both the broadcast total and the main
+        # side — without it the whole index subtree (scan + offsets)
+        # executes twice; persist (not localCheckpoint) keeps the
+        # cached partitions recomputable on executor loss (r02 review)
         idx = (self._with_index(df).withColumnRenamed("index", "__idx")
-               .localCheckpoint(eager=False))
+               .persist())
         total = idx.agg(F.count(F.lit(1)).alias("__N"))
         idx = idx.join(F.broadcast(total))
         i, big_n = F.col("__idx"), F.col("__N")

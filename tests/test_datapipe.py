@@ -722,3 +722,43 @@ def test_audio_fake_wins_over_wav_detection(spark):
     # rms column is float32 — compare within its precision
     assert abs(rows[0] - h[0] / 255.0) < 1e-6
     assert abs(rows[1] - h[1] / 255.0) < 1e-6
+
+
+def test_jpeg_dims_truncated_payloads_raise_valueerror():
+    """r02 review: truncated/FF-padded JPEGs must raise the documented
+    ValueError, never IndexError/struct.error (one bad payload would
+    kill the whole mapInPandas decode job with an opaque crash)."""
+    for payload in (b"\xff\xd8" + b"\xff" * 4,
+                    b"\xff\xd8\xff\xff\xff\xda",
+                    b"\xff\xd8\xff\xff\xc0\x00",
+                    b"\xff\xd8"):
+        with pytest.raises(ValueError, match="no SOF"):
+            multimodal.jpeg_dims(payload)
+
+
+def test_assert_invalidates_materialize_cache(spark, tmp_path):
+    """r02 review: adding ASSERT must change the alias's lineage so a
+    pre-existing MATERIALIZE checkpoint is not reused around it."""
+    import piglet_spark as pg
+    p = tmp_path / "m.csv"
+    p.write_text("1,10\n2,-5\n")
+    mat = str(tmp_path / "mat")
+    s1 = f"""
+A = LOAD '{p}' USING PigStorage(',') AS (id:int, v:int);
+MATERIALIZE A;
+"""
+    eng = pg.PigEngine(spark, options={"materialization_dir": mat})
+    eng.run(s1)
+    assert eng.df("A").count() == 2  # checkpoint written
+    s2 = f"""
+A = LOAD '{p}' USING PigStorage(',') AS (id:int, v:int);
+ASSERT A BY v > 0, 'positive only';
+MATERIALIZE A;
+"""
+    eng2 = pg.PigEngine(spark, options={"materialization_dir": mat})
+    # the new lineage key misses the stale checkpoint, so MATERIALIZE
+    # re-executes the (now asserted) plan and the guard fires during
+    # the eager checkpoint write itself
+    with pytest.raises(Exception, match="positive only"):
+        eng2.run(s2)
+        eng2.df("A").count()

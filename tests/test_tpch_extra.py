@@ -11,7 +11,16 @@ import pytest
 
 import piglet_spark as pg
 
-SF = "/root/testdata/sf0.01"
+import os
+
+# sf0.01, not the conftest default sf0.001: the q21-shaped predicates
+# need enough data for non-empty EXISTS/NOT-EXISTS sets. If the
+# testdata tree is relocated via SPARK_GRAFT_TEST_SF (an sf dir, per
+# conftest), use its parent.
+_base = os.path.dirname(
+    os.environ.get("SPARK_GRAFT_TEST_SF",
+                   "/root/testdata/sf0.001").rstrip("/"))
+SF = os.path.join(_base, "sf0.01")
 
 
 @pytest.fixture(scope="module")
