@@ -30,6 +30,23 @@ from .util import spread as _spread
 _P = (1 << 61) - 1
 
 
+
+# Multi-consumer stage materialization. "checkpoint" (default):
+# lazy localCheckpoint — fastest measured (persist's cached plan adds
+# unified-memory pressure: cluster query 4.2s vs 6.5s at sf0.1), but
+# truncated lineage means an executor loss after materialization
+# fails the job. "persist": recomputable on executor loss — set this
+# (or a reliable sparkContext checkpoint dir) for long multi-hour
+# corpus runs where retry-from-scratch is worse than the slowdown.
+MATERIALIZE_MODE = "checkpoint"
+
+
+def _materialize(df: DataFrame) -> DataFrame:
+    if MATERIALIZE_MODE == "persist":
+        return df.persist()
+    return df.localCheckpoint(eager=False)
+
+
 def exact_dedup(df: DataFrame, text_col: str = "text",
                 id_col: str = "doc_id") -> DataFrame:
     """Keep the lowest-id document per exact (normalized) text
@@ -207,13 +224,12 @@ def minhash_lsh_pairs(df: DataFrame, text_col: str = "text",
     """
     rows_per_band = num_hashes // bands
     # one shingling pass shared by the signature pipeline AND the
-    # exact-Jaccard verify join (persist — without it the regex scan
-    # runs once per consumer; persist, not localCheckpoint: cached
-    # partitions stay RECOMPUTABLE on executor loss)
+    # exact-Jaccard verify join — without _materialize the regex scan
+    # runs once per consumer (mode knob: MATERIALIZE_MODE)
     base = _spread(df, id_col).select(
         F.col(id_col).alias("_id"),
-        shingles_of(F.col(text_col), shingle_k).alias("_sh")) \
-        .persist()
+        shingles_of(F.col(text_col), shingle_k).alias("_sh"))
+    base = _materialize(base)
     sigs = minhash_signatures(df, text_col, id_col, num_hashes, shingle_k,
                               base_df=base)
     # band buckets: (band#, hash of the signature slice). Only
@@ -290,13 +306,13 @@ def ngram_jaccard_pairs(df: DataFrame, text_col: str = "text",
     required prefix extends into the hot tail (prefix). Run
     ``exact_dedup`` first so boilerplate never piles up that hot.
     ``max_df=None`` disables the cap (test-scale only)."""
-    # persist(): the shingling regex pass feeds sizes, the
+    # _materialize: the shingling regex pass feeds sizes, the
     # inverted index (plus its df/hot aggregates) and the final
     # verify/size joins — up to 5 consumers that would each re-run
     # the regex scan (measured 3.2s → 1.8s at sf0.1)
     base = _spread(df).select(F.col(id_col).alias("_id"),
-                              shingles_of(F.col(text_col), k).alias("_sh")) \
-        .persist()
+                              shingles_of(F.col(text_col), k).alias("_sh"))
+    base = _materialize(base)
     sizes = base.select("_id", F.size("_sh").alias("_n"))
     inv = base.select("_id", F.explode("_sh").alias("_s"))
     use_prefix = method == "prefix"
@@ -476,7 +492,7 @@ def simhash_pairs(df: DataFrame, text_col: str = "text",
     Larger max_hamming values are permitted but approximate — a pair
     whose differing bits spread across all 4 chunks is never a
     candidate."""
-    # persist(): the 60-aggregate signature pass is the
+    # _materialize: the 60-aggregate signature pass is the
     # expensive stage and has THREE consumers (bucket-size agg + both
     # self-join sides); without the materialization each one re-runs
     # it (measured 3.45s → 2.95s at sf0.1). minhash doesn't get the
@@ -484,8 +500,8 @@ def simhash_pairs(df: DataFrame, text_col: str = "text",
     # checkpoint write costs more than the recompute.
     base = (simhash(df, text_col, id_col)
             .select(F.col(id_col).alias("_id"),
-                    F.col("simhash").alias("_h"))
-            .persist())
+                    F.col("simhash").alias("_h")))
+    base = _materialize(base)
     chunks = base.select(
         "_id", "_h",
         F.posexplode(F.array(*[
