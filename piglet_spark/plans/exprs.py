@@ -405,6 +405,51 @@ def compile_func(expr: A.FuncCall, ctx: Ctx) -> Column:
     if builtins.is_aggregate(name):
         return compile_aggregate(expr, ctx)
 
+    # classic-Pig TOP(n, field, bag): the n largest tuples of the bag
+    # by the given field (index or name). Needs the bag's static
+    # schema to resolve a positional field, so it's handled here
+    # rather than in the SCALARS registry. Runs entirely on arrays
+    # (sort+slice per row) — no shuffle.
+    if name == "top" and len(expr.args) == 3:
+        n_arg, f_arg, bag_arg = expr.args
+        if not isinstance(n_arg, A.Literal):
+            raise CompileError("TOP(n, field, bag): n must be a literal")
+        n = int(n_arg.value)
+        fname = f_arg.value if isinstance(f_arg, A.Literal) else (
+            f_arg.name if isinstance(f_arg, A.NamedField) else None)
+        if fname is None:
+            raise CompileError(
+                "TOP(n, field, bag): field must be an index or name")
+        if ctx.mode == "fused" and isinstance(bag_arg, A.NamedField) \
+                and bag_arg.name == ctx.bag_name:
+            # FOREACH over a lazy GROUP: TOP compiles to ONE
+            # collect_list aggregate of (key, tuple) structs + an
+            # array sort/slice — the per-group bag materializes only
+            # because TOP's result inherently is one (the rest of the
+            # FOREACH stays fused)
+            cols = list(ctx.columns)
+            if isinstance(fname, int):
+                fname = S.positional(cols, fname)
+            elem = F.struct(*[ctx.col(c) for c in cols])
+            keyed = F.collect_list(
+                F.struct(ctx.col(fname).alias("_k"), elem.alias("_t")))
+            return F.transform(
+                F.slice(F.reverse(F.array_sort(keyed)), 1, n),
+                lambda s: s["_t"])
+        bag = compile_expr(bag_arg, ctx)
+        dt = static_dtype(bag_arg, ctx)
+        if isinstance(fname, int):
+            if not (isinstance(dt, T.ArrayType)
+                    and isinstance(dt.elementType, T.StructType)):
+                raise CompileError(
+                    "TOP with a positional field needs a bag of tuples")
+            fname = dt.elementType.names[fname]
+        keyed = F.transform(
+            bag, lambda x: F.struct(x[fname].alias("_k"), x.alias("_t")))
+        return F.transform(
+            F.slice(F.reverse(F.array_sort(keyed)), 1, n),
+            lambda s: s["_t"])
+
     scalar = builtins.lookup_scalar(name)
     if scalar is not None:
         raw_args = list(expr.args)

@@ -762,3 +762,30 @@ def test_parquet_nanos_no_microsecond_drift(spark, tmp_path):
         expect = datetime.datetime.utcfromtimestamp(v / 1_000_000) \
             .replace(microsecond=v % 1_000_000)
         assert got[i].microsecond == expect.microsecond, (i, got[i])
+
+
+def test_top_builtin(spark, sf_dir):
+    """Classic-Pig TOP(n, field, bag): n largest tuples per group by
+    the given field — fuses to one collect_list aggregate + array
+    sort/slice; verified against a window-function reference."""
+    import duckdb
+    eng = pg.PigEngine(spark)
+    eng.run(f"""
+O = LOAD '{sf_dir}/orders.parquet' USING ParquetStorage();
+P = FOREACH O GENERATE o_custkey, o_orderkey, o_totalprice;
+G = GROUP P BY o_custkey;
+T = FOREACH G GENERATE group AS ck, TOP(2, 2, P) AS best;
+FL = FOREACH T GENERATE ck, FLATTEN(best);
+R = FOREACH FL GENERATE ck, o_orderkey, o_totalprice;
+""")
+    got = sorted(tuple(r) for r in eng.df("R").collect())
+    con = duckdb.connect()
+    exp = sorted(tuple(r) for r in con.sql(f"""
+SELECT o_custkey AS ck, o_orderkey, o_totalprice FROM (
+  SELECT o_custkey, o_orderkey, o_totalprice,
+         ROW_NUMBER() OVER (PARTITION BY o_custkey
+             ORDER BY o_totalprice DESC, o_orderkey DESC,
+                      o_custkey DESC) AS rk
+  FROM '{sf_dir}/orders.parquet') WHERE rk <= 2
+""").fetchall())
+    assert got == exp and len(got) > 0
