@@ -86,13 +86,18 @@ def main():
     qs = entrymod.queries()
     warmup_dir = os.environ.get("SPARK_GRAFT_WARMUP_DIR",
                                 "/root/testdata/sf0.001")
-    timings: dict[str, float] = {}
+    timings: dict[str, float | None] = {}
+    errors: dict[str, str] = {}
     for name in HEADLINE:
         fn = qs[name]
+        # Marker BEFORE the query so any JVM-side log output (stack
+        # traces etc.) in the stderr stream is attributable to a query.
+        print(f"# >>> {name}", file=sys.stderr, flush=True)
         try:  # codegen/JIT warm-up at tiny scale (untimed)
             fn(spark, warmup_dir).count()
-        except Exception:
-            pass
+        except Exception as e:
+            print(f"# {name}: warmup failed ({type(e).__name__}: "
+                  f"{str(e)[:120]})", file=sys.stderr)
         # min of 2 timed runs: this VM shows intermittent CPU-steal
         # spikes (noisy neighbor) that can inflate a single run 5-20×
         best, n = None, 0
@@ -109,22 +114,29 @@ def main():
             dt = time.perf_counter() - t0
             best = dt if best is None or dt < best else best
         if best is None:
-            timings[name] = 600.0  # sentinel: query failed both runs
-            print(f"# {name}: FAILED ({type(err).__name__}: "
-                  f"{str(err)[:120]})", file=sys.stderr)
+            # Explicit failure marker: timing is null (NOT a numeric
+            # sentinel) and the error is surfaced in the JSON artifact.
+            timings[name] = None
+            errors[name] = f"{type(err).__name__}: {str(err)[:300]}"
+            print(f"# {name}: FAILED ({errors[name][:140]})",
+                  file=sys.stderr)
             continue
         timings[name] = round(best, 3)
         print(f"# {name}: {timings[name]}s ({n} rows)", file=sys.stderr)
 
-    total = round(sum(timings.values()), 3)
+    total = round(sum(t for t in timings.values() if t is not None), 3)
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     print(json.dumps({
         "metric": "headline_queries_total_sec",
         "value": total,
         "unit": "sec",
         "queries": timings,
+        "errors": errors,  # empty dict == every query succeeded
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
     }))
+    # rc stays 0 even with per-query errors: the JSON artifact (with its
+    # explicit "errors" field) must still be captured by the harness; a
+    # non-zero rc would discard the partial result entirely.
 
 
 if __name__ == "__main__":

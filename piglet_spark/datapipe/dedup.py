@@ -31,19 +31,46 @@ _P = (1 << 61) - 1
 
 
 
-# Multi-consumer stage materialization. "checkpoint" (default):
-# lazy localCheckpoint — fastest measured (persist's cached plan adds
-# unified-memory pressure: cluster query 4.2s vs 6.5s at sf0.1), but
-# truncated lineage means an executor loss after materialization
-# fails the job. "persist": recomputable on executor loss — set this
-# (or a reliable sparkContext checkpoint dir) for long multi-hour
-# corpus runs where retry-from-scratch is worse than the slowdown.
-MATERIALIZE_MODE = "checkpoint"
+# Multi-consumer stage materialization mode:
+#   "auto" (default) — picked per-session by _resolve_mode:
+#       * a reliable checkpoint dir is configured  -> "reliable"
+#       * master is local[*] (single-JVM, no executor loss) -> "checkpoint"
+#       * real cluster master                       -> "persist"
+#   "checkpoint" — lazy localCheckpoint: fastest measured locally
+#       (persist's cached plan adds unified-memory pressure: cluster
+#       query 4.2s vs 6.5s at sf0.1), but truncated lineage means an
+#       executor loss after materialization fails the job. Never the
+#       auto choice off-local for exactly that reason.
+#   "persist" — recomputable on executor loss; the cluster-safe default.
+#   "reliable" — sparkContext checkpoint dir (HDFS/S3): survives
+#       executor loss AND truncates lineage; best for multi-hour runs.
+#   "none" — no materialization (each consumer recomputes the stage).
+MATERIALIZE_MODE = "auto"
+
+
+def _resolve_mode(spark) -> str:
+    if MATERIALIZE_MODE != "auto":
+        return MATERIALIZE_MODE
+    sc = spark.sparkContext
+    try:
+        ckdir = sc.getCheckpointDir()
+    except Exception:
+        ckdir = None
+    if ckdir:
+        return "reliable"
+    if sc.master.startswith("local"):
+        return "checkpoint"
+    return "persist"
 
 
 def _materialize(df: DataFrame) -> DataFrame:
-    if MATERIALIZE_MODE == "persist":
+    mode = _resolve_mode(df.sparkSession)
+    if mode == "none":
+        return df
+    if mode == "persist":
         return df.persist()
+    if mode == "reliable":
+        return df.checkpoint(eager=False)
     return df.localCheckpoint(eager=False)
 
 
@@ -223,13 +250,15 @@ def minhash_lsh_pairs(df: DataFrame, text_col: str = "text",
     (see ``_cap_buckets``).
     """
     rows_per_band = num_hashes // bands
-    # one shingling pass shared by the signature pipeline AND the
-    # exact-Jaccard verify join — without _materialize the regex scan
-    # runs once per consumer (mode knob: MATERIALIZE_MODE)
+    # NOT materialized (r03): the shared-shingle checkpoint was the
+    # one r02 bench regression (2.14 -> 2.53 s) — minhash's verify
+    # join touches only the tiny candidate subset, so re-running the
+    # shingle regex for it costs less than writing the full shingle
+    # relation to block storage. ngram_jaccard keeps its _materialize
+    # (5 consumers over the full relation, measured 3.2 -> 1.8 s).
     base = _spread(df, id_col).select(
         F.col(id_col).alias("_id"),
         shingles_of(F.col(text_col), shingle_k).alias("_sh"))
-    base = _materialize(base)
     sigs = minhash_signatures(df, text_col, id_col, num_hashes, shingle_k,
                               base_df=base)
     # band buckets: (band#, hash of the signature slice). Only
@@ -548,19 +577,41 @@ def neardup_clusters(df: DataFrame, text_col: str = "text",
     — a 2^20-long path converges within the default 24 rounds.
     Raises if the cap is still hit (a silently split component would
     leave documents with no canonical representative).
-    ``localCheckpoint`` truncates the lineage each round so the plan
-    does not grow exponentially; on a real cluster with
-    failure-tolerance requirements use
-    ``spark.sparkContext.setCheckpointDir`` + ``checkpoint()``.
+
+    Iteration materialization: each round the label relation is
+    checkpointed to truncate lineage (the plan would otherwise grow
+    exponentially in the round count). If a reliable checkpoint dir is
+    configured (``spark.sparkContext.setCheckpointDir``) rounds use
+    ``checkpoint()`` — executor-loss-safe, the right setting for a
+    multi-hour cluster run. Otherwise ``localCheckpoint`` is used
+    (fine on local[*]; on a cluster an executor loss mid-iteration
+    fails the job and you should configure a checkpoint dir).
     """
     if pairs is None:
         pairs = minhash_lsh_pairs(df, text_col, id_col, **lsh_kwargs)
-    edges = (pairs.select(F.col("id_a").alias("src"), F.col("id_b").alias("dst"))
+    spark = df.sparkSession
+    try:
+        reliable = bool(spark.sparkContext.getCheckpointDir())
+    except Exception:
+        reliable = False
+
+    def _ckpt(d: DataFrame, eager: bool = True) -> DataFrame:
+        if reliable:
+            return d.checkpoint(eager=eager)
+        return d.localCheckpoint(eager=eager)
+
+    # materialize the pair set ONCE before anything fans out: the
+    # edge union reads it twice and every propagation round reads the
+    # edges again — without this the whole LSH pipeline re-runs per
+    # consumer (r03: replaces the shared-shingle checkpoint that was
+    # inside minhash_lsh_pairs and caused the r02 bench regression)
+    pairs = _ckpt(pairs.select("id_a", "id_b"))
+    edges = (pairs.select(F.col("id_a").alias("src"),
+                          F.col("id_b").alias("dst"))
              .union(pairs.select(F.col("id_b").alias("src"),
-                                 F.col("id_a").alias("dst")))
-             .localCheckpoint())
-    labels = (edges.select(F.col("src").alias("v")).distinct()
-              .select("v", F.col("v").alias("l")).localCheckpoint())
+                                 F.col("id_a").alias("dst"))))
+    labels = _ckpt(edges.select(F.col("src").alias("v")).distinct()
+                   .select("v", F.col("v").alias("l")))
     # convergence check folded into the per-round job (r01 ran a
     # second join+count action per round): the vertex set is fixed
     # and labels only decrease, so sum(l) strictly decreases iff any
@@ -577,9 +628,9 @@ def neardup_clusters(df: DataFrame, text_col: str = "text",
         jump = (labels.alias("a")
                 .join(labels.alias("b"), on=F.col("a.l") == F.col("b.v"))
                 .select(F.col("a.v").alias("v"), F.col("b.l").alias("l")))
-        new_labels = (labels.union(neighbor).union(jump)
-                      .groupBy("v").agg(F.min("l").alias("l"))
-                      .localCheckpoint(eager=False))
+        new_labels = _ckpt(labels.union(neighbor).union(jump)
+                           .groupBy("v").agg(F.min("l").alias("l")),
+                           eager=False)
         cur_sum = new_labels.agg(label_sum).first()["s"]
         labels = new_labels
         if cur_sum == prev_sum:

@@ -762,3 +762,48 @@ MATERIALIZE A;
     with pytest.raises(Exception, match="positive only"):
         eng2.run(s2)
         eng2.df("A").count()
+
+
+class _FakeSC:
+    def __init__(self, master, ckdir=None):
+        self.master = master
+        self._ckdir = ckdir
+
+    def getCheckpointDir(self):
+        return self._ckdir
+
+
+class _FakeSpark:
+    def __init__(self, master, ckdir=None):
+        self.sparkContext = _FakeSC(master, ckdir)
+
+
+def test_materialize_mode_auto_selection(monkeypatch):
+    """Cluster-safe mode resolution (r02 verdict item 3): lazy
+    localCheckpoint only where executor loss is impossible."""
+    monkeypatch.setattr(dedup, "MATERIALIZE_MODE", "auto")
+    # local masters: single JVM, no executor loss -> localCheckpoint
+    assert dedup._resolve_mode(_FakeSpark("local[32]")) == "checkpoint"
+    assert dedup._resolve_mode(_FakeSpark("local[*]")) == "checkpoint"
+    # real cluster masters: recomputable persist
+    for m in ("spark://host:7077", "yarn", "k8s://https://host:6443"):
+        assert dedup._resolve_mode(_FakeSpark(m)) == "persist"
+    # a configured reliable checkpoint dir wins everywhere
+    assert dedup._resolve_mode(
+        _FakeSpark("yarn", "hdfs:///ck")) == "reliable"
+    assert dedup._resolve_mode(
+        _FakeSpark("local[4]", "/tmp/ck")) == "reliable"
+    # explicit setting overrides auto entirely
+    monkeypatch.setattr(dedup, "MATERIALIZE_MODE", "persist")
+    assert dedup._resolve_mode(_FakeSpark("local[4]")) == "persist"
+
+
+def test_materialize_persist_mode_roundtrip(spark, docs, monkeypatch):
+    """ngram pipeline under explicit persist mode returns identical
+    pairs (the mode changes storage strategy, never values)."""
+    base = {(r["id_a"], r["id_b"], r["jaccard"])
+            for r in dedup.ngram_jaccard_pairs(docs, threshold=0.3).collect()}
+    monkeypatch.setattr(dedup, "MATERIALIZE_MODE", "persist")
+    got = {(r["id_a"], r["id_b"], r["jaccard"])
+           for r in dedup.ngram_jaccard_pairs(docs, threshold=0.3).collect()}
+    assert got == base
