@@ -36,17 +36,47 @@ class PigEngine:
 
     def run(self, script: str) -> dict[str, Relation]:
         """Execute a script; returns the alias → DataFrame environment.
-        Sinks (STORE/DUMP) run eagerly; everything else stays lazy."""
+        Sinks (STORE/DUMP) run eagerly; everything else stays lazy.
+
+        With ``options["profiling"]`` set (True or a settings dict),
+        the profiler-driven auto-materialization subsystem
+        (:mod:`piglet_spark.mm`, ref mm/MaterializationManager.scala)
+        is active: cached intermediate results from previous runs are
+        spliced in as parquet loads while the plan is built, and after
+        execution this run's operators are profiled and the
+        highest-benefit point is materialized for future runs."""
         ops = self.parse(script)
         self.executor.script_hash = hashlib.md5(script.encode()).hexdigest()
+        counts = R.consumer_counts(ops)
         if self.executor.options.get("auto_cache"):
-            # simplified port of the reference's adaptive
-            # materialization (mm/): persist shared subplans —
-            # aliases consumed by 2+ downstream operators — so the
-            # DAG fan-out doesn't recompute them per consumer
+            # persist shared subplans — aliases consumed by 2+
+            # downstream operators — so the DAG fan-out doesn't
+            # recompute them per consumer
             self.executor.shared_aliases = {
-                a for a, n in R.consumer_counts(ops).items() if n >= 2}
-        return self.executor.execute(ops)
+                a for a, n in counts.items() if n >= 2}
+        prof_opt = self.executor.options.get("profiling")
+        if prof_opt and self.executor.mm is None:
+            from . import mm as _mm
+            base = self.executor.options.get(
+                "materialization_dir", "/tmp/piglet_mat")
+            self.executor.mm = _mm.MaterializationManager(
+                base, _mm.ProfilerSettings.from_options(prof_opt))
+        env = self.executor.execute(ops)
+        if self.executor.mm is not None:
+            # "last"-strategy operand: aliases consumed only by sinks
+            # (ref MaterializeLast uses the ops feeding sink nodes,
+            # DataflowProfiler.scala:371-380)
+            from .plans import ast as A
+            nonsink = R.consumer_counts(
+                [o for o in ops
+                 if not isinstance(o, (A.Store, A.Dump, A.Display,
+                                       A.Describe))])
+            self.executor.terminal_aliases = {
+                a for a in self.executor.lineage
+                if nonsink.get(a, 0) == 0}
+            self.executor.mm.profile_and_insert(
+                self.executor, self.executor.mm_spliced)
+        return env
 
     def df(self, alias: str) -> DataFrame:
         """Materialized DataFrame for an alias (GroupedRelations are

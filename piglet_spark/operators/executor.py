@@ -346,6 +346,12 @@ class Executor:
         self.window_specs: dict[str, Any] = {}
         self.ts_fields: dict[str, str] = {}
         self.lineage: dict[str, str] = {}  # alias → plan-chain signature
+        # profiler-driven auto-materialization (piglet_spark.mm; ref
+        # mm/MaterializationManager.scala) — set by PigEngine when the
+        # `profiling` option is on
+        self.mm = None
+        self.mm_spliced: set[str] = set()  # aliases bound to cached parquet
+        self.terminal_aliases: set[str] = set()  # consumed by nothing
         # aliases consumed 2+ times (set by engine when auto_cache on)
         self.shared_aliases: set[str] = set()
         self._cached: set[str] = set()
@@ -434,12 +440,51 @@ class Executor:
         return self.env
 
     def execute_op(self, op: A.Op) -> None:
+        if self.mm is not None and self._try_mm_splice(op):
+            return
         meth = getattr(self, "op_" + type(op).__name__.lower(), None)
         if meth is None:
             raise ExecError(f"operator {type(op).__name__} not implemented")
         meth(op)
         self._propagate_stream_meta(op)
         self._update_lineage(op)
+
+    # pure single-output transformations whose cached result may be
+    # spliced in from the materialization cache (ref getCandidates'
+    # "not sink and not source", MaterializationManager.scala:225, plus
+    # the interpreter's own constraint: no executor-side-effect ops and
+    # no streaming metadata producers)
+    _MM_SPLICEABLE = (
+        "Foreach", "Filter", "Group", "CoGroup", "Join", "Cross",
+        "Distinct", "Limit", "OrderBy", "Cube", "Rank", "Sample",
+        "Union", "Intersection", "Difference", "Accumulate", "Zip",
+        "StreamOp", "Tuplify", "BGPFilter", "SpatialFilter",
+        "SpatialJoin", "Dedup", "NearDup", "SqlStmt",
+    )
+
+    def _try_mm_splice(self, op: A.Op) -> bool:
+        """Bind op's output to a cached parquet result when the lineage
+        signature hits the materialization cache — the interpreter
+        equivalent of replaceWithLoad (MaterializationManager.scala:22-60):
+        the ancestor chain stays an unexecuted lazy plan."""
+        if (type(op).__name__ not in self._MM_SPLICEABLE
+                or not op.out or not op.inputs
+                or self.options.get("streaming")):
+            return False
+        sig = self._op_signature(op)
+        cached = self.mm.lookup(self.spark, sig)
+        if cached is None:
+            return False
+        self.env[op.out] = cached
+        self.lineage[op.out] = sig
+        self.mm_spliced.add(op.out)
+        self._loads.add(op.out)  # now a raw scan: don't re-persist
+        return True
+
+    def _op_signature(self, op: A.Op) -> str:
+        parts = [type(op).__name__, repr(op)]
+        parts.extend(self.lineage.get(i, i) for i in op.inputs)
+        return hashlib.md5("|".join(parts).encode()).hexdigest()
 
     def _update_lineage(self, op: A.Op) -> None:
         """Per-alias lineage signature = hash of this operator + its
@@ -457,9 +502,7 @@ class Executor:
             outs = [op.rel]
         if not outs:
             return
-        parts = [type(op).__name__, repr(op)]
-        parts.extend(self.lineage.get(i, i) for i in op.inputs)
-        sig = hashlib.md5("|".join(parts).encode()).hexdigest()
+        sig = self._op_signature(op)
         for o in outs:
             self.lineage[o] = sig
 
@@ -1282,6 +1325,11 @@ class Executor:
             pass
         df.write.mode("overwrite").parquet(path)
         self.env[op.rel] = self.spark.read.parquet(path)
+        if self.mm is not None:
+            # pin in the auto-materialization cache map: explicit
+            # MATERIALIZE results are `fixed` entries no eviction
+            # strategy may remove (ref CacheManager.scala:108-119)
+            self.mm.cache.insert_fixed(self.lineage.get(op.rel, key), path)
 
     def op_register(self, op: A.Register) -> None:
         if op.path.endswith(".py"):

@@ -1,0 +1,193 @@
+"""Profiler-driven auto-materialization (piglet_spark.mm — the port of
+the reference's mm/ subsystem: MaterializationManager, CacheManager,
+Eviction, DataflowProfiler strategies)."""
+
+import os
+
+import pytest
+
+from piglet_spark import mm
+import piglet_spark as pg
+
+
+def _entry(lineage, benefit_ms, bytes_, last_loaded=None, fixed=False):
+    return mm.CacheEntry(lineage, f"/tmp/{lineage}", benefit_ms, bytes_,
+                         last_loaded=last_loaded, fixed=fixed)
+
+
+class TestEviction:
+    def test_none_never_removes(self):
+        old = [_entry("a", 10, 100), _entry("b", 20, 100)]
+        assert mm.would_remove("none", _entry("n", 5, 1000), old, 150) == []
+
+    def test_new_entry_too_big_rejected(self):
+        out = mm.would_remove("lru", _entry("n", 5, 1000), [], 500)
+        assert [e.lineage for e in out] == ["n"]
+
+    def test_lru_removes_least_recently_loaded(self):
+        # budget 250: new(100) + most-recent b(100) fit; oldest a evicted
+        old = [_entry("a", 10, 100, last_loaded=1.0),
+               _entry("b", 20, 100, last_loaded=9.0)]
+        out = mm.would_remove("lru", _entry("n", 5, 100), old, 250)
+        assert [e.lineage for e in out] == ["a"]
+
+    def test_lru_keeps_fixed_entries(self):
+        old = [_entry("a", 10, 100, last_loaded=1.0, fixed=True)]
+        assert mm.would_remove("lru", _entry("n", 5, 100), old, 100) == []
+
+    def test_knapsack_keeps_highest_benefit(self):
+        old = [_entry("lo", 1, 100), _entry("hi", 100, 100)]
+        out = mm.would_remove("knapsack", _entry("mid", 50, 100), old, 200)
+        assert [e.lineage for e in out] == ["lo"]
+
+    def test_knapsack_may_sacrifice_new_entry(self):
+        old = [_entry("hi", 100, 100), _entry("hi2", 90, 100)]
+        out = mm.would_remove("knapsack", _entry("n", 1, 100), old, 200)
+        assert [e.lineage for e in out] == ["n"]
+
+    def test_knapsack_ratio_prefers_small_high_benefit(self):
+        old = [_entry("fat", 100, 1000), _entry("lean", 90, 10)]
+        out = mm.would_remove("knapsack_ratio", _entry("n", 50, 10),
+                              old, 100)
+        assert [e.lineage for e in out] == ["fat"]
+
+
+class TestChoose:
+    def _mp(self, lin, prob, benefit):
+        return mm.MaterializationPoint(lin, prob, cost_ms=benefit + 100,
+                                       bytes=10, benefit_ms=benefit)
+
+    def test_maxbenefit_picks_single_best(self):
+        cands = [self._mp("a", 0.1, 50), self._mp("b", 0.9, 500),
+                 self._mp("c", 0.5, 100)]
+        assert [c.lineage for c in
+                mm.choose_points("maxbenefit", cands, set())] == ["b"]
+
+    def test_markov_weights_by_probability(self):
+        cands = [self._mp("rare", 0.01, 1000), self._mp("hot", 0.9, 500)]
+        assert [c.lineage for c in
+                mm.choose_points("markov", cands, set())] == ["hot"]
+
+    def test_last_filters_to_sink_feeders(self):
+        cands = [self._mp("mid", 0.5, 50), self._mp("end", 0.5, 40)]
+        out = mm.choose_points("last", cands, {"end"})
+        assert [c.lineage for c in out] == ["end"]
+
+
+class TestCacheManager:
+    def test_admission_check_blocks_low_benefit(self, tmp_path):
+        s = mm.ProfilerSettings(eviction="knapsack", admission_check=True,
+                                cache_size=150)
+        cm = mm.CacheManager(str(tmp_path), s)
+        assert cm.insert(mm.MaterializationPoint("big", 1, 500, 100, 500),
+                         str(tmp_path / "big"))
+        # would evict 500ms of benefit to gain 10ms -> refused
+        assert not cm.insert(mm.MaterializationPoint("puny", 1, 20, 100, 10),
+                             str(tmp_path / "puny"))
+        assert "puny" not in cm.entries
+
+    def test_roundtrip_persistence(self, tmp_path):
+        s = mm.ProfilerSettings()
+        cm = mm.CacheManager(str(tmp_path), s)
+        cm.insert(mm.MaterializationPoint("x", 1, 100, 10, 90),
+                  str(tmp_path / "x"))
+        cm2 = mm.CacheManager(str(tmp_path), s)
+        assert cm2.get_data_for("x") == str(tmp_path / "x")
+        assert cm2.entries["x"].use_count == 1  # markLoaded happened
+        assert cm2.get_data_for("nope") is None
+
+
+SCRIPT = """
+A = LOAD '{d}/lineitem.parquet' USING ParquetStorage();
+B = FILTER A BY l_quantity > 10.0;
+C = FOREACH B GENERATE l_orderkey, l_extendedprice * (1.0 - l_discount) AS rev;
+D = GROUP C BY l_orderkey;
+E = FOREACH D GENERATE group AS okey, SUM(C.rev) AS total;
+F = FILTER E BY total > 1000.0;
+"""
+
+
+@pytest.fixture()
+def mat_dir(tmp_path):
+    return str(tmp_path / "mat")
+
+
+def _run(spark, sf_dir, mat_dir):
+    eng = pg.PigEngine(spark, options={
+        "materialization_dir": mat_dir, "profiling": True})
+    eng.run(SCRIPT.format(d=sf_dir))
+    return eng
+
+
+def _jobs_during(spark, fn):
+    sc = spark.sparkContext
+    group = f"mmtest-{os.urandom(4).hex()}"
+    sc.setJobGroup(group, "mm test")
+    try:
+        out = fn()
+    finally:
+        sc.setJobGroup(None, None)
+    return out, len(sc.statusTracker().getJobIdsForGroup(group))
+
+
+def test_auto_materialization_end_to_end(spark, sf_dir, mat_dir):
+    # ---- run 1: profile + insert the chosen max-benefit point
+    eng1, jobs1 = _jobs_during(spark, lambda: _run(spark, sf_dir, mat_dir))
+    assert eng1.executor.mm_spliced == set()
+    expect1 = {(r["okey"], round(r["total"], 4))
+               for r in eng1.df("F").collect()}
+    # profiling stats + one materialized point exist on disk
+    assert os.path.exists(os.path.join(mat_dir, "profilerstats.json"))
+    assert os.path.exists(os.path.join(mat_dir, "materializations.json"))
+    autos = [p for p in os.listdir(mat_dir) if p.startswith("auto_")]
+    assert len(autos) == 1  # maxbenefit chooses exactly one point
+
+    # ---- run 2 (fresh engine): cached point spliced in as parquet load
+    eng2, jobs2 = _jobs_during(spark, lambda: _run(spark, sf_dir, mat_dir))
+    assert eng2.executor.mm_spliced  # replaceWithLoad happened
+    expect2 = {(r["okey"], round(r["total"], 4))
+               for r in eng2.df("F").collect()}
+    assert expect2 == expect1  # values unchanged by the splice
+    # the spliced alias' physical plan reads OUR parquet, not lineitem
+    spliced = sorted(eng2.executor.mm_spliced)[-1]
+    plan = eng2.df(spliced)._jdf.queryExecution().executedPlan().toString()
+    assert "auto_" in plan
+    assert "lineitem" not in plan
+    # recompute skipped: run 2 profiles nothing (all lineages known)
+    # and runs strictly fewer Spark jobs than the profiling run
+    assert jobs2 < jobs1
+
+    # ---- cache map LRU metadata updated by the hit
+    cm = mm.CacheManager(mat_dir, mm.ProfilerSettings())
+    entry = list(cm.entries.values())[0]
+    assert entry.use_count >= 1
+
+
+def test_mm_splice_respects_script_edit(spark, sf_dir, mat_dir):
+    """Changing an upstream operator changes every downstream lineage
+    signature, so stale cached results are never spliced in."""
+    _run(spark, sf_dir, mat_dir)
+    edited = SCRIPT.format(d=sf_dir).replace("l_quantity > 10.0",
+                                               "l_quantity > 40.0")
+    eng = pg.PigEngine(spark, options={
+        "materialization_dir": mat_dir, "profiling": True})
+    eng.run(edited)
+    assert eng.executor.mm_spliced == set()
+    # and the edited pipeline computes the (different) correct answer
+    base = {r["okey"] for r in eng.df("F").collect()}
+    from pyspark.sql import functions as F
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    truth = (li.filter(F.col("l_quantity") > 40.0)
+             .withColumn("rev", F.col("l_extendedprice")
+                         * (1.0 - F.col("l_discount")))
+             .groupBy("l_orderkey").agg(F.sum("rev").alias("total"))
+             .filter(F.col("total") > 1000.0))
+    assert base == {r["l_orderkey"] for r in truth.collect()}
+
+
+def test_mm_disabled_without_option(spark, sf_dir, tmp_path):
+    eng = pg.PigEngine(spark, options={
+        "materialization_dir": str(tmp_path / "m2")})
+    eng.run(SCRIPT.format(d=sf_dir))
+    assert eng.executor.mm is None
+    assert not os.path.exists(str(tmp_path / "m2"))
