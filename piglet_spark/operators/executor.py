@@ -1676,15 +1676,13 @@ class Executor:
 
         Scale shape: the global arrival index reuses the ZIP WITH
         INDEX machinery (per-partition offsets + broadcast join — no
-        single-partition sort); the total count joins back as a
-        broadcast scalar. True streams raise: a cross-batch global
-        row counter would serialize the stream (same caveat the
-        reference's Spark backend sidestepped by not compiling ROWS)."""
-        from ..streaming.stream_exec import RowsWindowSpec, StreamingError
-        if df.isStreaming:
-            raise StreamingError(
-                "ROWS (count-based) windows run on bounded inputs only; "
-                "use RANGE windows on unbounded streams")
+        single-partition sort); the total count is one driver-side
+        count() folded in as a literal. True (unbounded) streams run
+        the cross-batch stateful path (stream_exec.rows_window_stream,
+        Flink countWindow semantics via applyInPandasWithState)."""
+        from ..streaming.stream_exec import (RowsWindowSpec,
+                                             StreamingError,
+                                             rows_window_stream)
         if op.size[1] != "ROWS":
             raise StreamingError("SLIDE ROWS requires a ROWS window size")
         n = int(op.size[0])
@@ -1695,15 +1693,16 @@ class Executor:
                     "a ROWS window requires SLIDE ROWS (mixed "
                     "count/time units are not defined)")
             m = int(op.slide[0])
-        # persist: idx feeds both the broadcast total and the main
-        # side — without it the whole index subtree (scan + offsets)
-        # executes twice; persist (not localCheckpoint) keeps the
-        # cached partitions recomputable on executor loss (r02 review)
-        idx = (self._with_index(df).withColumnRenamed("index", "__idx")
-               .persist())
-        total = idx.agg(F.count(F.lit(1)).alias("__N"))
-        idx = idx.join(F.broadcast(total))
-        i, big_n = F.col("__idx"), F.col("__N")
+        if df.isStreaming:
+            return rows_window_stream(df, n, m)
+        # the scalar total as a literal (not a broadcast self-join):
+        # the indexed frame then has exactly ONE consumer, so nothing
+        # needs persist — the r02 version persisted it for the
+        # two-consumer broadcast-total plan and leaked the cache for
+        # the session lifetime (r02 advice)
+        n_total = df.count()
+        idx = self._with_index(df).withColumnRenamed("index", "__idx")
+        i, big_n = F.col("__idx"), F.lit(n_total)
         if m is None or m == n:
             wid = F.floor(i / n)
             out = (idx.withColumn("__rowwin", wid)
@@ -1719,7 +1718,7 @@ class Executor:
             seq = F.when(w_min <= w_max, F.sequence(w_min, w_max)) \
                 .otherwise(F.array().cast("array<bigint>"))
             out = idx.withColumn("__rowwin", F.explode(seq))
-        return out.drop("__idx", "__N"), RowsWindowSpec(n, m)
+        return out.drop("__idx"), RowsWindowSpec(n, m)
 
     def op_matchevent(self, op: A.MatchEvent) -> None:
         from ..streaming import cep

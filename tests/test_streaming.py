@@ -382,17 +382,94 @@ C = FOREACH G GENERATE COUNT(W) AS n, MIN(W.id) AS lo, MAX(W.id) AS hi;
     assert rows == [(2, 0, 1), (4, 0, 3), (4, 2, 5), (4, 4, 7), (4, 6, 9)]
 
 
-def test_rows_window_streaming_raises(spark, tmp_path):
-    from piglet_spark.streaming.stream_exec import StreamingError
-    d = tmp_path / "in"
+def test_rows_window_streaming_tumbling_cross_batch(spark, tmp_path):
+    """True-streaming WINDOW ROWS (r03): count-window state survives
+    micro-batch boundaries (applyInPandasWithState) with Flink
+    countWindow semantics. Batch 1 brings 5 rows, batch 2 brings 4:
+    window 0 = rows 0-3 (fires in batch 1), window 1 = rows 4-7 —
+    spanning the batch boundary — fires in batch 2; row 8 stays
+    buffered and never fires."""
+    import os
+    from piglet_spark.streaming.stream_exec import rows_window_stream
+
+    d = tmp_path / "rwin"
     d.mkdir()
-    (d / "a.csv").write_text("1\n2\n")
-    eng = pg.PigEngine(spark)
-    with pytest.raises(Exception, match="bounded"):
-        eng.run(f"""
-A = SOCKET_READ 'localhost:9999' AS (id:int);
+    f1, f2 = d / "a.csv", d / "b.csv"
+    f1.write_text("".join(f"{i}\n" for i in range(5)))
+    f2.write_text("".join(f"{i}\n" for i in range(5, 9)))
+    os.utime(f1, (1000, 1000))     # force file order = batch order
+    os.utime(f2, (2000, 2000))
+    sdf = (spark.readStream.schema("id int")
+           .option("maxFilesPerTrigger", 1).csv(str(d)))
+    out, spec = rows_window_stream(sdf, 4, None)
+    assert out.isStreaming and spec.size == 4
+    q = (out.writeStream.format("memory").queryName("t_rows_stream")
+         .outputMode("append").start())
+    q.processAllAvailable()
+    q.stop()
+    rows = spark.sql(
+        "select __rowwin, id from t_rows_stream").collect()
+    got = {}
+    for r in rows:
+        got.setdefault(r[0], []).append(r[1])
+    assert {w: sorted(v) for w, v in got.items()} == {
+        0: [0, 1, 2, 3], 1: [4, 5, 6, 7]}
+
+
+def test_rows_window_streaming_sliding_cross_batch(spark, tmp_path):
+    """Sliding count windows across micro-batches: ROWS 4 SLIDE 2 over
+    batches of 3+4 rows. Windows fire at elements 1,3,5 with the last
+    <=4 elements each (early windows partial, Flink semantics)."""
+    import os
+    from piglet_spark.streaming.stream_exec import rows_window_stream
+
+    d = tmp_path / "rwin2"
+    d.mkdir()
+    f1, f2 = d / "a.csv", d / "b.csv"
+    f1.write_text("0\n1\n2\n")
+    f2.write_text("3\n4\n5\n6\n")
+    os.utime(f1, (1000, 1000))
+    os.utime(f2, (2000, 2000))
+    sdf = (spark.readStream.schema("id int")
+           .option("maxFilesPerTrigger", 1).csv(str(d)))
+    out, _ = rows_window_stream(sdf, 4, 2)
+    q = (out.writeStream.format("memory").queryName("t_rows_slide")
+         .outputMode("append").start())
+    q.processAllAvailable()
+    q.stop()
+    rows = spark.sql(
+        "select __rowwin, id from t_rows_slide").collect()
+    got = {}
+    for r in rows:
+        got.setdefault(r[0], []).append(r[1])
+    assert {w: sorted(v) for w, v in got.items()} == {
+        0: [0, 1], 1: [0, 1, 2, 3], 2: [2, 3, 4, 5]}
+
+
+def test_rows_window_streaming_via_dsl(spark, tmp_path):
+    """WINDOW A ROWS n routes to the stateful streaming path when the
+    engine is in streaming mode."""
+    d = tmp_path / "rwin3"
+    d.mkdir()
+    (d / "a.csv").write_text("".join(f"{i}\n" for i in range(9)))
+    eng = pg.PigEngine(spark, options={"streaming": True})
+    eng.run(f"""
+A = LOAD '{d}' USING PigStorage(',') AS (id:int);
 W = WINDOW A ROWS 4;
 """)
+    w = eng.df("W")
+    assert w.isStreaming
+    q = (w.writeStream.format("memory").queryName("t_rows_dsl")
+         .outputMode("append").start())
+    q.processAllAvailable()
+    q.stop()
+    rows = spark.sql("select __rowwin, id from t_rows_dsl").collect()
+    got = {}
+    for r in rows:
+        got.setdefault(r[0], []).append(r[1])
+    # 9 rows -> two complete windows; the 9th row never fires
+    assert {w_: sorted(v) for w_, v in got.items()} == {
+        0: [0, 1, 2, 3], 1: [4, 5, 6, 7]}
 
 
 def test_cep_streaming_cross_batch_state(spark, tmp_path):
