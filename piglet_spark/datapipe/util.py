@@ -52,23 +52,32 @@ def salted_join(big: DataFrame, dim: DataFrame, on: str | list[str],
     Use when one join key carries a disproportionate share of the big
     side (the classic web-corpus 'null/empty/default key' skew) and
     AQE's skew-join splitting isn't available or isn't enough. The
-    salt is `pmod(hash(all big-side columns), salt)` — deterministic,
-    no RNG, so retried tasks salt identically (a nondeterministic
-    salt breaks exactly-once under task retry). Replicating the dim
-    side costs salt× its size — keep it for genuinely small dims
-    (the broadcast-join regime, when broadcast alone can't fix the
-    reducer skew of a shuffle join downstream).
+    salt is POSITIONAL — ``pmod(monotonically_increasing_id(), salt)``
+    cycles 0,1,2,… within each partition — so it spreads uniformly
+    even when the hot rows are bit-for-bit identical (a value-hash
+    salt sends all identical rows to ONE reducer, exactly the skew it
+    was meant to fix — r02 advice), and it never touches column
+    values, so map-typed columns that ``F.hash`` rejects are fine.
+    Output correctness does not depend on salt stability: the dim
+    side carries every salt value, so any salt assignment joins each
+    big row exactly once. Replicating the dim side costs salt× its
+    size — keep it for genuinely small dims (the broadcast-join
+    regime, when broadcast alone can't fix the reducer skew of a
+    shuffle join downstream).
 
     Result equals ``big.join(dim, on, how)`` column-for-column; only
     inner and left joins are supported (a right/full join would need
-    dim-side dedup of the replicated unmatched rows)."""
+    dim-side dedup of the replicated unmatched rows).
+
+    Also reachable from the language: ``J = JOIN big BY k, dim BY k
+    USING 'salted(16)';`` (executor._salted_join)."""
     from pyspark.sql import functions as F
 
     if how not in ("inner", "left", "left_outer"):
         raise ValueError(f"salted_join supports inner/left, got {how!r}")
     keys = [on] if isinstance(on, str) else list(on)
     big_salted = big.withColumn(
-        "__salt", F.pmod(F.hash(*[F.col(c) for c in big.columns]),
+        "__salt", F.pmod(F.monotonically_increasing_id(),
                          F.lit(salt)).cast("int"))
     dim_rep = dim.withColumn(
         "__salt", F.explode(F.sequence(F.lit(0), F.lit(salt - 1))))

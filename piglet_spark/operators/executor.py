@@ -1055,14 +1055,61 @@ class Executor:
             ctx = self.ctx(df)
             dfs.append(df)
             keycols.append([compile_expr(k, ctx) for k in keys])
+        strat = (op.strategy or "").lower().strip()
+        if strat.startswith("salted") or strat == "skewed":
+            # JOIN … USING 'salted(n)' / 'skewed': deterministic
+            # big-side salting + dim replication — the Spark-idiomatic
+            # equivalent of classic Pig's sampling skewed join. Use
+            # when one key carries a disproportionate share of the
+            # left (big) input and AQE skew splitting isn't enough.
+            self.env[op.out] = self._salted_join(op, dfs, keycols, strat)
+            return
         out = dfs[0]
         for i in range(1, len(dfs)):
             cond = None
             for kl, kr in zip(keycols[0], keycols[i]):
                 eq = kl == kr
                 cond = eq if cond is None else cond & eq
-            out = out.join(dfs[i], on=cond, how="inner")
+            right = dfs[i]
+            if strat in ("replicated", "repl"):
+                # classic Pig fragment-replicate join: every non-first
+                # input is map-side (broadcast)
+                right = F.broadcast(right)
+            elif strat == "merge":
+                right = right.hint("MERGE")
+            out = out.join(right, on=cond, how="inner")
         self.env[op.out] = out
+
+    def _salted_join(self, op: A.Join, dfs: list[DataFrame],
+                     keycols: list[list[Column]], strat: str) -> DataFrame:
+        """Skew-spreading 2-way join: the LEFT (big) side gets a
+        row-local deterministic salt in 0..n-1, the right (dim) side
+        is replicated n×, and the salt joins as an extra key — a hot
+        key's rows land on n reducer partitions instead of one
+        straggler. Inner join only (the Pig USING clause's contract);
+        result equals the plain join column-for-column. The salt is
+        positional (monotonically_increasing_id mod n) — uniform even
+        when ALL columns of hot rows are identical, the pathology a
+        value-hash salt cannot spread (r02 advice), and safe for
+        map-typed columns that F.hash refuses."""
+        import re as _re
+        m = _re.fullmatch(r"salted\s*\((\d+)\)", strat)
+        n_salt = int(m.group(1)) if m else 16
+        if len(dfs) != 2:
+            raise ExecError(
+                "JOIN USING 'salted'/'skewed' supports exactly 2 inputs")
+        big = dfs[0].withColumn(
+            "__salt_l", F.pmod(F.monotonically_increasing_id(),
+                               F.lit(n_salt)).cast("int"))
+        dim = (dfs[1]
+               .withColumn("__salt_r", F.explode(F.sequence(
+                   F.lit(0), F.lit(n_salt - 1))))
+               .withColumn("__salt_r", F.col("__salt_r").cast("int")))
+        cond = F.col("__salt_l") == F.col("__salt_r")
+        for kl, kr in zip(keycols[0], keycols[1]):
+            cond = cond & (kl == kr)
+        return (big.join(dim, on=cond, how="inner")
+                .drop("__salt_l", "__salt_r"))
 
     def op_cross(self, op: A.Cross) -> None:
         dfs = [self._lineage_rename(self.df(r), r) for r in op.rels]

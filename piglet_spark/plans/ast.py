@@ -300,6 +300,10 @@ class Join(Op):
     rels: list[str] = field(default_factory=list)
     keys: list[list[Expr]] = field(default_factory=list)
     window: Optional[tuple[int, str]] = None  # streaming window join
+    # USING 'replicated' | 'merge' | 'skewed' | 'salted(n)' (classic
+    # Pig specialized-join clause; salted is a beyond-reference
+    # extension for deterministic skew spreading)
+    strategy: Optional[str] = None
 
     def __post_init__(self):
         self.inputs = list(self.rels)

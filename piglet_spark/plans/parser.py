@@ -592,12 +592,16 @@ class Parser:
     def op_join(self, alias: str) -> A.Op:
         self.eat_kw("join")
         rels, keys = self.parse_rel_key_pairs()
-        window = None
-        if self.try_kw("window"):
-            n = int(self.advance().text)
-            unit = self.ident().upper()
-            window = (n, unit)
-        return A.Join(out=alias, rels=rels, keys=keys, window=window)
+        window, strategy = None, None
+        for _ in range(2):  # USING and WINDOW in either order
+            if self.try_kw("using"):
+                strategy = self.string()
+            if self.try_kw("window"):
+                n = int(self.advance().text)
+                unit = self.ident().upper()
+                window = (n, unit)
+        return A.Join(out=alias, rels=rels, keys=keys, window=window,
+                      strategy=strategy)
 
     def op_cross(self, alias: str) -> A.Op:
         self.eat_kw("cross")

@@ -807,3 +807,55 @@ def test_materialize_persist_mode_roundtrip(spark, docs, monkeypatch):
     got = {(r["id_a"], r["id_b"], r["jaccard"])
            for r in dedup.ngram_jaccard_pairs(docs, threshold=0.3).collect()}
     assert got == base
+
+
+def test_salted_join_spreads_identical_rows_and_map_columns(spark):
+    """r02 advice: a value-hash salt sent bit-identical duplicate rows
+    (the classic skew pathology) to ONE reducer and failed on map
+    columns. The positional salt spreads them and tolerates maps."""
+    from pyspark.sql import functions as F
+    from piglet_spark.datapipe.util import salted_join
+    big = (spark.range(400).select(
+        F.lit("hot").alias("k"),
+        F.lit(1).alias("payload"),
+        F.create_map(F.lit("a"), F.lit(1)).alias("attrs"))
+        .repartition(4))
+    dim = spark.createDataFrame([("hot", 9)], ["k", "dimval"])
+    out = salted_join(big.drop("attrs"), dim, on="k", salt=8)
+    assert out.count() == 400
+    # identical rows really do get distinct salts (uniform positional)
+    salts = (big.withColumn(
+        "__salt", F.pmod(F.monotonically_increasing_id(), F.lit(8)))
+        .select("__salt").distinct().count())
+    assert salts == 8
+    # map-typed column on the big side no longer breaks the salting
+    out2 = salted_join(big, dim, on="k", salt=4)
+    assert out2.count() == 400
+
+
+def test_salted_join_dsl(spark, tmp_path):
+    """JOIN … USING 'salted(n)' / 'skewed' / 'replicated' from the
+    language (r02 verdict item 6)."""
+    import piglet_spark as pg
+    big = tmp_path / "big.csv"
+    big.write_text("".join(f"hot,{i}\n" for i in range(50))
+                   + "cold,99\n")
+    dim = tmp_path / "dim.csv"
+    dim.write_text("hot,1\ncold,2\nnone,3\n")
+    base = f"""
+B = LOAD '{big}' USING PigStorage(',') AS (k:chararray, v:int);
+D = LOAD '{dim}' USING PigStorage(',') AS (k:chararray, w:int);
+"""
+    eng = pg.PigEngine(spark)
+    eng.run(base + "J = JOIN B BY k, D BY k;")
+    plain = sorted(tuple(r) for r in eng.df("J").collect())
+    for using in ("salted(4)", "skewed", "replicated", "merge"):
+        eng2 = pg.PigEngine(spark)
+        eng2.run(base + f"J = JOIN B BY k, D BY k USING '{using}';")
+        got = sorted(tuple(r) for r in eng2.df("J").collect())
+        assert got == plain, using
+    # replicated really broadcasts: plan has a BroadcastHashJoin
+    eng3 = pg.PigEngine(spark)
+    eng3.run(base + "J = JOIN B BY k, D BY k USING 'replicated';")
+    plan = eng3.df("J")._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan
