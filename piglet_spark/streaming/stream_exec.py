@@ -46,13 +46,107 @@ def window_duration(spec: tuple[int, str]) -> str:
 
 def socket_read(spark: SparkSession, op: A.SocketRead) -> DataFrame:
     if op.mode and op.mode.lower() == "zmq":
-        raise StreamingError("ZMQ socket mode is not supported")
+        return zmq_read(spark, op)
     raw = (spark.readStream.format("socket")
            .option("host", op.host or "localhost")
            .option("port", op.port)
            .load())
     return _parse_lines(raw, op.func, op.func_args, op.schema,
                         op.timestamp_field)
+
+
+def _require_zmq():
+    try:
+        import zmq
+        return zmq
+    except ImportError as e:
+        raise StreamingError(
+            "SOCKET … MODE zmq requires the optional 'pyzmq' package, "
+            "which is not installed in this environment; install pyzmq "
+            "or use the plain TCP socket mode") from e
+
+
+def zmq_read(spark: SparkSession, op: A.SocketRead) -> DataFrame:
+    """SOCKET_READ … MODE zmq: a ZeroMQ SUB subscriber (connects to
+    tcp://host:port, subscribes to everything — ref ZmqSubscriber,
+    flinklib SourceFuncs.scala:27-75). Structured Streaming has no ZMQ
+    source, so a driver-side daemon thread spools received messages
+    into batch files consumed by a file stream — single-receiver
+    ingest, exactly the parallelism of the reference's one-instance
+    source function; the parsed stream itself is fully parallel."""
+    zmq = _require_zmq()
+    import tempfile
+    import threading
+    import time as _time
+
+    addr = f"tcp://{op.host or 'localhost'}:{op.port}"
+    spool = tempfile.mkdtemp(prefix="piglet_zmq_")
+
+    def pump():
+        ctx = zmq.Context.instance()
+        sub = ctx.socket(zmq.SUB)
+        sub.setsockopt(zmq.RCVHWM, 0)
+        sub.connect(addr)
+        sub.setsockopt(zmq.SUBSCRIBE, b"")
+        buf: list[str] = []
+        seq = 0
+        last = _time.time()
+        while True:
+            try:
+                if sub.poll(200):
+                    buf.append(sub.recv().decode("utf-8", "replace"))
+                if buf and (_time.time() - last > 0.5 or len(buf) >= 1000):
+                    import os
+                    tmp = os.path.join(spool, f"._{seq}.txt")
+                    with open(tmp, "w") as f:
+                        f.write("\n".join(buf) + "\n")
+                    os.replace(tmp, os.path.join(spool, f"zmq_{seq}.txt"))
+                    seq += 1
+                    buf.clear()
+                    last = _time.time()
+            except Exception:
+                break
+
+    threading.Thread(target=pump, daemon=True,
+                     name=f"piglet-zmq-sub-{op.port}").start()
+    raw = spark.readStream.format("text").load(spool)
+    return _parse_lines(raw, op.func, op.func_args, op.schema,
+                        op.timestamp_field)
+
+
+def zmq_write(df: DataFrame, op, options: Optional[dict] = None):
+    """SOCKET_WRITE … MODE zmq: a ZeroMQ PUB publisher BOUND at
+    tcp://host:port sending each row as one UTF-8 message (ref
+    ZmqPublisher, flinklib SinkFuncs.scala:25-70: PUB + bind +
+    sndhwm=0 + linger). A single bound PUB endpoint is inherently one
+    socket, so rows are published from the driver — streamed via
+    ``toLocalIterator`` so no batch is ever fully materialized; the
+    reference's sink had the same single-endpoint constraint."""
+    zmq = _require_zmq()
+    import time as _time
+
+    from ..sources.storage import pig_format_rows
+
+    addr = f"tcp://{op.host or '*'}:{op.port}"
+    ctx = zmq.Context.instance()
+    pub = ctx.socket(zmq.PUB)
+    pub.setsockopt(zmq.SNDHWM, 0)
+    pub.setsockopt(zmq.LINGER, 5000)
+    pub.bind(addr)
+    _time.sleep(0.3)  # PUB/SUB slow-joiner: let subscribers attach
+
+    def send_batch(batch_df: DataFrame, _batch_id: int):
+        for r in pig_format_rows(batch_df).toLocalIterator():
+            pub.send_string(r[0])
+
+    if not df.isStreaming:
+        send_batch(df, 0)
+        return None
+    opts = options or {}
+    return (df.writeStream.outputMode(opts.get("output_mode", "append"))
+            .foreachBatch(send_batch)
+            .trigger(processingTime=opts.get("trigger", "1 second"))
+            .start())
 
 
 def stream_load(spark: SparkSession, path: str, func: Optional[str],
@@ -239,6 +333,8 @@ def socket_write(df: DataFrame, op: A.SocketWrite,
     batch is ever materialized on the driver (at scale a driver-side
     collect-and-send serializes the whole stream through one
     process)."""
+    if getattr(op, "mode", "") and op.mode.lower() == "zmq":
+        return zmq_write(df, op, options)
     from ..sources.storage import pig_format_rows
     host, port = op.host or "localhost", op.port
 

@@ -555,3 +555,62 @@ C = FOREACH G GENERATE COUNT(K) AS n, MIN(K.id) AS lo;
                   eng.df("C").select("n", "lo").collect())
     # window 0 = rows 0-3 minus the filtered id 2 → 3; window 1 = 4
     assert rows == [(3, 0), (4, 4)]
+
+
+def test_zmq_mode_requires_pyzmq_clear_error(spark, data_dir):
+    """MODE zmq is implemented behind an optional pyzmq import; in an
+    environment without pyzmq both directions raise an actionable
+    error naming the missing package (r02 verdict item 7)."""
+    pytest.importorskip  # (not used: this test asserts the ABSENCE path)
+    try:
+        import zmq  # noqa: F401
+        pytest.skip("pyzmq installed: the error path cannot trigger")
+    except ImportError:
+        pass
+    eng = pg.PigEngine(spark)
+    with pytest.raises(Exception, match="pyzmq"):
+        eng.run("A = SOCKET_READ 'localhost:19999' MODE zmq "
+                "AS (id:int);")
+    eng2 = pg.PigEngine(spark)
+    with pytest.raises(Exception, match="pyzmq"):
+        eng2.run(f"""
+A = LOAD '{data_dir}/t.csv' USING PigStorage(',') AS (a:int,b:int,c:int);
+SOCKET_WRITE A TO 'localhost:19998' MODE zmq;
+""")
+
+
+def test_zmq_loopback_pub_sub(spark, data_dir):
+    """PUB/SUB loopback (runs only where pyzmq is installed): a batch
+    relation published via SOCKET_WRITE … MODE zmq arrives at a SUB
+    subscriber line-for-line (ref ZmqPublisher/ZmqSubscriber,
+    flinklib Sink/SourceFuncs)."""
+    zmq = pytest.importorskip("zmq")
+    import threading
+
+    port = 28765
+    got: list[str] = []
+    ready = threading.Event()
+
+    def subscribe():
+        ctx = zmq.Context.instance()
+        sub = ctx.socket(zmq.SUB)
+        sub.connect(f"tcp://localhost:{port}")
+        sub.setsockopt(zmq.SUBSCRIBE, b"")
+        ready.set()
+        for _ in range(100):
+            if sub.poll(100):
+                got.append(sub.recv().decode())
+                if len(got) >= 4:
+                    break
+        sub.close(0)
+
+    t = threading.Thread(target=subscribe, daemon=True)
+    t.start()
+    ready.wait(5)
+    eng = pg.PigEngine(spark)
+    eng.run(f"""
+A = LOAD '{data_dir}/t.csv' USING PigStorage(',') AS (a:int,b:int,c:int);
+SOCKET_WRITE A TO 'localhost:{port}' MODE zmq;
+""")
+    t.join(10)
+    assert sorted(got) == ["(1,2,3)", "(1,2,4)", "(4,5,6)", "(7,8,9)"]
