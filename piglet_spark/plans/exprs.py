@@ -125,6 +125,13 @@ def static_dtype(expr: A.Expr, ctx: Ctx) -> Optional[T.DataType]:
             base = static_dtype(expr.base, ctx)
             if isinstance(base, T.StructType) and isinstance(expr.field, A.NamedField):
                 return base[expr.field.name].dataType
+            if isinstance(base, T.ArrayType) and \
+                    isinstance(base.elementType, T.StructType) and \
+                    isinstance(expr.field, A.NamedField):
+                # bag projection `B.x`: the ELEMENT type — what the
+                # correlated-aggregate fold sees (r03, integral-sum
+                # type preservation)
+                return base.elementType[expr.field.name].dataType
             return None
     except Exception:
         return None
@@ -521,12 +528,30 @@ def _bag_bases_in(e, ctx: Ctx) -> set[str]:
     return found
 
 
-def _scalar_array_agg(name: str, arr: Column) -> Column:
+_INTEGRAL = (T.ByteType, T.ShortType, T.IntegerType, T.LongType)
+
+
+def _scalar_array_agg(name: str, arr: Column,
+                      elem_type: Optional[T.DataType] = None) -> Column:
     """Aggregate over an array of scalars (the mapped form of a
-    correlated bag expression)."""
+    correlated bag expression).
+
+    SUM of an empty/all-null array is 0, NOT null — deliberate
+    reference parity (CommonPigFuncs.scala:38 folds an empty Iterable
+    to 0) and consistency with the fused form's ``coalesce(sum, 0)``
+    (builtins.py AGGREGATES). With a statically-known integral
+    ``elem_type`` the sum accumulates and returns LONG, matching the
+    fused ``F.sum`` result type (r02 advice: the unconditional double
+    promotion silently changed an int bag's sum type by mode);
+    unknown/fractional types keep Pig's double escalation."""
     if name in ("count", "count_star"):
         return F.size(arr).cast("long")
     if name == "sum":
+        if elem_type is not None and isinstance(elem_type, _INTEGRAL):
+            return F.aggregate(
+                arr, F.lit(0).cast("long"),
+                lambda a, x: a + F.coalesce(x.cast("long"),
+                                            F.lit(0).cast("long")))
         return F.aggregate(arr, F.lit(0.0),
                            lambda a, x: a + F.coalesce(x.cast("double"),
                                                        F.lit(0.0)))
@@ -607,7 +632,8 @@ def compile_aggregate(expr: A.FuncCall, ctx: Ctx) -> Column:
                     return mapper
 
                 mapped = F.transform(bag_col, _make_mapper(arg, bname))
-                return _scalar_array_agg(name, mapped)
+                return _scalar_array_agg(name, mapped,
+                                         static_dtype(arg, ctx))
         if isinstance(arg, A.DerefTuple) and isinstance(arg.base, A.NamedField):
             bag = compile_expr(arg.base, ctx)
             fname = (arg.field.name if isinstance(arg.field, A.NamedField)
@@ -628,7 +654,8 @@ def compile_aggregate(expr: A.FuncCall, ctx: Ctx) -> Column:
                 return spec.bag(bag, dt.elementType.names[0])
             # array of scalars
             if name == "sum":
-                return F.aggregate(bag, F.lit(0.0), lambda a, x: a + x.cast("double"))
+                et = dt.elementType if isinstance(dt, T.ArrayType) else None
+                return _scalar_array_agg(name, bag, et)
             if name == "avg":
                 return F.aggregate(bag, F.lit(0.0),
                                    lambda a, x: a + x.cast("double")) / F.size(bag)

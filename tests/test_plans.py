@@ -98,3 +98,30 @@ def test_ivf_crossjoin_is_broadcast(spark, entry):
     plan = _plan(entry.queries()["similarity_ivf"](spark, SF))
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" in plan
+
+
+def test_correlated_sum_preserves_integral_type(spark, data_dir):
+    """r02 advice (exprs.py _scalar_array_agg): SUM over a correlated
+    bag expression of ints returns LONG like the fused F.sum path
+    (it used to promote to double, so the same script changed result
+    type with compilation mode), and SUM of an empty bag stays 0
+    (reference parity, CommonPigFuncs.scala:38)."""
+    import piglet_spark as pg
+    from pyspark.sql import types as T
+    eng = pg.PigEngine(spark)
+    eng.run(f"""
+A = LOAD '{data_dir}/t.csv' USING PigStorage(',') AS (a:int, b:int, c:int);
+G = GROUP A BY a;
+K = FOREACH G GENERATE group, A;
+X = FOREACH K GENERATE group AS k, SUM((A.b + 1)) AS s_corr,
+    SUM((A.b > 100 ? A.c : 0)) AS s_none;
+""")
+    df = eng.df("X")
+    sch = {f.name: f.dataType for f in df.schema.fields}
+    assert isinstance(sch["s_corr"], T.LongType), sch
+    assert isinstance(sch["s_none"], T.LongType), sch
+    rows = {r["k"]: (r["s_corr"], r["s_none"]) for r in df.collect()}
+    # t.csv: (1,2,3),(4,5,6),(7,8,9),(1,2,4) -> group 1 has b=2,2
+    assert rows[1] == (6, 0)   # (2+1)+(2+1); no b>100 -> 0 not null
+    assert rows[4] == (6, 0)
+    assert rows[7] == (9, 0)
