@@ -557,7 +557,9 @@ def simhash_pairs(df: DataFrame, text_col: str = "text",
 def neardup_clusters(df: DataFrame, text_col: str = "text",
                      id_col: str = "doc_id",
                      pairs: DataFrame | None = None,
-                     max_iters: int = 24, **lsh_kwargs) -> DataFrame:
+                     max_iters: int = 24,
+                     driver_cc_threshold: int = 1_000_000,
+                     **lsh_kwargs) -> DataFrame:
     """Connected components over near-duplicate candidate pairs →
     one row per document ``(doc_id, cluster_id, is_canonical)``.
 
@@ -567,16 +569,27 @@ def neardup_clusters(df: DataFrame, text_col: str = "text",
     no pair are their own singleton cluster (via the final left join,
     they never enter the iteration).
 
-    Algorithm: min-label propagation + pointer jumping, restricted to
-    the edge subgraph. The LSH pair set is a tiny fraction of the
-    corpus, so each round shuffles only the candidate subgraph — the
-    full corpus is touched exactly twice (pair generation + the final
-    left join). Each round takes min over {own label, neighbors'
-    labels, label-of-label l(l(v))}; the pointer jump doubles the
-    propagation distance per round, so convergence is O(log diameter)
-    — a 2^20-long path converges within the default 24 rounds.
-    Raises if the cap is still hit (a silently split component would
-    leave documents with no canonical representative).
+    Algorithm, two regimes keyed on the edge count (the broadcast-
+    threshold philosophy):
+
+    - ``|E| <= driver_cc_threshold`` (default 1M): union-find ON THE
+      DRIVER. The LSH pair set is a vanishing fraction of the corpus
+      — that is LSH's whole point — so even a billion-document run
+      usually lands here; 1M edges is ~16 MB of ids and milliseconds
+      of union-find, vs O(log diameter) distributed rounds each
+      paying full job latency. Exact same labels as the distributed
+      path (min id per component).
+    - larger edge sets: distributed min-label propagation + pointer
+      jumping, restricted to the edge subgraph. Each round takes min
+      over {own label, neighbors' labels, label-of-label l(l(v))};
+      the pointer jump doubles propagation distance per round, so
+      convergence is O(log diameter) — a 2^20-long path converges
+      within the default 24 rounds. Raises if the cap is still hit
+      (a silently split component would leave documents with no
+      canonical representative).
+
+    Either way the full corpus is touched exactly twice (pair
+    generation + the final left join).
 
     Iteration materialization: each round the label relation is
     checkpointed to truncate lineage (the plan would otherwise grow
@@ -606,6 +619,50 @@ def neardup_clusters(df: DataFrame, text_col: str = "text",
     # consumer (r03: replaces the shared-shingle checkpoint that was
     # inside minhash_lsh_pairs and caused the r02 bench regression)
     pairs = _ckpt(pairs.select("id_a", "id_b"))
+    n_edges = pairs.count()  # reads the materialized blocks: cheap
+    if n_edges <= driver_cc_threshold:
+        labels = _driver_union_find(spark, pairs)
+    else:
+        labels = _distributed_cc(pairs, max_iters, _ckpt)
+    out = (df.select(F.col(id_col).alias("doc_id"))
+           .join(labels.withColumnRenamed("v", "doc_id"),
+                 on="doc_id", how="left"))
+    cluster = F.coalesce(F.col("l"), F.col("doc_id"))
+    return out.select(
+        "doc_id", cluster.alias("cluster_id"),
+        (F.col("doc_id") == cluster).alias("is_canonical"))
+
+
+def _driver_union_find(spark, pairs: DataFrame) -> DataFrame:
+    """Exact connected components of a SMALL edge list via driver-side
+    union-find with path halving; labels = min id per component,
+    identical to the distributed path. Bounded by
+    ``driver_cc_threshold`` edges (~16 bytes/edge)."""
+    parent: dict = {}
+
+    def find(x):
+        r = parent.setdefault(x, x)
+        while r != parent[r]:
+            parent[r] = parent[parent[r]]
+            r = parent[r]
+        parent[x] = r
+        return r
+
+    # one collect, not toLocalIterator: the edge set is bounded by
+    # driver_cc_threshold (~16 MB at the 1M default) and a per-
+    # partition fetch pays 32× the round-trip latency
+    for r in pairs.collect():
+        ra, rb = find(r[0]), find(r[1])
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    from pyspark.sql.types import StructField, StructType
+    vt = pairs.schema["id_a"].dataType
+    rows = [(v, find(v)) for v in list(parent)]
+    schema = StructType([StructField("v", vt), StructField("l", vt)])
+    return spark.createDataFrame(rows, schema)
+
+
+def _distributed_cc(pairs: DataFrame, max_iters: int, _ckpt) -> DataFrame:
     edges = (pairs.select(F.col("id_a").alias("src"),
                           F.col("id_b").alias("dst"))
              .union(pairs.select(F.col("id_b").alias("src"),
@@ -642,13 +699,7 @@ def neardup_clusters(df: DataFrame, text_col: str = "text",
             f"neardup_clusters did not converge within max_iters="
             f"{max_iters} label-propagation rounds — the component "
             f"diameter exceeds ~2^{max_iters}; raise max_iters")
-    out = (df.select(F.col(id_col).alias("doc_id"))
-           .join(labels.withColumnRenamed("v", "doc_id"),
-                 on="doc_id", how="left"))
-    cluster = F.coalesce(F.col("l"), F.col("doc_id"))
-    return out.select(
-        "doc_id", cluster.alias("cluster_id"),
-        (F.col("doc_id") == cluster).alias("is_canonical"))
+    return labels
 
 
 def embedding_neardup_pairs(df: DataFrame, vec_col: str = "embedding",

@@ -296,12 +296,19 @@ def test_neardup_clusters_long_chain(spark):
                                  ["doc_id", "text"])
     pairs = spark.createDataFrame([(i, i + 1) for i in range(n - 1)],
                                   ["id_a", "id_b"])
-    out = dedup.neardup_clusters(docs, pairs=pairs)
-    got = {r["doc_id"]: (r["cluster_id"], r["is_canonical"])
-           for r in out.collect()}
-    assert all(got[i] == (0, i == 0) for i in range(n))
+    # both regimes (r03: driver union-find below the edge threshold,
+    # distributed label propagation above it) give identical labels
+    for thr in (1_000_000, 0):
+        out = dedup.neardup_clusters(docs, pairs=pairs,
+                                     driver_cc_threshold=thr)
+        got = {r["doc_id"]: (r["cluster_id"], r["is_canonical"])
+               for r in out.collect()}
+        assert all(got[i] == (0, i == 0) for i in range(n)), thr
+    # an absurdly low round cap raises on the DISTRIBUTED path; the
+    # driver path needs no rounds at all
     with pytest.raises(RuntimeError, match="did not converge"):
-        dedup.neardup_clusters(docs, pairs=pairs, max_iters=2)
+        dedup.neardup_clusters(docs, pairs=pairs, max_iters=2,
+                               driver_cc_threshold=0)
 
 
 # --- quadratic-blowup caps (r02: scale safety for hot shingles/buckets) ---
@@ -439,10 +446,15 @@ def test_neardup_clusters_one_action_per_round(spark, monkeypatch):
     pairs = spark.createDataFrame(
         [(0, 1, 1.0), (1, 2, 1.0), (3, 4, 1.0)],
         ["id_a", "id_b", "jaccard"])
-    out = dedup.neardup_clusters(docs, pairs=pairs)
+    # driver_cc_threshold=0 forces the distributed path (the regime
+    # this test guards; small graphs take the union-find shortcut)
+    out = dedup.neardup_clusters(docs, pairs=pairs,
+                                 driver_cc_threshold=0)
     rowsout = {r["doc_id"]: r["cluster_id"] for r in out.collect()}
     assert rowsout == {0: 0, 1: 0, 2: 0, 3: 3, 4: 3, 5: 5}
-    assert calls["count"] == 0  # r01 ran a count per round
+    # exactly ONE count — the edge-size regime probe — and no
+    # per-round count job (the r01 shape)
+    assert calls["count"] == 1
     # init sum + one per round; this graph converges in ≤4 rounds
     assert 2 <= calls["first"] <= 5
 
