@@ -191,3 +191,31 @@ def test_mm_disabled_without_option(spark, sf_dir, tmp_path):
     eng.run(SCRIPT.format(d=sf_dir))
     assert eng.executor.mm is None
     assert not os.path.exists(str(tmp_path / "m2"))
+
+
+def test_mm_heals_deleted_cache_files(spark, sf_dir, mat_dir):
+    """A cache-map entry whose parquet was deleted out-of-band (crashed
+    run, manual cleanup) must not poison later runs: lookup drops the
+    stale entry and the plan recomputes normally."""
+    import shutil
+    _run(spark, sf_dir, mat_dir)
+    autos = [p for p in os.listdir(mat_dir) if p.startswith("auto_")]
+    assert autos
+    shutil.rmtree(os.path.join(mat_dir, autos[0]))
+    eng = pg.PigEngine(spark, options={
+        "materialization_dir": mat_dir, "profiling": True})
+    eng.run(SCRIPT.format(d=sf_dir))
+    assert eng.executor.mm_spliced == set()  # no stale splice
+    assert eng.df("F").count() > 0           # and the query still runs
+    # self-repair: the dangling entry was dropped during the run and
+    # the point re-materialized afterwards — parquet back on disk,
+    # map entry fresh
+    cm = mm.CacheManager(mat_dir, mm.ProfilerSettings())
+    lineage = autos[0].removeprefix("auto_")
+    assert lineage in cm.entries
+    assert os.path.isdir(os.path.join(mat_dir, autos[0]))
+    # and the NEXT run splices again
+    eng3 = pg.PigEngine(spark, options={
+        "materialization_dir": mat_dir, "profiling": True})
+    eng3.run(SCRIPT.format(d=sf_dir))
+    assert eng3.executor.mm_spliced
