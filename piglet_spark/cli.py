@@ -6,7 +6,8 @@ a SparkSession.
 
 Usage:
     python -m piglet_spark script.pig [-p key=value ...] [--streaming]
-        [--master local[*]] [--shuffle-partitions N] [--explain alias]
+        [--profiling] [--mat-dir DIR] [--master local[*]]
+        [--shuffle-partitions N] [--explain alias]
 """
 
 from __future__ import annotations
@@ -24,6 +25,14 @@ def build_parser() -> argparse.ArgumentParser:
                     metavar="KEY=VALUE", help="script parameter ($KEY)")
     ap.add_argument("--streaming", action="store_true",
                     help="streaming dialect (Structured Streaming sources)")
+    ap.add_argument("--profiling", action="store_true",
+                    help="profiler-driven auto-materialization: persist "
+                         "per-operator stats across runs and splice cached "
+                         "intermediates back in (the reference's -P/profiling "
+                         "mode, mm/MaterializationManager)")
+    ap.add_argument("--mat-dir", default=None, metavar="DIR",
+                    help="materialization base directory "
+                         "(default /tmp/piglet_mat)")
     ap.add_argument("--master", default="local[*]")
     ap.add_argument("--shuffle-partitions", type=int, default=None)
     ap.add_argument("--explain", metavar="ALIAS",
@@ -59,6 +68,10 @@ def main(argv=None) -> int:
 
     spark = make_session(args.master, args.shuffle_partitions)
     options = {"streaming": True} if args.streaming else {}
+    if args.profiling:
+        options["profiling"] = True
+    if args.mat_dir:
+        options["materialization_dir"] = args.mat_dir
     base_dir = os.path.dirname(os.path.abspath(args.script)) \
         if args.script else "."
     eng = PigEngine(spark, params=params, options=options,

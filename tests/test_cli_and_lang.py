@@ -272,3 +272,27 @@ A = LOAD '{p}' USING PigStorage(',', true) AS (f1:int, f2:int);
 """)
     # header skipped; duplicate DATA rows preserved (old impl dropped them)
     assert rows(eng.df("A")) == [(1, 2), (1, 2), (3, 4)]
+
+
+def test_cli_profiling_flag(spark, data_dir, tmp_path, monkeypatch):
+    """--profiling wires the auto-materialization subsystem into the
+    CLI path (r03): stats + a materialized point appear under
+    --mat-dir after a run; a second invocation splices it."""
+    import os
+    mat = tmp_path / "mat"
+    script = tmp_path / "p.pig"
+    out = tmp_path / "pout"
+    script.write_text(
+        f"A = LOAD '{data_dir}/t.csv' USING PigStorage(',') "
+        f"AS (f1:int, f2:int, f3:int);\n"
+        f"B = FILTER A BY f1 >= 1;\n"
+        f"C = GROUP B BY f1;\n"
+        f"D = FOREACH C GENERATE group AS k, COUNT(B) AS n;\n"
+        f"STORE D INTO '{out}' USING PigStorage(',');\n"
+    )
+    monkeypatch.setattr(cli, "make_session", lambda *a, **k: spark)
+    rc = cli.main([str(script), "--profiling", "--mat-dir", str(mat)])
+    assert rc == 0
+    assert os.path.exists(mat / "profilerstats.json")
+    autos = [p for p in os.listdir(mat) if p.startswith("auto_")]
+    assert len(autos) == 1

@@ -614,3 +614,55 @@ SOCKET_WRITE A TO 'localhost:{port}' MODE zmq;
 """)
     t.join(10)
     assert sorted(got) == ["(1,2,3)", "(1,2,4)", "(4,5,6)", "(7,8,9)"]
+
+
+@pytest.mark.parametrize("n,m,counts", [
+    (4, None, (5, 4)),     # tumbling across a batch boundary
+    (3, None, (7,)),       # tumbling single batch, remainder dropped
+    (5, 2, (4, 5)),        # sliding across a batch boundary
+])
+def test_rows_window_stream_equals_bounded(spark, tmp_path, n, m, counts):
+    """Glue property: feeding the same rows through the streaming
+    count-window (in micro-batches) and the bounded implementation
+    yields identical (window, members) assignments — the two code
+    paths implement one semantics."""
+    import os
+    from piglet_spark.streaming.stream_exec import rows_window_stream
+
+    total = sum(counts)
+    # bounded truth via the DSL path
+    f = tmp_path / "all.csv"
+    f.write_text("".join(f"{i}\n" for i in range(total)))
+    eng = pg.PigEngine(spark)
+    slide = f" SLIDE ROWS {m}" if m else ""
+    eng.run(f"""
+A = LOAD '{f}' USING PigStorage(',') AS (id:int);
+W = WINDOW A ROWS {n}{slide};
+""")
+    bounded = {}
+    for r in eng.df("W").select("__rowwin", "id").collect():
+        bounded.setdefault(r[0], []).append(r[1])
+    bounded = {k: sorted(v) for k, v in bounded.items()}
+
+    # streaming: same rows split into micro-batches
+    d = tmp_path / "stream"
+    d.mkdir()
+    start = 0
+    for bi, c in enumerate(counts):
+        p = d / f"b{bi}.csv"
+        p.write_text("".join(f"{i}\n" for i in range(start, start + c)))
+        os.utime(p, (1000 + bi, 1000 + bi))
+        start += c
+    sdf = (spark.readStream.schema("id int")
+           .option("maxFilesPerTrigger", 1).csv(str(d)))
+    out, _ = rows_window_stream(sdf, n, m)
+    qname = f"t_rows_eq_{n}_{m}_{total}"
+    q = (out.writeStream.format("memory").queryName(qname)
+         .outputMode("append").start())
+    q.processAllAvailable()
+    q.stop()
+    streamed = {}
+    for r in spark.sql(f"select __rowwin, id from {qname}").collect():
+        streamed.setdefault(r[0], []).append(r[1])
+    streamed = {k: sorted(v) for k, v in streamed.items()}
+    assert streamed == bounded
