@@ -173,3 +173,39 @@ SPLIT A INTO P IF v > 0, Z IF v == 0, N OTHERWISE;
     assert p == {i for i, v in vals.items() if v is not None and v > 0}
     assert z == {i for i, v in vals.items() if v == 0 and v is not None}
     assert n == {i for i, v in vals.items() if v is None or v < 0}
+
+
+@given(st.lists(st.tuples(st.integers(0, 30), st.integers(0, 30)),
+                min_size=0, max_size=60))
+@settings(max_examples=25, deadline=None)
+def test_driver_union_find_matches_bfs(spark, edges):
+    """Property: _driver_union_find labels every vertex with the
+    minimum id of its connected component (BFS ground truth)."""
+    edges = [(a, b) for a, b in edges if a != b]
+    if not edges:
+        return
+    from piglet_spark.datapipe.dedup import _driver_union_find
+    pairs = spark.createDataFrame(edges, ["id_a", "id_b"])
+    got = {r["v"]: r["l"] for r in _driver_union_find(spark, pairs).collect()}
+    # BFS ground truth
+    adj = {}
+    for a, b in edges:
+        adj.setdefault(a, set()).add(b)
+        adj.setdefault(b, set()).add(a)
+    seen, truth = set(), {}
+    for start in adj:
+        if start in seen:
+            continue
+        comp, stack = [], [start]
+        seen.add(start)
+        while stack:
+            v = stack.pop()
+            comp.append(v)
+            for w in adj[v]:
+                if w not in seen:
+                    seen.add(w)
+                    stack.append(w)
+        lab = min(comp)
+        for v in comp:
+            truth[v] = lab
+    assert got == truth
