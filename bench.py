@@ -93,11 +93,19 @@ def main():
         # Marker BEFORE the query so any JVM-side log output (stack
         # traces etc.) in the stderr stream is attributable to a query.
         print(f"# >>> {name}", file=sys.stderr, flush=True)
-        try:  # codegen/JIT warm-up at tiny scale (untimed)
-            fn(spark, warmup_dir).count()
-        except Exception as e:
-            print(f"# {name}: warmup failed ({type(e).__name__}: "
-                  f"{str(e)[:120]})", file=sys.stderr)
+        # codegen/JIT warm-up at tiny scale (untimed). TWO iterations:
+        # the generated whole-stage-codegen classes (60+ methods for
+        # the wide-aggregate queries) need several executions before
+        # C2 compiles them — measured steady state is reached after
+        # ~3 total executions, so 2 warmups + min-of-2 timed gets the
+        # timed runs onto compiled code.
+        for _ in range(2):
+            try:
+                fn(spark, warmup_dir).count()
+            except Exception as e:
+                print(f"# {name}: warmup failed ({type(e).__name__}: "
+                      f"{str(e)[:120]})", file=sys.stderr)
+                break
         # min of 2 timed runs: this VM shows intermittent CPU-steal
         # spikes (noisy neighbor) that can inflate a single run 5-20×
         best, n = None, 0
