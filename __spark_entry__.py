@@ -823,10 +823,12 @@ def _lang_id_sql() -> str:
 
 
 def q_doc_quality_lang(spark, sf_dir):
-    """Quality rollup + lang-id distribution in one driver row
-    (50-query driver cap; see SET_OPS_Q). Rows are tagged 'q'
-    (per-language quality aggregates) or 'l' (lang × predicted-lang
-    counts); both halves keep their original value columns."""
+    """Quality rollup + lang-id distribution + PII audit in one driver
+    row (50-query driver cap; see SET_OPS_Q). Rows are tagged 'q'
+    (per-language quality aggregates), 'l' (lang × predicted-lang
+    counts), or 'p' (r03: per-language PII match totals from
+    datapipe.text.pii_stats — n = total matches, m = docs with ≥1
+    match); each part keeps its original value columns."""
     quality = q_doc_quality(spark, sf_dir).select(
         F.lit("q").alias("tag"), F.col("lang"),
         F.lit("").alias("k2"), F.col("n_docs").alias("n"),
@@ -835,18 +837,40 @@ def q_doc_quality_lang(spark, sf_dir):
         F.lit("l").alias("tag"), F.col("lang"),
         F.col("lang_pred").alias("k2"), F.col("n"),
         F.lit(0.0).alias("v"), F.lit(0).cast("long").alias("m"))
-    return quality.unionByName(lang)
+    df = _docs(spark, sf_dir)
+    np = None
+    for _name, pat, _repl in dp_text.PII_PATTERNS:
+        c = F.regexp_count(F.col("text"), F.lit(pat))
+        np = c if np is None else np + c
+    pii = (df.select(F.col("lang"), np.alias("__np"))
+           .groupBy("lang")
+           .agg(F.sum("__np").cast("long").alias("n"),
+                F.sum(F.when(F.col("__np") > 0, 1).otherwise(0))
+                .cast("long").alias("m"))
+           .select(F.lit("p").alias("tag"), F.col("lang"),
+                   F.lit("").alias("k2"), F.col("n"),
+                   F.lit(0.0).alias("v"), F.col("m")))
+    return quality.unionByName(lang).unionByName(pii)
 
 
 def _doc_quality_lang_sql() -> str:
     qpart = DOC_QUALITY_SQL.strip().rstrip()
     lpart = _lang_id_sql()
+    # PII patterns are RE2-compatible by design (datapipe.text
+    # PII_PATTERNS — no lookaround), so DuckDB reproduces the counts
+    np = " + ".join(
+        f"len(regexp_extract_all(text, '{pat}'))"
+        for _n, pat, _r in dp_text.PII_PATTERNS)
     return f"""
 SELECT 'q' AS tag, lang, '' AS k2, n_docs AS n, sum_quality AS v,
        n_good AS m
 FROM ({qpart})
 UNION ALL
 SELECT 'l', lang, lang_pred, n, 0.0, 0::BIGINT FROM ({lpart})
+UNION ALL
+SELECT 'p', lang, '', SUM(np)::BIGINT, 0.0,
+       SUM(CASE WHEN np > 0 THEN 1 ELSE 0 END)::BIGINT
+FROM (SELECT lang, {np} AS np FROM documents) GROUP BY lang
 """
 
 

@@ -157,3 +157,131 @@ def ngrams(tokens: Column, n: int) -> Column:
     return F.when(
         F.size(tokens) < n, F.array().cast("array<string>")
     ).otherwise(out)
+
+
+# ---------------------------------------------------------------- PII
+# C4/RefinedWeb-style hygiene: redact personally identifiable
+# information before training. All patterns are RE2-compatible (no
+# lookaround) so a DuckDB oracle can reproduce the scrub exactly;
+# conservative by design — false redactions destroy data, so only
+# high-precision shapes are matched. Order matters: the more specific
+# pattern runs first so e.g. an SSN is not half-eaten by the phone
+# pattern.
+PII_PATTERNS: list[tuple[str, str, str]] = [
+    ("email", r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}",
+     "<EMAIL>"),
+    ("ssn", r"\b\d{3}-\d{2}-\d{4}\b", "<SSN>"),
+    ("credit_card", r"\b\d{4}[- ]\d{4}[- ]\d{4}[- ]\d{4}\b", "<CARD>"),
+    ("ipv4", r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b", "<IP>"),
+    # no \b before '+': a word boundary needs a word char on one side
+    ("phone", r"\+\d{7,15}\b|\(\d{3}\) ?\d{3}[- ]\d{4}\b"
+     r"|\b\d{3}-\d{3}-\d{4}\b", "<PHONE>"),
+]
+
+
+def pii_scrub(df: DataFrame, text_col: str = "text") -> DataFrame:
+    """Replace PII spans with typed placeholder tokens, preserving all
+    other columns. One chained ``regexp_replace`` projection — a
+    single codegen'd map stage, no shuffle, no Python."""
+    t = F.col(text_col)
+    for _name, pat, repl in PII_PATTERNS:
+        t = F.regexp_replace(t, pat, repl)
+    return df.select(*[t.alias(c) if c == text_col else F.col(c)
+                       for c in df.columns])
+
+
+def pii_stats(df: DataFrame, text_col: str = "text",
+              id_col: str = "doc_id") -> DataFrame:
+    """Per-document PII match counts (one column per category) plus
+    the total — the audit pass you run before deciding to scrub.
+    Map-only (``regexp_count`` per category)."""
+    t = F.col(text_col)
+    cols = [F.col(id_col)]
+    total = None
+    for name, pat, _repl in PII_PATTERNS:
+        c = F.regexp_count(t, F.lit(pat))
+        cols.append(c.alias(f"n_{name}"))
+        total = c if total is None else total + c
+    cols.append(total.alias("n_pii"))
+    return df.select(*cols)
+
+
+# ----------------------------------------------- repetition (Gopher)
+# Within-document repetition signals from the Gopher/MassiveText
+# quality rules (Rae et al. 2021, Table A1): documents dominated by
+# repeated lines/n-grams are boilerplate or spam. All fractions are
+# computed on the normalized text.
+
+
+def repetition_stats(df: DataFrame, text_col: str = "text",
+                     id_col: str = "doc_id") -> DataFrame:
+    """Per-document repetition fractions:
+
+    - ``dup_line_frac``: 1 − distinct/total over trimmed non-empty
+      lines (array exprs, map-only).
+    - ``dup_{2,3,4}gram_frac``: 1 − distinct/total over word n-grams
+      (map-only; the n-gram scan is the one-regex-pass formulation).
+    - ``top_2gram_char_frac``: fraction of normalized characters
+      covered by occurrences of the single most frequent 2-gram —
+      explode → per-(doc, gram) count → per-doc max. One shuffle on
+      (doc, gram) with map-side partial aggregation; the only
+      non-map-only metric here.
+
+    Thresholds are the caller's choice; :func:`gopher_repetition_ok`
+    applies the published Gopher cut-offs."""
+    t = F.col(text_col)
+    norm = normalize_text(t)
+    lines = F.filter(F.transform(F.split(t, "\n"), F.trim),
+                     lambda x: x != "")
+    out_cols = [F.col(id_col).alias("_id")]
+
+    def dup_frac(arr: Column) -> Column:
+        n = F.size(arr)
+        return F.when(n > 0, F.round(
+            1.0 - F.size(F.array_distinct(arr)) / n.cast("double"), 6)
+        ).otherwise(F.lit(0.0))
+
+    out_cols.append(dup_frac(lines).alias("dup_line_frac"))
+    for n in (2, 3, 4):
+        out_cols.append(dup_frac(text_ngrams(norm, n))
+                        .alias(f"dup_{n}gram_frac"))
+    base = df.select(*out_cols, norm.alias("__norm"))
+    grams = (df.select(F.col(id_col).alias("_id"),
+                       F.explode(text_ngrams(normalize_text(t), 2))
+                       .alias("_g")))
+    top = (grams.groupBy("_id", "_g")
+           .agg(F.count(F.lit(1)).alias("_c"))
+           .groupBy("_id")
+           .agg(F.max(F.struct(F.col("_c"), F.length("_g").alias("_l")))
+                .alias("_top")))
+    out = (base.join(top, on="_id", how="left")
+           .select(
+               F.col("_id").alias(id_col),
+               "dup_line_frac", "dup_2gram_frac", "dup_3gram_frac",
+               "dup_4gram_frac",
+               F.coalesce(F.col("_top._c"), F.lit(0))
+               .alias("top_2gram_count"),
+               F.round(F.coalesce(
+                   F.col("_top._c") * F.col("_top._l")
+                   / F.nullif(F.length("__norm"), F.lit(0)).cast("double"),
+                   F.lit(0.0)), 6).alias("top_2gram_char_frac")))
+    return out
+
+
+def gopher_repetition_ok(df: DataFrame, text_col: str = "text",
+                         id_col: str = "doc_id") -> DataFrame:
+    """(id, keep) per the Gopher repetition cut-offs (Rae et al. 2021
+    Table A1): reject when dup-line fraction > 0.30, duplicate
+    2/3/4-gram fraction > 0.20/0.18/0.16, or the top 2-gram covers
+    > 0.20 of characters."""
+    st = repetition_stats(df, text_col, id_col)
+    # the top-2-gram rule only means "repetition" when the gram
+    # actually repeats: a count-1 top gram trivially covers >20% of a
+    # short document (the published rule targets long web documents)
+    keep = ((F.col("dup_line_frac") <= 0.30)
+            & (F.col("dup_2gram_frac") <= 0.20)
+            & (F.col("dup_3gram_frac") <= 0.18)
+            & (F.col("dup_4gram_frac") <= 0.16)
+            & ((F.col("top_2gram_count") <= 1)
+               | (F.col("top_2gram_char_frac") <= 0.20)))
+    return st.select(id_col, keep.alias("keep"))

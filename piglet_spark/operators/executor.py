@@ -392,6 +392,15 @@ class Executor:
                     df.filter(F.col(str(src_col)) != str(src)),
                     df.filter(F.col(str(src_col)) == str(src)),
                     str(text), str(idc), k=int(k)),
+            # PII hygiene + within-doc repetition filters (r03)
+            "pii_scrub": lambda df, text="text":
+                dt.pii_scrub(df, str(text)),
+            "pii_stats": lambda df, text="text", idc="doc_id":
+                dt.pii_stats(df, str(text), str(idc)),
+            "repetition_stats": lambda df, text="text", idc="doc_id":
+                dt.repetition_stats(df, str(text), str(idc)),
+            "gopher_repetition_ok": lambda df, text="text", idc="doc_id":
+                dt.gopher_repetition_ok(df, str(text), str(idc)),
             # MassiveText/Gopher-style cross-document duplicate-line
             # hygiene (r02)
             "line_dedup_stats": lambda df, gran="line", text="text",

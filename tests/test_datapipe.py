@@ -871,3 +871,93 @@ D = LOAD '{dim}' USING PigStorage(',') AS (k:chararray, w:int);
     eng3.run(base + "J = JOIN B BY k, D BY k USING 'replicated';")
     plan = eng3.df("J")._jdf.queryExecution().executedPlan().toString()
     assert "BroadcastHashJoin" in plan
+
+
+def test_pii_scrub_and_stats(spark):
+    """PII redaction and audit counts vs hand-checked expectations;
+    non-PII text passes through untouched."""
+    rows = [
+        (0, "mail me at john.doe+x@example.co.uk or call 555-123-4567"),
+        (1, "server 192.168.1.10 leaked ssn 123-45-6789"),
+        (2, "card 4111 1111 1111 1111 exp 12/26; intl +4915112345678"),
+        (3, "no pii here, just 42 and a date 2024-01-01"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {r["doc_id"]: r["text"] for r in text.pii_scrub(df).collect()}
+    assert out[0] == "mail me at <EMAIL> or call <PHONE>"
+    assert out[1] == "server <IP> leaked ssn <SSN>"
+    assert out[2] == "card <CARD> exp 12/26; intl <PHONE>"
+    assert out[3] == rows[3][1]  # untouched
+    st = {r["doc_id"]: r for r in text.pii_stats(df).collect()}
+    assert (st[0]["n_email"], st[0]["n_phone"], st[0]["n_pii"]) == (1, 1, 2)
+    assert (st[1]["n_ipv4"], st[1]["n_ssn"]) == (1, 1)
+    assert (st[2]["n_credit_card"], st[2]["n_phone"]) == (1, 1)
+    assert st[3]["n_pii"] == 0
+
+
+def test_repetition_stats_brute_force(spark):
+    """Repetition fractions vs a python brute-force reference."""
+    rows = [
+        (0, "buy now\nbuy now\nbuy now\nunique line"),
+        (1, "alpha beta gamma delta epsilon zeta"),
+        (2, "spam spam spam spam spam spam spam spam"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = {r["doc_id"]: r for r in text.repetition_stats(df).collect()}
+
+    def norm(t):
+        import re
+        t = re.sub(r"[^a-z0-9 ]", " ", t.lower())
+        return re.sub(r" +", " ", t).strip()
+
+    def brute(t):
+        lines = [ln.strip() for ln in t.split("\n") if ln.strip()]
+        dlf = 1 - len(set(lines)) / len(lines) if lines else 0.0
+        toks = norm(t).split()
+        out = {"dup_line_frac": dlf}
+        for n in (2, 3, 4):
+            gr = [" ".join(toks[i:i + n])
+                  for i in range(len(toks) - n + 1)]
+            out[f"dup_{n}gram_frac"] = (
+                1 - len(set(gr)) / len(gr) if gr else 0.0)
+        gr2 = [" ".join(toks[i:i + 2]) for i in range(len(toks) - 1)]
+        if gr2:
+            from collections import Counter
+            # tie-break by length like the engine's max(struct(c, l));
+            # equal (count, len) ties have equal coverage either way
+            c, L = max((c, len(g)) for g, c in Counter(gr2).items())
+            out["top_2gram_char_frac"] = c * L / len(norm(t))
+        else:
+            out["top_2gram_char_frac"] = 0.0
+        return out
+
+    for i, t in rows:
+        exp = brute(t)
+        for k, v in exp.items():
+            assert abs(got[i][k] - v) < 1e-5, (i, k, got[i][k], v)
+    # the top-gram count column distinguishes true repetition from a
+    # count-1 top gram in a short doc
+    assert got[2]["top_2gram_count"] >= 2
+    assert got[1]["top_2gram_count"] == 1
+
+
+def test_gopher_repetition_filter_and_dsl(spark):
+    """Clean prose passes the Gopher cut-offs, spam fails; reachable
+    via STREAM THROUGH."""
+    import piglet_spark as pg
+    rows = [
+        (0, "a perfectly ordinary sentence with varied words and no "
+            "repeats anywhere to be found today"),
+        (1, "buy now " * 30),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = {r["doc_id"]: r["keep"]
+           for r in text.gopher_repetition_ok(df).collect()}
+    assert got == {0: True, 1: False}
+    eng = pg.PigEngine(spark)
+    eng.executor.env["A"] = df
+    eng.run("B = STREAM A THROUGH gopher_repetition_ok();")
+    got2 = {r["doc_id"]: r["keep"] for r in eng.df("B").collect()}
+    assert got2 == got
+    eng.run("C = STREAM A THROUGH pii_scrub();")
+    assert eng.df("C").columns == ["doc_id", "text"]
