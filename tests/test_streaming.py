@@ -666,3 +666,35 @@ W = WINDOW A ROWS {n}{slide};
         streamed.setdefault(r[0], []).append(r[1])
     streamed = {k: sorted(v) for k, v in streamed.items()}
     assert streamed == bounded
+
+
+def test_rows_window_streaming_grouped_aggregation(spark, tmp_path):
+    """End-to-end composition: streaming count windows feed a GROUP +
+    aggregate FOREACH (the windowCount.pig shape) with per-window
+    results spanning micro-batch boundaries."""
+    import os
+    d = tmp_path / "rwg"
+    d.mkdir()
+    f1, f2 = d / "a.csv", d / "b.csv"
+    f1.write_text("".join(f"{i},{i * 10}\n" for i in range(5)))
+    f2.write_text("".join(f"{i},{i * 10}\n" for i in range(5, 9)))
+    os.utime(f1, (1000, 1000))
+    os.utime(f2, (2000, 2000))
+    eng = pg.PigEngine(spark, options={"streaming": True})
+    eng.run(f"""
+A = LOAD '{d}' USING PigStorage(',') AS (id:int, v:int);
+W = WINDOW A ROWS 4;
+G = GROUP W ALL;
+C = FOREACH G GENERATE COUNT(W) AS n, MIN(W.id) AS lo, MAX(W.id) AS hi;
+""")
+    c = eng.df("C")
+    assert c.isStreaming
+    q = (c.writeStream.format("memory").queryName("t_rows_grp")
+         .outputMode("complete").start())
+    q.processAllAvailable()
+    q.stop()
+    rows = sorted(tuple(r)[-3:] for r in
+                  spark.sql("select * from t_rows_grp").collect())
+    # window 0 = rows 0-3 (batch 1), window 1 = rows 4-7 (crosses the
+    # batch boundary); row 8 buffered, never fires
+    assert rows == [(4, 0, 3), (4, 4, 7)]
