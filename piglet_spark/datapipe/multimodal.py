@@ -389,3 +389,65 @@ def attach_binary_payload(df: DataFrame, text_col: str = "text",
             F.lit("txt").alias("format"),
         ).alias("meta"),
     )
+
+
+def resize_nearest(px: "np.ndarray", out_w: int, out_h: int) -> "np.ndarray":
+    """Nearest-neighbor resample of an (h, w, 3) uint8 array — real
+    resizing with no imaging library: index maps via integer centers
+    (the standard NN formula floor((i + 0.5) * src/dst))."""
+    h, w, _ = px.shape
+    yi = np.minimum(((np.arange(out_h) + 0.5) * h / out_h).astype(int),
+                    h - 1)
+    xi = np.minimum(((np.arange(out_w) + 0.5) * w / out_w).astype(int),
+                    w - 1)
+    return px[yi][:, xi]
+
+
+def resize_images(df: DataFrame, bin_col: str = "payload",
+                  id_col: str = "doc_id", out_w: int = 32,
+                  out_h: int = 32) -> DataFrame:
+    """binary image → (doc_id, width, height, rgb) where ``rgb`` is
+    the resized out_h×out_w×3 frame as raw bytes (row-major RGB) and
+    width/height are the ORIGINAL dimensions — the thumbnail/
+    preprocessing stage of an image-training pipeline.
+
+    Real for the stdlib-decodable formats (PNG/BMP/PPM pixels;
+    nearest-neighbor resample in numpy); JPEG and other formats raise
+    with guidance, same policy as :func:`decode_images` (no PIL/cv2
+    in this environment — the Spark-side plumbing, schema, and batch
+    shape are real and tested either way). Arrow-batched
+    ``mapInPandas``; output is ~3·out_w·out_h bytes/row regardless of
+    input size, so the shuffle after this stage is bounded."""
+    schema = T.StructType([
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("rgb", T.BinaryType()),
+    ])
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for did, payload in zip(pdf[id_col], pdf[bin_col]):
+                b = bytes(payload)
+                fmt = detect_format(b)
+                if fmt == "png":
+                    px = decode_png(b)
+                elif fmt == "bmp":
+                    px = decode_bmp(b)
+                elif fmt == "ppm":
+                    px = decode_ppm(b)
+                else:
+                    raise NotImplementedError(
+                        f"resize_images: format {fmt or 'unknown'} has "
+                        f"no stdlib pixel decoder (PNG/BMP/PPM are "
+                        f"supported; JPEG needs PIL/cv2, not installed)")
+                h, w, _ = px.shape
+                small = resize_nearest(px, out_w, out_h)
+                rows.append((did, w, h,
+                             small.astype(np.uint8).tobytes()))
+            yield pd.DataFrame(rows,
+                               columns=["doc_id", "width", "height",
+                                        "rgb"])
+
+    return df.select(id_col, bin_col).mapInPandas(batches, schema)

@@ -961,3 +961,40 @@ def test_gopher_repetition_filter_and_dsl(spark):
     assert got2 == got
     eng.run("C = STREAM A THROUGH pii_scrub();")
     assert eng.df("C").columns == ["doc_id", "text"]
+
+
+def test_resize_images_real_png(spark):
+    """Nearest-neighbor resize of a real PNG through the Arrow
+    mapInPandas plumbing: known 4x4 checkerboard -> 2x2 with the
+    exact corner colors; output bytes bounded at out_w*out_h*3."""
+    import numpy as np
+    px = np.zeros((4, 4, 3), dtype=np.uint8)
+    px[:2, :2] = [255, 0, 0]    # top-left red
+    px[:2, 2:] = [0, 255, 0]    # top-right green
+    px[2:, :2] = [0, 0, 255]    # bottom-left blue
+    px[2:, 2:] = [255, 255, 0]  # bottom-right yellow
+    payload = _write_png(px)
+    df = spark.createDataFrame([(1, bytearray(payload))],
+                               "doc_id long, payload binary")
+    out = multimodal.resize_images(df, out_w=2, out_h=2).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert (r["width"], r["height"]) == (4, 4)
+    rgb = np.frombuffer(bytes(r["rgb"]), dtype=np.uint8).reshape(2, 2, 3)
+    assert rgb[0, 0].tolist() == [255, 0, 0]
+    assert rgb[0, 1].tolist() == [0, 255, 0]
+    assert rgb[1, 0].tolist() == [0, 0, 255]
+    assert rgb[1, 1].tolist() == [255, 255, 0]
+    # upscale path too: 4x4 -> 6x6 keeps the quadrant structure
+    up = multimodal.resize_images(df, out_w=6, out_h=6).collect()[0]
+    rgb6 = np.frombuffer(bytes(up["rgb"]), dtype=np.uint8).reshape(6, 6, 3)
+    assert rgb6[0, 0].tolist() == [255, 0, 0]
+    assert rgb6[5, 5].tolist() == [255, 255, 0]
+
+
+def test_resize_images_unsupported_format_raises(spark):
+    df = spark.createDataFrame([(1, bytearray(b"\xff\xd8\xff\xe0JPEG"))],
+                               "doc_id long, payload binary")
+    import pytest as _pytest
+    with _pytest.raises(Exception, match="PNG/BMP/PPM"):
+        multimodal.resize_images(df).collect()
