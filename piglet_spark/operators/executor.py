@@ -22,6 +22,7 @@ from __future__ import annotations
 
 import dataclasses
 import hashlib
+import re
 from typing import Any, Callable, Optional, Union
 
 from pyspark.sql import Column, DataFrame, SparkSession
@@ -493,6 +494,16 @@ class Executor:
     def _op_signature(self, op: A.Op) -> str:
         parts = [type(op).__name__, repr(op)]
         parts.extend(self.lineage.get(i, i) for i in op.inputs)
+        if isinstance(op, A.SqlStmt):
+            # SQL sees the whole alias environment, not a declared
+            # input list — fold in the lineage of every alias the
+            # query text references so an upstream edit changes this
+            # (and every downstream) signature; otherwise a stale
+            # auto-materialization could splice in below an edited
+            # SQL dependency (r03)
+            refs = sorted(a for a in self.lineage
+                          if re.search(rf"\b{re.escape(a)}\b", op.query))
+            parts.extend(self.lineage[a] for a in refs)
         return hashlib.md5("|".join(parts).encode()).hexdigest()
 
     def _update_lineage(self, op: A.Op) -> None:

@@ -219,3 +219,31 @@ def test_mm_heals_deleted_cache_files(spark, sf_dir, mat_dir):
         "materialization_dir": mat_dir, "profiling": True})
     eng3.run(SCRIPT.format(d=sf_dir))
     assert eng3.executor.mm_spliced
+
+
+def test_sql_stmt_lineage_tracks_upstream(spark, sf_dir, mat_dir):
+    """A SQL passthrough sees the whole alias environment rather than
+    declared inputs; its lineage signature must still change when an
+    upstream operator changes, or ops downstream of the SQL could
+    splice stale cached results (r03)."""
+    tmpl = """
+A = LOAD '{d}/lineitem.parquet' USING ParquetStorage();
+B = FILTER A BY l_quantity > {q};
+S = SQL 'select l_orderkey, sum(l_extendedprice) as tot from B group by l_orderkey';
+C = FILTER S BY tot > 1000.0;
+"""
+    opts = {"materialization_dir": mat_dir, "profiling": True}
+    eng1 = pg.PigEngine(spark, options=opts)
+    eng1.run(tmpl.format(d=sf_dir, q="10.0"))
+    n1 = eng1.df("C").count()
+    # same script re-run: the chain may splice (sanity)
+    eng2 = pg.PigEngine(spark, options=opts)
+    eng2.run(tmpl.format(d=sf_dir, q="10.0"))
+    assert eng2.df("C").count() == n1
+    # upstream edit: NOTHING may splice from the stale cache and the
+    # result must reflect the new predicate
+    eng3 = pg.PigEngine(spark, options=opts)
+    eng3.run(tmpl.format(d=sf_dir, q="40.0"))
+    assert eng3.executor.mm_spliced == set()
+    n3 = eng3.df("C").count()
+    assert n3 != n1  # different predicate, different rows at sf0.001
