@@ -134,9 +134,24 @@ def consumer_counts(ops: list[A.Op]) -> dict[str, int]:
     (mm/MaterializationManager.insertMaterializationPoints:99-280
     picks max-benefit points; we use the simple shared-subplan
     heuristic)."""
+    import re
+
+    outs: set[str] = set()
+    for op in ops:
+        if isinstance(op, A.SplitInto):
+            outs.update(b.out for b in op.branches)
+        elif op.out:
+            outs.add(op.out)
     counts: dict[str, int] = {}
     for op in ops:
-        for rel in op.inputs:
+        ins = list(op.inputs)
+        if isinstance(op, A.SqlStmt):
+            # SQL consumes every alias its query text references
+            # (no declared input list) — count them so auto_cache
+            # persists shared subplans consumed via SQL too (r03)
+            ins.extend(a for a in outs
+                       if re.search(rf"\b{re.escape(a)}\b", op.query))
+        for rel in ins:
             counts[rel] = counts.get(rel, 0) + 1
     return counts
 

@@ -998,3 +998,33 @@ def test_resize_images_unsupported_format_raises(spark):
     import pytest as _pytest
     with _pytest.raises(Exception, match="PNG/BMP/PPM"):
         multimodal.resize_images(df).collect()
+
+
+def test_full_corpus_pipeline_one_script(spark, sf_dir):
+    """Showcase integration: a complete training-data hygiene pipeline
+    as ONE Pig script — PII scrub → exact-dedup keep-list → Gopher
+    repetition filter → near-dup clustering — every stage the
+    STREAM THROUGH / NEARDUP surface, end to end on the synthetic
+    documents table."""
+    import piglet_spark as pg
+    eng = pg.PigEngine(spark)
+    eng.run(f"""
+DOCS = LOAD '{sf_dir}/documents.parquet' USING ParquetStorage();
+CLEAN = STREAM DOCS THROUGH pii_scrub();
+KEEP_EXACT = STREAM CLEAN THROUGH exact_dedup();
+REP = STREAM CLEAN THROUGH gopher_repetition_ok();
+GOOD_IDS = FILTER REP BY keep == true;
+CLUST = NEARDUP CLEAN ON text BY doc_id THRESHOLD 0.5 CLUSTER;
+CANON = FILTER CLUST BY is_canonical == true;
+""")
+    n_docs = eng.df("DOCS").count()
+    assert eng.df("CLEAN").count() == n_docs  # scrub preserves rows
+    n_keep = eng.df("KEEP_EXACT").count()
+    assert 0 < n_keep <= n_docs
+    n_good = eng.df("GOOD_IDS").count()
+    assert 0 < n_good <= n_docs
+    n_canon = eng.df("CANON").count()
+    assert 0 < n_canon <= n_docs
+    # near-dup keep-list is at most the exact keep-list (exact dups
+    # are also near-dups)
+    assert n_canon <= n_keep
