@@ -247,3 +247,23 @@ C = FILTER S BY tot > 1000.0;
     assert eng3.executor.mm_spliced == set()
     n3 = eng3.df("C").count()
     assert n3 != n1  # different predicate, different rows at sf0.001
+
+
+def test_last_strategy_materializes_sink_feeder(spark, sf_dir, tmp_path):
+    """strategy='last' picks a point feeding a sink / terminal alias
+    (ref MaterializeLast), not an upstream interior point."""
+    mat = str(tmp_path / "mat_last")
+    eng = pg.PigEngine(spark, options={
+        "materialization_dir": mat,
+        "profiling": {"strategy": "last"}})
+    eng.run(SCRIPT.format(d=sf_dir))
+    autos = [p for p in os.listdir(mat) if p.startswith("auto_")]
+    # F is the only terminal; its lineage must be among those written
+    f_sig = eng.executor.lineage["F"]
+    assert f"auto_{f_sig}" in autos
+    # run 2: F itself is spliced
+    eng2 = pg.PigEngine(spark, options={
+        "materialization_dir": mat,
+        "profiling": {"strategy": "last"}})
+    eng2.run(SCRIPT.format(d=sf_dir))
+    assert "F" in eng2.executor.mm_spliced
