@@ -229,6 +229,9 @@ def repetition_stats(df: DataFrame, text_col: str = "text",
 
     Thresholds are the caller's choice; :func:`gopher_repetition_ok`
     applies the published Gopher cut-offs."""
+    from .util import spread as _spread
+    df = _spread(df, id_col)  # few-split local inputs: the 3 n-gram
+    # regex passes are the map-side cost; see util.spread
     t = F.col(text_col)
     norm = normalize_text(t)
     lines = F.filter(F.transform(F.split(t, "\n"), F.trim),

@@ -54,6 +54,7 @@ class PigEngine:
             # recompute them per consumer
             self.executor.shared_aliases = {
                 a for a, n in counts.items() if n >= 2}
+        self.executor.mm_spliced = set()  # fresh per run()
         prof_opt = self.executor.options.get("profiling")
         if prof_opt and self.executor.mm is None:
             from . import mm as _mm
