@@ -789,3 +789,26 @@ SELECT o_custkey AS ck, o_orderkey, o_totalprice FROM (
   FROM '{sf_dir}/orders.parquet') WHERE rk <= 2
 """).fetchall())
     assert got == exp and len(got) > 0
+
+
+def test_deep_chained_plan_stays_fast(spark, data_dir):
+    """Plan-construction robustness: 60 chained FILTER/FOREACH steps
+    build and execute in bounded time (no exponential analysis blowup
+    from the interpreter's DataFrame chaining)."""
+    import time
+
+    import piglet_spark as pg
+    lines = [f"A0 = LOAD '{data_dir}/t.csv' USING PigStorage(',') "
+             f"AS (a:int, b:int, c:int);"]
+    for i in range(60):
+        if i % 2 == 0:
+            lines.append(f"A{i+1} = FILTER A{i} BY a >= 0;")
+        else:
+            lines.append(f"A{i+1} = FOREACH A{i} GENERATE a, b, c;")
+    t0 = time.perf_counter()
+    eng = pg.PigEngine(spark)
+    eng.run("\n".join(lines))
+    n = eng.df("A60").count()
+    dt = time.perf_counter() - t0
+    assert n == 4
+    assert dt < 60, f"deep chain took {dt:.1f}s"
