@@ -77,10 +77,26 @@ class ProfilerSettings:
                 elif k in ("admission", "admission_check"):
                     ps.admission_check = bool(v)
                 elif k in ("cachesize", "cache_size"):
-                    ps.cache_size = int(v)
+                    ps.cache_size = _parse_cache_size(v)
                 elif k == "max_profile_actions":
                     ps.max_profile_actions = int(v)
         return ps
+
+
+def _parse_cache_size(v) -> int:
+    """'500m' / '10g' / '1000k' / plain bytes — ref Conf.scala:26
+    ``cacheSizePattern`` (units are powers of 1024; unparseable
+    strings mean unlimited, like the reference's wildcard case)."""
+    import re as _re
+    if isinstance(v, (int, float)):
+        return int(v)
+    m = _re.fullmatch(r"\s*(\d+)\s*([kmg]b?)?\s*", str(v), _re.IGNORECASE)
+    if not m:
+        return (1 << 63) - 1
+    n = int(m.group(1))
+    unit = (m.group(2) or "").lower().rstrip("b")
+    power = {"": 0, "k": 1, "m": 2, "g": 3}[unit]
+    return n * 1024 ** power
 
 
 # ---------------------------------------------------------------- profiles

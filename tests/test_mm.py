@@ -267,3 +267,14 @@ def test_last_strategy_materializes_sink_feeder(spark, sf_dir, tmp_path):
         "profiling": {"strategy": "last"}})
     eng2.run(SCRIPT.format(d=sf_dir))
     assert "F" in eng2.executor.mm_spliced
+
+
+def test_cache_size_string_parsing():
+    """'10g'-style cache sizes parse like the reference's
+    cacheSizePattern (powers of 1024; junk = unlimited)."""
+    ps = mm.ProfilerSettings.from_options({"cachesize": "10g"})
+    assert ps.cache_size == 10 * 1024 ** 3
+    assert mm._parse_cache_size("500m") == 500 * 1024 ** 2
+    assert mm._parse_cache_size("3kb") == 3 * 1024
+    assert mm._parse_cache_size(4096) == 4096
+    assert mm._parse_cache_size("lots") == (1 << 63) - 1
