@@ -582,10 +582,11 @@ def neardup_clusters(df: DataFrame, text_col: str = "text",
     - ``|E| <= driver_cc_threshold`` (default 1M): union-find ON THE
       DRIVER. The LSH pair set is a vanishing fraction of the corpus
       — that is LSH's whole point — so even a billion-document run
-      usually lands here; 1M edges is ~16 MB of ids and milliseconds
-      of union-find, vs O(log diameter) distributed rounds each
-      paying full job latency. Exact same labels as the distributed
-      path (min id per component).
+      usually lands here; 1M edges cost a one-off collect plus a
+      python dict of ≤2M entries (a few hundred MB of driver memory
+      at the default cap, seconds of CPU) vs O(log diameter)
+      distributed rounds each paying full job latency. Exact same
+      labels as the distributed path (min id per component).
     - larger edge sets: distributed min-label propagation + pointer
       jumping, restricted to the edge subgraph. Each round takes min
       over {own label, neighbors' labels, label-of-label l(l(v))};
