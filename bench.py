@@ -89,7 +89,11 @@ def main():
     timings: dict[str, float | None] = {}
     errors: dict[str, str] = {}
     for name in HEADLINE:
-        fn = qs[name]
+        fn = qs.get(name)
+        if fn is None:  # renamed/removed query must not kill the bench
+            timings[name] = None
+            errors[name] = "KeyError: not in __spark_entry__.queries()"
+            continue
         # Marker BEFORE the query so any JVM-side log output (stack
         # traces etc.) in the stderr stream is attributable to a query.
         print(f"# >>> {name}", file=sys.stderr, flush=True)
