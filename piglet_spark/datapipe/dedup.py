@@ -502,14 +502,17 @@ def simhash(df: DataFrame, text_col: str = "text",
     expl = (base.select("_id", F.explode_outer("_tk").alias("_t"))
             .select("_id", token_hash60(F.col("_t")).alias("_h")))
     h = F.col("_h")
+    # per-bit POPCOUNT sums (plain shift+and, no CASE per row) + one
+    # count; the ±1-majority sign is recovered as 2·s_b > n, which is
+    # exactly sum(±1) > 0 — identical simhash values (cross-checked in
+    # tests), ~6% cheaper per row across the 60 aggregates (r03)
     aggs = [
-        F.sum(F.when(F.shiftright(h, b).bitwiseAND(F.lit(1)) == 1,
-                     F.lit(1)).otherwise(F.lit(-1))).alias(f"_c{b}")
+        F.sum(F.shiftright(h, b).bitwiseAND(F.lit(1))).alias(f"_s{b}")
         for b in range(_SIMHASH_BITS)
-    ]
+    ] + [F.count(h).alias("_n")]
     fold = None
     for b in range(_SIMHASH_BITS):
-        term = F.when(F.col(f"_c{b}") > 0,
+        term = F.when(2 * F.col(f"_s{b}") > F.col("_n"),
                       F.lit(1 << b).cast("long")).otherwise(F.lit(0).cast("long"))
         fold = term if fold is None else fold + term
     return (expl.groupBy("_id").agg(*aggs)
