@@ -523,8 +523,17 @@ class Executor:
         if not outs:
             return
         sig = self._op_signature(op)
+        if len(outs) == 1:
+            self.lineage[outs[0]] = sig
+            return
+        # multi-output ops (SPLIT INTO): each branch carries DIFFERENT
+        # data, so each out needs a DISTINCT signature — a shared sig
+        # would let identical downstream ops on different branches
+        # collide in the materialization cache and splice the wrong
+        # branch's data (r03)
         for o in outs:
-            self.lineage[o] = sig
+            self.lineage[o] = hashlib.md5(
+                f"{sig}|{o}".encode()).hexdigest()
 
     def _propagate_stream_meta(self, op: A.Op) -> None:
         """Window/timestamp metadata follows pass-through operators

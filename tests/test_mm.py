@@ -278,3 +278,24 @@ def test_cache_size_string_parsing():
     assert mm._parse_cache_size("3kb") == 3 * 1024
     assert mm._parse_cache_size(4096) == 4096
     assert mm._parse_cache_size("lots") == (1 << 63) - 1
+
+
+def test_split_branches_never_collide_in_cache(spark, sf_dir, mat_dir):
+    """SPLIT branches carry different data; identical downstream ops
+    on different branches must not splice each other's cached results
+    (r03: per-branch lineage signatures)."""
+    script = f"""
+A = LOAD '{sf_dir}/lineitem.parquet' USING ParquetStorage();
+SPLIT A INTO HI IF l_quantity > 25.0, LO IF l_quantity <= 25.0;
+X = FILTER HI BY l_discount > 0.01;
+Y = FILTER LO BY l_discount > 0.01;
+"""
+    opts = {"materialization_dir": mat_dir, "profiling": True}
+    eng1 = pg.PigEngine(spark, options=opts)
+    eng1.run(script)
+    nx, ny = eng1.df("X").count(), eng1.df("Y").count()
+    assert nx != ny  # different branches, different data
+    eng2 = pg.PigEngine(spark, options=opts)
+    eng2.run(script)
+    assert eng2.df("X").count() == nx
+    assert eng2.df("Y").count() == ny  # no cross-branch splice
