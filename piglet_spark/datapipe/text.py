@@ -288,3 +288,47 @@ def gopher_repetition_ok(df: DataFrame, text_col: str = "text",
             & ((F.col("top_2gram_count") <= 1)
                | (F.col("top_2gram_char_frac") <= 0.20)))
     return st.select(id_col, keep.alias("keep"))
+
+
+def winnow_fingerprints(df: DataFrame, text_col: str = "text",
+                        id_col: str = "doc_id", k: int = 5,
+                        w: int = 4) -> DataFrame:
+    """Winnowing document fingerprints (Schleimer, Wilkerson, Aiken,
+    SIGMOD 2003 — the MOSS algorithm): hash every word k-gram, slide a
+    window of ``w`` consecutive hashes, keep the minimum of each
+    window, emit the distinct selected hashes per document. Guarantees
+    at least one fingerprint per w consecutive grams (detection of any
+    match ≥ k + w − 1 tokens) with ~2/(w+1) of the grams selected —
+    the classic rolling-hash sketch for plagiarism/near-dup detection.
+
+    Returns (id, fp) rows, one per distinct selected hash.
+
+    Scale shape: posexplode the k-gram hashes map-side, then ONE
+    shuffle on the doc id — the sliding minimum is a window function
+    ``min(hash) OVER (PARTITION BY id ORDER BY pos ROWS BETWEEN
+    CURRENT ROW AND w-1 FOLLOWING)`` (per-doc partition, no global
+    sort), truncated trailing windows dropped; a document shorter
+    than one window keeps the minimum of what it has. The hash is
+    the portable md5-prefix (shingle_hash32 formulation), so DuckDB
+    reproduces fingerprints value-for-value."""
+    from pyspark.sql.window import Window
+
+    from .util import spread as _spread
+
+    grams = (_spread(df, id_col).select(
+        F.col(id_col).alias("_id"),
+        F.posexplode(text_ngrams(normalize_text(F.col(text_col)), k))
+        .alias("_pos", "_g"))
+        .select("_id", "_pos",
+                F.conv(F.substring(F.md5(F.col("_g")), 1, 8), 16, 10)
+                .cast("long").alias("_h")))
+    part = Window.partitionBy("_id")
+    win = (Window.partitionBy("_id").orderBy("_pos")
+           .rowsBetween(Window.currentRow, w - 1))
+    sel = (grams
+           .withColumn("_m", F.count(F.lit(1)).over(part))
+           .withColumn("_sel", F.min("_h").over(win))
+           .filter(F.col("_pos") <= F.greatest(F.col("_m") - w, F.lit(0))))
+    return (sel.select(F.col("_id").alias(id_col),
+                       F.col("_sel").alias("fp"))
+            .distinct())

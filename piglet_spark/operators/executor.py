@@ -393,6 +393,10 @@ class Executor:
                     df.filter(F.col(str(src_col)) != str(src)),
                     df.filter(F.col(str(src_col)) == str(src)),
                     str(text), str(idc), k=int(k)),
+            # winnowing rolling-hash fingerprints (r03)
+            "winnow_fingerprints": lambda df, k=5, w=4, text="text",
+                idc="doc_id": dt.winnow_fingerprints(
+                    df, str(text), str(idc), k=int(k), w=int(w)),
             # PII hygiene + within-doc repetition filters (r03)
             "pii_scrub": lambda df, text="text":
                 dt.pii_scrub(df, str(text)),

@@ -1028,3 +1028,55 @@ CANON = FILTER CLUST BY is_canonical == true;
     # near-dup keep-list is at most the exact keep-list (exact dups
     # are also near-dups)
     assert n_canon <= n_keep
+
+
+def test_winnow_fingerprints_brute_force(spark):
+    """Winnowing vs a python reference: same k-gram hashing, sliding
+    window minima, distinct per doc; short docs keep one fingerprint;
+    guarantee holds (>=1 fingerprint per w consecutive grams)."""
+    import hashlib as _hl
+    import re as _re
+
+    rows = [
+        (0, "the quick brown fox jumps over the lazy dog today again"),
+        (1, "tiny doc"),                       # fewer grams than one window
+        (2, "spam spam spam spam spam spam spam spam spam spam"),
+    ]
+    k, w = 3, 4
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = {}
+    for r in text.winnow_fingerprints(df, k=k, w=w).collect():
+        got.setdefault(r["doc_id"], set()).add(r["fp"])
+
+    def norm(t):
+        t = _re.sub(r"[^a-z0-9 ]", " ", t.lower())
+        return _re.sub(r" +", " ", t).strip()
+
+    def h32(s):
+        return int(_hl.md5(s.encode()).hexdigest()[:8], 16)
+
+    for did, t in rows:
+        toks = norm(t).split()
+        grams = [" ".join(toks[i:i + k]) for i in range(len(toks) - k + 1)]
+        hs = [h32(g) for g in grams]
+        if not hs:
+            assert did not in got
+            continue
+        m = len(hs)
+        exp = {min(hs[t0:t0 + w]) for t0 in range(max(m - w, 0) + 1)}
+        assert got[did] == exp, did
+    # density guarantee on the long doc: selected ≈ 2/(w+1) of grams
+    assert 1 <= len(got[0]) <= 8
+
+
+def test_winnow_via_stream_through(spark):
+    import piglet_spark as pg
+    df = spark.createDataFrame(
+        [(1, "alpha beta gamma delta epsilon zeta eta theta")],
+        ["doc_id", "text"])
+    eng = pg.PigEngine(spark)
+    eng.executor.env["A"] = df
+    eng.run("B = STREAM A THROUGH winnow_fingerprints(3, 4);")
+    out = eng.df("B")
+    assert out.columns == ["doc_id", "fp"]
+    assert out.count() >= 1
