@@ -209,3 +209,21 @@ def test_driver_union_find_matches_bfs(spark, edges):
         for v in comp:
             truth[v] = lab
     assert got == truth
+
+
+@given(st.lists(st.sampled_from(
+    WORDS + ["a@b.io", "192.168.0.1", "123-45-6789", "555-123-4567",
+             "+4915112345678", "4111 1111 1111 1111"]),
+    min_size=0, max_size=20).map(" ".join))
+@settings(max_examples=30, deadline=None)
+def test_pii_scrub_idempotent(spark, doc):
+    """Property: scrubbing is idempotent — placeholders never match a
+    PII pattern themselves (a scrub that re-triggers on its own output
+    would corrupt text on repeated pipeline passes)."""
+    df = spark.createDataFrame([(0, doc)], ["doc_id", "text"])
+    once = text.pii_scrub(df).collect()[0]["text"]
+    df2 = spark.createDataFrame([(0, once)], ["doc_id", "text"])
+    twice = text.pii_scrub(df2).collect()[0]["text"]
+    assert once == twice
+    for frag in ("@", "123-45-6789", "4111"):
+        assert frag not in once or frag == "@" and "<EMAIL>" not in doc
