@@ -56,12 +56,24 @@ class PigEngine:
                 a for a, n in counts.items() if n >= 2}
         self.executor.mm_spliced = set()  # fresh per run()
         prof_opt = self.executor.options.get("profiling")
+        # `SET piglet.profiling true;` / `SET piglet.materialization_dir
+        # '…';` enable auto-materialization from the script itself —
+        # pre-scanned BEFORE execution so cached results splice in on
+        # this very run (the reference enables profiling via CLI only;
+        # this is the DSL-native surface)
+        from .plans import ast as A
+        set_vals = {o.key: o.value for o in ops
+                    if isinstance(o, A.SetCmd)}
+        if not prof_opt and str(set_vals.get(
+                "piglet.profiling", "")).lower() in ("true", "1", "on"):
+            prof_opt = True
         if prof_opt and self.executor.mm is None:
             from . import mm as _mm
-            base = self.executor.options.get(
-                "materialization_dir", "/tmp/piglet_mat")
+            base = (set_vals.get("piglet.materialization_dir")
+                    or self.executor.options.get(
+                        "materialization_dir", "/tmp/piglet_mat"))
             self.executor.mm = _mm.MaterializationManager(
-                base, _mm.ProfilerSettings.from_options(prof_opt))
+                str(base), _mm.ProfilerSettings.from_options(prof_opt))
         env = self.executor.execute(ops)
         if self.executor.mm is not None:
             # "last"-strategy operand: aliases consumed only by sinks

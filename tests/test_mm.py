@@ -299,3 +299,26 @@ Y = FILTER LO BY l_discount > 0.01;
     eng2.run(script)
     assert eng2.df("X").count() == nx
     assert eng2.df("Y").count() == ny  # no cross-branch splice
+
+
+def test_profiling_enabled_via_set_statement(spark, sf_dir, tmp_path):
+    """`SET piglet.profiling true` + `SET piglet.materialization_dir`
+    enable auto-materialization from inside a script — pre-scanned so
+    run 2 splices like the options-based path."""
+    mat = str(tmp_path / "mat_set")
+    script = f"""
+SET piglet.profiling 'true';
+SET piglet.materialization_dir '{mat}';
+A = LOAD '{sf_dir}/lineitem.parquet' USING ParquetStorage();
+B = FILTER A BY l_quantity > 10.0;
+C = GROUP B BY l_returnflag;
+D = FOREACH C GENERATE group AS flag, COUNT(B) AS n;
+"""
+    eng1 = pg.PigEngine(spark)
+    eng1.run(script)
+    base = sorted(tuple(r) for r in eng1.df("D").collect())
+    assert [p for p in os.listdir(mat) if p.startswith("auto_")]
+    eng2 = pg.PigEngine(spark)
+    eng2.run(script)
+    assert eng2.executor.mm_spliced
+    assert sorted(tuple(r) for r in eng2.df("D").collect()) == base
