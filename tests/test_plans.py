@@ -125,3 +125,20 @@ X = FOREACH K GENERATE group AS k, SUM((A.b + 1)) AS s_corr,
     assert rows[1] == (6, 0)   # (2+1)+(2+1); no b>100 -> 0 not null
     assert rows[4] == (6, 0)
     assert rows[7] == (9, 0)
+
+
+def test_tpch_star_joins_broadcast_no_cartesian(spark):
+    """Plan guards for the headline join queries: dims broadcast, no
+    cartesian product, no single-partition sort anywhere (regression
+    net for the 100 TB join strategy)."""
+    import sys
+    sys.path.insert(0, "/root/repo")
+    import __spark_entry__ as em
+    qs = em.queries()
+    for name in ("q3_top_revenue", "q5_region_revenue",
+                 "q7_volume_shipping", "q8_market_share"):
+        df = qs[name](spark, "/root/testdata/sf0.001")
+        plan = df._jdf.queryExecution().executedPlan().toString()
+        assert "CartesianProduct" not in plan, name
+        assert "BroadcastNestedLoopJoin" not in plan, name
+        assert "BroadcastHashJoin" in plan, name
