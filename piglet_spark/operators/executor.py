@@ -1642,12 +1642,33 @@ class Executor:
                     df.columns, op.id_field.pos)
         else:
             id_col = df.columns[0]
+        method = getattr(op, "method", "minhash") or "minhash"
+        if method == "minhash":
+            pairs = dp.minhash_lsh_pairs(
+                df, text_col=text_col, id_col=id_col, threshold=op.threshold)
+        elif method == "simhash":
+            # THRESHOLD = max hamming distance for simhash
+            pairs = dp.simhash_pairs(
+                df, text_col=text_col, id_col=id_col,
+                max_hamming=int(op.threshold))
+        elif method == "ngram":
+            pairs = dp.ngram_jaccard_pairs(
+                df, text_col=text_col, id_col=id_col,
+                threshold=op.threshold)
+        elif method == "embedding":
+            # ON names the vector column; THRESHOLD = cosine
+            pairs = dp.embedding_neardup_pairs(
+                df, vec_col=text_col, id_col=id_col,
+                threshold=op.threshold)
+        else:
+            raise ExecError(
+                f"NEARDUP USING {method!r}: unknown method (choose "
+                f"minhash, simhash, ngram, or embedding)")
         if op.cluster:
             self.env[op.out] = dp.neardup_clusters(
-                df, text_col=text_col, id_col=id_col, threshold=op.threshold)
+                df, text_col=text_col, id_col=id_col, pairs=pairs)
         else:
-            self.env[op.out] = dp.minhash_lsh_pairs(
-                df, text_col=text_col, id_col=id_col, threshold=op.threshold)
+            self.env[op.out] = pairs
 
     # ----------------------------------------------------------- RDF
 

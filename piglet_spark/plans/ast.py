@@ -670,9 +670,12 @@ class Dedup(Op):
 
 @dataclass
 class NearDup(Op):
-    """`B = NEARDUP A ON text [BY id] [THRESHOLD 0.5] [CLUSTER];` —
-    MinHash-LSH near-duplicate pairs; with CLUSTER, connected
-    components over the pair graph → (id, cluster_id, is_canonical)."""
+    """`B = NEARDUP A ON text [BY id] [THRESHOLD t] [USING 'method']
+    [CLUSTER];` — near-duplicate pairs; with CLUSTER, connected
+    components over the pair graph → (id, cluster_id, is_canonical).
+    Methods (r03): minhash (default; t = Jaccard), simhash (t =
+    max hamming distance, int), ngram (exact Jaccard), embedding
+    (ON names an array column; t = cosine)."""
 
     out: str
     rel: str
@@ -680,6 +683,7 @@ class NearDup(Op):
     id_field: Optional[Expr] = None
     threshold: float = 0.5
     cluster: bool = False
+    method: str = "minhash"
 
     def __post_init__(self):
         self.inputs = [self.rel]

@@ -863,9 +863,13 @@ class Parser:
         threshold = 0.5
         if self.try_kw("threshold"):
             threshold = float(self.advance().text)
+        method = "minhash"
+        if self.try_kw("using"):
+            method = self.string().lower()
         cluster = self.try_kw("cluster")
         return A.NearDup(out=alias, rel=rel, on=on, id_field=id_field,
-                         threshold=threshold, cluster=cluster)
+                         threshold=threshold, cluster=cluster,
+                         method=method)
 
     def op_tuplify(self, alias: str) -> A.Op:
         self.eat_kw("tuplify")

@@ -1080,3 +1080,30 @@ def test_winnow_via_stream_through(spark):
     out = eng.df("B")
     assert out.columns == ["doc_id", "fp"]
     assert out.count() >= 1
+
+
+def test_neardup_using_method_selection(spark, docs):
+    """NEARDUP … USING 'simhash'/'ngram'/'minhash' routes to the
+    corresponding pair algorithm; results match the Python API."""
+    import piglet_spark as pg
+    eng = pg.PigEngine(spark)
+    eng.executor.env["A"] = docs
+    eng.run("P1 = NEARDUP A ON text BY doc_id THRESHOLD 0.3 USING 'ngram';")
+    got = {(r["id_a"], r["id_b"]) for r in eng.df("P1").collect()}
+    exp = {(r["id_a"], r["id_b"]) for r in
+           dedup.ngram_jaccard_pairs(docs, threshold=0.3).collect()}
+    assert got == exp and got
+    eng.run("P2 = NEARDUP A ON text BY doc_id THRESHOLD 8 USING 'simhash';")
+    got2 = {(r["id_a"], r["id_b"]) for r in eng.df("P2").collect()}
+    exp2 = {(r["id_a"], r["id_b"]) for r in
+            dedup.simhash_pairs(docs, max_hamming=8).collect()}
+    assert got2 == exp2
+    # clustering composes with a chosen method
+    eng.run("C = NEARDUP A ON text BY doc_id THRESHOLD 0.3 "
+            "USING 'ngram' CLUSTER;")
+    out = {r["doc_id"]: r["cluster_id"] for r in eng.df("C").collect()}
+    assert len(out) == docs.count()
+    # unknown method -> clear error
+    import pytest as _pytest
+    with _pytest.raises(Exception, match="unknown method"):
+        eng.run("X = NEARDUP A ON text USING 'what';")
