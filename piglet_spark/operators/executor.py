@@ -328,6 +328,20 @@ def _lambda_pred(pred: A.Expr, x: Column, bag: NestedBag, ctx: Ctx) -> Column:
 
 # ------------------------------------------------------------- executor
 
+def _sim():
+    from ..datapipe import similarity
+    return similarity
+
+
+def _parse_vec(qv) -> list[float]:
+    """Query vector from a STREAM THROUGH string param:
+    '0.1, 0.2, -3e-2' → [0.1, 0.2, -0.03]."""
+    if isinstance(qv, (list, tuple)):
+        return [float(x) for x in qv]
+    return [float(x) for x in str(qv).replace(";", ",").split(",")
+            if x.strip()]
+
+
 _PY2SPARK = {int: "long", float: "double", str: "string", bool: "boolean",
              "int": "long", "float": "double", "str": "string",
              "bool": "boolean"}
@@ -393,6 +407,21 @@ class Executor:
                     df.filter(F.col(str(src_col)) != str(src)),
                     df.filter(F.col(str(src_col)) == str(src)),
                     str(text), str(idc), k=int(k)),
+            # similarity search (r03): the query vector is a quoted
+            # comma-separated string of floats, e.g.
+            # `STREAM E THROUGH cosine_topk('0.1,0.2,…', 10)`
+            "cosine_topk": lambda df, qv, k=10, vec="embedding",
+                idc="vec_id": _sim().cosine_topk(
+                    df, _parse_vec(qv), k=int(k),
+                    vec_col=str(vec), id_col=str(idc)),
+            "ann_lsh_topk": lambda df, qv, k=10, vec="embedding",
+                idc="vec_id": _sim().ann_lsh_topk(
+                    df, _parse_vec(qv), k=int(k),
+                    vec_col=str(vec), id_col=str(idc)),
+            "ivf_topk": lambda df, qv, k=10, vec="embedding",
+                idc="vec_id": _sim().ivf_topk(
+                    df, _parse_vec(qv), k=int(k),
+                    vec_col=str(vec), id_col=str(idc)),
             # winnowing rolling-hash fingerprints (r03)
             "winnow_fingerprints": lambda df, k=5, w=4, text="text",
                 idc="doc_id": dt.winnow_fingerprints(

@@ -1107,3 +1107,25 @@ def test_neardup_using_method_selection(spark, docs):
     import pytest as _pytest
     with _pytest.raises(Exception, match="unknown method"):
         eng.run("X = NEARDUP A ON text USING 'what';")
+
+
+def test_similarity_topk_via_dsl(spark, sf_dir):
+    """cosine/ann/ivf top-k reachable from scripts: query vector as a
+    quoted comma-separated string param."""
+    import piglet_spark as pg
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    q = [float(x) for x in emb.first()["embedding"]]
+    qs = ",".join(str(x) for x in q)
+    eng = pg.PigEngine(spark)
+    eng.run(f"""
+E = LOAD '{sf_dir}/embeddings.parquet' USING ParquetStorage();
+T = STREAM E THROUGH cosine_topk('{qs}', 5);
+""")
+    got = [(r["vec_id"], r["cos"]) for r in eng.df("T").collect()]
+    exp = [(r["vec_id"], r["cos"]) for r in
+           similarity.cosine_topk(emb, q, k=5).collect()]
+    assert got == exp and len(got) == 5
+    # the query's own vector is its best match
+    assert got[0][1] == 1.0
+    eng.run(f"U = STREAM E THROUGH ivf_topk('{qs}', 5);")
+    assert eng.df("U").count() == 5
