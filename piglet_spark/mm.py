@@ -57,6 +57,13 @@ class ProfilerSettings:
     mib_per_sec_reading: float = 880.0    # piglet.conf:137
     mib_per_sec_writing: float = 100.0    # piglet.conf:138
     max_profile_actions: int = 32         # bound on per-run profiling jobs
+    # fold input-file modification state (max mtime + total size) into
+    # LOAD lineage signatures, so cached results invalidate when the
+    # underlying files change. OFF by default: the reference keys
+    # lineage on the plan only (same contract), and stat-ing a
+    # many-thousand-file dataset on every run has a cost — turn on for
+    # correctness over mutable inputs.
+    check_inputs: bool = False
 
     @classmethod
     def from_options(cls, opts: Any) -> "ProfilerSettings":
@@ -80,6 +87,8 @@ class ProfilerSettings:
                     ps.cache_size = _parse_cache_size(v)
                 elif k == "max_profile_actions":
                     ps.max_profile_actions = int(v)
+                elif k == "check_inputs":
+                    ps.check_inputs = bool(v)
         return ps
 
 

@@ -328,6 +328,32 @@ def _lambda_pred(pred: A.Expr, x: Column, bag: NestedBag, ctx: Ctx) -> Column:
 
 # ------------------------------------------------------------- executor
 
+def _input_stat(path: str) -> str:
+    """(max mtime, total size, file count) of a local file/dir/glob —
+    the mutable-input fingerprint for mm check_inputs. Non-local or
+    missing paths contribute a constant (no false invalidation)."""
+    import glob as _glob
+    import os as _os
+    files: list[str] = []
+    for p in _glob.glob(path) or [path]:
+        if _os.path.isdir(p):
+            for root, _d, fs in _os.walk(p):
+                files.extend(_os.path.join(root, f) for f in fs)
+        elif _os.path.isfile(p):
+            files.append(p)
+    if not files:
+        return "input:unknown"
+    mt, total = 0.0, 0
+    for f in files:
+        try:
+            st = _os.stat(f)
+            mt = max(mt, st.st_mtime)
+            total += st.st_size
+        except OSError:
+            pass
+    return f"input:{mt}:{total}:{len(files)}"
+
+
 def _sim():
     from ..datapipe import similarity
     return similarity
@@ -527,6 +553,14 @@ class Executor:
     def _op_signature(self, op: A.Op) -> str:
         parts = [type(op).__name__, repr(op)]
         parts.extend(self.lineage.get(i, i) for i in op.inputs)
+        if isinstance(op, A.Load) and self.mm is not None \
+                and self.mm.settings.check_inputs:
+            # opt-in stale-input guard (mm ProfilerSettings
+            # .check_inputs): file modification state keys the scan's
+            # lineage, so cached downstream results invalidate when
+            # the input files change — beyond the reference's
+            # plan-text-only contract
+            parts.append(_input_stat(op.path))
         if isinstance(op, A.SqlStmt):
             # SQL sees the whole alias environment, not a declared
             # input list — fold in the lineage of every alias the

@@ -322,3 +322,32 @@ D = FOREACH C GENERATE group AS flag, COUNT(B) AS n;
     eng2.run(script)
     assert eng2.executor.mm_spliced
     assert sorted(tuple(r) for r in eng2.df("D").collect()) == base
+
+
+def test_check_inputs_invalidates_on_file_change(spark, tmp_path):
+    """profiling={'check_inputs': True}: rewriting the input file
+    changes the Load lineage, so the cached point is NOT spliced and
+    the new data is computed; without the option the stale cache
+    would be reused (the documented default contract)."""
+    mat = str(tmp_path / "mat_ci")
+    src = tmp_path / "in.csv"
+    src.write_text("1,10\n2,20\n3,30\n")
+    script = f"""
+A = LOAD '{src}' USING PigStorage(',') AS (id:int, v:int);
+B = FILTER A BY v > 5;
+G = GROUP B ALL;
+S = FOREACH G GENERATE COUNT(B) AS n, SUM(B.v) AS tot;
+"""
+    opts = {"materialization_dir": mat,
+            "profiling": {"check_inputs": True}}
+    eng1 = pg.PigEngine(spark, options=opts)
+    eng1.run(script)
+    assert eng1.df("S").collect()[0]["tot"] == 60
+    import time
+    time.sleep(0.05)
+    src.write_text("1,10\n2,20\n3,30\n4,40\n")
+    os.utime(src)  # ensure mtime moves even on coarse filesystems
+    eng2 = pg.PigEngine(spark, options=opts)
+    eng2.run(script)
+    assert eng2.executor.mm_spliced == set()
+    assert eng2.df("S").collect()[0]["tot"] == 100  # fresh data
