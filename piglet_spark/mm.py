@@ -377,6 +377,7 @@ class MaterializationManager:
         self.profiles.incr_runs()
         candidates: list[MaterializationPoint] = []
         sink_lineages: set[str] = set()
+        seen_sigs: set[str] = set()
         actions = 0
         by_sig: dict[str, Any] = {}
         for alias, sig in executor.lineage.items():
@@ -389,7 +390,9 @@ class MaterializationManager:
             if rel is None or not isinstance(rel, DataFrame) \
                     or rel.isStreaming:
                 continue
-            self.profiles.seen(sig)
+            if sig not in seen_sigs:  # two aliases can share a sig
+                seen_sigs.add(sig)    # (identical re-bound subplans);
+                self.profiles.seen(sig)  # count the sig once per run
             if not self.profiles.has_measurement(sig):
                 if actions >= self.settings.max_profile_actions:
                     continue
