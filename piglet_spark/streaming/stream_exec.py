@@ -140,7 +140,10 @@ def zmq_write(df: DataFrame, op, options: Optional[dict] = None):
             pub.send_string(r[0])
 
     if not df.isStreaming:
-        send_batch(df, 0)
+        try:
+            send_batch(df, 0)
+        finally:
+            pub.close()  # linger=5000 flushes queued messages first
         return None
     opts = options or {}
     return (df.writeStream.outputMode(opts.get("output_mode", "append"))
