@@ -685,6 +685,14 @@ class Executor:
         for line in lines:
             print(line)
 
+    def op_explain(self, op: "A.Explain") -> None:
+        """Catalyst plan of an alias (EXPLAIN A; or EXPLAIN A 'cost').
+        GroupedRelations materialize first — the plan you inspect is
+        the plan that would execute."""
+        df = self.df(op.rel)
+        if isinstance(df, DataFrame):
+            df.explain(op.mode)
+
     def op_display(self, op: A.Display) -> None:
         _strip_internal(self.df(op.rel)).show(truncate=False)
 

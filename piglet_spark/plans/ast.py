@@ -254,6 +254,18 @@ class Describe(Op):
 
 
 @dataclass
+class Explain(Op):
+    """`EXPLAIN A;` — classic Pig plan inspection; prints the Catalyst
+    physical plan (the rebuild's equivalent of Pig's MR-plan dump)."""
+
+    rel: str
+    mode: str = "formatted"
+
+    def __post_init__(self):
+        self.inputs = [self.rel]
+
+
+@dataclass
 class Foreach(Op):
     out: str
     rel: str

@@ -215,6 +215,14 @@ class Parser:
             rel = self.ident()
             self.eat(";")
             return A.Describe(rel=rel)
+        if kw == "explain":
+            self.advance()
+            rel = self.ident()
+            mode = "formatted"
+            if self.cur.kind == "str":
+                mode = self.string()
+            self.eat(";")
+            return A.Explain(rel=rel, mode=mode)
         if kw == "store":
             self.advance()
             rel = self.ident()

@@ -296,3 +296,16 @@ def test_cli_profiling_flag(spark, data_dir, tmp_path, monkeypatch):
     assert os.path.exists(mat / "profilerstats.json")
     autos = [p for p in os.listdir(mat) if p.startswith("auto_")]
     assert len(autos) == 1
+
+
+def test_explain_statement(spark, data_dir, capsys):
+    """EXPLAIN A; prints the Catalyst physical plan from a script."""
+    eng = pg.PigEngine(spark)
+    eng.run(f"""
+A = LOAD '{data_dir}/t.csv' USING PigStorage(',') AS (a:int,b:int,c:int);
+B = FILTER A BY a > 1;
+EXPLAIN B;
+""")
+    out = capsys.readouterr().out
+    assert "Physical Plan" in out or "WholeStageCodegen" in out \
+        or "Scan" in out
