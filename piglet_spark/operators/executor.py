@@ -359,6 +359,11 @@ def _sim():
     return similarity
 
 
+def _mmod():
+    from ..datapipe import multimodal
+    return multimodal
+
+
 def _parse_vec(qv) -> list[float]:
     """Query vector from a STREAM THROUGH string param:
     '0.1, 0.2, -3e-2' → [0.1, 0.2, -0.03]."""
@@ -448,6 +453,19 @@ class Executor:
                 idc="vec_id": _sim().ivf_topk(
                     df, _parse_vec(qv), k=int(k),
                     vec_col=str(vec), id_col=str(idc)),
+            # multimodal (r03): binary-column decode / frame-sample /
+            # resize from scripts
+            "decode_images": lambda df, dim=8, fake=0, binc="payload",
+                idc="doc_id": _mmod().decode_images(
+                    df, str(binc), str(idc), dim=int(dim),
+                    deterministic_fake=bool(int(fake))),
+            "sample_audio_frames": lambda df, n=4, fake=0,
+                binc="payload", idc="doc_id": _mmod().sample_audio_frames(
+                    df, str(binc), str(idc), n_frames=int(n),
+                    deterministic_fake=bool(int(fake))),
+            "resize_images": lambda df, w=32, h=32, binc="payload",
+                idc="doc_id": _mmod().resize_images(
+                    df, str(binc), str(idc), out_w=int(w), out_h=int(h)),
             # winnowing rolling-hash fingerprints (r03)
             "winnow_fingerprints": lambda df, k=5, w=4, text="text",
                 idc="doc_id": dt.winnow_fingerprints(

@@ -1129,3 +1129,25 @@ T = STREAM E THROUGH cosine_topk('{qs}', 5);
     assert got[0][1] == 1.0
     eng.run(f"U = STREAM E THROUGH ivf_topk('{qs}', 5);")
     assert eng.df("U").count() == 5
+
+
+def test_multimodal_via_stream_through(spark, sf_dir):
+    """decode_images / sample_audio_frames reachable from scripts
+    (deterministic-fake mode; payload synthesized from the text
+    column, as the driver's multimodal query does)."""
+    import piglet_spark as pg
+    from pyspark.sql import functions as F
+    docs = (spark.read.parquet(f"{sf_dir}/documents.parquet")
+            .select("doc_id", F.encode("text", "utf-8").alias("payload")))
+    eng = pg.PigEngine(spark)
+    eng.executor.env["D"] = docs
+    eng.run("""
+I = STREAM D THROUGH decode_images(8, 1);
+A = STREAM D THROUGH sample_audio_frames(4, 1);
+""")
+    img = eng.df("I")
+    assert img.columns == ["doc_id", "width", "height", "embedding"]
+    n = docs.count()
+    assert img.count() == n
+    aud = eng.df("A")
+    assert aud.count() == n * 4  # one row per sampled frame
