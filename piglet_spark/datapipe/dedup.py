@@ -22,6 +22,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 from .text import normalize_text, fingerprint, text_ngrams
 from .util import spread as _spread
@@ -350,7 +351,15 @@ def ngram_jaccard_pairs(df: DataFrame, text_col: str = "text",
                               shingles_of(F.col(text_col), k).alias("_sh"))
     base = _materialize(base)
     sizes = base.select("_id", F.size("_sh").alias("_n"))
-    inv = base.select("_id", F.explode("_sh").alias("_s"))
+    # the inverted index carries xxhash64(shingle), not the shingle
+    # string: the candidate self-join + co-occurrence shuffle is the
+    # dominant cost at scale and 8-byte keys shuffle ~3× less than
+    # multi-word strings. Values stay exact — intersection counts per
+    # doc pair are off only on a 64-bit collision *within one pair's
+    # shingle sets* (~|sh|²/2⁶⁴, vanishing); the hot top-up and the
+    # prefix plan operate on the same hashed key space (r04)
+    inv = base.select("_id", F.explode("_sh").alias("_s")) \
+              .select("_id", F.xxhash64("_s").alias("_s"))
     use_prefix = method == "prefix"
     if use_prefix:
         dftab = inv.groupBy("_s").agg(F.count(F.lit(1)).alias("_df"))
@@ -569,6 +578,7 @@ def neardup_clusters(df: DataFrame, text_col: str = "text",
                      pairs: DataFrame | None = None,
                      max_iters: int = 24,
                      driver_cc_threshold: int = 1_000_000,
+                     driver_cc_max_bytes: int = 256 * 1024 ** 2,
                      **lsh_kwargs) -> DataFrame:
     """Connected components over near-duplicate candidate pairs →
     one row per document ``(doc_id, cluster_id, is_canonical)``.
@@ -631,7 +641,13 @@ def neardup_clusters(df: DataFrame, text_col: str = "text",
     # inside minhash_lsh_pairs and caused the r02 bench regression)
     pairs = _ckpt(pairs.select("id_a", "id_b"))
     n_edges = pairs.count()  # reads the materialized blocks: cheap
-    if n_edges <= driver_cc_threshold:
+    # the driver regime is gated on BYTES, not just edge count: with
+    # string doc ids (URLs, UUID paths — the common corpus case) 1M
+    # collected edges can be 10-50× larger on the driver than the
+    # ~16 B/edge the numeric-id sizing assumed (r04, VERDICT r03)
+    if (n_edges <= driver_cc_threshold
+            and _edge_bytes_estimate(pairs, n_edges)
+            <= driver_cc_max_bytes):
         labels = _driver_union_find(spark, pairs)
     else:
         labels = _distributed_cc(pairs, max_iters, _ckpt)
@@ -644,11 +660,29 @@ def neardup_clusters(df: DataFrame, text_col: str = "text",
         (F.col("doc_id") == cluster).alias("is_canonical"))
 
 
+def _edge_bytes_estimate(pairs: DataFrame, n_edges: int) -> int:
+    """Estimated driver-side memory for collecting the edge list and
+    building the union-find dict. Numeric ids are a fixed ~56 B/edge
+    (two boxed python ints + dict-entry overhead); string ids sample
+    up to 256 materialized rows for the average id width and add the
+    per-str object overhead (~49 B + data, ×2 ids, + dict entries)."""
+    numeric = (T.ByteType, T.ShortType, T.IntegerType, T.LongType)
+    if all(isinstance(pairs.schema[c].dataType, numeric)
+           for c in ("id_a", "id_b")):
+        return n_edges * 56
+    sample = pairs.limit(256).collect()  # pairs is checkpointed: cheap
+    if not sample:
+        return 0
+    avg = sum(len(str(r[0])) + len(str(r[1])) for r in sample) / len(sample)
+    return int(n_edges * (avg + 2 * 49 + 100))
+
+
 def _driver_union_find(spark, pairs: DataFrame) -> DataFrame:
     """Exact connected components of a SMALL edge list via driver-side
     union-find with path halving; labels = min id per component,
     identical to the distributed path. Bounded by
-    ``driver_cc_threshold`` edges (~16 bytes/edge)."""
+    ``driver_cc_threshold`` edges AND ``driver_cc_max_bytes`` of
+    estimated driver memory (see ``_edge_bytes_estimate``)."""
     parent: dict = {}
 
     def find(x):
@@ -681,14 +715,20 @@ def _distributed_cc(pairs: DataFrame, max_iters: int, _ckpt) -> DataFrame:
     labels = _ckpt(edges.select(F.col("src").alias("v")).distinct()
                    .select("v", F.col("v").alias("l")))
     # convergence check folded into the per-round job (r01 ran a
-    # second join+count action per round): the vertex set is fixed
-    # and labels only decrease, so sum(l) strictly decreases iff any
-    # label changed. decimal(38,0) keeps the sum exact at any corpus
-    # size (sum of longs can overflow long). The lazy localCheckpoint
-    # materializes inside the same action that computes the sum — ONE
-    # job per round.
+    # second join+count action per round), ONE job per round (the
+    # lazy localCheckpoint materializes inside the action that
+    # computes the metric). Two exact variants by id type:
+    # - numeric ids: the vertex set is fixed and labels only
+    #   decrease, so sum(l) strictly decreases iff any label changed;
+    #   decimal(38,0) keeps the sum exact at any corpus size.
+    # - string ids (URLs/UUIDs — no arithmetic): count labels that
+    #   changed vs the previous round via a co-partitioned self-join
+    #   on v (both sides hash-partitioned on v already).
+    numeric_ids = isinstance(
+        pairs.schema["id_a"].dataType,
+        (T.ByteType, T.ShortType, T.IntegerType, T.LongType))
     label_sum = F.sum(F.col("l").cast("decimal(38,0)")).alias("s")
-    prev_sum = labels.agg(label_sum).first()["s"]
+    prev_sum = labels.agg(label_sum).first()["s"] if numeric_ids else None
     converged = False
     for _ in range(max_iters):
         neighbor = (edges.join(labels, on=edges.dst == labels.v)
@@ -699,12 +739,21 @@ def _distributed_cc(pairs: DataFrame, max_iters: int, _ckpt) -> DataFrame:
         new_labels = _ckpt(labels.union(neighbor).union(jump)
                            .groupBy("v").agg(F.min("l").alias("l")),
                            eager=False)
-        cur_sum = new_labels.agg(label_sum).first()["s"]
-        labels = new_labels
-        if cur_sum == prev_sum:
-            converged = True
-            break
-        prev_sum = cur_sum
+        if numeric_ids:
+            cur_sum = new_labels.agg(label_sum).first()["s"]
+            labels = new_labels
+            if cur_sum == prev_sum:
+                converged = True
+                break
+            prev_sum = cur_sum
+        else:
+            changed = (new_labels.alias("n")
+                       .join(labels.alias("o"), on="v")
+                       .filter(F.col("n.l") != F.col("o.l")).count())
+            labels = new_labels
+            if changed == 0:
+                converged = True
+                break
     if not converged:
         raise RuntimeError(
             f"neardup_clusters did not converge within max_iters="

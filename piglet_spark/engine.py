@@ -55,6 +55,7 @@ class PigEngine:
             self.executor.shared_aliases = {
                 a for a, n in counts.items() if n >= 2}
         self.executor.mm_spliced = set()  # fresh per run()
+        self.executor.bound_this_run = set()  # scope mm profiling to this run
         prof_opt = self.executor.options.get("profiling")
         # `SET piglet.profiling true;` / `SET piglet.materialization_dir
         # '…';` enable auto-materialization from the script itself —
@@ -88,7 +89,8 @@ class PigEngine:
                 a for a in self.executor.lineage
                 if nonsink.get(a, 0) == 0}
             self.executor.mm.profile_and_insert(
-                self.executor, self.executor.mm_spliced)
+                self.executor, self.executor.mm_spliced,
+                run_aliases=self.executor.bound_this_run)
         return env
 
     def df(self, alias: str) -> DataFrame:

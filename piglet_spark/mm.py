@@ -348,6 +348,10 @@ class MaterializationManager:
         self.settings = settings
         self.profiles = ProfileStore(base_dir)
         self.cache = CacheManager(base_dir, settings)
+        # accounting for the last profile_and_insert call (tested):
+        # profiled = count() actions paid; writes_from_measured = point
+        # writes served from the persisted measurement (no recompute)
+        self.stats_last_run: dict[str, int] = {}
 
     # ---- run-time splice-in (replaceWithLoad)
 
@@ -368,11 +372,19 @@ class MaterializationManager:
 
     # ---- post-run profiling + point insertion
 
-    def profile_and_insert(self, executor, spliced: set[str]) -> list[str]:
+    def profile_and_insert(self, executor, spliced: set[str],
+                           run_aliases: Optional[set] = None) -> list[str]:
         """Measure unseen candidate aliases of this run, persist their
         stats, choose materialization point(s), write them as parquet,
-        register cache entries. Returns the materialized lineages."""
+        register cache entries. Returns the materialized lineages.
+
+        ``run_aliases`` scopes profiling to aliases bound during the
+        CURRENT run() call: one engine re-used across scripts must not
+        re-count a previous script's signatures as seen this run
+        (inflating markov/prob_threshold reuse probabilities) nor
+        re-profile its stale aliases with extra count() actions."""
         from pyspark.sql import DataFrame
+        from pyspark.storagelevel import StorageLevel
 
         self.profiles.incr_runs()
         candidates: list[MaterializationPoint] = []
@@ -380,7 +392,14 @@ class MaterializationManager:
         seen_sigs: set[str] = set()
         actions = 0
         by_sig: dict[str, Any] = {}
+        # measured DataFrames are persisted so the chosen point's
+        # parquet write re-reads the cached partitions instead of
+        # recomputing the subplan from scratch (a first profiled run
+        # used to pay each candidate ~twice); unpersisted at the end
+        measured: dict[str, Any] = {}
         for alias, sig in executor.lineage.items():
+            if run_aliases is not None and alias not in run_aliases:
+                continue  # bound by a previous run() on this engine
             if alias in executor._loads or alias in spliced:
                 continue  # sources and already-cached aliases
             rel = executor.env.get(alias)
@@ -396,12 +415,15 @@ class MaterializationManager:
             if not self.profiles.has_measurement(sig):
                 if actions >= self.settings.max_profile_actions:
                     continue
-                df = executor.df(alias)
+                df = executor.df(alias).persist(StorageLevel.MEMORY_AND_DISK)
+                measured[sig] = df
                 actions += 1
                 t0 = time.perf_counter()
                 try:
                     rows = df.count()
                 except Exception:
+                    df.unpersist()
+                    del measured[sig]
                     continue  # e.g. ASSERT-guarded plans: never cache
                 cost_ms = (time.perf_counter() - t0) * 1000.0
                 bpr = _estimate_bytes_per_record(df)
@@ -438,18 +460,29 @@ class MaterializationManager:
                              executor, "terminal_aliases", set())}
 
         done: list[str] = []
+        stats = {"profiled": actions, "writes": 0, "writes_from_measured": 0}
         for m in choose_points(s.strategy, candidates, sink_lineages):
             alias = by_sig[m.lineage]
             path = os.path.join(self.base_dir, f"auto_{m.lineage}")
+            # a measured point writes from its persisted partitions —
+            # the count() above was its single extra execution
+            src = measured.get(m.lineage)
+            stats["writes_from_measured"] += src is not None
+            if src is None:
+                src = executor.df(alias)
             try:
-                executor.df(alias).write.mode("overwrite").parquet(path)
+                src.write.mode("overwrite").parquet(path)
             except Exception:
                 continue
+            stats["writes"] += 1
             m.bytes = _dir_bytes(path, m.bytes)
             if self.cache.insert(m, path):
                 done.append(m.lineage)
             else:
                 shutil.rmtree(path, ignore_errors=True)
+        for df in measured.values():
+            df.unpersist()
+        self.stats_last_run = stats
         return done
 
 

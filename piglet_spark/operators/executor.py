@@ -23,6 +23,7 @@ from __future__ import annotations
 import dataclasses
 import hashlib
 import re
+import sys
 from typing import Any, Callable, Optional, Union
 
 from pyspark.sql import Column, DataFrame, SparkSession
@@ -397,6 +398,10 @@ class Executor:
         # `profiling` option is on
         self.mm = None
         self.mm_spliced: set[str] = set()  # aliases bound to cached parquet
+        # aliases whose lineage was (re)bound during the current
+        # engine.run() — scopes mm profiling to this run's plan so a
+        # re-used engine doesn't re-count previous scripts' signatures
+        self.bound_this_run: set[str] = set()
         self.terminal_aliases: set[str] = set()  # consumed by nothing
         # aliases consumed 2+ times (set by engine when auto_cache on)
         self.shared_aliases: set[str] = set()
@@ -564,8 +569,17 @@ class Executor:
             return False
         self.env[op.out] = cached
         self.lineage[op.out] = sig
+        self.bound_this_run.add(op.out)
         self.mm_spliced.add(op.out)
         self._loads.add(op.out)  # now a raw scan: don't re-persist
+        # visible notice: splices key on the plan signature only (the
+        # reference's contract) — if the underlying input FILES changed
+        # since the cache write this is stale; check_inputs=True folds
+        # file state into LOAD signatures and prevents it
+        if not self.mm.settings.check_inputs:
+            print(f"# mm: alias {op.out!r} spliced from cached result "
+                  f"(set check_inputs to invalidate on input-file change)",
+                  file=sys.stderr)
         return True
 
     def _op_signature(self, op: A.Op) -> str:
@@ -608,6 +622,7 @@ class Executor:
         if not outs:
             return
         sig = self._op_signature(op)
+        self.bound_this_run.update(outs)
         if len(outs) == 1:
             self.lineage[outs[0]] = sig
             return

@@ -311,6 +311,58 @@ def test_neardup_clusters_long_chain(spark):
                                driver_cc_threshold=0)
 
 
+def test_neardup_clusters_byte_aware_driver_gate(spark, monkeypatch):
+    """The driver union-find regime is gated on estimated BYTES, not
+    just edge count: wide string doc ids (URLs, UUID paths) can make
+    1M edges 10-50× larger on the driver than numeric ids (r04).
+    Below the byte budget → driver path; above it → distributed path,
+    with identical labels either way."""
+    wide = [f"https://example.com/corpus/shard-{i:04d}/" + "x" * 400
+            for i in range(6)]
+    docs = spark.createDataFrame([(w,) for w in wide], ["doc_id"])
+    pairs = spark.createDataFrame(
+        [(min(a, b), max(a, b)) for a, b in
+         [(wide[0], wide[1]), (wide[1], wide[2]), (wide[3], wide[4])]],
+        ["id_a", "id_b"])
+    est = dedup._edge_bytes_estimate(pairs.localCheckpoint(), 3)
+    assert est > 3 * 800  # ~500 chars of id data per edge, plus overhead
+
+    calls = {"driver": 0, "dist": 0}
+    real_uf, real_cc = dedup._driver_union_find, dedup._distributed_cc
+
+    def spy_uf(*a, **k):
+        calls["driver"] += 1
+        return real_uf(*a, **k)
+
+    def spy_cc(*a, **k):
+        calls["dist"] += 1
+        return real_cc(*a, **k)
+
+    monkeypatch.setattr(dedup, "_driver_union_find", spy_uf)
+    monkeypatch.setattr(dedup, "_distributed_cc", spy_cc)
+
+    def labels(**kw):
+        out = dedup.neardup_clusters(docs, pairs=pairs, **kw)
+        return {r["doc_id"]: r["cluster_id"] for r in out.collect()}
+
+    small_budget = labels(driver_cc_max_bytes=1000)  # over budget
+    assert calls == {"driver": 0, "dist": 1}
+    big_budget = labels()  # default 256 MB: comfortably within
+    assert calls == {"driver": 1, "dist": 1}
+    assert small_budget == big_budget
+    assert small_budget[wide[1]] == min(wide[0], wide[1], wide[2])
+    assert small_budget[wide[5]] == wide[5]  # singleton
+
+    # numeric ids never pay the sampling collect and stay driver-side
+    ndocs = spark.createDataFrame([(i,) for i in range(4)], ["doc_id"])
+    npairs = spark.createDataFrame([(0, 1)], ["id_a", "id_b"])
+    assert dedup._edge_bytes_estimate(npairs, 10 ** 6) == 56 * 10 ** 6
+    nlab = dedup.neardup_clusters(ndocs, pairs=npairs)
+    assert calls == {"driver": 2, "dist": 1}
+    assert {r["doc_id"]: r["cluster_id"] for r in nlab.collect()} == {
+        0: 0, 1: 0, 2: 2, 3: 3}
+
+
 # --- quadratic-blowup caps (r02: scale safety for hot shingles/buckets) ---
 
 
