@@ -1331,8 +1331,23 @@ SELECT COUNT(*) AS n, 0 AS min_idx, COUNT(*) - 1 AS max_idx FROM customer
 
 SAMPLE_Q = """
 L = LOAD '$sf/lineitem.parquet' USING ParquetStorage();
-S = SAMPLE L 0.1;
-P = FOREACH S GENERATE l_orderkey;
+K = FOREACH L GENERATE l_orderkey, l_linenumber;
+S = SAMPLE K 0.1 SEED 42;
+P = FOREACH S GENERATE l_orderkey, l_linenumber;
+"""
+
+# SAMPLE … SEED is deterministic hash-threshold sampling (r04): keep a
+# row iff the first 8 md5 hex digits of 'seed|cols' < fraction × 2³² —
+# bit-identical membership in any engine with md5, so the previously
+# rows-only Bernoulli row now has a full value-hash oracle. The
+# sampled relation is projected to integer keys first because the
+# hash covers stringified columns and int formatting is portable
+# (double/timestamp formatting is not).
+SAMPLE_SQL = f"""
+SELECT l_orderkey, l_linenumber FROM lineitem
+WHERE CAST(('0x' || substr(md5(concat_ws('|', '42', l_orderkey,
+                                          l_linenumber)), 1, 8))
+           AS BIGINT) < {int(0.1 * 4294967296)}
 """
 
 # classic-Pig CUBE/ROLLUP (beyond the reference grammar): all grouping
@@ -1619,7 +1634,8 @@ def oracle_sql() -> dict[str, str]:
         "multimodal_features": MULTIMODAL_SQL,
         "similarity_ann_lsh": _ann_lsh_sql(),
         "similarity_ivf": _ivf_sql(),
-        # sample: non-SQL-expressible (nondeterministic Bernoulli
-        # sampling) → rows-only check. cep_seq_match gained a
+        # sample_op: oracled since r04 via SAMPLE … SEED (deterministic
+        # hash-threshold membership). cep_seq_match gained a
         # recursive-CTE oracle in r02 (CEP_SEQ_SQL).
+        "sample_op": SAMPLE_SQL,
     }

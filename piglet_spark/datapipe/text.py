@@ -172,7 +172,11 @@ PII_PATTERNS: list[tuple[str, str, str]] = [
      "<EMAIL>"),
     ("ssn", r"\b\d{3}-\d{2}-\d{4}\b", "<SSN>"),
     ("credit_card", r"\b\d{4}[- ]\d{4}[- ]\d{4}[- ]\d{4}\b", "<CARD>"),
-    ("ipv4", r"\b\d{1,3}\.\d{1,3}\.\d{1,3}\.\d{1,3}\b", "<IP>"),
+    # octets constrained to 0-255 so dotted version strings such as
+    # "1.2.3.400" / "10.1.2.300" are not falsely redacted (r04,
+    # ADVICE); RE2-compatible alternation, no lookaround
+    ("ipv4", r"\b(25[0-5]|2[0-4]\d|1\d\d|[1-9]?\d)"
+     r"(\.(25[0-5]|2[0-4]\d|1\d\d|[1-9]?\d)){3}\b", "<IP>"),
     # no \b before '+': a word boundary needs a word char on one side
     ("phone", r"\+\d{7,15}\b|\(\d{3}\) ?\d{3}[- ]\d{4}\b"
      r"|\b\d{3}-\d{3}-\d{4}\b", "<PHONE>"),

@@ -119,6 +119,9 @@ class PigEngine:
             except Exception:
                 pass
         self.executor.stream_queries.clear()
+        # end any ZMQ SUB pump threads and remove their spool dirs
+        from .streaming import stream_exec as _se
+        _se.stop_zmq_pumps()
 
 
 def run(spark: SparkSession, script: str,

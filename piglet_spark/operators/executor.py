@@ -1400,7 +1400,23 @@ class Executor:
         df = self.df(op.rel)
         if not isinstance(op.fraction, A.Literal):
             raise ExecError("SAMPLE requires a literal fraction")
-        self.env[op.out] = df.sample(float(op.fraction.value))
+        frac = float(op.fraction.value)
+        if op.seed is None:
+            self.env[op.out] = df.sample(frac)
+            return
+        if not isinstance(op.seed, A.Literal):
+            raise ExecError("SAMPLE … SEED requires a literal seed")
+        # deterministic hash-threshold sample: keep a row iff the
+        # first 8 hex digits of md5(seed | row-as-strings) fall below
+        # fraction × 2³². Per-row, stateless, map-only — identical
+        # membership on any engine with md5 (the repo's portable
+        # oracle-parity idiom, cf. datapipe/dedup.py) and independent
+        # of partitioning, so cluster re-runs select the same rows
+        h = F.conv(F.substring(F.md5(F.concat_ws(
+            "|", F.lit(str(op.seed.value)),
+            *[F.coalesce(F.col(c).cast("string"), F.lit(""))
+              for c in df.columns])), 1, 8), 16, 10).cast("bigint")
+        self.env[op.out] = df.filter(h < F.lit(int(frac * 4294967296)))
 
     def op_distinct(self, op: A.Distinct) -> None:
         self.env[op.out] = self.df(op.rel).distinct()
@@ -1898,16 +1914,33 @@ class Executor:
                     "a ROWS window requires SLIDE ROWS (mixed "
                     "count/time units are not defined)")
             m = int(op.slide[0])
+        key = op.partition
+        if key is not None and key not in df.columns:
+            raise ExecError(
+                f"WINDOW … PARTITION BY {key!r}: no such column")
         if df.isStreaming:
-            return rows_window_stream(df, n, m)
-        # the scalar total as a literal (not a broadcast self-join):
-        # the indexed frame then has exactly ONE consumer, so nothing
-        # needs persist — the r02 version persisted it for the
-        # two-consumer broadcast-total plan and leaked the cache for
-        # the session lifetime (r02 advice)
-        n_total = df.count()
+            return rows_window_stream(df, n, m, key=key)
         idx = self._with_index(df).withColumnRenamed("index", "__idx")
-        i, big_n = F.col("__idx"), F.lit(n_total)
+        if key is not None:
+            # keyed count windows: per-key arrival position + per-key
+            # total via one shuffle on the key (no global sort, no
+            # driver action) — the batch mirror of Flink's
+            # keyBy(k).countWindow
+            from pyspark.sql.window import Window as SqlWin
+            kw = SqlWin.partitionBy(key)
+            idx = (idx
+                   .withColumn("__pos", F.row_number().over(
+                       kw.orderBy("__idx")) - 1)
+                   .withColumn("__tot", F.count(F.lit(1)).over(kw)))
+            i, big_n = F.col("__pos"), F.col("__tot")
+        else:
+            # the scalar total as a literal (not a broadcast
+            # self-join): the indexed frame then has exactly ONE
+            # consumer, so nothing needs persist — the r02 version
+            # persisted it for the two-consumer broadcast-total plan
+            # and leaked the cache for the session lifetime
+            n_total = df.count()
+            i, big_n = F.col("__idx"), F.lit(n_total)
         if m is None or m == n:
             wid = F.floor(i / n)
             out = (idx.withColumn("__rowwin", wid)
@@ -1923,7 +1956,8 @@ class Executor:
             seq = F.when(w_min <= w_max, F.sequence(w_min, w_max)) \
                 .otherwise(F.array().cast("array<bigint>"))
             out = idx.withColumn("__rowwin", F.explode(seq))
-        return out.drop("__idx"), RowsWindowSpec(n, m)
+        return (out.drop("__idx", "__pos", "__tot"),
+                RowsWindowSpec(n, m, key=key))
 
     def op_matchevent(self, op: A.MatchEvent) -> None:
         from ..streaming import cep

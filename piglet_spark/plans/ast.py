@@ -402,6 +402,9 @@ class Sample(Op):
     out: str
     rel: str
     fraction: Expr = None
+    # SEED n → deterministic hash-threshold sampling (oracle-able);
+    # without it, Spark's nondeterministic Bernoulli sample
+    seed: Optional[Expr] = None
 
     def __post_init__(self):
         self.inputs = [self.rel]
@@ -781,6 +784,9 @@ class Window(Op):
     rel: str
     size: tuple[int, str] = (0, "SECONDS")  # (n, unit) or (n, "ROWS")
     slide: Optional[tuple[int, str]] = None
+    # ROWS windows only: PARTITION BY <col> → independent per-key
+    # count windows (Flink keyed countWindow), distributed by key
+    partition: Optional[str] = None
 
     def __post_init__(self):
         self.inputs = [self.rel]

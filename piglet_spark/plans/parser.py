@@ -694,7 +694,11 @@ class Parser:
         self.eat_kw("sample")
         rel = self.ident()
         frac = self.parse_expr()
-        return A.Sample(out=alias, rel=rel, fraction=frac)
+        # `SAMPLE A f SEED n` (classic-Pig-adjacent extension):
+        # deterministic hash-threshold sampling, reproducible across
+        # runs and engines — without SEED it is Spark's Bernoulli
+        seed = self.parse_expr() if self.try_kw("seed") else None
+        return A.Sample(out=alias, rel=rel, fraction=frac, seed=seed)
 
     def op_union(self, alias: str) -> A.Op:
         self.eat_kw("union")
@@ -943,7 +947,15 @@ class Parser:
         slide = None
         if self.try_kw("slide"):
             slide = self.parse_window_spec()
-        return A.Window(out=alias, rel=rel, size=size, slide=slide)
+        # `WINDOW A ROWS n [SLIDE ROWS m] PARTITION BY k` — keyed
+        # count windows (Flink keyed countWindow): per-key arrival
+        # order, windows fire independently per key, distributed
+        partition = None
+        if self.try_kw("partition"):
+            self.eat_kw("by")
+            partition = self.ident()
+        return A.Window(out=alias, rel=rel, size=size, slide=slide,
+                        partition=partition)
 
     def parse_window_spec(self) -> tuple[int, str]:
         if self.try_kw("range"):

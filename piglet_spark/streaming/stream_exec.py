@@ -66,6 +66,27 @@ def _require_zmq():
             "or use the plain TCP socket mode") from e
 
 
+# live SUB pump threads: {"stop": Event, "spool": dir, "thread": Thread}
+# — registered so engine.stop_streams() / stop_zmq_pumps() can end the
+# thread, close its socket and remove the spool (r04, ADVICE: pumps
+# used to run forever and spool files were never pruned)
+_ZMQ_PUMPS: list[dict] = []
+# age horizon for un-consumed spool files; consumed files are deleted
+# by the file source itself (cleanSource=delete)
+_ZMQ_SPOOL_TTL_SEC = 600.0
+
+
+def stop_zmq_pumps() -> None:
+    """Stop every live ZMQ SUB pump and delete its spool directory."""
+    import shutil
+
+    while _ZMQ_PUMPS:
+        p = _ZMQ_PUMPS.pop()
+        p["stop"].set()
+        p["thread"].join(timeout=2.0)
+        shutil.rmtree(p["spool"], ignore_errors=True)
+
+
 def zmq_read(spark: SparkSession, op: A.SocketRead) -> DataFrame:
     """SOCKET_READ … MODE zmq: a ZeroMQ SUB subscriber (connects to
     tcp://host:port, subscribes to everything — ref ZmqSubscriber,
@@ -73,7 +94,12 @@ def zmq_read(spark: SparkSession, op: A.SocketRead) -> DataFrame:
     source, so a driver-side daemon thread spools received messages
     into batch files consumed by a file stream — single-receiver
     ingest, exactly the parallelism of the reference's one-instance
-    source function; the parsed stream itself is fully parallel."""
+    source function; the parsed stream itself is fully parallel.
+
+    Spool lifecycle (r04): processed files are deleted by the file
+    source (``cleanSource=delete``), un-consumed files age out after
+    ``_ZMQ_SPOOL_TTL_SEC``, and the pump exits when its stop event is
+    set (``stop_zmq_pumps`` / ``PigEngine.stop_streams``)."""
     zmq = _require_zmq()
     import tempfile
     import threading
@@ -81,8 +107,10 @@ def zmq_read(spark: SparkSession, op: A.SocketRead) -> DataFrame:
 
     addr = f"tcp://{op.host or 'localhost'}:{op.port}"
     spool = tempfile.mkdtemp(prefix="piglet_zmq_")
+    stop = threading.Event()
 
     def pump():
+        import os
         ctx = zmq.Context.instance()
         sub = ctx.socket(zmq.SUB)
         sub.setsockopt(zmq.RCVHWM, 0)
@@ -91,12 +119,12 @@ def zmq_read(spark: SparkSession, op: A.SocketRead) -> DataFrame:
         buf: list[str] = []
         seq = 0
         last = _time.time()
-        while True:
+        last_prune = _time.time()
+        while not stop.is_set():
             try:
                 if sub.poll(200):
                     buf.append(sub.recv().decode("utf-8", "replace"))
                 if buf and (_time.time() - last > 0.5 or len(buf) >= 1000):
-                    import os
                     tmp = os.path.join(spool, f"._{seq}.txt")
                     with open(tmp, "w") as f:
                         f.write("\n".join(buf) + "\n")
@@ -104,12 +132,29 @@ def zmq_read(spark: SparkSession, op: A.SocketRead) -> DataFrame:
                     seq += 1
                     buf.clear()
                     last = _time.time()
+                if _time.time() - last_prune > 30.0:
+                    # cleanSource-style horizon for files the stream
+                    # never consumed (e.g. its query already stopped)
+                    cutoff = _time.time() - _ZMQ_SPOOL_TTL_SEC
+                    for fn in os.listdir(spool):
+                        fp = os.path.join(spool, fn)
+                        try:
+                            if os.path.getmtime(fp) < cutoff:
+                                os.unlink(fp)
+                        except OSError:
+                            pass
+                    last_prune = _time.time()
             except Exception:
                 break
+        sub.close(linger=0)
 
-    threading.Thread(target=pump, daemon=True,
-                     name=f"piglet-zmq-sub-{op.port}").start()
-    raw = spark.readStream.format("text").load(spool)
+    thread = threading.Thread(target=pump, daemon=True,
+                              name=f"piglet-zmq-sub-{op.port}")
+    thread.start()
+    _ZMQ_PUMPS.append({"stop": stop, "spool": spool, "thread": thread})
+    raw = (spark.readStream.format("text")
+           .option("cleanSource", "delete")  # drop processed spool files
+           .load(spool))
     return _parse_lines(raw, op.func, op.func_args, op.schema,
                         op.timestamp_field)
 
@@ -146,10 +191,51 @@ def zmq_write(df: DataFrame, op, options: Optional[dict] = None):
             pub.close()  # linger=5000 flushes queued messages first
         return None
     opts = options or {}
-    return (df.writeStream.outputMode(opts.get("output_mode", "append"))
-            .foreachBatch(send_batch)
-            .trigger(processingTime=opts.get("trigger", "1 second"))
-            .start())
+    q = (df.writeStream.outputMode(opts.get("output_mode", "append"))
+         .foreachBatch(send_batch)
+         .trigger(processingTime=opts.get("trigger", "1 second"))
+         .start())
+    # close the PUB socket when the query ends — by stop() OR failure
+    # (r04, ADVICE: the streaming path used to leak the bound socket)
+    _on_query_terminated(df.sparkSession, q.id,
+                         lambda: pub.close())  # linger flushes first
+    return q
+
+
+# query id → cleanup callback, fired by one session-wide listener
+_QUERY_CLEANUPS: dict[str, object] = {}
+_LISTENED_SESSIONS: set[int] = set()
+
+
+def _on_query_terminated(spark: SparkSession, query_id, callback) -> None:
+    """Run ``callback`` once when the given streaming query terminates
+    (stop(), completion, or failure), via a StreamingQueryListener."""
+    _QUERY_CLEANUPS[str(query_id)] = callback
+    key = id(spark)
+    if key in _LISTENED_SESSIONS:
+        return
+    from pyspark.sql.streaming import StreamingQueryListener
+
+    class _CleanupListener(StreamingQueryListener):
+        def onQueryStarted(self, event):
+            pass
+
+        def onQueryProgress(self, event):
+            pass
+
+        def onQueryIdle(self, event):
+            pass
+
+        def onQueryTerminated(self, event):
+            cb = _QUERY_CLEANUPS.pop(str(event.id), None)
+            if cb is not None:
+                try:
+                    cb()
+                except Exception:
+                    pass
+
+    spark.streams.addListener(_CleanupListener())
+    _LISTENED_SESSIONS.add(key)
 
 
 def stream_load(spark: SparkSession, path: str, func: Optional[str],
@@ -214,36 +300,48 @@ def _apply_timestamp(df: DataFrame, ts_field) -> DataFrame:
 class RowsWindowSpec:
     """Count-window metadata: the window id lives in the precomputed
     ``__rowwin`` column (executor._rows_window); downstream grouping
-    adds it to its keys like a time-window column."""
+    adds it to its keys like a time-window column. Keyed windows
+    (``PARTITION BY k``) identify a window by (key, per-key id) —
+    window ids restart at 0 for every key, so the key is part of the
+    window identity."""
 
-    def __init__(self, size: int, slide: Optional[int] = None):
+    def __init__(self, size: int, slide: Optional[int] = None,
+                 key: Optional[str] = None):
         self.size = size
         self.slide = slide
+        self.key = key
         self.ts_col = None
 
     def window_col(self):
+        if self.key is not None:
+            return F.struct(F.col(self.key).alias("key"),
+                            F.col("__rowwin").alias("win"))
         return F.col("__rowwin")
 
 
-def rows_window_stream(df: DataFrame, n: int, m: Optional[int]
+def rows_window_stream(df: DataFrame, n: int, m: Optional[int],
+                       key: Optional[str] = None
                        ) -> tuple[DataFrame, RowsWindowSpec]:
     """True-streaming count windows with Flink countWindow semantics
     (the reference's Flink backend compiled WINDOW ROWS this way,
     StreamWindowEmitter.scala:50-62; its Spark backend never compiled
     ROWS at all — this exceeds reference parity).
 
-    Cross-micro-batch state via ``applyInPandasWithState``: one global
+    Cross-micro-batch state via ``applyInPandasWithState``: each state
     key holds (elements-seen, pickled tail buffer). Tumbling (slide ==
     size): only complete windows of n fire, spanning batch boundaries.
     Sliding (slide m): window w fires when element (w+1)·m−1 arrives
     and contains the ≤n elements before it (early windows partial —
     Flink semantics); the buffer keeps the trailing n−1 elements.
 
-    Scale note: a GLOBAL arrival-order counter is inherently serial —
-    all rows of the stream pass through one stateful task, exactly as
-    Flink's un-keyed ``countWindowAll`` is parallelism-1. That is the
-    semantics of the operator, not an implementation shortcut; use
-    keyed/time windows for parallel streams."""
+    ``key`` (r04): ``PARTITION BY k`` runs an independent count
+    window per key — state is keyed on k, tasks are distributed by
+    the shuffle on k, windows fire per key in per-key arrival order
+    (Flink ``keyBy(k).countWindow``). Without a key, a GLOBAL
+    arrival-order counter is inherently serial — all rows pass
+    through one stateful task, exactly as Flink's un-keyed
+    ``countWindowAll`` is parallelism-1. That is the semantics of the
+    operator, not an implementation shortcut."""
     import pickle
 
     import pandas as pd
@@ -290,10 +388,11 @@ def rows_window_stream(df: DataFrame, n: int, m: Optional[int]
         if outs:
             yield pd.concat(outs, ignore_index=True)
 
-    out = (df.withColumn("__wkey", F.lit(0)).groupBy("__wkey")
-           .applyInPandasWithState(assign, out_schema, state_schema,
-                                   "append", "NoTimeout"))
-    return out, RowsWindowSpec(n, m)
+    grouped = (df.groupBy(key) if key is not None
+               else df.withColumn("__wkey", F.lit(0)).groupBy("__wkey"))
+    out = grouped.applyInPandasWithState(assign, out_schema, state_schema,
+                                         "append", "NoTimeout")
+    return out, RowsWindowSpec(n, m, key=key)
 
 
 class WindowSpec:

@@ -947,6 +947,25 @@ def test_pii_scrub_and_stats(spark):
     assert st[3]["n_pii"] == 0
 
 
+def test_pii_ipv4_octet_range(spark):
+    """The ipv4 pattern requires octets 0-255: dotted quads with an
+    out-of-range component (software versions like 1.2.3.400, build
+    ids 10.1.2.999) must NOT be redacted — false redactions destroy
+    data (r04, ADVICE)."""
+    rows = [
+        (0, "upgrade to release 1.2.3.400 today"),
+        (1, "build 10.20.30.999 is broken"),
+        (2, "hosts 0.0.0.0 and 255.255.255.255 and 172.16.254.1"),
+        (3, "edge 256.1.1.1 is not an address but 250.1.1.1 is"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    out = {r["doc_id"]: r["text"] for r in text.pii_scrub(df).collect()}
+    assert out[0] == rows[0][1]  # 400 > 255: untouched
+    assert out[1] == rows[1][1]  # 999 > 255: untouched
+    assert out[2] == "hosts <IP> and <IP> and <IP>"
+    assert out[3] == "edge 256.1.1.1 is not an address but <IP> is"
+
+
 def test_repetition_stats_brute_force(spark):
     """Repetition fractions vs a python brute-force reference."""
     rows = [

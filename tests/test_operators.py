@@ -199,6 +199,30 @@ S = SAMPLE A 0.5;
     assert 0 <= df.count() <= 4
 
 
+def test_sample_seeded_deterministic(spark, data_dir):
+    """SAMPLE … SEED is deterministic hash-threshold sampling: the
+    same (rows, fraction, seed) always select the same subset —
+    reproducible across runs, partitionings and engines (md5-prefix
+    membership, the repo's oracle-parity idiom). Different seeds give
+    different subsets; a sampled subset is a subset of the input."""
+    script = f"""
+A = LOAD '{data_dir}/t.csv' USING PigStorage(',') AS (f1:int, f2:int, f3:int);
+S = SAMPLE A 0.5 SEED {{seed}};
+"""
+    one = rows(run(spark, script.format(seed=7), "S"))
+    two = rows(run(spark, script.format(seed=7), "S"))
+    assert one == two  # deterministic
+    base = rows(run(spark, script.replace(
+        "S = SAMPLE A 0.5 SEED {seed};", "S = A;").format(seed=0), "A"))
+    assert set(one) <= set(base)
+    # python reimplementation of the membership rule agrees
+    import hashlib
+    expect = [r for r in base if int(hashlib.md5(
+        "|".join(["7"] + [str(v) for v in r]).encode()
+    ).hexdigest()[:8], 16) < int(0.5 * 4294967296)]
+    assert sorted(one) == sorted(expect)
+
+
 def test_accumulate(spark, data_dir):
     df = run(spark, f"""
 A = LOAD '{data_dir}/t.csv' USING PigStorage(',') AS (f1:int, f2:int, f3:int);

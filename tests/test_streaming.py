@@ -382,6 +382,62 @@ C = FOREACH G GENERATE COUNT(W) AS n, MIN(W.id) AS lo, MAX(W.id) AS hi;
     assert rows == [(2, 0, 1), (4, 0, 3), (4, 2, 5), (4, 4, 7), (4, 6, 9)]
 
 
+def test_rows_window_keyed_batch(spark, tmp_path):
+    """WINDOW … ROWS n PARTITION BY k (r04): independent per-key count
+    windows in per-key arrival order — the batch mirror of Flink's
+    keyBy(k).countWindow. ids 0..9 with grp=i%3: grp0 sees 0,3,6,9 →
+    windows [0,3] and [6,9]; grp1 sees 1,4,7 → [1,4] (7 buffered);
+    grp2 sees 2,5,8 → [2,5]."""
+    p = tmp_path / "rowsk.csv"
+    p.write_text("".join(f"{i},{i % 3}\n" for i in range(10)))
+    eng = pg.PigEngine(spark)
+    eng.run(f"""
+A = LOAD '{p}' USING PigStorage(',') AS (id:int, grp:int);
+W = WINDOW A ROWS 2 PARTITION BY grp;
+G = GROUP W ALL;
+C = FOREACH G GENERATE MIN(W.grp) AS k, COUNT(W) AS n, MIN(W.id) AS lo,
+                       MAX(W.id) AS hi;
+""")
+    rows = sorted(tuple(r) for r in
+                  eng.df("C").select("k", "n", "lo", "hi").collect())
+    assert rows == [(0, 2, 0, 3), (0, 2, 6, 9), (1, 2, 1, 4),
+                    (2, 2, 2, 5)]
+
+
+def test_rows_window_keyed_streaming_cross_batch(spark, tmp_path):
+    """Keyed count windows on a true stream: per-key state crosses
+    micro-batch boundaries and the two keys' windows fire
+    independently (r04). Key a: batch1 brings a0,a1,a2 → window 0
+    fires in batch 1; a3 in batch 2 completes window 1 across the
+    boundary. Key b: b0 in batch 1 stays buffered; b1..b3 in batch 2
+    complete windows 0 and 1."""
+    import os
+    from piglet_spark.streaming.stream_exec import rows_window_stream
+
+    d = tmp_path / "rwink"
+    d.mkdir()
+    f1, f2 = d / "a.csv", d / "b.csv"
+    f1.write_text("a,0\na,1\na,2\nb,100\n")
+    f2.write_text("a,3\nb,101\nb,102\nb,103\n")
+    os.utime(f1, (1000, 1000))
+    os.utime(f2, (2000, 2000))
+    sdf = (spark.readStream.schema("k string, id int")
+           .option("maxFilesPerTrigger", 1).csv(str(d)))
+    out, spec = rows_window_stream(sdf, 2, None, key="k")
+    assert spec.key == "k"
+    q = (out.writeStream.format("memory").queryName("t_rows_keyed")
+         .outputMode("append").start())
+    q.processAllAvailable()
+    q.stop()
+    rows = spark.sql("select k, __rowwin, id from t_rows_keyed").collect()
+    got = {}
+    for r in rows:
+        got.setdefault((r[0], r[1]), []).append(r[2])
+    assert {kw: sorted(v) for kw, v in got.items()} == {
+        ("a", 0): [0, 1], ("a", 1): [2, 3],
+        ("b", 0): [100, 101], ("b", 1): [102, 103]}
+
+
 def test_rows_window_streaming_tumbling_cross_batch(spark, tmp_path):
     """True-streaming WINDOW ROWS (r03): count-window state survives
     micro-batch boundaries (applyInPandasWithState) with Flink
