@@ -20,7 +20,11 @@ def build_parser() -> argparse.ArgumentParser:
     ap = argparse.ArgumentParser(
         prog="piglet_spark",
         description="Run Pig Latin scripts on PySpark")
-    ap.add_argument("script", nargs="?", help="Pig script file (omit for REPL)")
+    ap.add_argument("script", nargs="*",
+                    help="Pig script file(s) (omit for REPL). Several "
+                         "files run with shared-subplan execution: a "
+                         "prefix common to 2+ scripts computes once "
+                         "(ref PlanMerger, Piglet.scala:222)")
     ap.add_argument("-p", "--param", action="append", default=[],
                     metavar="KEY=VALUE", help="script parameter ($KEY)")
     ap.add_argument("--streaming", action="store_true",
@@ -72,24 +76,29 @@ def main(argv=None) -> int:
         options["profiling"] = True
     if args.mat_dir:
         options["materialization_dir"] = args.mat_dir
-    base_dir = os.path.dirname(os.path.abspath(args.script)) \
+    base_dir = os.path.dirname(os.path.abspath(args.script[0])) \
         if args.script else "."
     eng = PigEngine(spark, params=params, options=options,
                     base_dir=base_dir)
 
-    if args.script is None:
+    if not args.script:
         from .repl import repl
         return repl(eng)
 
-    try:
-        with open(args.script) as f:
-            source = f.read()
-    except OSError as e:
-        print(f"cannot read {args.script}: {e}", file=sys.stderr)
-        return 2
+    sources = []
+    for path in args.script:
+        try:
+            with open(path) as f:
+                sources.append(f.read())
+        except OSError as e:
+            print(f"cannot read {path}: {e}", file=sys.stderr)
+            return 2
 
     try:
-        eng.run(source)
+        if len(sources) == 1:
+            eng.run(sources[0])
+        else:
+            eng.run_all(sources)
     except Exception as e:
         print(f"error: {type(e).__name__}: {e}", file=sys.stderr)
         return 1

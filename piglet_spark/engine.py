@@ -93,6 +93,51 @@ class PigEngine:
                 run_aliases=self.executor.bound_this_run)
         return env
 
+    def run_all(self, scripts: list[str]) -> list[dict[str, Relation]]:
+        """Multi-script shared-subplan execution — the reference's
+        PlanMerger path (PlanMerger.scala:11-114, invoked when the CLI
+        gets several script files, Piglet.scala:222). A signature pre-pass
+        over every script finds operators whose full lineage chain is
+        identical across 2+ scripts; the first script to bind such a
+        signature persists the DataFrame and later scripts splice the
+        persisted result in, so the common prefix executes once per
+        session (in-memory — no parquet round-trip, unlike the
+        cross-run mm cache)."""
+        from .operators.executor import simulate_signatures
+        parsed = [self.parse(s) for s in scripts]
+        load_stat = (self.executor.mm is not None
+                     and self.executor.mm.settings.check_inputs)
+        per_script = [simulate_signatures(ops, load_stat=load_stat)
+                      for ops in parsed]
+        seen: dict[str, int] = {}
+        for records in per_script:
+            for sig in {s for s, spliceable, _ in records if spliceable}:
+                seen[sig] = seen.get(sig, 0) + 1
+        shared = {s for s, n in seen.items() if n >= 2}
+        # Persist only the FRONTIER of each shared prefix — shared ops
+        # with at least one consumer outside the shared set (a script's
+        # distinct tail, or a sink). Interior shared nodes are never
+        # executed by later scripts (their downstream frontier splices
+        # from the cache), so caching them would only burn memory.
+        consumed_by_nonshared: set[str] = set()
+        for records in per_script:
+            for sig, spliceable, in_sigs in records:
+                if not (spliceable and sig in shared):
+                    consumed_by_nonshared.update(in_sigs)
+        self.executor.share_sigs.update(shared & consumed_by_nonshared)
+        return [self.run(s) for s in scripts]
+
+    def clear_session_cache(self) -> None:
+        """Unpersist DataFrames cached by run_all's shared-subplan
+        execution and forget the shared signatures."""
+        for df in self.executor.session_cache.values():
+            try:
+                df.unpersist()
+            except Exception:
+                pass
+        self.executor.session_cache.clear()
+        self.executor.share_sigs.clear()
+
     def df(self, alias: str) -> DataFrame:
         """Materialized DataFrame for an alias (GroupedRelations are
         realized as (group, bag))."""

@@ -355,6 +355,80 @@ def _input_stat(path: str) -> str:
     return f"input:{mt}:{total}:{len(files)}"
 
 
+def op_signature(op: A.Op, lineage: dict[str, str], *,
+                 load_stat: bool = False) -> str:
+    """Plan-chain signature of one operator given its inputs' lineage
+    (ref PigOperator.lineageSignature:226-239). Pure function of the
+    AST + the lineage dict, so plan merging (ref PlanMerger.scala) can
+    compute the same signatures the Executor will before running."""
+    parts = [type(op).__name__, repr(op)]
+    parts.extend(lineage.get(i, i) for i in op.inputs)
+    if isinstance(op, A.Load) and load_stat:
+        # opt-in stale-input guard (mm ProfilerSettings.check_inputs):
+        # file modification state keys the scan's lineage, so cached
+        # downstream results invalidate when the input files change —
+        # beyond the reference's plan-text-only contract
+        parts.append(_input_stat(op.path))
+    if isinstance(op, A.SqlStmt):
+        # SQL sees the whole alias environment, not a declared input
+        # list — fold in the lineage of every alias the query text
+        # references so an upstream edit changes this (and every
+        # downstream) signature; otherwise a stale auto-materialization
+        # could splice in below an edited SQL dependency (r03)
+        refs = sorted(a for a in lineage
+                      if re.search(rf"\b{re.escape(a)}\b", op.query))
+        parts.extend(lineage[a] for a in refs)
+    return hashlib.md5("|".join(parts).encode()).hexdigest()
+
+
+def bind_signatures(op: A.Op, lineage: dict[str, str], sig: str) -> list[str]:
+    """Assign per-alias signatures for op's output(s) into `lineage`,
+    returning the bound aliases. Multi-output ops (SPLIT INTO) get a
+    distinct signature per branch — each branch carries DIFFERENT
+    data, so a shared sig would let identical downstream ops on
+    different branches collide in the materialization cache and splice
+    the wrong branch's data (r03)."""
+    outs = [op.out] if op.out else []
+    if isinstance(op, A.SplitInto):
+        outs = [b.out for b in op.branches]
+    if isinstance(op, A.Assert):
+        # ASSERT rebinds its input alias in place (no out pipe); the
+        # guard must still change the alias's lineage so a MATERIALIZE
+        # checkpoint keyed on the pre-ASSERT signature doesn't silently
+        # bypass the assertion (r02 review)
+        outs = [op.rel]
+    if not outs:
+        return []
+    if len(outs) == 1:
+        lineage[outs[0]] = sig
+    else:
+        for o in outs:
+            lineage[o] = hashlib.md5(f"{sig}|{o}".encode()).hexdigest()
+    return outs
+
+
+def simulate_signatures(
+        ops: list[A.Op], *, load_stat: bool = False,
+) -> list[tuple[str, bool, tuple[str, ...]]]:
+    """Pre-execution signature pass over one script's rewritten plan,
+    tracking the full lineage chain exactly as the Executor will.
+    Returns one record per operator: (signature, spliceable — i.e. a
+    single-output transformation eligible for subplan sharing, sigs of
+    the inputs it consumes). Used by PigEngine.run_all to find subplans
+    shared across scripts and the frontier worth persisting (ref
+    PlanMerger.mergePlans, PlanMerger.scala:11-114)."""
+    lineage: dict[str, str] = {}
+    records: list[tuple[str, bool, tuple[str, ...]]] = []
+    for op in ops:
+        in_sigs = tuple(lineage.get(i, i) for i in op.inputs)
+        sig = op_signature(op, lineage, load_stat=load_stat)
+        outs = bind_signatures(op, lineage, sig)
+        spliceable = (len(outs) == 1 and bool(op.out)
+                      and type(op).__name__ in Executor._MM_SPLICEABLE)
+        records.append((sig, spliceable, in_sigs))
+    return records
+
+
 def _sim():
     from ..datapipe import similarity
     return similarity
@@ -405,6 +479,14 @@ class Executor:
         self.terminal_aliases: set[str] = set()  # consumed by nothing
         # aliases consumed 2+ times (set by engine when auto_cache on)
         self.shared_aliases: set[str] = set()
+        # cross-script shared-subplan execution (ref PlanMerger.scala,
+        # invoked Piglet.scala:222): PigEngine.run_all pre-computes the
+        # signatures appearing in 2+ scripts into share_sigs; the first
+        # script to bind such a signature persists it into
+        # session_cache and later scripts splice the persisted
+        # DataFrame in — the common prefix executes once per session
+        self.share_sigs: set[str] = set()
+        self.session_cache: dict[str, DataFrame] = {}
         self._cached: set[str] = set()
         self._loads: set[str] = set()  # raw-scan aliases (never cached)
         self.stream_queries: list[Any] = []  # active StreamingQuery handles
@@ -532,6 +614,8 @@ class Executor:
         return self.env
 
     def execute_op(self, op: A.Op) -> None:
+        if self.share_sigs and self._try_session_splice(op):
+            return
         if self.mm is not None and self._try_mm_splice(op):
             return
         meth = getattr(self, "op_" + type(op).__name__.lower(), None)
@@ -582,58 +666,58 @@ class Executor:
                   file=sys.stderr)
         return True
 
+    def _try_session_splice(self, op: A.Op) -> bool:
+        """In-session variant of _try_mm_splice for multi-script runs
+        (ref PlanMerger parity): bind op's output to the persisted
+        DataFrame another script in this run_all already produced for
+        the same lineage signature — no parquet round-trip, and the
+        shared prefix computes once."""
+        if (type(op).__name__ not in self._MM_SPLICEABLE
+                or not op.out or not op.inputs
+                or self.options.get("streaming")):
+            return False
+        sig = self._op_signature(op)
+        cached = self.session_cache.get(sig)
+        if cached is None:
+            return False
+        self.env[op.out] = cached
+        self.lineage[op.out] = sig
+        self.bound_this_run.add(op.out)
+        self._cached.add(op.out)  # already persisted — don't re-persist
+        return True
+
+    def _maybe_share(self, alias: str) -> None:
+        """First binding of a signature that run_all found in 2+
+        scripts: persist it so later scripts' splices read the cached
+        partitions instead of recomputing the prefix."""
+        sig = self.lineage.get(alias)
+        if sig not in self.share_sigs or sig in self.session_cache:
+            return
+        rel = self.env.get(alias)
+        if not isinstance(rel, DataFrame) or rel.isStreaming:
+            return  # lazy bags materialize per consumer; leave unshared
+        if alias not in self._cached:
+            rel = rel.persist(StorageLevel.MEMORY_AND_DISK)
+            self.env[alias] = rel
+            self._cached.add(alias)
+        self.session_cache[sig] = rel
+
     def _op_signature(self, op: A.Op) -> str:
-        parts = [type(op).__name__, repr(op)]
-        parts.extend(self.lineage.get(i, i) for i in op.inputs)
-        if isinstance(op, A.Load) and self.mm is not None \
-                and self.mm.settings.check_inputs:
-            # opt-in stale-input guard (mm ProfilerSettings
-            # .check_inputs): file modification state keys the scan's
-            # lineage, so cached downstream results invalidate when
-            # the input files change — beyond the reference's
-            # plan-text-only contract
-            parts.append(_input_stat(op.path))
-        if isinstance(op, A.SqlStmt):
-            # SQL sees the whole alias environment, not a declared
-            # input list — fold in the lineage of every alias the
-            # query text references so an upstream edit changes this
-            # (and every downstream) signature; otherwise a stale
-            # auto-materialization could splice in below an edited
-            # SQL dependency (r03)
-            refs = sorted(a for a in self.lineage
-                          if re.search(rf"\b{re.escape(a)}\b", op.query))
-            parts.extend(self.lineage[a] for a in refs)
-        return hashlib.md5("|".join(parts).encode()).hexdigest()
+        return op_signature(
+            op, self.lineage,
+            load_stat=(self.mm is not None
+                       and self.mm.settings.check_inputs))
 
     def _update_lineage(self, op: A.Op) -> None:
         """Per-alias lineage signature = hash of this operator + its
         inputs' signatures (ref PigOperator.lineageSignature:226-239).
         Keys MATERIALIZE so checkpoints survive unrelated script
         edits."""
-        outs = [op.out] if op.out else []
-        if isinstance(op, A.SplitInto):
-            outs = [b.out for b in op.branches]
-        if isinstance(op, A.Assert):
-            # ASSERT rebinds its input alias in place (no out pipe);
-            # the guard must still change the alias's lineage so a
-            # MATERIALIZE checkpoint keyed on the pre-ASSERT signature
-            # doesn't silently bypass the assertion (r02 review)
-            outs = [op.rel]
-        if not outs:
-            return
-        sig = self._op_signature(op)
+        outs = bind_signatures(op, self.lineage, self._op_signature(op))
         self.bound_this_run.update(outs)
-        if len(outs) == 1:
-            self.lineage[outs[0]] = sig
-            return
-        # multi-output ops (SPLIT INTO): each branch carries DIFFERENT
-        # data, so each out needs a DISTINCT signature — a shared sig
-        # would let identical downstream ops on different branches
-        # collide in the materialization cache and splice the wrong
-        # branch's data (r03)
-        for o in outs:
-            self.lineage[o] = hashlib.md5(
-                f"{sig}|{o}".encode()).hexdigest()
+        if (len(outs) == 1 and op.out and self.share_sigs
+                and type(op).__name__ in self._MM_SPLICEABLE):
+            self._maybe_share(op.out)
 
     def _propagate_stream_meta(self, op: A.Op) -> None:
         """Window/timestamp metadata follows pass-through operators

@@ -1,0 +1,145 @@
+"""Cross-script shared-subplan execution (PigEngine.run_all) — the
+reference's PlanMerger path (PlanMerger.scala:11-114, invoked when the
+CLI receives several script files, Piglet.scala:222): a subplan common
+to 2+ scripts in one session executes once.
+"""
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+import piglet_spark as pg
+from piglet_spark.operators.executor import simulate_signatures
+
+
+def _mark_udf(marker_path):
+    """Row-level UDF that appends one line per invocation — a
+    cross-process execution counter (local-mode Python workers share
+    the filesystem), proving how many times a subplan ran."""
+    def mark(x):
+        with open(marker_path, "a") as f:
+            f.write("x\n")
+        return x
+    return F.udf(mark, "int")
+
+
+PREFIX = """
+A = LOAD '{d}/t.csv' USING PigStorage(',') AS (a:int, b:int, c:int);
+B = FOREACH A GENERATE a, b, MARK(a) AS m;
+C = FILTER B BY a > 0;
+"""
+
+TAIL1 = "D = FOREACH C GENERATE a + b AS s;\nDUMP D;\n"
+TAIL2 = "E = FOREACH C GENERATE a * b AS p;\nDUMP E;\n"
+
+
+def _lines(p):
+    return sum(1 for _ in open(p)) if os.path.exists(p) else 0
+
+
+def test_run_all_shared_prefix_executes_once(spark, data_dir, tmp_path):
+    marker = str(tmp_path / "marks.txt")
+    eng = pg.PigEngine(spark)
+    eng.register_function("MARK", _mark_udf(marker))
+    s1 = PREFIX.format(d=data_dir) + TAIL1
+    s2 = PREFIX.format(d=data_dir) + TAIL2
+    eng.run_all([s1, s2])
+
+    # both tails computed correct values off the shared prefix
+    assert sorted(r["s"] for r in eng.df("D").collect()) == [3, 3, 9, 15]
+    assert sorted(r["p"] for r in eng.df("E").collect()) == [2, 2, 20, 56]
+
+    # the prefix's row-level UDF ran exactly once per row (4 rows in
+    # t.csv) — script 2 read the persisted result, so the shared
+    # subplan executed ONCE for two scripts
+    assert _lines(marker) == 4
+
+    # the frontier (C, deepest shared node) is persisted and spliced;
+    # the interior node (B) is not separately cached
+    assert len(eng.executor.session_cache) == 1
+    shared_c = next(iter(eng.executor.session_cache.values()))
+    assert eng.executor.env["C"] is shared_c
+    assert shared_c.storageLevel.useMemory
+
+    # script 2's tail physically reads the in-memory cache, not the CSV
+    # (the InMemoryRelation's description still embeds the original
+    # csv scan text; the marker count above is the no-recompute proof)
+    plan = eng.df("E")._jdf.queryExecution().executedPlan().toString()
+    assert "InMemoryTableScan" in plan
+
+    eng.clear_session_cache()
+    assert not eng.executor.session_cache
+    assert not shared_c.storageLevel.useMemory
+
+
+def test_run_all_disjoint_scripts_share_nothing(spark, data_dir):
+    eng = pg.PigEngine(spark)
+    s1 = ("A = LOAD '{d}/t.csv' USING PigStorage(',') AS "
+          "(a:int,b:int,c:int);\nB = FILTER A BY a > 1;\n").format(d=data_dir)
+    s2 = ("A = LOAD '{d}/dup.csv' USING PigStorage(',') AS "
+          "(x:int,y:int);\nB = FILTER A BY x > 1;\n").format(d=data_dir)
+    eng.run_all([s1, s2])
+    assert not eng.executor.session_cache
+    # same alias names, different lineage — no false sharing; B now
+    # holds script 2's binding
+    assert eng.df("B").count() == 1
+
+
+def test_run_all_matches_separate_runs(spark, sf_dir):
+    """run_all values are identical to two independent engines."""
+    s1 = (
+        "L = LOAD '{d}/lineitem.parquet' USING ParquetStorage();\n"
+        "F1 = FILTER L BY l_quantity > 10.0;\n"
+        "G = GROUP F1 BY l_returnflag;\n"
+        "S = FOREACH G GENERATE group AS flag, SUM(F1.l_quantity) AS q;\n"
+    ).format(d=sf_dir)
+    s2 = (
+        "L = LOAD '{d}/lineitem.parquet' USING ParquetStorage();\n"
+        "F1 = FILTER L BY l_quantity > 10.0;\n"
+        "M = FOREACH F1 GENERATE l_orderkey, l_extendedprice * 2.0 AS p2;\n"
+    ).format(d=sf_dir)
+    eng = pg.PigEngine(spark)
+    eng.run_all([s1, s2])
+    merged_s = {(r["flag"], float(r["q"])) for r in eng.df("S").collect()}
+    merged_m_n = eng.df("M").count()
+
+    ref1 = pg.PigEngine(spark)
+    ref1.run(s1)
+    ref2 = pg.PigEngine(spark)
+    ref2.run(s2)
+    assert merged_s == {(r["flag"], float(r["q"]))
+                        for r in ref1.df("S").collect()}
+    assert merged_m_n == ref2.df("M").count()
+    eng.clear_session_cache()
+
+
+def test_simulate_signatures_match_executor(spark, sf_dir):
+    """The pre-pass produces the same signatures the Executor binds at
+    run time — a mismatch would silently disable all sharing."""
+    script = (
+        "L = LOAD '{d}/nation.parquet' USING ParquetStorage();\n"
+        "F1 = FILTER L BY n_regionkey > 1;\n"
+        "P = FOREACH F1 GENERATE n_name, n_regionkey;\n"
+    ).format(d=sf_dir)
+    eng = pg.PigEngine(spark)
+    ops = eng.parse(script)
+    pre = {s for s, spliceable, _ in simulate_signatures(ops) if spliceable}
+    eng.run(script)
+    assert eng.executor.lineage["F1"] in pre
+    assert eng.executor.lineage["P"] in pre
+
+
+@pytest.mark.parametrize("n_scripts", [3])
+def test_run_all_three_scripts(spark, data_dir, tmp_path, n_scripts):
+    """Sharing holds for N>2 scripts: prefix still executes once."""
+    marker = str(tmp_path / "marks3.txt")
+    eng = pg.PigEngine(spark)
+    eng.register_function("MARK", _mark_udf(marker))
+    tails = ["D = FOREACH C GENERATE a + b AS v;\nDUMP D;\n",
+             "D = FOREACH C GENERATE a - b AS v;\nDUMP D;\n",
+             "D = FOREACH C GENERATE a * a AS v;\nDUMP D;\n"]
+    scripts = [PREFIX.format(d=data_dir) + t for t in tails[:n_scripts]]
+    eng.run_all(scripts)
+    assert _lines(marker) == 4
+    eng.clear_session_cache()
