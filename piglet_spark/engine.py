@@ -127,6 +127,17 @@ class PigEngine:
         self.executor.share_sigs.update(shared & consumed_by_nonshared)
         return [self.run(s) for s in scripts]
 
+    def to_code(self, script: str) -> str:
+        """Equivalent runnable PySpark source for a script — the
+        reference's generated-code surface for Zeppelin
+        (api/PigletInterpreterAPI.createCodeFromInput,
+        api/PigletInterpreterAPI.scala:30-49). Covers the classic
+        relational core; raises CodegenUnsupported (naming the
+        operator) outside it. A debugging companion to run(): exec the
+        string, or diff it against what the engine does."""
+        from . import codegen
+        return codegen.to_code(self.parse(script))
+
     def clear_session_cache(self) -> None:
         """Unpersist DataFrames cached by run_all's shared-subplan
         execution and forget the shared signatures."""

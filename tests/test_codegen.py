@@ -1,0 +1,112 @@
+"""PigEngine.to_code — emitted PySpark source executes and matches the
+engine's own results (ref api/PigletInterpreterAPI.createCodeFromInput,
+api/PigletInterpreterAPI.scala:30-49).
+"""
+
+import pytest
+
+import piglet_spark as pg
+from piglet_spark.codegen import CodegenUnsupported
+
+
+def _exec_code(spark, code):
+    ns = {"spark": spark}
+    exec(compile(code, "<generated>", "exec"), ns)
+    return ns
+
+
+def _rows(df):
+    return sorted(tuple(r) for r in df.collect())
+
+
+def test_codegen_wordcount_matches_engine(spark, data_dir):
+    script = (
+        "A = LOAD '{d}/mary.txt' USING TextLoader() AS (line:chararray);\n"
+        "W = FOREACH A GENERATE FLATTEN(TOKENIZE(line)) AS word;\n"
+        "G = GROUP W BY word;\n"
+        "C = FOREACH G GENERATE group AS word, COUNT(W) AS n;\n"
+        "O = ORDER C BY n DESC, word ASC;\n"
+        "T = LIMIT O 5;\n"
+    ).format(d=data_dir)
+    eng = pg.PigEngine(spark)
+    eng.run(script)
+    code = eng.to_code(script)
+    ns = _exec_code(spark, code)
+    assert _rows(ns["T"]) == _rows(eng.df("T"))
+    assert ns["T"].columns == eng.df("T").columns
+
+
+def test_codegen_filter_join_store(spark, sf_dir, tmp_path):
+    out = str(tmp_path / "cgout")
+    script = (
+        "N = LOAD '{d}/nation.parquet' USING ParquetStorage();\n"
+        "R = LOAD '{d}/region.parquet' USING ParquetStorage();\n"
+        "F1 = FILTER N BY n_regionkey < 3;\n"
+        "J = JOIN F1 BY n_regionkey, R BY r_regionkey;\n"
+        "P = FOREACH J GENERATE n_name AS nation, r_name AS region;\n"
+        "STORE P INTO '{o}' USING PigStorage(',');\n"
+    ).format(d=sf_dir, o=out)
+    eng = pg.PigEngine(spark)
+    eng.run(script)
+    expect = _rows(eng.df("P"))
+    code = eng.to_code(script.replace(out, out + "_gen"))
+    ns = _exec_code(spark, code)
+    assert _rows(ns["P"]) == expect
+    # the STORE in the generated code also ran
+    stored = _rows(spark.read.csv(out + "_gen"))
+    assert len(stored) == len(expect)
+
+
+def test_codegen_group_agg_matches_engine(spark, sf_dir):
+    script = (
+        "L = LOAD '{d}/lineitem.parquet' USING ParquetStorage();\n"
+        "F1 = FILTER L BY l_quantity > 10.0 AND l_discount <= 0.05;\n"
+        "G = GROUP F1 BY l_returnflag;\n"
+        "S = FOREACH G GENERATE group AS flag, COUNT(F1) AS n,\n"
+        "    SUM(F1.l_quantity) AS qty, AVG(F1.l_extendedprice) AS avg_p,\n"
+        "    MAX(F1.l_discount) AS max_d;\n"
+    ).format(d=sf_dir)
+    eng = pg.PigEngine(spark)
+    eng.run(script)
+    code = eng.to_code(script)
+    ns = _exec_code(spark, code)
+    got, want = _rows(ns["S"]), _rows(eng.df("S"))
+    assert len(got) == len(want)
+    for g, w in zip(got, want):
+        assert g[0] == w[0] and g[1] == w[1]
+        assert g[2] == pytest.approx(w[2])
+        assert g[3] == pytest.approx(w[3])
+        assert g[4] == pytest.approx(w[4])
+    assert ns["S"].columns == eng.df("S").columns
+
+
+def test_codegen_csv_load_split_union_sample(spark, data_dir):
+    script = (
+        "A = LOAD '{d}/t.csv' USING PigStorage(',') "
+        "AS (a:int, b:int, c:int);\n"
+        "SPLIT A INTO HI IF a > 3, LO OTHERWISE;\n"
+        "U = UNION HI, LO;\n"
+        "D = DISTINCT U;\n"
+        "S = SAMPLE A 0.5 SEED 42;\n"
+    ).format(d=data_dir)
+    eng = pg.PigEngine(spark)
+    eng.run(script)
+    ns = _exec_code(spark, eng.to_code(script))
+    for alias in ("HI", "LO", "U", "D", "S"):
+        assert _rows(ns[alias]) == _rows(eng.df(alias)), alias
+
+
+def test_codegen_unsupported_is_explicit(spark):
+    eng = pg.PigEngine(spark)
+    with pytest.raises(CodegenUnsupported) as ei:
+        eng.to_code("A = RDFLOAD('/tmp/x.nt');\n")
+    assert "RDFLoad" in str(ei.value)
+
+
+def test_codegen_output_is_plain_python(spark, data_dir):
+    eng = pg.PigEngine(spark)
+    code = eng.to_code(
+        "A = LOAD '{d}/t.csv' USING PigStorage(',') AS (a:int);\n"
+        "B = FILTER A BY a > 1;\nDUMP B;\n".format(d=data_dir))
+    compile(code, "<generated>", "exec")  # syntactically valid
+    assert "import piglet_spark" not in code  # self-contained
