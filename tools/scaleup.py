@@ -11,13 +11,18 @@ instance hardness):
 
 - documents: verbatim replication would make every doc a 10-way exact
   duplicate (dup density ~90%, a different and much harder dedup
-  instance). Instead, replica i>0 mutates each word w to w+'~'+i when
-  md5(w, i) % 3 == 0. The map is per-(word, replica), so two similar
-  docs inside a replica stay exactly as similar (same words -> same
-  mutations), while cross-replica 5-gram shingle survival is
-  (2/3)^5 ~ 13% (Jaccard ~0.07) -- far below every dedup threshold.
-  Net effect: near-dup pair count scales linearly with K, as it would
-  in a real corpus K times larger.
+  instance). Instead, replica i>0 mutates each word w to w+'qz'+i when
+  md5(w, i) % 3 != 2 (rate 2/3). The map is per-(word, replica), so
+  two similar docs inside a replica stay exactly as similar (same
+  words -> same mutations), while cross-replica shingle survival is
+  (1/3)^n per n-gram: 3.7% at n=3 (Jaccard ~0.019), 0.4% at n=5 --
+  below the loosest threshold the query suite uses (ngram Jaccard
+  0.1, MinHash 0.2, SimHash hamming<=16: word overlap 1/3 puts the
+  expected hamming near 27/64). An earlier rate of 1/3 was measured
+  to LEAK cross-replica pairs at those thresholds (3-gram survival
+  30% -> Jaccard ~0.17-0.3 > 0.1): 144k of 194k sf1 ngram pairs were
+  cross-replica artifacts. Net effect now: near-dup pair count scales
+  linearly with K, as it would in a real corpus K times larger.
 - embeddings: replica i>0 applies one random-orthogonal rotation Q_i
   (QR of a seeded Gaussian) to every vector. Rotation preserves all
   within-replica cosines EXACTLY and makes cross-replica cosines
@@ -82,8 +87,14 @@ def _replicated_sql(table: str, base: str, factor: int) -> str:
 
 
 def _mutate_word(word: str, i: int) -> str:
+    # Suffix must be ALPHANUMERIC and attached: the dedup family
+    # normalizes text with [^a-z0-9 ] -> ' ' (datapipe/text.py
+    # normalize_text), so a '~i' suffix would split into two tokens —
+    # resurrecting the original word AND injecting a corpus-wide
+    # shared token 'i', which inflates within-replica n-gram overlap
+    # (measured: 10.9M sf1 jaccard pairs vs 2.6k expected).
     h = hashlib.md5(f"{word}\x00{i}".encode()).digest()
-    return f"{word}~{i}" if h[0] % 3 == 0 else word
+    return f"{word}qz{i}" if h[0] % 3 != 2 else word
 
 
 def scale_documents(base: str, out: str, factor: int) -> int:
