@@ -9,8 +9,10 @@ REAL for the formats the standard library can express:
   gray/RGB/RGBA/gray+alpha), pure stdlib + numpy.
 - BMP: 24/32-bit uncompressed pixel decode.
 - PPM/PGM (P6/P5): full pixel decode.
-- JPEG: dimensions from the SOF marker (metadata-real; pixel decode
-  needs a DCT library this container doesn't ship → embedding null).
+- JPEG (r04): FULL baseline pixel decode in pure numpy — canonical
+  Huffman, dequant, 8x8 IDCT, 4:2:0/4:2:2/4:4:4 chroma upsampling,
+  restart intervals, YCbCr→RGB. Progressive (SOF2) and arithmetic
+  variants raise NotImplementedError.
 - WAV (PCM 8/16/32-bit): real frame decode via the stdlib ``wave``
   module; per-chunk RMS.
 
@@ -238,6 +240,263 @@ def jpeg_dims(payload: bytes) -> tuple[int, int]:
     raise ValueError("no SOF marker found in JPEG")
 
 
+# --------------------------------------------------- baseline JPEG
+# Pure numpy/stdlib baseline-JPEG pixel decode (ISO 10918-1 sequential
+# DCT, Huffman coding) — closes the "dims-only" gap without PIL/cv2.
+# Progressive (SOF2) and arithmetic/lossless variants still raise.
+
+# zigzag scan: raster index of the i-th zigzag-ordered coefficient
+_ZIGZAG = np.array([
+    0, 1, 8, 16, 9, 2, 3, 10, 17, 24, 32, 25, 18, 11, 4, 5,
+    12, 19, 26, 33, 40, 48, 41, 34, 27, 20, 13, 6, 7, 14, 21, 28,
+    35, 42, 49, 56, 57, 50, 43, 36, 29, 22, 15, 23, 30, 37, 44, 51,
+    58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61, 54, 47, 55, 62, 63])
+
+
+def _idct_matrix() -> np.ndarray:
+    u, x = np.meshgrid(np.arange(8), np.arange(8), indexing="ij")
+    m = 0.5 * np.cos((2 * x + 1) * u * np.pi / 16)
+    m[0, :] *= 1 / np.sqrt(2)
+    return m
+
+
+_IDCT_M = _idct_matrix()
+
+
+def _build_huff(counts: list[int], symbols: list[int]) -> dict:
+    """Canonical Huffman table: {(code_length, code): symbol}."""
+    table, code, k = {}, 0, 0
+    for length in range(1, 17):
+        for _ in range(counts[length - 1]):
+            table[(length, code)] = symbols[k]
+            code += 1
+            k += 1
+        code <<= 1
+    return table
+
+
+class _Bits:
+    """MSB-first bit reader over a byte-stuffing-stripped scan."""
+
+    def __init__(self, data: bytes):
+        self.d = data
+        self.pos = 0
+        self.bit = 0
+
+    def read_bit(self) -> int:
+        if self.pos >= len(self.d):
+            raise ValueError("truncated JPEG scan")
+        b = (self.d[self.pos] >> (7 - self.bit)) & 1
+        self.bit += 1
+        if self.bit == 8:
+            self.bit = 0
+            self.pos += 1
+        return b
+
+    def receive_extend(self, s: int) -> int:
+        if s == 0:
+            return 0
+        v = 0
+        for _ in range(s):
+            v = (v << 1) | self.read_bit()
+        # EXTEND (spec F.2.2.1): top bit 0 → negative branch
+        return v if v >= (1 << (s - 1)) else v - (1 << s) + 1
+
+    def read_huff(self, table: dict) -> int:
+        code = 0
+        for length in range(1, 17):
+            code = (code << 1) | self.read_bit()
+            sym = table.get((length, code))
+            if sym is not None:
+                return sym
+        raise ValueError("invalid Huffman code in JPEG scan")
+
+
+def _decode_block(br: _Bits, dc_tab: dict, ac_tab: dict,
+                  pred: int) -> tuple[np.ndarray, int]:
+    """One 8x8 block: DC diff + AC run-length, zigzag order."""
+    zz = np.zeros(64, dtype=np.int32)
+    dc = pred + br.receive_extend(br.read_huff(dc_tab))
+    zz[0] = dc
+    k = 1
+    while k < 64:
+        rs = br.read_huff(ac_tab)
+        r, s = rs >> 4, rs & 15
+        if s == 0:
+            if r == 15:  # ZRL: 16 zeros
+                k += 16
+                continue
+            break  # EOB
+        k += r
+        if k > 63:
+            raise ValueError("AC coefficient run past block end")
+        zz[k] = br.receive_extend(s)
+        k += 1
+    return zz, dc
+
+
+def decode_jpeg(payload: bytes) -> np.ndarray:
+    """Baseline-JPEG pixel decode, pure numpy + stdlib: (h, w, c)
+    uint8 with c=1 (grayscale) or 3 (RGB). Sequential DCT only —
+    progressive (SOF2) and arithmetic variants raise
+    NotImplementedError. Chroma subsampling (4:2:0/4:2:2/4:4:4) is
+    handled by nearest upsampling, restart intervals honored."""
+    qt: dict[int, np.ndarray] = {}
+    huff: dict[tuple[int, int], dict] = {}
+    frame = None
+    dri = 0
+    pos, n = 2, len(payload)
+    while pos + 4 <= n:
+        if payload[pos] != 0xFF:
+            pos += 1
+            continue
+        while pos + 1 < n and payload[pos + 1] == 0xFF:
+            pos += 1
+        marker = payload[pos + 1]
+        if marker in (0x01, 0xD8) or 0xD0 <= marker <= 0xD7:
+            pos += 2
+            continue
+        if marker == 0xD9:
+            break
+        if pos + 4 > n:
+            break
+        seglen, = struct.unpack(">H", payload[pos + 2:pos + 4])
+        data = payload[pos + 4:pos + 2 + seglen]
+        if marker == 0xDB:  # DQT (may carry several tables)
+            i = 0
+            while i < len(data):
+                pq, tq = data[i] >> 4, data[i] & 15
+                i += 1
+                if pq:
+                    qt[tq] = np.frombuffer(
+                        data[i:i + 128], ">u2").astype(np.int32)
+                    i += 128
+                else:
+                    qt[tq] = np.frombuffer(
+                        data[i:i + 64], np.uint8).astype(np.int32)
+                    i += 64
+        elif marker == 0xC4:  # DHT (may carry several tables)
+            i = 0
+            while i < len(data):
+                tc, th = data[i] >> 4, data[i] & 15
+                i += 1
+                counts = list(data[i:i + 16])
+                i += 16
+                nsym = sum(counts)
+                huff[(tc, th)] = _build_huff(counts,
+                                             list(data[i:i + nsym]))
+                i += nsym
+        elif marker in (0xC0, 0xC1):  # baseline / extended sequential
+            if data[0] != 8:
+                raise NotImplementedError("non-8-bit JPEG precision")
+            h, w = struct.unpack(">HH", data[1:5])
+            nc = data[5]
+            comps = []
+            for c in range(nc):
+                cid, hv, tq = data[6 + 3 * c:9 + 3 * c]
+                comps.append((cid, hv >> 4, hv & 15, tq))
+            frame = (w, h, comps)
+        elif marker == 0xC2:
+            raise NotImplementedError(
+                "progressive JPEG (SOF2) not supported; baseline only")
+        elif 0xC0 <= marker <= 0xCF and marker not in (0xC4, 0xC8, 0xCC):
+            raise NotImplementedError(
+                f"JPEG SOF{marker - 0xC0} not supported (baseline only)")
+        elif marker == 0xDD:  # DRI
+            dri, = struct.unpack(">H", data[:2])
+        elif marker == 0xDA:  # SOS → decode the scan and return
+            if frame is None:
+                raise ValueError("JPEG SOS before SOF")
+            ns = data[0]
+            scomp = []
+            for k in range(ns):
+                cs, tabs = data[1 + 2 * k], data[2 + 2 * k]
+                ci = next(i for i, c in enumerate(frame[2])
+                          if c[0] == cs)
+                scomp.append((ci, tabs >> 4, tabs & 15))
+            return _decode_scan(payload, pos + 2 + seglen, frame,
+                                scomp, qt, huff, dri)
+        pos += 2 + seglen
+    raise ValueError("no SOS marker found in JPEG")
+
+
+def _scan_segments(payload: bytes, start: int) -> list[bytes]:
+    """Entropy-coded data split at restart markers, 0xFF00 stuffing
+    stripped."""
+    segs, cur, i, n = [], bytearray(), start, len(payload)
+    while i < n:
+        b = payload[i]
+        if b != 0xFF:
+            cur.append(b)
+            i += 1
+            continue
+        nxt = payload[i + 1] if i + 1 < n else 0xD9
+        if nxt == 0x00:
+            cur.append(0xFF)
+            i += 2
+        elif 0xD0 <= nxt <= 0xD7:  # RSTn
+            segs.append(bytes(cur))
+            cur = bytearray()
+            i += 2
+        else:  # EOI or next segment — scan over
+            break
+    segs.append(bytes(cur))
+    return segs
+
+
+def _decode_scan(payload: bytes, start: int, frame, scomp, qt, huff,
+                 dri: int) -> np.ndarray:
+    w, h, comps = frame
+    max_h = max(c[1] for c in comps)
+    max_v = max(c[2] for c in comps)
+    mcux = -(-w // (8 * max_h))
+    mcuy = -(-h // (8 * max_v))
+    planes = [np.zeros((mcuy * c[2] * 8, mcux * c[1] * 8), np.float64)
+              for c in comps]
+    segs = _scan_segments(payload, start)
+    br = _Bits(segs[0])
+    seg_i = 0
+    preds = [0] * len(comps)
+    mcu_n = 0
+    for my in range(mcuy):
+        for mx in range(mcux):
+            if dri and mcu_n and mcu_n % dri == 0:
+                seg_i += 1  # restart: new entropy segment, DC reset
+                if seg_i >= len(segs):
+                    raise ValueError("missing JPEG restart segment")
+                br = _Bits(segs[seg_i])
+                preds = [0] * len(comps)
+            for ci, dc_id, ac_id in scomp:
+                _, hs, vs, tq = comps[ci]
+                for by in range(vs):
+                    for bx in range(hs):
+                        zz, preds[ci] = _decode_block(
+                            br, huff[(0, dc_id)], huff[(1, ac_id)],
+                            preds[ci])
+                        blk = np.zeros(64, np.float64)
+                        blk[_ZIGZAG] = zz * qt[tq]
+                        blk = blk.reshape(8, 8)
+                        spatial = _IDCT_M.T @ blk @ _IDCT_M + 128.0
+                        y0 = (my * vs + by) * 8
+                        x0 = (mx * hs + bx) * 8
+                        planes[ci][y0:y0 + 8, x0:x0 + 8] = spatial
+            mcu_n += 1
+    out = []
+    for (cid, hs, vs, tq), plane in zip(comps, planes):
+        up = plane.repeat(max_v // vs, axis=0).repeat(max_h // hs, axis=1)
+        out.append(up[:h, :w])
+    if len(out) == 1:
+        gray = np.clip(np.round(out[0]), 0, 255).astype(np.uint8)
+        return gray[:, :, None]
+    y, cb, cr = out[0], out[1] - 128.0, out[2] - 128.0
+    rgb = np.stack([
+        y + 1.402 * cr,
+        y - 0.344136 * cb - 0.714136 * cr,
+        y + 1.772 * cb,
+    ], axis=2)
+    return np.clip(np.round(rgb), 0, 255).astype(np.uint8)
+
+
 def _pixel_features(px: np.ndarray, dim: int) -> list[float]:
     """Deterministic feature vector from decoded pixels: per-channel
     mean/std (normalized), padded/truncated to ``dim``."""
@@ -253,8 +512,9 @@ def _pixel_features(px: np.ndarray, dim: int) -> list[float]:
 
 def decode_image_real(payload: bytes, dim: int = 8
                       ) -> tuple[int, int, Optional[list[float]]]:
-    """(width, height, embedding) for a real image payload; embedding
-    is None for formats whose pixels need external codecs (JPEG)."""
+    """(width, height, embedding) for a real image payload. All four
+    stdlib-decodable formats (PNG/BMP/PPM + baseline JPEG, r04) yield
+    real pixel features; progressive JPEG raises."""
     fmt = detect_format(payload)
     if fmt == "png":
         px = decode_png(payload)
@@ -267,12 +527,12 @@ def decode_image_real(payload: bytes, dim: int = 8
         px = decode_ppm(payload)
         return px.shape[1], px.shape[0], _pixel_features(px, dim)
     if fmt == "jpeg":
-        w, h = jpeg_dims(payload)
-        return w, h, None
+        px = decode_jpeg(payload)
+        return px.shape[1], px.shape[0], _pixel_features(px, dim)
     raise NotImplementedError(
         f"unrecognized image payload (format={fmt!r}); stdlib codecs "
-        f"cover png/bmp/ppm/jpeg-dims — pass deterministic_fake=True "
-        f"to process arbitrary bytes with synthetic features")
+        f"cover png/bmp/ppm/baseline-jpeg — pass deterministic_fake="
+        f"True to process arbitrary bytes with synthetic features")
 
 
 def decode_wav_rms(payload: bytes, n_frames: int) -> list[float]:
@@ -437,11 +697,13 @@ def resize_images(df: DataFrame, bin_col: str = "payload",
                     px = decode_bmp(b)
                 elif fmt == "ppm":
                     px = decode_ppm(b)
+                elif fmt == "jpeg":
+                    px = decode_jpeg(b)
                 else:
                     raise NotImplementedError(
                         f"resize_images: format {fmt or 'unknown'} has "
-                        f"no stdlib pixel decoder (PNG/BMP/PPM are "
-                        f"supported; JPEG needs PIL/cv2, not installed)")
+                        f"no stdlib pixel decoder (PNG/BMP/PPM/"
+                        f"baseline-JPEG are supported)")
                 h, w, _ = px.shape
                 small = resize_nearest(px, out_w, out_h)
                 rows.append((did, w, h,
