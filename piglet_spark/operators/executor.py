@@ -374,9 +374,15 @@ def op_signature(op: A.Op, lineage: dict[str, str], *,
         # list — fold in the lineage of every alias the query text
         # references so an upstream edit changes this (and every
         # downstream) signature; otherwise a stale auto-materialization
-        # could splice in below an edited SQL dependency (r03)
+        # could splice in below an edited SQL dependency (r03).
+        # Quoted string literals are blanked first (r04): an alias name
+        # occurring inside '...' is data, not a table reference, and
+        # counting it caused spurious cache invalidation / missed
+        # cross-script sharing for otherwise-identical plans
+        text = re.sub(r"'(?:[^'\\]|\\.)*'|\"(?:[^\"\\]|\\.)*\"", " ",
+                      op.query)
         refs = sorted(a for a in lineage
-                      if re.search(rf"\b{re.escape(a)}\b", op.query))
+                      if re.search(rf"\b{re.escape(a)}\b", text))
         parts.extend(lineage[a] for a in refs)
     return hashlib.md5("|".join(parts).encode()).hexdigest()
 

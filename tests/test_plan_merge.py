@@ -130,6 +130,36 @@ def test_simulate_signatures_match_executor(spark, sf_dir):
     assert eng.executor.lineage["P"] in pre
 
 
+def test_sql_signature_ignores_aliases_in_string_literals(spark, sf_dir):
+    """An alias name inside a SQL string literal is data, not a
+    dependency: editing that alias upstream must NOT change the SQL
+    statement's signature (r04 — was a conservative over-inclusion)."""
+    from piglet_spark.operators.executor import bind_signatures, op_signature
+    from piglet_spark.plans import ast as A
+
+    def sigs(script):
+        eng = pg.PigEngine(spark)
+        ops = eng.parse(script)
+        lin = {}
+        for op in ops:
+            bind_signatures(op, lin, op_signature(op, lin))
+        sql = [op for op in ops if isinstance(op, A.SqlStmt)][0]
+        return lin, op_signature(sql, lin)
+
+    load = "N = LOAD '{d}/nation.parquet' USING ParquetStorage();\n".format(
+        d=sf_dir)
+    quoted = 'S = SQL \'select "N" AS tag, 1 AS one\';\n'
+    lin_a, sql_a = sigs(load + quoted)
+    lin_b, sql_b = sigs(load + "N = FILTER N BY n_regionkey > 0;\n" + quoted)
+    assert lin_a["N"] != lin_b["N"]  # upstream really differs...
+    assert sql_a == sql_b            # ...but quoted 'N' is just data
+    # a genuine (unquoted) FROM N reference still folds lineage in
+    real = "S = SQL 'select count(*) AS n FROM N';\n"
+    _, sql_ra = sigs(load + real)
+    _, sql_rb = sigs(load + "N = FILTER N BY n_regionkey > 0;\n" + real)
+    assert sql_ra != sql_rb
+
+
 @pytest.mark.parametrize("n_scripts", [3])
 def test_run_all_three_scripts(spark, data_dir, tmp_path, n_scripts):
     """Sharing holds for N>2 scripts: prefix still executes once."""
