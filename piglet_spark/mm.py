@@ -487,17 +487,55 @@ class MaterializationManager:
 
 
 def _estimate_bytes_per_record(df) -> float:
-    """Sample-based bytes/record estimate (the reference measures this
+    """Schema-aware bytes/record estimate (the reference measures this
     via runtime instrumentation on a fraction of records,
-    DataflowProfiler; here: python-side size of up to 64 rows)."""
+    DataflowProfiler). Fixed-width columns are priced by type
+    (Catalyst defaultSize semantics); variable-width columns (strings,
+    binaries, arrays, maps, structs) are measured over a 64-row
+    sample at their PAYLOAD size — the previous ``len(str(row))``
+    proxy misestimated wide binary columns badly (r03 review: a repr
+    of bytes is ~4× the payload), skewing benefit ranking. Selection
+    needs ranking, not precision, but ranking across mixed
+    text/binary candidates needs the scales to agree."""
+    from pyspark.sql import types as T
+    fixed_sizes = {T.ByteType: 1, T.ShortType: 2, T.IntegerType: 4,
+                   T.LongType: 8, T.FloatType: 4, T.DoubleType: 8,
+                   T.BooleanType: 1, T.DateType: 4, T.TimestampType: 8,
+                   T.TimestampNTZType: 8}
+    fixed = 0.0
+    var_fields = []
+    for f in df.schema.fields:
+        t = type(f.dataType)
+        if t in fixed_sizes:
+            fixed += fixed_sizes[t]
+        elif isinstance(f.dataType, T.DecimalType):
+            fixed += 16
+        else:
+            var_fields.append(f.name)
+    if not var_fields:
+        return max(fixed, 8.0)
+
+    def vsize(v) -> float:
+        if v is None:
+            return 1.0
+        if isinstance(v, (bytes, bytearray)):
+            return float(len(v))
+        if isinstance(v, str):
+            return float(len(v.encode("utf-8", "ignore")))
+        if isinstance(v, dict):
+            return 4.0 + sum(vsize(k) + vsize(x) for k, x in v.items())
+        if isinstance(v, (list, tuple)) or hasattr(v, "__fields__"):
+            return 4.0 + sum(vsize(x) for x in v)
+        return 8.0
+
     try:
-        rows = df.limit(64).collect()
+        rows = df.select(*var_fields).limit(64).collect()
     except Exception:
-        return 64.0
+        rows = []
     if not rows:
-        return 64.0
-    total = sum(len(str(r)) for r in rows)
-    return max(total / len(rows), 8.0)
+        return max(fixed + 32.0 * len(var_fields), 8.0)
+    total = sum(sum(vsize(v) for v in r) for r in rows)
+    return max(fixed + total / len(rows), 8.0)
 
 
 def _dir_bytes(path: str, fallback: int) -> int:

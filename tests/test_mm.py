@@ -397,3 +397,25 @@ S = FOREACH G GENERATE COUNT(B) AS n, SUM(B.v) AS tot;
     eng2.run(script)
     assert eng2.executor.mm_spliced == set()
     assert eng2.df("S").collect()[0]["tot"] == 100  # fresh data
+
+
+def test_estimate_bytes_per_record_binary_payload(spark):
+    """Binary columns are priced at payload size, not repr size (r04):
+    a 1 KiB payload estimates ~1 KiB/row, and a text row with the
+    same logical width lands on the same scale."""
+    payload = bytes(range(256)) * 4  # 1024 bytes
+    df = spark.createDataFrame(
+        [(i, bytearray(payload)) for i in range(8)],
+        "id long, payload binary")
+    est = mm._estimate_bytes_per_record(df)
+    assert 1000 <= est <= 1200  # 8 (long) + 1024 payload, small slack
+    text = spark.createDataFrame(
+        [(i, "x" * 1024) for i in range(8)], "id long, t string")
+    est_t = mm._estimate_bytes_per_record(text)
+    assert abs(est - est_t) < 64  # same scale for ranking
+
+
+def test_estimate_bytes_per_record_fixed_only_no_job(spark):
+    """All-fixed-width schemas are priced from the schema alone."""
+    df = spark.createDataFrame([(1, 2.0)], "a long, b double")
+    assert mm._estimate_bytes_per_record(df) == 16.0
