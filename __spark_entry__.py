@@ -1523,6 +1523,46 @@ FROM documents
 """
 
 
+def q_winnow(spark, sf_dir):
+    """Winnowing document fingerprints (Schleimer/Wilkerson/Aiken
+    SIGMOD'03, the MOSS sketch; datapipe/text.py winnow_fingerprints):
+    hash every word 5-gram, keep the min of each sliding window of 4
+    hashes, emit distinct selected hashes per doc. Fully oracled —
+    the gram hash is the portable md5-prefix and the window min is
+    plain SQL, so DuckDB reproduces every fingerprint."""
+    return dp_text.winnow_fingerprints(_docs(spark, sf_dir), k=5, w=4)
+
+
+# mirror of the Spark plan: positional 5-gram md5-prefix hashes →
+# min over ROWS window of 4 → positions within the complete-window
+# range (pos <= max(m - w, 0); short docs keep the min of what they
+# have) → distinct (doc_id, fp)
+WINNOW_SQL = """
+WITH toks AS (
+  SELECT doc_id,
+         string_split(trim(regexp_replace(regexp_replace(lower(text),
+                      '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g')), ' ') AS t
+  FROM documents
+), idx AS (
+  SELECT doc_id, t,
+         unnest(range(1, greatest(len(t) - 3, 1))) AS i
+  FROM toks
+), grams AS (
+  SELECT doc_id, i - 1 AS pos,
+         ('0x' || substr(md5(array_to_string(t[i:i+4], ' ')), 1, 8))::BIGINT AS h
+  FROM idx
+), sel AS (
+  SELECT doc_id, pos,
+         min(h) OVER (PARTITION BY doc_id ORDER BY pos
+                      ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS s,
+         count(*) OVER (PARTITION BY doc_id) AS m
+  FROM grams
+)
+SELECT DISTINCT doc_id, s AS fp FROM sel
+WHERE pos <= greatest(m - 4, 0)
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # relational core (Pig scripts through the engine)
@@ -1580,6 +1620,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rank_parts": _pig(RANK_Q, "O"),
         "cube_rollup_grouping": _pig(CUBE_ROLLUP_Q, "A"),
         "sample_op": _pig(SAMPLE_Q, "P"),
+        # LAST deliberately: if a driver-side query cap ever
+        # truncates the dict (r01 observed a 50-query cap),
+        # only this newest row is lost, never an
+        # already-green one
+        "winnow_fingerprints": q_winnow,
     }
 
 
@@ -1632,6 +1677,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_minhash_lsh": _minhash_sql(),
         "dedup_cluster_canonical": _cluster_sql(),
         "multimodal_features": MULTIMODAL_SQL,
+        "winnow_fingerprints": WINNOW_SQL,
         "similarity_ann_lsh": _ann_lsh_sql(),
         "similarity_ivf": _ivf_sql(),
         # sample_op: oracled since r04 via SAMPLE … SEED (deterministic
