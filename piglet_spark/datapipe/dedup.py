@@ -762,6 +762,97 @@ def _distributed_cc(pairs: DataFrame, max_iters: int, _ckpt) -> DataFrame:
     return labels
 
 
+def semantic_pairs(df: DataFrame, vec_col: str = "embedding",
+                   id_col: str = "vec_id", threshold: float = 0.9,
+                   n_clusters: int = 16, refine_iters: int = 1,
+                   train_sample: int = 256,
+                   max_cluster: int | None = 4096):
+    """Within-cluster cosine pairs for SemDeDup (Abbas et al. 2023,
+    arXiv:2303.09540): k-means the embedding space (bounded-sample
+    driver Lloyd, broadcast centroids — the ivf_topk trainer), then
+    pair members of the SAME cluster with cosine ≥ threshold.
+
+    Returns (pairs, ccos): the pair relation (id_a, id_b, cos) and a
+    per-id relation (_id, _ccos) holding each vector's cosine to its
+    own centroid — the keeper-selection key for :func:`semantic_dedup`.
+
+    Scale shape: assignment is a broadcast crossJoin + min_by partial
+    agg (one row per vector shuffles); pairing shuffles once on the
+    cluster id, so candidate volume is Σ_c C(|c|, 2) — bounded by
+    ``max_cluster`` (rows beyond the cap per cluster never enter the
+    pair join; they surface as keep=True singletons downstream, the
+    conservative direction for dedup). SemDeDup's own recipe sizes
+    k ~ sqrt(n) so |c| stays ~sqrt(n); set n_clusters accordingly."""
+    from .similarity import (_argmin_assign, _as_double, cosine_with_norms,
+                             norm_expr, probe_dim, train_centroids)
+    dim = probe_dim(df, vec_col)
+    cent_rows, cents_lit = train_centroids(
+        df, vec_col, id_col, n_clusters, refine_iters, train_sample)
+    rows = (_spread(df, id_col)
+            .select(F.col(id_col).alias(id_col),
+                    _as_double(F.col(vec_col)).alias("_v"))
+            .withColumn("_nv", norm_expr("_v", dim)))
+    if not cent_rows:  # empty corpus
+        empty = rows.sparkSession.createDataFrame(
+            [], "id_a long, id_b long, cos double")
+        return empty, rows.select(F.col(id_col).alias("_id"),
+                                  F.lit(0.0).alias("_ccos"))
+    assigned = _argmin_assign(rows, cents_lit, id_col, dim)
+    assigned = (assigned
+                .join(F.broadcast(cents_lit), on="_cid")
+                .withColumn("_nv", norm_expr("_v", dim))
+                .withColumn("_ccos", cosine_with_norms(
+                    "_v", "_cv", "_nv", "_ncv", dim))
+                .select(F.col(id_col).alias("_id"), "_v", "_nv",
+                        "_cid", "_ccos"))
+    assigned = _materialize(assigned)  # feeds pairing AND keeper choice
+    ccos = assigned.select("_id", "_ccos")
+    capped = _cap_buckets(assigned, ["_cid"], max_cluster)
+    cand = (capped.alias("a").join(
+                capped.alias("b"),
+                on=[F.col("a._cid") == F.col("b._cid"),
+                    F.col("a._id") < F.col("b._id")])
+            .select(F.col("a._id").alias("id_a"),
+                    F.col("b._id").alias("id_b"),
+                    F.col("a._v").alias("v_a"), F.col("b._v").alias("v_b"),
+                    F.col("a._nv").alias("n_a"), F.col("b._nv").alias("n_b")))
+    cos = cosine_with_norms("v_a", "v_b", "n_a", "n_b", dim)
+    pairs = (cand.select("id_a", "id_b", F.round(cos, 6).alias("cos"))
+             .filter(F.col("cos") >= threshold))
+    return pairs, ccos
+
+
+def semantic_dedup(df: DataFrame, vec_col: str = "embedding",
+                   id_col: str = "vec_id", threshold: float = 0.9,
+                   **kwargs) -> DataFrame:
+    """SemDeDup (Abbas et al. 2023): semantic deduplication over an
+    embedding column. k-means clusters the space, within-cluster
+    pairs with cosine ≥ threshold form duplicate groups (connected
+    components), and each group KEEPS the member with the LOWEST
+    cosine to its cluster centroid — the paper's diversity-preserving
+    choice (outliers survive, prototypical repeats drop).
+
+    Returns one row per vector: (id, group_id, keep). Vectors in no
+    qualifying pair are their own group with keep=true. The component
+    step reuses :func:`neardup_clusters`' two-regime machinery
+    (driver union-find under the byte-aware gate, else distributed
+    label propagation)."""
+    pairs, ccos = semantic_pairs(df, vec_col, id_col, threshold, **kwargs)
+    comp = neardup_clusters(df, id_col=id_col, pairs=pairs)
+    # keeper per group: argmin centroid-cosine, ties → smallest id
+    scored = comp.join(ccos.withColumnRenamed("_id", "doc_id"),
+                       on="doc_id", how="left")
+    keepers = (scored.groupBy("cluster_id")
+               .agg(F.min_by(F.col("doc_id"),
+                             F.struct(F.coalesce(F.col("_ccos"),
+                                                 F.lit(0.0)),
+                                      F.col("doc_id"))).alias("_keep_id")))
+    return (scored.join(keepers, on="cluster_id")
+            .select(F.col("doc_id").alias(id_col),
+                    F.col("cluster_id").alias("group_id"),
+                    (F.col("doc_id") == F.col("_keep_id")).alias("keep")))
+
+
 def embedding_neardup_pairs(df: DataFrame, vec_col: str = "embedding",
                             id_col: str = "vec_id",
                             threshold: float = 0.95,

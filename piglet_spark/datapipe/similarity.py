@@ -208,39 +208,24 @@ def _argmin_assign(rows: DataFrame, cents: DataFrame, id_col: str,
                     F.col("_b._cid").alias("_cid")))
 
 
-def ivf_topk(df: DataFrame, query_vec: list[float], k: int = 10,
-             vec_col: str = "embedding", id_col: str = "vec_id",
-             n_cells: int = 16, n_probe: int = 4,
-             refine_iters: int = 1, train_sample: int = 256) -> DataFrame:
-    """IVF-style ANN with a trained coarse quantizer.
+def train_centroids(df: DataFrame, vec_col: str, id_col: str,
+                    n_cells: int, refine_iters: int, train_sample: int):
+    """Driver-side Lloyd k-means on a bounded deterministic sample —
+    the coarse-quantizer trainer shared by ivf_topk and
+    semantic_dedup. Seeds = the n_cells rows with the smallest
+    md5(id) (hash-spread, not id-correlated); ``refine_iters`` Lloyd
+    rounds refine them on the ``train_sample`` smallest-md5 rows in
+    numpy; empty cells drop. Returns (cent_rows, cents_lit): the
+    centroid dicts and a literal DataFrame (_cid, _cv, _ncv) ready to
+    broadcast, preserving the id column's type.
 
-    Seeds = the n_cells rows with the smallest md5(id) — a
-    deterministic hash-spread sample (not "first N by id", which
-    clusters seeds in id-correlated data). ``refine_iters`` Lloyd
-    iterations refine them on the bounded TRAINING SAMPLE (the
-    ``train_sample`` rows with smallest md5(id)), driver-side in
-    numpy — the textbook IVF recipe: k-means on a sample, one
-    distributed full-corpus assignment against broadcast centroids.
-    Cells that lose all sample members drop out. Probing: the
-    n_probe refined cells nearest the query.
-
-    Every step is deterministic (assignment ties → smallest cid,
-    matching the oracle's ROW_NUMBER ORDER BY cos DESC, cid ASC) and
-    the DuckDB oracle recomputes the full pipeline. Caveat stated
-    honestly: numpy's matmul/mean use a different FP summation order
-    than the oracle's list_dot_product/AVG, so a sample vector whose
-    two nearest seeds tie within ~1 ulp could be assigned differently
-    — the divergence risk is confined to such near-exact ties
-    (observed: none; the oracle hash-matches)."""
+    ONE distributed job collects the sample (train_sample × dim
+    doubles — driver-safe at any corpus size); the refined centroids
+    go back as literals so the full corpus is scanned exactly once.
+    (Training distributedly re-executed its subtree inside the final
+    plan and cost 3 extra jobs — measured 2× the whole query at
+    sf0.1.)"""
     import numpy as np
-    dim = len(query_vec)
-    # ONE distributed job collects the bounded training sample
-    # (train_sample × dim doubles — driver-safe at any corpus size);
-    # Lloyd runs in numpy on the driver; the refined centroids go
-    # back as literals so the full corpus is scanned exactly once.
-    # (Training distributedly re-executed its subtree inside the
-    # final plan and cost 3 extra jobs — measured 2× the whole
-    # query at sf0.1.)
     sample_rows = (df.select(F.col(id_col).alias("_cid"),
                              _as_double(F.col(vec_col)).alias("_cv"))
                    .orderBy(F.md5(F.col("_cid").cast("string")).asc(),
@@ -253,6 +238,8 @@ def ivf_topk(df: DataFrame, query_vec: list[float], k: int = 10,
     cent_vecs = s_vecs[:n_cells].copy()
     s_norm = np.sqrt((s_vecs ** 2).sum(axis=1))
     for _ in range(refine_iters):
+        if not cent_ids:
+            break
         # ascending-cid centroid order: np.argmax picks the FIRST
         # max, which then matches the SQL tie-break (cos DESC,
         # cid ASC) used by the oracle and the distributed argmin
@@ -282,6 +269,36 @@ def ivf_topk(df: DataFrame, query_vec: list[float], k: int = 10,
             _T.StructField("_cid", id_type),
             _T.StructField("_cv", _T.ArrayType(_T.DoubleType())),
             _T.StructField("_ncv", _T.DoubleType())]))
+    return cent_rows, cents_lit
+
+
+def ivf_topk(df: DataFrame, query_vec: list[float], k: int = 10,
+             vec_col: str = "embedding", id_col: str = "vec_id",
+             n_cells: int = 16, n_probe: int = 4,
+             refine_iters: int = 1, train_sample: int = 256) -> DataFrame:
+    """IVF-style ANN with a trained coarse quantizer.
+
+    Seeds = the n_cells rows with the smallest md5(id) — a
+    deterministic hash-spread sample (not "first N by id", which
+    clusters seeds in id-correlated data). ``refine_iters`` Lloyd
+    iterations refine them on the bounded TRAINING SAMPLE (the
+    ``train_sample`` rows with smallest md5(id)), driver-side in
+    numpy — the textbook IVF recipe: k-means on a sample, one
+    distributed full-corpus assignment against broadcast centroids.
+    Cells that lose all sample members drop out. Probing: the
+    n_probe refined cells nearest the query.
+
+    Every step is deterministic (assignment ties → smallest cid,
+    matching the oracle's ROW_NUMBER ORDER BY cos DESC, cid ASC) and
+    the DuckDB oracle recomputes the full pipeline. Caveat stated
+    honestly: numpy's matmul/mean use a different FP summation order
+    than the oracle's list_dot_product/AVG, so a sample vector whose
+    two nearest seeds tie within ~1 ulp could be assigned differently
+    — the divergence risk is confined to such near-exact ties
+    (observed: none; the oracle hash-matches)."""
+    dim = len(query_vec)
+    cent_rows, cents_lit = train_centroids(
+        df, vec_col, id_col, n_cells, refine_iters, train_sample)
     rows = (_spread(df).select(F.col(id_col),
                                _as_double(F.col(vec_col)).alias("_v"))
             .withColumn("_nv", norm_expr("_v", dim)))

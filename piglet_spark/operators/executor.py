@@ -523,6 +523,12 @@ class Executor:
             "embedding_neardup": lambda df, thr=0.95, vec="embedding",
                 idc="vec_id": dp.embedding_neardup_pairs(
                     df, str(vec), str(idc), threshold=float(thr)),
+            # SemDeDup (r04): k-means + within-cluster cosine groups,
+            # keep the lowest-centroid-cosine member per group
+            "semantic_dedup": lambda df, thr=0.9, k=16, vec="embedding",
+                idc="vec_id": dp.semantic_dedup(
+                    df, str(vec), str(idc), threshold=float(thr),
+                    n_clusters=int(k)),
             # benchmark = rows of the same relation whose `src_col`
             # column equals the first argument
             "contamination": lambda df, src="src0", k=5, text="text",
@@ -1870,10 +1876,23 @@ class Executor:
             pairs = dp.embedding_neardup_pairs(
                 df, vec_col=text_col, id_col=id_col,
                 threshold=op.threshold)
+        elif method == "semantic":
+            # SemDeDup (r04): ON names the vector column; THRESHOLD =
+            # cosine. Without CLUSTER → within-cluster pairs; with
+            # CLUSTER → the full (id, group_id, keep) verdict with the
+            # paper's lowest-centroid-cosine keeper per group
+            if op.cluster:
+                self.env[op.out] = dp.semantic_dedup(
+                    df, vec_col=text_col, id_col=id_col,
+                    threshold=op.threshold)
+                return
+            pairs, _ = dp.semantic_pairs(
+                df, vec_col=text_col, id_col=id_col,
+                threshold=op.threshold)
         else:
             raise ExecError(
                 f"NEARDUP USING {method!r}: unknown method (choose "
-                f"minhash, simhash, ngram, or embedding)")
+                f"minhash, simhash, ngram, embedding, or semantic)")
         if op.cluster:
             self.env[op.out] = dp.neardup_clusters(
                 df, text_col=text_col, id_col=id_col, pairs=pairs)

@@ -1225,3 +1225,93 @@ A = STREAM D THROUGH sample_audio_frames(4, 1);
     assert img.count() == n
     aud = eng.df("A")
     assert aud.count() == n * 4  # one row per sampled frame
+
+
+# --- SemDeDup: semantic dedup over embeddings (r04) ---
+
+
+def test_semantic_dedup_brute_force(spark, sf_dir):
+    """SemDeDup verdicts against a driver-side brute-force reference:
+    same kmeans assignment (recomputed from the trained centroids),
+    same within-cluster pairs, python union-find groups, keeper =
+    lowest centroid cosine."""
+    import numpy as np
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    got = {r["vec_id"]: r for r in
+           dedup.semantic_dedup(emb, threshold=0.4,
+                                n_clusters=4).collect()}
+    assert len(got) == emb.count()  # every vector gets a verdict
+
+    # brute-force reference
+    from piglet_spark.datapipe.similarity import train_centroids
+    cent_rows, _ = train_centroids(emb, "embedding", "vec_id", 4, 1, 256)
+    C = np.array([r["_cv"] for r in cent_rows])
+    cids = [r["_cid"] for r in cent_rows]
+    rows = emb.collect()
+    V = np.array([r["embedding"] for r in rows], dtype=np.float64)
+    ids = [r["vec_id"] for r in rows]
+    cos = (V @ C.T) / np.outer(np.linalg.norm(V, axis=1),
+                               np.linalg.norm(C, axis=1))
+    assign = np.argmax(cos, axis=1)
+    ccos = cos[np.arange(len(ids)), assign]
+    parent = {i: i for i in ids}
+
+    def find(x):
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    n_pairs = 0
+    for i in range(len(ids)):
+        for j in range(i + 1, len(ids)):
+            if assign[i] != assign[j]:
+                continue
+            c = float(V[i] @ V[j] / (np.linalg.norm(V[i])
+                                     * np.linalg.norm(V[j])))
+            if round(c, 6) >= 0.4:
+                n_pairs += 1
+                a, b = find(ids[i]), find(ids[j])
+                if a != b:
+                    parent[max(a, b)] = min(a, b)
+    assert n_pairs > 0  # the synthetic corpus has semantic dups
+    groups = {}
+    for k, vid in enumerate(ids):
+        groups.setdefault(find(vid), []).append((ccos[k], vid))
+    keep_ref = {}
+    for root, members in groups.items():
+        keeper = min(members)[1]  # lowest centroid cos, ties → min id
+        for _, vid in members:
+            keep_ref[vid] = (root, vid == keeper)
+    for vid, (root, keep) in keep_ref.items():
+        assert got[vid]["group_id"] == root, vid
+        assert got[vid]["keep"] == keep, vid
+    # every group keeps exactly one member
+    kept = [r for r in got.values() if r["keep"]]
+    assert len(kept) == len(groups)
+
+
+def test_semantic_dedup_via_dsl(spark, sf_dir):
+    import piglet_spark as pg
+    eng = pg.PigEngine(spark)
+    eng.run(f"""
+E = LOAD '{sf_dir}/embeddings.parquet' USING ParquetStorage();
+P = NEARDUP E ON embedding BY vec_id THRESHOLD 0.4 USING 'semantic';
+V = NEARDUP E ON embedding BY vec_id THRESHOLD 0.4 USING 'semantic' CLUSTER;
+S = STREAM E THROUGH semantic_dedup(0.4, 4);
+""")
+    pairs = eng.df("P").collect()
+    assert pairs and all(r["cos"] >= 0.4 for r in pairs)
+    v = eng.df("V")
+    assert set(v.columns) == {"vec_id", "group_id", "keep"}
+    assert v.count() == eng.df("E").count()
+    assert eng.df("S").filter("keep").count() < eng.df("E").count()
+
+
+def test_semantic_pairs_no_cartesian(spark, sf_dir):
+    """Plan guard: pairing joins on the cluster id — never a cartesian
+    product, and centroid assignment broadcasts."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    pairs, _ = dedup.semantic_pairs(emb, threshold=0.4, n_clusters=4)
+    plan = pairs._jdf.queryExecution().executedPlan().toString()
+    assert "CartesianProduct" not in plan
