@@ -764,7 +764,7 @@ def _distributed_cc(pairs: DataFrame, max_iters: int, _ckpt) -> DataFrame:
 
 def semantic_pairs(df: DataFrame, vec_col: str = "embedding",
                    id_col: str = "vec_id", threshold: float = 0.9,
-                   n_clusters: int = 16, refine_iters: int = 1,
+                   n_clusters: int | None = 16, refine_iters: int = 1,
                    train_sample: int = 256,
                    max_cluster: int | None = 4096):
     """Within-cluster cosine pairs for SemDeDup (Abbas et al. 2023,
@@ -786,6 +786,14 @@ def semantic_pairs(df: DataFrame, vec_col: str = "embedding",
     from .similarity import (_argmin_assign, _as_double, cosine_with_norms,
                              norm_expr, probe_dim, train_centroids)
     dim = probe_dim(df, vec_col)
+    if n_clusters is None:
+        # the SemDeDup recipe sizes k ~ sqrt(n) so expected cluster
+        # size is ~sqrt(n) and Σ C(|c|,2) stays ~n^1.5 / 2 — one
+        # count job, clamped to the trainer's sample budget (raise
+        # train_sample for corpora beyond train_sample² vectors)
+        import math as _math
+        n_clusters = max(4, min(_math.isqrt(max(df.count(), 1)),
+                                train_sample))
     cent_rows, cents_lit = train_centroids(
         df, vec_col, id_col, n_clusters, refine_iters, train_sample)
     rows = (_spread(df, id_col)

@@ -1315,3 +1315,11 @@ def test_semantic_pairs_no_cartesian(spark, sf_dir):
     pairs, _ = dedup.semantic_pairs(emb, threshold=0.4, n_clusters=4)
     plan = pairs._jdf.queryExecution().executedPlan().toString()
     assert "CartesianProduct" not in plan
+
+
+def test_semantic_dedup_auto_k(spark, sf_dir):
+    """n_clusters=None sizes k ~ sqrt(n) (the SemDeDup recipe)."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    out = dedup.semantic_dedup(emb, threshold=0.4, n_clusters=None)
+    assert out.count() == emb.count()
+    assert out.filter("keep").count() < emb.count()
