@@ -173,3 +173,36 @@ def test_run_all_three_scripts(spark, data_dir, tmp_path, n_scripts):
     eng.run_all(scripts)
     assert _lines(marker) == 4
     eng.clear_session_cache()
+
+
+def test_run_all_with_profiling_enabled(spark, sf_dir, tmp_path):
+    """Shared-subplan execution composes with auto-materialization:
+    both splice mechanisms may fire in one session without stale or
+    wrong results."""
+    mat = str(tmp_path / "mat")
+    s1 = (
+        "L = LOAD '{d}/lineitem.parquet' USING ParquetStorage();\n"
+        "F1 = FILTER L BY l_quantity > 30.0;\n"
+        "G = GROUP F1 BY l_linestatus;\n"
+        "S = FOREACH G GENERATE group AS st, COUNT(F1) AS n;\nDUMP S;\n"
+    ).format(d=sf_dir)
+    s2 = (
+        "L = LOAD '{d}/lineitem.parquet' USING ParquetStorage();\n"
+        "F1 = FILTER L BY l_quantity > 30.0;\n"
+        "M = FOREACH F1 GENERATE l_orderkey;\nDUMP M;\n"
+    ).format(d=sf_dir)
+    eng = pg.PigEngine(spark, options={
+        "materialization_dir": mat, "profiling": True})
+    eng.run_all([s1, s2])
+    got_s = sorted(tuple(r) for r in eng.df("S").collect())
+    got_m_n = eng.df("M").count()
+    # session cache holds the shared F1 frontier
+    assert eng.executor.session_cache
+    # values match a plain unprofiled engine
+    ref = pg.PigEngine(spark)
+    ref.run(s1)
+    assert got_s == sorted(tuple(r) for r in ref.df("S").collect())
+    ref2 = pg.PigEngine(spark)
+    ref2.run(s2)
+    assert got_m_n == ref2.df("M").count()
+    eng.clear_session_cache()
