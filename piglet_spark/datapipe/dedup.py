@@ -244,6 +244,33 @@ def _cap_buckets(bucketed: DataFrame, keys: list[str],
     return bucketed.join(hot, on=keys, how="left_anti")
 
 
+def _split_hot_clusters(df: DataFrame, cid_col: str, id_col: str,
+                        max_cluster: int | None) -> DataFrame:
+    """Sub-split clusters larger than ``max_cluster`` into
+    ~``max_cluster``-sized cells (adds a ``_sub`` column; pair joins
+    must match on it). Unlike :func:`_cap_buckets` — which DROPS hot
+    LSH buckets outright, the right call for pathological boilerplate
+    buckets — a big k-means cluster is ordinary data: dropping it
+    would silently disable dedup for most of the corpus whenever k is
+    undersized. Splitting keeps every vector in play under the same
+    per-cell quadratic bound; the cost is missed cross-cell pairs
+    inside a split cluster (recall trade, mitigated by sizing
+    k ~ sqrt(n) — the ``n_clusters=None`` default). The size relation
+    has ≤ k rows, so the join broadcasts."""
+    if max_cluster is None:
+        return df.withColumn("_sub", F.lit(0))
+    sizes = df.groupBy(cid_col).agg(F.count(F.lit(1)).alias("_csz"))
+    return (df.join(F.broadcast(sizes), on=cid_col)
+            .withColumn("_nsub",
+                        F.ceil(F.col("_csz") / F.lit(max_cluster))
+                        .cast("int"))
+            .withColumn("_sub",
+                        F.pmod(F.xxhash64(F.col(id_col)),
+                               F.greatest(F.col("_nsub"), F.lit(1)))
+                        .cast("int"))
+            .drop("_csz", "_nsub"))
+
+
 def minhash_lsh_pairs(df: DataFrame, text_col: str = "text",
                       id_col: str = "doc_id", num_hashes: int = 32,
                       bands: int = 8, shingle_k: int = 3,
@@ -764,7 +791,7 @@ def _distributed_cc(pairs: DataFrame, max_iters: int, _ckpt) -> DataFrame:
 
 def semantic_pairs(df: DataFrame, vec_col: str = "embedding",
                    id_col: str = "vec_id", threshold: float = 0.9,
-                   n_clusters: int | None = 16, refine_iters: int = 1,
+                   n_clusters: int | None = None, refine_iters: int = 1,
                    train_sample: int = 256,
                    max_cluster: int | None = 4096):
     """Within-cluster cosine pairs for SemDeDup (Abbas et al. 2023,
@@ -778,11 +805,13 @@ def semantic_pairs(df: DataFrame, vec_col: str = "embedding",
 
     Scale shape: assignment is a broadcast crossJoin + min_by partial
     agg (one row per vector shuffles); pairing shuffles once on the
-    cluster id, so candidate volume is Σ_c C(|c|, 2) — bounded by
-    ``max_cluster`` (rows beyond the cap per cluster never enter the
-    pair join; they surface as keep=True singletons downstream, the
-    conservative direction for dedup). SemDeDup's own recipe sizes
-    k ~ sqrt(n) so |c| stays ~sqrt(n); set n_clusters accordingly."""
+    cluster id, so candidate volume is Σ_c C(|c|, 2). Clusters larger
+    than ``max_cluster`` are sub-split into ~``max_cluster``-sized
+    cells (see :func:`_split_hot_clusters`) so every vector still
+    participates under a bounded per-cell quadratic; only cross-cell
+    pairs inside a split cluster are missed. SemDeDup's own recipe
+    sizes k ~ sqrt(n) so |c| stays ~sqrt(n) — the ``n_clusters=None``
+    default does exactly that."""
     from .similarity import (_argmin_assign, _as_double, cosine_with_norms,
                              norm_expr, probe_dim, train_centroids)
     dim = probe_dim(df, vec_col)
@@ -815,10 +844,11 @@ def semantic_pairs(df: DataFrame, vec_col: str = "embedding",
                         "_cid", "_ccos"))
     assigned = _materialize(assigned)  # feeds pairing AND keeper choice
     ccos = assigned.select("_id", "_ccos")
-    capped = _cap_buckets(assigned, ["_cid"], max_cluster)
+    capped = _split_hot_clusters(assigned, "_cid", "_id", max_cluster)
     cand = (capped.alias("a").join(
                 capped.alias("b"),
                 on=[F.col("a._cid") == F.col("b._cid"),
+                    F.col("a._sub") == F.col("b._sub"),
                     F.col("a._id") < F.col("b._id")])
             .select(F.col("a._id").alias("id_a"),
                     F.col("b._id").alias("id_b"),

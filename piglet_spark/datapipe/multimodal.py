@@ -408,12 +408,32 @@ def decode_jpeg(payload: bytes) -> np.ndarray:
             if frame is None:
                 raise ValueError("JPEG SOS before SOF")
             ns = data[0]
+            if ns != len(frame[2]):
+                # ISO 10918-1 A.2: a scan covering a SUBSET of the
+                # frame's components is non-interleaved (MCU = one
+                # data unit) and the remaining components arrive in
+                # later scans. _decode_scan assumes one interleaved
+                # scan; decoding the first scan with interleaved MCU
+                # geometry would return scrambled luma + zeroed
+                # chroma as if it were a valid image. Refuse instead
+                # (decode_image_real degrades to dims-only).
+                raise NotImplementedError(
+                    "multi-scan (non-interleaved) baseline JPEG not "
+                    "supported; single interleaved scan only")
             scomp = []
             for k in range(ns):
                 cs, tabs = data[1 + 2 * k], data[2 + 2 * k]
                 ci = next(i for i, c in enumerate(frame[2])
                           if c[0] == cs)
                 scomp.append((ci, tabs >> 4, tabs & 15))
+            if ns == 1 and frame[2][0][1:3] != (1, 1):
+                # single-component scan with sampling factors > 1:
+                # per A.2.2 the data units raster in ceil(w/8) cols,
+                # not the interleaved hs*vs MCU layout _decode_scan
+                # implements
+                raise NotImplementedError(
+                    "single-component JPEG with sampling factors > 1 "
+                    "not supported")
             return _decode_scan(payload, pos + 2 + seglen, frame,
                                 scomp, qt, huff, dri)
         pos += 2 + seglen
@@ -514,7 +534,11 @@ def decode_image_real(payload: bytes, dim: int = 8
                       ) -> tuple[int, int, Optional[list[float]]]:
     """(width, height, embedding) for a real image payload. All four
     stdlib-decodable formats (PNG/BMP/PPM + baseline JPEG, r04) yield
-    real pixel features; progressive JPEG raises."""
+    real pixel features. JPEGs the pure-numpy decoder can't handle
+    (progressive SOF2 — the most common web encoding — multi-scan
+    baseline, truncated entropy data) degrade to (w, h, None) from
+    the header, matching the pre-pixel-decode contract: one exotic
+    JPEG in a corpus must not abort the whole mapInPandas job."""
     fmt = detect_format(payload)
     if fmt == "png":
         px = decode_png(payload)
@@ -527,8 +551,12 @@ def decode_image_real(payload: bytes, dim: int = 8
         px = decode_ppm(payload)
         return px.shape[1], px.shape[0], _pixel_features(px, dim)
     if fmt == "jpeg":
-        px = decode_jpeg(payload)
-        return px.shape[1], px.shape[0], _pixel_features(px, dim)
+        try:
+            px = decode_jpeg(payload)
+            return px.shape[1], px.shape[0], _pixel_features(px, dim)
+        except (NotImplementedError, ValueError, IndexError, KeyError):
+            w, h = jpeg_dims(payload)  # raises if even SOF is absent
+            return w, h, None
     raise NotImplementedError(
         f"unrecognized image payload (format={fmt!r}); stdlib codecs "
         f"cover png/bmp/ppm/baseline-jpeg — pass deterministic_fake="
@@ -671,11 +699,13 @@ def resize_images(df: DataFrame, bin_col: str = "payload",
     width/height are the ORIGINAL dimensions — the thumbnail/
     preprocessing stage of an image-training pipeline.
 
-    Real for the stdlib-decodable formats (PNG/BMP/PPM pixels;
-    nearest-neighbor resample in numpy); JPEG and other formats raise
-    with guidance, same policy as :func:`decode_images` (no PIL/cv2
-    in this environment — the Spark-side plumbing, schema, and batch
-    shape are real and tested either way). Arrow-batched
+    Real for the stdlib-decodable formats (PNG/BMP/PPM + baseline
+    JPEG pixels; nearest-neighbor resample in numpy); progressive
+    JPEG and other formats raise with guidance — unlike
+    :func:`decode_images` there is no dims-only fallback, because a
+    resize output without pixels is useless (no PIL/cv2 in this
+    environment — the Spark-side plumbing, schema, and batch shape
+    are real and tested either way). Arrow-batched
     ``mapInPandas``; output is ~3·out_w·out_h bytes/row regardless of
     input size, so the shuffle after this stage is bounded."""
     schema = T.StructType([

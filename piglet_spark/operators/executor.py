@@ -524,11 +524,13 @@ class Executor:
                 idc="vec_id": dp.embedding_neardup_pairs(
                     df, str(vec), str(idc), threshold=float(thr)),
             # SemDeDup (r04): k-means + within-cluster cosine groups,
-            # keep the lowest-centroid-cosine member per group
-            "semantic_dedup": lambda df, thr=0.9, k=16, vec="embedding",
+            # keep the lowest-centroid-cosine member per group.
+            # k defaults to the paper's sqrt(n) auto-sizing — a fixed
+            # small k at corpus scale would oversize every cluster.
+            "semantic_dedup": lambda df, thr=0.9, k=None, vec="embedding",
                 idc="vec_id": dp.semantic_dedup(
                     df, str(vec), str(idc), threshold=float(thr),
-                    n_clusters=int(k)),
+                    n_clusters=None if k is None else int(k)),
             # benchmark = rows of the same relation whose `src_col`
             # column equals the first argument
             "contamination": lambda df, src="src0", k=5, text="text",

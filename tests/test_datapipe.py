@@ -1323,3 +1323,32 @@ def test_semantic_dedup_auto_k(spark, sf_dir):
     out = dedup.semantic_dedup(emb, threshold=0.4, n_clusters=None)
     assert out.count() == emb.count()
     assert out.filter("keep").count() < emb.count()
+
+
+def test_semantic_dedup_oversized_cluster_still_dedups(spark, sf_dir):
+    """An undersized k must NOT disable dedup: clusters over
+    max_cluster are sub-split (every vector still pairs within its
+    cell), not dropped wholesale. One cluster of 60 vectors with
+    max_cluster=10 still finds the exact-duplicate pairs that land in
+    the same cell, and no vector loses its verdict row."""
+    import numpy as np
+    rng = np.random.default_rng(7)
+    # 30 distinct unit vectors, each duplicated once -> 30 dup pairs
+    base = rng.normal(size=(30, 8))
+    base /= np.linalg.norm(base, axis=1, keepdims=True)
+    rows = []
+    for i, v in enumerate(base):
+        rows.append((2 * i, [float(x) for x in v]))
+        rows.append((2 * i + 1, [float(x) for x in v]))
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    out = dedup.semantic_dedup(emb, threshold=0.999, n_clusters=1,
+                               max_cluster=10).collect()
+    assert len(out) == 60  # no verdict rows lost to a cluster cap
+    dropped = sum(1 for r in out if not r["keep"])
+    # hash-splitting 60 rows into 6 cells keeps ~1/6 of dup pairs
+    # co-located in expectation; with seed 7 well over zero survive
+    assert dropped > 0
+    # and splitting is a recall trade only: full run finds all 30
+    full = dedup.semantic_dedup(emb, threshold=0.999, n_clusters=1,
+                                max_cluster=None)
+    assert full.filter("NOT keep").count() == 30

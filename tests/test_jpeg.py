@@ -100,6 +100,51 @@ def test_decode_images_real_jpeg_pixels(spark):
         float(img[:, :, 0].mean() / 255.0), abs=0.05)
 
 
+def test_decode_images_progressive_jpeg_degrades_to_dims(spark):
+    """A JPEG the numpy decoder refuses (progressive SOF2 — the most
+    common web encoding) must NOT abort the Spark job: decode_images
+    degrades that row to (w, h, null embedding) from the header, the
+    pre-pixel-decode contract."""
+    ok = encode_jpeg(_test_image(16, 16))
+    prog = bytearray(encode_jpeg(_test_image(8, 8)))
+    i = prog.index(b"\xff\xc0")
+    prog[i + 1] = 0xC2  # flip SOF0 → SOF2
+    df = spark.createDataFrame(
+        [(1, bytearray(ok)), (2, bytes(prog))], ["doc_id", "payload"])
+    rows = {r["doc_id"]: r for r in mm.decode_images(df).collect()}
+    assert rows[1]["embedding"] is not None
+    assert (rows[2]["width"], rows[2]["height"]) == (8, 8)
+    assert rows[2]["embedding"] is None
+
+
+def test_decode_images_truncated_jpeg_degrades_to_dims(spark):
+    """Corrupt entropy data (truncated scan) degrades to dims-only
+    instead of crashing the batch."""
+    jpg = encode_jpeg(_test_image(16, 16))
+    cut = jpg[:len(jpg) - len(jpg) // 4]
+    df = spark.createDataFrame([(1, bytes(cut))], ["doc_id", "payload"])
+    r = mm.decode_images(df).collect()[0]
+    assert (r["width"], r["height"]) == (16, 16)
+    assert r["embedding"] is None
+
+
+def test_jpeg_non_interleaved_scan_refused():
+    """A scan covering fewer components than the frame (multi-scan
+    baseline) is refused, not silently mis-decoded with interleaved
+    MCU geometry."""
+    img = _test_image(16, 16)
+    jpg = bytearray(encode_jpeg(img))
+    i = jpg.index(b"\xff\xda")
+    # SOS header: len(2) ns(1) [cs tabs]*ns ss se ah_al — shrink the
+    # component list from 3 to 1 and fix the segment length
+    seglen = (jpg[i + 2] << 8) | jpg[i + 3]
+    assert jpg[i + 4] == 3
+    new = jpg[:i + 2] + bytes([0, seglen - 4, 1]) \
+        + bytes(jpg[i + 5:i + 7]) + bytes(jpg[i + 11:])
+    with pytest.raises(NotImplementedError, match="non-interleaved"):
+        mm.decode_jpeg(bytes(new))
+
+
 def test_resize_images_jpeg(spark):
     img = _test_image(16, 16)
     df = spark.createDataFrame([(1, bytearray(encode_jpeg(img)))],
