@@ -34,7 +34,8 @@ class PigEngine:
         ops = P.parse(script, self.params)
         return R.rewrite(ops)
 
-    def run(self, script: str) -> dict[str, Relation]:
+    def run(self, script: str,
+            _ops: Optional[list] = None) -> dict[str, Relation]:
         """Execute a script; returns the alias → DataFrame environment.
         Sinks (STORE/DUMP) run eagerly; everything else stays lazy.
 
@@ -44,8 +45,11 @@ class PigEngine:
         is active: cached intermediate results from previous runs are
         spliced in as parquet loads while the plan is built, and after
         execution this run's operators are profiled and the
-        highest-benefit point is materialized for future runs."""
-        ops = self.parse(script)
+        highest-benefit point is materialized for future runs.
+
+        ``_ops`` lets run_all pass the plans it already parsed for its
+        signature pre-pass instead of parsing every script twice."""
+        ops = self.parse(script) if _ops is None else _ops
         self.executor.script_hash = hashlib.md5(script.encode()).hexdigest()
         counts = R.consumer_counts(ops)
         if self.executor.options.get("auto_cache"):
@@ -107,7 +111,15 @@ class PigEngine:
         parsed = [self.parse(s) for s in scripts]
         load_stat = (self.executor.mm is not None
                      and self.executor.mm.settings.check_inputs)
-        per_script = [simulate_signatures(ops, load_stat=load_stat)
+        # ONE lineage dict threaded across scripts in execution order,
+        # seeded with anything already bound on this executor: the
+        # Executor's lineage accumulates across run() calls, and a
+        # SqlStmt signature folds in every referenced alias it can
+        # see, so a per-script fresh dict could compute pre-pass sigs
+        # that never match execution (silently missing the share)
+        sim_lineage = dict(self.executor.lineage)
+        per_script = [simulate_signatures(ops, load_stat=load_stat,
+                                          lineage=sim_lineage)
                       for ops in parsed]
         seen: dict[str, int] = {}
         for records in per_script:
@@ -125,7 +137,8 @@ class PigEngine:
                 if not (spliceable and sig in shared):
                     consumed_by_nonshared.update(in_sigs)
         self.executor.share_sigs.update(shared & consumed_by_nonshared)
-        return [self.run(s) for s in scripts]
+        return [self.run(s, _ops=ops)
+                for s, ops in zip(scripts, parsed)]
 
     def to_code(self, script: str) -> str:
         """Equivalent runnable PySpark source for a script — the

@@ -480,7 +480,14 @@ class MaterializationManager:
                 done.append(m.lineage)
             else:
                 shutil.rmtree(path, ignore_errors=True)
-        for df in measured.values():
+        shared = getattr(executor, "session_cache", {})
+        for sig, df in measured.items():
+            if sig in shared:
+                # run_all's shared-subplan cache holds this very
+                # DataFrame (persist() returns self) — unpersisting it
+                # here would silently make every later script recompute
+                # the shared prefix whenever profiling is on
+                continue
             df.unpersist()
         self.stats_last_run = stats
         return done

@@ -415,6 +415,7 @@ def bind_signatures(op: A.Op, lineage: dict[str, str], sig: str) -> list[str]:
 
 def simulate_signatures(
         ops: list[A.Op], *, load_stat: bool = False,
+        lineage: dict[str, str] | None = None,
 ) -> list[tuple[str, bool, tuple[str, ...]]]:
     """Pre-execution signature pass over one script's rewritten plan,
     tracking the full lineage chain exactly as the Executor will.
@@ -422,8 +423,16 @@ def simulate_signatures(
     single-output transformation eligible for subplan sharing, sigs of
     the inputs it consumes). Used by PigEngine.run_all to find subplans
     shared across scripts and the frontier worth persisting (ref
-    PlanMerger.mergePlans, PlanMerger.scala:11-114)."""
-    lineage: dict[str, str] = {}
+    PlanMerger.mergePlans, PlanMerger.scala:11-114).
+
+    ``lineage`` lets the caller thread ONE dict across several scripts
+    in execution order — required for pre-pass sigs to equal execution
+    sigs, because the Executor's lineage accumulates across run()
+    calls and a SqlStmt folds in every referenced alias it can see
+    (a per-script fresh dict would miss aliases bound by an earlier
+    script and compute a different SqlStmt signature than execution
+    will, silently defeating the share)."""
+    lineage = {} if lineage is None else lineage
     records: list[tuple[str, bool, tuple[str, ...]]] = []
     for op in ops:
         in_sigs = tuple(lineage.get(i, i) for i in op.inputs)

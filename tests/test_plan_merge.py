@@ -160,6 +160,35 @@ def test_sql_signature_ignores_aliases_in_string_literals(spark, sf_dir):
     assert sql_ra != sql_rb
 
 
+def test_run_all_sql_share_despite_stale_alias(spark, sf_dir):
+    """Pre-pass sigs must equal execution sigs even when an EARLIER
+    script bound an alias whose name appears in a later script's SQL
+    text: the Executor's lineage accumulates across run() calls and
+    op_signature folds in every referenced alias it can see, so the
+    run_all pre-pass threads ONE lineage dict across scripts. A
+    per-script fresh dict would compute a different SqlStmt sig than
+    execution and silently never share (r04 review)."""
+    load = ("L = LOAD '{d}/nation.parquet' USING ParquetStorage();\n"
+            ).format(d=sf_dir)
+    # s1 binds an alias literally named `qty` — a word s2/s3's SQL
+    # also uses as an output column name
+    s1 = load + "qty = FOREACH L GENERATE n_name;\nDUMP qty;\n"
+    tail = ("Q = SQL 'select n_regionkey, count(*) AS qty from L "
+            "group by n_regionkey';\n"
+            "D = FOREACH Q GENERATE n_regionkey;\nDUMP D;\n")
+    s2, s3 = load + tail, load + tail
+    eng = pg.PigEngine(spark)
+    eng.run_all([s1, s2, s3])
+    # the shared frontier (D — the deepest shared op with a sink
+    # consumer; Q is interior, its consumer splices) made it into the
+    # session cache, which requires the SqlStmt sig to have matched
+    assert eng.executor.lineage["D"] in eng.executor.session_cache
+    assert eng.executor.env["D"] is eng.executor.session_cache[
+        eng.executor.lineage["D"]]
+    assert eng.df("Q").count() == 5
+    eng.clear_session_cache()
+
+
 @pytest.mark.parametrize("n_scripts", [3])
 def test_run_all_three_scripts(spark, data_dir, tmp_path, n_scripts):
     """Sharing holds for N>2 scripts: prefix still executes once."""
@@ -196,8 +225,15 @@ def test_run_all_with_profiling_enabled(spark, sf_dir, tmp_path):
     eng.run_all([s1, s2])
     got_s = sorted(tuple(r) for r in eng.df("S").collect())
     got_m_n = eng.df("M").count()
-    # session cache holds the shared F1 frontier
+    # session cache holds the shared F1 frontier — and script 1's
+    # profiling pass must NOT have unpersisted it (that would make
+    # every later script silently recompute the shared prefix)
     assert eng.executor.session_cache
+    for df in eng.executor.session_cache.values():
+        assert df.storageLevel.useMemory or df.storageLevel.useDisk
+    # script 2 physically read the in-memory shared result
+    plan = eng.df("M")._jdf.queryExecution().executedPlan().toString()
+    assert "InMemoryTableScan" in plan
     # values match a plain unprofiled engine
     ref = pg.PigEngine(spark)
     ref.run(s1)
