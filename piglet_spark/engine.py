@@ -188,9 +188,11 @@ class PigEngine:
             except Exception:
                 pass
         self.executor.stream_queries.clear()
-        # end any ZMQ SUB pump threads and remove their spool dirs
+        # end THIS engine's ZMQ SUB pump threads and remove their spool
+        # dirs — another engine's live pumps in the same process are
+        # untouched (module-level stop_zmq_pumps() stops all)
         from .streaming import stream_exec as _se
-        _se.stop_zmq_pumps()
+        _se.stop_pumps(self.executor.zmq_pumps)
 
 
 def run(spark: SparkSession, script: str,

@@ -505,6 +505,7 @@ class Executor:
         self._cached: set[str] = set()
         self._loads: set[str] = set()  # raw-scan aliases (never cached)
         self.stream_queries: list[Any] = []  # active StreamingQuery handles
+        self.zmq_pumps: list[Any] = []  # this executor's ZMQ SUB pumps
         self._register_datapipe_ops()
 
     def _register_datapipe_ops(self) -> None:
@@ -1978,7 +1979,8 @@ class Executor:
 
     def op_socketread(self, op: A.SocketRead) -> None:
         from ..streaming import stream_exec
-        df = stream_exec.socket_read(self.spark, op)
+        df = stream_exec.socket_read(self.spark, op,
+                                     pump_registry=self.zmq_pumps)
         self.env[op.out] = df
         self._record_ts(op.out, op.timestamp_field, df)
 

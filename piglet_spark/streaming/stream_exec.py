@@ -44,9 +44,10 @@ def window_duration(spec: tuple[int, str]) -> str:
     return f"{n * _UNIT_SECONDS[unit]} seconds"
 
 
-def socket_read(spark: SparkSession, op: A.SocketRead) -> DataFrame:
+def socket_read(spark: SparkSession, op: A.SocketRead,
+                pump_registry: Optional[list] = None) -> DataFrame:
     if op.mode and op.mode.lower() == "zmq":
-        return zmq_read(spark, op)
+        return zmq_read(spark, op, registry=pump_registry)
     raw = (spark.readStream.format("socket")
            .option("host", op.host or "localhost")
            .option("port", op.port)
@@ -69,25 +70,37 @@ def _require_zmq():
 # live SUB pump threads: {"stop": Event, "spool": dir, "thread": Thread}
 # — registered so engine.stop_streams() / stop_zmq_pumps() can end the
 # thread, close its socket and remove the spool (r04, ADVICE: pumps
-# used to run forever and spool files were never pruned)
+# used to run forever and spool files were never pruned). Each pump is
+# ALSO registered on the executor that started it (its `registry`
+# argument), so one engine's stop_streams() doesn't kill another
+# engine's live pump in the same process (r04 review).
 _ZMQ_PUMPS: list[dict] = []
-# age horizon for un-consumed spool files; consumed files are deleted
-# by the file source itself (cleanSource=delete)
-_ZMQ_SPOOL_TTL_SEC = 600.0
 
 
-def stop_zmq_pumps() -> None:
-    """Stop every live ZMQ SUB pump and delete its spool directory."""
+def stop_pumps(pumps: list[dict]) -> None:
+    """Stop the given ZMQ SUB pumps and delete their spool dirs,
+    removing them from the module registry."""
     import shutil
 
-    while _ZMQ_PUMPS:
-        p = _ZMQ_PUMPS.pop()
+    while pumps:
+        p = pumps.pop()
         p["stop"].set()
         p["thread"].join(timeout=2.0)
         shutil.rmtree(p["spool"], ignore_errors=True)
+        try:
+            _ZMQ_PUMPS.remove(p)
+        except ValueError:
+            pass
 
 
-def zmq_read(spark: SparkSession, op: A.SocketRead) -> DataFrame:
+def stop_zmq_pumps() -> None:
+    """Stop every live ZMQ SUB pump in the process (all engines) and
+    delete their spool directories."""
+    stop_pumps(_ZMQ_PUMPS)
+
+
+def zmq_read(spark: SparkSession, op: A.SocketRead,
+             registry: Optional[list] = None) -> DataFrame:
     """SOCKET_READ … MODE zmq: a ZeroMQ SUB subscriber (connects to
     tcp://host:port, subscribes to everything — ref ZmqSubscriber,
     flinklib SourceFuncs.scala:27-75). Structured Streaming has no ZMQ
@@ -97,9 +110,12 @@ def zmq_read(spark: SparkSession, op: A.SocketRead) -> DataFrame:
     source function; the parsed stream itself is fully parallel.
 
     Spool lifecycle (r04): processed files are deleted by the file
-    source (``cleanSource=delete``), un-consumed files age out after
-    ``_ZMQ_SPOOL_TTL_SEC``, and the pump exits when its stop event is
-    set (``stop_zmq_pumps`` / ``PigEngine.stop_streams``)."""
+    source (``cleanSource=delete``); un-consumed files are NEVER
+    age-pruned while the pump lives — the pump cannot tell a stopped
+    query from a live query with a long backlog, and deleting
+    backlogged batch files silently drops stream data (r04 review) —
+    and the whole spool dir is removed when the pump is stopped
+    (``stop_zmq_pumps`` / ``PigEngine.stop_streams``)."""
     zmq = _require_zmq()
     import tempfile
     import threading
@@ -119,7 +135,6 @@ def zmq_read(spark: SparkSession, op: A.SocketRead) -> DataFrame:
         buf: list[str] = []
         seq = 0
         last = _time.time()
-        last_prune = _time.time()
         while not stop.is_set():
             try:
                 if sub.poll(200):
@@ -132,18 +147,6 @@ def zmq_read(spark: SparkSession, op: A.SocketRead) -> DataFrame:
                     seq += 1
                     buf.clear()
                     last = _time.time()
-                if _time.time() - last_prune > 30.0:
-                    # cleanSource-style horizon for files the stream
-                    # never consumed (e.g. its query already stopped)
-                    cutoff = _time.time() - _ZMQ_SPOOL_TTL_SEC
-                    for fn in os.listdir(spool):
-                        fp = os.path.join(spool, fn)
-                        try:
-                            if os.path.getmtime(fp) < cutoff:
-                                os.unlink(fp)
-                        except OSError:
-                            pass
-                    last_prune = _time.time()
             except Exception:
                 break
         sub.close(linger=0)
@@ -151,7 +154,10 @@ def zmq_read(spark: SparkSession, op: A.SocketRead) -> DataFrame:
     thread = threading.Thread(target=pump, daemon=True,
                               name=f"piglet-zmq-sub-{op.port}")
     thread.start()
-    _ZMQ_PUMPS.append({"stop": stop, "spool": spool, "thread": thread})
+    pump_rec = {"stop": stop, "spool": spool, "thread": thread}
+    _ZMQ_PUMPS.append(pump_rec)
+    if registry is not None:
+        registry.append(pump_rec)
     raw = (spark.readStream.format("text")
            .option("cleanSource", "delete")  # drop processed spool files
            .load(spool))

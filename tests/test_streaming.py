@@ -754,3 +754,36 @@ C = FOREACH G GENERATE COUNT(W) AS n, MIN(W.id) AS lo, MAX(W.id) AS hi;
     # window 0 = rows 0-3 (batch 1), window 1 = rows 4-7 (crosses the
     # batch boundary); row 8 buffered, never fires
     assert rows == [(4, 0, 3), (4, 4, 7)]
+
+
+def test_stop_streams_scoped_to_engine_pumps(spark, tmp_path):
+    """One engine's stop_streams() must not kill another engine's live
+    ZMQ pumps (r04 review) — exercised with fake pump records so the
+    scoping logic is testable without pyzmq."""
+    import threading
+
+    from piglet_spark.streaming import stream_exec as se
+
+    def fake_pump(spool):
+        spool.mkdir(exist_ok=True)
+        ev = threading.Event()
+        th = threading.Thread(target=ev.wait, daemon=True)
+        th.start()
+        return {"stop": ev, "spool": str(spool), "thread": th}
+
+    a = fake_pump(tmp_path / "spool_a")
+    b = fake_pump(tmp_path / "spool_b")
+    eng_a = pg.PigEngine(spark)
+    eng_b = pg.PigEngine(spark)
+    for rec, eng in ((a, eng_a), (b, eng_b)):
+        se._ZMQ_PUMPS.append(rec)
+        eng.executor.zmq_pumps.append(rec)
+    try:
+        eng_a.stop_streams()
+        assert a["stop"].is_set() and not (tmp_path / "spool_a").exists()
+        # engine B's pump is untouched and still registered globally
+        assert not b["stop"].is_set() and (tmp_path / "spool_b").exists()
+        assert b in se._ZMQ_PUMPS and a not in se._ZMQ_PUMPS
+    finally:
+        se.stop_pumps([b])
+    assert b not in se._ZMQ_PUMPS
