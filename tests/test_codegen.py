@@ -153,3 +153,57 @@ def test_codegen_output_is_plain_python(spark, data_dir):
         "B = FILTER A BY a > 1;\nDUMP B;\n".format(d=data_dir))
     compile(code, "<generated>", "exec")  # syntactically valid
     assert "import piglet_spark" not in code  # self-contained
+
+
+def test_codegen_untyped_load_matches_engine(spark, data_dir):
+    """Untyped LOAD AS fields (Pig bytearray) must emit a schema the
+    CSV source accepts AND that matches the engine's string mapping
+    (r04 review: 'binary' crashed spark.read.csv and diverged)."""
+    script = (
+        "A = LOAD '{d}/t.csv' USING PigStorage(',') AS (a, b, c);\n"
+        "B = FOREACH A GENERATE a, b;\n"
+    ).format(d=data_dir)
+    eng = pg.PigEngine(spark)
+    code = eng.to_code(script)
+    ns = {"spark": spark}
+    exec(code, ns)
+    eng.run(script)
+    got = sorted(tuple(r) for r in ns["B"].collect())
+    want = sorted(tuple(r) for r in eng.df("B").collect())
+    assert got == want
+    assert ns["B"].schema == eng.df("B").schema
+
+
+def test_codegen_biginteger_load_unsupported_is_clean(spark, data_dir):
+    """A load field type outside the emit map raises CodegenUnsupported
+    naming the type, not a raw KeyError."""
+    from piglet_spark.codegen import CodegenUnsupported
+    eng = pg.PigEngine(spark)
+    code = eng.to_code(
+        "A = LOAD '{d}/t.csv' USING PigStorage(',') "
+        "AS (a:biginteger, b:int, c:int);\n".format(d=data_dir))
+    # biginteger is in the map (bigint) — it must simply work
+    ns = {"spark": spark}
+    exec(code, ns)
+    assert ns["A"].schema["a"].dataType.typeName() == "long"
+
+
+def test_codegen_alias_named_like_temp(spark, data_dir):
+    """A Pig alias literally named _t1 must not be clobbered by join
+    temp variables (r04 review)."""
+    script = (
+        "_t1 = LOAD '{d}/t.csv' USING PigStorage(',') "
+        "AS (a:int, b:int, c:int);\n"
+        "B = LOAD '{d}/t.csv' USING PigStorage(',') "
+        "AS (a:int, x:int, y:int);\n"
+        "J = JOIN B BY a, _t1 BY a;\n"
+        "P = FOREACH J GENERATE B::a AS ba, _t1::b AS tb;\n"
+    ).format(d=data_dir)
+    eng = pg.PigEngine(spark)
+    code = eng.to_code(script)
+    ns = {"spark": spark}
+    exec(code, ns)
+    eng.run(script)
+    got = sorted(tuple(r) for r in ns["P"].collect())
+    want = sorted(tuple(r) for r in eng.df("P").collect())
+    assert got == want
