@@ -968,6 +968,34 @@ WHERE ROUND(list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[])
 """
 
 
+def q_dedup_semantic(spark, sf_dir):
+    """SemDeDup pair generation (Abbas et al. 2023) in its exactly-
+    oracleable configuration: n_clusters=1 puts every vector in one
+    cluster, so within-cluster pairing must equal brute-force all-pairs
+    cosine — the driver gate proves semantic_pairs' plan (trained-
+    centroid assignment, materialized signature stage, cluster-keyed
+    pair join) produces exactly those pairs. The clustered k>1 regime
+    and the keeper verdict are brute-force-checked in
+    tests/test_datapipe.py (Lloyd's argmax and float keeper ties are
+    not portably SQL-reproducible)."""
+    pairs, _ = dp_dedup.semantic_pairs(
+        _emb(spark, sf_dir), threshold=0.42, n_clusters=1)
+    return pairs
+
+
+DEDUP_SEMANTIC_SQL = """
+SELECT a.vec_id AS id_a, b.vec_id AS id_b,
+       ROUND(list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[])
+             / (sqrt(list_dot_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[]))
+                * sqrt(list_dot_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[]))),
+             6) AS cos
+FROM embeddings a JOIN embeddings b ON a.vec_id < b.vec_id
+WHERE ROUND(list_dot_product(a.embedding::DOUBLE[], b.embedding::DOUBLE[])
+      / (sqrt(list_dot_product(a.embedding::DOUBLE[], a.embedding::DOUBLE[]))
+         * sqrt(list_dot_product(b.embedding::DOUBLE[], b.embedding::DOUBLE[]))), 6) >= 0.42
+"""
+
+
 def q_minhash_lsh(spark, sf_dir):
     """MinHash-LSH near-dup pairs. Fully oracled: signatures, band
     buckets, and the exact-Jaccard verify all use portable md5-prefix
@@ -1620,11 +1648,11 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "rank_parts": _pig(RANK_Q, "O"),
         "cube_rollup_grouping": _pig(CUBE_ROLLUP_Q, "A"),
         "sample_op": _pig(SAMPLE_Q, "P"),
-        # LAST deliberately: if a driver-side query cap ever
-        # truncates the dict (r01 observed a 50-query cap),
-        # only this newest row is lost, never an
-        # already-green one
+        # newest rows LAST deliberately: if a driver-side query cap
+        # ever truncates the dict (r01 observed a 50-query cap),
+        # only the newest rows are lost, never an already-green one
         "winnow_fingerprints": q_winnow,
+        "dedup_semantic": q_dedup_semantic,
     }
 
 
@@ -1678,6 +1706,7 @@ def oracle_sql() -> dict[str, str]:
         "dedup_cluster_canonical": _cluster_sql(),
         "multimodal_features": MULTIMODAL_SQL,
         "winnow_fingerprints": WINNOW_SQL,
+        "dedup_semantic": DEDUP_SEMANTIC_SQL,
         "similarity_ann_lsh": _ann_lsh_sql(),
         "similarity_ivf": _ivf_sql(),
         # sample_op: oracled since r04 via SAMPLE … SEED (deterministic
