@@ -1846,6 +1846,33 @@ class Executor:
 
     def op_dedup(self, op: "A.Dedup") -> None:
         df = self.df(op.rel)
+        if df.isStreaming:
+            # dedup-on-ingest: Spark's stateful dropDuplicates emits
+            # the FIRST arrival per key and suppresses later ones
+            # across micro-batches (append-mode safe — a distinct()/
+            # groupBy rewrite would demand update mode). With
+            # TIMESTAMP(f) + SET piglet.watermark, state is bounded by
+            # the watermark horizon via dropDuplicatesWithinWatermark;
+            # otherwise state grows with distinct keys (documented —
+            # exact dedup over an unbounded keyspace has no smaller
+            # state).
+            names = []
+            for k in op.keys:
+                if not isinstance(k, A.NamedField):
+                    raise ExecError(
+                        "streaming DEDUP keys must be plain columns "
+                        "(project the expression in a FOREACH first)")
+                names.append(E.resolve_named(k, self.ctx(df)))
+            ts = self.ts_fields.get(op.rel)
+            wm = self.options.get("watermark") or self.options.get(
+                "piglet.watermark")
+            if ts and wm:
+                self.env[op.out] = (df.withWatermark(ts, str(wm))
+                                    .dropDuplicatesWithinWatermark(
+                                        names or None))
+            else:
+                self.env[op.out] = df.dropDuplicates(names or None)
+            return
         if not op.keys:
             self.env[op.out] = df.distinct()
             return

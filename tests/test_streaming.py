@@ -787,3 +787,59 @@ def test_stop_streams_scoped_to_engine_pumps(spark, tmp_path):
     finally:
         se.stop_pumps([b])
     assert b not in se._ZMQ_PUMPS
+
+
+def test_streaming_dedup_cross_batch(spark, tmp_path):
+    """DEDUP on a streaming relation = Spark's stateful dropDuplicates:
+    a key seen in batch 1 is suppressed when it reappears in batch 2
+    (dedup-on-ingest, the training-pipeline shape). Append-mode safe —
+    the batch rewrite (groupBy + min(struct)) would demand update
+    mode."""
+    import os
+    d = tmp_path / "sdedup"
+    d.mkdir()
+    f1, f2 = d / "a.csv", d / "b.csv"
+    f1.write_text("1,a\n2,b\n1,c\n")
+    f2.write_text("2,d\n3,e\n1,f\n")
+    os.utime(f1, (1000, 1000))
+    os.utime(f2, (2000, 2000))
+    sdf = (spark.readStream.schema("id int, v string")
+           .option("maxFilesPerTrigger", 1).csv(str(d)))
+    eng = pg.PigEngine(spark)
+    eng.executor.env["A"] = sdf
+    eng.run("B = DEDUP A ON id;")
+    out = eng.df("B")
+    assert out.isStreaming
+    q = (out.writeStream.format("memory").queryName("t_sdedup")
+         .outputMode("append").start())
+    q.processAllAvailable()
+    q.stop()
+    rows = spark.sql("select id, v from t_sdedup").collect()
+    got = {r["id"]: r["v"] for r in rows}
+    assert len(rows) == 3 and set(got) == {1, 2, 3}
+    # ids 1 and 2 were emitted from their FIRST batch — batch 2's
+    # re-arrivals (d, f) were suppressed by the dedup state
+    assert got[2] == "b" and got[1] in ("a", "c") and got[3] == "e"
+
+
+def test_streaming_dedup_watermark_bounded_state(spark, tmp_path):
+    """With TIMESTAMP metadata + SET piglet.watermark, streaming DEDUP
+    compiles to dropDuplicatesWithinWatermark (watermark-bounded
+    state)."""
+    sdf = spark.readStream.format("rate").option("rowsPerSecond", 1).load()
+    eng = pg.PigEngine(spark, options={"watermark": "10 seconds"})
+    eng.executor.env["A"] = sdf
+    eng.executor.ts_fields["A"] = "timestamp"
+    eng.run("B = DEDUP A ON value;")
+    plan = eng.df("B")._jdf.queryExecution().logical().toString()
+    assert "DeduplicateWithinWatermark" in plan
+
+
+def test_streaming_dedup_expression_key_rejected(spark):
+    sdf = spark.readStream.format("rate").load()
+    eng = pg.PigEngine(spark)
+    eng.executor.env["A"] = sdf
+    import pytest as _pytest
+    from piglet_spark.operators.executor import ExecError
+    with _pytest.raises(ExecError, match="plain columns"):
+        eng.run("B = DEDUP A ON $0;")
