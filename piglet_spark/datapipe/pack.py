@@ -1,0 +1,186 @@
+"""Training-set assembly operators: sequence packing, deterministic
+mixture sampling, and DSIR-style importance weighting.
+
+These cover the last mile of an LLM data pipeline — after cleaning and
+dedup, documents are weighted/resampled toward a target distribution
+and packed into fixed-length training sequences. All three operators
+are pure DataFrame compositions (no Python UDFs) built on the repo's
+portable-hash idioms, so every one is exactly reproducible in ANSI SQL
+for the correctness oracle.
+
+No counterpart exists in the reference (its surface ends at relational
++ streaming operators); these follow the published recipes:
+- concat-and-chunk packing: standard LLM pretraining practice (GPT-2/
+  GPT-3 style — concatenate documents, split every seq_len tokens).
+- mixture sampling: per-source rates as in Pile/ROOTS-style corpus
+  mixing.
+- DSIR: Xie et al. 2023 (arXiv:2302.03169), hashed n-gram importance
+  resampling; the unigram variant here keeps the oracle exact.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+from pyspark.sql import Column, DataFrame
+from pyspark.sql import functions as F
+
+from .text import normalize_text, ws_token_count
+
+
+def _hash32(col: Column, salt: str = "") -> Column:
+    """Portable 32-bit hash: first 8 hex chars of md5 (DuckDB:
+    ``('0x' || substr(md5(x), 1, 8))::BIGINT``)."""
+    v = F.concat(F.lit(salt), col.cast("string")) if salt else \
+        col.cast("string")
+    return F.conv(F.substring(F.md5(v), 1, 8), 16, 10).cast("bigint")
+
+
+def chunk_pack(df: DataFrame, text_col: str = "text",
+               id_col: str = "doc_id", seq_len: int = 2048,
+               token_col: Optional[str] = None) -> DataFrame:
+    """Concat-and-chunk sequence packing: documents concatenated in
+    ``id_col`` order and split into fixed ``seq_len``-token training
+    sequences. Returns one row per document:
+    (id, n_tokens, start_tok, first_chunk, last_chunk, chunk_offset)
+    where start_tok is the document's global token offset, first/last
+    chunk are the training-sequence ids it lands in, and chunk_offset
+    is its position inside the first chunk.
+
+    Scale shape: the global prefix sum is the TeraSort two-phase
+    pattern (same as RANK, executor.py): range-partition on the id,
+    per-partition window cumsum, plus a broadcast of per-partition
+    totals (≤ numPartitions rows collected — never the data). One
+    shuffle; no single-partition global window.
+
+    Token counts default to whitespace tokens of ``text_col``; pass
+    ``token_col`` to use a precomputed count (e.g. a real tokenizer's
+    output carried in the table).
+    """
+    from pyspark.sql.window import Window
+
+    spark = df.sparkSession
+    toks = (F.col(token_col) if token_col
+            else ws_token_count(F.col(text_col))).cast("long")
+    nparts = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    base = (df.select(F.col(id_col), toks.alias("n_tokens"))
+            .repartitionByRange(nparts, F.col(id_col))
+            .withColumn("__pid", F.spark_partition_id())
+            .localCheckpoint())  # pin partitioning: stats + cumsum
+    # branches must see the SAME partition ids (rank pattern)
+    stats = base.groupBy("__pid").agg(F.sum("n_tokens").alias("__cnt"))
+    w_off = (Window.orderBy("__pid")
+             .rowsBetween(Window.unboundedPreceding, -1))
+    offsets = stats.select(
+        "__pid", F.coalesce(F.sum("__cnt").over(w_off),
+                            F.lit(0)).alias("__off"))
+    w = (Window.partitionBy("__pid").orderBy(id_col)
+         .rowsBetween(Window.unboundedPreceding, -1))
+    start = (F.coalesce(F.sum("n_tokens").over(w), F.lit(0))
+             + F.col("__off")).alias("start_tok")
+    out = (base.join(F.broadcast(offsets), on="__pid")
+           .select(F.col(id_col), F.col("n_tokens"), start))
+    end = F.col("start_tok") + F.col("n_tokens") - 1
+    return out.select(
+        id_col, "n_tokens", "start_tok",
+        F.floor(F.col("start_tok") / seq_len).alias("first_chunk"),
+        # an empty doc occupies no chunk span: last = first
+        F.when(F.col("n_tokens") > 0, F.floor(end / seq_len))
+         .otherwise(F.floor(F.col("start_tok") / seq_len))
+         .alias("last_chunk"),
+        (F.col("start_tok") % seq_len).alias("chunk_offset"))
+
+
+def mixture_sample(df: DataFrame, rates: dict[str, float],
+                   source_col: str = "source", id_col: str = "doc_id",
+                   seed: int = 42,
+                   default_rate: float = 0.0) -> DataFrame:
+    """Corpus mixing: keep each row with its source's rate, decided by
+    a deterministic per-row hash (no RNG — identical membership on any
+    engine/partitioning, the seeded-SAMPLE idiom). Rows from sources
+    not in ``rates`` keep with ``default_rate``. Map-only: a literal
+    CASE over the source column plus one md5 per row — runs at scan
+    speed and pushes down through column pruning.
+
+    ``rates`` values may exceed 1.0 conceptually in mixture recipes
+    (epoch repetition); values are clamped to [0, 1] here — repetition
+    is a separate explode step, not a sampling decision.
+    """
+    # nested whens: default first, then per-source overlays (sorted
+    # for deterministic codegen)
+    thr = F.lit(int(max(0.0, min(1.0, default_rate)) * 4294967296))
+    for src, rate in sorted(rates.items()):
+        r = max(0.0, min(1.0, float(rate)))
+        thr = F.when(F.col(source_col) == src,
+                     F.lit(int(r * 4294967296))).otherwise(thr)
+    h = _hash32(F.col(id_col), salt=f"{seed}|")
+    return df.filter(h < thr)
+
+
+def dsir_weights(raw: DataFrame, target: DataFrame,
+                 text_col: str = "text", id_col: str = "doc_id",
+                 n_buckets: int = 4096,
+                 alpha: float = 1.0) -> DataFrame:
+    """DSIR importance weights (Xie et al. 2023, arXiv:2302.03169):
+    score each raw document by how target-like its hashed-token
+    distribution is. Returns (id, n_feat, dsir_logw) where dsir_logw =
+    Σ_tokens log(p_target[bucket] / p_raw[bucket]) with Laplace-
+    smoothed bucket probabilities over ``n_buckets`` hashed unigram
+    features. Resample the corpus by keeping the top-w fraction or by
+    Gumbel-top-k on the weights.
+
+    The paper hashes n-grams (n=2); this implementation uses unigrams
+    so the DuckDB oracle reproduces values exactly — the bucketing,
+    smoothing, and log-ratio math are the paper's. Scale shape: both
+    bucket tables aggregate to ≤ n_buckets rows (map-side partial
+    aggs) and broadcast into the per-document scoring join; the only
+    data-sized shuffle is the per-document sum on the id.
+    """
+    def buckets_of(d: DataFrame) -> DataFrame:
+        tok = F.explode(F.split(normalize_text(F.col(text_col)),
+                                " ")).alias("_tok")
+        return (d.select(F.col(id_col).alias("_id"), tok)
+                .filter(F.col("_tok") != "")
+                .withColumn("_b", _hash32(F.col("_tok")) % n_buckets))
+
+    def probs(d: DataFrame, name: str) -> DataFrame:
+        cnt = buckets_of(d).groupBy("_b").agg(
+            F.count(F.lit(1)).alias("_n"))
+        total = cnt.agg(F.sum("_n").alias("_tot"))
+        # ≤ n_buckets rows; the crossJoin is a broadcast of ONE row
+        return (cnt.crossJoin(F.broadcast(total))
+                .select("_b", ((F.col("_n") + F.lit(alpha))
+                               / (F.col("_tot")
+                                  + F.lit(alpha * n_buckets))
+                               ).alias(name)))
+
+    pt = probs(target, "_pt")
+    pr = probs(raw, "_pr")
+    # missing buckets get the pure-smoothing probability; totals are
+    # tiny literals carried through the outer join via coalesce with
+    # a per-side fallback computed against each side's total
+    t_tot = target.select(
+        F.sum(ws_token_count(normalize_text(F.col(text_col))))
+        .alias("t")).collect()[0]["t"] or 0
+    r_tot = raw.select(
+        F.sum(ws_token_count(normalize_text(F.col(text_col))))
+        .alias("t")).collect()[0]["t"] or 0
+    t_fb = alpha / (t_tot + alpha * n_buckets)
+    r_fb = alpha / (r_tot + alpha * n_buckets)
+    ratio = (pt.join(pr, on="_b", how="full_outer")
+             .select("_b", F.log(
+                 F.coalesce(F.col("_pt"), F.lit(t_fb))
+                 / F.coalesce(F.col("_pr"), F.lit(r_fb))).alias("_lr")))
+    scored = (buckets_of(raw)
+              .join(F.broadcast(ratio), on="_b", how="left")
+              .groupBy("_id")
+              .agg(F.count(F.lit(1)).alias("n_feat"),
+                   F.round(F.sum("_lr"), 6).alias("dsir_logw")))
+    # docs with zero tokens never appear in buckets_of — restore them
+    # with weight 0 so every input row gets a verdict
+    all_ids = raw.select(F.col(id_col).alias("_id")).distinct()
+    return (all_ids.join(scored, on="_id", how="left")
+            .select(F.col("_id").alias(id_col),
+                    F.coalesce(F.col("n_feat"), F.lit(0)).alias("n_feat"),
+                    F.coalesce(F.col("dsir_logw"),
+                               F.lit(0.0)).alias("dsir_logw")))
