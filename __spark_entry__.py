@@ -16,6 +16,7 @@ from pyspark.sql import functions as F
 
 import piglet_spark as pg
 from piglet_spark.datapipe import dedup as dp_dedup
+from piglet_spark.datapipe import pack as dp_pack
 from piglet_spark.datapipe import similarity as dp_sim
 from piglet_spark.datapipe import text as dp_text
 
@@ -1591,6 +1592,114 @@ WHERE pos <= greatest(m - 4, 0)
 """
 
 
+def q_seq_pack(spark, sf_dir):
+    """Concat-and-chunk sequence packing (GPT-style pretraining
+    assembly; datapipe/pack.py chunk_pack): global token prefix sum
+    via the TeraSort two-phase pattern (range partition + broadcast
+    per-partition totals — never a single-partition window), then each
+    document's span mapped to fixed 64-token training-sequence ids."""
+    return dp_pack.chunk_pack(_docs(spark, sf_dir), seq_len=64)
+
+
+SEQ_PACK_SQL = """
+WITH toks AS (
+  SELECT doc_id,
+         CASE WHEN length(trim(text)) = 0 THEN 0
+              ELSE len(string_split_regex(trim(text), '\\s+')) END AS n_tokens
+  FROM documents
+), cum AS (
+  SELECT doc_id, n_tokens,
+         CAST(COALESCE(SUM(n_tokens) OVER (ORDER BY doc_id
+              ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0)
+              AS BIGINT) AS start_tok
+  FROM toks
+)
+SELECT doc_id, n_tokens, start_tok,
+       start_tok // 64 AS first_chunk,
+       CASE WHEN n_tokens > 0 THEN (start_tok + n_tokens - 1) // 64
+            ELSE start_tok // 64 END AS last_chunk,
+       start_tok % 64 AS chunk_offset
+FROM cum
+"""
+
+
+def q_mixture_sample(spark, sf_dir):
+    """Deterministic corpus mixing (Pile/ROOTS-style per-source rates;
+    datapipe/pack.py mixture_sample): membership decided by a seeded
+    md5 hash of the id — no RNG, identical result on any engine or
+    partitioning, map-only (runs at scan speed)."""
+    return dp_pack.mixture_sample(
+        _docs(spark, sf_dir),
+        {"src0": 0.85, "src1": 0.35, "src3": 0.0},
+        seed=42, default_rate=0.2)
+
+
+# thresholds are int(rate * 2^32): 0.85→3650722201, 0.35→1503238553,
+# default 0.2→858993459
+MIXTURE_SAMPLE_SQL = """
+SELECT * FROM documents
+WHERE ('0x' || substr(md5('42|' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT
+      < CASE source WHEN 'src0' THEN 3650722201
+                    WHEN 'src1' THEN 1503238553
+                    WHEN 'src3' THEN 0
+                    ELSE 858993459 END
+"""
+
+
+def q_dsir_weights(spark, sf_dir):
+    """DSIR importance weights (Xie et al. 2023, arXiv:2302.03169;
+    datapipe/pack.py dsir_weights): target = the 'src0' slice, raw =
+    everything else; hashed-unigram bucket distributions (Laplace-
+    smoothed) broadcast into a per-document log-ratio score. Both
+    bucket tables aggregate to ≤ n_buckets rows map-side, so the only
+    data-sized shuffle is the per-document sum."""
+    docs = _docs(spark, sf_dir)
+    return dp_pack.dsir_weights(
+        docs.filter(F.col("source") != "src0"),
+        docs.filter(F.col("source") == "src0"),
+        n_buckets=64)
+
+
+# both present-bucket and missing-bucket probabilities reduce to
+# (n + 1) / (tot + 64) because the bucket-entry count equals the
+# normalized ws-token total (normalize squeezes whitespace, so split
+# yields no empty tokens)
+DSIR_WEIGHTS_SQL = """
+WITH norm AS (
+  SELECT doc_id, source,
+         trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]',
+              ' ', 'g'), ' +', ' ', 'g')) AS t
+  FROM documents
+), bk AS (
+  SELECT doc_id, source,
+         ('0x' || substr(md5(unnest(string_split(t, ' '))), 1, 8))::BIGINT
+         % 64 AS b
+  FROM norm WHERE length(t) > 0
+), tcnt AS (
+  SELECT b, COUNT(*) AS n FROM bk WHERE source = 'src0' GROUP BY 1
+), rcnt AS (
+  SELECT b, COUNT(*) AS n FROM bk WHERE source <> 'src0' GROUP BY 1
+), ttot AS (SELECT COUNT(*) AS t FROM bk WHERE source = 'src0'),
+   rtot AS (SELECT COUNT(*) AS t FROM bk WHERE source <> 'src0'),
+   ratio AS (
+  SELECT COALESCE(tcnt.b, rcnt.b) AS b,
+         ln(((COALESCE(tcnt.n, 0) + 1.0) / ((SELECT t FROM ttot) + 64.0))
+          / ((COALESCE(rcnt.n, 0) + 1.0) / ((SELECT t FROM rtot) + 64.0)))
+         AS lr
+  FROM tcnt FULL OUTER JOIN rcnt ON tcnt.b = rcnt.b
+), scored AS (
+  SELECT bk.doc_id, COUNT(*) AS n_feat, ROUND(SUM(ratio.lr), 6) AS dsir_logw
+  FROM bk JOIN ratio ON bk.b = ratio.b
+  WHERE bk.source <> 'src0'
+  GROUP BY 1
+)
+SELECT d.doc_id, COALESCE(s.n_feat, 0) AS n_feat,
+       COALESCE(s.dsir_logw, 0.0) AS dsir_logw
+FROM (SELECT DISTINCT doc_id FROM documents WHERE source <> 'src0') d
+LEFT JOIN scored s ON d.doc_id = s.doc_id
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # relational core (Pig scripts through the engine)
@@ -1653,6 +1762,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # only the newest rows are lost, never an already-green one
         "winnow_fingerprints": q_winnow,
         "dedup_semantic": q_dedup_semantic,
+        "seq_pack": q_seq_pack,
+        "mixture_sample": q_mixture_sample,
+        "dsir_weights": q_dsir_weights,
     }
 
 
@@ -1713,4 +1825,7 @@ def oracle_sql() -> dict[str, str]:
         # hash-threshold membership). cep_seq_match gained a
         # recursive-CTE oracle in r02 (CEP_SEQ_SQL).
         "sample_op": SAMPLE_SQL,
+        "seq_pack": SEQ_PACK_SQL,
+        "mixture_sample": MIXTURE_SAMPLE_SQL,
+        "dsir_weights": DSIR_WEIGHTS_SQL,
     }

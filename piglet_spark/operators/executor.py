@@ -454,6 +454,11 @@ def _mmod():
     return multimodal
 
 
+def _pk():
+    from ..datapipe import pack
+    return pack
+
+
 def _parse_vec(qv) -> list[float]:
     """Query vector from a STREAM THROUGH string param:
     '0.1, 0.2, -3e-2' → [0.1, 0.2, -0.03]."""
@@ -461,6 +466,20 @@ def _parse_vec(qv) -> list[float]:
         return [float(x) for x in qv]
     return [float(x) for x in str(qv).replace(";", ",").split(",")
             if x.strip()]
+
+
+def _parse_rates(spec) -> dict[str, float]:
+    """Mixture-rate map from a STREAM THROUGH string param:
+    'src0:0.5,src1:1.0' → {'src0': 0.5, 'src1': 1.0}."""
+    if isinstance(spec, dict):
+        return {str(k): float(v) for k, v in spec.items()}
+    out: dict[str, float] = {}
+    for part in str(spec).replace(";", ",").split(","):
+        if not part.strip():
+            continue
+        k, _, v = part.partition(":")
+        out[k.strip()] = float(v)
+    return out
 
 
 _PY2SPARK = {int: "long", float: "double", str: "string", bool: "boolean",
@@ -600,6 +619,24 @@ class Executor:
                     df, dp.line_dedup_stats(df, str(text), str(idc),
                                             granularity=str(gran)),
                     str(text), str(idc), granularity=str(gran)),
+            # training-set assembly (r05, datapipe/pack.py): sequence
+            # packing, deterministic corpus mixing, DSIR weights
+            "chunk_pack": lambda df, seqlen=2048, text="text",
+                idc="doc_id": _pk().chunk_pack(
+                    df, str(text), str(idc), seq_len=int(seqlen)),
+            # rates is 'src0:0.5,src1:1.0'; unnamed sources keep with
+            # `default`
+            "mixture_sample": lambda df, rates, seed=42, default=0.0,
+                src="source", idc="doc_id": _pk().mixture_sample(
+                    df, _parse_rates(rates), str(src), str(idc),
+                    seed=int(seed), default_rate=float(default)),
+            # target = rows whose `src_col` equals the first argument
+            # (same convention as `contamination`)
+            "dsir_weights": lambda df, tgt="src0", nb=4096, text="text",
+                idc="doc_id", src_col="source": _pk().dsir_weights(
+                    df.filter(F.col(str(src_col)) != str(tgt)),
+                    df.filter(F.col(str(src_col)) == str(tgt)),
+                    str(text), str(idc), n_buckets=int(nb)),
         })
 
     # -------------------------------------------------------- helpers

@@ -1,0 +1,197 @@
+"""Training-set assembly operators (datapipe/pack.py): sequence
+packing, mixture sampling, DSIR weights — each verified against a
+brute-force pure-Python reference, plus STREAM THROUGH wiring."""
+
+import hashlib
+import math
+import re
+
+import pytest
+
+from piglet_spark.datapipe import pack
+
+
+def _h32(s: str) -> int:
+    return int(hashlib.md5(s.encode()).hexdigest()[:8], 16)
+
+
+def _norm(t: str) -> str:
+    t = t.lower()
+    t = re.sub("[^a-z0-9 ]", " ", t)
+    return re.sub(" +", " ", t).strip()
+
+
+@pytest.fixture(scope="module")
+def corpus(spark):
+    # ~50 docs, variable lengths, one empty and one whitespace-only
+    rows = []
+    words = ["alpha", "beta", "gamma", "delta", "eps", "zeta", "eta"]
+    for i in range(50):
+        n = (i * 7) % 13  # 0..12 tokens, several zero-length docs
+        text = " ".join(words[(i + j) % len(words)] for j in range(n))
+        rows.append((i, text, f"src{i % 4}"))
+    rows.append((50, "   ", "src0"))  # whitespace-only → 0 tokens
+    return spark.createDataFrame(rows, ["doc_id", "text", "source"])
+
+
+# ------------------------------------------------------- chunk_pack
+
+def test_chunk_pack_matches_bruteforce(corpus):
+    seq_len = 8
+    out = {r["doc_id"]: r for r in
+           pack.chunk_pack(corpus, seq_len=seq_len).collect()}
+    rows = sorted(corpus.collect(), key=lambda r: r["doc_id"])
+    off = 0
+    for r in rows:
+        n = len(_ws_tokens(r["text"]))
+        got = out[r["doc_id"]]
+        assert got["n_tokens"] == n, r["doc_id"]
+        assert got["start_tok"] == off, r["doc_id"]
+        assert got["first_chunk"] == off // seq_len
+        last = (off + n - 1) // seq_len if n > 0 else off // seq_len
+        assert got["last_chunk"] == last, r["doc_id"]
+        assert got["chunk_offset"] == off % seq_len
+        off += n
+    assert len(out) == len(rows)
+
+
+def _ws_tokens(t: str):
+    t = t.strip()
+    return t.split() if t else []
+
+
+def test_chunk_pack_precomputed_token_col(corpus, spark):
+    from pyspark.sql import functions as F
+    with_tok = corpus.withColumn("n_tok", F.lit(3))
+    out = pack.chunk_pack(with_tok, seq_len=5,
+                          token_col="n_tok").collect()
+    by_id = {r["doc_id"]: r for r in out}
+    # every doc contributes exactly 3 tokens → start = 3 * doc_id
+    for r in out:
+        assert r["n_tokens"] == 3
+        assert r["start_tok"] == 3 * r["doc_id"]
+    assert by_id[50]["first_chunk"] == (3 * 50) // 5
+
+
+# --------------------------------------------------- mixture_sample
+
+def test_mixture_sample_matches_hash_reference(corpus):
+    rates = {"src0": 0.9, "src1": 0.4, "src2": 0.0}
+    seed = 7
+    kept = {r["doc_id"] for r in
+            pack.mixture_sample(corpus, rates, seed=seed,
+                                default_rate=0.25).collect()}
+    expect = set()
+    for r in corpus.collect():
+        rate = rates.get(r["source"], 0.25)
+        h = _h32(f"{seed}|{r['doc_id']}")
+        if h < int(rate * 4294967296):
+            expect.add(r["doc_id"])
+    assert kept == expect
+    # src2 rate 0 → none of its rows survive
+    assert not any(d % 4 == 2 for d in kept if d < 50)
+
+
+def test_mixture_sample_deterministic_and_clamped(corpus):
+    a = {r["doc_id"] for r in
+         pack.mixture_sample(corpus, {"src0": 5.0}).collect()}
+    b = {r["doc_id"] for r in
+         pack.mixture_sample(corpus, {"src0": 5.0}).collect()}
+    assert a == b
+    # rate ≥ 1 clamps to keep-all for that source
+    src0 = {r["doc_id"] for r in corpus.collect() if r["source"] == "src0"}
+    assert src0 <= a
+
+
+# ----------------------------------------------------- dsir_weights
+
+def _brute_dsir(raw_rows, tgt_rows, n_buckets, alpha=1.0):
+    def buckets(rows):
+        out = []
+        for _id, text in rows:
+            for tok in _norm(text).split():
+                if tok:
+                    out.append((_id, _h32(tok) % n_buckets))
+        return out
+
+    def probs(bks, total):
+        from collections import Counter
+        cnt = Counter(b for _, b in bks)
+        tot = len(bks)
+        return ({b: (c + alpha) / (tot + alpha * n_buckets)
+                 for b, c in cnt.items()},
+                alpha / (total + alpha * n_buckets))
+
+    tb, rb = buckets(tgt_rows), buckets(raw_rows)
+    # fallback denominators use ws-token totals of the *normalized*…
+    # no: pack.py computes totals as ws_token_count(normalize_text)
+    t_tot = sum(len(_norm(t).split()) for _, t in tgt_rows)
+    r_tot = sum(len(_norm(t).split()) for _, t in raw_rows)
+    pt, t_fb = probs(tb, t_tot)
+    pr, r_fb = probs(rb, r_tot)
+    out = {}
+    for _id, b in rb:
+        lr = math.log(pt.get(b, t_fb) / pr.get(b, r_fb))
+        n, s = out.get(_id, (0, 0.0))
+        out[_id] = (n + 1, s + lr)
+    for _id, _ in raw_rows:
+        out.setdefault(_id, (0, 0.0))
+    return {k: (n, round(s, 6)) for k, (n, s) in out.items()}
+
+
+def test_dsir_weights_match_bruteforce(corpus):
+    from pyspark.sql import functions as F
+    raw = corpus.filter(F.col("source") != "src0")
+    tgt = corpus.filter(F.col("source") == "src0")
+    got = {r["doc_id"]: (r["n_feat"], r["dsir_logw"])
+           for r in pack.dsir_weights(raw, tgt, n_buckets=64).collect()}
+    want = _brute_dsir(
+        [(r["doc_id"], r["text"]) for r in raw.collect()],
+        [(r["doc_id"], r["text"]) for r in tgt.collect()], 64)
+    assert set(got) == set(want)
+    for k in want:
+        assert got[k][0] == want[k][0], k
+        assert got[k][1] == pytest.approx(want[k][1], abs=2e-6), k
+
+
+def test_dsir_target_docs_score_higher(corpus, spark):
+    # raw corpus containing exact copies of target docs must rank the
+    # copies above unrelated docs
+    tgt = spark.createDataFrame(
+        [(100, "machine learning models train on tokens"),
+         (101, "tokens and models and machine learning")],
+        ["doc_id", "text"])
+    raw = spark.createDataFrame(
+        [(0, "machine learning models train on tokens"),
+         (1, "cooking recipes with garlic and butter pasta"),
+         (2, "garlic butter recipes cooking pasta dinner")],
+        ["doc_id", "text"])
+    w = {r["doc_id"]: r["dsir_logw"]
+         for r in pack.dsir_weights(raw, tgt, n_buckets=256).collect()}
+    assert w[0] > w[1] and w[0] > w[2]
+
+
+# --------------------------------------------- STREAM THROUGH wiring
+
+def test_pack_ops_registered_in_dsl(corpus, spark, tmp_path):
+    import piglet_spark as pg
+    p = tmp_path / "docs.parquet"
+    corpus.write.mode("overwrite").parquet(str(p))
+    eng = pg.PigEngine(spark)
+    script = f"""
+D = LOAD '{p}' USING ParquetStorage();
+P = STREAM D THROUGH chunk_pack(8);
+M = STREAM D THROUGH mixture_sample('src0:0.9,src1:0.4,src2:0.0', 7, 0.25);
+W = STREAM D THROUGH dsir_weights('src0', 64);
+"""
+    env = eng.run(script)
+    packed = {r["doc_id"]: r for r in env["P"].collect()}
+    assert packed[0]["start_tok"] == 0 and len(packed) == 51
+    kept = {r["doc_id"] for r in env["M"].collect()}
+    direct = {r["doc_id"] for r in pack.mixture_sample(
+        corpus, {"src0": 0.9, "src1": 0.4, "src2": 0.0}, seed=7,
+        default_rate=0.25).collect()}
+    assert kept == direct
+    w = env["W"].collect()
+    assert {r["doc_id"] for r in w} == \
+        {r["doc_id"] for r in corpus.collect() if r["source"] != "src0"}
