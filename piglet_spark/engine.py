@@ -60,25 +60,7 @@ class PigEngine:
                 a for a, n in counts.items() if n >= 2}
         self.executor.mm_spliced = set()  # fresh per run()
         self.executor.bound_this_run = set()  # scope mm profiling to this run
-        prof_opt = self.executor.options.get("profiling")
-        # `SET piglet.profiling true;` / `SET piglet.materialization_dir
-        # '…';` enable auto-materialization from the script itself —
-        # pre-scanned BEFORE execution so cached results splice in on
-        # this very run (the reference enables profiling via CLI only;
-        # this is the DSL-native surface)
-        from .plans import ast as A
-        set_vals = {o.key: o.value for o in ops
-                    if isinstance(o, A.SetCmd)}
-        if not prof_opt and str(set_vals.get(
-                "piglet.profiling", "")).lower() in ("true", "1", "on"):
-            prof_opt = True
-        if prof_opt and self.executor.mm is None:
-            from . import mm as _mm
-            base = (set_vals.get("piglet.materialization_dir")
-                    or self.executor.options.get(
-                        "materialization_dir", "/tmp/piglet_mat"))
-            self.executor.mm = _mm.MaterializationManager(
-                str(base), _mm.ProfilerSettings.from_options(prof_opt))
+        self._maybe_init_mm(ops)
         env = self.executor.execute(ops)
         if self.executor.mm is not None:
             # "last"-strategy operand: aliases consumed only by sinks
@@ -97,6 +79,30 @@ class PigEngine:
                 run_aliases=self.executor.bound_this_run)
         return env
 
+    def _maybe_init_mm(self, ops) -> None:
+        """Instantiate the auto-materialization manager if profiling is
+        requested via options OR in-script SETs. `SET piglet.profiling
+        true;` / `SET piglet.materialization_dir '…';` enable it from
+        the script itself — pre-scanned BEFORE execution so cached
+        results splice in on this very run (the reference enables
+        profiling via CLI only; this is the DSL-native surface)."""
+        if self.executor.mm is not None:
+            return
+        prof_opt = self.executor.options.get("profiling")
+        from .plans import ast as A
+        set_vals = {o.key: o.value for o in ops
+                    if isinstance(o, A.SetCmd)}
+        if not prof_opt and str(set_vals.get(
+                "piglet.profiling", "")).lower() in ("true", "1", "on"):
+            prof_opt = True
+        if prof_opt:
+            from . import mm as _mm
+            base = (set_vals.get("piglet.materialization_dir")
+                    or self.executor.options.get(
+                        "materialization_dir", "/tmp/piglet_mat"))
+            self.executor.mm = _mm.MaterializationManager(
+                str(base), _mm.ProfilerSettings.from_options(prof_opt))
+
     def run_all(self, scripts: list[str]) -> list[dict[str, Relation]]:
         """Multi-script shared-subplan execution — the reference's
         PlanMerger path (PlanMerger.scala:11-114, invoked when the CLI
@@ -109,6 +115,15 @@ class PigEngine:
         cross-run mm cache)."""
         from .operators.executor import simulate_signatures
         parsed = [self.parse(s) for s in scripts]
+        # mm must exist BEFORE the signature pre-pass: with profiling
+        # on and check_inputs (default since r05), execution folds
+        # input-file state into LOAD signatures — a pre-pass computed
+        # without load_stat would never match an executed signature
+        # and the shared prefix would silently not be shared (caught
+        # by test_run_all_with_profiling_enabled when the default
+        # flipped)
+        for ops in parsed:
+            self._maybe_init_mm(ops)
         load_stat = (self.executor.mm is not None
                      and self.executor.mm.settings.check_inputs)
         # ONE lineage dict threaded across scripts in execution order,

@@ -59,11 +59,14 @@ class ProfilerSettings:
     max_profile_actions: int = 32         # bound on per-run profiling jobs
     # fold input-file modification state (max mtime + total size) into
     # LOAD lineage signatures, so cached results invalidate when the
-    # underlying files change. OFF by default: the reference keys
-    # lineage on the plan only (same contract), and stat-ing a
-    # many-thousand-file dataset on every run has a cost — turn on for
-    # correctness over mutable inputs.
-    check_inputs: bool = False
+    # underlying files change. ON by default (r05): the silent
+    # alternative is stale results from an unchanged script over
+    # changed files. The reference keys lineage on the plan text only
+    # (mm/DataflowProfiler lineageSignature); that contract is
+    # reachable with check_inputs=False when stat-ing a
+    # many-thousand-file dataset per run is too costly — the splice
+    # then prints a visible stderr notice.
+    check_inputs: bool = True
 
     @classmethod
     def from_options(cls, opts: Any) -> "ProfilerSettings":
@@ -88,7 +91,10 @@ class ProfilerSettings:
                 elif k == "max_profile_actions":
                     ps.max_profile_actions = int(v)
                 elif k == "check_inputs":
-                    ps.check_inputs = bool(v)
+                    # string-safe: 'false'/'0'/'off' from a SET line
+                    # must opt out, not truthy-cast to True
+                    ps.check_inputs = str(v).lower() not in (
+                        "false", "0", "off", "no", "")
         return ps
 
 

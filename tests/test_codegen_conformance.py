@@ -1,0 +1,107 @@
+"""Codegen-vs-engine conformance sweep (r05): for every reference
+integration script, `PigEngine.to_code` must either (a) emit PySpark
+source that executes and reproduces the reference truth file, or
+(b) raise CodegenUnsupported with the documented reason. The explicit
+lists below pin the supported subset — widening codegen (or a
+regression) forces an update here, so the generated-code surface
+can't silently rot as the engine evolves
+(ref api/PigletInterpreterAPI.createCodeFromInput)."""
+
+import pathlib
+
+import pytest
+
+import piglet_spark as pg
+from piglet_spark.codegen import CodegenUnsupported
+
+from .test_reference_conformance import REF, SCRIPTS, collect_output
+
+# scripts whose generated code runs AND matches the reference truth
+CODEGEN_SUPPORTED = {
+    "load2.pig",
+    "selfjoin.pig",
+    "selfjoin_ambiguous_fieldnames.pig",
+    "selfjoin_filtered.pig",
+    "sort.pig",
+    "sort_multiple_directions.pig",
+    "filter.pig",
+    "foreach1.pig",
+    "wordcount.pig",
+    "union.pig",
+    "aggregate.pig",
+    "sampling.pig",
+    "top_schema.pig",
+    "two_joins.pig",
+    "macro1.pig",  # r05: keyword-alias mangling (`in` → `_in`)
+}
+
+# script → substring of the CodegenUnsupported message. Everything in
+# the conformance table must appear in exactly one of the two maps.
+CODEGEN_UNSUPPORTED = {
+    "load.pig": "schemaless PigStorage LOAD",
+    "load3.pig": "schemaless PigStorage LOAD",
+    "top.pig": "schemaless PigStorage LOAD",
+    "stream_load.pig": "schemaless PigStorage LOAD",
+    "nforeach.pig": "nested FOREACH body",
+    "groupforeach.pig": "RDFLoad",
+    "nforeach2.pig": "RDFLoad",
+    "grouping.pig": "GROUP result",
+    "groupall.pig": "GROUP result",
+    "grouping2.pig": "grouped FOREACH generators",
+    "bag.pig": "TOKENIZE",
+    "construct.pig": "TupleCons",
+    "cross.pig": "Cross",
+    "crossmany.pig": "Cross",
+    "accumulate.pig": "Accumulate",
+    "embedded.pig": "EmbedCmd",
+    "simple_matrix.pig": "ddmatrix",
+    "bgpfilter.pig": "BGPFilter",
+    "rdf_starjoin_plain.pig": "BGPFilter",
+    "rdf_pathjoin_plain.pig": "BGPFilter",
+    "spatialfilter.pig": "geometry",
+    "spatialfilterwithindex.pig": "geometry",
+    "spatialjoin.pig": "geometry",
+    "spatialjoinwithindex.pig": "geometry",
+    "splitInto.pig": "PigStream",
+    "stream_load2.pig": "PigStream",
+    "stream_foreach1.pig": "PigStream",
+    "stream_filter.pig": "PigStream",
+    "windowJoin.pig": "PigStream",
+    "windowGrouping.pig": "PigStream",
+    "windowNforeach.pig": "PigStream",
+    "windowFilter.pig": "PigStream",
+    "windowDistinct.pig": "PigStream",
+    "windowSort.pig": "PigStream",
+    "windowCross.pig": "PigStream",
+    "windowCount.pig": "Window",
+}
+
+
+def test_partition_is_exhaustive():
+    names = {s[0] for s in SCRIPTS}
+    assert CODEGEN_SUPPORTED | set(CODEGEN_UNSUPPORTED) == names
+    assert not CODEGEN_SUPPORTED & set(CODEGEN_UNSUPPORTED)
+
+
+@pytest.mark.parametrize("script,truth,in_order", SCRIPTS,
+                         ids=[s[0] for s in SCRIPTS])
+def test_codegen_conformance(spark, tmp_path, script, truth, in_order):
+    src = (REF / script).read_text()
+    out = tmp_path / "out"
+    eng = pg.PigEngine(spark, params={"inbase": str(REF),
+                                      "outfile": str(out)})
+    if script in CODEGEN_UNSUPPORTED:
+        with pytest.raises(CodegenUnsupported) as exc:
+            eng.to_code(src)
+        assert CODEGEN_UNSUPPORTED[script] in str(exc.value)
+        return
+    code = eng.to_code(src)
+    ns = {"spark": spark}
+    exec(compile(code, f"<gen:{script}>", "exec"), ns)
+    got = [l for l in collect_output(pathlib.Path(out)) if l.strip()]
+    expected = [l for l in (REF / "truth" / truth).read_text().splitlines()
+                if l.strip()]
+    if in_order:
+        assert got == expected
+    else:
+        assert sorted(got) == sorted(expected)

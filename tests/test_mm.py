@@ -370,6 +370,71 @@ Q = FILTER P BY p_size > 20;
     assert eng.executor.mm.stats_last_run["profiled"] <= 2
 
 
+def test_check_inputs_on_by_default(spark, tmp_path):
+    """r05: bare `profiling: True` (no settings dict) must already
+    invalidate cached points when the input file changes — stale
+    splices are opt-in (check_inputs=False), not the default."""
+    assert mm.ProfilerSettings().check_inputs is True
+    assert mm.ProfilerSettings.from_options(True).check_inputs is True
+    assert mm.ProfilerSettings.from_options(
+        {"strategy": "last"}).check_inputs is True
+    mat = str(tmp_path / "mat_def")
+    src = tmp_path / "in.csv"
+    src.write_text("1,10\n2,20\n")
+    script = f"""
+A = LOAD '{src}' USING PigStorage(',') AS (id:int, v:int);
+G = GROUP A ALL;
+S = FOREACH G GENERATE SUM(A.v) AS tot;
+"""
+    opts = {"materialization_dir": mat, "profiling": True}
+    eng1 = pg.PigEngine(spark, options=opts)
+    eng1.run(script)
+    assert eng1.df("S").collect()[0]["tot"] == 30
+    import time
+    time.sleep(0.05)
+    src.write_text("1,10\n2,20\n3,70\n")
+    os.utime(src)
+    eng2 = pg.PigEngine(spark, options=opts)
+    eng2.run(script)
+    assert eng2.executor.mm_spliced == set()
+    assert eng2.df("S").collect()[0]["tot"] == 100
+
+
+def test_check_inputs_false_keeps_plan_only_contract(spark, tmp_path,
+                                                     capsys):
+    """Explicit opt-out (check_inputs=False — the reference's
+    plan-text-only lineage contract, r3 default) still splices the
+    cached result after an input change, with a visible stderr
+    notice. String forms of false from a settings dict opt out too."""
+    assert mm.ProfilerSettings.from_options(
+        {"check_inputs": "false"}).check_inputs is False
+    assert mm.ProfilerSettings.from_options(
+        {"check_inputs": False}).check_inputs is False
+    mat = str(tmp_path / "mat_optout")
+    src = tmp_path / "in.csv"
+    src.write_text("1,10\n2,20\n")
+    script = f"""
+A = LOAD '{src}' USING PigStorage(',') AS (id:int, v:int);
+G = GROUP A ALL;
+S = FOREACH G GENERATE SUM(A.v) AS tot;
+"""
+    opts = {"materialization_dir": mat,
+            "profiling": {"check_inputs": False}}
+    eng1 = pg.PigEngine(spark, options=opts)
+    eng1.run(script)
+    assert eng1.df("S").collect()[0]["tot"] == 30
+    import time
+    time.sleep(0.05)
+    src.write_text("1,10\n2,20\n3,70\n")
+    os.utime(src)
+    eng2 = pg.PigEngine(spark, options=opts)
+    eng2.run(script)
+    # stale-by-contract: cached point spliced, old value returned
+    assert len(eng2.executor.mm_spliced) > 0
+    assert eng2.df("S").collect()[0]["tot"] == 30
+    assert "spliced from cached result" in capsys.readouterr().err
+
+
 def test_check_inputs_invalidates_on_file_change(spark, tmp_path):
     """profiling={'check_inputs': True}: rewriting the input file
     changes the Load lineage, so the cached point is NOT spliced and
