@@ -369,7 +369,20 @@ def ngram_jaccard_pairs(df: DataFrame, text_col: str = "text",
     is missed only if every shared shingle is hot (cooccur) / its
     required prefix extends into the hot tail (prefix). Run
     ``exact_dedup`` first so boilerplate never piles up that hot.
-    ``max_df=None`` disables the cap (test-scale only)."""
+    ``max_df=None`` disables the cap (test-scale only).
+
+    Choosing ``max_df`` (measured regime guidance, SCALE.md): the
+    candidate-join cost is Σ_shingles C(min(df, max_df), 2) ≈
+    Σ min(df, cap)² / 2 — QUADRATIC in the cap wherever the corpus
+    has shingles at the cap. At sf10 the default 256 produced 171.4M
+    candidates (82 s); the same corpus at max_df=64 would bound the
+    hot tail at 1/16 the pairs. On noisy corpora (scraped web text,
+    heavy boilerplate) lower the cap to 32-64 or pre-strip
+    boilerplate with ``strip_dup_lines``; on clean deduplicated
+    corpora the cap rarely binds and 256 keeps recall. A cheap
+    pre-pass to pick it: aggregate the inverted index's df column and
+    set the cap near its 99.9th percentile, so only true boilerplate
+    is excluded."""
     # _materialize: the shingling regex pass feeds sizes, the
     # inverted index (plus its df/hot aggregates) and the final
     # verify/size joins — up to 5 consumers that would each re-run

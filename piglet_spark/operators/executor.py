@@ -1845,10 +1845,29 @@ class Executor:
 
     def op_hdfscmd(self, op: "A.HdfsCmd") -> None:
         """fs -cmd args (ref op/cmd/HdfsCmd.scala:28 / HDFSService).
-        Local-filesystem semantics — no HDFS in this environment."""
+        When a real `hadoop` binary is on PATH (a cluster edge node),
+        pass the command through verbatim — true HDFS semantics.
+        Otherwise local-filesystem semantics (this container has no
+        HDFS). `SET piglet.fs 'local'` forces the local path even
+        when hadoop exists."""
         import os
         import shutil
         cmd, args = op.cmd.lower(), op.args
+        if str(self.options.get("piglet.fs", "")).lower() != "local":
+            hadoop = shutil.which("hadoop") or shutil.which("hdfs")
+            if hadoop:
+                import subprocess
+                exe = [hadoop, "fs"] if hadoop.endswith("hadoop") \
+                    else [hadoop, "dfs"]
+                res = subprocess.run(exe + [f"-{op.cmd}", *op.args],
+                                     capture_output=True, text=True)
+                if res.stdout:
+                    print(res.stdout, end="")
+                if res.returncode != 0:
+                    raise ExecError(
+                        f"hadoop fs -{op.cmd} failed "
+                        f"(rc={res.returncode}): {res.stderr.strip()}")
+                return
         if cmd in ("copytolocal", "cp", "copyfromlocal") and len(args) >= 2:
             shutil.copy(args[0], args[1])
         elif cmd == "mv" and len(args) >= 2:

@@ -224,6 +224,35 @@ fs -cp '{src}' '{dst}';
     assert (tmp_path / "newdir").is_dir()
 
 
+def test_fs_cmd_hadoop_passthrough(spark, tmp_path, monkeypatch):
+    """r05: with a real `hadoop` binary on PATH the fs command is
+    passed through verbatim (true HDFS semantics on a cluster edge
+    node); `SET piglet.fs 'local'` forces the local-fs path back."""
+    import os
+    fake = tmp_path / "bin" / "hadoop"
+    fake.parent.mkdir()
+    log = tmp_path / "calls.log"
+    fake.write_text(f"#!/bin/sh\necho \"$@\" >> '{log}'\n")
+    fake.chmod(0o755)
+    monkeypatch.setenv("PATH",
+                       f"{fake.parent}:{os.environ.get('PATH', '')}")
+    pg.run(spark, f"fs -mkdir '/hdfs/path/one';")
+    assert log.read_text().strip() == "fs -mkdir /hdfs/path/one"
+    # failure propagates as ExecError with the hadoop stderr
+    import pytest as _pytest
+    from piglet_spark.operators.executor import ExecError
+    fake.write_text("#!/bin/sh\necho boom >&2\nexit 1\n")
+    with _pytest.raises(ExecError, match="boom"):
+        pg.run(spark, "fs -rm '/hdfs/x';")
+    # explicit local override ignores the binary entirely: the dir is
+    # created locally and the fake hadoop logs no new call
+    d = tmp_path / "localdir"
+    before = log.read_text()
+    pg.run(spark, f"SET piglet.fs 'local';\nfs -mkdir '{d}';")
+    assert d.is_dir()
+    assert log.read_text() == before
+
+
 def test_rscript_clear_error(spark, data_dir):
     import pytest
     from piglet_spark.operators.executor import ExecError
