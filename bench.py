@@ -54,6 +54,10 @@ HEADLINE = [
     "similarity_ivf",
     "multimodal_features",
     "cep_seq_match",
+    # r05: training-set assembly (datapipe/pack.py)
+    "seq_pack",
+    "mixture_sample",
+    "dsir_weights",
 ]
 
 

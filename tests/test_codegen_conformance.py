@@ -47,15 +47,17 @@ CODEGEN_SUPPORTED = {
     "construct.pig",
     "cross.pig",
     "crossmany.pig",
+    # r05b: nested FOREACH DISTINCT fused to count_distinct; global
+    # ACCUMULATE as df.agg()
+    "nforeach.pig",
+    "accumulate.pig",
 }
 
 # script → substring of the CodegenUnsupported message. Everything in
 # the conformance table must appear in exactly one of the two maps.
 CODEGEN_UNSUPPORTED = {
-    "nforeach.pig": "nested FOREACH body",
     "groupforeach.pig": "RDFLoad",
     "nforeach2.pig": "RDFLoad",
-    "accumulate.pig": "Accumulate",
     "embedded.pig": "EmbedCmd",
     "simple_matrix.pig": "ddmatrix",
     "bgpfilter.pig": "BGPFilter",
