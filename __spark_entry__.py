@@ -1700,6 +1700,66 @@ LEFT JOIN scored s ON d.doc_id = s.doc_id
 """
 
 
+def q_dsir_resample(spark, sf_dir):
+    """DSIR Gumbel-top-k resampling (Xie et al. 2023; datapipe/pack.py
+    dsir_resample): deterministic per-id Gumbel noise added to the
+    log-weight, top ceil(frac·n) kept via the TeraSort two-phase rank
+    (range partition + per-partition row_number + broadcast offsets —
+    never a single-partition global window). sel_key rounds to 6
+    decimals before ranking so engine ulp differences in ln() can't
+    flip the selected set."""
+    docs = _docs(spark, sf_dir)
+    return dp_pack.dsir_resample(
+        docs.filter(F.col("source") != "src0"),
+        docs.filter(F.col("source") == "src0"),
+        n_buckets=64, frac=0.2, seed=42)
+
+
+DSIR_RESAMPLE_SQL = """
+WITH norm AS (
+  SELECT doc_id, source,
+         trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]',
+              ' ', 'g'), ' +', ' ', 'g')) AS t
+  FROM documents
+), bk AS (
+  SELECT doc_id, source,
+         ('0x' || substr(md5(unnest(string_split(t, ' '))), 1, 8))::BIGINT
+         % 64 AS b
+  FROM norm WHERE length(t) > 0
+), tcnt AS (
+  SELECT b, COUNT(*) AS n FROM bk WHERE source = 'src0' GROUP BY 1
+), rcnt AS (
+  SELECT b, COUNT(*) AS n FROM bk WHERE source <> 'src0' GROUP BY 1
+), ttot AS (SELECT COUNT(*) AS t FROM bk WHERE source = 'src0'),
+   rtot AS (SELECT COUNT(*) AS t FROM bk WHERE source <> 'src0'),
+   ratio AS (
+  SELECT COALESCE(tcnt.b, rcnt.b) AS b,
+         ln(((COALESCE(tcnt.n, 0) + 1.0) / ((SELECT t FROM ttot) + 64.0))
+          / ((COALESCE(rcnt.n, 0) + 1.0) / ((SELECT t FROM rtot) + 64.0)))
+         AS lr
+  FROM tcnt FULL OUTER JOIN rcnt ON tcnt.b = rcnt.b
+), scored AS (
+  SELECT bk.doc_id, ROUND(SUM(ratio.lr), 6) AS dsir_logw
+  FROM bk JOIN ratio ON bk.b = ratio.b
+  WHERE bk.source <> 'src0'
+  GROUP BY 1
+), w AS (
+  SELECT d.doc_id, COALESCE(s.dsir_logw, 0.0) AS dsir_logw
+  FROM (SELECT DISTINCT doc_id FROM documents WHERE source <> 'src0') d
+  LEFT JOIN scored s ON d.doc_id = s.doc_id
+), keyed AS (
+  SELECT doc_id, dsir_logw,
+         ROUND(dsir_logw + -ln(-ln(
+           ((('0x' || substr(md5('42|' || CAST(doc_id AS VARCHAR)), 1, 8))
+             ::BIGINT + 0.5) / 4294967296.0))), 6) AS sel_key
+  FROM w
+)
+SELECT doc_id, dsir_logw, sel_key FROM keyed
+QUALIFY row_number() OVER (ORDER BY sel_key DESC, doc_id ASC)
+        <= CEIL(0.2 * (SELECT COUNT(*) FROM w))
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # relational core (Pig scripts through the engine)
@@ -1765,6 +1825,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "seq_pack": q_seq_pack,
         "mixture_sample": q_mixture_sample,
         "dsir_weights": q_dsir_weights,
+        "dsir_resample": q_dsir_resample,
     }
 
 
@@ -1828,4 +1889,5 @@ def oracle_sql() -> dict[str, str]:
         "seq_pack": SEQ_PACK_SQL,
         "mixture_sample": MIXTURE_SAMPLE_SQL,
         "dsir_weights": DSIR_WEIGHTS_SQL,
+        "dsir_resample": DSIR_RESAMPLE_SQL,
     }

@@ -20,6 +20,7 @@ No counterpart exists in the reference (its surface ends at relational
 
 from __future__ import annotations
 
+import math
 from typing import Optional
 
 from pyspark.sql import Column, DataFrame
@@ -184,3 +185,67 @@ def dsir_weights(raw: DataFrame, target: DataFrame,
                     F.coalesce(F.col("n_feat"), F.lit(0)).alias("n_feat"),
                     F.coalesce(F.col("dsir_logw"),
                                F.lit(0.0)).alias("dsir_logw")))
+
+
+def dsir_resample(raw: DataFrame, target: DataFrame,
+                  text_col: str = "text", id_col: str = "doc_id",
+                  n_buckets: int = 4096, frac: float = 0.1,
+                  seed: int = 42, alpha: float = 1.0,
+                  method: str = "gumbel") -> DataFrame:
+    """DSIR resampling (the paper's step after weighting): keep the
+    ``ceil(frac · n)`` most target-like documents. Returns
+    (id, dsir_logw, sel_key) of the kept docs.
+
+    - ``gumbel`` (default): Gumbel-top-k — sel_key = logw + G where
+      G = -ln(-ln(u)) with u a deterministic per-id hash in (0, 1);
+      top-k by this key samples WITHOUT replacement with probability
+      ∝ exp(logw), the paper's sampling semantics, yet is exactly
+      reproducible on any engine (no RNG).
+    - ``topk``: sel_key = logw — hard top-fraction selection.
+
+    sel_key is rounded to 6 decimals before ranking (ties break on
+    the id) so the selected set is identical across engines whose
+    ``ln`` differs in the last ulp — the correctness-oracle contract.
+
+    Scale shape: selection is the TeraSort two-phase rank (range
+    partition on the sort key, per-partition row_number, broadcast
+    per-partition counts) — no single-partition global window, one
+    shuffle over (id, key) pairs only; the weights themselves come
+    from :func:`dsir_weights` (broadcast bucket tables)."""
+    from pyspark.sql.window import Window
+
+    spark = raw.sparkSession
+    w = dsir_weights(raw, target, text_col, id_col,
+                     n_buckets=n_buckets, alpha=alpha)
+    if method == "gumbel":
+        u = (_hash32(F.col(id_col), salt=f"{seed}|") + F.lit(0.5)) \
+            / F.lit(4294967296.0)
+        key = F.round(F.col("dsir_logw") + -F.log(-F.log(u)), 6)
+    elif method == "topk":
+        key = F.round(F.col("dsir_logw"), 6)
+    else:
+        raise ValueError(f"unknown dsir_resample method {method!r}")
+    keyed = w.select(F.col(id_col), F.col("dsir_logw"),
+                     key.alias("sel_key"))
+    nparts = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    base = (keyed.repartitionByRange(nparts, F.col("sel_key").desc(),
+                                     F.col(id_col).asc())
+            .withColumn("__pid", F.spark_partition_id())
+            .localCheckpoint())  # pin partition ids across branches
+    stats = base.groupBy("__pid").agg(F.count(F.lit(1)).alias("__cnt"))
+    srows = stats.collect()  # ≤ nparts rows — never the data
+    total = sum(r["__cnt"] for r in srows)
+    k = int(math.ceil(frac * total))
+    cum, offs = 0, {}
+    for r in sorted(srows, key=lambda r: r["__pid"]):
+        offs[r["__pid"]] = cum
+        cum += r["__cnt"]
+    off_df = spark.createDataFrame(
+        [(p, o) for p, o in offs.items()], "__pid int, __off long")
+    rn = F.row_number().over(
+        Window.partitionBy("__pid")
+        .orderBy(F.col("sel_key").desc(), F.col(id_col).asc()))
+    return (base.join(F.broadcast(off_df), on="__pid")
+            .withColumn("__rk", rn + F.col("__off"))
+            .filter(F.col("__rk") <= k)
+            .select(id_col, "dsir_logw", "sel_key"))

@@ -637,6 +637,13 @@ class Executor:
                     df.filter(F.col(str(src_col)) != str(tgt)),
                     df.filter(F.col(str(src_col)) == str(tgt)),
                     str(text), str(idc), n_buckets=int(nb)),
+            "dsir_resample": lambda df, tgt="src0", frac=0.1, nb=4096,
+                seed=42, meth="gumbel", text="text", idc="doc_id",
+                src_col="source": _pk().dsir_resample(
+                    df.filter(F.col(str(src_col)) != str(tgt)),
+                    df.filter(F.col(str(src_col)) == str(tgt)),
+                    str(text), str(idc), n_buckets=int(nb),
+                    frac=float(frac), seed=int(seed), method=str(meth)),
         })
 
     # -------------------------------------------------------- helpers

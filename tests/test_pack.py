@@ -171,6 +171,46 @@ def test_dsir_target_docs_score_higher(corpus, spark):
     assert w[0] > w[1] and w[0] > w[2]
 
 
+def test_dsir_resample_gumbel_matches_bruteforce(corpus):
+    from pyspark.sql import functions as F
+    raw = corpus.filter(F.col("source") != "src0")
+    tgt = corpus.filter(F.col("source") == "src0")
+    frac, seed, nb = 0.3, 9, 64
+    kept = {r["doc_id"]: r for r in pack.dsir_resample(
+        raw, tgt, n_buckets=nb, frac=frac, seed=seed).collect()}
+    # brute force: weights + deterministic Gumbel key, top ceil(frac·n)
+    w = _brute_dsir(
+        [(r["doc_id"], r["text"]) for r in raw.collect()],
+        [(r["doc_id"], r["text"]) for r in tgt.collect()], nb)
+    keys = {}
+    for _id, (_, logw) in w.items():
+        u = (_h32(f"{seed}|{_id}") + 0.5) / 4294967296.0
+        keys[_id] = round(logw + -math.log(-math.log(u)), 6)
+    n = len(w)
+    k = math.ceil(frac * n)
+    order = sorted(keys, key=lambda i: (-keys[i], i))
+    expect = set(order[:k])
+    assert set(kept) == expect
+    assert len(kept) == k
+    for i in expect:
+        assert kept[i]["sel_key"] == pytest.approx(keys[i], abs=2e-6)
+
+
+def test_dsir_resample_topk_prefers_target_like(corpus, spark):
+    tgt = spark.createDataFrame(
+        [(100, "machine learning models train on tokens")],
+        ["doc_id", "text"])
+    raw = spark.createDataFrame(
+        [(0, "machine learning models train on tokens"),
+         (1, "cooking recipes with garlic and butter pasta"),
+         (2, "garlic butter recipes cooking pasta dinner"),
+         (3, "unrelated text about sailing boats at sea")],
+        ["doc_id", "text"])
+    kept = pack.dsir_resample(raw, tgt, n_buckets=256, frac=0.25,
+                              method="topk").collect()
+    assert [r["doc_id"] for r in kept] == [0]  # ceil(.25*4)=1, best doc
+
+
 # --------------------------------------------- STREAM THROUGH wiring
 
 def test_pack_ops_registered_in_dsl(corpus, spark, tmp_path):
@@ -183,6 +223,7 @@ D = LOAD '{p}' USING ParquetStorage();
 P = STREAM D THROUGH chunk_pack(8);
 M = STREAM D THROUGH mixture_sample('src0:0.9,src1:0.4,src2:0.0', 7, 0.25);
 W = STREAM D THROUGH dsir_weights('src0', 64);
+R = STREAM D THROUGH dsir_resample('src0', 0.3, 64, 9);
 """
     env = eng.run(script)
     packed = {r["doc_id"]: r for r in env["P"].collect()}
@@ -195,3 +236,8 @@ W = STREAM D THROUGH dsir_weights('src0', 64);
     w = env["W"].collect()
     assert {r["doc_id"] for r in w} == \
         {r["doc_id"] for r in corpus.collect() if r["source"] != "src0"}
+    direct_r = {r["doc_id"] for r in pack.dsir_resample(
+        corpus.filter(corpus.source != "src0"),
+        corpus.filter(corpus.source == "src0"),
+        n_buckets=64, frac=0.3, seed=9).collect()}
+    assert {r["doc_id"] for r in env["R"].collect()} == direct_r
