@@ -1700,6 +1700,70 @@ LEFT JOIN scored s ON d.doc_id = s.doc_id
 """
 
 
+def q_mixture_repeat(spark, sf_dir):
+    """Epoch repetition (GPT-3-style source up-sampling;
+    datapipe/pack.py mixture_repeat): floor(rate) copies plus a
+    deterministic hash-Bernoulli for the fractional part — expected
+    copies = rate exactly, zero RNG, map-side sequence-explode (no
+    shuffle). Rates use exact binary fractions so the truncation in
+    both engines is identical."""
+    return dp_pack.mixture_repeat(
+        _docs(spark, sf_dir),
+        {"src0": 2.5, "src1": 0.5, "src2": 0.0},
+        seed=42, default_rate=1.0)
+
+
+# fracs are exact binary (.5): frac*2^32 thresholds 2147483648 / 0
+MIXTURE_REPEAT_SQL = """
+WITH r AS (
+  SELECT *,
+         CASE source WHEN 'src0' THEN 2 WHEN 'src2' THEN 0
+              WHEN 'src1' THEN 0 ELSE 1 END
+         + CASE WHEN CASE source WHEN 'src0' THEN 2147483648
+                     WHEN 'src1' THEN 2147483648
+                     WHEN 'src2' THEN 0 ELSE 0 END
+                > ('0x' || substr(md5('42|' || CAST(doc_id AS VARCHAR)),
+                   1, 8))::BIGINT
+                THEN 1 ELSE 0 END AS _n
+  FROM documents
+)
+SELECT doc_id, text, lang, source, n_chars,
+       CAST(unnest(range(_n)) AS INT) AS epoch
+FROM r
+"""
+
+
+def q_chunk_text(spark, sf_dir):
+    """Overlapping token-window chunking (RAG/retrieval assembly;
+    datapipe/text.py chunk_text): windows of 32 whitespace tokens,
+    stride 24 (overlap 8) — map-only split + sequence + slice +
+    explode, no shuffle, no UDF."""
+    return dp_text.chunk_text(_docs(spark, sf_dir), size=32, overlap=8)
+
+
+CHUNK_TEXT_SQL = """
+WITH toks AS (
+  SELECT doc_id,
+         CASE WHEN length(trim(text)) = 0 THEN []
+              ELSE string_split_regex(trim(text), '\\s+') END AS t
+  FROM documents
+), nc AS (
+  SELECT doc_id, t,
+         CASE WHEN len(t) <= 0 THEN 0
+              ELSE greatest(1, CAST(ceil((len(t) - 8) / 24.0) AS INT))
+              END AS k
+  FROM toks
+), ex AS (
+  SELECT doc_id, t, CAST(unnest(range(k)) AS INT) AS chunk_idx FROM nc
+)
+SELECT doc_id, chunk_idx,
+       len(t[chunk_idx * 24 + 1 : chunk_idx * 24 + 32]) AS n_chunk_tokens,
+       array_to_string(t[chunk_idx * 24 + 1 : chunk_idx * 24 + 32], ' ')
+           AS chunk_text
+FROM ex
+"""
+
+
 def q_dsir_resample(spark, sf_dir):
     """DSIR Gumbel-top-k resampling (Xie et al. 2023; datapipe/pack.py
     dsir_resample): deterministic per-id Gumbel noise added to the
@@ -1826,6 +1890,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mixture_sample": q_mixture_sample,
         "dsir_weights": q_dsir_weights,
         "dsir_resample": q_dsir_resample,
+        "mixture_repeat": q_mixture_repeat,
+        "chunk_text": q_chunk_text,
     }
 
 
@@ -1890,4 +1956,6 @@ def oracle_sql() -> dict[str, str]:
         "mixture_sample": MIXTURE_SAMPLE_SQL,
         "dsir_weights": DSIR_WEIGHTS_SQL,
         "dsir_resample": DSIR_RESAMPLE_SQL,
+        "mixture_repeat": MIXTURE_REPEAT_SQL,
+        "chunk_text": CHUNK_TEXT_SQL,
     }

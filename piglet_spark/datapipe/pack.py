@@ -118,6 +118,32 @@ def mixture_sample(df: DataFrame, rates: dict[str, float],
     return df.filter(h < thr)
 
 
+def mixture_repeat(df: DataFrame, rates: dict[str, float],
+                   source_col: str = "source", id_col: str = "doc_id",
+                   seed: int = 42,
+                   default_rate: float = 1.0) -> DataFrame:
+    """Epoch repetition — the other half of corpus mixing (rates > 1
+    mean a source is seen multiple times per epoch, e.g. Wikipedia
+    3.4× in GPT-3's mix). Each row is emitted
+    ``floor(rate) + Bernoulli(frac(rate))`` times, with the Bernoulli
+    decided by the same deterministic per-id hash as
+    :func:`mixture_sample` — expected copies = rate exactly, zero RNG.
+    Output = input columns + ``epoch`` (0-based copy index). Map-side
+    sequence-explode: no shuffle, runs at scan speed."""
+    rate = F.lit(float(max(0.0, default_rate)))
+    for src, r in sorted(rates.items()):
+        rate = F.when(F.col(source_col) == src,
+                      F.lit(float(max(0.0, r)))).otherwise(rate)
+    whole = F.floor(rate).cast("long")
+    frac = rate - whole
+    h = _hash32(F.col(id_col), salt=f"{seed}|")
+    extra = (h < (frac * F.lit(4294967296.0)).cast("bigint")).cast("long")
+    n = whole + extra
+    copies = F.when(n >= 1, F.sequence(F.lit(0), (n - 1).cast("int"))) \
+        .otherwise(F.array().cast("array<int>"))
+    return (df.withColumn("epoch", F.explode(copies)))
+
+
 def dsir_weights(raw: DataFrame, target: DataFrame,
                  text_col: str = "text", id_col: str = "doc_id",
                  n_buckets: int = 4096,

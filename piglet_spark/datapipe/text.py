@@ -336,3 +336,41 @@ def winnow_fingerprints(df: DataFrame, text_col: str = "text",
     return (sel.select(F.col("_id").alias(id_col),
                        F.col("_sel").alias("fp"))
             .distinct())
+
+
+def chunk_text(df: DataFrame, text_col: str = "text",
+               id_col: str = "doc_id", size: int = 128,
+               overlap: int = 16) -> DataFrame:
+    """Overlapping token-window chunking (RAG/retrieval-style): split
+    each document into windows of ``size`` whitespace tokens with
+    stride ``size - overlap``. Returns one row per chunk:
+    (id, chunk_idx, n_chunk_tokens, chunk_text). A document shorter
+    than ``size`` yields exactly one chunk; empty docs yield none;
+    every token is covered (the last window may be short).
+
+    Map-only plan — split + sequence + slice + explode are all
+    codegen'd array expressions, no shuffle, no UDF: at corpus scale
+    this runs at scan speed and parallelizes per input split."""
+    if overlap >= size:
+        raise ValueError("overlap must be < size")
+    stride = size - overlap
+    t = F.trim(F.col(text_col))
+    toks = F.when(F.length(t) == 0, F.array().cast("array<string>")) \
+        .otherwise(F.split(t, r"\s+"))
+    n = F.size(toks)
+    # ceil((n - overlap) / stride) chunks, min 1 for non-empty docs
+    n_chunks = F.when(n <= 0, F.lit(0)).otherwise(
+        F.greatest(F.lit(1),
+                   F.ceil((n - F.lit(overlap)) / F.lit(stride))
+                   .cast("int")))
+    idxs = F.when(n_chunks >= 1,
+                  F.sequence(F.lit(0), (n_chunks - 1).cast("int"))) \
+        .otherwise(F.array().cast("array<int>"))
+    base = df.select(F.col(id_col), toks.alias("_t"),
+                     F.explode(idxs).alias("chunk_idx"))
+    piece = F.slice(F.col("_t"),
+                    F.col("chunk_idx") * stride + 1, size)
+    return base.select(
+        id_col, "chunk_idx",
+        F.size(piece).alias("n_chunk_tokens"),
+        F.array_join(piece, " ").alias("chunk_text"))

@@ -637,6 +637,15 @@ class Executor:
                     df.filter(F.col(str(src_col)) != str(tgt)),
                     df.filter(F.col(str(src_col)) == str(tgt)),
                     str(text), str(idc), n_buckets=int(nb)),
+            "mixture_repeat": lambda df, rates, seed=42, default=1.0,
+                src="source", idc="doc_id": _pk().mixture_repeat(
+                    df, _parse_rates(rates), str(src), str(idc),
+                    seed=int(seed), default_rate=float(default)),
+            # RAG-style overlapping token-window chunking (map-only)
+            "chunk_text": lambda df, size=128, overlap=16, text="text",
+                idc="doc_id": dt.chunk_text(
+                    df, str(text), str(idc), size=int(size),
+                    overlap=int(overlap)),
             "dsir_resample": lambda df, tgt="src0", frac=0.1, nb=4096,
                 seed=42, meth="gumbel", text="text", idc="doc_id",
                 src_col="source": _pk().dsir_resample(

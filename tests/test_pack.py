@@ -171,6 +171,67 @@ def test_dsir_target_docs_score_higher(corpus, spark):
     assert w[0] > w[1] and w[0] > w[2]
 
 
+def test_mixture_repeat_matches_hash_reference(corpus):
+    rates = {"src0": 2.5, "src1": 0.5, "src2": 0.0}
+    seed = 11
+    out = pack.mixture_repeat(corpus, rates, seed=seed,
+                              default_rate=1.0).collect()
+    got = {}
+    for r in out:
+        got.setdefault(r["doc_id"], []).append(r["epoch"])
+    expect = {}
+    for r in corpus.collect():
+        rate = rates.get(r["source"], 1.0)
+        whole = int(rate)
+        frac = rate - whole
+        h = _h32(f"{seed}|{r['doc_id']}")
+        n = whole + (1 if h < int(frac * 4294967296) else 0)
+        if n >= 1:
+            expect[r["doc_id"]] = list(range(n))
+    assert {k: sorted(v) for k, v in got.items()} == expect
+    # src0 rows appear 2 or 3 times; src2 rows never
+    for r in corpus.collect():
+        if r["source"] == "src0":
+            assert len(expect.get(r["doc_id"], [])) in (2, 3)
+        if r["source"] == "src2":
+            assert r["doc_id"] not in expect
+
+
+def test_chunk_text_covers_all_tokens(corpus):
+    from piglet_spark.datapipe import text as dt
+    size, overlap = 5, 2
+    stride = size - overlap
+    out = {}
+    for r in dt.chunk_text(corpus, size=size, overlap=overlap).collect():
+        out.setdefault(r["doc_id"], []).append(
+            (r["chunk_idx"], r["n_chunk_tokens"], r["chunk_text"]))
+    for r in corpus.collect():
+        toks = _ws_tokens(r["text"])
+        chunks = sorted(out.get(r["doc_id"], []))
+        if not toks:
+            assert chunks == []
+            continue
+        n_exp = max(1, -(-(len(toks) - overlap) // stride))
+        assert len(chunks) == n_exp, r["doc_id"]
+        for i, (idx, ntk, txt) in enumerate(chunks):
+            assert idx == i
+            want = toks[i * stride:i * stride + size]
+            assert txt.split() == want
+            assert ntk == len(want)
+        # every token covered: concat of stride-prefixes + last chunk
+        rebuilt = []
+        for i, (_, _, txt) in enumerate(chunks[:-1]):
+            rebuilt += txt.split()[:stride]
+        rebuilt += chunks[-1][2].split()
+        assert rebuilt == toks
+
+
+def test_chunk_text_overlap_validation(corpus):
+    from piglet_spark.datapipe import text as dt
+    with pytest.raises(ValueError):
+        dt.chunk_text(corpus, size=4, overlap=4)
+
+
 def test_dsir_resample_gumbel_matches_bruteforce(corpus):
     from pyspark.sql import functions as F
     raw = corpus.filter(F.col("source") != "src0")
