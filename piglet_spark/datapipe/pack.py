@@ -64,8 +64,11 @@ def chunk_pack(df: DataFrame, text_col: str = "text",
     toks = (F.col(token_col) if token_col
             else ws_token_count(F.col(text_col))).cast("long")
     nparts = int(spark.conf.get("spark.sql.shuffle.partitions"))
-    base = (df.select(F.col(id_col), toks.alias("n_tokens"))
-            .repartitionByRange(nparts, F.col(id_col))
+    # tokenize once: repartitionByRange's range-bounds sampling job
+    # would re-run the token-count scan over the full text otherwise
+    counted = df.select(F.col(id_col),
+                        toks.alias("n_tokens")).localCheckpoint()
+    base = (counted.repartitionByRange(nparts, F.col(id_col))
             .withColumn("__pid", F.spark_partition_id())
             .localCheckpoint())  # pin partitioning: stats + cumsum
     # branches must see the SAME partition ids (rank pattern)
@@ -170,28 +173,32 @@ def dsir_weights(raw: DataFrame, target: DataFrame,
                 .filter(F.col("_tok") != "")
                 .withColumn("_b", _hash32(F.col("_tok")) % n_buckets))
 
-    def probs(d: DataFrame, name: str) -> DataFrame:
-        cnt = buckets_of(d).groupBy("_b").agg(
-            F.count(F.lit(1)).alias("_n"))
+    def probs(d: DataFrame, name: str):
+        # bucket table materialized ONCE (≤ n_buckets rows): the
+        # total, the fallback, and the ratio join all read the
+        # checkpointed counts — the corpus text is scanned exactly
+        # once per side, not once per consumer (r05: the un-pinned
+        # plan re-ran the tokenize scan 3× — for the counts, for the
+        # ws-token total, and for the range sampler downstream)
+        cnt = (buckets_of(d).groupBy("_b")
+               .agg(F.count(F.lit(1)).alias("_n"))
+               .localCheckpoint())
+        # bucket-entry count == normalized ws-token total (normalize
+        # squeezes whitespace, so the split yields no empty tokens)
+        tot = cnt.agg(F.sum("_n")).collect()[0][0] or 0
         total = cnt.agg(F.sum("_n").alias("_tot"))
         # ≤ n_buckets rows; the crossJoin is a broadcast of ONE row
-        return (cnt.crossJoin(F.broadcast(total))
-                .select("_b", ((F.col("_n") + F.lit(alpha))
-                               / (F.col("_tot")
-                                  + F.lit(alpha * n_buckets))
-                               ).alias(name)))
+        p = (cnt.crossJoin(F.broadcast(total))
+             .select("_b", ((F.col("_n") + F.lit(alpha))
+                            / (F.col("_tot")
+                               + F.lit(alpha * n_buckets))
+                            ).alias(name)))
+        return p, tot
 
-    pt = probs(target, "_pt")
-    pr = probs(raw, "_pr")
-    # missing buckets get the pure-smoothing probability; totals are
-    # tiny literals carried through the outer join via coalesce with
-    # a per-side fallback computed against each side's total
-    t_tot = target.select(
-        F.sum(ws_token_count(normalize_text(F.col(text_col))))
-        .alias("t")).collect()[0]["t"] or 0
-    r_tot = raw.select(
-        F.sum(ws_token_count(normalize_text(F.col(text_col))))
-        .alias("t")).collect()[0]["t"] or 0
+    pt, t_tot = probs(target, "_pt")
+    pr, r_tot = probs(raw, "_pr")
+    # missing buckets get the pure-smoothing probability via coalesce
+    # with a per-side fallback computed against each side's total
     t_fb = alpha / (t_tot + alpha * n_buckets)
     r_fb = alpha / (r_tot + alpha * n_buckets)
     ratio = (pt.join(pr, on="_b", how="full_outer")
@@ -251,8 +258,12 @@ def dsir_resample(raw: DataFrame, target: DataFrame,
         key = F.round(F.col("dsir_logw"), 6)
     else:
         raise ValueError(f"unknown dsir_resample method {method!r}")
+    # materialize the 3-column weights ONCE before range partitioning:
+    # repartitionByRange runs a sampling job over its input to pick
+    # range bounds, which would otherwise re-execute the entire
+    # weights pipeline (measured 2.6× the whole query at sf10)
     keyed = w.select(F.col(id_col), F.col("dsir_logw"),
-                     key.alias("sel_key"))
+                     key.alias("sel_key")).localCheckpoint()
     nparts = int(spark.conf.get("spark.sql.shuffle.partitions"))
     base = (keyed.repartitionByRange(nparts, F.col("sel_key").desc(),
                                      F.col(id_col).asc())
