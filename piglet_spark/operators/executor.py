@@ -1540,7 +1540,11 @@ class Executor:
         # total order needs this materialization barrier anyway
         # (sample → range-partition → count → offset, the TeraSort
         # pattern).
-        base = (df.repartitionByRange(nparts, *order)
+        # pin a wide upstream first: repartitionByRange's range-bounds
+        # sampling job would execute it a second time (datapipe.util
+        # .pin_if_wide; measured on dsir_resample, SCALE.md r05)
+        from ..datapipe.util import pin_if_wide
+        base = (pin_if_wide(df).repartitionByRange(nparts, *order)
                 .withColumn("__pid", F.spark_partition_id())
                 .localCheckpoint())
         aggs = [F.count(F.lit(1)).alias("__cnt")]
