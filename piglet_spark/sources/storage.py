@@ -239,7 +239,21 @@ def store(df: DataFrame, path: str, func: Optional[str],
         formatted.write.mode("overwrite").text(path)
         return
     if name in ("binstorage", "parquetstorage"):
-        df.write.mode("overwrite").parquet(path)
+        # optional hive-style partitioned output — the 100 TB layout:
+        # `STORE X INTO 'p' USING ParquetStorage('col1,col2')` writes
+        # path/col1=v/col2=v/part-*.parquet, so downstream reads prune
+        # partitions on those columns for free
+        w = df.write.mode("overwrite")
+        if args:
+            cols = [c.strip() for c in str(args[0]).split(",")
+                    if c.strip()]
+            missing = [c for c in cols if c not in df.columns]
+            if missing:
+                raise StorageError(
+                    f"ParquetStorage partition column(s) {missing} not "
+                    f"in schema {df.columns}")
+            w = w.partitionBy(*cols)
+        w.parquet(path)
         return
     if name in ("jsonstorage", "jsonstorage2"):
         df.write.mode("overwrite").json(path)

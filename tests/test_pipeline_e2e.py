@@ -1,0 +1,110 @@
+"""End-to-end LLM-data-pipeline integration: the full assembly line
+composed in ONE Pig script — hygiene (PII scrub) → exact dedup →
+quality gate → mixture sampling → DSIR resampling → sequence packing →
+partitioned parquet out. Proves the STREAM THROUGH ops compose (each
+op's output schema feeds the next) and that the engine executes the
+whole DAG lazily with sinks driving it."""
+
+import pyspark.sql.functions as F
+import pytest
+
+import piglet_spark as pg
+
+
+@pytest.fixture(scope="module")
+def docs_parquet(spark, tmp_path_factory):
+    d = tmp_path_factory.mktemp("e2e")
+    p = str(d / "docs.parquet")
+    rows = []
+    words = ["the", "model", "trains", "on", "clean", "text", "data",
+             "quality", "tokens", "corpus"]
+    for i in range(120):
+        n = 6 + (i % 9)
+        text = " ".join(words[(i + j) % len(words)] for j in range(n))
+        if i % 10 == 0:
+            text += " contact bob@example.com now"  # PII to scrub
+        if i % 17 == 0:
+            text = "the model trains on clean text"  # exact dups
+        rows.append((i, text, f"src{i % 3}"))
+    spark.createDataFrame(rows, ["doc_id", "text", "source"]) \
+        .write.mode("overwrite").parquet(p)
+    return p
+
+
+def test_full_pipeline_one_script(spark, docs_parquet, tmp_path):
+    out = str(tmp_path / "packed")
+    eng = pg.PigEngine(spark)
+    env = eng.run(f"""
+D  = LOAD '{docs_parquet}' USING ParquetStorage();
+-- hygiene: redact PII in place
+C  = STREAM D THROUGH pii_scrub();
+-- exact dedup: fingerprint -> keeper table, join back to keep one
+K  = STREAM C THROUGH exact_dedup();
+J  = JOIN C BY doc_id, K BY keep_id;
+U  = FOREACH J GENERATE C::doc_id AS doc_id, C::text AS text,
+                        C::source AS source;
+-- mixture: downsample src2, keep the rest
+M  = STREAM U THROUGH mixture_sample('src0:1.0,src1:1.0,src2:0.5', 7);
+-- target-aware resampling toward src0
+R  = STREAM M THROUGH dsir_resample('src0', 0.8, 64, 7);
+-- keep only resampled winners, then pack into 16-token sequences
+W  = JOIN M BY doc_id, R BY doc_id;
+S  = FOREACH W GENERATE M::doc_id AS doc_id, M::text AS text,
+                        M::source AS source;
+P  = STREAM S THROUGH chunk_pack(16);
+STORE P INTO '{out}' USING ParquetStorage();
+""")
+    packed = spark.read.parquet(out).orderBy("doc_id").collect()
+    assert len(packed) > 0
+    # no PII survived the scrub (check the kept text side)
+    kept_text = [r["text"] for r in env["S"].collect()]
+    assert all("bob@example.com" not in t for t in kept_text)
+    assert any("<EMAIL>" in t or "example" not in t for t in kept_text)
+    # exact dups collapsed: every fingerprint appears once in S
+    fps = (env["S"].select(
+        F.md5(F.trim(F.regexp_replace(F.regexp_replace(
+            F.lower("text"), "[^a-z0-9 ]", " "), " +", " ")))
+        .alias("fp")).groupBy("fp").count().collect())
+    assert all(r["count"] == 1 for r in fps)
+    # packing invariant: start offsets are a prefix sum in id order
+    off = 0
+    for r in packed:
+        assert r["start_tok"] == off
+        off += r["n_tokens"]
+    # dsir_resample holds the target slice (src0) out of `raw`, so
+    # the final set contains only the other sources, with src2
+    # downsampled by its 0.5 mixture rate relative to src1's 1.0
+    by_src = {r["source"]: r["n"] for r in env["S"].groupBy("source")
+              .agg(F.count("*").alias("n")).collect()}
+    assert "src0" not in by_src
+    assert by_src.get("src1", 0) > by_src.get("src2", 0)
+
+
+def test_partitioned_parquet_store(spark, docs_parquet, tmp_path):
+    out = str(tmp_path / "bysrc")
+    eng = pg.PigEngine(spark)
+    eng.run(f"""
+D = LOAD '{docs_parquet}' USING ParquetStorage();
+STORE D INTO '{out}' USING ParquetStorage('source');
+""")
+    import os
+    dirs = sorted(d for d in os.listdir(out) if d.startswith("source="))
+    assert dirs == ["source=src0", "source=src1", "source=src2"]
+    back = spark.read.parquet(out)
+    assert back.count() == 120
+    # partition pruning: a source filter reads only one directory
+    plan = back.filter("source = 'src1'") \
+        ._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [isnotnull(source" in plan \
+        or "source=src1" in plan
+
+
+def test_partitioned_store_unknown_column_errors(spark, docs_parquet,
+                                                 tmp_path):
+    from piglet_spark.sources.storage import StorageError
+    eng = pg.PigEngine(spark)
+    with pytest.raises(StorageError, match="nope"):
+        eng.run(f"""
+D = LOAD '{docs_parquet}' USING ParquetStorage();
+STORE D INTO '{tmp_path}/x' USING ParquetStorage('nope');
+""")
