@@ -227,3 +227,59 @@ def test_pii_scrub_idempotent(spark, doc):
     assert once == twice
     for frag in ("@", "123-45-6789", "4111"):
         assert frag not in once or frag == "@" and "<EMAIL>" not in doc
+
+
+@given(docs_strategy,
+       st.integers(min_value=2, max_value=6),
+       st.integers(min_value=0, max_value=4))
+@SETTINGS
+def test_chunk_text_invariants(spark, texts, size, overlap):
+    """chunk_text properties on random corpora: every token covered
+    exactly once by stride-prefixes + last chunk; chunk count formula;
+    no chunk exceeds `size` tokens; empty docs yield nothing."""
+    if overlap >= size:
+        return
+    stride = size - overlap
+    df = spark.createDataFrame(list(enumerate(texts)), ["doc_id", "text"])
+    out = {}
+    for r in text.chunk_text(df, size=size, overlap=overlap).collect():
+        out.setdefault(r["doc_id"], []).append(
+            (r["chunk_idx"], r["n_chunk_tokens"], r["chunk_text"]))
+    for i, t in enumerate(texts):
+        toks = t.split()
+        chunks = sorted(out.get(i, []))
+        if not toks:
+            assert chunks == []
+            continue
+        n_exp = max(1, -(-(len(toks) - overlap) // stride))
+        assert [c[0] for c in chunks] == list(range(n_exp))
+        assert all(c[1] <= size for c in chunks)
+        rebuilt = [w for c in chunks[:-1] for w in c[2].split()[:stride]]
+        rebuilt += chunks[-1][2].split()
+        assert rebuilt == toks
+
+
+@given(docs_strategy, st.integers(min_value=1, max_value=16))
+@SETTINGS
+def test_chunk_pack_prefix_sum_invariant(spark, texts, seq_len):
+    """chunk_pack properties: start offsets are the prefix sum of
+    token counts in id order; chunk spans are consistent with
+    seq_len; empty docs span zero chunks."""
+    from piglet_spark.datapipe import pack
+    df = spark.createDataFrame(list(enumerate(texts)), ["doc_id", "text"])
+    rows = {r["doc_id"]: r for r in
+            pack.chunk_pack(df, seq_len=seq_len).collect()}
+    off = 0
+    for i, t in enumerate(texts):
+        n = len(t.split())
+        r = rows[i]
+        assert r["n_tokens"] == n
+        assert r["start_tok"] == off
+        assert r["first_chunk"] == off // seq_len
+        assert r["chunk_offset"] == off % seq_len
+        if n:
+            assert r["last_chunk"] == (off + n - 1) // seq_len
+            assert r["last_chunk"] >= r["first_chunk"]
+        else:
+            assert r["last_chunk"] == r["first_chunk"]
+        off += n
