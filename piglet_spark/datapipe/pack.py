@@ -108,7 +108,8 @@ def mixture_sample(df: DataFrame, rates: dict[str, float],
 
     ``rates`` values may exceed 1.0 conceptually in mixture recipes
     (epoch repetition); values are clamped to [0, 1] here — repetition
-    is a separate explode step, not a sampling decision.
+    is a separate explode step (:func:`mixture_repeat`), not a
+    sampling decision.
     """
     # nested whens: default first, then per-source overlays (sorted
     # for deterministic codegen)
