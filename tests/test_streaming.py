@@ -843,3 +843,39 @@ def test_streaming_dedup_expression_key_rejected(spark):
     from piglet_spark.operators.executor import ExecError
     with _pytest.raises(ExecError, match="plain columns"):
         eng.run("B = DEDUP A ON $0;")
+
+
+def test_stream_through_maponly_datapipe_ops(spark, tmp_path):
+    """Clean-on-ingest (r05): the MAP-ONLY datapipe ops — pii_scrub,
+    mixture_sample, mixture_repeat, chunk_text — compose with a
+    streaming LOAD and run per-micro-batch with no state. The same
+    script works batch or streaming; results must match the batch
+    run of the identical ops."""
+    d = tmp_path / "docs_in"
+    d.mkdir()
+    d.joinpath("a.csv").write_text(
+        "0,src0,the quick brown fox jumps over the lazy dog today\n"
+        "1,src1,email me at a@b.com for the full corpus dump now\n"
+        "2,src0,some completely different text with enough tokens here\n"
+        "3,src1,short doc\n")
+    script = f"""
+D = LOAD '{d}' USING PigStorage(',') AS (doc_id:int, source:chararray, text:chararray);
+C = STREAM D THROUGH pii_scrub();
+M = STREAM C THROUGH mixture_sample('src0:1.0,src1:1.0', 7);
+X = STREAM M THROUGH chunk_text(4, 1);
+"""
+    eng = pg.PigEngine(spark, options={"streaming": True})
+    eng.run(script)
+    df = eng.df("X")
+    assert df.isStreaming
+    _drain(df, "t_chunks")
+    got = sorted(tuple(r) for r in spark.sql(
+        "select doc_id, chunk_idx, n_chunk_tokens, chunk_text "
+        "from t_chunks").collect())
+    # batch reference: identical script, batch engine
+    beng = pg.PigEngine(spark)
+    beng.run(script.replace(f"'{d}'", f"'{d}/a.csv'"))
+    want = sorted(tuple(r) for r in beng.df("X").collect())
+    assert got == want and len(got) > 0
+    # PII scrubbed on ingest
+    assert all("a@b.com" not in t[3] for t in got)
