@@ -1764,6 +1764,21 @@ FROM ex
 """
 
 
+def q_cap_per_group(spark, sf_dir):
+    """Per-source document cap (web-corpus 'max N docs per domain'
+    hygiene; datapipe/dedup.py cap_per_group): keep the 10 lowest-id
+    docs of each source — one hash shuffle on the key + per-group
+    window, deterministic on any engine."""
+    from piglet_spark.datapipe.dedup import cap_per_group
+    return cap_per_group(_docs(spark, sf_dir), "source", "doc_id", n=10)
+
+
+CAP_PER_GROUP_SQL = """
+SELECT doc_id, text, lang, source, n_chars FROM documents
+QUALIFY row_number() OVER (PARTITION BY source ORDER BY doc_id) <= 10
+"""
+
+
 def q_dsir_resample(spark, sf_dir):
     """DSIR Gumbel-top-k resampling (Xie et al. 2023; datapipe/pack.py
     dsir_resample): deterministic per-id Gumbel noise added to the
@@ -1892,6 +1907,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "dsir_resample": q_dsir_resample,
         "mixture_repeat": q_mixture_repeat,
         "chunk_text": q_chunk_text,
+        "cap_per_group": q_cap_per_group,
     }
 
 
@@ -1958,4 +1974,5 @@ def oracle_sql() -> dict[str, str]:
         "dsir_resample": DSIR_RESAMPLE_SQL,
         "mixture_repeat": MIXTURE_REPEAT_SQL,
         "chunk_text": CHUNK_TEXT_SQL,
+        "cap_per_group": CAP_PER_GROUP_SQL,
     }

@@ -93,6 +93,28 @@ def exact_dedup(df: DataFrame, text_col: str = "text",
                  F.count(F.lit(1)).alias("n_copies")))
 
 
+def cap_per_group(df: DataFrame, group_col: str = "source",
+                  id_col: str = "doc_id", n: int = 1000) -> DataFrame:
+    """Per-group document cap — the classic web-corpus hygiene rule
+    "at most N documents per domain/source" (prevents one crawl
+    bucket from dominating the mixture). Keeps the ``n`` lowest-id
+    rows of each group (deterministic — identical selection on any
+    engine/partitioning, and reproducible in plain SQL via
+    ``row_number() OVER (PARTITION BY g ORDER BY id)``).
+
+    Scale shape: one hash shuffle on the group key + per-group sorted
+    window — parallel across groups; a group hot enough to straggle
+    here is exactly the group being capped, and the filter drops its
+    tail immediately after the window (no further stages see it)."""
+    from pyspark.sql.window import Window
+
+    rn = F.row_number().over(
+        Window.partitionBy(group_col).orderBy(F.col(id_col).asc()))
+    return (df.withColumn("__rn", rn)
+            .filter(F.col("__rn") <= int(n))
+            .drop("__rn"))
+
+
 def line_dedup_stats(df: DataFrame, text_col: str = "text",
                      id_col: str = "doc_id", min_len: int = 1,
                      granularity: str = "line") -> DataFrame:

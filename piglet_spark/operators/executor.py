@@ -637,6 +637,10 @@ class Executor:
                     df.filter(F.col(str(src_col)) != str(tgt)),
                     df.filter(F.col(str(src_col)) == str(tgt)),
                     str(text), str(idc), n_buckets=int(nb)),
+            # web-corpus hygiene: at most n docs per domain/source
+            "cap_per_group": lambda df, n=1000, grp="source",
+                idc="doc_id": dp.cap_per_group(
+                    df, str(grp), str(idc), n=int(n)),
             "mixture_repeat": lambda df, rates, seed=42, default=1.0,
                 src="source", idc="doc_id": _pk().mixture_repeat(
                     df, _parse_rates(rates), str(src), str(idc),

@@ -302,3 +302,30 @@ R = STREAM D THROUGH dsir_resample('src0', 0.3, 64, 9);
         corpus.filter(corpus.source == "src0"),
         n_buckets=64, frac=0.3, seed=9).collect()}
     assert {r["doc_id"] for r in env["R"].collect()} == direct_r
+
+
+def test_cap_per_group(corpus, spark):
+    from piglet_spark.datapipe import dedup as dp
+    out = dp.cap_per_group(corpus, "source", "doc_id", n=3).collect()
+    by_src = {}
+    for r in out:
+        by_src.setdefault(r["source"], []).append(r["doc_id"])
+    # every group capped at 3, keeping the LOWEST ids
+    all_rows = {}
+    for r in corpus.collect():
+        all_rows.setdefault(r["source"], []).append(r["doc_id"])
+    for src, ids in all_rows.items():
+        assert sorted(by_src[src]) == sorted(ids)[:3]
+    # original columns intact, no helper column leaks
+    assert set(out[0].asDict()) == {"doc_id", "text", "source"}
+    # DSL wiring
+    import piglet_spark as pg
+    import tempfile
+    p = tempfile.mkdtemp() + "/c.parquet"
+    corpus.write.mode("overwrite").parquet(p)
+    eng = pg.PigEngine(spark)
+    env = eng.run(f"""
+D = LOAD '{p}' USING ParquetStorage();
+C = STREAM D THROUGH cap_per_group(3);
+""")
+    assert env["C"].count() == len(out)
