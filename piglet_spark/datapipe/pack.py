@@ -37,6 +37,22 @@ def _hash32(col: Column, salt: str = "") -> Column:
     return F.conv(F.substring(F.md5(v), 1, 8), 16, 10).cast("bigint")
 
 
+def _pid_offsets(base: DataFrame, weight: Column) -> DataFrame:
+    """(__pid, __off): exclusive prefix sum of ``weight`` across range
+    partitions — ≤ numPartitions rows, broadcast into the downstream
+    cumsum/rank join. The TeraSort offsets table shared by
+    :func:`chunk_pack` (token offsets) and, in driver-loop form, by
+    :func:`dsir_resample` and the executor's RANK (executor.py
+    op_rank) — keep the three in sync when touching the pattern."""
+    from pyspark.sql.window import Window
+    stats = base.groupBy("__pid").agg(F.sum(weight).alias("__cnt"))
+    w = (Window.orderBy("__pid")
+         .rowsBetween(Window.unboundedPreceding, -1))
+    return stats.select(
+        "__pid", F.coalesce(F.sum("__cnt").over(w),
+                            F.lit(0)).alias("__off"))
+
+
 def chunk_pack(df: DataFrame, text_col: str = "text",
                id_col: str = "doc_id", seq_len: int = 2048,
                token_col: Optional[str] = None) -> DataFrame:
@@ -72,12 +88,7 @@ def chunk_pack(df: DataFrame, text_col: str = "text",
             .withColumn("__pid", F.spark_partition_id())
             .localCheckpoint())  # pin partitioning: stats + cumsum
     # branches must see the SAME partition ids (rank pattern)
-    stats = base.groupBy("__pid").agg(F.sum("n_tokens").alias("__cnt"))
-    w_off = (Window.orderBy("__pid")
-             .rowsBetween(Window.unboundedPreceding, -1))
-    offsets = stats.select(
-        "__pid", F.coalesce(F.sum("__cnt").over(w_off),
-                            F.lit(0)).alias("__off"))
+    offsets = _pid_offsets(base, F.col("n_tokens"))
     w = (Window.partitionBy("__pid").orderBy(id_col)
          .rowsBetween(Window.unboundedPreceding, -1))
     start = (F.coalesce(F.sum("n_tokens").over(w), F.lit(0))
@@ -185,15 +196,13 @@ def dsir_weights(raw: DataFrame, target: DataFrame,
                .agg(F.count(F.lit(1)).alias("_n"))
                .localCheckpoint())
         # bucket-entry count == normalized ws-token total (normalize
-        # squeezes whitespace, so the split yields no empty tokens)
+        # squeezes whitespace, so the split yields no empty tokens);
+        # the collected scalar goes back in as a literal — no second
+        # aggregation job, no crossJoin (r05 review)
         tot = cnt.agg(F.sum("_n")).collect()[0][0] or 0
-        total = cnt.agg(F.sum("_n").alias("_tot"))
-        # ≤ n_buckets rows; the crossJoin is a broadcast of ONE row
-        p = (cnt.crossJoin(F.broadcast(total))
-             .select("_b", ((F.col("_n") + F.lit(alpha))
-                            / (F.col("_tot")
-                               + F.lit(alpha * n_buckets))
-                            ).alias(name)))
+        p = cnt.select("_b", ((F.col("_n") + F.lit(alpha))
+                              / F.lit(float(tot + alpha * n_buckets))
+                              ).alias(name))
         return p, tot
 
     pt, t_tot = probs(target, "_pt")

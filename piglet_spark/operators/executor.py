@@ -1892,6 +1892,9 @@ class Executor:
                         f"hadoop fs -{op.cmd} failed "
                         f"(rc={res.returncode}): {res.stderr.strip()}")
                 return
+        # local semantics: drop flag args (-r, -f, …) — the handlers
+        # below are already recursive/forced where it matters
+        args = [a for a in args if not a.startswith("-")]
         if cmd in ("copytolocal", "cp", "copyfromlocal") and len(args) >= 2:
             shutil.copy(args[0], args[1])
         elif cmd == "mv" and len(args) >= 2:

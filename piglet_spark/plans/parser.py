@@ -314,8 +314,15 @@ class Parser:
             cmd = self.ident()
             args = []
             while not self.at(";"):
-                args.append(self.string() if self.cur.kind == "str"
-                            else self.advance().text)
+                if self.cur.kind != "str" and self.cur.text == "-":
+                    # flag like `-r` in `fs -rm -r '/x'` — keep it as
+                    # one token so the hadoop passthrough (and local
+                    # handlers) see '-r', not '-', 'r'
+                    self.advance()
+                    args.append("-" + self.advance().text)
+                else:
+                    args.append(self.string() if self.cur.kind == "str"
+                                else self.advance().text)
             self.eat(";")
             return A.HdfsCmd(cmd=cmd, args=args)
         if kw == "socket_write":

@@ -272,7 +272,17 @@ def store(df: DataFrame, path: str, func: Optional[str],
 
 def _fmt(col, dt: T.DataType):
     """Pig rendering (ScalaEmitter.scala:466-472): bags `{t1,t2}`,
-    maps `[k#v]`, tuples `(a,b)`; null → empty string."""
+    maps `[k#v]`, tuples `(a,b)`; null → empty string (complex types
+    included — a NULL bag/tuple/map column must render '' so
+    concat_ws keeps its delimiter and downstream field positions,
+    r05 review)."""
+    if isinstance(dt, (T.StructType, T.ArrayType, T.MapType)):
+        return F.when(col.isNull(), F.lit("")) \
+                .otherwise(_fmt_complex(col, dt))
+    return F.coalesce(col.cast("string"), F.lit(""))
+
+
+def _fmt_complex(col, dt: T.DataType):
     if isinstance(dt, T.StructType):
         names = [f.name for f in dt.fields]
         if names == ["gtype", "xs", "ys"]:

@@ -207,3 +207,44 @@ def test_codegen_alias_named_like_temp(spark, data_dir):
     got = sorted(tuple(r) for r in ns["P"].collect())
     want = sorted(tuple(r) for r in eng.df("P").collect())
     assert got == want
+
+
+def test_codegen_helper_shadowing_alias(spark, data_dir, tmp_path):
+    """r05 review: a Pig alias named like an emitted helper
+    (_pig_store) must be renamed, not shadow the helper."""
+    out = str(tmp_path / "shadow_out")
+    script = (
+        "_pig_store = LOAD '{d}/t.csv' USING PigStorage(',')"
+        " AS (a:int, b:int, c:int);\n"
+        "STORE _pig_store INTO '{o}' USING PigStorage(',');\n"
+    ).format(d=data_dir, o=out)
+    eng = pg.PigEngine(spark)
+    code = eng.to_code(script)
+    ns = _exec_code(spark, code)  # must not raise TypeError
+    import pathlib
+    lines = sorted(l for f in pathlib.Path(out).glob("part-*")
+                   for l in f.read_text().splitlines() if l.strip())
+    assert lines == ["1,2,3", "1,2,4", "4,5,6", "7,8,9"]
+
+
+def test_codegen_refuses_pigstorage_extra_args(spark, data_dir):
+    """skipFirstRow/comments args change what the scan reads — the
+    emitter must refuse, not silently diverge from the engine."""
+    script = (
+        "A = LOAD '{d}/t.csv' USING PigStorage(',', 'true')"
+        " AS (a:int, b:int, c:int);\n"
+        "DUMP A;\n").format(d=data_dir)
+    eng = pg.PigEngine(spark)
+    with pytest.raises(CodegenUnsupported, match="skipFirstRow"):
+        eng.to_code(script)
+
+
+def test_codegen_null_complex_field_keeps_delimiter(spark, tmp_path):
+    """A NULL bag column renders '' (not dropped), so field positions
+    survive in PigStorage output."""
+    df = spark.createDataFrame(
+        [(1, ["x", "y"], 2), (3, None, 4)],
+        "a int, bag array<string>, b int")
+    from piglet_spark.sources.storage import pig_format_rows
+    got = sorted(r["value"] for r in pig_format_rows(df, ",").collect())
+    assert got == ["1,{x,y},2", "3,,4"]

@@ -262,3 +262,25 @@ A = LOAD '{data_dir}/t.csv' USING PigStorage(',') AS (f1:int, f2:int, f3:int);
 B = RSCRIPT A USING 'res <- $_';
 C = FOREACH B GENERATE $0;
 """)
+
+
+def test_fs_cmd_flag_args(spark, tmp_path, monkeypatch):
+    """r05 review: `fs -rm -r '/x'` must keep '-r' as one flag token —
+    forwarded verbatim to hadoop, ignored by the local handlers."""
+    import os
+    d = tmp_path / "doomed"
+    d.mkdir()
+    (d / "f.txt").write_text("x")
+    # local: flag ignored, dir removed recursively
+    pg.run(spark, f"fs -rm -r '{d}';")
+    assert not d.exists()
+    # passthrough: hadoop sees the flag intact
+    fake = tmp_path / "bin" / "hadoop"
+    fake.parent.mkdir()
+    log = tmp_path / "calls.log"
+    fake.write_text(f"#!/bin/sh\necho \"$@\" >> '{log}'\n")
+    fake.chmod(0o755)
+    monkeypatch.setenv("PATH",
+                       f"{fake.parent}:{os.environ.get('PATH', '')}")
+    pg.run(spark, "fs -rm -r '/hdfs/x';")
+    assert log.read_text().strip() == "fs -rm -r /hdfs/x"
