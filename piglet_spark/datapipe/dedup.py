@@ -361,7 +361,7 @@ def minhash_lsh_pairs(df: DataFrame, text_col: str = "text",
 def ngram_jaccard_pairs(df: DataFrame, text_col: str = "text",
                         id_col: str = "doc_id", k: int = 3,
                         threshold: float = 0.5,
-                        max_df: int | None = 256,
+                        max_df: "int | str | None" = 256,
                         method: str = "auto") -> DataFrame:
     """Exact n-gram Jaccard pairs via inverted shingle index — a
     distributed exact algorithm, no LSH approximation.
@@ -401,10 +401,10 @@ def ngram_jaccard_pairs(df: DataFrame, text_col: str = "text",
     hot tail at 1/16 the pairs. On noisy corpora (scraped web text,
     heavy boilerplate) lower the cap to 32-64 or pre-strip
     boilerplate with ``strip_dup_lines``; on clean deduplicated
-    corpora the cap rarely binds and 256 keeps recall. A cheap
-    pre-pass to pick it: aggregate the inverted index's df column and
-    set the cap near its 99.9th percentile, so only true boilerplate
-    is excluded."""
+    corpora the cap rarely binds and 256 keeps recall.
+    ``max_df='auto'`` (r05, opt-in) runs that pre-pass for you: one
+    aggregate job takes the 99.9th-percentile document frequency of
+    the inverted index, clamped to [16, 256]."""
     # _materialize: the shingling regex pass feeds sizes, the
     # inverted index (plus its df/hot aggregates) and the final
     # verify/size joins — up to 5 consumers that would each re-run
@@ -422,6 +422,15 @@ def ngram_jaccard_pairs(df: DataFrame, text_col: str = "text",
     # prefix plan operate on the same hashed key space (r04)
     inv = base.select("_id", F.explode("_sh").alias("_s")) \
               .select("_id", F.xxhash64("_s").alias("_s"))
+    if max_df == "auto":
+        # df-histogram pre-pass (one aggregate job): cap at the
+        # 99.9th-percentile document frequency so only true
+        # boilerplate is excluded, clamped to [16, 256] (cost is
+        # quadratic in the cap — see the docstring's regime law)
+        p = (inv.groupBy("_s").agg(F.count(F.lit(1)).alias("_df"))
+             .agg(F.expr("approx_percentile(_df, 0.999)")).collect()
+             [0][0])
+        max_df = max(16, min(256, int(p or 256)))
     use_prefix = method == "prefix"
     if use_prefix:
         dftab = inv.groupBy("_s").agg(F.count(F.lit(1)).alias("_df"))

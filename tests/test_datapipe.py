@@ -1352,3 +1352,15 @@ def test_semantic_dedup_oversized_cluster_still_dedups(spark, sf_dir):
     full = dedup.semantic_dedup(emb, threshold=0.999, n_clusters=1,
                                 max_cluster=None)
     assert full.filter("NOT keep").count() == 30
+
+
+def test_ngram_jaccard_auto_max_df(docs, spark):
+    """max_df='auto' (r05): the df-percentile pre-pass picks an int
+    cap in [16, 256]; on a clean small corpus (max df well under 16)
+    the clamp floors at 16, which never binds — results must equal
+    the uncapped run."""
+    auto = sorted(tuple(r) for r in dedup.ngram_jaccard_pairs(
+        docs, threshold=0.3, max_df="auto").collect())
+    uncapped = sorted(tuple(r) for r in dedup.ngram_jaccard_pairs(
+        docs, threshold=0.3, max_df=None).collect())
+    assert auto == uncapped and len(auto) > 0
