@@ -228,9 +228,15 @@ def train_centroids(df: DataFrame, vec_col: str, id_col: str,
     import numpy as np
     sample_rows = (df.select(F.col(id_col).alias("_cid"),
                              _as_double(F.col(vec_col)).alias("_cv"))
+                   # null/empty vectors can't seed or train a centroid
+                   # (r05: a null in the sample crashed the driver;
+                   # empty input hit a numpy AxisError on the 1-D [])
+                   .filter(F.size(F.col("_cv")) > 0)
                    .orderBy(F.md5(F.col("_cid").cast("string")).asc(),
                             F.col("_cid").asc())
                    .limit(train_sample).collect())
+    if not sample_rows:
+        return [], None  # no trainable vectors → callers get no cells
     s_ids = [r["_cid"] for r in sample_rows]  # any orderable id type
     s_vecs = np.array([[float(x) for x in r["_cv"]] for r in sample_rows],
                       dtype=np.float64)
@@ -302,6 +308,9 @@ def ivf_topk(df: DataFrame, query_vec: list[float], k: int = 10,
     rows = (_spread(df).select(F.col(id_col),
                                _as_double(F.col(vec_col)).alias("_v"))
             .withColumn("_nv", norm_expr("_v", dim)))
+    if not cent_rows:  # no trainable vectors → no neighbors
+        return rows.select(F.col(id_col),
+                           F.lit(0.0).alias("cos")).limit(0)
     assigned = _argmin_assign(rows, cents_lit, id_col, dim)
 
     def cos_py(a, b):

@@ -310,13 +310,6 @@ def compile_deref(expr: A.DerefTuple, ctx: Ctx) -> Column:
     return base_col[fname]
 
 
-def _numify(expr: A.Expr, col: Column, ctx: Ctx) -> Column:
-    dt = static_dtype(expr, ctx)
-    if dt is None or _is_string(dt):
-        return col.cast("double")
-    return col
-
-
 _STRING_FUNCS = {"concat", "lower", "upper", "trim", "substring", "replace",
                  "tostring", "normalize_text", "fingerprint", "langid",
                  "regex_extract"}
@@ -621,7 +614,10 @@ def compile_aggregate(expr: A.FuncCall, ctx: Ctx) -> Column:
             bag_bases = _bag_bases_in(arg, ctx)
             if len(bag_bases) == 1:
                 bname = next(iter(bag_bases))
-                bag_col = ctx.col(bname)
+                # resolve via lineage-suffix matching like every other
+                # column ref — after joining grouped relations the bag
+                # column is named 'GA::A' while the AST says 'A' (r05)
+                bag_col = ctx.col(S.resolve_column(ctx.columns, bname))
 
                 def _make_mapper(a, b):
                     # exactly-one-arg closure: F.transform inspects

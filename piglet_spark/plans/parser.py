@@ -988,14 +988,18 @@ class Parser:
                 if not self.try_eat(","):
                     break
             self.eat(")")
+        # MODE and WITHIN accepted in either order (r05)
         mode = "skip_till_next_match"
-        if self.try_kw("mode"):
-            mode = self.ident().lower()
         within = None
-        if self.try_kw("within"):
-            n = int(self.advance().text)
-            unit = self.ident().upper()
-            within = (n, unit)
+        while True:
+            if self.try_kw("mode"):
+                mode = self.ident().lower()
+            elif self.try_kw("within"):
+                n = int(self.advance().text)
+                unit = self.ident().upper()
+                within = (n, unit)
+            else:
+                break
         return A.MatchEvent(out=alias, rel=rel, pattern=pattern,
                             definitions=definitions, mode=mode, within=within)
 

@@ -36,48 +36,8 @@ _UNIT_SECONDS = {"SECONDS": 1, "SECOND": 1, "MINUTES": 60, "MINUTE": 60,
                  "HOURS": 3600, "HOUR": 3600}
 
 
-def compile_pred(expr: A.Expr, colnames: list[str]):
-    """Pig predicate AST → python row-predicate (row: dict). Positional
-    fields resolve to column NAMES at compile time (rows are dicts, so
-    per-row positional lookup would rebuild the key list in the hot
-    NFA loop)."""
-    if isinstance(expr, A.Literal):
-        return lambda row: expr.value
-    if isinstance(expr, A.NamedField):
-        name = expr.name
-        return lambda row: row[name]
-    if isinstance(expr, A.PositionalField):
-        name = colnames[expr.pos]
-        return lambda row: row[name]
-    if isinstance(expr, A.Cmp):
-        lf = compile_pred(expr.left, colnames)
-        rf = compile_pred(expr.right, colnames)
-        op = _CMP[expr.op]
-        return lambda row: op(lf(row), rf(row))
-    if isinstance(expr, A.And):
-        lf = compile_pred(expr.left, colnames)
-        rf = compile_pred(expr.right, colnames)
-        return lambda row: bool(lf(row)) and bool(rf(row))
-    if isinstance(expr, A.Or):
-        lf = compile_pred(expr.left, colnames)
-        rf = compile_pred(expr.right, colnames)
-        return lambda row: bool(lf(row)) or bool(rf(row))
-    if isinstance(expr, A.Not):
-        f = compile_pred(expr.expr, colnames)
-        return lambda row: not bool(f(row))
-    if isinstance(expr, A.BinOp):
-        lf = compile_pred(expr.left, colnames)
-        rf = compile_pred(expr.right, colnames)
-        op = _ARITH[expr.op]
-        return lambda row: op(float(lf(row)), float(rf(row)))
-    if isinstance(expr, A.Neg):
-        f = compile_pred(expr.expr, colnames)
-        return lambda row: -f(row)
-    raise ValueError(f"unsupported CEP predicate {expr!r}")
-
-
 def compile_pred_vec(expr: A.Expr, colnames: list[str]):
-    """Vectorized twin of :func:`compile_pred`: Pig predicate AST →
+    """Pig predicate AST →
     function(pdf) → boolean Series/scalar. The NFA precomputes one
     mask per event name over the whole frame, so the per-row scan
     does numpy indexing instead of a Python predicate call per row
@@ -158,7 +118,13 @@ def _match_conjunction(df: DataFrame, op: A.MatchEvent, executor,
     within = None
     if op.within is not None:
         within = op.within[0] * _UNIT_SECONDS[op.within[1]]
-    ts_col = _find_ts_col(in_fields)
+    # declared TIMESTAMP(f) wins over auto-detection, same as the SEQ
+    # path (r05 fix: with 2+ timestamp columns AND/OR sorted and
+    # enforced WITHIN on the wrong event-time axis)
+    ts_col = executor.ts_fields.get(op.rel) \
+        if hasattr(executor, "ts_fields") else None
+    if ts_col is None:
+        ts_col = _find_ts_col(in_fields)
     order_col = ts_col or in_fields[0].name
     colnames = [f_.name for f_ in in_fields]
     out_schema = T.StructType(
@@ -397,8 +363,31 @@ def match_event(df: DataFrame, op: A.MatchEvent, executor) -> DataFrame:
             out_fields.append(T.StructField(f"{name}::{f_.name}",
                                             f_.dataType, True))
     out_schema = T.StructType(out_fields)
-    pos_steps = [(n, neg) for n, neg in steps]
     colnames = [f_.name for f_ in in_fields]
+    # NEG semantics (r05 fix): a NEG step guards the whole INTERVAL
+    # until the next positive event matches, not just one row.
+    # positives = the consuming steps in order; guards[k] = negated
+    # event names that must NOT occur while waiting for positive k.
+    positives = [n for n, neg in steps if not neg]
+    if not positives:
+        raise ValueError("SEQ pattern of only NEG events matches nothing")
+    if steps[-1][1]:
+        raise ValueError(
+            "SEQ pattern ending in NEG is unsupported: negation guards "
+            "the interval before the NEXT positive event, so a trailing "
+            "NEG has no completion point (ref NegationState sits "
+            "between normal states)")
+    guards: list[list[str]] = [[] for _ in positives]
+    _pi = 0
+    for n, neg in steps:
+        if neg:
+            guards[_pi].append(n)
+        else:
+            _pi += 1
+    max_runs = 10000
+    if hasattr(executor, "options"):
+        max_runs = int(executor.options.get("piglet.cep.max_runs",
+                                            max_runs))
 
     def prepare(pdf: pd.DataFrame, sort_by=None):
         """Vectorized per-frame context: one boolean numpy mask per
@@ -408,7 +397,7 @@ def match_event(df: DataFrame, op: A.MatchEvent, executor) -> DataFrame:
         construction dominated the NFA time)."""
         import numpy as np
         pdf = pdf.sort_values(sort_by or order_col, kind="mergesort")
-        masks = _pred_masks(pdf, preds_vec, {s for s, _ in pos_steps})
+        masks = _pred_masks(pdf, preds_vec, {n for n, _ in steps})
         col_arrays = {c: pdf[c].to_numpy() for c in colnames}
         ts_arr = pdf[ts_col].to_numpy() if ts_col is not None else None
 
@@ -424,10 +413,20 @@ def match_event(df: DataFrame, op: A.MatchEvent, executor) -> DataFrame:
         return {"pdf": pdf, "masks": masks, "row_at": row_at,
                 "ts_arr": ts_arr, "n": len(pdf)}
 
+    def _emit(partial, matches):
+        out = {}
+        for n, r in zip(positives, partial):
+            for c in colnames:
+                out[f"{n}::{c}"] = r[c]
+        matches.append(out)
+
     def scan(ctx, lo, hi, state0, matches):
         """Run the NFA over rows [lo, hi) of a prepared frame,
         appending match dicts to ``matches``; returns the resume
-        state (step_i, start_ts, partial)."""
+        state — (step_i, start_ts, partial) for the single-run modes,
+        a list of such runs for skip_till_any_match."""
+        if mode == "skip_till_any_match":
+            return _scan_any(ctx, lo, hi, state0, matches)
         masks, ts_arr, row_at = ctx["masks"], ctx["ts_arr"], ctx["row_at"]
         if state0 is None:
             partial, step_i, start_ts = [], 0, None
@@ -436,16 +435,13 @@ def match_event(df: DataFrame, op: A.MatchEvent, executor) -> DataFrame:
             partial = list(partial)
         for i in range(lo, hi):
             while True:
-                name, neg = pos_steps[step_i]
-                ok = bool(masks[name][i])
-                if neg:
-                    if ok:  # negated event occurred → abort the run
-                        partial, step_i, start_ts = [], 0, None
-                        break
-                    step_i += 1  # NEG step passes without consuming
-                    if step_i >= len(pos_steps):
-                        partial, step_i, start_ts = [], 0, None
+                if partial and any(bool(masks[g][i])
+                                   for g in guards[step_i]):
+                    # negated event inside the guarded interval →
+                    # abort; the row may still start a fresh run
+                    partial, step_i, start_ts = [], 0, None
                     continue
+                ok = bool(masks[positives[step_i]][i])
                 if ok:
                     if within is not None and ts_arr is not None and partial:
                         dt = (pd.Timestamp(ts_arr[i])
@@ -458,19 +454,58 @@ def match_event(df: DataFrame, op: A.MatchEvent, executor) -> DataFrame:
                             if ts_arr is not None else None
                     partial.append(row_at(i))
                     step_i += 1
-                    if step_i >= len(pos_steps):
-                        out = {}
-                        for (n, neg2), r in zip(
-                                [s for s in pos_steps if not s[1]], partial):
-                            for c in colnames:
-                                out[f"{n}::{c}"] = r[c]
-                        matches.append(out)
+                    if step_i >= len(positives):
+                        _emit(partial, matches)
                         partial, step_i, start_ts = [], 0, None
                 elif mode == "strict" and partial:
-                    # contiguity violated → reset
+                    # contiguity violated → reset AND reconsider this
+                    # row as the start of a new run (r05 fix: `break`
+                    # here dropped valid back-to-back matches)
                     partial, step_i, start_ts = [], 0, None
+                    continue
                 break
         return (step_i, start_ts, partial)
+
+    def _scan_any(ctx, lo, hi, state0, matches):
+        """skip_till_any_match: branching runs (ref engines/
+        AnyMatch.scala clone-on-advance) — every start event spawns a
+        run, every partial run that advances ALSO keeps a copy
+        waiting, so overlapping matches all emit. WITHIN expiry
+        garbage-collects runs; without WITHIN the pool is capped at
+        piglet.cep.max_runs (clear error, not OOM)."""
+        masks, ts_arr, row_at = ctx["masks"], ctx["ts_arr"], ctx["row_at"]
+        runs = [] if state0 is None else \
+            [(s, t, list(p)) for s, t, p in state0]
+        n_pos = len(positives)
+        for i in range(lo, hi):
+            ts_i = pd.Timestamp(ts_arr[i]) if ts_arr is not None else None
+            nxt = []
+            for step_i, start_ts, partial in runs:
+                if within is not None and ts_i is not None and \
+                        (ts_i - start_ts).total_seconds() > within:
+                    continue  # window expired → GC the run
+                if any(bool(masks[g][i]) for g in guards[step_i]):
+                    continue  # negated event → kill the run
+                if bool(masks[positives[step_i]][i]):
+                    adv = partial + [row_at(i)]
+                    if step_i + 1 >= n_pos:
+                        _emit(adv, matches)
+                    else:
+                        nxt.append((step_i + 1, start_ts, adv))
+                nxt.append((step_i, start_ts, partial))  # keep waiting
+            if bool(masks[positives[0]][i]):
+                if n_pos == 1:
+                    _emit([row_at(i)], matches)
+                else:
+                    nxt.append((1, ts_i, [row_at(i)]))
+            if len(nxt) > max_runs:
+                raise RuntimeError(
+                    f"skip_till_any_match run pool exceeded "
+                    f"{max_runs} concurrent partial matches — add a "
+                    f"WITHIN horizon (expired runs are GC'd) or raise "
+                    f"piglet.cep.max_runs")
+            runs = nxt
+        return runs
 
     def _wrap(matches):
         if not matches:

@@ -1364,3 +1364,16 @@ def test_ngram_jaccard_auto_max_df(docs, spark):
     uncapped = sorted(tuple(r) for r in dedup.ngram_jaccard_pairs(
         docs, threshold=0.3, max_df=None).collect())
     assert auto == uncapped and len(auto) > 0
+
+
+def test_ivf_and_semantic_empty_or_null_vectors(spark):
+    """r05 review: empty relations and null embedding vectors must
+    degrade gracefully (no driver-side numpy crash)."""
+    empty = spark.createDataFrame([], "vec_id long, embedding array<double>")
+    assert similarity.ivf_topk(empty, [0.1, 0.2], k=3).collect() == []
+    withnull = spark.createDataFrame(
+        [(1, [1.0, 0.0]), (2, None), (3, [0.9, 0.1])],
+        "vec_id long, embedding array<double>")
+    got = similarity.ivf_topk(withnull, [1.0, 0.0], k=2,
+                              n_cells=2, train_sample=8).collect()
+    assert [r["vec_id"] for r in got] == [1, 3]

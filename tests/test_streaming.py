@@ -879,3 +879,106 @@ X = STREAM M THROUGH chunk_text(4, 1);
     assert got == want and len(got) > 0
     # PII scrubbed on ingest
     assert all("a@b.com" not in t[3] for t in got)
+
+
+def test_cep_neg_guards_whole_interval(spark, tmp_path):
+    """r05 fix: NEG(B) between A and C guards the ENTIRE interval
+    until C matches — a B occurring several rows after A must still
+    kill the run (the old step-based NEG only checked one row)."""
+    p = tmp_path / "neg1.csv"
+    p.write_text(
+        "1,2024-01-01 00:00:01,A\n"
+        "2,2024-01-01 00:00:02,X\n"
+        "3,2024-01-01 00:00:03,B\n"   # violates NEG(B) mid-interval
+        "4,2024-01-01 00:00:04,C\n"
+        "5,2024-01-01 00:00:05,A\n"
+        "6,2024-01-01 00:00:06,X\n"
+        "7,2024-01-01 00:00:07,C\n"   # clean A..C run
+    )
+    eng = pg.PigEngine(spark)
+    eng.run(f"""
+E = LOAD '{p}' USING PigStorage(',') AS (id:int, ts:datetime, k:chararray) TIMESTAMP(ts);
+M = MATCH_EVENT E PATTERN SEQ(A, NEG(B), C)
+    WITH (A: k == 'A', B: k == 'B', C: k == 'C');
+""")
+    rows = sorted(tuple(r) for r in eng.df("M")
+                  .select("A::id", "C::id").collect())
+    assert rows == [(5, 7)]  # the 1..4 run died at the B on row 3
+
+
+def test_cep_trailing_neg_clear_error(spark, tmp_path):
+    p = tmp_path / "neg2.csv"
+    p.write_text("1,2024-01-01 00:00:01,A\n")
+    eng = pg.PigEngine(spark)
+    import pytest as _pytest
+    with _pytest.raises(Exception, match="ending in NEG"):
+        eng.run(f"""
+E = LOAD '{p}' USING PigStorage(',') AS (id:int, ts:datetime, k:chararray) TIMESTAMP(ts);
+M = MATCH_EVENT E PATTERN SEQ(A, NEG(B)) WITH (A: k == 'A', B: k == 'B');
+""")
+        eng.df("M").collect()
+
+
+def test_cep_strict_retries_violating_row(spark, tmp_path):
+    """r05 fix: MODE strict resets on a contiguity violation and
+    reconsiders the violating row as a new run start — [A, A, B]
+    must match (A#2, B), not nothing."""
+    p = tmp_path / "strict.csv"
+    p.write_text(
+        "1,2024-01-01 00:00:01,A\n"
+        "2,2024-01-01 00:00:02,A\n"
+        "3,2024-01-01 00:00:03,B\n"
+    )
+    eng = pg.PigEngine(spark)
+    eng.run(f"""
+E = LOAD '{p}' USING PigStorage(',') AS (id:int, ts:datetime, k:chararray) TIMESTAMP(ts);
+M = MATCH_EVENT E PATTERN SEQ(A, B) WITH (A: k == 'A', B: k == 'B') MODE strict;
+""")
+    rows = sorted(tuple(r) for r in eng.df("M")
+                  .select("A::id", "B::id").collect())
+    assert rows == [(2, 3)]
+
+
+def test_cep_skip_till_any_match_overlapping_runs(spark, tmp_path):
+    """r05: skip_till_any_match emits EVERY combination via branching
+    runs (ref engines/AnyMatch clone-on-advance) — [x1, x2, y1]
+    yields both (x1,y1) and (x2,y1); next-match mode yields one."""
+    p = tmp_path / "anym.csv"
+    p.write_text(
+        "1,2024-01-01 00:00:01,X\n"
+        "2,2024-01-01 00:00:02,X\n"
+        "3,2024-01-01 00:00:03,Y\n"
+    )
+    eng = pg.PigEngine(spark)
+    eng.run(f"""
+E = LOAD '{p}' USING PigStorage(',') AS (id:int, ts:datetime, k:chararray) TIMESTAMP(ts);
+M = MATCH_EVENT E PATTERN SEQ(X, Y) WITH (X: k == 'X', Y: k == 'Y')
+    MODE skip_till_any_match;
+N = MATCH_EVENT E PATTERN SEQ(X, Y) WITH (X: k == 'X', Y: k == 'Y');
+""")
+    anym = sorted(tuple(r) for r in eng.df("M")
+                  .select("X::id", "Y::id").collect())
+    nextm = sorted(tuple(r) for r in eng.df("N")
+                   .select("X::id", "Y::id").collect())
+    assert anym == [(1, 3), (2, 3)]
+    assert nextm == [(1, 3)]
+
+
+def test_cep_any_match_within_gc(spark, tmp_path):
+    """WITHIN expiry garbage-collects any-match runs: an old X whose
+    window passed must not pair with a late Y."""
+    p = tmp_path / "anygc.csv"
+    p.write_text(
+        "1,2024-01-01 00:00:01,X\n"
+        "2,2024-01-01 00:00:30,X\n"
+        "3,2024-01-01 00:00:35,Y\n"
+    )
+    eng = pg.PigEngine(spark)
+    eng.run(f"""
+E = LOAD '{p}' USING PigStorage(',') AS (id:int, ts:datetime, k:chararray) TIMESTAMP(ts);
+M = MATCH_EVENT E PATTERN SEQ(X, Y) WITH (X: k == 'X', Y: k == 'Y')
+    WITHIN 10 SECONDS MODE skip_till_any_match;
+""")
+    rows = sorted(tuple(r) for r in eng.df("M")
+                  .select("X::id", "Y::id").collect())
+    assert rows == [(2, 3)]

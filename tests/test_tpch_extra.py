@@ -179,3 +179,22 @@ WHERE (SELECT COUNT(*) FROM r WHERE r.ok3 = lk.l_orderkey) > 0
        WHERE r.ok3 = lk.l_orderkey AND r.sk3 != lk.l_suppkey) = 0
 """).fetchall())
     assert got == exp and len(got) > 0
+
+
+def test_bag_expr_aggregate_over_lineage_qualified_bag(spark, tmp_path):
+    """r05 review fix: after joining two grouped relations the bag
+    column is lineage-qualified (GA::A); a composite aggregate arg
+    SUM(A.f3 + 1) must resolve it via suffix matching."""
+    p = tmp_path / "g.csv"
+    p.write_text("1,2,3\n1,2,5\n4,2,1\n")
+    eng = pg.PigEngine(spark)
+    eng.run(f"""
+A = LOAD '{p}' USING PigStorage(',') AS (f1:int, f2:int, f3:int);
+B = LOAD '{p}' USING PigStorage(',') AS (f1:int, f2:int, f3:int);
+GA = GROUP A BY f1;
+GB = GROUP B BY f1;
+J = JOIN GA BY group, GB BY group;
+S = FOREACH J GENERATE GA::group AS k, SUM(A.f3 + 1) AS s;
+""")
+    assert sorted(tuple(r) for r in eng.df("S").collect()) == \
+        [(1, 10), (4, 2)]
