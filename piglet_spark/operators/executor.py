@@ -381,8 +381,13 @@ def op_signature(op: A.Op, lineage: dict[str, str], *,
         # cross-script sharing for otherwise-identical plans
         text = re.sub(r"'(?:[^'\\]|\\.)*'|\"(?:[^\"\\]|\\.)*\"", " ",
                       op.query)
+        # case-INSENSITIVE match (r05): Spark SQL resolves temp views
+        # case-insensitively, so 'SELECT * FROM EMP' reads alias emp —
+        # a case-sensitive scan would miss the dependency and permit a
+        # stale cache splice below an edited upstream
         refs = sorted(a for a in lineage
-                      if re.search(rf"\b{re.escape(a)}\b", text))
+                      if re.search(rf"\b{re.escape(a)}\b", text,
+                                   re.IGNORECASE))
         parts.extend(lineage[a] for a in refs)
     return hashlib.md5("|".join(parts).encode()).hexdigest()
 
@@ -784,10 +789,19 @@ class Executor:
         self.session_cache[sig] = rel
 
     def _op_signature(self, op: A.Op) -> str:
-        return op_signature(
+        # memoized per op object: session-splice, mm-splice and
+        # _update_lineage all need the same signature within one
+        # execute_op call (lineage is unchanged between them), and a
+        # SqlStmt signature re-scans the whole query text per call
+        memo = getattr(self, "_sig_memo", None)
+        if memo is not None and memo[0] is op:
+            return memo[1]
+        sig = op_signature(
             op, self.lineage,
             load_stat=(self.mm is not None
                        and self.mm.settings.check_inputs))
+        self._sig_memo = (op, sig)
+        return sig
 
     def _update_lineage(self, op: A.Op) -> None:
         """Per-alias lineage signature = hash of this operator + its
@@ -1838,8 +1852,13 @@ class Executor:
         g = compile_expr(op.field_ref, ctx)
         pts = (df.select(g["xs"][0].alias("x"), g["ys"][0].alias("y"))
                .limit(10000).collect())
-        xs = [r["x"] for r in pts if r["x"] is not None]
-        ys = [r["y"] for r in pts if r["y"] is not None]
+        # filter PAIRS, not coordinates independently — a row with one
+        # null coordinate must drop entirely, not shift the zip and
+        # fabricate points from mismatched rows (r05 review)
+        pairs = [(r["x"], r["y"]) for r in pts
+                 if r["x"] is not None and r["y"] is not None]
+        xs = [x for x, _ in pairs]
+        ys = [y for _, y in pairs]
         w, h = op.width, op.height
         if xs:
             x0, x1 = min(xs), max(xs)
@@ -1919,8 +1938,18 @@ class Executor:
 
     def op_sqlstmt(self, op: "A.SqlStmt") -> None:
         """Register every defined alias as a temp view, run Spark SQL.
-        Aliases with `::` lineage columns are queryable via backticks."""
+        Aliases with `::` lineage columns are queryable via backticks.
+        GROUP/COGROUP aliases the query references materialize to
+        their (group, bag) form first (r05 — they were skipped and
+        SQL over them raised TABLE_OR_VIEW_NOT_FOUND, though every
+        other consumer materializes them transparently)."""
+        text = re.sub(r"'(?:[^'\\]|\\.)*'|\"(?:[^\"\\]|\\.)*\"", " ",
+                      op.query)
         for alias, rel in list(self.env.items()):
+            if isinstance(rel, (GroupedRelation, CoGroupedRelation)) \
+                    and re.search(rf"\b{re.escape(alias)}\b", text,
+                                  re.IGNORECASE):
+                rel = self.df(alias)  # materialize + rebind
             if isinstance(rel, DataFrame) and not rel.isStreaming:
                 rel.createOrReplaceTempView(alias)
         self.env[op.out] = self.spark.sql(op.query)

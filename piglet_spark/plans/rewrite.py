@@ -149,8 +149,10 @@ def consumer_counts(ops: list[A.Op]) -> dict[str, int]:
             # SQL consumes every alias its query text references
             # (no declared input list) — count them so auto_cache
             # persists shared subplans consumed via SQL too (r03)
+            # case-insensitive like Spark SQL view resolution (r05)
             ins.extend(a for a in outs
-                       if re.search(rf"\b{re.escape(a)}\b", op.query))
+                       if re.search(rf"\b{re.escape(a)}\b", op.query,
+                                    re.IGNORECASE))
         for rel in ins:
             counts[rel] = counts.get(rel, 0) + 1
     return counts

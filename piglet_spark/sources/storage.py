@@ -60,22 +60,18 @@ def _load_pigstorage(spark, path, args, decl):
     schema = _schema_or_none(decl)
     if schema is not None:
         reader = reader.schema(schema)
-        if skip_first:
-            # with an explicit schema, header=true skips the first line
-            # of each file without consuming it as column names
-            reader = reader.option("header", "true")
-            skip_first = False
-    df = reader.load(path)
     if skip_first:
-        # schemaless: drop the first physical line (single-file case)
-        first = df.limit(1).collect()
-        if first:
-            header_vals = [str(v) for v in first[0]]
-            cond = None
-            for c, v in zip(df.columns, header_vals):
-                e = F.col(c).cast("string") == F.lit(v)
-                cond = e if cond is None else cond & e
-            df = df.filter(~F.coalesce(cond, F.lit(False)))
+        # header=true drops the first PHYSICAL line of each file —
+        # with an explicit schema the header is never consumed as
+        # names; schemaless, Spark derives (and auto-dedups) names
+        # from it, so rename back to positional _c0.._cN below.
+        # (r05: the old schemaless path filtered rows EQUAL to the
+        # sampled first row, silently deleting legitimate data rows
+        # that coincide with the header values)
+        reader = reader.option("header", "true")
+    df = reader.load(path)
+    if skip_first and schema is None:
+        df = df.toDF(*[f"_c{i}" for i in range(len(df.columns))])
     return df
 
 
@@ -139,6 +135,12 @@ def _nanos_timestamp_cols(path: str) -> list[str]:
 def _load_parquet(spark, path, args, decl):
     nanos_cols = _nanos_timestamp_cols(path)
     if nanos_cols:
+        # Deliberately left set for the session (not restored): the
+        # scan is LAZY — the parquet reader consults the conf again
+        # at execution time, so restoring it here would break the
+        # very read it enables. Side effect: other reads of
+        # TIMESTAMP(NANOS) parquet in this session get longs instead
+        # of Spark's default PARQUET_TYPE_ILLEGAL error.
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     try:
         df = spark.read.parquet(path)
@@ -234,6 +236,11 @@ def store(df: DataFrame, path: str, func: Optional[str],
           args: list[Any]) -> None:
     name = (func or "PigStorage").split(".")[-1].lower()
     if name == "pigstorage":
+        # asymmetric defaults are REFERENCE parity, not an accident:
+        # LOAD defaults to tab (Storage.scala:40) but STORE defaults
+        # to ',' — the reference truth files (truth/top.data etc.,
+        # written by no-USING STOREs) are comma-delimited. A default
+        # STORE→LOAD round-trip therefore needs explicit delimiters.
         delim = str(args[0]) if args else ","
         formatted = pig_format_rows(df, delim)
         formatted.write.mode("overwrite").text(path)

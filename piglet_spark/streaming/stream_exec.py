@@ -259,6 +259,11 @@ def stream_load(spark: SparkSession, path: str, func: Optional[str],
         raise StreamingError("stream LOAD requires an AS(...) schema")
     reader = (spark.readStream.format("csv")
               .option("sep", delim)
+              # plain-split parity with the batch PigStorage loader
+              # (Storage.scala split semantics): no CSV quote/escape
+              # handling — the same line must parse identically in
+              # batch and streaming mode (r05 review)
+              .option("quote", "").option("emptyValue", "")
               .schema(S.tuple_decl_to_struct(decl)))
     df = reader.load(path)
     return _apply_timestamp(df, ts_field)
@@ -285,7 +290,10 @@ def _parse_lines(raw: DataFrame, func: Optional[str], args: list,
             (decl.fields[0].name if decl and decl.fields else "line")))
         return _apply_timestamp(out, ts_field)
     delim = str(args[0]) if args else "\t"
-    parts = F.split(F.col("value"), delim, -1)
+    # F.split takes a Java REGEX — a literal '|' or '.' delimiter
+    # must be escaped or every line mis-splits (r05 review)
+    import re as _re
+    parts = F.split(F.col("value"), _re.escape(delim), -1)
     cols = []
     for i, fd in enumerate(decl.fields):
         c = parts[i].cast(S.pig_to_spark(fd.pig_type))

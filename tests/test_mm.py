@@ -484,3 +484,28 @@ def test_estimate_bytes_per_record_fixed_only_no_job(spark):
     """All-fixed-width schemas are priced from the schema alone."""
     df = spark.createDataFrame([(1, 2.0)], "a long, b double")
     assert mm._estimate_bytes_per_record(df) == 16.0
+
+
+def test_sql_signature_case_insensitive_dependency(spark, tmp_path):
+    """r05: Spark SQL resolves views case-insensitively, so a SQL
+    statement referencing EMP must fold alias emp's lineage into its
+    signature — editing emp's input invalidates the cached splice."""
+    mat = str(tmp_path / "mat_ci_sql")
+    src = tmp_path / "in.csv"
+    src.write_text("1,10\n2,20\n")
+    script = f"""
+emp = LOAD '{src}' USING PigStorage(',') AS (id:int, v:int);
+R = SQL 'SELECT SUM(v) AS tot FROM EMP';
+"""
+    opts = {"materialization_dir": mat, "profiling": True}
+    e1 = pg.PigEngine(spark, options=opts)
+    e1.run(script)
+    assert e1.df("R").collect()[0]["tot"] == 30
+    import time
+    time.sleep(0.05)
+    src.write_text("1,10\n2,20\n3,70\n")
+    os.utime(src)
+    e2 = pg.PigEngine(spark, options=opts)
+    e2.run(script)
+    assert e2.executor.mm_spliced == set()
+    assert e2.df("R").collect()[0]["tot"] == 100

@@ -836,3 +836,31 @@ def test_deep_chained_plan_stays_fast(spark, data_dir):
     dt = time.perf_counter() - t0
     assert n == 4
     assert dt < 60, f"deep chain took {dt:.1f}s"
+
+
+def test_sql_over_grouped_alias(spark, data_dir):
+    """r05: SQL referencing a GROUP alias materializes it to
+    (group, bag) instead of raising TABLE_OR_VIEW_NOT_FOUND."""
+    eng = pg.PigEngine(spark)
+    env = eng.run(f"""
+A = LOAD '{data_dir}/t.csv' USING PigStorage(',') AS (a:int, b:int, c:int);
+G = GROUP A BY a;
+R = SQL 'SELECT group, size(A) AS n FROM G';
+""")
+    rows = sorted(tuple(r) for r in env["R"].collect())
+    assert rows == [(1, 2), (4, 1), (7, 1)]
+
+
+def test_schemaless_skip_first_row(spark, tmp_path):
+    """r05: schemaless PigStorage skipFirstRow drops the first
+    PHYSICAL line of each file — a data row whose values coincide
+    with the header must survive."""
+    p = tmp_path / "hdr.csv"
+    p.write_text("name,age\nbob,30\nname,age\nann,25\n")
+    eng = pg.PigEngine(spark)
+    env = eng.run(f"""
+A = LOAD '{p}' USING PigStorage(',', 'true');
+""")
+    rows = sorted(tuple(r) for r in env["A"].collect())
+    # first line dropped; the later duplicate-of-header row kept
+    assert rows == [("ann", "25"), ("bob", "30"), ("name", "age")]

@@ -982,3 +982,17 @@ M = MATCH_EVENT E PATTERN SEQ(X, Y) WITH (X: k == 'X', Y: k == 'Y')
     rows = sorted(tuple(r) for r in eng.df("M")
                   .select("X::id", "Y::id").collect())
     assert rows == [(2, 3)]
+
+
+def test_stream_socket_line_parse_pipe_delim(spark):
+    """r05: the socket line parser must treat the delimiter as a
+    LITERAL ('|' and '.' are regex metachars)."""
+    import pandas as pd
+    from piglet_spark.plans import parser as P
+    from piglet_spark.streaming.stream_exec import _parse_lines
+    ops = P.parse("A = LOAD 'x' USING PigStorage('|') AS (a:chararray, b:int);", {})
+    decl = ops[0].schema
+    raw = spark.createDataFrame([("x|1",), ("yy|22",)], ["value"])
+    out = sorted(tuple(r) for r in
+                 _parse_lines(raw, "PigStorage", ["|"], decl, None).collect())
+    assert out == [("x", 1), ("yy", 22)]
