@@ -69,6 +69,12 @@ def _materialize(df: DataFrame) -> DataFrame:
     if mode == "none":
         return df
     if mode == "persist":
+        # intentionally not unpersisted here: the returned plan
+        # references the persisted relation lazily, so eager cleanup
+        # would defeat the sharing. StorageLevel MEMORY_AND_DISK is
+        # LRU-evictable under memory pressure (degrades, never
+        # breaks); long-lived sessions issuing many dedup queries can
+        # reclaim explicitly via spark.catalog.clearCache()
         return df.persist()
     # EAGER checkpoints (r03): a lazy checkpoint materializes during
     # whichever later action first touches it — if the originating
@@ -306,6 +312,17 @@ def minhash_lsh_pairs(df: DataFrame, text_col: str = "text",
     ``max_bucket`` bounds the per-bucket quadratic blowup
     (see ``_cap_buckets``).
     """
+    if bands > num_hashes or num_hashes % bands != 0:
+        # bands > num_hashes degenerates to rows_per_band = 0: every
+        # band bucket hashes only the band index, all docs collide,
+        # _cap_buckets drops everything and the function silently
+        # returns ZERO pairs (r05 review). Non-divisible values
+        # silently ignore trailing hashes, changing the effective
+        # threshold — refuse both.
+        raise ValueError(
+            f"bands ({bands}) must divide num_hashes ({num_hashes}); "
+            f"rows per band = num_hashes/bands sets the LSH threshold "
+            f"(~(1/bands)^(1/rows_per_band))")
     rows_per_band = num_hashes // bands
     # NOT materialized (r03): the shared-shingle checkpoint was the
     # one r02 bench regression (2.14 -> 2.53 s) — minhash's verify
@@ -345,12 +362,19 @@ def minhash_lsh_pairs(df: DataFrame, text_col: str = "text",
     # shingle strings themselves (candidates are a tiny subset, so
     # the string arrays in this join are cheap; hash the shingles
     # first if verify-shuffle volume ever matters)
-    sh = base
+    return _verify_jaccard_pairs(cand, base, threshold)
+
+
+def _verify_jaccard_pairs(cand: DataFrame, base: DataFrame,
+                          threshold: float) -> DataFrame:
+    """Exact-Jaccard verify of (id_a, id_b) candidates against the
+    (_id, _sh) shingle relation — shared by the MinHash-LSH and
+    prefix-filter plans so a fix to the verify math lands in both."""
     out = (cand
-           .join(sh.select(F.col("_id").alias("id_a"),
-                           F.col("_sh").alias("sh_a")), on="id_a")
-           .join(sh.select(F.col("_id").alias("id_b"),
-                           F.col("_sh").alias("sh_b")), on="id_b"))
+           .join(base.select(F.col("_id").alias("id_a"),
+                             F.col("_sh").alias("sh_a")), on="id_a")
+           .join(base.select(F.col("_id").alias("id_b"),
+                             F.col("_sh").alias("sh_b")), on="id_b"))
     inter = F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
     union = F.size(F.array_union("sh_a", "sh_b")).cast("double")
     jac = F.when(union > 0, inter / union).otherwise(F.lit(0.0))
@@ -459,17 +483,7 @@ def ngram_jaccard_pairs(df: DataFrame, text_col: str = "text",
                 .select(F.col("a._id").alias("id_a"),
                         F.col("b._id").alias("id_b"))
                 .dropDuplicates(["id_a", "id_b"]))
-        out = (cand
-               .join(base.select(F.col("_id").alias("id_a"),
-                                 F.col("_sh").alias("sh_a")), on="id_a")
-               .join(base.select(F.col("_id").alias("id_b"),
-                                 F.col("_sh").alias("sh_b")), on="id_b"))
-        inter = F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
-        union = F.size(F.array_union("sh_a", "sh_b")).cast("double")
-        jac = F.when(union > 0, inter / union).otherwise(F.lit(0.0))
-        return (out.select("id_a", "id_b",
-                           F.round(jac, 6).alias("jaccard"))
-                .filter(F.col("jaccard") >= threshold))
+        return _verify_jaccard_pairs(cand, base, threshold)
     doc_hot = None
     if max_df is not None:
         hot = (inv.groupBy("_s").agg(F.count(F.lit(1)).alias("_df"))

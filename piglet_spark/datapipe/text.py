@@ -24,8 +24,10 @@ LANG_MARKERS = {
 
 
 def ws_token_count(text: Column) -> Column:
-    """Whitespace token count."""
-    t = F.trim(text)
+    """Whitespace token count; NULL text counts 0 tokens (r05 —
+    size(split(NULL)) is -1 under Spark's legacy sizeOfNull and the
+    NULL slipped past the empty-string guard)."""
+    t = F.trim(F.coalesce(text, F.lit("")))
     return F.when(F.length(t) == 0, F.lit(0)).otherwise(
         F.size(F.split(t, r"\s+")))
 
@@ -50,6 +52,10 @@ def quality_score(text: Column) -> Column:
     0.4·length_score + 0.3·alpha_ratio + 0.3·mean-word-length score.
     (Shape follows public quality-filter practice: C4/Gopher-style
     length & symbol-ratio rules.)"""
+    # NULL text scores like empty text (r05: F.least SKIPS nulls, so
+    # length(NULL)/500 gave length_score 1.0 and NULL docs scored 0.4
+    # — above real short documents)
+    text = F.coalesce(text, F.lit(""))
     st = char_stats(text)
     n = st["n_chars"].cast("double")
     ntok = ws_token_count(text).cast("double")
@@ -268,10 +274,16 @@ def repetition_stats(df: DataFrame, text_col: str = "text",
                "dup_4gram_frac",
                F.coalesce(F.col("_top._c"), F.lit(0))
                .alias("top_2gram_count"),
-               F.round(F.coalesce(
+               # count×len over-counts characters shared by
+               # OVERLAPPING occurrences ('a a a a': 3 hits × 3 chars
+               # over 7), so clamp at 1.0 — full coverage (r05; exact
+               # union coverage needs per-occurrence positions, which
+               # would turn this map-only stat into a heavy explode)
+               F.round(F.least(F.coalesce(
                    F.col("_top._c") * F.col("_top._l")
                    / F.nullif(F.length("__norm"), F.lit(0)).cast("double"),
-                   F.lit(0.0)), 6).alias("top_2gram_char_frac")))
+                   F.lit(0.0)), F.lit(1.0)), 6)
+               .alias("top_2gram_char_frac")))
     return out
 
 
@@ -351,8 +363,10 @@ def chunk_text(df: DataFrame, text_col: str = "text",
     Map-only plan — split + sequence + slice + explode are all
     codegen'd array expressions, no shuffle, no UDF: at corpus scale
     this runs at scan speed and parallelizes per input split."""
-    if overlap >= size:
-        raise ValueError("overlap must be < size")
+    if not 0 <= overlap < size:
+        # negative overlap (stride > size) would silently skip tokens
+        # between chunks, violating the every-token-covered guarantee
+        raise ValueError("overlap must be in [0, size)")
     stride = size - overlap
     t = F.trim(F.col(text_col))
     toks = F.when(F.length(t) == 0, F.array().cast("array<string>")) \

@@ -85,7 +85,10 @@ class ProfilerSettings:
                 elif k == "eviction":
                     ps.eviction = str(v).lower()
                 elif k in ("admission", "admission_check"):
-                    ps.admission_check = bool(v)
+                    # string-safe like check_inputs: 'false' must
+                    # disable, not truthy-cast to True (r05)
+                    ps.admission_check = str(v).lower() not in (
+                        "false", "0", "off", "no", "")
                 elif k in ("cachesize", "cache_size"):
                     ps.cache_size = _parse_cache_size(v)
                 elif k == "max_profile_actions":
@@ -421,7 +424,20 @@ class MaterializationManager:
             if not self.profiles.has_measurement(sig):
                 if actions >= self.settings.max_profile_actions:
                     continue
-                df = executor.df(alias).persist(StorageLevel.MEMORY_AND_DISK)
+                pre = executor.df(alias)
+                if isinstance(pre, DataFrame) and (
+                        pre.storageLevel.useMemory
+                        or pre.storageLevel.useDisk):
+                    # already persisted (auto_cache shared alias or a
+                    # run_all session splice): a count() here times
+                    # the CACHE, not the recompute — recording that
+                    # near-zero cost would permanently (has_measurement
+                    # is sticky) exclude exactly the subplans most
+                    # worth materializing (r05 review). Leave the sig
+                    # unmeasured; a future run without the in-memory
+                    # copy measures the true cost.
+                    continue
+                df = pre.persist(StorageLevel.MEMORY_AND_DISK)
                 measured[sig] = df
                 actions += 1
                 t0 = time.perf_counter()
@@ -440,7 +456,14 @@ class MaterializationManager:
             size_bytes = ent["rows"] * ent["bytes_per_record"]
             read_ms = size_bytes / (self.settings.mib_per_sec_reading
                                     * 1024 * 1024) * 1000.0
-            benefit_ms = ent["cost_ms"] - read_ms
+            # conservative pay-off-within-one-reuse policy: the one-off
+            # parquet write cost is charged against the benefit, so a
+            # point that costs more to write than a single reuse saves
+            # is never chosen (r05: mib_per_sec_writing was declared
+            # but unused — write cost was absent from the model)
+            write_ms = size_bytes / (self.settings.mib_per_sec_writing
+                                     * 1024 * 1024) * 1000.0
+            benefit_ms = ent["cost_ms"] - read_ms - write_ms
             m = MaterializationPoint(
                 sig, prob=self.profiles.prob(sig), cost_ms=ent["cost_ms"],
                 bytes=int(size_bytes), benefit_ms=benefit_ms)

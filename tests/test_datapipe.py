@@ -999,7 +999,9 @@ def test_repetition_stats_brute_force(spark):
             # tie-break by length like the engine's max(struct(c, l));
             # equal (count, len) ties have equal coverage either way
             c, L = max((c, len(g)) for g, c in Counter(gr2).items())
-            out["top_2gram_char_frac"] = c * L / len(norm(t))
+            # clamped at full coverage (r05): overlapping occurrences
+            # over-count shared characters, a fraction can't exceed 1
+            out["top_2gram_char_frac"] = min(1.0, c * L / len(norm(t)))
         else:
             out["top_2gram_char_frac"] = 0.0
         return out
@@ -1377,3 +1379,29 @@ def test_ivf_and_semantic_empty_or_null_vectors(spark):
     got = similarity.ivf_topk(withnull, [1.0, 0.0], k=2,
                               n_cells=2, train_sample=8).collect()
     assert [r["vec_id"] for r in got] == [1, 3]
+
+
+def test_minhash_bands_validation(docs):
+    with pytest.raises(ValueError, match="must divide"):
+        dedup.minhash_lsh_pairs(docs, num_hashes=32, bands=64)
+    with pytest.raises(ValueError, match="must divide"):
+        dedup.minhash_lsh_pairs(docs, num_hashes=32, bands=7)
+
+
+def test_quality_and_tokens_null_text(spark):
+    """r05: NULL text scores/counts like empty text — not -1 tokens
+    and not a 0.4 quality score above real short docs."""
+    df = spark.createDataFrame([(1, None), (2, ""), (3, "short doc")],
+                               "doc_id long, text string")
+    rows = {r["doc_id"]: r for r in text.doc_stats(df).collect()}
+    assert rows[1]["n_tokens"] == 0 == rows[2]["n_tokens"]
+    assert rows[1]["quality"] == rows[2]["quality"] == 0.0
+    assert rows[3]["quality"] > 0.0
+
+
+def test_top_2gram_frac_clamped(spark):
+    """Overlapping top-2-gram runs clamp at full coverage (1.0), not
+    an impossible >1 'fraction'."""
+    df = spark.createDataFrame([(1, "a a a a")], "doc_id long, text string")
+    r = text.repetition_stats(df).collect()[0]
+    assert r["top_2gram_char_frac"] == 1.0
