@@ -67,10 +67,15 @@ class PigEngine:
             # (ref MaterializeLast uses the ops feeding sink nodes,
             # DataflowProfiler.scala:371-380)
             from .plans import ast as A
+            # sink-shaped ops beyond the obvious four (r05): Assert
+            # rebinds its input in place, Visualize/SocketWrite/Explain
+            # only consume — none makes its input non-terminal
             nonsink = R.consumer_counts(
                 [o for o in ops
                  if not isinstance(o, (A.Store, A.Dump, A.Display,
-                                       A.Describe))])
+                                       A.Describe, A.Assert,
+                                       A.Visualize, A.SocketWrite,
+                                       A.Explain))])
             self.executor.terminal_aliases = {
                 a for a in self.executor.lineage
                 if nonsink.get(a, 0) == 0}

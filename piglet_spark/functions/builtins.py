@@ -29,6 +29,45 @@ class AggSpec:
         self.bag = bag
 
 
+def _round_scale(s) -> int:
+    """ROUND's scale must be a literal int — silently rounding to 0
+    decimals for a column-valued scale was a wrong-result trap (r05)."""
+    if isinstance(s, int):
+        return s
+    raise ValueError(
+        "ROUND scale must be an integer literal, got a "
+        f"{type(s).__name__} (column-valued scales are unsupported)")
+
+
+def _nonnull_vals(bag: Column, c: str) -> Column:
+    """Non-null field values of a bag — the null-skipping base every
+    value-aggregate shares (Pig/SQL semantics: NULL elements don't
+    poison a fold and don't count in denominators)."""
+    return F.filter(F.transform(bag, lambda x: x[c]),
+                    lambda v: v.isNotNull())
+
+
+def _bag_median(bag: Column, c: str) -> Column:
+    """Upper median, null-skipping (r05: nulls sorted last and a
+    null-inclusive size skewed the index — bag [(1),(NULL),(2),(3)]
+    returned 3 where the fused path returns 2)."""
+    vals = F.array_sort(_nonnull_vals(bag, c))
+    return F.element_at(vals,
+                        (F.floor(F.size(vals) / 2) + 1).cast("int"))
+
+
+def _bag_var(bag: Column, c: str) -> Column:
+    """Population variance, null-skipping with a non-null denominator
+    (r05: one NULL element poisoned the whole fold to NULL where the
+    fused var_pop skips nulls)."""
+    vals = F.transform(_nonnull_vals(bag, c),
+                       lambda v: v.cast("double"))
+    n = F.size(vals).cast("double")
+    s = F.aggregate(vals, F.lit(0.0), lambda a, x: a + x)
+    s2 = F.aggregate(vals, F.lit(0.0), lambda a, x: a + x * x)
+    return F.when(n > 0, s2 / n - (s / n) ** 2).otherwise(F.lit(None))
+
+
 def _bag_avg(bag: Column, c: str) -> Column:
     """AVG over a bag column, NULL-skipping like F.avg: sum of
     non-null values / count of non-null values; NULL when none."""
@@ -71,16 +110,15 @@ AGGREGATES: dict[str, AggSpec] = {
         fused=lambda c: F.avg(c),
         bag=lambda bag, c: _bag_avg(bag, c),
     ),
-    # upper median of the sorted sequence (CommonPigFuncs.scala:30-34)
+    # upper median of the sorted sequence (CommonPigFuncs.scala:30-34);
+    # both paths skip nulls (collect_list drops them; _bag_median
+    # filters, r05)
     "median": AggSpec(
         fused=lambda c: F.element_at(
             F.array_sort(F.collect_list(c)),
             (F.floor(F.count(c) / 2) + 1).cast("int"),
         ),
-        bag=lambda bag, c: F.element_at(
-            F.array_sort(F.transform(bag, lambda x: x[c])),
-            (F.floor(F.size(bag) / 2) + 1).cast("int"),
-        ),
+        bag=lambda bag, c: _bag_median(bag, c),
     ),
     "isempty": AggSpec(
         fused=lambda *c: F.count(F.lit(1)) == 0,
@@ -97,11 +135,7 @@ AGGREGATES: dict[str, AggSpec] = {
     ),
     "var": AggSpec(
         fused=lambda c: F.var_pop(c),
-        bag=lambda bag, c: F.aggregate(
-            bag, F.lit(0.0), lambda a, x: a + x[c].cast("double") * x[c].cast("double")
-        ) / F.size(bag)
-        - (F.aggregate(bag, F.lit(0.0), lambda a, x: a + x[c].cast("double"))
-           / F.size(bag)) ** 2,
+        bag=lambda bag, c: _bag_var(bag, c),
     ),
     "stddev": AggSpec(
         fused=lambda c: F.stddev_pop(c),
@@ -149,8 +183,11 @@ def _tokenize(c: Column) -> Column:
 
 SCALARS: dict[str, Callable[..., Column]] = {
     "tokenize": _tokenize,
+    # limit honored (r05: it was accepted and silently ignored) —
+    # Java String.split semantics, same as Pig's STRSPLIT
     "strsplit": lambda c, pat=None, limit=None: F.split(
-        c, pat if pat is not None else "\\s+"
+        c, pat if pat is not None else "\\s+",
+        int(limit) if limit is not None else -1
     ),
     "startswith": lambda c, p: c.startswith(p),
     "endswith": lambda c, p: c.endswith(p),
@@ -180,7 +217,7 @@ SCALARS: dict[str, Callable[..., Column]] = {
     "abs": lambda c: F.abs(c),
     "ceil": lambda c: F.ceil(c),
     "floor": lambda c: F.floor(c),
-    "round": lambda c, s=0: F.round(c, s if isinstance(s, int) else 0),
+    "round": lambda c, s=0: F.round(c, _round_scale(s)),
     "log": lambda c: F.log(c.cast("double")),
     "log10": lambda c: F.log10(c.cast("double")),
     "exp": lambda c: F.exp(c.cast("double")),

@@ -638,7 +638,22 @@ def compile_aggregate(expr: A.FuncCall, ctx: Ctx) -> Column:
             if isinstance(fname, int) and isinstance(dt, T.ArrayType) and \
                     isinstance(dt.elementType, T.StructType):
                 fname = dt.elementType.names[fname]
-            return spec.bag(bag, fname)
+            out = spec.bag(bag, fname)
+            if name == "sum":
+                # bag SUM folds in double; cast back to long for
+                # integral fields so both compilation modes render
+                # and compare identically (r05: fused returned 5, the
+                # bag plan 5.0 — a silent type drift when the planner
+                # picks the other mode)
+                ft = None
+                if isinstance(dt, T.ArrayType) and \
+                        isinstance(dt.elementType, T.StructType) and \
+                        fname in dt.elementType.names:
+                    ft = dt.elementType[fname].dataType
+                if isinstance(ft, (T.ByteType, T.ShortType,
+                                   T.IntegerType, T.LongType)):
+                    out = out.cast("long")
+            return out
         if arg is not None:
             bag = compile_expr(arg, ctx)
             if name in ("count", "count_star", "isempty", "nonempty"):

@@ -34,21 +34,6 @@ TOKEN_RE = re.compile(
     re.VERBOSE | re.DOTALL,
 )
 
-KEYWORDS = {
-    "load", "store", "dump", "display", "describe", "foreach", "generate",
-    "filter", "by", "group", "cogroup", "all", "join", "cross", "distinct",
-    "limit", "order", "asc", "desc", "sample", "split", "into", "if",
-    "union", "intersection", "difference", "accumulate", "zip", "with",
-    "index", "and", "or", "not", "as", "using", "flatten", "stream",
-    "through", "define", "returns", "register", "set", "import",
-    "matches", "is", "null", "cache", "materialize", "tuplify", "on",
-    "rdfload", "grouped", "bgp_filter", "socket_read", "socket_write",
-    "to", "mode", "window", "range", "rows", "slide", "timestamp",
-    "match_event", "pattern", "within", "seconds", "minutes", "hours",
-    "true", "false",
-}
-
-
 class Token:
     __slots__ = ("kind", "text", "pos", "line")
 
@@ -121,7 +106,43 @@ class Parser:
         t = self.toks[self.i]
         if t.kind != "eof":
             self.i += 1
+        else:
+            # consuming past EOF means a construct is unterminated —
+            # raising here turns what used to be an INFINITE LOOP
+            # (every `while not self.at(X): ... advance()` scan, e.g.
+            # `fs` missing its ';' or an unclosed IRI '<http://x')
+            # into a clear error (r05 review; hang reproduced)
+            raise ParseError(
+                f"line {t.line}: unexpected end of input "
+                f"(unterminated statement or bracket)")
         return t
+
+    def int_tok(self) -> int:
+        """Integer operand with a proper ParseError (r05: raw int()
+        leaked ValueError with no line number)."""
+        t = self.advance()
+        try:
+            return int(t.text)
+        except ValueError:
+            raise ParseError(
+                f"line {t.line}: expected an integer, "
+                f"got {t.text!r}") from None
+
+    def float_tok(self) -> float:
+        """Numeric operand; also accepts a leading '-' (the lexer
+        splits '-0.5' into two tokens, so negative thresholds were
+        unparseable, r05)."""
+        t = self.advance()
+        neg = False
+        if t.kind != "str" and t.text == "-":
+            neg, t = True, self.advance()
+        try:
+            v = float(t.text)
+        except ValueError:
+            raise ParseError(
+                f"line {t.line}: expected a number, "
+                f"got {t.text!r}") from None
+        return -v if neg else v
 
     def at_kw(self, *kws: str) -> bool:
         t = self.cur
@@ -300,9 +321,9 @@ class Parser:
             w, h = 800, 600
             if self.try_kw("as"):
                 self.eat("(")
-                w = int(self.advance().text)
+                w = self.int_tok()
                 self.eat(",")
-                h = int(self.advance().text)
+                h = self.int_tok()
                 self.eat(")")
             self.eat(";")
             return A.Visualize(rel=rel, field_ref=ref, path=path,
@@ -335,6 +356,9 @@ class Parser:
                 mode = self.ident().lower()
             self.eat(";")
             host, _, port = addr.rpartition(":")
+            if not port.isdigit():
+                raise ParseError(
+                    f"SOCKET_WRITE address must be 'host:port', got {addr!r}")
             return A.SocketWrite(rel=rel, host=host, port=int(port), mode=mode)
         if kw == "import":
             # IMPORT is textually resolved before parsing
@@ -612,7 +636,7 @@ class Parser:
             if self.try_kw("using"):
                 strategy = self.string()
             if self.try_kw("window"):
-                n = int(self.advance().text)
+                n = self.int_tok()
                 unit = self.ident().upper()
                 window = (n, unit)
         return A.Join(out=alias, rels=rels, keys=keys, window=window,
@@ -881,7 +905,7 @@ class Parser:
             id_field = self.parse_ref()
         threshold = 0.5
         if self.try_kw("threshold"):
-            threshold = float(self.advance().text)
+            threshold = self.float_tok()
         method = "minhash"
         if self.try_kw("using"):
             method = self.string().lower()
@@ -943,6 +967,9 @@ class Parser:
             ts = self.parse_ref()
             self.eat(")")
         host, _, port = addr.rpartition(":")
+        if not port.isdigit():
+            raise ParseError(
+                f"SOCKET_READ address must be 'host:port', got {addr!r}")
         return A.SocketRead(out=alias, host=host, port=int(port), mode=mode,
                             func=func, func_args=fargs, schema=schema,
                             timestamp_field=ts)
@@ -966,11 +993,11 @@ class Parser:
 
     def parse_window_spec(self) -> tuple[int, str]:
         if self.try_kw("range"):
-            n = int(self.advance().text)
+            n = self.int_tok()
             unit = self.ident().upper()
             return (n, unit)
         self.eat_kw("rows")
-        n = int(self.advance().text)
+        n = self.int_tok()
         return (n, "ROWS")
 
     def op_match_event(self, alias: str) -> A.Op:
@@ -995,7 +1022,7 @@ class Parser:
             if self.try_kw("mode"):
                 mode = self.ident().lower()
             elif self.try_kw("within"):
-                n = int(self.advance().text)
+                n = self.int_tok()
                 unit = self.ident().upper()
                 within = (n, unit)
             else:

@@ -864,3 +864,58 @@ A = LOAD '{p}' USING PigStorage(',', 'true');
     rows = sorted(tuple(r) for r in env["A"].collect())
     # first line dropped; the later duplicate-of-header row kept
     assert rows == [("ann", "25"), ("bob", "30"), ("name", "age")]
+
+
+def test_bag_aggregates_null_handling(spark, tmp_path):
+    """r05: bag-path MEDIAN/VAR skip NULL elements like the fused
+    paths; bag SUM of an integral field stays integral."""
+    p = tmp_path / "nulls.csv"
+    p.write_text("a,1\na,\na,2\na,3\nb,5\n")
+    eng = pg.PigEngine(spark)
+    env = eng.run(f"""
+A = LOAD '{p}' USING PigStorage(',') AS (k:chararray, v:int);
+G = GROUP A BY k;
+M = FOREACH G GENERATE group AS k, MEDIAN(A.v) AS med, VAR(A.v) AS vr,
+                       SUM(A.v) AS s;
+""")
+    rows = {r["k"]: r for r in env["M"].collect()}
+    # nulls skipped: median of [1,2,3] = 2 (upper median), not 3/NULL
+    assert rows["a"]["med"] == 2
+    assert rows["a"]["vr"] == pytest.approx(2.0 / 3.0)
+    assert rows["a"]["s"] == 6
+    # the fused plan agrees (bag materialized vs fused aggregation)
+    env2 = eng.run(f"""
+B = LOAD '{p}' USING PigStorage(',') AS (k:chararray, v:int);
+H = GROUP B BY k;
+N = FOREACH H GENERATE group AS k, MEDIAN(B.v) AS med, VAR(B.v) AS vr;
+X = FOREACH H {{ vs = B.v; GENERATE group AS k, SUM(vs) AS s; }};
+""")
+    # integral SUM renders without a trailing .0 in Pig text output
+    from piglet_spark.sources.storage import pig_format_rows
+    line = sorted(r["value"] for r in pig_format_rows(
+        env["M"].select("k", "s"), ",").collect())
+    assert line == ["a,6", "b,5"]
+
+
+def test_strsplit_honors_limit(spark, tmp_path):
+    p = tmp_path / "csvish.tsv"
+    p.write_text("a,b,c,d\n")
+    eng = pg.PigEngine(spark)
+    env = eng.run(f"""
+A = LOAD '{p}' USING PigStorage('\\t') AS (line:chararray);
+B = FOREACH A GENERATE STRSPLIT(line, ',', 2) AS parts;
+C = FOREACH A GENERATE STRSPLIT(line, ',') AS parts;
+""")
+    assert env["B"].first()["parts"] == ["a", "b,c,d"]
+    assert env["C"].first()["parts"] == ["a", "b", "c", "d"]
+
+
+def test_round_column_scale_clear_error(spark, data_dir):
+    eng = pg.PigEngine(spark)
+    import pytest as _pt
+    with _pt.raises(Exception, match="scale must be an integer"):
+        eng.run(f"""
+A = LOAD '{data_dir}/person.tsv' USING PigStorage('\\t') AS (name:chararray, age:int);
+B = FOREACH A GENERATE ROUND(3.14159, age);
+""")
+        eng.df("B").collect()

@@ -1,5 +1,7 @@
 """Parser golden-AST tests (model: reference PigParserSpec.scala)."""
 
+import pytest
+
 from piglet_spark.plans import ast as A
 from piglet_spark.plans import parser as P
 
@@ -159,3 +161,30 @@ def test_bincond():
     op2 = parse1("B = FOREACH A GENERATE (x > 2 ? 1 : x > 1 ? 2 : 3) AS v;")
     inner = op2.gens[0].expr.els
     assert isinstance(inner, A.BinCond) and inner.then.value == 2
+
+
+def test_unterminated_constructs_raise_not_hang():
+    """r05: advance() past EOF raises ParseError — 'fs' missing its
+    ';' and an unclosed IRI used to loop forever."""
+    for bad in ["fs -rm '/x'", "b = bgp_filter a by { <http://x",
+                "A = LOAD 'f' AS (x:int"]:
+        with pytest.raises(P.ParseError):
+            P.parse(bad, {})
+
+
+def test_numeric_operand_errors_are_parse_errors():
+    """r05: malformed numeric operands raise ParseError with a line
+    number, not a raw ValueError."""
+    for bad in ["socket_write a to 'localhost';",
+                "w = WINDOW a ROWS x;",
+                "v = VISUALIZE a BY loc SIZE w, 10 INTO 'p';"]:
+        with pytest.raises(P.ParseError):
+            P.parse(bad, {})
+
+
+def test_negative_threshold_parses():
+    """r05: the lexer splits '-0.5' into two tokens; float_tok
+    reassembles the sign."""
+    ops = P.parse(
+        "N = NEARDUP A ON e BY id THRESHOLD -0.5 USING 'embedding';", {})
+    assert ops[0].threshold == -0.5
