@@ -103,10 +103,16 @@ def main(argv=None) -> int:
         print(f"error: {type(e).__name__}: {e}", file=sys.stderr)
         return 1
 
-    if args.explain:
-        eng.df(args.explain).explain("formatted")
-    if args.show:
-        eng.df(args.show).show(truncate=False)
+    try:
+        if args.explain:
+            eng.df(args.explain).explain("formatted")
+        if args.show:
+            eng.df(args.show).show(truncate=False)
+    except Exception as e:
+        # unknown alias etc. — same clean error contract as script
+        # failures, not a raw traceback (r05)
+        print(f"error: {type(e).__name__}: {e}", file=sys.stderr)
+        return 1
     for q in eng.stream_queries:
         q.awaitTermination()
     return 0

@@ -163,6 +163,13 @@ def decode_bmp(payload: bytes) -> np.ndarray:
         raise ValueError("not a BMP")
     data_off, = struct.unpack("<I", payload[10:14])
     hdr_size, = struct.unpack("<I", payload[14:18])
+    if hdr_size < 40:
+        # BITMAPCOREHEADER (12 bytes) stores 16-bit dims at different
+        # offsets — reading the INFOHEADER layout would mash them
+        # into garbage dimensions (r05); refuse clearly instead
+        raise NotImplementedError(
+            f"BMP header size {hdr_size} (BITMAPCOREHEADER?) not "
+            f"supported — only BITMAPINFOHEADER (>= 40) decodes")
     w, h = struct.unpack("<ii", payload[18:26])
     bpp, = struct.unpack("<H", payload[28:30])
     comp, = struct.unpack("<I", payload[30:34])
@@ -454,6 +461,11 @@ def _scan_segments(payload: bytes, start: int) -> list[bytes]:
         if nxt == 0x00:
             cur.append(0xFF)
             i += 2
+        elif nxt == 0xFF:
+            # legal 0xFF fill byte before a marker (ISO 10918
+            # B.1.1.2) — skip it, don't end the scan (r05: padded
+            # restart markers truncated the segment list)
+            i += 1
         elif 0xD0 <= nxt <= 0xD7:  # RSTn
             segs.append(bytes(cur))
             cur = bytearray()
@@ -592,7 +604,10 @@ def _fake_image_features(payload: bytes, dim: int = 8) -> tuple[int, int, list[f
     h = hashlib.sha256(payload).digest()
     width = 64 + h[0] % 192
     height = 64 + h[1] % 192
-    emb = [struct.unpack("<I", h[4 * i: 4 * i + 4])[0] / 2**32
+    # cycle the digest so any dim works (r05: dim > 8 read past the
+    # 32-byte digest and crashed the whole mapInPandas job)
+    hh = h * (4 * dim // len(h) + 2)
+    emb = [struct.unpack("<I", hh[4 * i: 4 * i + 4])[0] / 2**32
            for i in range(dim)]
     return width, height, emb
 
@@ -648,7 +663,9 @@ def sample_audio_frames(df: DataFrame, bin_col: str = "payload",
                 # bytes happening to look like RIFF (r02 code review)
                 if deterministic_fake:
                     h = hashlib.sha256(b).digest()
-                    rms = [h[i] / 255.0 for i in range(n_frames)]
+                    # cycle the digest: n_frames > 32 crashed (r05)
+                    rms = [h[i % len(h)] / 255.0
+                           for i in range(n_frames)]
                 elif detect_format(b) == "wav":
                     rms = decode_wav_rms(b, n_frames)
                 else:
@@ -679,11 +696,28 @@ def attach_binary_payload(df: DataFrame, text_col: str = "text",
     )
 
 
+def to_rgb(px: "np.ndarray") -> "np.ndarray":
+    """Normalize decoder output to (h, w, 3) RGB: grayscale
+    replicates, gray+alpha drops alpha then replicates, RGBA drops
+    alpha (r05: gray/RGBA sources leaked 1/2/4-channel payloads
+    through the documented 3-bytes-per-pixel contract)."""
+    if px.ndim == 2:
+        px = px[:, :, None]
+    c = px.shape[2]
+    if c == 1:
+        return np.repeat(px, 3, axis=2)
+    if c == 2:  # gray + alpha
+        return np.repeat(px[:, :, :1], 3, axis=2)
+    if c >= 4:  # RGBA → RGB
+        return px[:, :, :3]
+    return px
+
+
 def resize_nearest(px: "np.ndarray", out_w: int, out_h: int) -> "np.ndarray":
-    """Nearest-neighbor resample of an (h, w, 3) uint8 array — real
+    """Nearest-neighbor resample of an (h, w, c) uint8 array — real
     resizing with no imaging library: index maps via integer centers
     (the standard NN formula floor((i + 0.5) * src/dst))."""
-    h, w, _ = px.shape
+    h, w = px.shape[:2]
     yi = np.minimum(((np.arange(out_h) + 0.5) * h / out_h).astype(int),
                     h - 1)
     xi = np.minimum(((np.arange(out_w) + 0.5) * w / out_w).astype(int),
@@ -734,6 +768,7 @@ def resize_images(df: DataFrame, bin_col: str = "payload",
                         f"resize_images: format {fmt or 'unknown'} has "
                         f"no stdlib pixel decoder (PNG/BMP/PPM/"
                         f"baseline-JPEG are supported)")
+                px = to_rgb(px)
                 h, w, _ = px.shape
                 small = resize_nearest(px, out_w, out_h)
                 rows.append((did, w, h,

@@ -7,8 +7,26 @@ from pyspark.sql import Column, DataFrame
 # logical nodes that imply an exchange downstream of the scan — if one
 # is present, the data is already redistributed across
 # spark.sql.shuffle.partitions and spread() has nothing to fix
-_WIDE_NODES = ("Join", "Aggregate", "Repartition", "Sort ", "Window",
-               "Deduplicate", "Intersect", "Except", "RepartitionByExpression")
+_WIDE_NODES = ("Join", "Aggregate", "Repartition", "Sort", "Window",
+               "Deduplicate", "Intersect", "Except",
+               "RepartitionByExpression")
+# narrow but expensive-to-recompute nodes (Python/Arrow stages) —
+# pin_if_wide also pins these: the range-bounds sampler re-executing a
+# JPEG decode is exactly the double-execution it guards against
+_EXPENSIVE_NODES = _WIDE_NODES + (
+    "MapInPandas", "FlatMapGroupsInPandas", "BatchEvalPython",
+    "ArrowEvalPython", "MapPartitions")
+
+
+def _plan_has(plan: str, nodes) -> bool:
+    """Anchored node-name match: a node name must start a plan tree
+    line (after the `:+- ` prefixes) — a COLUMN named 'JoinKey' or
+    'Window' printed inside `Relation [JoinKey#0,…]` must not count
+    (r05 review: the old substring match false-positived on it)."""
+    import re
+    pat = re.compile(
+        r"(?m)^[\s:+\-*()\d]*(?:" + "|".join(nodes) + r")\b")
+    return pat.search(plan) is not None
 
 
 def spread(df: DataFrame, *key_cols: str) -> DataFrame:
@@ -32,7 +50,7 @@ def spread(df: DataFrame, *key_cols: str) -> DataFrame:
         plan = df._jdf.queryExecution().optimizedPlan().toString()
     except Exception:
         return df
-    if any(node in plan for node in _WIDE_NODES):
+    if _plan_has(plan, _WIDE_NODES):
         return df
     target = df.sparkSession.sparkContext.defaultParallelism
     if df.rdd.getNumPartitions() < target:
@@ -56,7 +74,7 @@ def pin_if_wide(df: DataFrame) -> DataFrame:
         plan = df._jdf.queryExecution().optimizedPlan().toString()
     except Exception:
         return df
-    if any(node in plan for node in _WIDE_NODES):
+    if _plan_has(plan, _EXPENSIVE_NODES):
         return df.localCheckpoint()
     return df
 
@@ -94,6 +112,12 @@ def salted_join(big: DataFrame, dim: DataFrame, on: str | list[str],
 
     if how not in ("inner", "left", "left_outer"):
         raise ValueError(f"salted_join supports inner/left, got {how!r}")
+    if "__salt" in big.columns or "__salt" in dim.columns:
+        # withColumn would silently REPLACE (and drop() then delete)
+        # the user's column, breaking the column-for-column contract
+        raise ValueError(
+            "salted_join: input already has a '__salt' column — "
+            "rename it before joining")
     keys = [on] if isinstance(on, str) else list(on)
     big_salted = big.withColumn(
         "__salt", F.pmod(F.monotonically_increasing_id(),

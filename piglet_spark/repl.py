@@ -47,7 +47,11 @@ def repl(engine, input_fn=input, out=sys.stdout) -> int:
                   "'cancel' to discard)", file=out)
             continue
         if not buffer:
-            low = stripped.lower()
+            # commands work with or without a trailing ';' (r05 —
+            # `explain foo;` fell through to the Pig parser, which
+            # has no EXPLAIN-as-command form, and errored)
+            cmdtext = stripped.rstrip(";").strip()
+            low = cmdtext.lower()
             if low in ("quit", "exit"):
                 return 0
             if low == "help":
@@ -59,12 +63,8 @@ def repl(engine, input_fn=input, out=sys.stdout) -> int:
                 continue
             first = low.split(" ")[0] if low else ""
             if first in ("dump", "describe", "display", "explain") and \
-                    not stripped.endswith(";"):
-                parts = stripped.split()
-                if len(parts) != 2:
-                    print(f"usage: {first} <alias>", file=out)
-                    continue
-                alias = parts[1]
+                    len(cmdtext.split()) == 2:
+                alias = cmdtext.split()[1]
                 try:
                     if first == "explain":
                         engine.df(alias).explain("formatted")

@@ -1405,3 +1405,50 @@ def test_top_2gram_frac_clamped(spark):
     df = spark.createDataFrame([(1, "a a a a")], "doc_id long, text string")
     r = text.repetition_stats(df).collect()[0]
     assert r["top_2gram_char_frac"] == 1.0
+
+
+def test_multimodal_fake_paths_any_dim(spark):
+    """r05: fake decode paths cycle the sha256 digest — dim > 8 and
+    n_frames > 32 must not crash the Arrow job."""
+    df = spark.createDataFrame([(1, bytearray(b"anything"))],
+                               "doc_id long, payload binary")
+    out = multimodal.decode_images(df, dim=16,
+                                   deterministic_fake=True).collect()
+    assert len(out[0]["embedding"]) == 16
+    frames = multimodal.sample_audio_frames(
+        df, n_frames=40, deterministic_fake=True).collect()
+    assert len(frames) == 40
+
+
+def test_resize_normalizes_channels_to_rgb():
+    """Gray (1ch) and RGBA (4ch) decoder outputs normalize to the
+    documented 3-bytes-per-pixel RGB contract."""
+    import numpy as np
+    gray = np.arange(100, dtype=np.uint8).reshape(10, 10, 1)
+    rgba = np.zeros((10, 10, 4), dtype=np.uint8)
+    for px in (gray, rgba):
+        out = multimodal.resize_nearest(multimodal.to_rgb(px), 4, 4)
+        assert out.shape == (4, 4, 3)
+    # gray replicates the channel
+    g3 = multimodal.to_rgb(gray)
+    assert (g3[:, :, 0] == g3[:, :, 2]).all()
+
+
+def test_salted_join_salt_collision_guard(spark):
+    from piglet_spark.datapipe.util import salted_join
+    big = spark.createDataFrame([(1, 0)], "k long, __salt int")
+    dim = spark.createDataFrame([(1, "x")], "k long, v string")
+    with pytest.raises(ValueError, match="__salt"):
+        salted_join(big, dim, "k")
+
+
+def test_plan_has_anchored_not_substring(spark):
+    """A column NAMED like a wide node must not trip the detector."""
+    from piglet_spark.datapipe.util import (_plan_has, _WIDE_NODES,
+                                            pin_if_wide)
+    df = spark.createDataFrame([(1, 2)], ["JoinKey", "Window"])
+    plan = df._jdf.queryExecution().optimizedPlan().toString()
+    assert not _plan_has(plan, _WIDE_NODES)
+    agg = df.groupBy("JoinKey").count()
+    plan2 = agg._jdf.queryExecution().optimizedPlan().toString()
+    assert _plan_has(plan2, _WIDE_NODES)
