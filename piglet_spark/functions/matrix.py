@@ -22,8 +22,13 @@ def matrix_cons(elem_type: str, sparse: bool, rows, cols, *vals) -> Column:
     r = int(rows) if not isinstance(rows, Column) else rows
     c = int(cols) if not isinstance(cols, Column) else cols
     cast_t = "int" if elem_type == "int" else "double"
-    if len(vals) == 1 and isinstance(vals[0], Column):
-        # array column (bag constructors are unwrapped by the compiler)
+    if len(vals) == 1 and isinstance(vals[0], Column) \
+            and not (isinstance(r, int) and isinstance(c, int)
+                     and r * c == 1):
+        # array column (bag constructors are unwrapped by the
+        # compiler). A 1×1 matrix from a single SCALAR field is the
+        # exception — F.transform over a non-array column raises, so
+        # route it to the scalar branch (r05)
         data = F.transform(vals[0], lambda x: x.cast(cast_t))
     else:
         data = F.array(*[(v if isinstance(v, Column) else F.lit(v))

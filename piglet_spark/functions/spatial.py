@@ -22,7 +22,16 @@ def geometry(wkt: Column) -> Column:
     """Parse WKT POINT/POLYGON into (gtype, xs, ys)."""
     if not isinstance(wkt, Column):
         wkt = F.lit(str(wkt))
-    gtype = F.upper(F.regexp_extract(wkt, r"^\s*([A-Za-z]+)", 1))
+    gtype_raw = F.upper(F.regexp_extract(wkt, r"^\s*([A-Za-z]+)", 1))
+    # interior rings (holes) / multi-part WKT would silently keep only
+    # the first ring and report wrong containment for points inside a
+    # hole — refuse clearly instead (r05)
+    gtype = F.when(
+        wkt.rlike(r"\)\s*,\s*\("),
+        F.raise_error(F.concat(
+            F.lit("unsupported WKT (interior rings / multi-part "
+                  "geometries): "), wkt)).cast("string"),
+    ).otherwise(gtype_raw)
     inner = F.regexp_extract(wkt, r"\(\(?([^()]*)\)?\)", 1)
     pairs = F.split(F.trim(inner), r"\s*,\s*")
     xs = F.transform(pairs, lambda p: F.split(F.trim(p), r"\s+")[0]
@@ -172,9 +181,15 @@ def intersects(a: Column, b: Column) -> Column:
         _edges_cross(a, b) | _any_vertex_in(b, a)
         | _any_vertex_in(a, b) | _vertex_on_edge(b, a)
         | _vertex_on_edge(a, b))
+    # point-on-boundary counts as intersecting (r05: strict ray-cast
+    # parity made edge-touching points arbitrary by edge direction;
+    # _vertex_on_edge over the point's single vertex closes it, same
+    # as the poly-poly branch)
     return F.when(_is_point(a) & _is_point(b), pt_pt).otherwise(
-        F.when(a_pt, point_in_polygon(_px(a), _py(a), b)).otherwise(
-            F.when(b_pt, point_in_polygon(_px(b), _py(b), a)).otherwise(
+        F.when(a_pt, point_in_polygon(_px(a), _py(a), b)
+               | _vertex_on_edge(a, b)).otherwise(
+            F.when(b_pt, point_in_polygon(_px(b), _py(b), a)
+                   | _vertex_on_edge(b, a)).otherwise(
                 poly_poly)))
 
 
@@ -185,21 +200,26 @@ def distance(a: Column, b: Column) -> Column:
 
 
 def grid_cell(g: Column, cell_size: float) -> Column:
-    """Grid cell id of a point geometry (spatial-join bucketing)."""
+    """Grid cell id of a point geometry (spatial-join bucketing) —
+    a (cx, cy) struct: collision-free at any extent (r05: the old
+    cx*1_000_003+cy scalar collided once |cy| spanned ≥ 1_000_003
+    cells, e.g. fine grids over lon/lat, producing spurious join
+    candidates and merged partitions)."""
     cx = F.floor(_px(g) / F.lit(cell_size)).cast("long")
     cy = F.floor(_py(g) / F.lit(cell_size)).cast("long")
-    return cx * F.lit(1_000_003) + cy
+    return F.struct(cx.alias("cx"), cy.alias("cy"))
 
 
 def grid_cells_bbox(g: Column, cell_size: float) -> Column:
     """All grid cells covered by a geometry's bbox (polygon side of a
-    spatial join)."""
+    spatial join) — array of (cx, cy) structs."""
     x0 = F.floor(F.array_min(g["xs"]) / F.lit(cell_size)).cast("long")
     x1 = F.floor(F.array_max(g["xs"]) / F.lit(cell_size)).cast("long")
     y0 = F.floor(F.array_min(g["ys"]) / F.lit(cell_size)).cast("long")
     y1 = F.floor(F.array_max(g["ys"]) / F.lit(cell_size)).cast("long")
     return F.flatten(F.transform(
         F.sequence(x0, x1),
-        lambda cx: F.transform(F.sequence(y0, y1),
-                               lambda cy: cx * F.lit(1_000_003) + cy),
+        lambda cx: F.transform(
+            F.sequence(y0, y1),
+            lambda cy: F.struct(cx.alias("cx"), cy.alias("cy"))),
     ))

@@ -42,6 +42,26 @@ def _subst_expr(e: Any, mapping: dict[str, A.Expr], alias_map: dict[str, str]) -
     return e
 
 
+def _subst_text(s: str, mapping: dict[str, A.Expr]) -> str:
+    """Substitute `$param` occurrences INSIDE string values (paths,
+    SQL text, filter literals) — Apache Pig macro expansion is
+    textual, so `LOAD '$path'` inside a macro body must receive the
+    argument (r05: string payloads were passed through untouched and
+    execution tried to read a file literally named $path)."""
+    import re as _re
+    for k, m in mapping.items():
+        if not k.startswith("$") or k not in s:
+            continue
+        if isinstance(m, A.Literal):
+            rep = str(m.value)
+        elif isinstance(m, A.NamedField):
+            rep = m.full
+        else:
+            continue
+        s = _re.sub(_re.escape(k) + r"(?![A-Za-z0-9_])", rep, s)
+    return s
+
+
 def _subst_any(v: Any, mapping: dict[str, A.Expr], alias_map: dict[str, str]) -> Any:
     if isinstance(v, list):
         return [_subst_any(x, mapping, alias_map) for x in v]
@@ -51,6 +71,8 @@ def _subst_any(v: Any, mapping: dict[str, A.Expr], alias_map: dict[str, str]) ->
         return {k: _subst_any(x, mapping, alias_map) for k, x in v.items()}
     if dataclasses.is_dataclass(v) and not isinstance(v, type):
         return _subst_expr(v, mapping, alias_map)
+    if isinstance(v, str) and "$" in v:
+        return _subst_text(v, mapping)
     return v
 
 
@@ -73,7 +95,20 @@ def expand_macros(ops: list[A.Op]) -> list[A.Op]:
     out: list[A.Op] = []
     counter = [0]
 
-    def expand_call(call: A.MacroCall) -> list[A.Op]:
+    def _op_outs(op: A.Op) -> list[str]:
+        # SPLIT defines its aliases in nested SplitBranch.out (r05:
+        # they were invisible to alias renaming AND substitution, so
+        # a macro containing SPLIT produced undefined/colliding
+        # aliases)
+        if isinstance(op, A.SplitInto):
+            return [b.out for b in op.branches]
+        return [op.out] if getattr(op, "out", None) else []
+
+    def expand_call(call: A.MacroCall, depth: int = 0) -> list[A.Op]:
+        if depth > 32:
+            raise RewriteError(
+                f"macro expansion depth exceeded at {call.name!r} — "
+                f"recursive macros are not supported (Pig parity)")
         macro = macros.get(call.name)
         if macro is None:
             raise RewriteError(f"unknown macro {call.name!r}")
@@ -92,9 +127,10 @@ def expand_macros(ops: list[A.Op]) -> list[A.Op]:
         # rename body-internal aliases; RETURNS alias → call output
         alias_map: dict[str, str] = {}
         for op in macro.body:
-            if op.out and op.out.lstrip("$") != macro.returns \
-                    and op.out.lstrip("$") not in macro.params:
-                alias_map[op.out] = f"__{call.name}_{n}_{op.out.lstrip('$')}"
+            for o in _op_outs(op):
+                if o.lstrip("$") != macro.returns \
+                        and o.lstrip("$") not in macro.params:
+                    alias_map[o] = f"__{call.name}_{n}_{o.lstrip('$')}"
         if macro.returns:
             alias_map[macro.returns] = call.out
             alias_map[f"${macro.returns}"] = call.out
@@ -110,10 +146,15 @@ def expand_macros(ops: list[A.Op]) -> list[A.Op]:
                 elif f.name == "rels" and isinstance(v, list):
                     str_fields[f.name] = [_subst_str(x, mapping, alias_map)
                                           for x in v]
+                elif f.name == "branches" and isinstance(v, list):
+                    str_fields[f.name] = [
+                        dataclasses.replace(
+                            b, out=_subst_str(b.out, mapping, alias_map))
+                        for b in v]
             if str_fields:
                 new_op = dataclasses.replace(new_op, **str_fields)
             if isinstance(new_op, A.MacroCall):
-                expanded.extend(expand_call(new_op))
+                expanded.extend(expand_call(new_op, depth + 1))
             else:
                 expanded.append(new_op)
         return expanded

@@ -54,30 +54,6 @@ def tuple_decl_to_struct(decl: A.TupleDecl) -> T.StructType:
     return T.StructType(fields)
 
 
-def spark_is_numeric(dt: T.DataType) -> bool:
-    return isinstance(dt, T.NumericType)
-
-
-def escalate(t1: str, t2: str) -> str:
-    """Numeric escalation (Types.scala:112-141); two bytearrays → double
-    (ArithmeticExpr.scala:175-200)."""
-    if t1 == "bytearray" and t2 == "bytearray":
-        return "double"
-    try:
-        i1, i2 = _NUM_PRIORITY.index(t1), _NUM_PRIORITY.index(t2)
-    except ValueError:
-        return "double"
-    winner = _NUM_PRIORITY[max(i1, i2)]
-    return "double" if winner == "bytearray" else winner
-
-
-class AmbiguousFieldError(Exception):
-    pass
-
-
-class UnknownFieldError(Exception):
-    pass
-
 
 def resolve_column(columns: list[str], ref: str,
                    lineage: tuple[str, ...] = ()) -> str:
@@ -111,9 +87,3 @@ def base_name(column: str) -> str:
     return column.rsplit(LINEAGE_SEP, 1)[-1]
 
 
-def struct_for_load(decl: Optional[A.TupleDecl], n_cols: int = 0) -> T.StructType:
-    if decl is not None:
-        return tuple_decl_to_struct(decl)
-    return T.StructType(
-        [T.StructField(f"_c{i}", T.StringType(), True) for i in range(n_cols)]
-    )

@@ -284,3 +284,61 @@ def test_fs_cmd_flag_args(spark, tmp_path, monkeypatch):
                        f"{fake.parent}:{os.environ.get('PATH', '')}")
     pg.run(spark, "fs -rm -r '/hdfs/x';")
     assert log.read_text().strip() == "fs -rm -r /hdfs/x"
+
+
+def test_macro_with_split_and_string_param(spark, tmp_path):
+    """r05: macros containing SPLIT get their branch aliases renamed
+    and substituted; $params inside string literals substitute
+    textually (Pig parity)."""
+    p = tmp_path / "v.csv"
+    p.write_text("1\n7\n9\n3\n")
+    eng = pg.PigEngine(spark)
+    env = eng.run(f"""
+DEFINE splitld(path, big) RETURNS hi {{
+  a = LOAD '$path' USING PigStorage(',') AS (x:int);
+  SPLIT a INTO $hi IF x > $big, lo IF x <= $big;
+}};
+H = splitld('{p}', 5);
+C = FILTER H BY x > 8;
+""")
+    assert sorted(r["x"] for r in env["H"].collect()) == [7, 9]
+    assert [r["x"] for r in env["C"].collect()] == [9]
+
+
+def test_point_on_polygon_edge_intersects(spark):
+    from pyspark.sql import functions as F
+    from piglet_spark.functions import spatial as sp
+    df = spark.range(1).select(
+        sp.geometry(F.lit("POLYGON((0 0, 4 0, 4 4, 0 4, 0 0))")).alias("p"),
+        sp.geometry(F.lit("POINT(2 4)")).alias("top"),
+        sp.geometry(F.lit("POINT(2 0)")).alias("bot"),
+        sp.geometry(F.lit("POINT(9 9)")).alias("far"))
+    r = df.select(
+        sp.intersects(F.col("top"), F.col("p")).alias("t"),
+        sp.intersects(F.col("p"), F.col("top")).alias("t2"),
+        sp.intersects(F.col("bot"), F.col("p")).alias("b"),
+        sp.intersects(F.col("far"), F.col("p")).alias("f")).collect()[0]
+    assert r.t is True and r.t2 is True and r.b is True and r.f is False
+
+
+def test_wkt_holes_rejected(spark):
+    from pyspark.sql import functions as F
+    from piglet_spark.functions import spatial as sp
+    import pytest as _pt
+    df = spark.range(1).select(sp.geometry(F.lit(
+        "POLYGON ((0 0,10 0,10 10,0 10,0 0),(4 4,6 4,6 6,4 6,4 4))"))
+        .alias("g"))
+    with _pt.raises(Exception, match="interior rings"):
+        df.collect()
+
+
+def test_matrix_1x1_scalar_field(spark, tmp_path):
+    p = tmp_path / "one.csv"
+    p.write_text("7\n")
+    eng = pg.PigEngine(spark)
+    env = eng.run(f"""
+A = LOAD '{p}' USING PigStorage(',') AS (x:int);
+B = FOREACH A GENERATE dimatrix(1, 1, x) AS m;
+C = FOREACH B GENERATE matrix_get(m, 0, 0) AS v;
+""")
+    assert env["C"].first()["v"] == 7
