@@ -114,6 +114,10 @@ def cap_per_group(df: DataFrame, group_col: str = "source",
     tail immediately after the window (no further stages see it)."""
     from pyspark.sql.window import Window
 
+    if "__rn" in df.columns:
+        raise ValueError(
+            "cap_per_group: input already has a '__rn' column; rename it "
+            "first (the helper uses '__rn' as its internal rank column)")
     rn = F.row_number().over(
         Window.partitionBy(group_col).orderBy(F.col(id_col).asc()))
     return (df.withColumn("__rn", rn)

@@ -40,17 +40,14 @@ def _hash32(col: Column, salt: str = "") -> Column:
 def _pid_offsets(base: DataFrame, weight: Column) -> DataFrame:
     """(__pid, __off): exclusive prefix sum of ``weight`` across range
     partitions — ≤ numPartitions rows, broadcast into the downstream
-    cumsum/rank join. The TeraSort offsets table shared by
-    :func:`chunk_pack` (token offsets) and, in driver-loop form, by
-    :func:`dsir_resample` and the executor's RANK (executor.py
-    op_rank) — keep the three in sync when touching the pattern."""
-    from pyspark.sql.window import Window
+    cumsum/rank join. Thin wrapper over the shared driver-side
+    TeraSort phase-2 helper (datapipe.util.cum_offsets) also used by
+    :func:`dsir_resample` and the executor's RANK / ZIP WITH INDEX.
+    ``base`` is checkpointed by the caller, so the helper's collect
+    doesn't recompute the upstream."""
+    from .util import cum_offsets
     stats = base.groupBy("__pid").agg(F.sum(weight).alias("__cnt"))
-    w = (Window.orderBy("__pid")
-         .rowsBetween(Window.unboundedPreceding, -1))
-    return stats.select(
-        "__pid", F.coalesce(F.sum("__cnt").over(w),
-                            F.lit(0)).alias("__off"))
+    return cum_offsets(stats)[0]
 
 
 def chunk_pack(df: DataFrame, text_col: str = "text",
@@ -279,16 +276,10 @@ def dsir_resample(raw: DataFrame, target: DataFrame,
                                      F.col(id_col).asc())
             .withColumn("__pid", F.spark_partition_id())
             .localCheckpoint())  # pin partition ids across branches
+    from .util import cum_offsets
     stats = base.groupBy("__pid").agg(F.count(F.lit(1)).alias("__cnt"))
-    srows = stats.collect()  # ≤ nparts rows — never the data
-    total = sum(r["__cnt"] for r in srows)
+    off_df, total = cum_offsets(stats)  # ≤ nparts rows — never the data
     k = int(math.ceil(frac * total))
-    cum, offs = 0, {}
-    for r in sorted(srows, key=lambda r: r["__pid"]):
-        offs[r["__pid"]] = cum
-        cum += r["__cnt"]
-    off_df = spark.createDataFrame(
-        [(p, o) for p, o in offs.items()], "__pid int, __off long")
     rn = F.row_number().over(
         Window.partitionBy("__pid")
         .orderBy(F.col("sel_key").desc(), F.col(id_col).asc()))

@@ -79,6 +79,34 @@ def pin_if_wide(df: DataFrame) -> DataFrame:
     return df
 
 
+def cum_offsets(stats: DataFrame,
+                count_col: str = "__cnt") -> tuple[DataFrame, int]:
+    """(offsets_df, total): exclusive prefix sum of ``count_col`` over
+    a per-range-partition stats table keyed by ``__pid`` — the shared
+    second phase of the TeraSort two-phase rank used by RANK /
+    ZIP WITH INDEX (executor), chunk_pack and dsir_resample (pack.py).
+
+    Computed DRIVER-side from the collected stats rows: the table is
+    ≤ spark.sql.shuffle.partitions rows by construction (never the
+    data), and the driver loop replaces a global ``Window.orderBy``
+    over it — same result, but no single-partition WindowExec and no
+    "No Partition Defined" warning to alarm operators at scale
+    (r06, VERDICT item 4). The collected total comes back for free
+    (dsir_resample's top-k needs it — saves its second agg job).
+
+    Callers must pass stats derived from a PINNED (checkpointed)
+    base so this eager collect doesn't recompute the upstream."""
+    rows = stats.select("__pid",
+                        stats[count_col].alias("__c")).collect()
+    spark = stats.sparkSession
+    cum, data = 0, []
+    for r in sorted(rows, key=lambda r: r["__pid"]):
+        data.append((int(r["__pid"]), int(cum)))
+        cum += int(r["__c"] or 0)
+    off = spark.createDataFrame(data, "__pid int, __off long")
+    return off, cum
+
+
 def salted_join(big: DataFrame, dim: DataFrame, on: str | list[str],
                 how: str = "inner", salt: int = 16) -> DataFrame:
     """Skew-resistant equi-join: salt the BIG side's key with a

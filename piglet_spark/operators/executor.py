@@ -695,6 +695,10 @@ class Executor:
     # ---------------------------------------------------------- entry
 
     def execute(self, ops: list[A.Op]) -> dict[str, Relation]:
+        # signature memo keys on op object identity; a re-execute of the
+        # same parsed ops after input files changed must re-stat LOADs
+        # (check_inputs), so the memo cannot outlive one execute() call
+        self._sig_memo = None
         for op in ops:
             self.execute_op(op)
         return self.env
@@ -1637,20 +1641,23 @@ class Executor:
     @staticmethod
     def _cum_offsets(stats: DataFrame, count_col: str) -> DataFrame:
         """Per-partition stats → (__pid, __off): cumulative count of
-        earlier partitions. The window frame is the tiny per-partition
-        stats relation (≤ numPartitions rows), never the data."""
-        from pyspark.sql.window import Window
-        w = Window.orderBy("__pid").rowsBetween(Window.unboundedPreceding, -1)
-        return stats.select(
-            "__pid",
-            F.coalesce(F.sum(count_col).over(w), F.lit(0)).alias("__off"))
+        earlier partitions, computed driver-side from the collected
+        stats rows (≤ numPartitions — never the data) via the shared
+        TeraSort phase-2 helper. Callers pass stats over a pinned
+        base, so the eager collect doesn't recompute upstream."""
+        from ..datapipe.util import cum_offsets
+        return cum_offsets(stats, count_col)[0]
 
     def _with_index(self, df: DataFrame) -> DataFrame:
         """Distributed 0-based dense index (no single-partition sort):
         monotonically_increasing_id encodes (partition, row#); add
-        per-partition offsets via a broadcast join."""
+        per-partition offsets via a broadcast join. The input is
+        pinned (pin_if_wide) so the offsets collect and the main job
+        see identical partitioning — mid values must agree between
+        the two passes."""
+        from ..datapipe.util import pin_if_wide
         mid = F.monotonically_increasing_id()
-        df = df.withColumn("__mid", mid)
+        df = pin_if_wide(df).withColumn("__mid", mid)
         # exact bit arithmetic — double division loses precision past
         # 2^53 and can truncate to a neighboring partition id
         pid = F.shiftright(F.col("__mid"), 33)
@@ -1888,16 +1895,25 @@ class Executor:
 
     def op_hdfscmd(self, op: "A.HdfsCmd") -> None:
         """fs -cmd args (ref op/cmd/HdfsCmd.scala:28 / HDFSService).
-        When a real `hadoop` binary is on PATH (a cluster edge node),
-        pass the command through verbatim — true HDFS semantics.
-        Otherwise local-filesystem semantics (this container has no
-        HDFS). `SET piglet.fs 'local'` forces the local path even
-        when hadoop exists."""
+        Passthrough to a real `hadoop`/`hdfs` binary is OPT-IN: it runs
+        only with `SET piglet.fs 'hdfs'`, or when HADOOP_CONF_DIR is set
+        (a configured cluster edge node) and piglet.fs isn't 'local'.
+        Binary presence alone is NOT enough — a dev laptop with hadoop
+        on PATH but no cluster must keep local-filesystem semantics, so
+        existing scripts don't silently change behavior."""
         import os
         import shutil
         cmd, args = op.cmd.lower(), op.args
-        if str(self.options.get("piglet.fs", "")).lower() != "local":
+        fs_mode = str(self.options.get("piglet.fs", "")).lower()
+        want_hdfs = (fs_mode == "hdfs"
+                     or (fs_mode != "local"
+                         and os.environ.get("HADOOP_CONF_DIR")))
+        if want_hdfs:
             hadoop = shutil.which("hadoop") or shutil.which("hdfs")
+            if hadoop is None and fs_mode == "hdfs":
+                raise ExecError(
+                    "SET piglet.fs 'hdfs' but no hadoop/hdfs binary on "
+                    "PATH")
             if hadoop:
                 import subprocess
                 exe = [hadoop, "fs"] if hadoop.endswith("hadoop") \

@@ -424,9 +424,11 @@ def match_event(df: DataFrame, op: A.MatchEvent, executor) -> DataFrame:
         """Run the NFA over rows [lo, hi) of a prepared frame,
         appending match dicts to ``matches``; returns the resume
         state — (step_i, start_ts, partial) for the single-run modes,
-        a list of such runs for skip_till_any_match."""
-        if mode == "skip_till_any_match":
-            return _scan_any(ctx, lo, hi, state0, matches)
+        a list of such runs for the pooled modes
+        (skip_till_any_match / sase_any_match / next_match_pooled)."""
+        if mode in ("skip_till_any_match", "sase_any_match",
+                    "next_match_pooled"):
+            return _scan_pooled(ctx, lo, hi, state0, matches)
         masks, ts_arr, row_at = ctx["masks"], ctx["ts_arr"], ctx["row_at"]
         if state0 is None:
             partial, step_i, start_ts = [], 0, None
@@ -466,13 +468,35 @@ def match_event(df: DataFrame, op: A.MatchEvent, executor) -> DataFrame:
                 break
         return (step_i, start_ts, partial)
 
-    def _scan_any(ctx, lo, hi, state0, matches):
-        """skip_till_any_match: branching runs (ref engines/
-        AnyMatch.scala clone-on-advance) — every start event spawns a
-        run, every partial run that advances ALSO keeps a copy
-        waiting, so overlapping matches all emit. WITHIN expiry
-        garbage-collects runs; without WITHIN the pool is capped at
-        piglet.cep.max_runs (clear error, not OOM)."""
+    def _scan_pooled(ctx, lo, hi, state0, matches):
+        """Pooled-run engines — a run pool where EVERY event may also
+        start a new run (ref engines/CEPEngine.createNewStructue),
+        with the per-mode transition mirroring the reference engine:
+
+        * ``skip_till_any_match`` → ref engines/AnyMatch.scala:
+          clone-on-advance AND kill-on-mismatch — a run whose
+          current-state predicate fails on an event is DELETED (the
+          reference NFA has forward edges only, no self-loops, so a
+          mismatch has no surviving transition). For [X1,X2,Y3] the
+          reference emits only (X2,Y3): X2 kills the X1-run. Exact
+          reference parity, verified against AnyMatch.scala:13-32.
+        * ``next_match_pooled`` → ref engines/NextMatch.scala: runs
+          survive mismatches (no kill, no clone); each run advances
+          greedily, every start event spawns a run, so [X1,X2,Y3]
+          emits (X1,Y3) AND (X2,Y3). (The reference maps the DEFAULT
+          mode string to this engine; this repo's default is the
+          single-run FirstMatch engine — deliberate, documented
+          divergence, with this mode giving exact NextMatch parity.)
+        * ``sase_any_match`` → extension, NOT in the reference:
+          textbook SASE skip-till-any-match — clone-on-advance and
+          runs survive mismatches. Strictly more matches than both
+          reference engines.
+
+        WITHIN expiry garbage-collects runs in every mode; without
+        WITHIN the pool is capped at piglet.cep.max_runs (clear
+        error, not OOM)."""
+        kill_on_mismatch = (mode == "skip_till_any_match")
+        clone_on_advance = (mode != "next_match_pooled")
         masks, ts_arr, row_at = ctx["masks"], ctx["ts_arr"], ctx["row_at"]
         runs = [] if state0 is None else \
             [(s, t, list(p)) for s, t, p in state0]
@@ -488,11 +512,19 @@ def match_event(df: DataFrame, op: A.MatchEvent, executor) -> DataFrame:
                     continue  # negated event → kill the run
                 if bool(masks[positives[step_i]][i]):
                     adv = partial + [row_at(i)]
+                    if clone_on_advance:
+                        # ref AnyMatch clones BEFORE addEvent, so the
+                        # waiting copy survives even when the advance
+                        # completes the match
+                        nxt.append((step_i, start_ts, partial))
                     if step_i + 1 >= n_pos:
                         _emit(adv, matches)
                     else:
                         nxt.append((step_i + 1, start_ts, adv))
-                nxt.append((step_i, start_ts, partial))  # keep waiting
+                elif kill_on_mismatch:
+                    continue  # ref AnyMatch: mismatch deletes the run
+                else:
+                    nxt.append((step_i, start_ts, partial))  # wait
             if bool(masks[positives[0]][i]):
                 if n_pos == 1:
                     _emit([row_at(i)], matches)
@@ -500,7 +532,7 @@ def match_event(df: DataFrame, op: A.MatchEvent, executor) -> DataFrame:
                     nxt.append((1, ts_i, [row_at(i)]))
             if len(nxt) > max_runs:
                 raise RuntimeError(
-                    f"skip_till_any_match run pool exceeded "
+                    f"{mode} run pool exceeded "
                     f"{max_runs} concurrent partial matches — add a "
                     f"WITHIN horizon (expired runs are GC'd) or raise "
                     f"piglet.cep.max_runs")

@@ -225,9 +225,9 @@ fs -cp '{src}' '{dst}';
 
 
 def test_fs_cmd_hadoop_passthrough(spark, tmp_path, monkeypatch):
-    """r05: with a real `hadoop` binary on PATH the fs command is
-    passed through verbatim (true HDFS semantics on a cluster edge
-    node); `SET piglet.fs 'local'` forces the local-fs path back."""
+    """r06 (advisor): passthrough to a hadoop binary is OPT-IN — via
+    `SET piglet.fs 'hdfs'` or HADOOP_CONF_DIR — so a dev machine that
+    merely has hadoop on PATH keeps local-filesystem semantics."""
     import os
     fake = tmp_path / "bin" / "hadoop"
     fake.parent.mkdir()
@@ -236,21 +236,39 @@ def test_fs_cmd_hadoop_passthrough(spark, tmp_path, monkeypatch):
     fake.chmod(0o755)
     monkeypatch.setenv("PATH",
                        f"{fake.parent}:{os.environ.get('PATH', '')}")
-    pg.run(spark, f"fs -mkdir '/hdfs/path/one';")
+    monkeypatch.delenv("HADOOP_CONF_DIR", raising=False)
+    # binary presence alone does NOT trigger passthrough: the dir is
+    # created locally and the fake hadoop logs nothing
+    d0 = tmp_path / "plainlocal"
+    pg.run(spark, f"fs -mkdir '{d0}';")
+    assert d0.is_dir()
+    assert not log.exists()
+    # explicit opt-in routes through hadoop verbatim
+    pg.run(spark, "SET piglet.fs 'hdfs';\nfs -mkdir '/hdfs/path/one';")
     assert log.read_text().strip() == "fs -mkdir /hdfs/path/one"
+    # HADOOP_CONF_DIR (a configured edge node) also opts in
+    monkeypatch.setenv("HADOOP_CONF_DIR", str(tmp_path))
+    pg.run(spark, "fs -mkdir '/hdfs/path/two';")
+    assert log.read_text().strip().splitlines()[-1] \
+        == "fs -mkdir /hdfs/path/two"
     # failure propagates as ExecError with the hadoop stderr
     import pytest as _pytest
     from piglet_spark.operators.executor import ExecError
     fake.write_text("#!/bin/sh\necho boom >&2\nexit 1\n")
     with _pytest.raises(ExecError, match="boom"):
-        pg.run(spark, "fs -rm '/hdfs/x';")
-    # explicit local override ignores the binary entirely: the dir is
-    # created locally and the fake hadoop logs no new call
+        pg.run(spark, "SET piglet.fs 'hdfs';\nfs -rm '/hdfs/x';")
+    # piglet.fs 'hdfs' with no binary at all is a clear error
+    monkeypatch.setenv("PATH", "/nonexistent")
+    with _pytest.raises(ExecError, match="no hadoop"):
+        pg.run(spark, "SET piglet.fs 'hdfs';\nfs -ls '/';")
+    # explicit local override wins even with HADOOP_CONF_DIR set
+    monkeypatch.setenv("PATH",
+                       f"{fake.parent}:{os.environ.get('PATH', '')}")
     d = tmp_path / "localdir"
-    before = log.read_text()
+    before = log.read_text() if log.exists() else ""
     pg.run(spark, f"SET piglet.fs 'local';\nfs -mkdir '{d}';")
     assert d.is_dir()
-    assert log.read_text() == before
+    assert (log.read_text() if log.exists() else "") == before
 
 
 def test_rscript_clear_error(spark, data_dir):
@@ -282,7 +300,7 @@ def test_fs_cmd_flag_args(spark, tmp_path, monkeypatch):
     fake.chmod(0o755)
     monkeypatch.setenv("PATH",
                        f"{fake.parent}:{os.environ.get('PATH', '')}")
-    pg.run(spark, "fs -rm -r '/hdfs/x';")
+    pg.run(spark, "SET piglet.fs 'hdfs';\nfs -rm -r '/hdfs/x';")
     assert log.read_text().strip() == "fs -rm -r /hdfs/x"
 
 

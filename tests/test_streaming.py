@@ -939,10 +939,15 @@ M = MATCH_EVENT E PATTERN SEQ(A, B) WITH (A: k == 'A', B: k == 'B') MODE strict;
     assert rows == [(2, 3)]
 
 
-def test_cep_skip_till_any_match_overlapping_runs(spark, tmp_path):
-    """r05: skip_till_any_match emits EVERY combination via branching
-    runs (ref engines/AnyMatch clone-on-advance) — [x1, x2, y1]
-    yields both (x1,y1) and (x2,y1); next-match mode yields one."""
+def test_cep_skip_till_any_match_kill_on_mismatch(spark, tmp_path):
+    """r06 (advisor): skip_till_any_match mirrors ref engines/
+    AnyMatch.scala EXACTLY — kill-on-mismatch: a run whose
+    current-state predicate fails on an event is deleted (the
+    reference NFA has forward edges only, no self-loops). For
+    [X1, X2, Y3] the X1-run dies at X2 (X2 fails the Y predicate),
+    so only (X2, Y3) emits. The SASE keep-alive semantics live in
+    the extension mode sase_any_match; pooled reference NextMatch
+    (runs survive mismatches, no clone) is next_match_pooled."""
     p = tmp_path / "anym.csv"
     p.write_text(
         "1,2024-01-01 00:00:01,X\n"
@@ -954,14 +959,44 @@ def test_cep_skip_till_any_match_overlapping_runs(spark, tmp_path):
 E = LOAD '{p}' USING PigStorage(',') AS (id:int, ts:datetime, k:chararray) TIMESTAMP(ts);
 M = MATCH_EVENT E PATTERN SEQ(X, Y) WITH (X: k == 'X', Y: k == 'Y')
     MODE skip_till_any_match;
+S = MATCH_EVENT E PATTERN SEQ(X, Y) WITH (X: k == 'X', Y: k == 'Y')
+    MODE sase_any_match;
+P = MATCH_EVENT E PATTERN SEQ(X, Y) WITH (X: k == 'X', Y: k == 'Y')
+    MODE next_match_pooled;
 N = MATCH_EVENT E PATTERN SEQ(X, Y) WITH (X: k == 'X', Y: k == 'Y');
 """)
-    anym = sorted(tuple(r) for r in eng.df("M")
+    def got(alias):
+        return sorted(tuple(r) for r in eng.df(alias)
+                      .select("X::id", "Y::id").collect())
+    assert got("M") == [(2, 3)]           # ref AnyMatch parity
+    assert got("S") == [(1, 3), (2, 3)]   # SASE extension
+    assert got("P") == [(1, 3), (2, 3)]   # ref NextMatch parity
+    assert got("N") == [(1, 3)]           # single-run default
+
+
+def test_cep_any_match_clone_survives_completion(spark, tmp_path):
+    """ref AnyMatch clones BEFORE addEvent, so after (X1,Y2) emits,
+    a copy still waits at the Y-state and pairs with Y3 — but an
+    intervening mismatching event (Z) kills that copy."""
+    p = tmp_path / "anyclone.csv"
+    p.write_text(
+        "1,2024-01-01 00:00:01,X\n"
+        "2,2024-01-01 00:00:02,Y\n"
+        "3,2024-01-01 00:00:03,Y\n"
+        "4,2024-01-01 00:00:04,Z\n"
+        "5,2024-01-01 00:00:05,Y\n"
+    )
+    eng = pg.PigEngine(spark)
+    eng.run(f"""
+E = LOAD '{p}' USING PigStorage(',') AS (id:int, ts:datetime, k:chararray) TIMESTAMP(ts);
+M = MATCH_EVENT E PATTERN SEQ(X, Y) WITH (X: k == 'X', Y: k == 'Y')
+    MODE skip_till_any_match;
+""")
+    rows = sorted(tuple(r) for r in eng.df("M")
                   .select("X::id", "Y::id").collect())
-    nextm = sorted(tuple(r) for r in eng.df("N")
-                   .select("X::id", "Y::id").collect())
-    assert anym == [(1, 3), (2, 3)]
-    assert nextm == [(1, 3)]
+    # Y2 and Y3 both pair with X1 (clone-on-advance); Z4 kills the
+    # surviving clone, so Y5 matches nothing
+    assert rows == [(1, 2), (1, 3)]
 
 
 def test_cep_any_match_within_gc(spark, tmp_path):
