@@ -51,6 +51,20 @@ CODEGEN_SUPPORTED = {
     # ACCUMULATE as df.agg()
     "nforeach.pig",
     "accumulate.pig",
+    # r06 widening: PigStream == PigStorage in batch; spatial/matrix/
+    # BGP emit against the runtime library (the sparklib-jar analogue)
+    "splitInto.pig",
+    "stream_load2.pig",
+    "stream_foreach1.pig",
+    "stream_filter.pig",
+    "simple_matrix.pig",
+    "spatialfilter.pig",
+    "spatialfilterwithindex.pig",
+    "spatialjoin.pig",
+    "spatialjoinwithindex.pig",
+    "bgpfilter.pig",
+    "rdf_starjoin_plain.pig",
+    "rdf_pathjoin_plain.pig",
 }
 
 # script → substring of the CodegenUnsupported message. Everything in
@@ -59,25 +73,13 @@ CODEGEN_UNSUPPORTED = {
     "groupforeach.pig": "RDFLoad",
     "nforeach2.pig": "RDFLoad",
     "embedded.pig": "EmbedCmd",
-    "simple_matrix.pig": "ddmatrix",
-    "bgpfilter.pig": "BGPFilter",
-    "rdf_starjoin_plain.pig": "BGPFilter",
-    "rdf_pathjoin_plain.pig": "BGPFilter",
-    "spatialfilter.pig": "geometry",
-    "spatialfilterwithindex.pig": "geometry",
-    "spatialjoin.pig": "geometry",
-    "spatialjoinwithindex.pig": "geometry",
-    "splitInto.pig": "PigStream",
-    "stream_load2.pig": "PigStream",
-    "stream_foreach1.pig": "PigStream",
-    "stream_filter.pig": "PigStream",
-    "windowJoin.pig": "PigStream",
-    "windowGrouping.pig": "PigStream",
-    "windowNforeach.pig": "PigStream",
-    "windowFilter.pig": "PigStream",
-    "windowDistinct.pig": "PigStream",
-    "windowSort.pig": "PigStream",
-    "windowCross.pig": "PigStream",
+    "windowJoin.pig": "Window",
+    "windowGrouping.pig": "Window",
+    "windowNforeach.pig": "Window",
+    "windowFilter.pig": "Window",
+    "windowDistinct.pig": "Window",
+    "windowSort.pig": "Window",
+    "windowCross.pig": "Window",
     "windowCount.pig": "Window",
 }
 
