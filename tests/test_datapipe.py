@@ -162,6 +162,36 @@ def test_ann_lsh_recall(spark, sf_dir):
     assert approx[0] == 0
 
 
+def test_ann_recall_panel(spark, sf_dir):
+    """r06 (VERDICT item 5): mean recall@10 over a hash-spread
+    10-query panel — pins the sf0.01 numbers recorded in SCALE.md
+    (lsh4 0.54, ivf-default 0.82) so a parameter or hashing
+    regression fails CI. Everything is deterministic (md5 panel,
+    seeded hyperplanes, md5-seeded IVF training), so the thresholds
+    sit just under the measured values."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet") \
+        .localCheckpoint()
+    qids = [r["vec_id"] for r in
+            emb.select("vec_id")
+               .orderBy(F.md5(F.col("vec_id").cast("string")))
+               .limit(10).collect()]
+    qvecs = {r["vec_id"]: [float(x) for x in r["embedding"]]
+             for r in emb.filter(F.col("vec_id").isin(qids)).collect()}
+    r_lsh, r_ivf = [], []
+    for qid in qids:
+        q = qvecs[qid]
+        exact = {r["vec_id"]
+                 for r in similarity.cosine_topk(emb, q, 10).collect()}
+        lsh = {r["vec_id"]
+               for r in similarity.ann_lsh_topk(emb, q, 10).collect()}
+        ivf = {r["vec_id"]
+               for r in similarity.ivf_topk(emb, q, k=10).collect()}
+        r_lsh.append(len(exact & lsh) / 10)
+        r_ivf.append(len(exact & ivf) / 10)
+    assert sum(r_lsh) / len(r_lsh) >= 0.50
+    assert sum(r_ivf) / len(r_ivf) >= 0.78
+
+
 def test_ivf_topk(spark, sf_dir):
     emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
     qrow = emb.filter(F.col("vec_id") == 0).collect()[0]
