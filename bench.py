@@ -58,6 +58,12 @@ HEADLINE = [
     "seq_pack",
     "mixture_sample",
     "dsir_weights",
+    # r06: the remaining pack/text ops, so the sf10 sweep covers all
+    # 40 headline operators (VERDICT r05 item 3)
+    "mixture_repeat",
+    "chunk_text",
+    "dsir_resample",
+    "cap_per_group",
 ]
 
 
