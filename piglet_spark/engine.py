@@ -28,6 +28,20 @@ class PigEngine:
         self.params = params or {}
         self.base_dir = base_dir  # IMPORT resolution root
         self.executor = Executor(spark, options=options)
+        # Pig is a null-on-error language: division/modulo by zero and
+        # invalid casts produce null (with a counter warning), they
+        # don't kill the job — Apache Pig's Divide/Mod physical
+        # operators return null for a zero divisor and its casts
+        # return null on unparseable input.  Spark 4 defaults
+        # spark.sql.ansi.enabled=true (throw), so pin it off for the
+        # session unless the caller opts out with options
+        # {'piglet.ansi': True} (found by the r06 differential
+        # expression fuzzer, tests/test_fuzz_exprs.py).
+        if not (options or {}).get("piglet.ansi"):
+            try:
+                spark.conf.set("spark.sql.ansi.enabled", "false")
+            except Exception:  # read-only conf (e.g. Connect) — keep going
+                pass
 
     def parse(self, script: str):
         script = P.resolve_imports(script, self.base_dir)

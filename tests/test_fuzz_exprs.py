@@ -1,0 +1,256 @@
+"""Differential fuzzing of the expression layer vs DuckDB (r06).
+
+Generates random Pig Latin expressions (arithmetic / comparison /
+boolean / bincond / casts / string ops over nullable columns) together
+with a semantically equivalent ANSI-SQL rendering, evaluates the Pig
+side through the full engine (parse -> compile -> Spark) and the SQL
+side on DuckDB over the SAME parquet table, and requires value-level
+agreement on every row.
+
+This is the mechanised version of the hand null-semantics review that
+found the r05 FOREACH aggregate bugs — the generator explicitly
+includes zero divisors, nulls in every column, and empty strings.  The
+r06 ANSI fix (engine.py: Pig is null-on-error, so the engine pins
+spark.sql.ansi.enabled=false) was found by this suite's first probe:
+under Spark 4's ANSI default, `i1 / 0` killed the job instead of
+producing Pig's null.
+
+Translation notes (where Pig/Spark and DuckDB disagree syntactically
+but not semantically):
+  * int division: Pig truncates toward zero (Java) = DuckDB `//`
+  * double literals: DuckDB parses `1.5` as DECIMAL -> CAST AS DOUBLE
+  * (int) double cast: Spark truncates, DuckDB CAST rounds -> TRUNC
+  * everything else (null propagation, three-valued logic, %, /0
+    -> null) agrees once ANSI mode is off.
+Literal doubles are multiples of 1/8 so their decimal text is exact in
+binary and both engines parse the identical IEEE value; int magnitudes
+are bounded so products stay far from 2^63.
+"""
+
+from __future__ import annotations
+
+import math
+
+import duckdb
+import pytest
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+import piglet_spark as pg
+
+# ---------------------------------------------------------------- table
+
+ROWS = []
+_ints = [0, 1, -1, 2, -3, 7, 50, -50, None, 13]
+_dbls = [0.0, 1.5, -2.25, 3.0, None, 0.125, -50.0, 8.5, 2.0, None]
+_strs = ["", "a", "ab", "zz", None, "ba", "a b", "z", None, "aa"]
+for i in range(40):
+    ROWS.append((i, _ints[i % 10], _ints[(i * 3 + 1) % 10],
+                 _dbls[i % 10], _dbls[(i * 7 + 2) % 10],
+                 _strs[i % 10], _strs[(i * 9 + 3) % 10]))
+SCHEMA = ("rid int, i1 long, i2 long, d1 double, d2 double, "
+          "s1 string, s2 string")
+
+
+@pytest.fixture(scope="module")
+def fuzz_tab(spark, tmp_path_factory):
+    path = str(tmp_path_factory.mktemp("fuzz") / "tab.parquet")
+    spark.createDataFrame(ROWS, SCHEMA).coalesce(1) \
+        .write.mode("overwrite").parquet(path)
+    con = duckdb.connect()
+    con.execute(
+        f"CREATE VIEW tab AS SELECT * FROM read_parquet('{path}/*.parquet')")
+    return path, con
+
+
+def test_null_on_error_semantics(spark, fuzz_tab):
+    """Pig null-on-error pin (the r06 ANSI fix): /0 and %0 yield null
+    for ints and doubles, invalid string casts yield null, and a null
+    bincond condition yields null — regardless of the session's prior
+    spark.sql.ansi.enabled value (Spark 4 defaults it to true)."""
+    path, _ = fuzz_tab
+    eng = pg.PigEngine(spark)
+    eng.run(f"""
+A = LOAD '{path}' USING ParquetStorage();
+B = FOREACH A GENERATE rid, i1 / 0 AS z1, i1 % 0 AS z2,
+    d1 / 0.0 AS z3, (int)'nope' AS z4,
+    ((i1 == i1) ? 1 : 2) AS z5;
+""")
+    rows = {r["rid"]: r for r in eng.df("B").collect()}
+    for r in rows.values():
+        assert r["z1"] is None and r["z2"] is None and r["z3"] is None
+        assert r["z4"] is None
+    # rid rows where i1 is null (ints[8] pattern): bincond cond null
+    null_rids = [i for i in range(40) if _ints[i % 10] is None]
+    assert null_rids and all(rows[i]["z5"] is None for i in null_rids)
+    assert all(rows[i]["z5"] == 1 for i in range(40) if i not in null_rids)
+
+
+# ------------------------------------------------- expression generator
+# A node is (pig_text, sql_text, typ) with typ in {'i','d','s','b'}.
+
+def _arith_i(t):
+    a, b, op = t
+    return (f"({a[0]} {op} {b[0]})", f"({a[1]} {op} {b[1]})", "i")
+
+
+def _intdiv(t):
+    a, b = t
+    return (f"({a[0]} / {b[0]})", f"({a[1]} // {b[1]})", "i")
+
+
+def _mod(t):
+    a, b = t
+    return (f"({a[0]} % {b[0]})", f"({a[1]} % {b[1]})", "i")
+
+
+def _neg(a):
+    return (f"(- {a[0]})", f"(- {a[1]})", a[2])
+
+
+def _arith_d(t):
+    a, b, op = t
+    return (f"({a[0]} {op} {b[0]})", f"({a[1]} {op} {b[1]})", "d")
+
+
+def _cast_d(a):
+    return (f"(double){a[0]}", f"CAST({a[1]} AS DOUBLE)", "d")
+
+
+def _cast_i(a):
+    # Spark double->int cast truncates toward zero; DuckDB CAST rounds
+    return (f"(int){a[0]}", f"CAST(TRUNC({a[1]}) AS BIGINT)", "i")
+
+
+def _cmp(t):
+    a, b, op = t
+    sql_op = {"==": "=", "!=": "<>"}.get(op, op)
+    return (f"({a[0]} {op} {b[0]})", f"({a[1]} {sql_op} {b[1]})", "b")
+
+
+def _bool(t):
+    a, b, op = t
+    return (f"({a[0]} {op} {b[0]})", f"({a[1]} {op} {b[1]})", "b")
+
+
+def _not(a):
+    return (f"(NOT {a[0]})", f"(NOT {a[1]})", "b")
+
+
+def _isnull(t):
+    a, neg = t
+    kw = "is not null" if neg else "is null"
+    return (f"({a[0]} {kw})", f"({a[1]} {kw.upper()})", "b")
+
+
+def _bincond(t):
+    # Pig bincond with a NULL condition yields NULL (not the else
+    # branch), so CASE needs an explicit NOT-branch: a NULL condition
+    # falls through both WHENs to the implicit NULL.
+    c, a, b = t
+    return (f"(({c[0]}) ? ({a[0]}) : ({b[0]}))",
+            f"(CASE WHEN {c[1]} THEN {a[1]} "
+            f"WHEN NOT ({c[1]}) THEN {b[1]} END)", a[2])
+
+
+def _concat(t):
+    a, b = t
+    return (f"CONCAT({a[0]}, {b[0]})", f"({a[1]} || {b[1]})", "s")
+
+
+def _case_fn(t):
+    a, fn = t
+    return (f"{fn.upper()}({a[0]})", f"{fn}({a[1]})", "s")
+
+
+int_leaf = st.one_of(
+    st.sampled_from([("i1", "i1", "i"), ("i2", "i2", "i")]),
+    st.integers(-50, 50).map(lambda v: (str(v), str(v), "i")))
+dbl_leaf = st.one_of(
+    st.sampled_from([("d1", "d1", "d"), ("d2", "d2", "d")]),
+    st.integers(-400, 400).map(
+        lambda v: (repr(v / 8), f"CAST({v / 8!r} AS DOUBLE)", "d")))
+str_leaf = st.one_of(
+    st.sampled_from([("s1", "s1", "s"), ("s2", "s2", "s")]),
+    st.text(alphabet="abz ", max_size=3).map(
+        lambda v: (f"'{v}'", f"'{v}'", "s")))
+
+int_e = st.deferred(lambda: st.one_of(
+    int_leaf,
+    st.tuples(int_e, int_e, st.sampled_from(["+", "-", "*"])).map(_arith_i),
+    st.tuples(int_e, int_e).map(_intdiv),
+    st.tuples(int_e, int_e).map(_mod),
+    int_e.map(_neg),
+    dbl_e.map(_cast_i),
+    st.tuples(bool_e, int_e, int_e).map(_bincond),
+))
+dbl_e = st.deferred(lambda: st.one_of(
+    dbl_leaf,
+    st.tuples(dbl_e, dbl_e,
+              st.sampled_from(["+", "-", "*", "/"])).map(_arith_d),
+    dbl_e.map(_neg),
+    int_e.map(_cast_d),
+    st.tuples(bool_e, dbl_e, dbl_e).map(_bincond),
+))
+str_e = st.deferred(lambda: st.one_of(
+    str_leaf,
+    st.tuples(str_e, str_e).map(_concat),
+    st.tuples(str_e, st.sampled_from(["upper", "lower"])).map(_case_fn),
+    st.tuples(bool_e, str_e, str_e).map(_bincond),
+))
+bool_e = st.deferred(lambda: st.one_of(
+    st.tuples(int_e, int_e,
+              st.sampled_from(["==", "!=", "<", "<=", ">", ">="])).map(_cmp),
+    st.tuples(dbl_e, dbl_e,
+              st.sampled_from(["==", "!=", "<", ">"])).map(_cmp),
+    st.tuples(str_e, str_e, st.sampled_from(["==", "!=", "<"])).map(_cmp),
+    st.tuples(bool_e, bool_e, st.sampled_from(["AND", "OR"])).map(_bool),
+    bool_e.map(_not),
+    st.tuples(st.one_of(int_e, dbl_e, str_e), st.booleans()).map(_isnull),
+))
+
+any_expr = st.one_of(int_e, dbl_e, str_e, bool_e)
+
+
+def _same(a, b) -> bool:
+    if a is None or b is None:
+        return a is None and b is None
+    if isinstance(a, float) or isinstance(b, float):
+        fa, fb = float(a), float(b)
+        if math.isnan(fa) or math.isnan(fb):
+            return math.isnan(fa) and math.isnan(fb)
+        return math.isclose(fa, fb, rel_tol=1e-12, abs_tol=1e-12)
+    return a == b
+
+
+# 40 examples x 25 expressions = 1000 differential cases per run.
+@given(st.lists(any_expr, min_size=25, max_size=25))
+@settings(max_examples=40, deadline=None,
+          suppress_health_check=[HealthCheck.too_slow,
+                                 HealthCheck.filter_too_much,
+                                 HealthCheck.data_too_large,
+                                 HealthCheck.function_scoped_fixture])
+def test_exprs_match_duckdb(spark, fuzz_tab, exprs):
+    path, con = fuzz_tab
+    gens = ",\n    ".join(
+        f"{p} AS e{k}" for k, (p, q, t) in enumerate(exprs))
+    eng = pg.PigEngine(spark)
+    eng.run(f"""
+A = LOAD '{path}' USING ParquetStorage();
+B = FOREACH A GENERATE rid, {gens};
+""")
+    got = {r["rid"]: r for r in eng.df("B").collect()}
+
+    sels = ", ".join(f"{q} AS e{k}" for k, (p, q, t) in enumerate(exprs))
+    want = con.execute(
+        f"SELECT rid, {sels} FROM tab ORDER BY rid").fetchall()
+
+    assert len(got) == len(want)
+    for row in want:
+        rid, vals = row[0], row[1:]
+        srow = got[rid]
+        for k, v in enumerate(vals):
+            sv = srow[f"e{k}"]
+            assert _same(sv, v), (
+                f"rid={rid} e{k}: spark={sv!r} duckdb={v!r}\n"
+                f"  pig: {exprs[k][0]}\n  sql: {exprs[k][1]}")
