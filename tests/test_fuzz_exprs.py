@@ -254,3 +254,83 @@ B = FOREACH A GENERATE rid, {gens};
             assert _same(sv, v), (
                 f"rid={rid} e{k}: spark={sv!r} duckdb={v!r}\n"
                 f"  pig: {exprs[k][0]}\n  sql: {exprs[k][1]}")
+
+
+# FILTER: a null predicate excludes the row in both Pig and SQL WHERE.
+@given(st.lists(bool_e, min_size=8, max_size=8))
+@settings(max_examples=25, deadline=None,
+          suppress_health_check=[HealthCheck.too_slow,
+                                 HealthCheck.filter_too_much,
+                                 HealthCheck.data_too_large,
+                                 HealthCheck.function_scoped_fixture])
+def test_filter_matches_duckdb(spark, fuzz_tab, preds):
+    path, con = fuzz_tab
+    eng = pg.PigEngine(spark)
+    script = [f"A = LOAD '{path}' USING ParquetStorage();"]
+    for k, (p, q, t) in enumerate(preds):
+        script.append(f"F{k} = FILTER A BY {p};")
+    eng.run("\n".join(script))
+    for k, (p, q, t) in enumerate(preds):
+        got = sorted(r["rid"] for r in
+                     eng.df(f"F{k}").select("rid").collect())
+        want = sorted(r[0] for r in con.execute(
+            f"SELECT rid FROM tab WHERE {q}").fetchall())
+        assert got == want, (
+            f"FILTER divergence\n  pig: {p}\n  sql: {q}\n"
+            f"  spark={got}\n  duckdb={want}")
+
+
+# Aggregates over a nullable group key (null forms its own group in
+# both Pig and SQL).  Engine semantics under test: COUNT includes
+# null-valued rows (reference CommonPigFuncs.scala:36 counts bag
+# size), SUM of an all-null group is 0 not NULL (reference parity),
+# AVG/MIN/MAX null-skip.
+_num_e = st.one_of(int_e, dbl_e)
+_agg_slot = st.tuples(st.sampled_from(["SUM", "AVG", "MIN", "MAX"]), _num_e)
+
+
+@given(st.lists(_agg_slot, min_size=6, max_size=6))
+@settings(max_examples=25, deadline=None,
+          suppress_health_check=[HealthCheck.too_slow,
+                                 HealthCheck.filter_too_much,
+                                 HealthCheck.data_too_large,
+                                 HealthCheck.function_scoped_fixture])
+def test_aggregates_match_duckdb(spark, fuzz_tab, slots):
+    path, con = fuzz_tab
+    gens = ", ".join(f"{p} AS v{k}" for k, (fn, (p, q, t))
+                     in enumerate(slots))
+    aggs = ", ".join(f"{fn}(B.v{k}) AS a{k}" for k, (fn, _)
+                     in enumerate(slots))
+    eng = pg.PigEngine(spark)
+    eng.run(f"""
+A = LOAD '{path}' USING ParquetStorage();
+B = FOREACH A GENERATE rid, i1, {gens};
+G = GROUP B BY i1;
+C = FOREACH G GENERATE group AS k, COUNT(B) AS cnt, {aggs};
+""")
+    got = {r["k"]: r for r in eng.df("C").collect()}
+
+    sql_aggs = []
+    for k, (fn, (p, q, t)) in enumerate(slots):
+        if fn == "SUM":
+            sql_aggs.append(f"COALESCE(SUM(v{k}), 0) AS a{k}")
+        else:
+            sql_aggs.append(f"{fn}(v{k}) AS a{k}")
+    want = con.execute(f"""
+WITH B AS (SELECT rid, i1, {', '.join(
+        f'{q} AS v{k}' for k, (fn, (p, q, t)) in enumerate(slots))}
+           FROM tab)
+SELECT i1 AS k, COUNT(*) AS cnt, {', '.join(sql_aggs)}
+FROM B GROUP BY i1""").fetchall()
+
+    assert len(got) == len(want)
+    for row in want:
+        key, cnt, vals = row[0], row[1], row[2:]
+        srow = got[key]
+        assert srow["cnt"] == cnt, f"COUNT mismatch for group {key!r}"
+        for k, v in enumerate(vals):
+            sv = srow[f"a{k}"]
+            fn, (p, q, t) = slots[k]
+            assert _same(sv, v), (
+                f"group={key!r} {fn}: spark={sv!r} duckdb={v!r}\n"
+                f"  pig arg: {p}\n  sql arg: {q}")
