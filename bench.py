@@ -73,17 +73,25 @@ def main():
     sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
     import __spark_entry__ as entrymod
 
+    # 4g at bench SF, not bigger: with a 16g heap G1 young-gen grows
+    # to multi-GB and minor-GC pauses become multi-second stragglers
+    # (measured 19→38→87s run degradation on the same query); sf0.1
+    # needs well under 4g. The sf10 stress sweep DOES need a large
+    # heap (ngram's transient 171M-candidate stage OOM'd a 4g local
+    # JVM in r06) — scale the default by the SF in the dir name.
+    sf_name = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    try:
+        big_sf = float(sf_name) >= 5
+    except ValueError:
+        big_sf = False
     spark = (
         SparkSession.builder.master(f"local[{cpus}]")
         .config("spark.sql.shuffle.partitions", str(max(int(cpus), 8)))
         .config("spark.sql.adaptive.enabled", "true")
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
-        # 4g, not bigger: with a 16g heap G1 young-gen grows to
-        # multi-GB and minor-GC pauses become multi-second stragglers
-        # (measured 19→38→87s run degradation on the same query);
-        # sf0.1 needs well under 4g
         .config("spark.driver.memory",
-                os.environ.get("SPARK_GRAFT_DRIVER_MEM", "4g"))
+                os.environ.get("SPARK_GRAFT_DRIVER_MEM",
+                               "24g" if big_sf else "4g"))
         .config("spark.ui.enabled", "false")
         .config("spark.ui.showConsoleProgress", "false")
         .appName("piglet-spark-bench")
