@@ -86,6 +86,49 @@ B = FOREACH A GENERATE rid, i1 / 0 AS z1, i1 % 0 AS z2,
     assert all(rows[i]["z5"] == 1 for i in range(40) if i not in null_rids)
 
 
+@pytest.mark.parametrize("pig_keys,sql_on", [
+    # null join keys never match (NULL = NULL is NULL) in both engines
+    (("i1", "i2"), "a.i1 = b.i2"),
+    (("s1", "s2"), "a.s1 = b.s2"),
+    (("d1", "d2"), "a.d1 = b.d2"),
+    (("(i1, s1)", "(i2, s2)"), "a.i1 = b.i2 AND a.s1 = b.s2"),
+])
+def test_join_null_keys_match_duckdb(spark, fuzz_tab, pig_keys, sql_on):
+    """Inner-join parity incl. null-key drop semantics (the reference
+    grammar has inner JOIN only — PigParser.scala has no OUTER)."""
+    path, con = fuzz_tab
+    eng = pg.PigEngine(spark)
+    eng.run(f"""
+A = LOAD '{path}' USING ParquetStorage();
+B = LOAD '{path}' USING ParquetStorage();
+J = JOIN A BY {pig_keys[0]}, B BY {pig_keys[1]};
+C = FOREACH J GENERATE A::rid AS lrid, B::rid AS rrid;
+""")
+    got = sorted((r["lrid"], r["rrid"]) for r in eng.df("C").collect())
+    want = sorted(con.execute(
+        f"SELECT a.rid, b.rid FROM tab a JOIN tab b ON {sql_on}"
+    ).fetchall())
+    assert got == want
+
+
+def test_three_way_join_matches_duckdb(spark, fuzz_tab):
+    path, con = fuzz_tab
+    eng = pg.PigEngine(spark)
+    eng.run(f"""
+A = LOAD '{path}' USING ParquetStorage();
+B = LOAD '{path}' USING ParquetStorage();
+D = LOAD '{path}' USING ParquetStorage();
+J = JOIN A BY i1, B BY i1, D BY i2;
+C = FOREACH J GENERATE A::rid AS r1, B::rid AS r2, D::rid AS r3;
+""")
+    got = sorted((r["r1"], r["r2"], r["r3"])
+                 for r in eng.df("C").collect())
+    want = sorted(con.execute("""
+SELECT a.rid, b.rid, d.rid FROM tab a
+JOIN tab b ON a.i1 = b.i1 JOIN tab d ON a.i1 = d.i2""").fetchall())
+    assert got == want
+
+
 # ------------------------------------------------- expression generator
 # A node is (pig_text, sql_text, typ) with typ in {'i','d','s','b'}.
 
