@@ -129,6 +129,27 @@ JOIN tab b ON a.i1 = b.i1 JOIN tab d ON a.i1 = d.i2""").fetchall())
     assert got == want
 
 
+def test_order_by_null_placement(spark, fuzz_tab):
+    """Pig treats null as smaller than any value: nulls sort FIRST on
+    ASC and LAST on DESC (Spark's default, but NOT DuckDB's — its
+    default is NULLS LAST on ASC, so the oracle pins it explicitly)."""
+    path, con = fuzz_tab
+    eng = pg.PigEngine(spark)
+    eng.run(f"""
+A = LOAD '{path}' USING ParquetStorage();
+B = ORDER A BY i1 ASC, rid ASC;
+C = ORDER A BY i1 DESC, rid ASC;
+""")
+    got_asc = [r["rid"] for r in eng.df("B").collect()]
+    got_desc = [r["rid"] for r in eng.df("C").collect()]
+    want_asc = [r[0] for r in con.execute(
+        "SELECT rid FROM tab ORDER BY i1 ASC NULLS FIRST, rid").fetchall()]
+    want_desc = [r[0] for r in con.execute(
+        "SELECT rid FROM tab ORDER BY i1 DESC NULLS LAST, rid").fetchall()]
+    assert got_asc == want_asc
+    assert got_desc == want_desc
+
+
 # ------------------------------------------------- expression generator
 # A node is (pig_text, sql_text, typ) with typ in {'i','d','s','b'}.
 
