@@ -320,6 +320,40 @@ B = FOREACH A GENERATE rid, {gens};
                 f"  pig: {exprs[k][0]}\n  sql: {exprs[k][1]}")
 
 
+# Codegen path: the same differential, but through to_code-generated
+# standalone PySpark (exec'd), so the generated expression rendering
+# gets the same null-semantics scrutiny as the engine.
+@given(st.lists(any_expr, min_size=15, max_size=15))
+@settings(max_examples=10, deadline=None,
+          suppress_health_check=[HealthCheck.too_slow,
+                                 HealthCheck.filter_too_much,
+                                 HealthCheck.data_too_large,
+                                 HealthCheck.function_scoped_fixture])
+def test_codegen_exprs_match_duckdb(spark, fuzz_tab, exprs):
+    path, con = fuzz_tab
+    gens = ",\n    ".join(
+        f"{p} AS e{k}" for k, (p, q, t) in enumerate(exprs))
+    code = pg.PigEngine(spark).to_code(f"""
+A = LOAD '{path}' USING ParquetStorage();
+B = FOREACH A GENERATE rid, {gens};
+""")
+    ns = {"spark": spark}
+    exec(compile(code, "<fuzz-gen>", "exec"), ns)
+    got = {r["rid"]: r for r in ns["B"].collect()}
+
+    sels = ", ".join(f"{q} AS e{k}" for k, (p, q, t) in enumerate(exprs))
+    want = con.execute(
+        f"SELECT rid, {sels} FROM tab ORDER BY rid").fetchall()
+    assert len(got) == len(want)
+    for row in want:
+        rid, vals = row[0], row[1:]
+        for k, v in enumerate(vals):
+            sv = got[rid][f"e{k}"]
+            assert _same(sv, v), (
+                f"codegen rid={rid} e{k}: spark={sv!r} duckdb={v!r}\n"
+                f"  pig: {exprs[k][0]}\n  sql: {exprs[k][1]}")
+
+
 # FILTER: a null predicate excludes the row in both Pig and SQL WHERE.
 @given(st.lists(bool_e, min_size=8, max_size=8))
 @settings(max_examples=25, deadline=None,
