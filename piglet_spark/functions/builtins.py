@@ -163,9 +163,16 @@ def is_aggregate(name: str) -> bool:
 
 # -------------------------------------------------------------- scalars
 
-def _substring(c: Column, start, stop) -> Column:
-    # Pig SUBSTRING(s, start, stop) — half-open, 0-based (CommonPigFuncs.scala:66)
+def _substring(c: Column, start, stop=None) -> Column:
+    # Pig SUBSTRING(s, start[, stop]) — half-open, 0-based; the 2-arg
+    # form runs to the end of the string (CommonPigFuncs.scala:66-67).
+    # Out-of-range clamps to "" (Spark substring semantics) rather
+    # than throwing like the reference's raw String.substring — the
+    # null-on-error direction Pig itself takes.
     start = F.lit(start) if not isinstance(start, Column) else start
+    if stop is None:
+        return F.substring(c, start.cast("int") + F.lit(1),
+                           F.lit(2147483647))
     stop = F.lit(stop) if not isinstance(stop, Column) else stop
     return F.substring(
         c, start.cast("int") + F.lit(1), (stop - start).cast("int")

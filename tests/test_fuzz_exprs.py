@@ -129,6 +129,32 @@ JOIN tab b ON a.i1 = b.i1 JOIN tab d ON a.i1 = d.i2""").fetchall())
     assert got == want
 
 
+def test_string_builtin_edges(spark, fuzz_tab):
+    """SUBSTRING both arities (2-arg runs to end, CommonPigFuncs.
+    scala:66-67), out-of-range clamp, INDEXOF not-found/-1, and null
+    propagation."""
+    path, _ = fuzz_tab
+    eng = pg.PigEngine(spark)
+    eng.run(f"""
+A = LOAD '{path}' USING ParquetStorage();
+B = FOREACH A GENERATE rid, s1,
+    SUBSTRING(s1, 1) AS tail1,
+    SUBSTRING(s1, 0, 1) AS head1,
+    SUBSTRING(s1, 5, 9) AS oob,
+    INDEXOF(s1, 'b') AS ib;
+""")
+    for r in eng.df("B").collect():
+        s = r["s1"]
+        if s is None:
+            assert r["tail1"] is None and r["head1"] is None \
+                and r["oob"] is None and r["ib"] is None
+            continue
+        assert r["tail1"] == s[1:]
+        assert r["head1"] == s[0:1]
+        assert r["oob"] == s[5:9]          # out of range -> ""
+        assert r["ib"] == s.find("b")      # -1 when absent
+
+
 def test_order_by_null_placement(spark, fuzz_tab):
     """Pig treats null as smaller than any value: nulls sort FIRST on
     ASC and LAST on DESC (Spark's default, but NOT DuckDB's — its
