@@ -403,6 +403,16 @@ def compile_func(expr: A.FuncCall, ctx: Ctx) -> Column:
     name = expr.name.lower()
 
     if builtins.is_aggregate(name):
+        # ISEMPTY/NONEMPTY are overloaded on chararray in the
+        # reference (UDF.scala maps them to PigFuncs.strIsEmpty /
+        # strNonEmpty as non-aggregates) — dispatch on the static
+        # argument type the way its typed funcTable does.
+        if name in ("isempty", "nonempty") and len(expr.args) == 1:
+            dt = static_dtype(expr.args[0], ctx)
+            if isinstance(dt, T.StringType):
+                c = compile_expr(expr.args[0], ctx)
+                return (F.length(c) == 0) if name == "isempty" \
+                    else (F.length(c) > 0)
         return compile_aggregate(expr, ctx)
 
     # classic-Pig TOP(n, field, bag): the n largest tuples of the bag

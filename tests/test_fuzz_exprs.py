@@ -155,6 +155,24 @@ B = FOREACH A GENERATE rid, s1,
         assert r["ib"] == s.find("b")      # -1 when absent
 
 
+def test_isempty_string_overload(spark, fuzz_tab):
+    """ISEMPTY/NONEMPTY on chararray — the reference's
+    strIsEmpty/strNonEmpty overloads (UDF.scala), distinct from the
+    bag-aggregate forms."""
+    path, _ = fuzz_tab
+    eng = pg.PigEngine(spark)
+    eng.run(f"""
+A = LOAD '{path}' USING ParquetStorage();
+B = FOREACH A GENERATE rid, s1, ISEMPTY(s1) AS e, NONEMPTY(s1) AS ne;
+""")
+    for r in eng.df("B").collect():
+        if r["s1"] is None:
+            assert r["e"] is None and r["ne"] is None
+        else:
+            assert r["e"] == (len(r["s1"]) == 0)
+            assert r["ne"] == (len(r["s1"]) > 0)
+
+
 def test_order_by_null_placement(spark, fuzz_tab):
     """Pig treats null as smaller than any value: nulls sort FIRST on
     ASC and LAST on DESC (Spark's default, but NOT DuckDB's — its
