@@ -211,8 +211,21 @@ class NestedBag:
         return F.struct(*[self.src[c] for c in self.whole_cols])
 
     def as_column(self, ctx: Ctx) -> Column:
-        arr = F.collect_list(self._elem())
-        for op in self.ops:
+        ops = list(self.ops)
+        elem = self._elem()
+        if ops and ops[0][0] == "filter":
+            # A leading FILTER compiles through the FULL expression
+            # compiler over pre-group columns: collect_list skips the
+            # nulls when() leaves for false/null predicates — exact
+            # Pig FILTER semantics (keep only TRUE), full grammar
+            # support, and whole-stage codegen instead of an
+            # interpreted array lambda (r06 fuzzer: the lambda
+            # mini-compiler lacked IS NULL / bincond / casts).
+            from ..plans.exprs import compile_expr
+            elem = F.when(compile_expr(ops[0][1], ctx), elem)
+            ops = ops[1:]
+        arr = F.collect_list(elem)
+        for op in ops:
             if op[0] == "distinct":
                 arr = F.array_distinct(arr)
             elif op[0] == "order":
@@ -255,9 +268,40 @@ class NestedBag:
         arr = self.as_column(ctx)
         return F.transform(arr, lambda x: x[fname])
 
+    # Aggregates where agg(when(pred, x)) over pre-group columns is
+    # exactly agg over the filtered materialized bag (all null-skip,
+    # and the engine's bags never hold null scalars — collect_list
+    # drops them).  median/var are excluded: their array forms keep
+    # different null placement.
+    _FILTER_FUSABLE = frozenset(
+        ["count", "count_star", "sum", "avg", "min", "max",
+         "isempty", "nonempty"])
+
+    def filter_pred(self, ctx: Ctx) -> Optional[Column]:
+        """If this bag is exactly one FILTER over the group's rows,
+        the compiled predicate — callers fuse ``agg(when(pred, x))``
+        into Catalyst partial aggregation (map-side combine, no
+        per-group array; the 100 TB path for nested FILTER+agg)."""
+        if len(self.ops) == 1 and self.ops[0][0] == "filter":
+            from ..plans.exprs import compile_expr
+            return compile_expr(self.ops[0][1], ctx)
+        return None
+
     def aggregate(self, name: str, ctx: Ctx) -> Column:
         simple_distinct = self.ops == [("distinct",)] and self.proj is not None
         col = self.src[self.proj] if self.proj is not None else None
+        pred = self.filter_pred(ctx) if name in self._FILTER_FUSABLE else None
+        if pred is not None:
+            counted = F.count(F.when(pred, F.lit(1) if col is None else col))
+            if name in ("count", "count_star"):
+                return counted
+            if name == "isempty":
+                return counted == 0
+            if name == "nonempty":
+                return counted > 0
+            if col is not None:
+                from ..functions.builtins import AGGREGATES
+                return AGGREGATES[name].fused(F.when(pred, col))
         if simple_distinct:
             if name in ("count", "count_star"):
                 return F.count_distinct(col)

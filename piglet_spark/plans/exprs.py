@@ -604,6 +604,42 @@ def compile_aggregate(expr: A.FuncCall, ctx: Ctx) -> Column:
                 ) else spec.fused(F.struct(*[ctx.col(c) for c in ctx.columns]))
             if arg.name in ctx.nested_bags:
                 return ctx.nested_bags[arg.name].aggregate(name, ctx)
+        if isinstance(arg, A.DerefTuple) and \
+                isinstance(arg.base, A.NamedField) and \
+                arg.base.name in ctx.nested_bags:
+            # SUM(f.x) over a nested alias: f.x is an ARRAY of
+            # scalars, so fold it — the fused F.sum/F.avg would get
+            # an array and fail to resolve (r06 fuzzer find)
+            bag = ctx.nested_bags[arg.base.name]
+            fname = (arg.field.name
+                     if isinstance(arg.field, A.NamedField)
+                     else arg.field.pos)
+            if isinstance(fname, int) and bag.whole_cols is not None:
+                fname = bag.whole_cols[fname]
+            if isinstance(fname, str) and name in bag._FILTER_FUSABLE:
+                pred = bag.filter_pred(ctx)
+                if pred is not None:
+                    # FILTER-only bag → Catalyst partial aggregation
+                    # over when(pred, x); COUNT counts kept TUPLES
+                    # (the array form sizes the projected bag, null
+                    # field values included), the rest null-skip
+                    # exactly like their array folds.
+                    if name in ("count", "count_star"):
+                        return F.count(F.when(pred, F.lit(1)))
+                    if name == "isempty":
+                        return F.count(F.when(pred, F.lit(1))) == 0
+                    if name == "nonempty":
+                        return F.count(F.when(pred, F.lit(1))) > 0
+                    return builtins.AGGREGATES[name].fused(
+                        F.when(pred, bag.src[fname]))
+            arr = bag.project(fname, ctx)
+            et = None
+            if bag.proj is None and isinstance(fname, str):
+                try:
+                    et = bag.src.schema[fname].dataType
+                except Exception:
+                    et = None
+            return _scalar_array_agg(name, arr, et)
         prev, ctx.in_agg = ctx.in_agg, True
         try:
             col = compile_expr(arg, ctx)

@@ -15,6 +15,15 @@ from . import ast as A
 
 LINEAGE_SEP = "::"
 
+
+class AmbiguousFieldError(Exception):
+    """A plain field name matches several lineage-qualified columns
+    (e.g. after a self-join) — qualify with `alias::field`."""
+
+
+class UnknownFieldError(Exception):
+    """A field reference resolves to no column of the relation."""
+
 _PRIM = {
     "int": T.IntegerType(),
     "long": T.LongType(),

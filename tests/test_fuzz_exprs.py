@@ -318,6 +318,8 @@ bool_e = st.deferred(lambda: st.one_of(
 ))
 
 any_expr = st.one_of(int_e, dbl_e, str_e, bool_e)
+_num_e = st.one_of(int_e, dbl_e)
+_agg_slot = st.tuples(st.sampled_from(["SUM", "AVG", "MIN", "MAX"]), _num_e)
 
 
 def _same(a, b) -> bool:
@@ -362,6 +364,68 @@ B = FOREACH A GENERATE rid, {gens};
             assert _same(sv, v), (
                 f"rid={rid} e{k}: spark={sv!r} duckdb={v!r}\n"
                 f"  pig: {exprs[k][0]}\n  sql: {exprs[k][1]}")
+
+
+# Nested-FOREACH bag aggregates — the OTHER compile mode (higher-
+# order array functions instead of fused Catalyst aggregation; r05's
+# silent type-drift bug lived here).  DuckDB oracle via FILTER
+# clauses; SUM-of-empty pins the engine's reference-parity 0.
+@given(bool_e, st.lists(st.tuples(
+    st.sampled_from(["SUM", "AVG", "MIN", "MAX"]), _num_e),
+    min_size=4, max_size=4))
+@settings(max_examples=20, deadline=None,
+          suppress_health_check=[HealthCheck.too_slow,
+                                 HealthCheck.filter_too_much,
+                                 HealthCheck.data_too_large,
+                                 HealthCheck.function_scoped_fixture])
+def test_nested_foreach_bag_aggs_match_duckdb(spark, fuzz_tab,
+                                              pred, slots):
+    path, con = fuzz_tab
+    pp, pq, _ = pred
+    gens = ", ".join(f"{p} AS v{k}" for k, (fn, (p, q, t))
+                     in enumerate(slots))
+    aggs = ", ".join(f"{fn}(f.v{k}) AS a{k}" for k, (fn, _)
+                     in enumerate(slots))
+    eng = pg.PigEngine(spark)
+    eng.run(f"""
+A = LOAD '{path}' USING ParquetStorage();
+B = FOREACH A GENERATE rid, i1, i2, d1, d2, s1, s2, {gens};
+G = GROUP B BY i1;
+C = FOREACH G {{
+      f = FILTER B BY {pp};
+      GENERATE group AS k, COUNT(f) AS cnt, {aggs};
+    }};
+""")
+    got = {r["k"]: r for r in eng.df("C").collect()}
+
+    sql_aggs = []
+    for k, (fn, _) in enumerate(slots):
+        if fn == "SUM":
+            sql_aggs.append(
+                f"COALESCE(SUM(v{k}) FILTER (WHERE {pq}), 0) AS a{k}")
+        else:
+            sql_aggs.append(f"{fn}(v{k}) FILTER (WHERE {pq}) AS a{k}")
+    want = con.execute(f"""
+WITH B AS (SELECT rid, i1, i2, d1, d2, s1, s2, {', '.join(
+        f'{q} AS v{k}' for k, (fn, (p, q, t)) in enumerate(slots))}
+           FROM tab)
+SELECT i1 AS k, COUNT(*) FILTER (WHERE {pq}) AS cnt,
+       {', '.join(sql_aggs)}
+FROM B GROUP BY i1""").fetchall()
+
+    assert len(got) == len(want)
+    for row in want:
+        key, cnt, vals = row[0], row[1], row[2:]
+        srow = got[key]
+        assert srow["cnt"] == cnt, (
+            f"nested COUNT mismatch group={key!r}: "
+            f"spark={srow['cnt']} duckdb={cnt}\n  pred: {pp}")
+        for k, v in enumerate(vals):
+            sv = srow[f"a{k}"]
+            fn, (p, q, t) = slots[k]
+            assert _same(sv, v), (
+                f"nested group={key!r} {fn}: spark={sv!r} duckdb={v!r}\n"
+                f"  pred: {pp}\n  pig arg: {p}\n  sql arg: {q}")
 
 
 # Codegen path: the same differential, but through to_code-generated
@@ -427,10 +491,6 @@ def test_filter_matches_duckdb(spark, fuzz_tab, preds):
 # null-valued rows (reference CommonPigFuncs.scala:36 counts bag
 # size), SUM of an all-null group is 0 not NULL (reference parity),
 # AVG/MIN/MAX null-skip.
-_num_e = st.one_of(int_e, dbl_e)
-_agg_slot = st.tuples(st.sampled_from(["SUM", "AVG", "MIN", "MAX"]), _num_e)
-
-
 @given(st.lists(_agg_slot, min_size=6, max_size=6))
 @settings(max_examples=25, deadline=None,
           suppress_health_check=[HealthCheck.too_slow,
