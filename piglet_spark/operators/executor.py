@@ -277,20 +277,39 @@ class NestedBag:
         ["count", "count_star", "sum", "avg", "min", "max",
          "isempty", "nonempty"])
 
-    def filter_pred(self, ctx: Ctx) -> Optional[Column]:
+    def filter_pred(self, ctx: Ctx,
+                    ops: Optional[list[tuple]] = None) -> Optional[Column]:
         """If this bag is exactly one FILTER over the group's rows,
         the compiled predicate — callers fuse ``agg(when(pred, x))``
         into Catalyst partial aggregation (map-side combine, no
         per-group array; the 100 TB path for nested FILTER+agg)."""
-        if len(self.ops) == 1 and self.ops[0][0] == "filter":
+        ops = self.ops if ops is None else ops
+        if len(ops) == 1 and ops[0][0] == "filter":
             from ..plans.exprs import compile_expr
-            return compile_expr(self.ops[0][1], ctx)
+            return compile_expr(ops[0][1], ctx)
         return None
 
     def aggregate(self, name: str, ctx: Ctx) -> Column:
         simple_distinct = self.ops == [("distinct",)] and self.proj is not None
         col = self.src[self.proj] if self.proj is not None else None
-        pred = self.filter_pred(ctx) if name in self._FILTER_FUSABLE else None
+        if (self.proj is not None and len(self.ops) == 2
+                and self.ops[0][0] == "filter"
+                and self.ops[1] == ("distinct",)
+                and name in ("count", "count_star")):
+            # COUNT(DISTINCT x WHERE pred) — fused conditional
+            # count_distinct (when() nulls the dropped rows;
+            # count_distinct skips nulls, and bags never hold null
+            # scalars, so the array form agrees)
+            from ..plans.exprs import compile_expr
+            return F.count_distinct(
+                F.when(compile_expr(self.ops[0][1], ctx), col))
+        ops_eff = self.ops
+        if name in ("min", "max") and self.proj is not None:
+            # DISTINCT is a no-op under MIN/MAX — strip it so a
+            # FILTER+DISTINCT chain still fuses
+            ops_eff = [o for o in self.ops if o[0] != "distinct"]
+        pred = (self.filter_pred(ctx, ops_eff)
+                if name in self._FILTER_FUSABLE else None)
         if pred is not None:
             counted = F.count(F.when(pred, F.lit(1) if col is None else col))
             if name in ("count", "count_star"):
@@ -1316,7 +1335,13 @@ class Executor:
             fname = (expr.field.name if isinstance(expr.field, A.NamedField)
                      else S.positional(grel.src.columns, expr.field.pos))
             if bname in ctx.nested_bags:
-                raise ExecError("projection of nested alias not supported yet")
+                base = ctx.nested_bags[bname]
+                if base.proj is not None:
+                    raise ExecError(
+                        f"{bname} is already a projected bag — "
+                        f"deref {fname!r} has nothing to project")
+                cname = S.resolve_column(base.src.columns, fname)
+                return NestedBag(cname, None, base.ops + ops, base.src)
             cname = S.resolve_column(grel.src.columns, fname)
             return NestedBag(cname, None, ops, grel.src)
         raise ExecError(f"unsupported nested assignment {nop!r}")

@@ -531,6 +531,69 @@ def _bag_bases_in(e, ctx: Ctx) -> set[str]:
     return found
 
 
+def _nested_bag_refs(e, ctx: Ctx) -> Optional[set[str]]:
+    """Nested-bag aliases dereferenced (``f.x``) inside the expression
+    tree, or None if a bag alias also appears BARE (whole-bag use —
+    not strippable to pre-group columns)."""
+    import dataclasses as _dc
+    found: set[str] = set()
+    bad = False
+
+    def walk(node):
+        nonlocal bad
+        if isinstance(node, A.DerefTuple) and \
+                isinstance(node.base, A.NamedField) and \
+                node.base.name in ctx.nested_bags:
+            found.add(node.base.name)
+            walk(node.field)
+            return
+        if isinstance(node, A.NamedField) and node.name in ctx.nested_bags:
+            bad = True
+            return
+        if _dc.is_dataclass(node) and not isinstance(node, type):
+            for f in _dc.fields(node):
+                v = getattr(node, f.name)
+                if _dc.is_dataclass(v) and not isinstance(v, type):
+                    walk(v)
+                elif isinstance(v, (list, tuple)):
+                    for item in v:
+                        if _dc.is_dataclass(item) and \
+                                not isinstance(item, type):
+                            walk(item)
+
+    walk(e)
+    return None if bad else found
+
+
+def _strip_nested_refs(e, bname: str, bag) -> A.Expr:
+    """Rewrite ``bname.field`` derefs to plain pre-group field refs
+    (the fused-aggregation view of a whole-tuple nested bag)."""
+    import dataclasses as _dc
+    if isinstance(e, A.DerefTuple) and isinstance(e.base, A.NamedField) \
+            and e.base.name == bname:
+        f = e.field
+        if isinstance(f, A.PositionalField) and bag.whole_cols is not None:
+            return A.NamedField(name=bag.whole_cols[f.pos])
+        return f
+    if _dc.is_dataclass(e) and not isinstance(e, type):
+        kw, changed = {}, False
+        for f in _dc.fields(e):
+            v = getattr(e, f.name)
+            if _dc.is_dataclass(v) and not isinstance(v, type):
+                nv = _strip_nested_refs(v, bname, bag)
+                changed |= nv is not v
+                kw[f.name] = nv
+            elif isinstance(v, (list, tuple)):
+                nv = [(_strip_nested_refs(x, bname, bag)
+                       if _dc.is_dataclass(x) and not isinstance(x, type)
+                       else x) for x in v]
+                changed |= any(a is not b for a, b in zip(v, nv))
+                kw[f.name] = type(v)(nv) if isinstance(v, tuple) else nv
+        if changed:
+            return _dc.replace(e, **kw)
+    return e
+
+
 _INTEGRAL = (T.ByteType, T.ShortType, T.IntegerType, T.LongType)
 
 
@@ -640,6 +703,34 @@ def compile_aggregate(expr: A.FuncCall, ctx: Ctx) -> Column:
                 except Exception:
                     et = None
             return _scalar_array_agg(name, arr, et)
+        # composite expression over ONE nested bag that is a plain or
+        # FILTER-only view of the group's rows (`SUM(f.x * 2)`):
+        # rewrite bag-field derefs to pre-group columns, compile the
+        # full expression, gate on the filter predicate — Catalyst
+        # partial aggregation (an attempt to compile the deref inline
+        # would nest collect_list inside the aggregate, which Spark
+        # rejects with NESTED_AGGREGATE_FUNCTION)
+        if arg is not None and not isinstance(
+                arg, (A.NamedField, A.DerefTuple, A.Star)):
+            bnames = _nested_bag_refs(arg, ctx)
+            if bnames is not None and len(bnames) == 1:
+                bname = next(iter(bnames))
+                bag = ctx.nested_bags[bname]
+                if bag.proj is None and (not bag.ops or (
+                        len(bag.ops) == 1 and bag.ops[0][0] == "filter")):
+                    pred = bag.filter_pred(ctx)
+                    stripped = _strip_nested_refs(arg, bname, bag)
+                    prev, ctx.in_agg = ctx.in_agg, True
+                    try:
+                        col = compile_expr(stripped, ctx)
+                    finally:
+                        ctx.in_agg = prev
+                    if name in ("count", "count_star"):
+                        return F.count(F.lit(1) if pred is None
+                                       else F.when(pred, F.lit(1)))
+                    if pred is not None:
+                        col = F.when(pred, col)
+                    return spec.fused(col)
         prev, ctx.in_agg = ctx.in_agg, True
         try:
             col = compile_expr(arg, ctx)

@@ -36,6 +36,47 @@ def test_codegen_wordcount_matches_engine(spark, data_dir):
     assert ns["T"].columns == eng.df("T").columns
 
 
+def test_codegen_nested_filter_bag_matches_engine(spark, data_dir):
+    """Nested FILTER bags: COUNT(f), SUM(f.x), and composite
+    SUM(f.x * expr) all emit agg(when(pred, ...)) — generated code
+    must match the engine (which fuses the same way)."""
+    script = (
+        "A = LOAD '{d}/t.csv' USING PigStorage(',') AS "
+        "(f1:int, f2:int, f3:int);\n"
+        "G = GROUP A BY f1;\n"
+        "U = FOREACH G {{\n"
+        "    f = FILTER A BY f3 >= 4;\n"
+        "    GENERATE group AS f1, COUNT(f) AS n, SUM(f.f3) AS s,\n"
+        "             SUM(f.f2 * 10 + f.f3) AS comp;\n"
+        "}};\n"
+    ).format(d=data_dir)
+    eng = pg.PigEngine(spark)
+    eng.run(script)
+    code = eng.to_code(script)
+    ns = _exec_code(spark, code)
+    assert _rows(ns["U"]) == _rows(eng.df("U"))
+    assert "F.when" in code and "collect_list" not in code
+
+
+def test_codegen_grouped_star_matches_engine(spark, data_dir):
+    """`GENERATE *` over a grouped relation → (group, bag)."""
+    script = (
+        "A = LOAD '{d}/t.csv' USING PigStorage(',') AS "
+        "(f1:int, f2:int, f3:int);\n"
+        "G = GROUP A BY f1;\n"
+        "B = FOREACH G GENERATE *;\n"
+    ).format(d=data_dir)
+    eng = pg.PigEngine(spark)
+    eng.run(script)
+    code = eng.to_code(script)
+    ns = _exec_code(spark, code)
+    got = {r[0]: sorted(tuple(t) for t in r[1])
+           for r in ns["B"].collect()}
+    want = {r[0]: sorted(tuple(t) for t in r[1])
+            for r in eng.df("B").collect()}
+    assert got == want
+
+
 def test_codegen_filter_join_store(spark, sf_dir, tmp_path):
     out = str(tmp_path / "cgout")
     script = (
@@ -142,8 +183,8 @@ def test_codegen_group_agg_over_expression(spark, sf_dir):
 def test_codegen_unsupported_is_explicit(spark):
     eng = pg.PigEngine(spark)
     with pytest.raises(CodegenUnsupported) as ei:
-        eng.to_code("A = RDFLOAD('/tmp/x.nt');\n")
-    assert "RDFLoad" in str(ei.value)
+        eng.to_code("A = RDFLOAD('/tmp/x.nt') GROUPED ON subject;\n")
+    assert "RDFLOAD grouped" in str(ei.value)
 
 
 def test_codegen_output_is_plain_python(spark, data_dir):

@@ -65,13 +65,15 @@ CODEGEN_SUPPORTED = {
     "bgpfilter.pig",
     "rdf_starjoin_plain.pig",
     "rdf_pathjoin_plain.pig",
+    # r06b: RDFLOAD emitter; grouped `GENERATE *` → (group, bag);
+    # nested FILTER bags fused to agg(when(pred, x))
+    "groupforeach.pig",
+    "nforeach2.pig",
 }
 
 # script → substring of the CodegenUnsupported message. Everything in
 # the conformance table must appear in exactly one of the two maps.
 CODEGEN_UNSUPPORTED = {
-    "groupforeach.pig": "RDFLoad",
-    "nforeach2.pig": "RDFLoad",
     "embedded.pig": "EmbedCmd",
     "windowJoin.pig": "Window",
     "windowGrouping.pig": "Window",

@@ -386,6 +386,10 @@ def test_nested_foreach_bag_aggs_match_duckdb(spark, fuzz_tab,
                      in enumerate(slots))
     aggs = ", ".join(f"{fn}(f.v{k}) AS a{k}" for k, (fn, _)
                      in enumerate(slots))
+    # composite expression over the filtered bag — the agg(when(pred,
+    # expr)) rewrite path (aggregate-in-aggregate otherwise)
+    nc = len(slots)
+    aggs += f", SUM(f.v0 + f.v1 * 2) AS a{nc}"
     eng = pg.PigEngine(spark)
     eng.run(f"""
 A = LOAD '{path}' USING ParquetStorage();
@@ -405,6 +409,8 @@ C = FOREACH G {{
                 f"COALESCE(SUM(v{k}) FILTER (WHERE {pq}), 0) AS a{k}")
         else:
             sql_aggs.append(f"{fn}(v{k}) FILTER (WHERE {pq}) AS a{k}")
+    sql_aggs.append(
+        f"COALESCE(SUM(v0 + v1 * 2) FILTER (WHERE {pq}), 0) AS a{nc}")
     want = con.execute(f"""
 WITH B AS (SELECT rid, i1, i2, d1, d2, s1, s2, {', '.join(
         f'{q} AS v{k}' for k, (fn, (p, q, t)) in enumerate(slots))}
@@ -420,9 +426,11 @@ FROM B GROUP BY i1""").fetchall()
         assert srow["cnt"] == cnt, (
             f"nested COUNT mismatch group={key!r}: "
             f"spark={srow['cnt']} duckdb={cnt}\n  pred: {pp}")
+        slots_all = slots + [("SUM", ("f.v0 + f.v1 * 2",
+                                      "v0 + v1 * 2", None))]
         for k, v in enumerate(vals):
             sv = srow[f"a{k}"]
-            fn, (p, q, t) = slots[k]
+            fn, (p, q, t) = slots_all[k]
             assert _same(sv, v), (
                 f"nested group={key!r} {fn}: spark={sv!r} duckdb={v!r}\n"
                 f"  pred: {pp}\n  pig arg: {p}\n  sql arg: {q}")

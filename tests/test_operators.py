@@ -107,6 +107,45 @@ U = FOREACH G {{ big = FILTER A BY f3 >= 4; GENERATE group AS f1, COUNT(big) AS 
     assert rows(df) == [(1, 1), (4, 1), (7, 1)]
 
 
+def test_nested_foreach_filtered_projection_chain(spark, data_dir):
+    """`s = f.x` over a FILTER bag + DISTINCT chains: aggregates fuse
+    to agg(when(pred, x)) / count_distinct(when(pred, x)) — values
+    pinned against hand-computed truth on t.csv
+    (rows (1,2,3),(1,2,4),(4,5,6),(7,8,9))."""
+    df = run(spark, f"""
+A = LOAD '{data_dir}/t.csv' USING PigStorage(',') AS (f1:int, f2:int, f3:int);
+G = GROUP A BY f2;
+U = FOREACH G {{
+    f = FILTER A BY f3 >= 4;
+    s = f.f3;
+    u = DISTINCT s;
+    GENERATE group AS f2, COUNT(u) AS nd, SUM(s) AS sm, MAX(u) AS mx,
+             COUNT(f) AS nf;
+}};
+""", "U")
+    assert rows(df) == [(2, 1, 4, 4, 1), (5, 1, 6, 6, 1),
+                        (8, 1, 9, 9, 1)]
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "collect_list" not in plan  # every aggregate fused
+
+
+def test_nested_foreach_composite_expr_over_filter_bag(spark, data_dir):
+    """SUM over an EXPRESSION of filtered-bag fields rewrites to
+    agg(when(pred, expr)) — nesting the bag's collect_list inside the
+    aggregate is illegal in Spark (NESTED_AGGREGATE_FUNCTION)."""
+    df = run(spark, f"""
+A = LOAD '{data_dir}/t.csv' USING PigStorage(',') AS (f1:int, f2:int, f3:int);
+G = GROUP A BY f1;
+U = FOREACH G {{
+    f = FILTER A BY f3 >= 4;
+    GENERATE group AS f1, SUM(f.f2 * 10 + f.f3) AS s;
+}};
+""", "U")
+    # group 1: only (1,2,4) passes → 24; group 4: (4,5,6) → 56;
+    # group 7: (7,8,9) → 89
+    assert rows(df) == [(1, 24), (4, 56), (7, 89)]
+
+
 def test_join_lineage(spark, data_dir):
     df = run(spark, f"""
 A = LOAD '{data_dir}/t.csv' USING PigStorage(',') AS (f1:int, f2:int, f3:int);
