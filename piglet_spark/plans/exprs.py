@@ -84,6 +84,28 @@ def _is_int(dt: Optional[T.DataType]) -> bool:
     return isinstance(dt, (T.ByteType, T.ShortType, T.IntegerType, T.LongType))
 
 
+# builtins whose runtime Column type is fixed — lets bytearray
+# escalation see e.g. `i / STRLEN(s)` as int÷int (Pig/Java integer
+# division, like the reference's typed Scala codegen) instead of
+# treating the call as unknown→double (r06 fuzzer find)
+_FUNC_STATIC_TYPES: dict[str, T.DataType] = {
+    "strlen": T.IntegerType(), "indexof": T.IntegerType(),
+    "last_index_of": T.IntegerType(), "size": T.IntegerType(),
+    "upper": T.StringType(), "lower": T.StringType(),
+    "trim": T.StringType(), "substring": T.StringType(),
+    "concat": T.StringType(), "replace": T.StringType(),
+    "regex_extract": T.StringType(), "tostring": T.StringType(),
+    "toint": T.IntegerType(), "tolong": T.LongType(),
+    "todouble": T.DoubleType(), "tofloat": T.FloatType(),
+    "startswith": T.BooleanType(), "endswith": T.BooleanType(),
+    "strcontains": T.BooleanType(),
+    "getyear": T.IntegerType(), "getmonth": T.IntegerType(),
+    "getday": T.IntegerType(), "gethour": T.IntegerType(),
+    "getminute": T.IntegerType(), "getsecond": T.IntegerType(),
+    "random": T.DoubleType(),
+}
+
+
 def static_dtype(expr: A.Expr, ctx: Ctx) -> Optional[T.DataType]:
     """Best-effort static type, used for bytearray-arithmetic casts."""
     try:
@@ -106,6 +128,8 @@ def static_dtype(expr: A.Expr, ctx: Ctx) -> Optional[T.DataType]:
             return lt if _priority(lt) >= _priority(rt) else rt
         if isinstance(expr, A.Neg):
             return static_dtype(expr.expr, ctx)
+        if isinstance(expr, A.FuncCall):
+            return _FUNC_STATIC_TYPES.get(expr.name.lower())
         if isinstance(expr, A.BinCond):
             lt = static_dtype(expr.then, ctx)
             rt = static_dtype(expr.els, ctx)
@@ -471,18 +495,22 @@ def compile_func(expr: A.FuncCall, ctx: Ctx) -> Column:
         # number/bool literals pass through raw (builders need python
         # ints for round scale / substring bounds / matrix dims).
         # STRING literals become F.lit — otherwise F.concat/create_map
-        # would resolve them as column names — except for builders
-        # whose Spark function requires a raw regex/substring string.
-        raw_str_ok = name in ("strsplit", "regex_extract", "indexof")
+        # would resolve them as column names — except the TAIL args of
+        # builders whose Spark function requires a raw regex/needle
+        # string; the first (haystack) arg is always lit-wrapped, or a
+        # literal haystack would resolve as a column name (r06 fuzzer:
+        # INDEXOF('', 'a') raised UNRESOLVED_COLUMN).
+        raw_str_tail = name in ("strsplit", "regex_extract", "indexof")
 
-        def conv(a):
+        def conv(i, a):
             if isinstance(a, A.Literal):
-                if isinstance(a.value, str) and not raw_str_ok:
+                if isinstance(a.value, str) and not (raw_str_tail
+                                                     and i >= 1):
                     return F.lit(a.value)
                 return a.value
             return compile_expr(a, ctx)
 
-        return scalar(*[conv(a) for a in raw_args])
+        return scalar(*[conv(i, a) for i, a in enumerate(raw_args)])
 
     # user-registered function (DEFINE / embedded python / registry)
     fn = ctx.udfs.get(expr.name) or ctx.udfs.get(name)

@@ -266,6 +266,49 @@ def _concat(t):
     return (f"CONCAT({a[0]}, {b[0]})", f"({a[1]} || {b[1]})", "s")
 
 
+def _trim(a):
+    return (f"TRIM({a[0]})", f"TRIM({a[1]})", "s")
+
+
+def _substring(t):
+    # Pig SUBSTRING is 0-based half-open (CommonPigFuncs.scala:66);
+    # SQL substr is 1-based with length
+    a, start, length, two_arg = t
+    if two_arg:
+        return (f"SUBSTRING({a[0]}, {start})",
+                f"SUBSTR({a[1]}, {start + 1})", "s")
+    return (f"SUBSTRING({a[0]}, {start}, {start + length})",
+            f"SUBSTR({a[1]}, {start + 1}, {length})", "s")
+
+
+def _replace(t):
+    # literal-safe needle/replacement (no regex metachars generated);
+    # DuckDB regexp_replace needs 'g' to match Spark's replace-all
+    a, pat, repl = t
+    return (f"REPLACE({a[0]}, '{pat}', '{repl}')",
+            f"REGEXP_REPLACE({a[1]}, '{pat}', '{repl}', 'g')", "s")
+
+
+def _strlen(a):
+    return (f"STRLEN({a[0]})", f"CAST(LENGTH({a[1]}) AS BIGINT)", "i")
+
+
+def _indexof(t):
+    # Pig INDEXOF is 0-based, -1 when absent (instr semantics - 1)
+    a, needle = t
+    return (f"INDEXOF({a[0]}, '{needle}')",
+            f"(STRPOS({a[1]}, '{needle}') - 1)", "i")
+
+
+def _strpred(t):
+    a, needle, fn = t
+    sql = {"startswith": "STARTS_WITH({0}, '{1}')",
+           "endswith": "ENDS_WITH({0}, '{1}')",
+           "strcontains": "CONTAINS({0}, '{1}')"}[fn]
+    return (f"{fn.upper()}({a[0]}, '{needle}')",
+            sql.format(a[1], needle), "b")
+
+
 def _case_fn(t):
     a, fn = t
     return (f"{fn.upper()}({a[0]})", f"{fn}({a[1]})", "s")
@@ -291,6 +334,8 @@ int_e = st.deferred(lambda: st.one_of(
     int_e.map(_neg),
     dbl_e.map(_cast_i),
     st.tuples(bool_e, int_e, int_e).map(_bincond),
+    str_e.map(_strlen),
+    st.tuples(str_e, _needle).map(_indexof),
 ))
 dbl_e = st.deferred(lambda: st.one_of(
     dbl_leaf,
@@ -300,11 +345,16 @@ dbl_e = st.deferred(lambda: st.one_of(
     int_e.map(_cast_d),
     st.tuples(bool_e, dbl_e, dbl_e).map(_bincond),
 ))
+_needle = st.text(alphabet="abz", min_size=1, max_size=2)
 str_e = st.deferred(lambda: st.one_of(
     str_leaf,
     st.tuples(str_e, str_e).map(_concat),
     st.tuples(str_e, st.sampled_from(["upper", "lower"])).map(_case_fn),
     st.tuples(bool_e, str_e, str_e).map(_bincond),
+    str_e.map(_trim),
+    st.tuples(str_e, st.integers(0, 4), st.integers(0, 4),
+              st.booleans()).map(_substring),
+    st.tuples(str_e, _needle, _needle).map(_replace),
 ))
 bool_e = st.deferred(lambda: st.one_of(
     st.tuples(int_e, int_e,
@@ -315,6 +365,8 @@ bool_e = st.deferred(lambda: st.one_of(
     st.tuples(bool_e, bool_e, st.sampled_from(["AND", "OR"])).map(_bool),
     bool_e.map(_not),
     st.tuples(st.one_of(int_e, dbl_e, str_e), st.booleans()).map(_isnull),
+    st.tuples(str_e, _needle, st.sampled_from(
+        ["startswith", "endswith", "strcontains"])).map(_strpred),
 ))
 
 any_expr = st.one_of(int_e, dbl_e, str_e, bool_e)
