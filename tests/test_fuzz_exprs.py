@@ -449,7 +449,9 @@ B = FOREACH A GENERATE rid, i1, i2, d1, d2, s1, s2, {gens};
 G = GROUP B BY i1;
 C = FOREACH G {{
       f = FILTER B BY {pp};
-      GENERATE group AS k, COUNT(f) AS cnt, {aggs};
+      s = f.v0;
+      u = DISTINCT s;
+      GENERATE group AS k, COUNT(f) AS cnt, COUNT(u) AS ndist, {aggs};
     }};
 """)
     got = {r["k"]: r for r in eng.df("C").collect()}
@@ -468,16 +470,20 @@ WITH B AS (SELECT rid, i1, i2, d1, d2, s1, s2, {', '.join(
         f'{q} AS v{k}' for k, (fn, (p, q, t)) in enumerate(slots))}
            FROM tab)
 SELECT i1 AS k, COUNT(*) FILTER (WHERE {pq}) AS cnt,
+       COUNT(DISTINCT v0) FILTER (WHERE {pq}) AS ndist,
        {', '.join(sql_aggs)}
 FROM B GROUP BY i1""").fetchall()
 
     assert len(got) == len(want)
     for row in want:
-        key, cnt, vals = row[0], row[1], row[2:]
+        key, cnt, ndist, vals = row[0], row[1], row[2], row[3:]
         srow = got[key]
         assert srow["cnt"] == cnt, (
             f"nested COUNT mismatch group={key!r}: "
             f"spark={srow['cnt']} duckdb={cnt}\n  pred: {pp}")
+        assert srow["ndist"] == ndist, (
+            f"nested COUNT DISTINCT mismatch group={key!r}: "
+            f"spark={srow['ndist']} duckdb={ndist}\n  pred: {pp}")
         slots_all = slots + [("SUM", ("f.v0 + f.v1 * 2",
                                       "v0 + v1 * 2", None))]
         for k, v in enumerate(vals):
