@@ -256,8 +256,16 @@ class NestedBag:
             for sp in reversed(specs):
                 lf, rf = field_of(left, sp), field_of(right, sp)
                 lt, gt = (-1, 1) if sp.asc else (1, -1)
-                result = F.when(lf < rf, F.lit(lt)) \
-                          .when(lf > rf, F.lit(gt)).otherwise(result)
+                # Pig: null is the smallest value (matches the
+                # engine's top-level ORDER BY null placement); a bare
+                # lf<rf comparison yields NULL for null operands and
+                # would fall through to "equal"
+                result = (F.when(lf.isNull() & rf.isNull(), result)
+                           .when(lf.isNull(), F.lit(lt))
+                           .when(rf.isNull(), F.lit(gt))
+                           .when(lf < rf, F.lit(lt))
+                           .when(lf > rf, F.lit(gt))
+                           .otherwise(result))
             return result
 
         if self.proj is not None and all(sp.asc for sp in specs):

@@ -494,6 +494,40 @@ FROM B GROUP BY i1""").fetchall()
                 f"  pred: {pp}\n  pig arg: {p}\n  sql arg: {q}")
 
 
+def test_nested_order_limit_topk_matches_duckdb(spark, fuzz_tab):
+    """Per-group top-k via nested ORDER BY ... DESC + LIMIT: SUM of
+    the kept values must equal DuckDB's row_number() formulation
+    (ties are on the ordered value itself, so the sum is
+    tie-insensitive). Nulls order smallest (Pig), i.e. last under
+    DESC — the NULLS LAST default DuckDB uses."""
+    path, con = fuzz_tab
+    eng = pg.PigEngine(spark)
+    eng.run(f"""
+A = LOAD '{path}' USING ParquetStorage();
+G = GROUP A BY i1;
+C = FOREACH G {{
+      o = ORDER A BY d1 DESC;
+      l = LIMIT o 2;
+      GENERATE group AS k, COUNT(l) AS n, SUM(l.d1) AS s;
+    }};
+""")
+    got = {r["k"]: (r["n"], r["s"]) for r in eng.df("C").collect()}
+    want = con.execute("""
+WITH r AS (SELECT i1, d1,
+                  row_number() OVER (PARTITION BY i1
+                                     ORDER BY d1 DESC NULLS LAST) rn
+           FROM tab)
+SELECT i1 AS k, COUNT(*) AS n,
+       COALESCE(SUM(d1) FILTER (WHERE d1 IS NOT NULL), 0) AS s
+FROM r WHERE rn <= 2 GROUP BY i1""").fetchall()
+    assert len(got) == len(want)
+    for k, n, s in want:
+        gn, gs = got[k]
+        assert gn == n, f"group {k}: COUNT {gn} != {n}"
+        assert _same(gs if gs is not None else 0, s), \
+            f"group {k}: SUM {gs} != {s}"
+
+
 # Codegen path: the same differential, but through to_code-generated
 # standalone PySpark (exec'd), so the generated expression rendering
 # gets the same null-semantics scrutiny as the engine.
