@@ -236,6 +236,7 @@ SCALARS: dict[str, Callable[..., Column]] = {
         + (y1.cast("double") - y2.cast("double")) ** 2
     ),
     # datetime helpers (streaming timestamps)
+    "getsecond": lambda c: F.second(c),
     "getminute": lambda c: F.minute(c),
     "gethour": lambda c: F.hour(c),
     "getday": lambda c: F.dayofmonth(c),

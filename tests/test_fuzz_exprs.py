@@ -494,6 +494,30 @@ FROM B GROUP BY i1""").fetchall()
                 f"  pred: {pp}\n  pig arg: {p}\n  sql arg: {q}")
 
 
+def test_datetime_extracts_match_duckdb(spark):
+    """GETYEAR/…/GETSECOND over the events timestamps vs DuckDB
+    EXTRACT — pins the TIMESTAMP(NANOS) load path end-to-end."""
+    ev = "/root/testdata/sf0.01/events.parquet"
+    eng = pg.PigEngine(spark)
+    eng.run(f"""
+A = LOAD '{ev}' USING ParquetStorage();
+B = FOREACH A GENERATE event_id, GETYEAR(ts) AS y, GETMONTH(ts) AS mo,
+    GETDAY(ts) AS d, GETHOUR(ts) AS h, GETMINUTE(ts) AS mi,
+    GETSECOND(ts) AS s;
+""")
+    got = {r["event_id"]: (r["y"], r["mo"], r["d"], r["h"], r["mi"],
+                           r["s"]) for r in eng.df("B").collect()}
+    con = duckdb.connect()
+    want = con.execute(f"""
+SELECT event_id, EXTRACT(year FROM ts), EXTRACT(month FROM ts),
+       EXTRACT(day FROM ts), EXTRACT(hour FROM ts),
+       EXTRACT(minute FROM ts), EXTRACT(second FROM ts)
+FROM read_parquet('{ev}')""").fetchall()
+    assert len(got) == len(want) and len(want) > 0
+    for eid, *vals in want:
+        assert got[eid] == tuple(vals), (eid, got[eid], vals)
+
+
 def test_nested_order_limit_topk_matches_duckdb(spark, fuzz_tab):
     """Per-group top-k via nested ORDER BY ... DESC + LIMIT: SUM of
     the kept values must equal DuckDB's row_number() formulation
