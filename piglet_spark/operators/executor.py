@@ -283,7 +283,7 @@ class NestedBag:
     # different null placement.
     _FILTER_FUSABLE = frozenset(
         ["count", "count_star", "sum", "avg", "min", "max",
-         "isempty", "nonempty"])
+         "isempty", "nonempty", "var", "stddev", "approx_distinct"])
 
     def filter_pred(self, ctx: Ctx,
                     ops: Optional[list[tuple]] = None) -> Optional[Column]:

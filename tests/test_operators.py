@@ -129,6 +129,23 @@ U = FOREACH G {{
     assert "collect_list" not in plan  # every aggregate fused
 
 
+def test_nested_foreach_var_over_filter_bag(spark, data_dir):
+    """VAR/STDDEV over a filtered projection fuse to
+    var_pop/stddev_pop(when(pred, x)) — the array path has no
+    var fold, so the fusion is what makes these expressible."""
+    df = run(spark, f"""
+A = LOAD '{data_dir}/t.csv' USING PigStorage(',') AS (f1:int, f2:int, f3:int);
+G = GROUP A BY f2;
+U = FOREACH G {{
+    f = FILTER A BY f3 >= 3;
+    s = f.f3;
+    GENERATE group AS f2, VAR(s) AS v;
+}};
+""", "U")
+    # f2=2 keeps f3∈{3,4} → var_pop 0.25; the singleton groups → 0.0
+    assert rows(df) == [(2, 0.25), (5, 0.0), (8, 0.0)]
+
+
 def test_nested_foreach_composite_expr_over_filter_bag(spark, data_dir):
     """SUM over an EXPRESSION of filtered-bag fields rewrites to
     agg(when(pred, expr)) — nesting the bag's collect_list inside the
