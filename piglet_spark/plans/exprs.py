@@ -560,9 +560,11 @@ def _bag_bases_in(e, ctx: Ctx) -> set[str]:
 
 
 def _nested_bag_refs(e, ctx: Ctx) -> Optional[set[str]]:
-    """Nested-bag aliases dereferenced (``f.x``) inside the expression
-    tree, or None if a bag alias also appears BARE (whole-bag use —
-    not strippable to pre-group columns)."""
+    """Nested-bag aliases referenced inside the expression tree —
+    field derefs (``f.x``) of whole-tuple bags, or bare names of
+    PROJECTED bags (``s`` in ``SUM(s * 2)``, an element-wise use).
+    None if a reference isn't strippable to pre-group columns (a bare
+    whole-tuple bag, or a deref of a projected bag)."""
     import dataclasses as _dc
     found: set[str] = set()
     bad = False
@@ -572,11 +574,17 @@ def _nested_bag_refs(e, ctx: Ctx) -> Optional[set[str]]:
         if isinstance(node, A.DerefTuple) and \
                 isinstance(node.base, A.NamedField) and \
                 node.base.name in ctx.nested_bags:
+            if ctx.nested_bags[node.base.name].proj is not None:
+                bad = True
+                return
             found.add(node.base.name)
             walk(node.field)
             return
         if isinstance(node, A.NamedField) and node.name in ctx.nested_bags:
-            bad = True
+            if ctx.nested_bags[node.name].proj is None:
+                bad = True
+            else:
+                found.add(node.name)
             return
         if _dc.is_dataclass(node) and not isinstance(node, type):
             for f in _dc.fields(node):
@@ -594,8 +602,9 @@ def _nested_bag_refs(e, ctx: Ctx) -> Optional[set[str]]:
 
 
 def _strip_nested_refs(e, bname: str, bag) -> A.Expr:
-    """Rewrite ``bname.field`` derefs to plain pre-group field refs
-    (the fused-aggregation view of a whole-tuple nested bag)."""
+    """Rewrite ``bname.field`` derefs (whole-tuple bags) or bare
+    ``bname`` refs (projected bags) to plain pre-group field refs —
+    the fused-aggregation view of the bag."""
     import dataclasses as _dc
     if isinstance(e, A.DerefTuple) and isinstance(e.base, A.NamedField) \
             and e.base.name == bname:
@@ -603,6 +612,9 @@ def _strip_nested_refs(e, bname: str, bag) -> A.Expr:
         if isinstance(f, A.PositionalField) and bag.whole_cols is not None:
             return A.NamedField(name=bag.whole_cols[f.pos])
         return f
+    if isinstance(e, A.NamedField) and e.name == bname \
+            and bag.proj is not None:
+        return A.NamedField(name=bag.proj)
     if _dc.is_dataclass(e) and not isinstance(e, type):
         kw, changed = {}, False
         for f in _dc.fields(e):
@@ -744,9 +756,17 @@ def compile_aggregate(expr: A.FuncCall, ctx: Ctx) -> Column:
             if bnames is not None and len(bnames) == 1:
                 bname = next(iter(bnames))
                 bag = ctx.nested_bags[bname]
-                if bag.proj is None and (not bag.ops or (
-                        len(bag.ops) == 1 and bag.ops[0][0] == "filter")):
+                if not bag.ops or (
+                        len(bag.ops) == 1 and bag.ops[0][0] == "filter"):
                     pred = bag.filter_pred(ctx)
+                    if bag.proj is not None:
+                        # a projected bag drops null scalars at
+                        # collect time — BEFORE the expression maps
+                        # them — so rows with a null projection must
+                        # not reach the aggregate at all (e.g.
+                        # SUM((s IS NULL ? 1 : 0)) is 0 over a bag)
+                        nn = bag.src[bag.proj].isNotNull()
+                        pred = nn if pred is None else (pred & nn)
                     stripped = _strip_nested_refs(arg, bname, bag)
                     prev, ctx.in_agg = ctx.in_agg, True
                     try:

@@ -146,6 +146,24 @@ U = FOREACH G {{
     assert rows(df) == [(2, 0.25), (5, 0.0), (8, 0.0)]
 
 
+def test_nested_foreach_composite_over_projected_bag(spark, data_dir):
+    """Aggregates over expressions of a PROJECTED bag (`s = f.x;
+    SUM(s * 2)`) rewrite the bare bag ref to its pre-group column and
+    gate on the filter predicate; COUNT skips null scalars (projected
+    bags drop them at collect time)."""
+    df = run(spark, f"""
+A = LOAD '{data_dir}/t.csv' USING PigStorage(',') AS (f1:int, f2:int, f3:int);
+G = GROUP A BY f1;
+U = FOREACH G {{
+    f = FILTER A BY f3 >= 4;
+    s = f.f3;
+    GENERATE group AS f1, SUM(s * 2) AS d, COUNT(s + 0) AS c;
+}};
+""", "U")
+    # group 1 keeps f3=4 → 8; group 4 keeps 6 → 12; group 7 keeps 9 → 18
+    assert rows(df) == [(1, 8, 1), (4, 12, 1), (7, 18, 1)]
+
+
 def test_nested_foreach_composite_expr_over_filter_bag(spark, data_dir):
     """SUM over an EXPRESSION of filtered-bag fields rewrites to
     agg(when(pred, expr)) — nesting the bag's collect_list inside the
