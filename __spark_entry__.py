@@ -1839,6 +1839,115 @@ QUALIFY row_number() OVER (ORDER BY sel_key DESC, doc_id ASC)
 """
 
 
+def q_repetition_stats(spark, sf_dir):
+    """Gopher/MassiveText within-document repetition signals (Rae et
+    al. 2021 Table A1; datapipe/text.py repetition_stats): duplicate
+    line fraction, duplicate word 2/3/4-gram fractions, and the
+    character coverage of the single most frequent 2-gram. Everything
+    but the top-gram metric is map-only array math; the top gram is
+    one (doc, gram) shuffle with partial aggregation."""
+    return dp_text.repetition_stats(_docs(spark, sf_dir))
+
+
+# norm / n-grams mirror datapipe.text.normalize_text / text_ngrams:
+# lowercase → non-[a-z0-9 ] → space → squeeze → trim; word n-grams
+# are overlapping token windows of the normalized text
+REPETITION_SQL = """
+WITH base AS (
+  SELECT doc_id, text,
+         trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]',
+              ' ', 'g'), ' +', ' ', 'g')) AS nrm
+  FROM documents
+), arrs AS (
+  SELECT doc_id, nrm,
+         list_filter(list_transform(string_split(text, chr(10)),
+                                    x -> trim(x)), x -> x <> '') AS lns,
+         CASE WHEN length(nrm) = 0 THEN []
+              ELSE string_split(nrm, ' ') END AS toks
+  FROM base
+), grams AS (
+  SELECT doc_id,
+         CASE WHEN len(toks) < 2 THEN []
+              ELSE list_transform(range(len(toks) - 1),
+                   i -> array_to_string(toks[i + 1 : i + 2], ' ')) END AS g2,
+         CASE WHEN len(toks) < 3 THEN []
+              ELSE list_transform(range(len(toks) - 2),
+                   i -> array_to_string(toks[i + 1 : i + 3], ' ')) END AS g3,
+         CASE WHEN len(toks) < 4 THEN []
+              ELSE list_transform(range(len(toks) - 3),
+                   i -> array_to_string(toks[i + 1 : i + 4], ' ')) END AS g4,
+         lns, length(nrm) AS nlen
+  FROM arrs
+), fr AS (
+  SELECT doc_id, nlen, g2,
+    CASE WHEN len(lns) > 0 THEN round(1.0 - len(list_distinct(lns))
+         / CAST(len(lns) AS DOUBLE), 6) ELSE 0.0 END AS dup_line_frac,
+    CASE WHEN len(g2) > 0 THEN round(1.0 - len(list_distinct(g2))
+         / CAST(len(g2) AS DOUBLE), 6) ELSE 0.0 END AS dup_2gram_frac,
+    CASE WHEN len(g3) > 0 THEN round(1.0 - len(list_distinct(g3))
+         / CAST(len(g3) AS DOUBLE), 6) ELSE 0.0 END AS dup_3gram_frac,
+    CASE WHEN len(g4) > 0 THEN round(1.0 - len(list_distinct(g4))
+         / CAST(len(g4) AS DOUBLE), 6) ELSE 0.0 END AS dup_4gram_frac
+  FROM grams
+), top AS (
+  SELECT doc_id, cnt, glen
+  FROM (SELECT doc_id, g AS gram, COUNT(*) AS cnt, length(g) AS glen,
+               row_number() OVER (PARTITION BY doc_id
+                   ORDER BY COUNT(*) DESC, length(g) DESC) AS rn
+        FROM (SELECT doc_id, unnest(g2) AS g FROM grams)
+        GROUP BY doc_id, g)
+  WHERE rn = 1
+)
+SELECT fr.doc_id, dup_line_frac, dup_2gram_frac, dup_3gram_frac,
+       dup_4gram_frac,
+       COALESCE(top.cnt, 0) AS top_2gram_count,
+       round(least(COALESCE(top.cnt * top.glen
+             / CAST(nullif(fr.nlen, 0) AS DOUBLE), 0.0), 1.0), 6)
+           AS top_2gram_char_frac
+FROM fr LEFT JOIN top ON fr.doc_id = top.doc_id
+"""
+
+
+def q_tfidf_top_terms(spark, sf_dir):
+    """Per-document top-5 TF-IDF terms (keyword extraction;
+    datapipe/text.py tfidf_top_terms): smooth idf
+    ``ln((N+1)/(df+1)) + 1``, scores rounded to 6 decimals before the
+    keyed top-k window so ulp differences in ln() can't flip the
+    selected set; ties break lexicographically. Two partial-agg
+    shuffles + a term join; N folds in via a 1-row broadcast cross
+    join (no driver action)."""
+    return dp_text.tfidf_top_terms(_docs(spark, sf_dir), k=5)
+
+
+TFIDF_SQL = """
+WITH nrm AS (
+  SELECT doc_id,
+         trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]',
+              ' ', 'g'), ' +', ' ', 'g')) AS t
+  FROM documents
+), toks AS (
+  SELECT doc_id, unnest(string_split(t, ' ')) AS term
+  FROM nrm WHERE t <> ''
+), tf AS (
+  SELECT doc_id, term, COUNT(*) AS tf FROM toks
+  WHERE term <> '' GROUP BY doc_id, term
+), dfreq AS (
+  SELECT term, COUNT(*) AS df FROM tf GROUP BY term
+), n AS (SELECT COUNT(*) AS n_docs FROM documents),
+scored AS (
+  SELECT tf.doc_id, tf.term, tf.tf,
+         round(tf.tf * (ln((n.n_docs + 1.0) / (dfreq.df + 1.0)) + 1.0),
+               6) AS score
+  FROM tf JOIN dfreq ON tf.term = dfreq.term CROSS JOIN n
+)
+SELECT doc_id, term, tf, score, CAST(rn AS INT) AS rank
+FROM (SELECT *, row_number() OVER (PARTITION BY doc_id
+          ORDER BY score DESC, term ASC) AS rn
+      FROM scored)
+WHERE rn <= 5
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # relational core (Pig scripts through the engine)
@@ -1908,6 +2017,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mixture_repeat": q_mixture_repeat,
         "chunk_text": q_chunk_text,
         "cap_per_group": q_cap_per_group,
+        # r07 additions (newest last, same cap rationale)
+        "repetition_stats": q_repetition_stats,
+        "tfidf_top_terms": q_tfidf_top_terms,
     }
 
 
@@ -1975,4 +2087,6 @@ def oracle_sql() -> dict[str, str]:
         "mixture_repeat": MIXTURE_REPEAT_SQL,
         "chunk_text": CHUNK_TEXT_SQL,
         "cap_per_group": CAP_PER_GROUP_SQL,
+        "repetition_stats": REPETITION_SQL,
+        "tfidf_top_terms": TFIDF_SQL,
     }

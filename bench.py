@@ -64,6 +64,9 @@ HEADLINE = [
     "chunk_text",
     "dsir_resample",
     "cap_per_group",
+    # r07: Gopher repetition signals + TF-IDF keyword extraction
+    "repetition_stats",
+    "tfidf_top_terms",
 ]
 
 

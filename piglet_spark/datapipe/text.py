@@ -388,3 +388,46 @@ def chunk_text(df: DataFrame, text_col: str = "text",
         id_col, "chunk_idx",
         F.size(piece).alias("n_chunk_tokens"),
         F.array_join(piece, " ").alias("chunk_text"))
+
+
+def tfidf_top_terms(df: DataFrame, text_col: str = "text",
+                    id_col: str = "doc_id", k: int = 5) -> DataFrame:
+    """Per-document top-``k`` TF-IDF terms — the standard keyword /
+    topic-signal extraction pass over a corpus (smooth idf:
+    ``ln((N+1)/(df+1)) + 1``, scikit-learn's formulation). Terms come
+    from :func:`normalize_text` tokens; scores are rounded to 6
+    decimals and ties broken lexicographically, so the result is
+    deterministic on any engine/partitioning.
+
+    Returns (id, term, tf, score, rank), ``rank`` 1..k per document.
+
+    Scale shape: two hash shuffles — (doc, term) for tf and (term)
+    for document frequency — both with map-side partial aggregation;
+    the corpus size ``N`` is folded in via a 1-row broadcast cross
+    join (no driver-side action, stays one job); top-k is a keyed
+    window over the (doc, term) partitioning, never a global sort.
+    The tf ⋈ df join shuffles on term; at corpus scale the df side is
+    vocabulary-sized and AQE picks broadcast when it fits."""
+    from .util import spread as _spread
+    df = _spread(df, id_col)
+    toks = (df.select(F.col(id_col).alias("_id"),
+                      F.explode(F.split(normalize_text(F.col(text_col)),
+                                        " ")).alias("term"))
+            .filter(F.col("term") != ""))
+    tf = toks.groupBy("_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    n_docs = df.agg(F.count(F.lit(1)).alias("_n"))
+    scored = (tf.join(dfreq, on="term")
+              .crossJoin(F.broadcast(n_docs))
+              .select(
+                  F.col("_id"), "term", "tf",
+                  F.round(F.col("tf") * (F.log((F.col("_n") + 1.0)
+                                               / (F.col("df") + 1.0))
+                                         + 1.0), 6).alias("score")))
+    from pyspark.sql.window import Window as W
+    rn = F.row_number().over(
+        W.partitionBy("_id").orderBy(F.desc("score"), F.asc("term")))
+    return (scored.withColumn("rank", rn)
+            .filter(F.col("rank") <= int(k))
+            .select(F.col("_id").alias(id_col), "term", "tf", "score",
+                    "rank"))

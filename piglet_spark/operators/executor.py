@@ -733,6 +733,10 @@ class Executor:
                     df.filter(F.col(str(src_col)) == str(tgt)),
                     str(text), str(idc), n_buckets=int(nb),
                     frac=float(frac), seed=int(seed), method=str(meth)),
+            # per-doc top-k TF-IDF keyword extraction (r07)
+            "tfidf_top_terms": lambda df, k=5, text="text",
+                idc="doc_id": dt.tfidf_top_terms(
+                    df, str(text), str(idc), k=int(k)),
         })
 
     # -------------------------------------------------------- helpers

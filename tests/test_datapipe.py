@@ -1482,3 +1482,58 @@ def test_plan_has_anchored_not_substring(spark):
     agg = df.groupBy("JoinKey").count()
     plan2 = agg._jdf.queryExecution().optimizedPlan().toString()
     assert _plan_has(plan2, _WIDE_NODES)
+
+
+def test_tfidf_top_terms_brute_force(spark):
+    """TF-IDF top-k terms vs a python brute-force reference: smooth
+    idf ln((N+1)/(df+1))+1, top-k by (rounded score desc, term asc)."""
+    import math
+    from collections import Counter
+    rows = [
+        (0, "apple banana apple cherry"),
+        (1, "banana cherry cherry date"),
+        (2, "apple apple apple elderberry"),
+        (3, ""),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = text.tfidf_top_terms(df, k=2).collect()
+
+    tfs = {i: Counter(t.lower().split()) for i, t in rows if t}
+    dfreq = Counter(w for c in tfs.values() for w in c)
+    n = len(rows)
+    exp = {}
+    for i, c in tfs.items():
+        scored = sorted(
+            ((round(tf * (math.log((n + 1) / (dfreq[w] + 1)) + 1), 6), w,
+              tf) for w, tf in c.items()),
+            key=lambda x: (-x[0], x[1]))[:2]
+        exp[i] = [(w, tf, s, r + 1)
+                  for r, (s, w, tf) in enumerate(scored)]
+    got_by_doc = {}
+    for r in got:
+        got_by_doc.setdefault(r["doc_id"], []).append(
+            (r["term"], r["tf"], r["score"], r["rank"]))
+    for i in got_by_doc:
+        got_by_doc[i].sort(key=lambda x: x[3])
+    assert 3 not in got_by_doc  # empty doc yields no terms
+    for i, want in exp.items():
+        assert got_by_doc[i] == want, (i, got_by_doc[i], want)
+
+
+def test_tfidf_via_stream_through(spark, tmp_path):
+    """tfidf_top_terms is reachable from the Pig DSL and agrees with
+    the direct library call."""
+    import piglet_spark as pg
+    rows = [(0, "apple banana apple"), (1, "banana cherry date")]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    p = tmp_path / "docs.parquet"
+    df.write.mode("overwrite").parquet(str(p))
+    eng = pg.PigEngine(spark)
+    env = eng.run(f"""
+D = LOAD '{p}' USING ParquetStorage();
+T = STREAM D THROUGH tfidf_top_terms(2);
+""")
+    got = sorted(tuple(r) for r in env["T"].collect())
+    want = sorted(tuple(r)
+                  for r in text.tfidf_top_terms(df, k=2).collect())
+    assert got == want and len(got) > 0
