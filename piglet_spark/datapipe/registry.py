@@ -1,0 +1,194 @@
+"""Shared registry of training-data-pipeline operators.
+
+One source of truth for the name → callable(df, *params) table used
+by BOTH the engine executor (`B = STREAM A THROUGH <op>(args);`,
+executor._register_datapipe_ops) and generated standalone code
+(`PigEngine.to_code` emits `datapipe_ops()[name](df, …)` — the
+datapipe analogue of the reference linking its backend library jar
+from generated programs, sparklib/… UDF jars).
+
+Params arrive as Pig literals (strings/numbers); each entry coerces
+them itself, so the same callable serves script text and Python
+callers.
+"""
+
+from __future__ import annotations
+
+from typing import Callable
+
+from pyspark.sql import functions as F
+
+
+def _sim():
+    from . import similarity
+    return similarity
+
+
+def _mmod():
+    from . import multimodal
+    return multimodal
+
+
+def _pk():
+    from . import pack
+    return pack
+
+
+def _parse_vec(qv) -> list[float]:
+    """Query vector from a STREAM THROUGH string param:
+    '0.1, 0.2, -3e-2' → [0.1, 0.2, -0.03]."""
+    if isinstance(qv, (list, tuple)):
+        return [float(x) for x in qv]
+    return [float(x) for x in str(qv).replace(";", ",").split(",")
+            if x.strip()]
+
+
+def _parse_rates(spec) -> dict[str, float]:
+    """Mixture-rate map from a STREAM THROUGH string param:
+    'src0:0.5,src1:1.0' → {'src0': 0.5, 'src1': 1.0}."""
+    if isinstance(spec, dict):
+        return {str(k): float(v) for k, v in spec.items()}
+    out: dict[str, float] = {}
+    for part in str(spec).replace(";", ",").split(","):
+        if not part.strip():
+            continue
+        k, _, v = part.partition(":")
+        out[k.strip()] = float(v)
+    return out
+
+
+def datapipe_ops() -> dict[str, Callable]:
+    """Fresh name → callable table (lazy submodule imports keep
+    engine startup light)."""
+    from . import dedup as dp
+    from . import text as dt
+
+    return {
+        "doc_stats": lambda df, text="text", idc="doc_id":
+            dt.doc_stats(df, str(text), str(idc)),
+        "exact_dedup": lambda df, text="text", idc="doc_id":
+            dp.exact_dedup(df, str(text), str(idc)),
+        "minhash_pairs": lambda df, thr=0.5, text="text", idc="doc_id":
+            dp.minhash_lsh_pairs(df, str(text), str(idc),
+                                 threshold=float(thr)),
+        "simhash": lambda df, text="text", idc="doc_id":
+            dp.simhash(df, str(text), str(idc)),
+        "simhash_pairs": lambda df, maxham=8, text="text", idc="doc_id":
+            dp.simhash_pairs(df, str(text), str(idc),
+                             max_hamming=int(maxham)),
+        "ngram_jaccard_pairs": lambda df, thr=0.5, text="text",
+            idc="doc_id": dp.ngram_jaccard_pairs(
+                df, str(text), str(idc), threshold=float(thr)),
+        "embedding_neardup": lambda df, thr=0.95, vec="embedding",
+            idc="vec_id": dp.embedding_neardup_pairs(
+                df, str(vec), str(idc), threshold=float(thr)),
+        # SemDeDup (r04): k-means + within-cluster cosine groups,
+        # keep the lowest-centroid-cosine member per group.
+        # k defaults to the paper's sqrt(n) auto-sizing — a fixed
+        # small k at corpus scale would oversize every cluster.
+        "semantic_dedup": lambda df, thr=0.9, k=None, vec="embedding",
+            idc="vec_id": dp.semantic_dedup(
+                df, str(vec), str(idc), threshold=float(thr),
+                n_clusters=None if k is None else int(k)),
+        # benchmark = rows of the same relation whose `src_col`
+        # column equals the first argument
+        "contamination": lambda df, src="src0", k=5, text="text",
+            idc="doc_id", src_col="source":
+            dp.contamination_scores(
+                df.filter(F.col(str(src_col)) != str(src)),
+                df.filter(F.col(str(src_col)) == str(src)),
+                str(text), str(idc), k=int(k)),
+        # similarity search (r03): the query vector is a quoted
+        # comma-separated string of floats, e.g.
+        # `STREAM E THROUGH cosine_topk('0.1,0.2,…', 10)`
+        "cosine_topk": lambda df, qv, k=10, vec="embedding",
+            idc="vec_id": _sim().cosine_topk(
+                df, _parse_vec(qv), k=int(k),
+                vec_col=str(vec), id_col=str(idc)),
+        "ann_lsh_topk": lambda df, qv, k=10, vec="embedding",
+            idc="vec_id": _sim().ann_lsh_topk(
+                df, _parse_vec(qv), k=int(k),
+                vec_col=str(vec), id_col=str(idc)),
+        "ivf_topk": lambda df, qv, k=10, vec="embedding",
+            idc="vec_id": _sim().ivf_topk(
+                df, _parse_vec(qv), k=int(k),
+                vec_col=str(vec), id_col=str(idc)),
+        # multimodal (r03): binary-column decode / frame-sample /
+        # resize from scripts
+        "decode_images": lambda df, dim=8, fake=0, binc="payload",
+            idc="doc_id": _mmod().decode_images(
+                df, str(binc), str(idc), dim=int(dim),
+                deterministic_fake=bool(int(fake))),
+        "sample_audio_frames": lambda df, n=4, fake=0,
+            binc="payload", idc="doc_id": _mmod().sample_audio_frames(
+                df, str(binc), str(idc), n_frames=int(n),
+                deterministic_fake=bool(int(fake))),
+        "resize_images": lambda df, w=32, h=32, binc="payload",
+            idc="doc_id": _mmod().resize_images(
+                df, str(binc), str(idc), out_w=int(w), out_h=int(h)),
+        # winnowing rolling-hash fingerprints (r03)
+        "winnow_fingerprints": lambda df, k=5, w=4, text="text",
+            idc="doc_id": dt.winnow_fingerprints(
+                df, str(text), str(idc), k=int(k), w=int(w)),
+        # PII hygiene + within-doc repetition filters (r03)
+        "pii_scrub": lambda df, text="text":
+            dt.pii_scrub(df, str(text)),
+        "pii_stats": lambda df, text="text", idc="doc_id":
+            dt.pii_stats(df, str(text), str(idc)),
+        "repetition_stats": lambda df, text="text", idc="doc_id":
+            dt.repetition_stats(df, str(text), str(idc)),
+        "gopher_repetition_ok": lambda df, text="text", idc="doc_id":
+            dt.gopher_repetition_ok(df, str(text), str(idc)),
+        # MassiveText/Gopher-style cross-document duplicate-line
+        # hygiene (r02)
+        "line_dedup_stats": lambda df, gran="line", text="text",
+            idc="doc_id": dp.line_dedup_stats(
+                df, str(text), str(idc), granularity=str(gran)),
+        "strip_dup_lines": lambda df, gran="line", text="text",
+            idc="doc_id": dp.strip_dup_lines(
+                df, dp.line_dedup_stats(df, str(text), str(idc),
+                                        granularity=str(gran)),
+                str(text), str(idc), granularity=str(gran)),
+        # training-set assembly (r05, datapipe/pack.py): sequence
+        # packing, deterministic corpus mixing, DSIR weights
+        "chunk_pack": lambda df, seqlen=2048, text="text",
+            idc="doc_id": _pk().chunk_pack(
+                df, str(text), str(idc), seq_len=int(seqlen)),
+        # rates is 'src0:0.5,src1:1.0'; unnamed sources keep with
+        # `default`
+        "mixture_sample": lambda df, rates, seed=42, default=0.0,
+            src="source", idc="doc_id": _pk().mixture_sample(
+                df, _parse_rates(rates), str(src), str(idc),
+                seed=int(seed), default_rate=float(default)),
+        # target = rows whose `src_col` equals the first argument
+        # (same convention as `contamination`)
+        "dsir_weights": lambda df, tgt="src0", nb=4096, text="text",
+            idc="doc_id", src_col="source": _pk().dsir_weights(
+                df.filter(F.col(str(src_col)) != str(tgt)),
+                df.filter(F.col(str(src_col)) == str(tgt)),
+                str(text), str(idc), n_buckets=int(nb)),
+        # web-corpus hygiene: at most n docs per domain/source
+        "cap_per_group": lambda df, n=1000, grp="source",
+            idc="doc_id": dp.cap_per_group(
+                df, str(grp), str(idc), n=int(n)),
+        "mixture_repeat": lambda df, rates, seed=42, default=1.0,
+            src="source", idc="doc_id": _pk().mixture_repeat(
+                df, _parse_rates(rates), str(src), str(idc),
+                seed=int(seed), default_rate=float(default)),
+        # RAG-style overlapping token-window chunking (map-only)
+        "chunk_text": lambda df, size=128, overlap=16, text="text",
+            idc="doc_id": dt.chunk_text(
+                df, str(text), str(idc), size=int(size),
+                overlap=int(overlap)),
+        "dsir_resample": lambda df, tgt="src0", frac=0.1, nb=4096,
+            seed=42, meth="gumbel", text="text", idc="doc_id",
+            src_col="source": _pk().dsir_resample(
+                df.filter(F.col(str(src_col)) != str(tgt)),
+                df.filter(F.col(str(src_col)) == str(tgt)),
+                str(text), str(idc), n_buckets=int(nb),
+                frac=float(frac), seed=int(seed), method=str(meth)),
+        # per-doc top-k TF-IDF keyword extraction (r07)
+        "tfidf_top_terms": lambda df, k=5, text="text",
+            idc="doc_id": dt.tfidf_top_terms(
+                df, str(text), str(idc), k=int(k)),
+    }

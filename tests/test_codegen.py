@@ -289,3 +289,34 @@ def test_codegen_null_complex_field_keeps_delimiter(spark, tmp_path):
     from piglet_spark.sources.storage import pig_format_rows
     got = sorted(r["value"] for r in pig_format_rows(df, ",").collect())
     assert got == ["1,{x,y},2", "3,,4"]
+
+
+def test_codegen_stream_through_datapipe(spark, tmp_path):
+    """STREAM THROUGH emits a shared-registry call; generated code
+    matches the engine run value-for-value, and unknown / DEFINEd
+    ops refuse cleanly."""
+    rows = [(0, "apple banana apple"), (1, "banana cherry date"),
+            (2, "apple apple cherry")]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    p = tmp_path / "docs.parquet"
+    df.write.mode("overwrite").parquet(str(p))
+    script = f"""
+D = LOAD '{p}' USING ParquetStorage();
+T = STREAM D THROUGH tfidf_top_terms(2);
+C = STREAM D THROUGH chunk_text(2, 1);
+"""
+    eng = pg.PigEngine(spark)
+    env = eng.run(script)
+    code = eng.to_code(script)
+    assert "datapipe_ops()" in code
+    ns = {"spark": spark}
+    exec(compile(code, "<gen>", "exec"), ns)
+    for alias in ("T", "C"):
+        got = sorted(tuple(r) for r in ns[alias].collect())
+        want = sorted(tuple(r) for r in env[alias].collect())
+        assert got == want and got
+    with pytest.raises(CodegenUnsupported, match="engine-only"):
+        eng.to_code(f"""
+D = LOAD '{p}' USING ParquetStorage();
+X = STREAM D THROUGH not_a_real_op(1);
+""")
