@@ -1839,6 +1839,267 @@ QUALIFY row_number() OVER (ORDER BY sel_key DESC, doc_id ASC)
 """
 
 
+# ---- r07: the seven remaining TPC-H shapes, adapted to the synthetic
+# schema (no partsupp / l_commitdate / comments; adaptations keep each
+# query's structural pattern: correlated min, scalar-subquery
+# thresholds, exists / not-exists, count-distinct grouping)
+
+# Q2 shape: correlated MIN per part (min supply cost → min supplier
+# account balance among the part's shippers in one region) + join back
+Q2_ADAPT = """
+L = LOAD '$sf/lineitem.parquet' USING ParquetStorage();
+S = LOAD '$sf/supplier.parquet' USING ParquetStorage();
+N = LOAD '$sf/nation.parquet' USING ParquetStorage();
+R = LOAD '$sf/region.parquet' USING ParquetStorage();
+P = LOAD '$sf/part.parquet' USING ParquetStorage();
+J1 = JOIN S BY s_nationkey, N BY n_nationkey;
+J2 = JOIN J1 BY n_regionkey, R BY r_regionkey;
+SR = FILTER J2 BY r_name == 'EUROPE';
+J3 = JOIN L BY l_suppkey, SR BY s_suppkey;
+PP = FILTER P BY p_size == 11;
+J4 = JOIN J3 BY l_partkey, PP BY p_partkey;
+D = FOREACH J4 GENERATE p_partkey, p_brand, s_name, n_name, s_acctbal;
+DD = DISTINCT D;
+G = GROUP DD BY p_partkey;
+M = FOREACH G GENERATE group AS m_partkey, MIN(DD.s_acctbal) AS min_bal;
+J5 = JOIN DD BY p_partkey, M BY m_partkey;
+F = FILTER J5 BY s_acctbal == min_bal;
+OUT = FOREACH F GENERATE s_acctbal, s_name, n_name, p_partkey, p_brand;
+ORD = ORDER OUT BY s_acctbal DESC, n_name ASC, s_name ASC, p_partkey ASC;
+TOPQ = LIMIT ORD 100;
+"""
+
+Q2_ADAPT_SQL = """
+WITH sr AS (
+  SELECT s_suppkey, s_name, s_acctbal, n_name
+  FROM supplier JOIN nation ON s_nationkey = n_nationkey
+                JOIN region ON n_regionkey = r_regionkey
+  WHERE r_name = 'EUROPE'
+), dd AS (
+  SELECT DISTINCT p_partkey, p_brand, s_name, n_name, s_acctbal
+  FROM lineitem JOIN sr ON l_suppkey = s_suppkey
+                JOIN part ON l_partkey = p_partkey
+  WHERE p_size = 11
+), m AS (
+  SELECT p_partkey AS m_partkey, MIN(s_acctbal) AS min_bal
+  FROM dd GROUP BY 1
+)
+SELECT s_acctbal, s_name, n_name, p_partkey, p_brand
+FROM dd JOIN m ON p_partkey = m_partkey AND s_acctbal = min_bal
+ORDER BY s_acctbal DESC, n_name ASC, s_name ASC, p_partkey ASC
+LIMIT 100
+"""
+
+# Q9 shape: profit per (supplier nation, order year); supply cost
+# proxied by p_retailprice (no partsupp in the synthetic schema)
+Q9_ADAPT = """
+L = LOAD '$sf/lineitem.parquet' USING ParquetStorage();
+O = LOAD '$sf/orders.parquet' USING ParquetStorage();
+S = LOAD '$sf/supplier.parquet' USING ParquetStorage();
+N = LOAD '$sf/nation.parquet' USING ParquetStorage();
+P = LOAD '$sf/part.parquet' USING ParquetStorage();
+PG = FILTER P BY p_name matches '.*red.*';
+J1 = JOIN L BY l_partkey, PG BY p_partkey;
+J2 = JOIN J1 BY l_suppkey, S BY s_suppkey;
+J3 = JOIN J2 BY s_nationkey, N BY n_nationkey;
+J4 = JOIN J3 BY l_orderkey, O BY o_orderkey;
+PR = FOREACH J4 GENERATE n_name AS nation, GETYEAR(o_orderdate) AS o_year,
+    l_extendedprice * (1 - l_discount)
+    - 0.01 * p_retailprice * l_quantity AS amount;
+G = GROUP PR BY (nation, o_year);
+A = FOREACH G GENERATE group.nation AS nation, group.o_year AS o_year,
+    ROUND(SUM(PR.amount), 4) AS sum_profit;
+"""
+
+Q9_ADAPT_SQL = """
+SELECT n_name AS nation,
+       EXTRACT(year FROM o_orderdate)::INT AS o_year,
+       ROUND(SUM(l_extendedprice * (1 - l_discount)
+                 - 0.01 * p_retailprice * l_quantity), 4) AS sum_profit
+FROM lineitem JOIN part ON l_partkey = p_partkey
+              JOIN supplier ON l_suppkey = s_suppkey
+              JOIN nation ON s_nationkey = n_nationkey
+              JOIN orders ON l_orderkey = o_orderkey
+WHERE p_name LIKE '%red%'
+GROUP BY 1, 2
+"""
+
+# Q11 shape: per-part value from one nation's suppliers kept only
+# above a scalar-subquery fraction of the total (GROUP ALL + CROSS)
+Q11_ADAPT = """
+L = LOAD '$sf/lineitem.parquet' USING ParquetStorage();
+S = LOAD '$sf/supplier.parquet' USING ParquetStorage();
+N = LOAD '$sf/nation.parquet' USING ParquetStorage();
+J1 = JOIN S BY s_nationkey, N BY n_nationkey;
+SN = FILTER J1 BY n_name == 'NATION_9';
+J2 = JOIN L BY l_suppkey, SN BY s_suppkey;
+V = FOREACH J2 GENERATE l_partkey, l_extendedprice * (1 - l_discount) AS v;
+G = GROUP V BY l_partkey;
+PV = FOREACH G GENERATE group AS l_partkey, SUM(V.v) AS val;
+TA = GROUP V ALL;
+T = FOREACH TA GENERATE SUM(V.v) AS total;
+C = CROSS PV, T;
+F = FILTER C BY val > 0.001 * total;
+OUT = FOREACH F GENERATE l_partkey, ROUND(val, 4) AS part_value;
+"""
+
+Q11_ADAPT_SQL = """
+WITH j AS (
+  SELECT l_partkey, l_extendedprice * (1 - l_discount) AS v
+  FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+                JOIN nation ON s_nationkey = n_nationkey
+  WHERE n_name = 'NATION_9'
+), g AS (SELECT l_partkey, SUM(v) AS val FROM j GROUP BY 1)
+SELECT l_partkey, ROUND(val, 4) AS part_value
+FROM g WHERE val > 0.001 * (SELECT SUM(v) FROM j)
+"""
+
+# Q15 shape: top supplier by quarterly revenue — scalar MAX via
+# GROUP ALL + CROSS + equality join-back (the view in the original)
+Q15_ADAPT = """
+L = LOAD '$sf/lineitem.parquet' USING ParquetStorage();
+S = LOAD '$sf/supplier.parquet' USING ParquetStorage();
+LF = FILTER L BY l_shipdate >= '1997-01-01' AND l_shipdate < '1997-04-01';
+G = GROUP LF BY l_suppkey;
+RV = FOREACH G GENERATE group AS r_suppkey,
+    ROUND(SUM(LF.l_extendedprice * (1 - LF.l_discount)), 2) AS total_revenue;
+TA = GROUP RV ALL;
+M = FOREACH TA GENERATE MAX(RV.total_revenue) AS max_rev;
+C = CROSS RV, M;
+F = FILTER C BY total_revenue == max_rev;
+J = JOIN F BY r_suppkey, S BY s_suppkey;
+OUT = FOREACH J GENERATE s_suppkey, s_name, total_revenue;
+ORD = ORDER OUT BY s_suppkey ASC;
+"""
+
+Q15_ADAPT_SQL = """
+WITH rv AS (
+  SELECT l_suppkey AS r_suppkey,
+         ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS total_revenue
+  FROM lineitem
+  WHERE l_shipdate >= '1997-01-01' AND l_shipdate < '1997-04-01'
+  GROUP BY 1
+)
+SELECT s_suppkey, s_name, total_revenue
+FROM rv JOIN supplier ON r_suppkey = s_suppkey
+WHERE total_revenue = (SELECT MAX(total_revenue) FROM rv)
+ORDER BY s_suppkey
+"""
+
+# Q16 shape: distinct-supplier counts per (brand, size), with the
+# exclusion filters (complaint suppliers → negative balance)
+Q16_ADAPT = """
+L = LOAD '$sf/lineitem.parquet' USING ParquetStorage();
+S = LOAD '$sf/supplier.parquet' USING ParquetStorage();
+P = LOAD '$sf/part.parquet' USING ParquetStorage();
+SX = FILTER S BY s_acctbal >= 0.0;
+PX = FILTER P BY p_brand != 'Brand#1' AND p_type != 'PROMO';
+J1 = JOIN L BY l_suppkey, SX BY s_suppkey;
+J2 = JOIN J1 BY l_partkey, PX BY p_partkey;
+G = GROUP J2 BY (p_brand, p_size);
+A = FOREACH G {
+    sp = J2.s_suppkey;
+    u = DISTINCT sp;
+    GENERATE group.p_brand AS p_brand, group.p_size AS p_size,
+        COUNT(u) AS supplier_cnt;
+};
+"""
+
+Q16_ADAPT_SQL = """
+SELECT p_brand, p_size, COUNT(DISTINCT l_suppkey) AS supplier_cnt
+FROM lineitem JOIN supplier ON l_suppkey = s_suppkey
+              JOIN part ON l_partkey = p_partkey
+WHERE s_acctbal >= 0.0 AND p_brand <> 'Brand#1' AND p_type <> 'PROMO'
+GROUP BY 1, 2
+"""
+
+# Q20 shape: nested-IN chain — suppliers of one nation who shipped
+# more than a threshold of prefix-named parts in one year
+Q20_ADAPT = """
+L = LOAD '$sf/lineitem.parquet' USING ParquetStorage();
+S = LOAD '$sf/supplier.parquet' USING ParquetStorage();
+N = LOAD '$sf/nation.parquet' USING ParquetStorage();
+P = LOAD '$sf/part.parquet' USING ParquetStorage();
+PP = FILTER P BY p_name matches 'small.*';
+J1 = JOIN L BY l_partkey, PP BY p_partkey;
+LY = FILTER J1 BY l_shipdate >= '1998-01-01' AND l_shipdate < '1999-01-01';
+G = GROUP LY BY l_suppkey;
+T = FOREACH G GENERATE group AS t_suppkey, SUM(LY.l_quantity) AS qty;
+TF = FILTER T BY qty > 300.0;
+J2 = JOIN S BY s_nationkey, N BY n_nationkey;
+SN = FILTER J2 BY n_name == 'NATION_9';
+J3 = JOIN SN BY s_suppkey, TF BY t_suppkey;
+OUT = FOREACH J3 GENERATE s_name, ROUND(qty, 2) AS total_qty;
+ORD = ORDER OUT BY s_name ASC;
+"""
+
+Q20_ADAPT_SQL = """
+WITH t AS (
+  SELECT l_suppkey AS t_suppkey, SUM(l_quantity) AS qty
+  FROM lineitem JOIN part ON l_partkey = p_partkey
+  WHERE p_name LIKE 'small%'
+    AND l_shipdate >= '1998-01-01' AND l_shipdate < '1999-01-01'
+  GROUP BY 1 HAVING SUM(l_quantity) > 300.0
+)
+SELECT s_name, ROUND(qty, 2) AS total_qty
+FROM t JOIN supplier ON t_suppkey = s_suppkey
+       JOIN nation ON s_nationkey = n_nationkey
+WHERE n_name = 'NATION_9'
+ORDER BY s_name
+"""
+
+# Q21 shape: exists + not-exists — the sole latest supplier of
+# multi-supplier 'F' orders (latest ship stands in for the missing
+# l_receiptdate/l_commitdate), counted per supplier, top 10
+Q21_ADAPT = """
+L = LOAD '$sf/lineitem.parquet' USING ParquetStorage();
+O = LOAD '$sf/orders.parquet' USING ParquetStorage();
+S = LOAD '$sf/supplier.parquet' USING ParquetStorage();
+OF = FILTER O BY o_orderstatus == 'F';
+J = JOIN L BY l_orderkey, OF BY o_orderkey;
+G1 = GROUP J BY (l_orderkey, l_suppkey);
+A1 = FOREACH G1 GENERATE group.l_orderkey AS okey, group.l_suppkey AS skey,
+    MAX(J.l_shipdate) AS smax;
+G2 = GROUP A1 BY okey;
+A2 = FOREACH G2 GENERATE group AS o2key, MAX(A1.smax) AS omax,
+    COUNT(A1) AS nsupp;
+J3 = JOIN A1 BY okey, A2 BY o2key;
+MU = FILTER J3 BY nsupp >= 2;
+LATE = FILTER MU BY smax == omax;
+G3 = GROUP LATE BY okey;
+C3 = FOREACH G3 GENERATE group AS o3key, COUNT(LATE) AS nlate;
+J4 = JOIN LATE BY okey, C3 BY o3key;
+ONLY = FILTER J4 BY nlate == 1;
+J5 = JOIN ONLY BY skey, S BY s_suppkey;
+G4 = GROUP J5 BY s_name;
+A4 = FOREACH G4 GENERATE group AS s_name, COUNT(J5) AS numwait;
+ORD = ORDER A4 BY numwait DESC, s_name ASC;
+TOPW = LIMIT ORD 10;
+"""
+
+Q21_ADAPT_SQL = """
+WITH f AS (
+  SELECT l_orderkey, l_suppkey, l_shipdate
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+  WHERE o_orderstatus = 'F'
+), a1 AS (
+  SELECT l_orderkey AS okey, l_suppkey AS skey, MAX(l_shipdate) AS smax
+  FROM f GROUP BY 1, 2
+), a2 AS (
+  SELECT okey, MAX(smax) AS omax, COUNT(*) AS nsupp FROM a1 GROUP BY 1
+), late AS (
+  SELECT a1.* FROM a1 JOIN a2 USING (okey)
+  WHERE nsupp >= 2 AND smax = omax
+), c3 AS (SELECT okey, COUNT(*) AS nlate FROM late GROUP BY 1)
+SELECT s_name, COUNT(*) AS numwait
+FROM late JOIN c3 USING (okey) JOIN supplier ON skey = s_suppkey
+WHERE nlate = 1
+GROUP BY 1
+ORDER BY numwait DESC, s_name ASC
+LIMIT 10
+"""
+
+
 def q_repetition_stats(spark, sf_dir):
     """Gopher/MassiveText within-document repetition signals (Rae et
     al. 2021 Table A1; datapipe/text.py repetition_stats): duplicate
@@ -2020,6 +2281,15 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # r07 additions (newest last, same cap rationale)
         "repetition_stats": q_repetition_stats,
         "tfidf_top_terms": q_tfidf_top_terms,
+        # r07b: the seven remaining TPC-H shapes (adapted — no
+        # partsupp in the synthetic schema)
+        "q2_min_bal_supplier": _pig(Q2_ADAPT, "TOPQ"),
+        "q9_profit_nation_year": _pig(Q9_ADAPT, "A"),
+        "q11_important_parts": _pig(Q11_ADAPT, "OUT"),
+        "q15_top_supplier": _pig(Q15_ADAPT, "ORD"),
+        "q16_brand_size_suppliers": _pig(Q16_ADAPT, "A"),
+        "q20_promotion_suppliers": _pig(Q20_ADAPT, "ORD"),
+        "q21_waiting_suppliers": _pig(Q21_ADAPT, "TOPW"),
     }
 
 
@@ -2089,4 +2359,11 @@ def oracle_sql() -> dict[str, str]:
         "cap_per_group": CAP_PER_GROUP_SQL,
         "repetition_stats": REPETITION_SQL,
         "tfidf_top_terms": TFIDF_SQL,
+        "q2_min_bal_supplier": Q2_ADAPT_SQL,
+        "q9_profit_nation_year": Q9_ADAPT_SQL,
+        "q11_important_parts": Q11_ADAPT_SQL,
+        "q15_top_supplier": Q15_ADAPT_SQL,
+        "q16_brand_size_suppliers": Q16_ADAPT_SQL,
+        "q20_promotion_suppliers": Q20_ADAPT_SQL,
+        "q21_waiting_suppliers": Q21_ADAPT_SQL,
     }

@@ -67,6 +67,15 @@ HEADLINE = [
     # r07: Gopher repetition signals + TF-IDF keyword extraction
     "repetition_stats",
     "tfidf_top_terms",
+    # r07b: the seven remaining TPC-H shapes (adapted; full 22-query
+    # TPC-H board)
+    "q2_min_bal_supplier",
+    "q9_profit_nation_year",
+    "q11_important_parts",
+    "q15_top_supplier",
+    "q16_brand_size_suppliers",
+    "q20_promotion_suppliers",
+    "q21_waiting_suppliers",
 ]
 
 

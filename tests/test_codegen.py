@@ -180,6 +180,41 @@ def test_codegen_group_agg_over_expression(spark, sf_dir):
         assert g[1] == pytest.approx(w[1])
 
 
+def test_codegen_group_deref_composite_key(spark, sf_dir):
+    """`group.f AS x` projections of a composite group key (the Q21
+    shape) emit as post-agg struct extracts; deref-only generator
+    lists collapse to DISTINCT over the key."""
+    script = (
+        "L = LOAD '{d}/lineitem.parquet' USING ParquetStorage();\n"
+        "G = GROUP L BY (l_orderkey, l_suppkey);\n"
+        "A = FOREACH G GENERATE group.l_orderkey AS okey,\n"
+        "    group.l_suppkey AS skey, MAX(L.l_shipdate) AS smax;\n"
+        "K = FOREACH G GENERATE group.l_suppkey AS skey,\n"
+        "    group.l_orderkey AS okey;\n"
+    ).format(d=sf_dir)
+    eng = pg.PigEngine(spark)
+    eng.run(script)
+    ns = _exec_code(spark, eng.to_code(script))
+    for alias in ("A", "K"):
+        assert ns[alias].columns == eng.df(alias).columns, alias
+        assert sorted(_rows(ns[alias])) == sorted(_rows(eng.df(alias)))
+    assert "distinct()" in eng.to_code(script)  # K collapses
+
+
+def test_codegen_group_deref_single_key(spark, sf_dir):
+    """`group.f` where f IS the single group key projects the key."""
+    script = (
+        "L = LOAD '{d}/lineitem.parquet' USING ParquetStorage();\n"
+        "G = GROUP L BY l_returnflag;\n"
+        "S = FOREACH G GENERATE group.l_returnflag AS rf, COUNT(L) AS n;\n"
+    ).format(d=sf_dir)
+    eng = pg.PigEngine(spark)
+    eng.run(script)
+    ns = _exec_code(spark, eng.to_code(script))
+    assert ns["S"].columns == eng.df("S").columns
+    assert sorted(_rows(ns["S"])) == sorted(_rows(eng.df("S")))
+
+
 def test_codegen_unsupported_is_explicit(spark):
     eng = pg.PigEngine(spark)
     with pytest.raises(CodegenUnsupported) as ei:
