@@ -2209,6 +2209,116 @@ WHERE rn <= 5
 """
 
 
+def q_lm_perplexity(spark, sf_dir):
+    """CCNet-style LM quality scoring (Wenzek et al. 2019,
+    arXiv:1911.00359; datapipe/text.py lm_perplexity): perplexity of
+    every document under a bigram stupid-backoff LM (Brants et al.
+    2007) trained on the English subset — non-English/gibberish docs
+    surface with high ppl. Training is two vocabulary-sized count
+    aggregations; scoring is one token-stream explode + two hash
+    joins on the gram key (AQE broadcasts the count tables when they
+    fit) + one keyed average. No Python, no data-sized window."""
+    docs = _docs(spark, sf_dir)
+    return dp_text.lm_perplexity(docs, docs.filter(F.col("lang") == "en"))
+
+
+# mirror of the Spark plan: add-one unigram (T tokens, V+1 vocab),
+# stupid backoff alpha=0.4; first token scores the unigram, later
+# tokens the bigram against their predecessor
+LM_PPL_SQL = """
+WITH nrm AS (
+  SELECT doc_id, lang,
+         trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]',
+              ' ', 'g'), ' +', ' ', 'g')) AS t
+  FROM documents
+), tk AS (
+  SELECT doc_id, lang,
+         CASE WHEN t = '' THEN [] ELSE string_split(t, ' ') END AS toks
+  FROM nrm
+), uni AS (
+  SELECT w, COUNT(*) AS c1
+  FROM (SELECT unnest(toks) AS w FROM tk WHERE lang = 'en')
+  GROUP BY 1
+), tot AS (
+  SELECT CAST(SUM(c1) AS DOUBLE) AS t, CAST(COUNT(*) + 1 AS DOUBLE) AS v
+  FROM uni
+), bigrams AS (
+  SELECT doc_id, lang, unnest(CASE WHEN len(toks) < 2 THEN []
+         ELSE list_transform(range(len(toks) - 1),
+              i -> array_to_string(toks[i + 1 : i + 2], ' ')) END) AS g
+  FROM tk
+), bi AS (
+  SELECT g, COUNT(*) AS c2 FROM bigrams WHERE lang = 'en' GROUP BY 1
+), lp_first AS (
+  SELECT doc_id, ln((COALESCE(c1, 0) + 1.0) / (t + v)) AS lp
+  FROM (SELECT doc_id, toks[1] AS w FROM tk WHERE len(toks) >= 1)
+       LEFT JOIN uni USING (w) CROSS JOIN tot
+), rest AS (
+  SELECT doc_id, g, string_split(g, ' ')[1] AS u,
+         string_split(g, ' ')[2] AS w
+  FROM bigrams
+), lp_rest AS (
+  SELECT rest.doc_id,
+         CASE WHEN bi.c2 IS NOT NULL
+              THEN ln(bi.c2 / CAST(cu.c1 AS DOUBLE))
+              ELSE ln(0.4 * (COALESCE(uw.c1, 0) + 1.0) / (t + v)) END AS lp
+  FROM rest LEFT JOIN bi ON rest.g = bi.g
+            LEFT JOIN uni cu ON rest.u = cu.w
+            LEFT JOIN uni uw ON rest.w = uw.w
+            CROSS JOIN tot
+), sc AS (
+  SELECT doc_id, COUNT(*) AS n_tokens, AVG(lp) AS a
+  FROM (SELECT * FROM lp_first UNION ALL SELECT * FROM lp_rest)
+  GROUP BY 1
+)
+SELECT d.doc_id, CAST(COALESCE(sc.n_tokens, 0) AS BIGINT) AS n_tokens,
+       round(sc.a, 6) AS avg_logprob, round(exp(-sc.a), 6) AS ppl
+FROM (SELECT DISTINCT doc_id FROM documents) d
+     LEFT JOIN sc ON d.doc_id = sc.doc_id
+"""
+
+
+def q_duplicate_spans(spark, sf_dir):
+    """ExactSubstr-proxy duplicate-span stats (Lee et al. 2021,
+    arXiv:2107.06499; datapipe/text.py duplicate_spans): per document,
+    the fraction of its word 5-gram occurrences whose gram appears in
+    at least one other document — boilerplate/mirror evidence that
+    whole-document hashing misses. Grams hash map-side to the portable
+    32-bit md5 prefix; one (doc, hash) partial-agg shuffle + one
+    vocabulary-sized doc-frequency aggregation + a hash join back."""
+    return dp_text.duplicate_spans(_docs(spark, sf_dir), k=5)
+
+
+DUP_SPANS_SQL = """
+WITH tk AS (
+  SELECT doc_id,
+         CASE WHEN t = '' THEN [] ELSE string_split(t, ' ') END AS toks
+  FROM (SELECT doc_id, trim(regexp_replace(regexp_replace(lower(text),
+               '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g')) AS t
+        FROM documents)
+), h AS (
+  SELECT doc_id, ('0x' || substr(md5(g), 1, 8))::BIGINT AS h
+  FROM (SELECT doc_id, unnest(CASE WHEN len(toks) < 5 THEN []
+               ELSE list_transform(range(len(toks) - 4),
+                    i -> array_to_string(toks[i + 1 : i + 5], ' ')) END) AS g
+        FROM tk)
+), per AS (
+  SELECT doc_id, h, COUNT(*) AS c FROM h GROUP BY 1, 2
+), dfq AS (
+  SELECT h, COUNT(*) AS nd FROM per GROUP BY 1
+), st AS (
+  SELECT doc_id, SUM(c) AS n,
+         SUM(CASE WHEN nd >= 2 THEN c ELSE 0 END) AS ndup
+  FROM per JOIN dfq USING (h) GROUP BY 1
+)
+SELECT d.doc_id, CAST(COALESCE(st.n, 0) AS BIGINT) AS n_grams,
+       CAST(COALESCE(st.ndup, 0) AS BIGINT) AS n_dup_grams,
+       round(COALESCE(st.ndup / CAST(st.n AS DOUBLE), 0.0), 6) AS dup_frac
+FROM (SELECT DISTINCT doc_id FROM documents) d
+     LEFT JOIN st ON d.doc_id = st.doc_id
+"""
+
+
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     return {
         # relational core (Pig scripts through the engine)
@@ -2290,6 +2400,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q16_brand_size_suppliers": _pig(Q16_ADAPT, "A"),
         "q20_promotion_suppliers": _pig(Q20_ADAPT, "ORD"),
         "q21_waiting_suppliers": _pig(Q21_ADAPT, "TOPW"),
+        # r07c: CCNet LM-perplexity scoring + ExactSubstr-proxy spans
+        "lm_perplexity": q_lm_perplexity,
+        "duplicate_spans": q_duplicate_spans,
     }
 
 
@@ -2366,4 +2479,6 @@ def oracle_sql() -> dict[str, str]:
         "q16_brand_size_suppliers": Q16_ADAPT_SQL,
         "q20_promotion_suppliers": Q20_ADAPT_SQL,
         "q21_waiting_suppliers": Q21_ADAPT_SQL,
+        "lm_perplexity": LM_PPL_SQL,
+        "duplicate_spans": DUP_SPANS_SQL,
     }

@@ -76,6 +76,9 @@ HEADLINE = [
     "q16_brand_size_suppliers",
     "q20_promotion_suppliers",
     "q21_waiting_suppliers",
+    # r07c: CCNet LM perplexity + ExactSubstr-proxy duplicate spans
+    "lm_perplexity",
+    "duplicate_spans",
 ]
 
 

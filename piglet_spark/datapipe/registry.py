@@ -191,4 +191,15 @@ def datapipe_ops() -> dict[str, Callable]:
         "tfidf_top_terms": lambda df, k=5, text="text",
             idc="doc_id": dt.tfidf_top_terms(
                 df, str(text), str(idc), k=int(k)),
+        # CCNet-style bigram-LM perplexity scoring (r07): the
+        # reference corpus is the rows whose `ref_col` equals the
+        # first argument (same convention as `contamination`)
+        "lm_perplexity": lambda df, ref="en", alpha=0.4, text="text",
+            idc="doc_id", ref_col="lang": dt.lm_perplexity(
+                df, df.filter(F.col(str(ref_col)) == str(ref)),
+                str(text), str(idc), alpha=float(alpha)),
+        # ExactSubstr-proxy cross-document duplicate-span stats (r07)
+        "duplicate_spans": lambda df, k=5, text="text",
+            idc="doc_id": dt.duplicate_spans(
+                df, str(text), str(idc), k=int(k)),
     }

@@ -431,3 +431,160 @@ def tfidf_top_terms(df: DataFrame, text_col: str = "text",
             .filter(F.col("rank") <= int(k))
             .select(F.col("_id").alias(id_col), "term", "tf", "score",
                     "rank"))
+
+# -------------------------------------------- LM-perplexity filtering
+# CCNet-style quality scoring (Wenzek et al. 2019, arXiv:1911.00359):
+# score every document by its perplexity under a language model
+# trained on a trusted reference corpus; high perplexity = far from
+# the target distribution (wrong language, boilerplate, gibberish).
+# CCNet uses a 5-gram KenLM; here the model is a bigram LM with
+# stupid backoff (Brants et al. 2007, EMNLP — "Large Language Models
+# in Machine Translation") to an add-one unigram, which keeps both
+# training and scoring fully relational (two count aggregations and
+# two hash joins — no model file, no Python) and exactly reproducible
+# in ANSI SQL for the oracle.
+
+
+def lm_perplexity(df: DataFrame, train_df: DataFrame | None = None,
+                  text_col: str = "text", id_col: str = "doc_id",
+                  alpha: float = 0.4) -> DataFrame:
+    """Per-document bigram-LM perplexity against a reference corpus.
+
+    Model (trained on ``train_df``, default: ``df`` itself):
+
+    - unigram: ``p1(w) = (C1(w) + 1) / (T + V)`` — add-one smoothed,
+      ``T`` total training tokens, ``V`` distinct training vocabulary
+      (+1 for the unseen class), so unseen words get positive mass.
+    - bigram with stupid backoff:
+      ``p(w | u) = C2(u,w) / C1(u)`` when the bigram was seen in
+      training, else ``alpha * p1(w)`` (Brants et al.'s fixed 0.4).
+
+    A document's first token scores ``p1``; every later token scores
+    the backoff bigram against its predecessor. Returns
+    ``(id, n_tokens, avg_logprob, ppl)`` with
+    ``ppl = exp(-avg_logprob)``, both rounded to 6 decimals; empty
+    documents yield ``n_tokens = 0`` and NULL scores.
+
+    Scale shape: training is two groupBy counts with map-side partial
+    aggregation (unigram and bigram tables are vocabulary-sized, far
+    smaller than the corpus); ``T``/``V`` fold in via a 1-row
+    broadcast cross join (no driver action). Scoring explodes each
+    document's token stream once and joins it to the two count tables
+    on the gram key — AQE broadcasts them when they fit, else a hash
+    shuffle on the gram; the final per-document average is one more
+    keyed aggregation. No Python, no window over the data."""
+    if not 0.0 < alpha <= 1.0:
+        raise ValueError("alpha must be in (0, 1]")
+    from .util import spread as _spread
+    train = train_df if train_df is not None else df
+    tnorm = normalize_text(F.col(text_col))
+    ttoks = (train.select(F.explode(F.split(tnorm, " ")).alias("_w"))
+             .filter(F.col("_w") != ""))
+    uni = ttoks.groupBy("_w").agg(F.count(F.lit(1)).alias("_c1"))
+    tot = uni.agg(F.sum("_c1").alias("_t"),
+                  (F.count(F.lit(1)) + 1).alias("_v"))
+    bi = (train.select(F.explode(text_ngrams(tnorm, 2)).alias("_g"))
+          .groupBy("_g").agg(F.count(F.lit(1)).alias("_c2")))
+
+    df = _spread(df, id_col)
+    norm = normalize_text(F.col(text_col))
+    # token stream with position: pos 0 scores the unigram, pos >= 1
+    # scores the bigram (predecessor = token pos-1, recovered from the
+    # exploded bigram string itself — no window/lag over the data)
+    toks = (df.select(F.col(id_col).alias("_id"),
+                      F.posexplode(F.split(norm, " "))
+                      .alias("_pos", "_w"))
+            .filter(F.col("_w") != ""))
+    first = toks.filter(F.col("_pos") == 0).select("_id", "_w")
+    rest = (df.select(F.col(id_col).alias("_id"),
+                      F.explode(text_ngrams(norm, 2)).alias("_g"))
+            .select("_id", "_g",
+                    F.substring_index(F.col("_g"), " ", 1).alias("_u"),
+                    F.substring_index(F.col("_g"), " ", -1).alias("_w")))
+
+    def p1(col_c1: Column) -> Column:
+        return ((F.coalesce(col_c1, F.lit(0)) + 1.0)
+                / (F.col("_t") + F.col("_v")))
+
+    lp_first = (first.join(uni, on="_w", how="left")
+                .crossJoin(F.broadcast(tot))
+                .select("_id", F.log(p1(F.col("_c1"))).alias("_lp")))
+    lp_rest = (rest.join(bi, on="_g", how="left")
+               .join(uni.select(F.col("_w").alias("_u"),
+                                F.col("_c1").alias("_cu")),
+                     on="_u", how="left")
+               .join(uni, on="_w", how="left")
+               .crossJoin(F.broadcast(tot))
+               .select("_id", F.log(
+                   F.when(F.col("_c2").isNotNull(),
+                          F.col("_c2") / F.col("_cu"))
+                   .otherwise(F.lit(float(alpha)) * p1(F.col("_c1"))))
+                   .alias("_lp")))
+    scores = (lp_first.unionByName(lp_rest)
+              .groupBy("_id")
+              .agg(F.count(F.lit(1)).alias("n_tokens"),
+                   F.avg("_lp").alias("_avg")))
+    # left join back so token-less documents keep a row (NULL scores)
+    ids = df.select(F.col(id_col).alias("_id")).distinct()
+    return (ids.join(scores, on="_id", how="left")
+            .select(F.col("_id").alias(id_col),
+                    F.coalesce(F.col("n_tokens"), F.lit(0))
+                    .alias("n_tokens"),
+                    F.round(F.col("_avg"), 6).alias("avg_logprob"),
+                    F.round(F.exp(-F.col("_avg")), 6).alias("ppl")))
+
+
+def duplicate_spans(df: DataFrame, text_col: str = "text",
+                    id_col: str = "doc_id", k: int = 5) -> DataFrame:
+    """Cross-document duplicate-span statistics — the relational proxy
+    for ExactSubstr deduplication (Lee et al. 2021,
+    arXiv:2107.06499, "Deduplicating Training Data Makes Language
+    Models Better"): a span duplicated across documents is evidence of
+    boilerplate/mirroring that exact-hash and MinHash both miss when
+    the surrounding document differs.
+
+    For every document: ``n_grams`` = total word ``k``-gram
+    occurrences (overlapping), ``n_dup_grams`` = occurrences whose
+    gram also appears in at least one OTHER document, and
+    ``dup_frac = n_dup_grams / n_grams`` (rounded to 6 decimals).
+    Documents shorter than ``k`` tokens yield ``(0, 0, 0.0)``.
+
+    Scale shape: grams are hashed map-side to a 32-bit md5 prefix
+    (the portable shingle hash — narrow rows instead of k-word
+    strings; same formulation as :func:`winnow_fingerprints`, so the
+    oracle reproduces it value-for-value). One (doc, hash) partial-agg
+    shuffle gives per-document occurrence counts; the document
+    frequency per hash is a second vocabulary-sized aggregation over
+    the distinct pairs; the join back is on the hash key (AQE
+    broadcasts when it fits). Lee et al.'s suffix array finds
+    arbitrary-length spans; fixed-``k`` windows trade that for a plan
+    with no global sort — any duplicated span of length >= k tokens is
+    still detected because all its k-grams collide."""
+    if k < 1:
+        raise ValueError("k must be >= 1")
+    from .util import spread as _spread
+    df = _spread(df, id_col)
+    grams = (df.select(
+        F.col(id_col).alias("_id"),
+        F.explode(text_ngrams(normalize_text(F.col(text_col)), k))
+        .alias("_g"))
+        .select("_id", F.conv(F.substring(F.md5(F.col("_g")), 1, 8),
+                              16, 10).cast("long").alias("_h")))
+    per = grams.groupBy("_id", "_h").agg(F.count(F.lit(1)).alias("_c"))
+    docfreq = (per.groupBy("_h")
+               .agg(F.count(F.lit(1)).alias("_nd")))
+    stats = (per.join(docfreq, on="_h")
+             .groupBy("_id")
+             .agg(F.sum("_c").alias("_n"),
+                  F.sum(F.when(F.col("_nd") >= 2, F.col("_c"))
+                        .otherwise(F.lit(0))).alias("_ndup")))
+    ids = df.select(F.col(id_col).alias("_id")).distinct()
+    return (ids.join(stats, on="_id", how="left")
+            .select(F.col("_id").alias(id_col),
+                    F.coalesce(F.col("_n"), F.lit(0)).alias("n_grams"),
+                    F.coalesce(F.col("_ndup"), F.lit(0))
+                    .alias("n_dup_grams"),
+                    F.round(F.coalesce(F.col("_ndup") /
+                                       F.col("_n").cast("double"),
+                                       F.lit(0.0)), 6)
+                    .alias("dup_frac")))

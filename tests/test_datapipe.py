@@ -1537,3 +1537,134 @@ T = STREAM D THROUGH tfidf_top_terms(2);
     want = sorted(tuple(r)
                   for r in text.tfidf_top_terms(df, k=2).collect())
     assert got == want and len(got) > 0
+
+
+def test_lm_perplexity_brute_force(spark):
+    """Bigram stupid-backoff perplexity vs a python reference: train
+    on the ref subset, score every doc; unseen bigrams back off to
+    alpha * add-one unigram; first token scores the unigram."""
+    import math
+    from collections import Counter
+    rows = [
+        (0, "the cat sat on the mat", "en"),
+        (1, "the cat sat", "en"),
+        (2, "dog runs fast", "en"),
+        (3, "le chat noir dort", "fr"),   # unseen words → backoff
+        (4, "the mat sat on a cat", "fr"),  # unseen bigrams, seen words
+        (5, "", "fr"),                     # empty → NULL scores
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text", "lang"])
+    train = [t for _, t, l in rows if l == "en"]
+    uni = Counter(w for t in train for w in t.split())
+    bi = Counter(" ".join(p) for t in train
+                 for p in zip(t.split(), t.split()[1:]))
+    T, V = sum(uni.values()), len(uni) + 1
+    alpha = 0.4
+
+    def p1(w):
+        return (uni.get(w, 0) + 1.0) / (T + V)
+
+    exp = {}
+    for i, t, _l in rows:
+        toks = t.split()
+        if not toks:
+            exp[i] = (0, None, None)
+            continue
+        lps = [math.log(p1(toks[0]))]
+        for u, w in zip(toks, toks[1:]):
+            g = f"{u} {w}"
+            p = bi[g] / uni[u] if g in bi else alpha * p1(w)
+            lps.append(math.log(p))
+        avg = sum(lps) / len(lps)
+        exp[i] = (len(toks), round(avg, 6), round(math.exp(-avg), 6))
+
+    got = {r["doc_id"]: (r["n_tokens"], r["avg_logprob"], r["ppl"])
+           for r in text.lm_perplexity(
+               df, df.filter(F.col("lang") == "en")).collect()}
+    assert set(got) == set(exp)
+    for i in exp:
+        assert got[i][0] == exp[i][0], (i, got[i], exp[i])
+        if exp[i][1] is None:
+            assert got[i][1] is None and got[i][2] is None
+        else:
+            assert got[i][1] == pytest.approx(exp[i][1], abs=2e-6)
+            assert got[i][2] == pytest.approx(exp[i][2], rel=1e-5)
+    # sanity: the French doc with unseen vocabulary is the most
+    # perplexing scored doc under the English model
+    assert got[3][2] == max(v[2] for v in got.values()
+                            if v[2] is not None)
+
+
+def test_lm_perplexity_self_train_no_backoff(spark):
+    """Training on the scored corpus itself: every bigram is seen, so
+    scores are pure conditional frequencies."""
+    import math
+    rows = [(0, "a b a b"), (1, "a b")]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = {r["doc_id"]: r for r in text.lm_perplexity(df).collect()}
+    # corpus: C1(a)=3, C1(b)=3, T=6, V=3; C2("a b")=3, C2("b a")=1
+    lp0 = (math.log(4 / 9) + math.log(3 / 3) + math.log(1 / 3)
+           + math.log(3 / 3)) / 4
+    lp1 = (math.log(4 / 9) + math.log(3 / 3)) / 2
+    assert got[0]["avg_logprob"] == pytest.approx(round(lp0, 6), abs=2e-6)
+    assert got[1]["avg_logprob"] == pytest.approx(round(lp1, 6), abs=2e-6)
+
+
+def test_lm_perplexity_rejects_bad_alpha(spark):
+    df = spark.createDataFrame([(0, "x")], ["doc_id", "text"])
+    with pytest.raises(ValueError):
+        text.lm_perplexity(df, alpha=0.0)
+
+
+def test_duplicate_spans_brute_force(spark):
+    """Cross-document duplicate k-gram coverage vs a python
+    reference (k=3): occurrences whose gram appears in >= 2 docs."""
+    from collections import Counter
+    rows = [
+        (0, "the quick brown fox jumps over the lazy dog"),
+        (1, "a quick brown fox jumps high above"),    # shares a span
+        (2, "completely different text here indeed"),  # unique
+        (3, "the quick brown fox jumps over the lazy dog"),  # clone of 0
+        (4, "xy"),                                     # < k tokens
+    ]
+    k = 3
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    grams = {i: [" ".join(t.split()[j:j + k])
+                 for j in range(len(t.split()) - k + 1)]
+             for i, t in rows}
+    docfreq = Counter(g for i in grams for g in set(grams[i]))
+    exp = {}
+    for i, gs in grams.items():
+        nd = sum(1 for g in gs if docfreq[g] >= 2)
+        exp[i] = (len(gs), nd,
+                  round(nd / len(gs), 6) if gs else 0.0)
+    got = {r["doc_id"]: (r["n_grams"], r["n_dup_grams"], r["dup_frac"])
+           for r in text.duplicate_spans(df, k=k).collect()}
+    assert got == exp
+    # the clone pair is fully covered; the partial overlap is not
+    assert got[0][2] == 1.0 and got[3][2] == 1.0
+    assert 0.0 < got[1][2] < 1.0 and got[2][2] == 0.0
+
+
+def test_lm_and_spans_via_stream_through(spark, tmp_path):
+    """Both r07 ops are reachable from the Pig DSL and agree with the
+    direct library calls."""
+    import piglet_spark as pg
+    rows = [(0, "the cat sat on the mat", "en"),
+            (1, "the cat sat on the mat", "fr"),
+            (2, "dogs run fast today", "en")]
+    df = spark.createDataFrame(rows, ["doc_id", "text", "lang"])
+    p = tmp_path / "docs.parquet"
+    df.write.mode("overwrite").parquet(str(p))
+    eng = pg.PigEngine(spark)
+    env = eng.run(f"""
+D = LOAD '{p}' USING ParquetStorage();
+P = STREAM D THROUGH lm_perplexity('en');
+S = STREAM D THROUGH duplicate_spans(3);
+""")
+    want_p = sorted(tuple(r) for r in text.lm_perplexity(
+        df, df.filter(F.col("lang") == "en")).collect())
+    want_s = sorted(tuple(r)
+                    for r in text.duplicate_spans(df, k=3).collect())
+    assert sorted(tuple(r) for r in env["P"].collect()) == want_p
+    assert sorted(tuple(r) for r in env["S"].collect()) == want_s
