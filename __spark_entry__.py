@@ -1939,7 +1939,7 @@ PV = FOREACH G GENERATE group AS l_partkey, SUM(V.v) AS val;
 TA = GROUP V ALL;
 T = FOREACH TA GENERATE SUM(V.v) AS total;
 C = CROSS PV, T;
-F = FILTER C BY val > 0.001 * total;
+F = FILTER C BY val > 0.0002 * total;
 OUT = FOREACH F GENERATE l_partkey, ROUND(val, 4) AS part_value;
 """
 
@@ -1951,7 +1951,7 @@ WITH j AS (
   WHERE n_name = 'NATION_9'
 ), g AS (SELECT l_partkey, SUM(v) AS val FROM j GROUP BY 1)
 SELECT l_partkey, ROUND(val, 4) AS part_value
-FROM g WHERE val > 0.001 * (SELECT SUM(v) FROM j)
+FROM g WHERE val > 0.0002 * (SELECT SUM(v) FROM j)
 """
 
 # Q15 shape: top supplier by quarterly revenue — scalar MAX via
