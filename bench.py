@@ -8,6 +8,19 @@ freshly generated whole-stage-codegen classes is interpreted and was
 measured 5-30× slower than steady state, with high variance depending
 on accumulated JVM state. The timed run then measures full query wall
 time (plan + execute + collect) at the target SF.
+
+Timed action (r07 fix): `count(1) + max(xxhash64(*cols))` in ONE
+aggregate over the query's output, instead of the previous bare
+`.count()`. A bare count lets Catalyst skip the query's actual work
+for two plan shapes this suite contains: (a) map-only projections
+collapse to parquet metadata counts (measured: doc_token_stats at
+sf10 "ran" in 0.16 s — 500k docs of regex stats cannot cost that),
+and (b) a left join whose right side is aggregated on the join key is
+eliminated outright (lm_perplexity "scored" 500k docs in 0.65 s at
+any SF because the LM never executed). Hashing every output column
+forces full evaluation while returning one scalar — no driver-side
+data transfer skews the number. Columns whose type xxhash64 rejects
+(maps) fall back to their string form.
 """
 
 from __future__ import annotations
@@ -119,6 +132,24 @@ def main():
     qs = entrymod.queries()
     warmup_dir = os.environ.get("SPARK_GRAFT_WARMUP_DIR",
                                 "/root/testdata/sf0.001")
+
+    from pyspark.sql import functions as F
+
+    def force(df):
+        """Row count via ONE aggregate that also hashes every output
+        column — forcing full evaluation of the query (a bare count()
+        lets Catalyst prune map-only projections to parquet metadata
+        counts and eliminate aggregated-right left joins, silently
+        skipping the operator under test). Returns the row count."""
+        cols = []
+        for f in df.schema.fields:
+            c = F.col(f.name)
+            # xxhash64 rejects MapType; its string form hashes fine
+            cols.append(c.cast("string") if "map" in
+                        f.dataType.simpleString() else c)
+        row = df.agg(F.count(F.lit(1)).alias("n"),
+                     F.max(F.xxhash64(*cols)).alias("h")).collect()[0]
+        return row["n"]
     timings: dict[str, float | None] = {}
     errors: dict[str, str] = {}
     for name in HEADLINE:
@@ -138,7 +169,7 @@ def main():
         # timed runs onto compiled code.
         for _ in range(2):
             try:
-                fn(spark, warmup_dir).count()
+                force(fn(spark, warmup_dir))
             except Exception as e:
                 print(f"# {name}: warmup failed ({type(e).__name__}: "
                       f"{str(e)[:120]})", file=sys.stderr)
@@ -151,7 +182,7 @@ def main():
             t0 = time.perf_counter()
             try:
                 df = fn(spark, sf_dir)
-                n = df.count() if name != "q1_pricing_summary" \
+                n = force(df) if name != "q1_pricing_summary" \
                     else len(df.collect())
             except Exception as e:  # one broken query must not zero
                 err = e             # the whole bench artifact
