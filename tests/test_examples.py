@@ -1,0 +1,59 @@
+"""The examples/ scripts run end-to-end through the engine."""
+
+from pathlib import Path
+
+import pytest
+from pyspark.sql import functions as F
+
+import piglet_spark as pg
+
+EXAMPLES = Path(__file__).resolve().parent.parent / "examples"
+
+
+def test_training_pipeline_end_to_end(spark, sf_dir, tmp_path):
+    """quality gates -> repetition gates -> pii scrub -> exact dedup
+    -> per-source cap -> mixture -> packing, composed purely in the
+    DSL; every stage is monotone non-increasing in row count and the
+    packed output covers the survivors' tokens exactly."""
+    script = (EXAMPLES / "training_pipeline.pig").read_text()
+    out = tmp_path / "packed"
+    eng = pg.PigEngine(spark, params={"sf": str(sf_dir),
+                                      "out": str(out)})
+    env = eng.run(script)
+
+    n_docs = env["D"].count()
+    n_q = env["QOK"].count()
+    n_u = eng.df("U").count()
+    n_cap = eng.df("CAP").count()
+    n_mix = eng.df("MIX").count()
+    packed = eng.df("PACKED")
+    n_packed = packed.count()
+    assert n_docs >= n_q >= 1
+    assert n_u >= n_cap >= n_mix >= 1
+    assert n_packed == n_mix  # chunk_pack: one row per surviving doc
+
+    # per-source cap actually binds
+    caps = (eng.df("CAP").groupBy("source").count()
+            .agg(F.max("count")).collect()[0][0])
+    assert caps <= 40
+
+    # packing invariant: consecutive docs tile the token stream
+    rows = sorted(packed.collect(), key=lambda r: r["doc_id"])
+    pos = 0
+    for r in rows:
+        assert r["start_tok"] == pos
+        pos += r["n_tokens"]
+
+    # the STORE landed readable parquet with the same rows
+    back = spark.read.parquet(str(out))
+    assert back.count() == n_packed
+
+
+def test_training_pipeline_quality_gate_filters(spark, sf_dir):
+    """The quality gate is a real filter: QOK strictly excludes some
+    documents at the test SF (guards against a vacuous example)."""
+    script = (EXAMPLES / "training_pipeline.pig").read_text()
+    eng = pg.PigEngine(spark, params={"sf": str(sf_dir),
+                                      "out": "/tmp/_tpx"})
+    env = eng.run(script)
+    assert env["QOK"].count() < env["D"].count()
