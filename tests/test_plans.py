@@ -142,3 +142,32 @@ def test_tpch_star_joins_broadcast_no_cartesian(spark):
         assert "CartesianProduct" not in plan, name
         assert "BroadcastNestedLoopJoin" not in plan, name
         assert "BroadcastHashJoin" in plan, name
+
+
+def test_lm_perplexity_stays_jvm_side_no_data_window(spark, entry):
+    """The LM never leaves codegen: no Python eval nodes, no global
+    window over the token stream (the per-doc average is a hash
+    aggregate), and the 1-row totals fold in as a broadcast."""
+    plan = _plan(entry.queries()["lm_perplexity"](spark, SF))
+    assert "BatchEvalPython" not in plan and "ArrowEval" not in plan
+    assert "Window" not in plan            # no window over data
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" \
+        in plan                            # the 1-row T/V cross join
+    assert "CartesianProduct" not in plan  # never a real cartesian
+
+
+def test_duplicate_spans_partial_aggregates_map_side(spark, entry):
+    """(doc,hash) counts partially aggregate before the shuffle and
+    gram strings never ride the exchange (only the 32-bit hash)."""
+    plan = _plan(entry.queries()["duplicate_spans"](spark, SF))
+    assert "partial_count" in plan or "HashAggregate" in plan
+    assert "BatchEvalPython" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_q21_self_aggregation_chain_no_cartesian(spark, entry):
+    """The four-phase exists/not-exists chain stays hash/broadcast
+    joins — a cartesian anywhere here explodes at scale."""
+    plan = _plan(entry.queries()["q21_waiting_suppliers"](spark, SF))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
