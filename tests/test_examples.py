@@ -57,3 +57,31 @@ def test_training_pipeline_quality_gate_filters(spark, sf_dir):
                                       "out": "/tmp/_tpx"})
     env = eng.run(script)
     assert env["QOK"].count() < env["D"].count()
+
+
+def test_rag_index_end_to_end(spark, sf_dir):
+    """duplicate-span gate -> chunking -> SemDeDup -> IVF ANN, in the
+    DSL; the ANN hits agree with brute-force cosine top-k restricted
+    to the deduped vectors."""
+    from piglet_spark.datapipe import similarity
+
+    script = (EXAMPLES / "rag_index.pig").read_text()
+    qvec = ",".join(["0.1"] * 64)
+    eng = pg.PigEngine(spark, params={"sf": str(sf_dir), "qvec": qvec})
+    env = eng.run(script)
+
+    assert env["CLEAN"].count() <= env["SP"].count()
+    # every chunk respects the window size
+    mx = eng.df("CH").agg(F.max("n_chunk_tokens")).collect()[0][0]
+    assert mx <= 64
+    # deduped vector set is a subset, ANN returns k hits from it
+    kept = {r["vec_id"] for r in env["KEEP"].collect()}
+    hits = eng.df("HITS").collect()
+    assert 0 < len(hits) <= 10
+    assert {r["vec_id"] for r in hits} <= kept
+    # recall sanity vs exact top-k over the same deduped set
+    v = eng.df("V")
+    exact = {r["vec_id"] for r in similarity.cosine_topk(
+        v, [0.1] * 64, k=10).collect()}
+    got = {r["vec_id"] for r in hits}
+    assert len(got & exact) >= 5  # IVF probes >= half the exact set
