@@ -1031,3 +1031,42 @@ def test_stream_socket_line_parse_pipe_delim(spark):
     out = sorted(tuple(r) for r in
                  _parse_lines(raw, "PigStorage", ["|"], decl, None).collect())
     assert out == [("x", 1), ("yy", 22)]
+
+
+def test_datapipe_map_only_ops_on_streams(spark, tmp_path):
+    """The map-only datapipe operators (doc_stats, pii_scrub,
+    chunk_text) are pure Column expressions, so STREAM THROUGH
+    applies them to unbounded inputs unchanged — the streaming
+    micro-batch output matches the batch run value-for-value."""
+    d = tmp_path / "docs"
+    d.mkdir()
+    (d / "a.csv").write_text(
+        "1\tthe quick brown fox jumps over the lazy dog today\n"
+        "2\tcall me at 555-123-4567 or mail a@b.com now please\n"
+        "3\tshort doc\n")
+    schema = "doc_id:long, text:chararray"
+
+    batch = pg.PigEngine(spark)
+    batch.run(f"""
+D = LOAD '{d}/a.csv' USING PigStorage('\\t') AS ({schema});
+S = STREAM D THROUGH doc_stats();
+P = STREAM D THROUGH pii_scrub();
+C = STREAM D THROUGH chunk_text(4, 1);
+""")
+    want = {a: sorted(map(tuple, batch.df(a).collect()))
+            for a in ("S", "P", "C")}
+
+    stream = pg.PigEngine(spark, options={"streaming": True})
+    stream.run(f"""
+D = LOAD '{d}' USING PigStorage('\\t') AS ({schema});
+S = STREAM D THROUGH doc_stats();
+P = STREAM D THROUGH pii_scrub();
+C = STREAM D THROUGH chunk_text(4, 1);
+""")
+    for a in ("S", "P", "C"):
+        df = stream.df(a)
+        assert df.isStreaming, a
+        _drain(df, f"t_dp_{a}")
+        got = sorted(map(tuple,
+                         spark.sql(f"select * from t_dp_{a}").collect()))
+        assert got == want[a], a
