@@ -463,7 +463,11 @@ def lm_perplexity(df: DataFrame, train_df: DataFrame | None = None,
     the backoff bigram against its predecessor. Returns
     ``(id, n_tokens, avg_logprob, ppl)`` with
     ``ppl = exp(-avg_logprob)``, both rounded to 6 decimals; empty
-    documents yield ``n_tokens = 0`` and NULL scores.
+    documents yield ``n_tokens = 0`` and NULL scores. An EMPTY
+    reference corpus leaves the model undefined: every scored token's
+    probability is NULL (T is a NULL sum), so all scores come back
+    NULL rather than an arbitrary uniform — callers detect the
+    misconfiguration instead of silently ranking on noise.
 
     Scale shape: training is two groupBy counts with map-side partial
     aggregation (unigram and bigram tables are vocabulary-sized, far

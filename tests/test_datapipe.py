@@ -1668,3 +1668,14 @@ S = STREAM D THROUGH duplicate_spans(3);
                     for r in text.duplicate_spans(df, k=3).collect())
     assert sorted(tuple(r) for r in env["P"].collect()) == want_p
     assert sorted(tuple(r) for r in env["S"].collect()) == want_s
+
+
+def test_lm_perplexity_empty_reference_yields_null_scores(spark):
+    """An empty reference corpus leaves the model undefined: NULL
+    scores (not a silent uniform), token counts still reported."""
+    df = spark.createDataFrame([(0, "a b", "fr")],
+                               ["doc_id", "text", "lang"])
+    out = text.lm_perplexity(
+        df, df.filter(F.col("lang") == "en")).collect()
+    assert [(r["doc_id"], r["n_tokens"], r["avg_logprob"], r["ppl"])
+            for r in out] == [(0, 2, None, None)]
