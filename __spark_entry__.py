@@ -1280,6 +1280,76 @@ ORDER BY cos DESC, vec_id ASC LIMIT {k}
 """
 
 
+def q_knn_join(spark, sf_dir):
+    """Batch kNN join (datapipe/similarity.knn_join, method='exact'):
+    every 100th vector is a query; each finds its 5 nearest corpus
+    neighbors by cosine (self excluded). Broadcast query side,
+    codegen'd fold cosine, per-query ROW_NUMBER top-k — the
+    oracle-exact baseline for the BLAS mapInPandas scale path (pytest
+    asserts blas == exact) and the LSH-bucketed variant below."""
+    emb = _emb(spark, sf_dir)
+    qs = emb.filter(F.col("vec_id") % 100 == 0)
+    return dp_sim.knn_join(emb, qs, k=5, method="exact")
+
+
+def q_knn_join_lsh(spark, sf_dir):
+    """LSH-bucketed batch kNN join: hyperplane sign buckets on both
+    sides, hamming≤1 multi-probe explode on the query side, bucket
+    equi-join prunes candidates ~(1+p)/2^p before the exact re-rank.
+    Deterministic (literal LCG hyperplanes) — the full candidate
+    pipeline reproduces in DuckDB."""
+    emb = _emb(spark, sf_dir)
+    qs = emb.filter(F.col("vec_id") % 100 == 0)
+    return dp_sim.knn_join(emb, qs, k=5, method="lsh", n_planes=4)
+
+
+_COS_EQ = ("list_dot_product(e.embedding::DOUBLE[], q.qv)"
+           " / (sqrt(list_dot_product(e.embedding::DOUBLE[],"
+           " e.embedding::DOUBLE[]))"
+           " * sqrt(list_dot_product(q.qv, q.qv)))")
+
+
+def _knn_join_sql(k: int = 5, qmod: int = 100,
+                  lsh: bool = False, n_planes: int = 4,
+                  dim: int = 64) -> str:
+    """Generated oracle for q_knn_join / q_knn_join_lsh: queries =
+    vec_id ≡ 0 (mod qmod); per query, ROW_NUMBER over round(cos,6)
+    desc, nbr_id asc; the lsh form adds the literal-hyperplane bucket
+    + hamming≤1 xor membership filter (same construction as
+    _ann_lsh_sql)."""
+    bucket_filter = ""
+    if lsh:
+        from piglet_spark.datapipe.similarity import hyperplanes
+        planes = hyperplanes(dim, n_planes)
+
+        def bucket(v: str) -> str:
+            return " + ".join(
+                "(CASE WHEN list_dot_product({}, [{}]::DOUBLE[]) > 0"
+                " THEN {} ELSE 0 END)".format(
+                    v, ", ".join(repr(x) for x in p), 1 << i)
+                for i, p in enumerate(planes))
+
+        probe_xors = ", ".join(
+            str(x) for x in [0] + [1 << i for i in range(n_planes)])
+        bucket_filter = (
+            f" AND xor(({bucket('e.embedding::DOUBLE[]')})::BIGINT,"
+            f" ({bucket('q.qv')})::BIGINT) IN ({probe_xors})")
+    return f"""
+WITH q AS (
+    SELECT vec_id AS qid, embedding::DOUBLE[] AS qv
+    FROM embeddings WHERE vec_id % {qmod} = 0
+), scored AS (
+    SELECT q.qid, e.vec_id AS nbr_id, ROUND({_COS_EQ}, 6) AS cos
+    FROM embeddings e, q
+    WHERE e.vec_id <> q.qid{bucket_filter}
+)
+SELECT qid, nbr_id, cos FROM (
+    SELECT *, ROW_NUMBER() OVER (
+        PARTITION BY qid ORDER BY cos DESC, nbr_id ASC) AS rn
+    FROM scored) WHERE rn <= {k}
+"""
+
+
 def q_ivf(spark, sf_dir):
     """IVF-style ANN top-k with a trained coarse quantizer (md5-spread
     seeds + one Lloyd refinement). Every step is deterministic —
@@ -2403,6 +2473,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # r07c: CCNet LM-perplexity scoring + ExactSubstr-proxy spans
         "lm_perplexity": q_lm_perplexity,
         "duplicate_spans": q_duplicate_spans,
+        # r07d: batch kNN join (exact baseline + LSH-bucketed)
+        "knn_join_exact": q_knn_join,
+        "knn_join_lsh": q_knn_join_lsh,
     }
 
 
@@ -2481,4 +2554,6 @@ def oracle_sql() -> dict[str, str]:
         "q21_waiting_suppliers": Q21_ADAPT_SQL,
         "lm_perplexity": LM_PPL_SQL,
         "duplicate_spans": DUP_SPANS_SQL,
+        "knn_join_exact": _knn_join_sql(),
+        "knn_join_lsh": _knn_join_sql(lsh=True),
     }

@@ -92,6 +92,8 @@ HEADLINE = [
     # r07c: CCNet LM perplexity + ExactSubstr-proxy duplicate spans
     "lm_perplexity",
     "duplicate_spans",
+    "knn_join_exact",
+    "knn_join_lsh",
 ]
 
 

@@ -202,4 +202,12 @@ def datapipe_ops() -> dict[str, Callable]:
         "duplicate_spans": lambda df, k=5, text="text",
             idc="doc_id": dt.duplicate_spans(
                 df, str(text), str(idc), k=int(k)),
+        # batch kNN join (r07): queries = rows whose id ≡ 0 mod the
+        # first argument (split-of-self convention, like
+        # `contamination`); meth ∈ exact|blas|lsh
+        "knn_join": lambda df, qmod=100, k=5, meth="exact",
+            vec="embedding", idc="vec_id": _sim().knn_join(
+                df, df.filter(F.col(str(idc)) % int(qmod) == 0),
+                k=int(k), method=str(meth), vec_col=str(vec),
+                id_col=str(idc)),
     }

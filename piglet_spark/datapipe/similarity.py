@@ -278,6 +278,154 @@ def train_centroids(df: DataFrame, vec_col: str, id_col: str,
     return cent_rows, cents_lit
 
 
+def knn_join(corpus: DataFrame, queries: DataFrame, k: int = 5,
+             vec_col: str = "embedding", id_col: str = "vec_id",
+             q_vec_col: str | None = None, q_id_col: str | None = None,
+             exclude_self: bool = True, method: str = "exact",
+             dim: int | None = None, n_planes: int = 4,
+             max_queries: int = 65536,
+             batch_slack: int | None = None) -> DataFrame:
+    """Batch k-nearest-neighbor join: for EVERY row of ``queries``,
+    the ``k`` rows of ``corpus`` with the highest cosine similarity.
+    Returns (qid, nbr_id, cos) with deterministic ROW_NUMBER
+    semantics — per query, order by round(cos, 6) desc, nbr_id asc.
+    Null/short vectors and zero-norm vectors are excluded on both
+    sides (their cosine is undefined).
+
+    The single-query ``cosine_topk``/``ann_lsh_topk``/``ivf_topk``
+    cover interactive lookup; this is the bulk path a training-data
+    pipeline needs (label propagation, RAG index build, SemDeDup-style
+    cross-corpus linking: reference Piglet has no equivalent — the
+    nearest shape is its CROSS + FOREACH idiom, op/Cross.scala:15).
+
+    Three physical strategies:
+
+    - ``exact``: broadcast the query side, codegen'd unrolled fold
+      cosine inside the nested-loop join, per-query top-k window.
+      Fully DuckDB-oracle-reproducible (bit-identical fold order).
+      The window shuffles |corpus|·|queries| scored rows on qid — the
+      right plan when nq is small or the corpus already fits a
+      scored-pairs shuffle.
+    - ``blas``: THE 100 TB path. The query matrix (≤ ``max_queries``
+      rows, guarded) is L2-normalized driver-side and closed over an
+      Arrow ``mapInPandas`` pass: each batch computes one
+      numpy-BLAS ``V_n @ Q_nᵀ`` matmul and emits only its per-query
+      top-(k+slack) candidate ids — the corpus is scanned ONCE, the
+      |C|·nq cross product is never materialized, and the final
+      window ranks nbatches·nq·(k+slack) candidate rows, not data.
+      Scores are the BLAS values (pairwise summation), so a pair
+      within ~1 ulp of a fold-order pair can rank differently than
+      ``exact`` at the k boundary — same honest caveat as IVF
+      training (observed: none; pytest asserts blas == exact).
+    - ``lsh``: random-hyperplane buckets on both sides, hamming≤1
+      multi-probe explode on the query side, bucket equi-join →
+      candidates shrink ~(1+n_planes)/2^n_planes before the exact
+      re-rank. Deterministic and oracle-reproducible; recall follows
+      the measured table in SCALE.md.
+    """
+    q_vec_col = q_vec_col or vec_col
+    q_id_col = q_id_col or id_col
+    if method not in ("exact", "blas", "lsh"):
+        raise ValueError(f"knn_join: unknown method {method!r}")
+    dim = dim if dim is not None else probe_dim(queries, q_vec_col)
+
+    qs = (queries.select(F.col(q_id_col).alias("qid"),
+                         _as_double(F.col(q_vec_col)).alias("_qv"))
+          .filter(F.size(F.col("_qv")) >= dim)
+          .withColumn("_nq", norm_expr("_qv", dim))
+          .filter(F.col("_nq") > 0))
+    base = (_spread(corpus)
+            .select(F.col(id_col).alias("nbr_id"),
+                    _as_double(F.col(vec_col)).alias("_v"))
+            .filter(F.size(F.col("_v")) >= dim)
+            .withColumn("_nv", norm_expr("_v", dim))
+            .filter(F.col("_nv") > 0))
+
+    from pyspark.sql import Window
+
+    def _topk(scored: DataFrame) -> DataFrame:
+        w = (Window.partitionBy("qid")
+             .orderBy(F.col("cos").desc(), F.col("nbr_id").asc()))
+        return (scored.withColumn("_rn", F.row_number().over(w))
+                .filter(F.col("_rn") <= int(k)).drop("_rn"))
+
+    cos6 = F.round(cosine_with_norms("_v", "_qv", "_nv", "_nq", dim), 6)
+    not_self = (F.col("nbr_id") != F.col("qid")) if exclude_self else F.lit(True)
+
+    if method == "exact":
+        scored = (base.join(F.broadcast(qs), not_self)
+                  .select("qid", "nbr_id", cos6.alias("cos")))
+        return _topk(scored)
+
+    if method == "lsh":
+        probes = F.array(*[F.lit(x) for x in
+                           [0] + [1 << i for i in range(n_planes)]])
+        qb = (qs.withColumn("_qb", hyperplane_bucket("_qv", dim, n_planes))
+              .withColumn("_probe",
+                          F.explode(F.transform(
+                              probes, lambda x: x.bitwiseXOR(F.col("_qb")))))
+              .drop("_qb"))
+        scored = (base.withColumn("_b", hyperplane_bucket("_v", dim, n_planes))
+                  .join(F.broadcast(qb),
+                        (F.col("_b") == F.col("_probe")) & not_self)
+                  .select("qid", "nbr_id", cos6.alias("cos")))
+        return _topk(scored)
+
+    # --- blas ---
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import types as _T
+    qrows = qs.limit(max_queries + 1).collect()
+    if len(qrows) > max_queries:
+        raise ValueError(
+            f"knn_join(method='blas'): query side exceeds max_queries="
+            f"{max_queries}; raise the cap or pre-partition the queries")
+    if not qrows:
+        return base.select(
+            F.col("nbr_id").alias("qid"), F.col("nbr_id"),
+            F.lit(0.0).alias("cos")).limit(0)
+    q_ids = [r["qid"] for r in qrows]
+    Q = np.array([[float(x) for x in r["_qv"][:dim]] for r in qrows],
+                 dtype=np.float64)
+    Qn = Q / np.sqrt((Q ** 2).sum(axis=1, keepdims=True))
+    slack = int(batch_slack if batch_slack is not None else 3 * k + 8)
+    q_id_type = queries.schema[q_id_col].dataType
+    nbr_type = corpus.schema[id_col].dataType
+    out_schema = _T.StructType([
+        _T.StructField("qid", q_id_type),
+        _T.StructField("nbr_id", nbr_type),
+        _T.StructField("cos", _T.DoubleType())])
+    kk = int(k)
+    excl = bool(exclude_self)
+
+    def _batch_candidates(batches):
+        q_arr = np.asarray(q_ids, dtype=object)
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            V = np.array([v[:dim] for v in pdf["_v"]], dtype=np.float64)
+            ids = pdf["nbr_id"].to_numpy()
+            Vn = V / np.sqrt((V ** 2).sum(axis=1, keepdims=True))
+            S = Vn @ Qn.T                      # (batch, nq) — one BLAS call
+            if excl:
+                # mask self-pairs so they can't occupy candidate slots
+                self_mask = ids[:, None] == q_arr[None, :]
+                S = np.where(self_mask, -np.inf, S)
+            m = min(slack + kk, len(ids))
+            top = np.argpartition(-S, m - 1, axis=0)[:m]   # (m, nq)
+            col = np.repeat(np.arange(S.shape[1]), m)
+            row = top.T.ravel()
+            keep = np.isfinite(S[row, col])
+            yield pd.DataFrame({
+                "qid": q_arr[col[keep]],
+                "nbr_id": ids[row[keep]],
+                "cos": np.round(S[row[keep], col[keep]], 6)})
+
+    cands = base.select("nbr_id", "_v").mapInPandas(
+        _batch_candidates, schema=out_schema)
+    return _topk(cands)
+
+
 def ivf_topk(df: DataFrame, query_vec: list[float], k: int = 10,
              vec_col: str = "embedding", id_col: str = "vec_id",
              n_cells: int = 16, n_probe: int = 4,

@@ -201,6 +201,117 @@ def test_ivf_topk(spark, sf_dir):
     assert all(-1.0 <= r["cos"] <= 1.0 for r in got)
 
 
+def _knn_brute(rows, q_rows, k, exclude_self=True):
+    """Reference kNN join in plain Python: round(cos,6) desc, id asc."""
+    out = []
+    for qr in q_rows:
+        qv = [float(x) for x in qr["embedding"]]
+        scored = []
+        for r in rows:
+            if exclude_self and r["vec_id"] == qr["vec_id"]:
+                continue
+            v = [float(x) for x in r["embedding"]]
+            d = sum(x * y for x, y in zip(v, qv))
+            na = math.sqrt(sum(x * x for x in v))
+            nb = math.sqrt(sum(x * x for x in qv))
+            scored.append((-(round(d / (na * nb), 6)), r["vec_id"]))
+        for negc, nid in sorted(scored)[:k]:
+            out.append((qr["vec_id"], nid, -negc))
+    return sorted(out)
+
+
+def test_knn_join_exact_brute_force(spark, sf_dir):
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    qs = emb.filter(F.col("vec_id") % 100 == 0)
+    got = sorted((r["qid"], r["nbr_id"], r["cos"]) for r in
+                 similarity.knn_join(emb, qs, k=5, method="exact").collect())
+    assert got == _knn_brute(emb.collect(), qs.collect(), k=5)
+
+
+def test_knn_join_blas_equals_exact(spark, sf_dir):
+    """The BLAS mapInPandas scale path must agree with the
+    oracle-exact path (same ids, same round-6 scores) on real data."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    qs = emb.filter(F.col("vec_id") % 50 == 0)
+    key = lambda r: (r["qid"], r["nbr_id"], r["cos"])
+    ex = sorted(map(key, similarity.knn_join(
+        emb, qs, k=5, method="exact").collect()))
+    bl = sorted(map(key, similarity.knn_join(
+        emb, qs, k=5, method="blas").collect()))
+    assert ex == bl
+
+
+def test_knn_join_lsh_subset_and_recall(spark, sf_dir):
+    """LSH candidates are a subset of the corpus pairs the bucket
+    filter admits; every returned neighbor's score must equal the
+    exact score, and panel recall stays useful."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    qs = emb.filter(F.col("vec_id") % 100 == 0)
+    exact = similarity.knn_join(emb, qs, k=5, method="exact").collect()
+    lsh = similarity.knn_join(emb, qs, k=5, method="lsh").collect()
+    ex_scores = {(r["qid"], r["nbr_id"]): r["cos"] for r in exact}
+    ex_pairs = set(ex_scores)
+    all_scores = {(r["qid"], r["nbr_id"]): r["cos"] for r in
+                  similarity.knn_join(emb, qs, k=10 ** 6,
+                                      method="exact").collect()}
+    hit = 0
+    for r in lsh:
+        assert all_scores[(r["qid"], r["nbr_id"])] == r["cos"]
+        hit += (r["qid"], r["nbr_id"]) in ex_pairs
+    assert hit / len(ex_pairs) >= 0.4  # 4-plane hamming≤1 on random 64-d
+
+
+def test_knn_join_self_and_ragged(spark):
+    """exclude_self=False returns the query itself at cos 1.0;
+    null/short/zero vectors drop from both sides instead of crashing
+    or emitting undefined cosines."""
+    emb = spark.createDataFrame(
+        [(0, [1.0, 0.0]), (1, [0.9, 0.1]), (2, [0.0, 1.0]),
+         (3, [1.0]), (4, None), (5, [0.0, 0.0])],
+        "vec_id int, embedding array<double>")
+    qs = emb.filter(F.col("vec_id").isin(0, 3, 5))
+    with_self = similarity.knn_join(emb, qs, k=2, method="exact",
+                                    exclude_self=False).collect()
+    by_q = {}
+    for r in with_self:
+        by_q.setdefault(r["qid"], []).append(r)
+    assert set(by_q) == {0}  # short/zero-norm queries dropped
+    assert by_q[0][0]["nbr_id"] == 0 and by_q[0][0]["cos"] == 1.0
+    no_self = similarity.knn_join(emb, qs, k=2, method="exact").collect()
+    assert all(r["nbr_id"] != r["qid"] for r in no_self)
+    assert {r["nbr_id"] for r in no_self} <= {0, 1, 2}
+
+
+def test_knn_join_blas_guards(spark):
+    emb = spark.createDataFrame(
+        [(i, [float(i), 1.0]) for i in range(6)],
+        "vec_id int, embedding array<double>")
+    with pytest.raises(ValueError, match="max_queries"):
+        similarity.knn_join(emb, emb, k=1, method="blas", max_queries=3)
+    empty = similarity.knn_join(
+        emb, emb.filter("vec_id < 0"), k=1, method="blas").collect()
+    assert empty == []
+    with pytest.raises(ValueError, match="unknown method"):
+        similarity.knn_join(emb, emb, method="cuda")
+
+
+def test_knn_join_via_stream_through(spark, sf_dir):
+    """The registry entry (`STREAM E THROUGH knn_join(...)`) must
+    produce the same rows as the direct call."""
+    from piglet_spark.engine import PigEngine
+    eng = PigEngine(spark)
+    eng.run(f"""
+E = LOAD '{sf_dir}/embeddings.parquet' USING ParquetStorage();
+K = STREAM E THROUGH knn_join(100, 5);
+""")
+    out = eng.df("K").collect()
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    qs = emb.filter(F.col("vec_id") % 100 == 0)
+    direct = similarity.knn_join(emb, qs, k=5, method="exact").collect()
+    key = lambda r: (r["qid"], r["nbr_id"], r["cos"])
+    assert sorted(map(key, out)) == sorted(map(key, direct))
+
+
 def test_doc_stats(docs):
     out = {r["doc_id"]: r for r in text.doc_stats(docs).collect()}
     assert out[0]["n_tokens"] == 9
