@@ -1693,6 +1693,26 @@ FROM cum
 """
 
 
+def q_global_shuffle(spark, sf_dir):
+    """Deterministic global shuffle (datapipe/pack.py global_shuffle):
+    every document stamped with its reproducible pseudo-random global
+    read position — md5-keyed TeraSort two-phase rank on a narrow
+    (id, key) projection, joined back to the full rows. Same seed →
+    same permutation at any cluster size; the oracle is the plain
+    ROW_NUMBER over the same md5 key."""
+    return dp_pack.global_shuffle(
+        _docs(spark, sf_dir).select("doc_id", "source", "n_chars"),
+        seed=42)
+
+
+GLOBAL_SHUFFLE_SQL = """
+SELECT doc_id, source, n_chars,
+       ROW_NUMBER() OVER (ORDER BY md5('42:' || doc_id::VARCHAR),
+                          doc_id) - 1 AS shuffle_pos
+FROM documents
+"""
+
+
 def q_mixture_sample(spark, sf_dir):
     """Deterministic corpus mixing (Pile/ROOTS-style per-source rates;
     datapipe/pack.py mixture_sample): membership decided by a seeded
@@ -2476,6 +2496,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # r07d: batch kNN join (exact baseline + LSH-bucketed)
         "knn_join_exact": q_knn_join,
         "knn_join_lsh": q_knn_join_lsh,
+        # r07d: reproducible corpus-order shuffle
+        "global_shuffle": q_global_shuffle,
     }
 
 
@@ -2556,4 +2578,5 @@ def oracle_sql() -> dict[str, str]:
         "duplicate_spans": DUP_SPANS_SQL,
         "knn_join_exact": _knn_join_sql(),
         "knn_join_lsh": _knn_join_sql(lsh=True),
+        "global_shuffle": GLOBAL_SHUFFLE_SQL,
     }

@@ -94,6 +94,7 @@ HEADLINE = [
     "duplicate_spans",
     "knn_join_exact",
     "knn_join_lsh",
+    "global_shuffle",
 ]
 
 

@@ -103,6 +103,60 @@ def chunk_pack(df: DataFrame, text_col: str = "text",
         (F.col("start_tok") % seq_len).alias("chunk_offset"))
 
 
+def global_shuffle(df: DataFrame, id_col: str = "doc_id",
+                   seed: int = 42,
+                   pos_col: str = "shuffle_pos") -> DataFrame:
+    """Deterministic global shuffle: every row gets a reproducible
+    pseudo-random global position ``pos_col`` (0-based, dense), the
+    order a training run reads the corpus in. Same seed → the same
+    permutation on any cluster size, any partitioning, any engine —
+    the property that makes a data-loading order auditable and a
+    crashed run resumable (Spark's ``orderBy(rand(seed))`` is
+    partitioning-dependent; this is not).
+
+    Sort key = md5('<seed>:' || id) with the id as tie-break, so the
+    permutation is the oracle-portable
+    ``ROW_NUMBER() OVER (ORDER BY md5(...), id) - 1``.
+
+    Scale shape: the TeraSort two-phase rank shared with RANK /
+    chunk_pack / dsir_resample — positions are computed on a
+    CHECKPOINTED NARROW (id, key) projection (range partition on the
+    key, per-partition row_number, driver-side ≤nparts-row offset
+    table broadcast back), then hash-joined to the full rows by id.
+    Two data-sized shuffles total (the narrow rank + the join-back),
+    never a single-partition global window, and the wide payload is
+    neither checkpointed nor range-sampled twice.
+
+    No counterpart in the reference (its ORDER BY is value-order
+    only, op/OrderBy.scala); recipe is standard pretraining practice
+    (shuffle-before-pack)."""
+    from pyspark.sql.window import Window
+
+    for c in (pos_col, "__key", "__pid", "__off"):
+        if c in df.columns:
+            raise ValueError(
+                f"global_shuffle: input already has a {c!r} column — "
+                "rename it first")
+    spark = df.sparkSession
+    nparts = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    keyed = (df.select(
+        F.col(id_col),
+        F.md5(F.concat(F.lit(f"{seed}:"),
+                       F.col(id_col).cast("string"))).alias("__key"))
+        .localCheckpoint())  # narrow: range sampler re-scans ~32 B/row
+    base = (keyed.repartitionByRange(nparts, F.col("__key"),
+                                     F.col(id_col))
+            .withColumn("__pid", F.spark_partition_id())
+            .localCheckpoint())  # pin partition ids across branches
+    offsets = _pid_offsets(base, F.lit(1))
+    rn = F.row_number().over(
+        Window.partitionBy("__pid").orderBy("__key", id_col))
+    pos = (base.join(F.broadcast(offsets), on="__pid")
+           .select(F.col(id_col),
+                   (rn + F.col("__off") - 1).alias(pos_col)))
+    return df.join(pos, on=id_col)
+
+
 def mixture_sample(df: DataFrame, rates: dict[str, float],
                    source_col: str = "source", id_col: str = "doc_id",
                    seed: int = 42,

@@ -202,6 +202,11 @@ def datapipe_ops() -> dict[str, Callable]:
         "duplicate_spans": lambda df, k=5, text="text",
             idc="doc_id": dt.duplicate_spans(
                 df, str(text), str(idc), k=int(k)),
+        # deterministic global shuffle (r07): reproducible
+        # pseudo-random corpus order before packing/sharding
+        "global_shuffle": lambda df, seed=42, idc="doc_id",
+            pos="shuffle_pos": _pk().global_shuffle(
+                df, str(idc), seed=int(seed), pos_col=str(pos)),
         # batch kNN join (r07): queries = rows whose id ≡ 0 mod the
         # first argument (split-of-self convention, like
         # `contamination`); meth ∈ exact|blas|lsh

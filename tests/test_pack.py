@@ -329,3 +329,63 @@ D = LOAD '{p}' USING ParquetStorage();
 C = STREAM D THROUGH cap_per_group(3);
 """)
     assert env["C"].count() == len(out)
+
+
+# --------------------------------------------------- global_shuffle
+
+def test_global_shuffle_matches_bruteforce(corpus):
+    """Positions must equal the reference permutation: rank by
+    md5('seed:' || id) with id tie-break, 0-based and dense."""
+    out = {r["doc_id"]: r["shuffle_pos"]
+           for r in pack.global_shuffle(corpus, seed=7).collect()}
+    ids = [r["doc_id"] for r in corpus.collect()]
+    expect = {d: i for i, d in enumerate(
+        sorted(ids, key=lambda d: (hashlib.md5(f"7:{d}".encode())
+                                   .hexdigest(), d)))}
+    assert out == expect
+
+
+def test_global_shuffle_partitioning_invariant(corpus):
+    """Same seed → the same permutation regardless of input
+    partitioning (the property orderBy(rand(seed)) lacks)."""
+    a = {r["doc_id"]: r["shuffle_pos"]
+         for r in pack.global_shuffle(corpus, seed=3).collect()}
+    b = {r["doc_id"]: r["shuffle_pos"]
+         for r in pack.global_shuffle(
+             corpus.repartition(13), seed=3).collect()}
+    c = {r["doc_id"]: r["shuffle_pos"]
+         for r in pack.global_shuffle(
+             corpus.coalesce(1), seed=3).collect()}
+    assert a == b == c
+    assert sorted(a.values()) == list(range(len(a)))  # dense 0-based
+    # a different seed is a different permutation
+    d = {r["doc_id"]: r["shuffle_pos"]
+         for r in pack.global_shuffle(corpus, seed=4).collect()}
+    assert d != a and sorted(d.values()) == sorted(a.values())
+
+
+def test_global_shuffle_keeps_columns_and_guards(corpus):
+    out = pack.global_shuffle(corpus, seed=1)
+    assert set(out.columns) == {"doc_id", "text", "source",
+                                "shuffle_pos"}
+    assert out.count() == corpus.count()
+    with pytest.raises(ValueError, match="shuffle_pos"):
+        pack.global_shuffle(pack.global_shuffle(corpus))
+    with pytest.raises(ValueError, match="'__pid'"):
+        pack.global_shuffle(
+            corpus.withColumnRenamed("text", "__pid"))
+
+
+def test_global_shuffle_via_stream_through(corpus, spark, tmp_path):
+    from piglet_spark.engine import PigEngine
+    p = str(tmp_path / "gs_docs")
+    corpus.write.mode("overwrite").parquet(p)
+    eng = PigEngine(spark)
+    env = eng.run(f"""
+D = LOAD '{p}' USING ParquetStorage();
+S = STREAM D THROUGH global_shuffle(7);
+""")
+    got = {r["doc_id"]: r["shuffle_pos"] for r in env["S"].collect()}
+    direct = {r["doc_id"]: r["shuffle_pos"]
+              for r in pack.global_shuffle(corpus, seed=7).collect()}
+    assert got == direct
