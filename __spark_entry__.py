@@ -1713,6 +1713,31 @@ FROM documents
 """
 
 
+def q_take_top_frac(spark, sf_dir):
+    """Rank-based quality gate (datapipe/pack.py take_top_frac): keep
+    exactly ceil(0.6·n) documents with the largest n_chars (round-6
+    score, id tie-break) — the calibration-free form of 'keep the top
+    60% by quality'. TeraSort two-phase rank on a narrow (id, score)
+    projection; the oracle is the plain ROW_NUMBER form."""
+    return dp_pack.take_top_frac(
+        _docs(spark, sf_dir).select("doc_id", "source", "n_chars"),
+        by_col="n_chars", frac=0.6)
+
+
+TAKE_TOP_FRAC_SQL = """
+WITH ranked AS (
+  SELECT doc_id, source, n_chars,
+         ROW_NUMBER() OVER (
+             ORDER BY ROUND(n_chars::DOUBLE, 6) DESC NULLS LAST,
+                      doc_id ASC) AS rk,
+         COUNT(*) OVER () AS n
+  FROM documents
+)
+SELECT doc_id, source, n_chars FROM ranked
+WHERE rk <= CEIL(0.6 * n)
+"""
+
+
 def q_mixture_sample(spark, sf_dir):
     """Deterministic corpus mixing (Pile/ROOTS-style per-source rates;
     datapipe/pack.py mixture_sample): membership decided by a seeded
@@ -2498,6 +2523,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "knn_join_lsh": q_knn_join_lsh,
         # r07d: reproducible corpus-order shuffle
         "global_shuffle": q_global_shuffle,
+        # r07d: rank-based quality gate
+        "take_top_frac": q_take_top_frac,
     }
 
 
@@ -2579,4 +2606,5 @@ def oracle_sql() -> dict[str, str]:
         "knn_join_exact": _knn_join_sql(),
         "knn_join_lsh": _knn_join_sql(lsh=True),
         "global_shuffle": GLOBAL_SHUFFLE_SQL,
+        "take_top_frac": TAKE_TOP_FRAC_SQL,
     }

@@ -95,6 +95,7 @@ HEADLINE = [
     "knn_join_exact",
     "knn_join_lsh",
     "global_shuffle",
+    "take_top_frac",
 ]
 
 

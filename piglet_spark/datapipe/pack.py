@@ -157,6 +157,61 @@ def global_shuffle(df: DataFrame, id_col: str = "doc_id",
     return df.join(pos, on=id_col)
 
 
+def take_top_frac(df: DataFrame, by_col: str, frac: float,
+                  id_col: str = "doc_id",
+                  ascending: bool = False) -> DataFrame:
+    """Quality gate: keep exactly ``ceil(frac · n)`` rows — the best
+    by ``by_col`` (descending by default; ``ascending=True`` keeps
+    the smallest, e.g. a perplexity score). The rank-based form of
+    the filter every cleaning pipeline ends with ("keep the top 60%
+    by quality"): unlike a fixed threshold it is calibration-free,
+    and unlike approx_percentile it is exact and reproducible —
+    round-6 score ties break on the id, so the kept set is identical
+    on any engine (the oracle contract, same as dsir_resample's topk
+    mode).
+
+    Scale shape: the shared TeraSort two-phase rank on a checkpointed
+    narrow (id, score) projection — range partition on (score, id),
+    per-partition row_number + broadcast ≤nparts-row offsets, then
+    one hash join back to the full rows. No global window, no
+    driver-side data, the wide payload never range-sampled."""
+    from pyspark.sql.window import Window
+
+    if not 0.0 <= frac <= 1.0:
+        raise ValueError(f"take_top_frac: frac must be in [0,1], "
+                         f"got {frac}")
+    for c in ("__key", "__pid", "__off", "__rk"):
+        if c in df.columns:
+            raise ValueError(
+                f"take_top_frac: input already has a {c!r} column — "
+                "rename it first")
+    spark = df.sparkSession
+    nparts = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    key = F.round(F.col(by_col).cast("double"), 6)
+    keyed = (df.select(F.col(id_col), key.alias("__key"))
+             .localCheckpoint())  # narrow (id, score) projection
+    # nulls rank WORST in either direction (asc_nulls_last matches
+    # DuckDB's default NULLS LAST; Spark's bare asc() is nulls-FIRST,
+    # which would let unscored rows crowd out real ones)
+    order = [F.col("__key").asc_nulls_last() if ascending
+             else F.col("__key").desc_nulls_last(),
+             F.col(id_col).asc()]
+    base = (keyed.repartitionByRange(nparts, *order)
+            .withColumn("__pid", F.spark_partition_id())
+            .localCheckpoint())  # pin partition ids across branches
+    from .util import cum_offsets
+    stats = base.groupBy("__pid").agg(F.count(F.lit(1)).alias("__cnt"))
+    off_df, total = cum_offsets(stats)
+    k = int(math.ceil(frac * total))
+    rn = F.row_number().over(
+        Window.partitionBy("__pid").orderBy(*order))
+    kept = (base.join(F.broadcast(off_df), on="__pid")
+            .withColumn("__rk", rn + F.col("__off"))
+            .filter(F.col("__rk") <= k)
+            .select(id_col))
+    return df.join(kept, on=id_col)
+
+
 def mixture_sample(df: DataFrame, rates: dict[str, float],
                    source_col: str = "source", id_col: str = "doc_id",
                    seed: int = 42,

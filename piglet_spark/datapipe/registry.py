@@ -202,6 +202,12 @@ def datapipe_ops() -> dict[str, Callable]:
         "duplicate_spans": lambda df, k=5, text="text",
             idc="doc_id": dt.duplicate_spans(
                 df, str(text), str(idc), k=int(k)),
+        # rank-based quality gate (r07): keep the best frac by a
+        # score column; asc=1 keeps the smallest (perplexity-style)
+        "take_top_frac": lambda df, by, frac=0.5, asc=0,
+            idc="doc_id": _pk().take_top_frac(
+                df, str(by), float(frac), str(idc),
+                ascending=bool(int(asc))),
         # deterministic global shuffle (r07): reproducible
         # pseudo-random corpus order before packing/sharding
         "global_shuffle": lambda df, seed=42, idc="doc_id",

@@ -389,3 +389,62 @@ S = STREAM D THROUGH global_shuffle(7);
     direct = {r["doc_id"]: r["shuffle_pos"]
               for r in pack.global_shuffle(corpus, seed=7).collect()}
     assert got == direct
+
+
+# ---------------------------------------------------- take_top_frac
+
+def test_take_top_frac_matches_bruteforce(corpus):
+    """Kept set = the ceil(frac·n) rows with the largest round-6
+    score, ties on id — computed brute-force."""
+    rows = corpus.collect()
+    scored = sorted(rows, key=lambda r: (-round(float(len(r["text"])), 6),
+                                         r["doc_id"]))
+    df = corpus.withColumn("score", pack.F.length("text"))
+    out = pack.take_top_frac(df, "score", 0.3)
+    want = {r["doc_id"] for r in scored[:math.ceil(0.3 * len(rows))]}
+    got = {r["doc_id"] for r in out.collect()}
+    assert got == want
+    assert set(out.columns) == {"doc_id", "text", "source", "score"}
+
+
+def test_take_top_frac_ascending_and_nulls(spark):
+    """ascending=True keeps the SMALLEST scores; null scores rank
+    worst in both directions (never crowd out scored rows)."""
+    df = spark.createDataFrame(
+        [(0, 5.0), (1, 1.0), (2, None), (3, 3.0)],
+        "doc_id int, ppl double")
+    lo = {r["doc_id"] for r in
+          pack.take_top_frac(df, "ppl", 0.5, ascending=True).collect()}
+    assert lo == {1, 3}
+    hi = {r["doc_id"] for r in
+          pack.take_top_frac(df, "ppl", 0.5).collect()}
+    assert hi == {0, 3}
+
+
+def test_take_top_frac_bounds_and_guards(corpus):
+    df = corpus.withColumn("score", pack.F.length("text"))
+    assert pack.take_top_frac(df, "score", 0.0).count() == 0
+    assert pack.take_top_frac(df, "score", 1.0).count() == corpus.count()
+    with pytest.raises(ValueError, match="frac"):
+        pack.take_top_frac(df, "score", 1.5)
+    with pytest.raises(ValueError, match="'__rk'"):
+        pack.take_top_frac(df.withColumnRenamed("text", "__rk"),
+                           "score", 0.5)
+
+
+def test_take_top_frac_via_stream_through(corpus, spark, tmp_path):
+    from piglet_spark.engine import PigEngine
+    p = str(tmp_path / "ttf_docs")
+    corpus.write.mode("overwrite").parquet(p)
+    eng = PigEngine(spark)
+    env = eng.run(f"""
+D = LOAD '{p}' USING ParquetStorage();
+Q = FOREACH D GENERATE doc_id, source, STRLEN(text) AS score;
+T = STREAM Q THROUGH take_top_frac('score', 0.3);
+""")
+    got = {r["doc_id"] for r in env["T"].collect()}
+    rows = corpus.collect()
+    want = {r["doc_id"] for r in sorted(
+        rows, key=lambda r: (-round(float(len(r["text"])), 6),
+                             r["doc_id"]))[:math.ceil(0.3 * len(rows))]}
+    assert got == want
