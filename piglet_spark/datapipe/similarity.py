@@ -278,6 +278,15 @@ def train_centroids(df: DataFrame, vec_col: str, id_col: str,
     return cent_rows, cents_lit
 
 
+# Query-block size for knn_join's blas path: bounds the per-task
+# score matrix at batch_rows × _BLAS_QBLOCK doubles (10k-row Arrow
+# batches × 2048 queries = 160 MB) instead of batch_rows × nq — with
+# tens of thousands of queries and 32 concurrent tasks the unblocked
+# matrix is tens of GB. Top-k per query is independent across blocks,
+# so blocking is exact (pinned by test_knn_join_blas_query_blocks).
+_BLAS_QBLOCK = 2048
+
+
 def knn_join(corpus: DataFrame, queries: DataFrame, k: int = 5,
              vec_col: str = "embedding", id_col: str = "vec_id",
              q_vec_col: str | None = None, q_id_col: str | None = None,
@@ -320,8 +329,18 @@ def knn_join(corpus: DataFrame, queries: DataFrame, k: int = 5,
     - ``lsh``: random-hyperplane buckets on both sides, hamming≤1
       multi-probe explode on the query side, bucket equi-join →
       candidates shrink ~(1+n_planes)/2^n_planes before the exact
-      re-rank. Deterministic and oracle-reproducible; recall follows
-      the measured table in SCALE.md.
+      re-rank. Deterministic and oracle-reproducible.
+
+    Choosing between them (measured, SCALE.md r07): ``blas``
+    dominates batch top-k at scale — sf10 (500k × 5k queries, 2.5B
+    pairs) in 6.4 s, exact ranking. ``lsh`` is only competitive in
+    the NEAR-DUPLICATE regime (neighbors with cosine ≳0.8, where
+    sign patterns agree): on diffuse embeddings (top neighbors at
+    cos ~0.3–0.4) the prune/recall trade collapses — p=4 prunes just
+    ~3× (minutes of fold-cosine at 500k) while p=10 is still slower
+    than blas AND drops recall@5 to 0.11. Prefer ``exact`` for small
+    query panels (it is the oracle), ``blas`` for bulk kNN, ``lsh``
+    for near-dup linking.
     """
     q_vec_col = q_vec_col or vec_col
     q_id_col = q_id_col or id_col
@@ -398,6 +417,8 @@ def knn_join(corpus: DataFrame, queries: DataFrame, k: int = 5,
     kk = int(k)
     excl = bool(exclude_self)
 
+    QBLOCK = _BLAS_QBLOCK
+
     def _batch_candidates(batches):
         q_arr = np.asarray(q_ids, dtype=object)
         for pdf in batches:
@@ -406,20 +427,22 @@ def knn_join(corpus: DataFrame, queries: DataFrame, k: int = 5,
             V = np.array([v[:dim] for v in pdf["_v"]], dtype=np.float64)
             ids = pdf["nbr_id"].to_numpy()
             Vn = V / np.sqrt((V ** 2).sum(axis=1, keepdims=True))
-            S = Vn @ Qn.T                      # (batch, nq) — one BLAS call
-            if excl:
-                # mask self-pairs so they can't occupy candidate slots
-                self_mask = ids[:, None] == q_arr[None, :]
-                S = np.where(self_mask, -np.inf, S)
             m = min(slack + kk, len(ids))
-            top = np.argpartition(-S, m - 1, axis=0)[:m]   # (m, nq)
-            col = np.repeat(np.arange(S.shape[1]), m)
-            row = top.T.ravel()
-            keep = np.isfinite(S[row, col])
-            yield pd.DataFrame({
-                "qid": q_arr[col[keep]],
-                "nbr_id": ids[row[keep]],
-                "cos": np.round(S[row[keep], col[keep]], 6)})
+            for lo in range(0, len(q_arr), QBLOCK):
+                qa = q_arr[lo:lo + QBLOCK]
+                S = Vn @ Qn[lo:lo + QBLOCK].T  # (batch, block) — one BLAS call
+                if excl:
+                    # mask self-pairs so they can't occupy candidate slots
+                    self_mask = ids[:, None] == qa[None, :]
+                    S = np.where(self_mask, -np.inf, S)
+                top = np.argpartition(-S, m - 1, axis=0)[:m]   # (m, block)
+                col = np.repeat(np.arange(S.shape[1]), m)
+                row = top.T.ravel()
+                keep = np.isfinite(S[row, col])
+                yield pd.DataFrame({
+                    "qid": qa[col[keep]],
+                    "nbr_id": ids[row[keep]],
+                    "cos": np.round(S[row[keep], col[keep]], 6)})
 
     cands = base.select("nbr_id", "_v").mapInPandas(
         _batch_candidates, schema=out_schema)

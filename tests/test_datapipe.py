@@ -241,6 +241,22 @@ def test_knn_join_blas_equals_exact(spark, sf_dir):
     assert ex == bl
 
 
+def test_knn_join_blas_query_blocks(spark, sf_dir, monkeypatch):
+    """Query-block chunking (the memory bound for huge query panels)
+    must be exact: a tiny block size forcing many blocks gives the
+    same result as one block."""
+    monkeypatch.setattr(similarity, "_BLAS_QBLOCK", 7)
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    qs = emb.filter(F.col("vec_id") % 25 == 0)  # 20 queries → 3 blocks
+    key = lambda r: (r["qid"], r["nbr_id"], r["cos"])
+    blocked = sorted(map(key, similarity.knn_join(
+        emb, qs, k=4, method="blas").collect()))
+    monkeypatch.setattr(similarity, "_BLAS_QBLOCK", 2048)
+    whole = sorted(map(key, similarity.knn_join(
+        emb, qs, k=4, method="blas").collect()))
+    assert blocked == whole and len(blocked) == 20 * 4
+
+
 def test_knn_join_lsh_subset_and_recall(spark, sf_dir):
     """LSH candidates are a subset of the corpus pairs the bucket
     filter admits; every returned neighbor's score must equal the
