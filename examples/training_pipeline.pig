@@ -29,11 +29,21 @@ J3 = JOIN C BY doc_id, K BY keep_id;
 U = FOREACH J3 GENERATE C::doc_id AS doc_id, C::text AS text,
     C::source AS source;
 
--- 5. web-corpus hygiene: at most 40 docs per source, then mix
-CAP = STREAM U THROUGH cap_per_group(40, 'source');
+-- 5. rank-based quality gate: keep the top 80% by length (stand-in
+--    for any model-based score column) — calibration-free
+G0 = FOREACH U GENERATE doc_id, text, source, STRLEN(text) AS len;
+G1 = STREAM G0 THROUGH take_top_frac('len', 0.8);
+G = FOREACH G1 GENERATE doc_id, text, source;
+
+-- 6. web-corpus hygiene: at most 40 docs per source, then mix
+CAP = STREAM G THROUGH cap_per_group(40, 'source');
 MIX = STREAM CAP THROUGH mixture_sample('src0:1.0,src1:0.5', 42, 0.8);
 
--- 6. pack the survivors into fixed 256-token training sequences
-PACKED = STREAM MIX THROUGH chunk_pack(256);
+-- 7. reproducible global shuffle (read order for the training run —
+--    same seed, same permutation at any cluster size)
+SH = STREAM MIX THROUGH global_shuffle(42);
+
+-- 8. pack the survivors into fixed 256-token training sequences
+PACKED = STREAM SH THROUGH chunk_pack(256);
 
 STORE PACKED INTO '$out' USING ParquetStorage();
