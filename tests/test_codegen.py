@@ -339,6 +339,8 @@ def test_codegen_stream_through_datapipe(spark, tmp_path):
 D = LOAD '{p}' USING ParquetStorage();
 T = STREAM D THROUGH tfidf_top_terms(2);
 C = STREAM D THROUGH chunk_text(2, 1);
+S = STREAM D THROUGH global_shuffle(7);
+G = STREAM D THROUGH take_top_frac('doc_id', 0.5);
 """
     eng = pg.PigEngine(spark)
     env = eng.run(script)
@@ -346,7 +348,7 @@ C = STREAM D THROUGH chunk_text(2, 1);
     assert "datapipe_ops()" in code
     ns = {"spark": spark}
     exec(compile(code, "<gen>", "exec"), ns)
-    for alias in ("T", "C"):
+    for alias in ("T", "C", "S", "G"):
         got = sorted(tuple(r) for r in ns[alias].collect())
         want = sorted(tuple(r) for r in env[alias].collect())
         assert got == want and got
