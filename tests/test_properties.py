@@ -283,3 +283,49 @@ def test_chunk_pack_prefix_sum_invariant(spark, texts, seq_len):
         else:
             assert r["last_chunk"] == r["first_chunk"]
         off += n
+
+
+@given(st.lists(st.tuples(st.integers(0, 500),
+                          st.one_of(st.none(),
+                                    st.floats(-100, 100, width=32))),
+                min_size=1, max_size=40, unique_by=lambda t: t[0]),
+       st.floats(0.0, 1.0))
+@SETTINGS
+def test_take_top_frac_properties(spark, rows, frac):
+    """Invariants for any input and fraction: exactly
+    ceil(frac · n_rows) rows kept; every kept score (round-6,
+    nulls worst) >= every dropped score; columns preserved."""
+    import math as m
+    from piglet_spark.datapipe import pack
+    df = spark.createDataFrame(rows, "doc_id int, s float")
+    out = pack.take_top_frac(df, "s", frac).collect()
+    n = len(rows)
+    assert len(out) == m.ceil(frac * n)
+    kept = {r["doc_id"] for r in out}
+
+    def key(t):
+        did, s = t
+        rs = round(float(s), 6) if s is not None else None
+        # null worst, then score desc, then id asc
+        return (rs is None, -(rs if rs is not None else 0), did)
+
+    expect = {d for d, _ in sorted(rows, key=key)[:m.ceil(frac * n)]}
+    assert kept == expect
+
+
+@given(st.lists(st.integers(0, 10 ** 6), min_size=1, max_size=60,
+                unique=True),
+       st.integers(0, 99))
+@SETTINGS
+def test_global_shuffle_is_a_permutation(spark, ids, seed):
+    """Any id set, any seed: positions are a dense 0-based
+    permutation and equal the md5-rank reference."""
+    import hashlib
+    from piglet_spark.datapipe import pack
+    df = spark.createDataFrame([(i,) for i in ids], "doc_id long")
+    got = {r["doc_id"]: r["shuffle_pos"]
+           for r in pack.global_shuffle(df, seed=seed).collect()}
+    ref = {d: i for i, d in enumerate(
+        sorted(ids, key=lambda d: (hashlib.md5(
+            f"{seed}:{d}".encode()).hexdigest(), d)))}
+    assert got == ref
