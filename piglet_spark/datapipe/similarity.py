@@ -293,7 +293,10 @@ def knn_join(corpus: DataFrame, queries: DataFrame, k: int = 5,
              exclude_self: bool = True, method: str = "exact",
              dim: int | None = None, n_planes: int = 4,
              max_queries: int = 65536,
-             batch_slack: int | None = None) -> DataFrame:
+             batch_slack: int | None = None,
+             n_cells: int = 16, n_probe: int = 4,
+             refine_iters: int = 1,
+             train_sample: int = 256) -> DataFrame:
     """Batch k-nearest-neighbor join: for EVERY row of ``queries``,
     the ``k`` rows of ``corpus`` with the highest cosine similarity.
     Returns (qid, nbr_id, cos) with deterministic ROW_NUMBER
@@ -330,6 +333,15 @@ def knn_join(corpus: DataFrame, queries: DataFrame, k: int = 5,
       multi-probe explode on the query side, bucket equi-join →
       candidates shrink ~(1+n_planes)/2^n_planes before the exact
       re-rank. Deterministic and oracle-reproducible.
+    - ``ivf``: FAISS-style IVF-Flat fused into the blas kernel — a
+      trained coarse quantizer (:func:`train_centroids`, bounded
+      driver sample) bins each batch's rows to their nearest cell
+      with one b×n_cells matmul, then each bin matmuls against only
+      the queries PROBING that cell (driver-side top-``n_probe``
+      cells per query): ~n_probe/n_cells of the blas flops, still
+      one corpus scan and zero shuffle. Approximate — a true
+      neighbor in an unprobed cell is missed — so pytest pins recall
+      vs exact, not equality.
 
     Choosing between them (measured, SCALE.md r07): ``blas``
     dominates batch top-k at scale — sf10 (500k × 5k queries, 2.5B
@@ -338,13 +350,17 @@ def knn_join(corpus: DataFrame, queries: DataFrame, k: int = 5,
     sign patterns agree): on diffuse embeddings (top neighbors at
     cos ~0.3–0.4) the prune/recall trade collapses — p=4 prunes just
     ~3× (minutes of fold-cosine at 500k) while p=10 is still slower
-    than blas AND drops recall@5 to 0.11. Prefer ``exact`` for small
-    query panels (it is the oracle), ``blas`` for bulk kNN, ``lsh``
-    for near-dup linking.
+    than blas AND drops recall@5 to 0.11. ``ivf`` is the graceful
+    middle on diffuse data (recall@5 0.48 at n_probe=4/16 cells,
+    0.72 at 8/16, sf0.01) — worth it when the flop bill, not the
+    scan, dominates (very large query panels). Prefer ``exact`` for
+    small panels (it is the oracle), ``blas`` for bulk kNN, ``lsh``
+    for near-dup linking, ``ivf`` for flop-bound panels that accept
+    IVF recall.
     """
     q_vec_col = q_vec_col or vec_col
     q_id_col = q_id_col or id_col
-    if method not in ("exact", "blas", "lsh"):
+    if method not in ("exact", "blas", "lsh", "ivf"):
         raise ValueError(f"knn_join: unknown method {method!r}")
     dim = dim if dim is not None else probe_dim(queries, q_vec_col)
 
@@ -390,15 +406,16 @@ def knn_join(corpus: DataFrame, queries: DataFrame, k: int = 5,
                   .select("qid", "nbr_id", cos6.alias("cos")))
         return _topk(scored)
 
-    # --- blas ---
+    # --- blas / ivf (shared Arrow kernel) ---
     import numpy as np
     import pandas as pd
     from pyspark.sql import types as _T
     qrows = qs.limit(max_queries + 1).collect()
     if len(qrows) > max_queries:
         raise ValueError(
-            f"knn_join(method='blas'): query side exceeds max_queries="
-            f"{max_queries}; raise the cap or pre-partition the queries")
+            f"knn_join(method={method!r}): query side exceeds "
+            f"max_queries={max_queries}; raise the cap or "
+            f"pre-partition the queries")
     if not qrows:
         return base.select(
             F.col("nbr_id").alias("qid"), F.col("nbr_id"),
@@ -408,6 +425,36 @@ def knn_join(corpus: DataFrame, queries: DataFrame, k: int = 5,
                  dtype=np.float64)
     Qn = Q / np.sqrt((Q ** 2).sum(axis=1, keepdims=True))
     slack = int(batch_slack if batch_slack is not None else 3 * k + 8)
+
+    # IVF-Flat coarse quantization (FAISS-style), fused into the same
+    # kernel: rows are binned to their nearest trained centroid
+    # per-batch (one b×n_cells matmul), and each bin only matmuls
+    # against the queries PROBING that cell — ~n_probe/n_cells of the
+    # blas flops, still zero shuffle and one corpus scan. Recall =
+    # IVF recall (cell containing a true neighbor must be probed);
+    # approximate, so pytest pins recall vs exact, not equality.
+    Cn = None
+    cell_queries: list | None = None
+    if method == "ivf":
+        cent_rows, _ = train_centroids(corpus, vec_col, id_col,
+                                       n_cells, refine_iters,
+                                       train_sample)
+        if not cent_rows:
+            return base.select(
+                F.col("nbr_id").alias("qid"), F.col("nbr_id"),
+                F.lit(0.0).alias("cos")).limit(0)
+        C = np.array([r["_cv"] for r in cent_rows], dtype=np.float64)
+        Cn = C / np.sqrt((C ** 2).sum(axis=1, keepdims=True))
+        # per-query probe cells (driver-side: nq × n_cells matmul),
+        # inverted to cell → query-index array for the kernel
+        probes_per_q = np.argsort(-(Qn @ Cn.T), kind="stable",
+                                  axis=1)[:, :min(n_probe, len(Cn))]
+        cell_queries = [[] for _ in range(len(Cn))]
+        for qi, cells in enumerate(probes_per_q):
+            for c in cells:
+                cell_queries[int(c)].append(qi)
+        cell_queries = [np.asarray(ix, dtype=np.int64)
+                        for ix in cell_queries]
     q_id_type = queries.schema[q_id_col].dataType
     nbr_type = corpus.schema[id_col].dataType
     out_schema = _T.StructType([
@@ -421,28 +468,48 @@ def knn_join(corpus: DataFrame, queries: DataFrame, k: int = 5,
 
     def _batch_candidates(batches):
         q_arr = np.asarray(q_ids, dtype=object)
+
+        def emit(Vsub, ids_sub, q_idx):
+            """Per-query top-(k+slack) of one (rows × queries) tile,
+            emitted as candidate frames; q_idx indexes Qn/q_arr."""
+            m = min(slack + kk, len(ids_sub))
+            for lo in range(0, len(q_idx), QBLOCK):
+                qix = q_idx[lo:lo + QBLOCK]
+                qa = q_arr[qix]
+                S = Vsub @ Qn[qix].T  # (rows, block) — one BLAS call
+                if excl:
+                    # mask self-pairs so they can't occupy candidate
+                    # slots
+                    self_mask = ids_sub[:, None] == qa[None, :]
+                    S = np.where(self_mask, -np.inf, S)
+                top = np.argpartition(-S, m - 1, axis=0)[:m]  # (m, block)
+                col = np.repeat(np.arange(S.shape[1]), m)
+                row = top.T.ravel()
+                keep = np.isfinite(S[row, col])
+                yield pd.DataFrame({
+                    "qid": qa[col[keep]],
+                    "nbr_id": ids_sub[row[keep]],
+                    "cos": np.round(S[row[keep], col[keep]], 6)})
+
+        all_q = np.arange(len(q_ids), dtype=np.int64)
         for pdf in batches:
             if not len(pdf):
                 continue
             V = np.array([v[:dim] for v in pdf["_v"]], dtype=np.float64)
             ids = pdf["nbr_id"].to_numpy()
             Vn = V / np.sqrt((V ** 2).sum(axis=1, keepdims=True))
-            m = min(slack + kk, len(ids))
-            for lo in range(0, len(q_arr), QBLOCK):
-                qa = q_arr[lo:lo + QBLOCK]
-                S = Vn @ Qn[lo:lo + QBLOCK].T  # (batch, block) — one BLAS call
-                if excl:
-                    # mask self-pairs so they can't occupy candidate slots
-                    self_mask = ids[:, None] == qa[None, :]
-                    S = np.where(self_mask, -np.inf, S)
-                top = np.argpartition(-S, m - 1, axis=0)[:m]   # (m, block)
-                col = np.repeat(np.arange(S.shape[1]), m)
-                row = top.T.ravel()
-                keep = np.isfinite(S[row, col])
-                yield pd.DataFrame({
-                    "qid": qa[col[keep]],
-                    "nbr_id": ids[row[keep]],
-                    "cos": np.round(S[row[keep], col[keep]], 6)})
+            if Cn is None:                       # blas: full panel
+                yield from emit(Vn, ids, all_q)
+                continue
+            # ivf: bin rows to their nearest cell, tile per cell
+            # against only the queries probing it
+            cells = np.argmax(Vn @ Cn.T, axis=1)
+            for c in np.unique(cells):
+                q_idx = cell_queries[int(c)]
+                if not len(q_idx):
+                    continue
+                rmask = cells == c
+                yield from emit(Vn[rmask], ids[rmask], q_idx)
 
     cands = base.select("nbr_id", "_v").mapInPandas(
         _batch_candidates, schema=out_schema)

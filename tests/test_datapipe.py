@@ -1806,3 +1806,31 @@ def test_lm_perplexity_empty_reference_yields_null_scores(spark):
         df, df.filter(F.col("lang") == "en")).collect()
     assert [(r["doc_id"], r["n_tokens"], r["avg_logprob"], r["ppl"])
             for r in out] == [(0, 2, None, None)]
+
+
+def test_knn_join_ivf_recall_and_determinism(spark, sf_dir):
+    """IVF-Flat batch kNN: deterministic across runs; recall vs exact
+    improves with n_probe and beats the hyperplane-LSH collapse
+    regime on diffuse vectors (SCALE.md r07)."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    qs = emb.filter(F.col("vec_id") % 50 == 0)
+    key = lambda r: (r["qid"], r["nbr_id"], r["cos"])
+    a = sorted(map(key, similarity.knn_join(
+        emb, qs, k=5, method="ivf").collect()))
+    b = sorted(map(key, similarity.knn_join(
+        emb, qs, k=5, method="ivf").collect()))
+    assert a == b and len(a) == qs.count() * 5
+    exact = {(r["qid"], r["nbr_id"]) for r in similarity.knn_join(
+        emb, qs, k=5, method="exact").collect()}
+    r4 = len(exact & {(q, n) for q, n, _ in a}) / len(exact)
+    p8 = {(r["qid"], r["nbr_id"]) for r in similarity.knn_join(
+        emb, qs, k=5, method="ivf", n_probe=8).collect()}
+    r8 = len(exact & p8) / len(exact)
+    assert r4 >= 0.35
+    assert r8 >= r4 and r8 >= 0.6
+    # every returned score is the true cosine of that pair (the
+    # kernel prunes candidates but never fabricates scores)
+    all_scores = {(r["qid"], r["nbr_id"]): r["cos"]
+                  for r in similarity.knn_join(
+                      emb, qs, k=10 ** 6, method="exact").collect()}
+    assert all(abs(all_scores[(q, n)] - c) <= 1e-6 for q, n, c in a)
