@@ -1738,6 +1738,30 @@ WHERE rk <= CEIL(0.6 * n)
 """
 
 
+def q_split_assign(spark, sf_dir):
+    """Deterministic train/val/test assignment (datapipe/pack.py
+    split_assign): per-id md5 hash against cumulative weight
+    boundaries in sorted-label order — the same row lands in the same
+    split on any engine/partitioning/run (a rand() split reshuffles
+    rows between train and eval across runs). Map-only, one md5/row."""
+    return dp_pack.split_assign(
+        _docs(spark, sf_dir).select("doc_id", "source"),
+        {"train": 0.9, "val": 0.05, "test": 0.05}, seed=42)
+
+
+SPLIT_ASSIGN_SQL = f"""
+SELECT doc_id, source,
+       CASE WHEN CAST(('0x' || substr(md5('42|' || doc_id::VARCHAR),
+                                      1, 8)) AS BIGINT)
+                 < {int(0.05 * 4294967296)} THEN 'test'
+            WHEN CAST(('0x' || substr(md5('42|' || doc_id::VARCHAR),
+                                      1, 8)) AS BIGINT)
+                 < {int(0.95 * 4294967296)} THEN 'train'
+            ELSE 'val' END AS split
+FROM documents
+"""
+
+
 def q_mixture_sample(spark, sf_dir):
     """Deterministic corpus mixing (Pile/ROOTS-style per-source rates;
     datapipe/pack.py mixture_sample): membership decided by a seeded
@@ -2525,6 +2549,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "global_shuffle": q_global_shuffle,
         # r07d: rank-based quality gate
         "take_top_frac": q_take_top_frac,
+        # r07d: deterministic train/val/test assignment
+        "split_assign": q_split_assign,
     }
 
 
@@ -2607,4 +2633,5 @@ def oracle_sql() -> dict[str, str]:
         "knn_join_lsh": _knn_join_sql(lsh=True),
         "global_shuffle": GLOBAL_SHUFFLE_SQL,
         "take_top_frac": TAKE_TOP_FRAC_SQL,
+        "split_assign": SPLIT_ASSIGN_SQL,
     }

@@ -96,6 +96,7 @@ HEADLINE = [
     "knn_join_lsh",
     "global_shuffle",
     "take_top_frac",
+    "split_assign",
 ]
 
 

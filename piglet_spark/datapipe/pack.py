@@ -239,6 +239,55 @@ def mixture_sample(df: DataFrame, rates: dict[str, float],
     return df.filter(h < thr)
 
 
+def split_assign(df: DataFrame, weights: dict[str, float] | None = None,
+                 id_col: str = "doc_id", seed: int = 42,
+                 split_col: str = "split") -> DataFrame:
+    """Deterministic train/val/test assignment: every row gets a
+    ``split_col`` label drawn from ``weights`` (default
+    train 0.98 / val 0.01 / test 0.01) by a per-id hash — no RNG, so
+    the SAME row lands in the SAME split on any engine, any
+    partitioning, any cluster size, and on every re-run: the property
+    that makes eval splits trustworthy (a rand()-based split silently
+    reshuffles rows between train and test across runs — eval
+    contamination by nondeterminism). Map-only: one md5 per row + a
+    literal CASE ladder; runs at scan speed.
+
+    Label boundaries are cumulative fractions of 2³² in sorted-label
+    order, exactly reproducible in SQL for the oracle (same idiom as
+    ``mixture_sample``/seeded SAMPLE). Weights must be positive and
+    sum to ≤ 1 + 1e-9; any remainder goes to the LAST label in sorted
+    order (so weights that sum to 1 partition exactly)."""
+    if weights is not None and not weights:
+        raise ValueError("split_assign: weights must be non-empty")
+    if weights is None:
+        weights = {"train": 0.98, "val": 0.01, "test": 0.01}
+    if any(w < 0 for w in weights.values()):
+        raise ValueError("split_assign: weights must be >= 0")
+    tot = sum(weights.values())
+    if tot > 1.0 + 1e-9:
+        raise ValueError(
+            f"split_assign: weights sum to {tot}, must be <= 1")
+    if split_col in df.columns:
+        raise ValueError(
+            f"split_assign: input already has a {split_col!r} column "
+            "— rename it first")
+    h = _hash32(F.col(id_col), salt=f"{seed}|")
+    labels = sorted(weights)
+    cum = 0.0
+    bounds = []  # ascending (label, upper-bound) CASE ladder
+    for lab in labels[:-1]:
+        cum += weights[lab]
+        bounds.append((lab, int(cum * 4294967296)))
+    expr = None
+    for lab, b in bounds:
+        cond = h < F.lit(b)
+        expr = F.when(cond, F.lit(lab)) if expr is None \
+            else expr.when(cond, F.lit(lab))
+    out = expr.otherwise(F.lit(labels[-1])) if expr is not None \
+        else F.lit(labels[-1])
+    return df.withColumn(split_col, out)
+
+
 def mixture_repeat(df: DataFrame, rates: dict[str, float],
                    source_col: str = "source", id_col: str = "doc_id",
                    seed: int = 42,

@@ -202,6 +202,12 @@ def datapipe_ops() -> dict[str, Callable]:
         "duplicate_spans": lambda df, k=5, text="text",
             idc="doc_id": dt.duplicate_spans(
                 df, str(text), str(idc), k=int(k)),
+        # deterministic train/val/test assignment (r07): weights as
+        # 'train:0.9,val:0.05,test:0.05'
+        "split_assign": lambda df, weights="", seed=42, idc="doc_id",
+            col="split": _pk().split_assign(
+                df, _parse_rates(weights) if weights else None,
+                str(idc), seed=int(seed), split_col=str(col)),
         # rank-based quality gate (r07): keep the best frac by a
         # score column; asc=1 keeps the smallest (perplexity-style)
         "take_top_frac": lambda df, by, frac=0.5, asc=0,

@@ -448,3 +448,66 @@ T = STREAM Q THROUGH take_top_frac('score', 0.3);
         rows, key=lambda r: (-round(float(len(r["text"])), 6),
                              r["doc_id"]))[:math.ceil(0.3 * len(rows))]}
     assert got == want
+
+
+# ----------------------------------------------------- split_assign
+
+def test_split_assign_matches_hash_reference(corpus):
+    """Labels equal the reference computation: md5('seed|id') 32-bit
+    prefix vs cumulative boundaries in sorted-label order."""
+    w = {"train": 0.9, "val": 0.05, "test": 0.05}
+    got = {r["doc_id"]: r["split"]
+           for r in pack.split_assign(corpus, w, seed=7).collect()}
+
+    def ref(d):
+        h = int(hashlib.md5(f"7|{d}".encode()).hexdigest()[:8], 16)
+        if h < int(0.05 * 2**32):
+            return "test"
+        if h < int(0.95 * 2**32):
+            return "train"
+        return "val"
+
+    assert got == {r["doc_id"]: ref(r["doc_id"])
+                   for r in corpus.collect()}
+    # partition: every row labeled, all three present at this n
+    assert set(got.values()) == {"train", "val", "test"}
+
+
+def test_split_assign_stability_and_guards(corpus, spark):
+    """Same seed → identical assignment regardless of partitioning;
+    different seed reassigns; guards reject bad weights."""
+    a = {r["doc_id"]: r["split"]
+         for r in pack.split_assign(corpus, seed=1).collect()}
+    b = {r["doc_id"]: r["split"]
+         for r in pack.split_assign(corpus.repartition(13),
+                                    seed=1).collect()}
+    assert a == b
+    c = {r["doc_id"]: r["split"]
+         for r in pack.split_assign(corpus, seed=2).collect()}
+    assert c != a
+    with pytest.raises(ValueError, match="sum"):
+        pack.split_assign(corpus, {"a": 0.9, "b": 0.2})
+    with pytest.raises(ValueError, match=">= 0"):
+        pack.split_assign(corpus, {"a": -0.1, "b": 0.5})
+    with pytest.raises(ValueError, match="non-empty"):
+        pack.split_assign(corpus, {})
+    with pytest.raises(ValueError, match="'split'"):
+        pack.split_assign(corpus.withColumnRenamed("text", "split"))
+    # single label → everything gets it (degenerate but legal)
+    one = pack.split_assign(corpus, {"all": 1.0}).collect()
+    assert {r["split"] for r in one} == {"all"}
+
+
+def test_split_assign_via_stream_through(corpus, spark, tmp_path):
+    from piglet_spark.engine import PigEngine
+    p = str(tmp_path / "sa_docs")
+    corpus.write.mode("overwrite").parquet(p)
+    eng = PigEngine(spark)
+    env = eng.run(f"""
+D = LOAD '{p}' USING ParquetStorage();
+S = STREAM D THROUGH split_assign('train:0.8,val:0.2', 7);
+""")
+    got = {r["doc_id"]: r["split"] for r in env["S"].collect()}
+    direct = {r["doc_id"]: r["split"] for r in pack.split_assign(
+        corpus, {"train": 0.8, "val": 0.2}, seed=7).collect()}
+    assert got == direct
