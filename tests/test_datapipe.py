@@ -1834,3 +1834,29 @@ def test_knn_join_ivf_recall_and_determinism(spark, sf_dir):
                   for r in similarity.knn_join(
                       emb, qs, k=10 ** 6, method="exact").collect()}
     assert all(abs(all_scores[(q, n)] - c) <= 1e-6 for q, n, c in a)
+
+
+def test_knn_join_cross_table_column_names(spark):
+    """Corpus and query sides with DIFFERENT column names (the
+    cross-table case: link documents' vectors to a label table) —
+    q_vec_col/q_id_col must be honored and output named (qid,
+    nbr_id, cos) regardless."""
+    corpus = spark.createDataFrame(
+        [(i, [float(i % 3), 1.0]) for i in range(12)],
+        "item_id int, vec array<double>")
+    queries = spark.createDataFrame(
+        [(100, [0.0, 1.0]), (101, [2.0, 1.0])],
+        "probe_id int, qv array<double>")
+    out = similarity.knn_join(
+        corpus, queries, k=3, vec_col="vec", id_col="item_id",
+        q_vec_col="qv", q_id_col="probe_id").collect()
+    assert {r["qid"] for r in out} == {100, 101}
+    assert len(out) == 6
+    # query 100 = [0,1]: best matches are items with i%3==0 (cos 1.0)
+    best100 = [r for r in out if r["qid"] == 100][0]
+    assert best100["cos"] == 1.0
+    blas = similarity.knn_join(
+        corpus, queries, k=3, vec_col="vec", id_col="item_id",
+        q_vec_col="qv", q_id_col="probe_id", method="blas").collect()
+    key = lambda r: (r["qid"], r["nbr_id"], r["cos"])
+    assert sorted(map(key, blas)) == sorted(map(key, out))
