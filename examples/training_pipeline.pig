@@ -39,11 +39,16 @@ G = FOREACH G1 GENERATE doc_id, text, source;
 CAP = STREAM G THROUGH cap_per_group(40, 'source');
 MIX = STREAM CAP THROUGH mixture_sample('src0:1.0,src1:0.5', 42, 0.8);
 
--- 7. reproducible global shuffle (read order for the training run —
---    same seed, same permutation at any cluster size)
-SH = STREAM MIX THROUGH global_shuffle(42);
+-- 7. deterministic train/val/test assignment (same row -> same
+--    split on every run; no rand() reshuffling between evals)
+SPL = STREAM MIX THROUGH split_assign('train:0.96,val:0.02,test:0.02', 42);
+TRAIN = FILTER SPL BY split == 'train';
 
--- 8. pack the survivors into fixed 256-token training sequences
+-- 8. reproducible global shuffle (read order for the training run —
+--    same seed, same permutation at any cluster size)
+SH = STREAM TRAIN THROUGH global_shuffle(42);
+
+-- 9. pack the survivors into fixed 256-token training sequences
 PACKED = STREAM SH THROUGH chunk_pack(256);
 
 STORE PACKED INTO '$out' USING ParquetStorage();

@@ -26,11 +26,17 @@ def test_training_pipeline_end_to_end(spark, sf_dir, tmp_path):
     n_u = eng.df("U").count()
     n_cap = eng.df("CAP").count()
     n_mix = eng.df("MIX").count()
+    n_train = eng.df("TRAIN").count()
     packed = eng.df("PACKED")
     n_packed = packed.count()
     assert n_docs >= n_q >= 1
-    assert n_u >= n_cap >= n_mix >= 1
-    assert n_packed == n_mix  # chunk_pack: one row per surviving doc
+    assert n_u >= n_cap >= n_mix >= n_train >= 1
+    assert n_packed == n_train  # chunk_pack: one row per surviving doc
+    # the split partitions MIX exactly
+    spl = {r["split"]: r["n"] for r in
+           eng.df("SPL").groupBy("split")
+           .agg(F.count(F.lit(1)).alias("n")).collect()}
+    assert sum(spl.values()) == n_mix and spl.get("train") == n_train
 
     # per-source cap actually binds
     caps = (eng.df("CAP").groupBy("source").count()
