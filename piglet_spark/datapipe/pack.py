@@ -118,6 +118,10 @@ def global_shuffle(df: DataFrame, id_col: str = "doc_id",
     permutation is the oracle-portable
     ``ROW_NUMBER() OVER (ORDER BY md5(...), id) - 1``.
 
+    ``id_col`` must be unique (it is the join-back key; a duplicated
+    id would fan out its rows) — the same precondition every dedup/
+    pack operator in this module carries.
+
     Scale shape: the TeraSort two-phase rank shared with RANK /
     chunk_pack / dsir_resample — positions are computed on a
     CHECKPOINTED NARROW (id, key) projection (range partition on the
@@ -169,6 +173,9 @@ def take_top_frac(df: DataFrame, by_col: str, frac: float,
     round-6 score ties break on the id, so the kept set is identical
     on any engine (the oracle contract, same as dsir_resample's topk
     mode).
+
+    ``id_col`` must be unique (join-back key; a duplicated id would
+    fan out its rows and defeat the exact-count contract).
 
     Scale shape: the shared TeraSort two-phase rank on a checkpointed
     narrow (id, score) projection — range partition on (score, id),
