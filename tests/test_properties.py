@@ -329,3 +329,40 @@ def test_global_shuffle_is_a_permutation(spark, ids, seed):
         sorted(ids, key=lambda d: (hashlib.md5(
             f"{seed}:{d}".encode()).hexdigest(), d)))}
     assert got == ref
+
+
+@given(st.lists(st.tuples(st.integers(0, 99),
+                          st.sampled_from([0.5, 1.0, 2.0]),
+                          st.sampled_from([[1.0, 0.0], [0.0, 1.0],
+                                           [1.0, 1.0], [0.5, -0.5]])),
+                min_size=2, max_size=25, unique_by=lambda t: t[0]),
+       st.integers(1, 4))
+@SETTINGS
+def test_knn_join_exact_ties(spark, rows, k):
+    """Tie-heavy corpora (scaled copies of a few directions → EXACTLY
+    equal cosines) must resolve identically to the brute-force
+    reference: round-6 score desc, then neighbor id asc."""
+    import math as m
+    from piglet_spark.datapipe import similarity
+    data = [(i, [x * s for x in v]) for i, s, v in rows]
+    df = spark.createDataFrame(data, "vec_id int, embedding array<double>")
+    qs = df.limit(3)
+    got = sorted((r["qid"], r["nbr_id"], r["cos"]) for r in
+                 similarity.knn_join(df, qs, k=k,
+                                     method="exact").collect())
+
+    def cos(a, b):
+        d = sum(x * y for x, y in zip(a, b))
+        na = m.sqrt(sum(x * x for x in a))
+        nb = m.sqrt(sum(x * x for x in b))
+        return d / (na * nb)
+
+    brute = []
+    for qid, qv in [(r["vec_id"], r["embedding"])
+                    for r in qs.collect()]:
+        scored = sorted(
+            ((-round(cos(v, qv), 6), i)
+             for i, v in data if i != qid),
+            )[:k]
+        brute.extend((qid, i, -negc) for negc, i in scored)
+    assert got == sorted(brute)
