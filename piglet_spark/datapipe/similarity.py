@@ -310,7 +310,7 @@ def knn_join(corpus: DataFrame, queries: DataFrame, k: int = 5,
     cross-corpus linking: reference Piglet has no equivalent — the
     nearest shape is its CROSS + FOREACH idiom, op/Cross.scala:15).
 
-    Three physical strategies:
+    Four physical strategies:
 
     - ``exact``: broadcast the query side, codegen'd unrolled fold
       cosine inside the nested-loop join, per-query top-k window.
@@ -344,8 +344,8 @@ def knn_join(corpus: DataFrame, queries: DataFrame, k: int = 5,
       vs exact, not equality.
 
     Choosing between them (measured, SCALE.md r07): ``blas``
-    dominates batch top-k at scale — sf10 (500k × 5k queries, 2.5B
-    pairs) in 6.4 s, exact ranking. ``lsh`` is only competitive in
+    dominates batch top-k at scale — sf10 (200k corpus × 2k queries,
+    400M pairs) in 6.4 s, exact ranking. ``lsh`` is only competitive in
     the NEAR-DUPLICATE regime (neighbors with cosine ≳0.8, where
     sign patterns agree): on diffuse embeddings (top neighbors at
     cos ~0.3–0.4) the prune/recall trade collapses — p=4 prunes just
@@ -416,10 +416,18 @@ def knn_join(corpus: DataFrame, queries: DataFrame, k: int = 5,
             f"knn_join(method={method!r}): query side exceeds "
             f"max_queries={max_queries}; raise the cap or "
             f"pre-partition the queries")
+    def _empty():
+        # schema-correct empty result: qid keeps the QUERY side's id
+        # type (the nbr-typed shortcut broke downstream unions when
+        # the two sides' id types differ)
+        return corpus.sparkSession.createDataFrame(
+            [], _T.StructType([
+                _T.StructField("qid", queries.schema[q_id_col].dataType),
+                _T.StructField("nbr_id", corpus.schema[id_col].dataType),
+                _T.StructField("cos", _T.DoubleType())]))
+
     if not qrows:
-        return base.select(
-            F.col("nbr_id").alias("qid"), F.col("nbr_id"),
-            F.lit(0.0).alias("cos")).limit(0)
+        return _empty()
     q_ids = [r["qid"] for r in qrows]
     Q = np.array([[float(x) for x in r["_qv"][:dim]] for r in qrows],
                  dtype=np.float64)
@@ -440,9 +448,7 @@ def knn_join(corpus: DataFrame, queries: DataFrame, k: int = 5,
                                        n_cells, refine_iters,
                                        train_sample)
         if not cent_rows:
-            return base.select(
-                F.col("nbr_id").alias("qid"), F.col("nbr_id"),
-                F.lit(0.0).alias("cos")).limit(0)
+            return _empty()
         C = np.array([r["_cv"] for r in cent_rows], dtype=np.float64)
         Cn = C / np.sqrt((C ** 2).sum(axis=1, keepdims=True))
         # per-query probe cells (driver-side: nq × n_cells matmul),
