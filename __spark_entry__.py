@@ -1015,6 +1015,45 @@ def _minhash_sql(num_hashes: int = 32, bands: int = 8,
             f"SELECT id_a, id_b, jaccard FROM pairs")
 
 
+def q_minhash_cross(spark, sf_dir):
+    """Incremental-ingest near-dup pairs
+    (datapipe/dedup.py minhash_lsh_pairs_cross): src0 documents are
+    the arriving batch, everything else the standing corpus — same
+    portable signatures/band buckets as the self-join (shared
+    _band_buckets), so ingest finds exactly the cross pairs a full
+    re-run would (pinned by test_minhash_cross_matches_full_subset).
+    Fully oracled like q_minhash_lsh."""
+    docs = _docs(spark, sf_dir)
+    return dp_dedup.minhash_lsh_pairs_cross(
+        docs.filter(F.col("source") == "src0"),
+        docs.filter(F.col("source") != "src0"), threshold=0.2)
+
+
+def _minhash_cross_sql(num_hashes: int = 32, bands: int = 8,
+                       threshold: float = 0.2,
+                       src: str = "src0") -> str:
+    """Generated oracle for q_minhash_cross: the self-join CTE chain
+    with the candidate join split new-side × corpus-side instead of
+    id_a < id_b."""
+    ctes = _minhash_ctes(num_hashes, bands, threshold)
+    # swap the self-join candidate CTE for the cross form
+    old_cand = """cand AS (
+    SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+    FROM bandrows a JOIN bandrows b
+      ON a.band = b.band AND a.bucket = b.bucket AND a.doc_id < b.doc_id
+)"""
+    new_cand = f"""cand AS (
+    SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+    FROM bandrows a
+    JOIN bandrows b ON a.band = b.band AND a.bucket = b.bucket
+    JOIN documents da ON da.doc_id = a.doc_id AND da.source = '{src}'
+    JOIN documents db ON db.doc_id = b.doc_id AND db.source <> '{src}'
+)"""
+    assert old_cand in ctes, "self-join cand CTE changed — update cross oracle"
+    return (f"WITH {ctes.replace(old_cand, new_cand)}\n"
+            f"SELECT id_a AS id_new, id_b AS id_old, jaccard FROM pairs")
+
+
 def _minhash_ctes(num_hashes: int = 32, bands: int = 8,
                   threshold: float = 0.2) -> str:
     """CTE chain ending in ``pairs(id_a, id_b, jaccard)`` — shared by
@@ -1023,7 +1062,7 @@ def _minhash_ctes(num_hashes: int = 32, bands: int = 8,
     rpb = num_hashes // bands
     params = _hash_params(num_hashes)
     mins = ",\n           ".join(
-        f"COALESCE(MIN((x * {a} + {b}) % {_P}), {_P}) AS m{i}"
+        f"COALESCE(MIN(((x % {_P}) * {a} + {b}) % {_P}), {_P}) AS m{i}"
         for i, (a, b) in enumerate(params))
     buckets = ",\n           ".join(
         "('0x' || substr(md5('{}' || ',' || {}), 1, 15))::BIGINT AS bk{}"
@@ -2551,6 +2590,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "take_top_frac": q_take_top_frac,
         # r07d: deterministic train/val/test assignment
         "split_assign": q_split_assign,
+        # r07e: incremental-ingest near-dup pairs
+        "minhash_cross": q_minhash_cross,
     }
 
 
@@ -2634,4 +2675,5 @@ def oracle_sql() -> dict[str, str]:
         "global_shuffle": GLOBAL_SHUFFLE_SQL,
         "take_top_frac": TAKE_TOP_FRAC_SQL,
         "split_assign": SPLIT_ASSIGN_SQL,
+        "minhash_cross": _minhash_cross_sql(),
     }

@@ -97,6 +97,7 @@ HEADLINE = [
     "global_shuffle",
     "take_top_frac",
     "split_assign",
+    "minhash_cross",
 ]
 
 

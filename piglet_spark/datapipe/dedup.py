@@ -28,7 +28,7 @@ from .text import normalize_text, fingerprint, text_ngrams
 from .util import spread as _spread
 
 # Mersenne prime for the universal-hash family h_i(x) = (a_i x + b_i) mod p
-_P = (1 << 61) - 1
+_P = (1 << 31) - 1  # Mersenne prime 2^31-1 (see _hash_params)
 
 
 
@@ -203,15 +203,32 @@ def shingles_of(text: Column, k: int = 3) -> Column:
 
 def _hash_params(num_hashes: int, seed: int = 42) -> list[tuple[int, int]]:
     """Deterministic (a, b) pairs via a simple LCG (no RNG import —
-    reproducible everywhere). Domains sized so a·x+b stays < 2^63
-    under ANSI arithmetic: x is 32-bit, a is 29-bit, b < 2^61-1."""
+    reproducible everywhere) for the Carter-Wegman permutation
+    ``(a·(x % P) + b) % P`` over the field Z_P, P = 2^31-1:
+    a ∈ [1, P-1], b ∈ [0, P-1]; products ≤ 2^62 stay inside signed
+    64-bit ANSI arithmetic, and — the point — a·x' is MANY multiples
+    of P, so the modulo genuinely permutes the order.
+
+    r07 fix: the previous form used P = 2^61-1 with a < 2^29 —
+    a·x < 2^61 ≈ P meant the modulo almost never wrapped, and since
+    +b shifts all elements of one function equally,
+    argmin(a·x+b) = argmin(a·x) = argmin(x) for most functions:
+    nearly every "permutation" picked the globally smallest shingle
+    hash. Measured: two docs at Jaccard 0.8 agreed on 9/32 minhashes
+    (expected ~26), so LSH recall silently depended on near-dups
+    sharing their minimum-hash shingle. (An intermediate XOR-multiply
+    attempt measured 16/32 — xor ordering is min-wise biased for
+    fixed sets.) With the small-field form the same pair measures
+    25/32 — the textbook estimator behavior. The 32-bit shingle
+    hashes are reduced mod P first (2^31 collisions are ~n²/2P —
+    harmless at any realistic per-doc vocabulary)."""
     params = []
     state = seed
     for _ in range(num_hashes):
         state = (6364136223846793005 * state + 1442695040888963407) % (1 << 63)
-        a = (state | 1) % (1 << 29)
+        a = 1 + (state % (_P - 1))      # a ∈ [1, P-1]
         state = (6364136223846793005 * state + 1442695040888963407) % (1 << 63)
-        b = state % _P
+        b = state % _P                   # b ∈ [0, P-1]
         params.append((a, b))
     return params
 
@@ -244,7 +261,10 @@ def minhash_signatures(df: DataFrame, text_col: str = "text",
     # would recompute per HASH FUNCTION (no cross-aggregate CSE)
     exploded = (base
                 .select("_id", F.explode_outer(F.col("_sh")).alias("_s"))
-                .select("_id", shingle_hash32(F.col("_s")).alias("_x")))
+                # reduce into Z_P once, shared by every hash function
+                .select("_id",
+                        (shingle_hash32(F.col("_s")) % F.lit(_P))
+                        .alias("_x")))
     x = F.col("_x")
     aggs = [
         F.coalesce(F.min((x * F.lit(a) + F.lit(b)) % F.lit(_P)),
@@ -303,6 +323,85 @@ def _split_hot_clusters(df: DataFrame, cid_col: str, id_col: str,
             .drop("_csz", "_nsub"))
 
 
+def _check_bands(bands: int, num_hashes: int) -> int:
+    """rows-per-band, refusing degenerate banding (see
+    minhash_lsh_pairs for the r05 rationale)."""
+    if bands > num_hashes or num_hashes % bands != 0:
+        raise ValueError(
+            f"bands ({bands}) must divide num_hashes ({num_hashes}); "
+            f"rows per band = num_hashes/bands sets the LSH threshold "
+            f"(~(1/bands)^(1/rows_per_band))")
+    return num_hashes // bands
+
+
+def _band_buckets(sigs: DataFrame, bands: int,
+                  rows_per_band: int) -> DataFrame:
+    """(_id, _band, _bucket): one row per (doc, band) — the portable
+    md5-prefix band-bucket construction shared by the self-join and
+    cross-corpus LSH pair generators (keeps the two reproducing the
+    SAME buckets, so an incremental ingest finds exactly the pairs a
+    full re-run would)."""
+    band_cols = []
+    for b in range(bands):
+        piece = F.concat_ws(",", F.lit(str(b)), *[
+            F.element_at(F.col("_sig"), b * rows_per_band + i + 1)
+             .cast("string")
+            for i in range(rows_per_band)])
+        band_cols.append(token_hash60(piece))
+    return sigs.select(
+        "_id", F.posexplode(F.array(*band_cols)).alias("_band", "_bucket"))
+
+
+def minhash_lsh_pairs_cross(new: DataFrame, corpus: DataFrame,
+                            text_col: str = "text",
+                            id_col: str = "doc_id",
+                            num_hashes: int = 32, bands: int = 8,
+                            shingle_k: int = 3, threshold: float = 0.5,
+                            max_bucket: int | None = 1024) -> DataFrame:
+    """Incremental-ingest near-dup pairs: every NEW document against
+    an EXISTING corpus — (id_new, id_old, jaccard), jaccard ≥
+    threshold. The shape a continuously-fed corpus needs: a daily
+    batch is checked against the standing index WITHOUT re-pairing
+    the corpus against itself (the self-join is
+    :func:`minhash_lsh_pairs`; reference Piglet has no dedup surface
+    at all).
+
+    Same signatures, band hashes, and exact-Jaccard verify as the
+    self-join — bucket ids are identical by construction
+    (:func:`_band_buckets`), so ingest finds exactly the cross pairs
+    a full re-run would. The equi-join on (band, bucket) makes the
+    corpus side streamable: at scale, persist the corpus's banded
+    relation once and hash-join each arriving batch against it.
+    ``max_bucket`` caps the CORPUS side's hot buckets (boilerplate
+    buckets are a corpus property; the new batch is typically small).
+    """
+    rows_per_band = _check_bands(bands, num_hashes)
+    base_n = _spread(new, id_col).select(
+        F.col(id_col).alias("_id"),
+        shingles_of(F.col(text_col), shingle_k).alias("_sh"))
+    base_c = _spread(corpus, id_col).select(
+        F.col(id_col).alias("_id"),
+        shingles_of(F.col(text_col), shingle_k).alias("_sh"))
+    sig_n = minhash_signatures(new, text_col, id_col, num_hashes,
+                               shingle_k, base_df=base_n)
+    sig_c = minhash_signatures(corpus, text_col, id_col, num_hashes,
+                               shingle_k, base_df=base_c)
+    banded_n = _band_buckets(sig_n, bands, rows_per_band)
+    banded_c = _cap_buckets(_band_buckets(sig_c, bands, rows_per_band),
+                            ["_band", "_bucket"], max_bucket)
+    cand = (banded_n.alias("l").join(
+                banded_c.alias("r"),
+                on=[F.col("l._band") == F.col("r._band"),
+                    F.col("l._bucket") == F.col("r._bucket")],
+                how="inner")
+            .select(F.col("l._id").alias("id_a"),
+                    F.col("r._id").alias("id_b"))
+            .dropDuplicates(["id_a", "id_b"]))
+    out = _verify_jaccard_pairs(cand, base_n, threshold, base_b=base_c)
+    return (out.withColumnRenamed("id_a", "id_new")
+            .withColumnRenamed("id_b", "id_old"))
+
+
 def minhash_lsh_pairs(df: DataFrame, text_col: str = "text",
                       id_col: str = "doc_id", num_hashes: int = 32,
                       bands: int = 8, shingle_k: int = 3,
@@ -316,18 +415,11 @@ def minhash_lsh_pairs(df: DataFrame, text_col: str = "text",
     ``max_bucket`` bounds the per-bucket quadratic blowup
     (see ``_cap_buckets``).
     """
-    if bands > num_hashes or num_hashes % bands != 0:
-        # bands > num_hashes degenerates to rows_per_band = 0: every
-        # band bucket hashes only the band index, all docs collide,
-        # _cap_buckets drops everything and the function silently
-        # returns ZERO pairs (r05 review). Non-divisible values
-        # silently ignore trailing hashes, changing the effective
-        # threshold — refuse both.
-        raise ValueError(
-            f"bands ({bands}) must divide num_hashes ({num_hashes}); "
-            f"rows per band = num_hashes/bands sets the LSH threshold "
-            f"(~(1/bands)^(1/rows_per_band))")
-    rows_per_band = num_hashes // bands
+    # _check_bands: bands > num_hashes degenerates to rows_per_band=0
+    # (every doc collides, _cap_buckets drops everything → silent
+    # ZERO pairs, r05 review); non-divisible values silently ignore
+    # trailing hashes — refuse both.
+    rows_per_band = _check_bands(bands, num_hashes)
     # NOT materialized (r03): the shared-shingle checkpoint was the
     # one r02 bench regression (2.14 -> 2.53 s) — minhash's verify
     # join touches only the tiny candidate subset, so re-running the
@@ -339,20 +431,11 @@ def minhash_lsh_pairs(df: DataFrame, text_col: str = "text",
         shingles_of(F.col(text_col), shingle_k).alias("_sh"))
     sigs = minhash_signatures(df, text_col, id_col, num_hashes, shingle_k,
                               base_df=base)
-    # band buckets: (band#, hash of the signature slice). Only
-    # (id, band, bucket) travels through the self-join shuffle — the
-    # shingle arrays stay out of it; ReuseExchange dedups the two
-    # sides' signature aggregation.
-    band_cols = []
-    for b in range(bands):
-        piece = F.concat_ws(",", F.lit(str(b)), *[
-            F.element_at(F.col("_sig"), b * rows_per_band + i + 1)
-             .cast("string")
-            for i in range(rows_per_band)])
-        band_cols.append(token_hash60(piece))
-    banded = sigs.select(
-        "_id", F.posexplode(F.array(*band_cols)).alias("_band", "_bucket"))
-    banded = _cap_buckets(banded, ["_band", "_bucket"], max_bucket)
+    # band buckets (_band_buckets): only (id, band, bucket) travels
+    # through the self-join shuffle — the shingle arrays stay out of
+    # it; ReuseExchange dedups the two sides' signature aggregation.
+    banded = _cap_buckets(_band_buckets(sigs, bands, rows_per_band),
+                          ["_band", "_bucket"], max_bucket)
     cand = (banded.alias("l").join(
                 banded.alias("r"),
                 on=[F.col("l._band") == F.col("r._band"),
@@ -370,15 +453,19 @@ def minhash_lsh_pairs(df: DataFrame, text_col: str = "text",
 
 
 def _verify_jaccard_pairs(cand: DataFrame, base: DataFrame,
-                          threshold: float) -> DataFrame:
+                          threshold: float,
+                          base_b: DataFrame | None = None) -> DataFrame:
     """Exact-Jaccard verify of (id_a, id_b) candidates against the
     (_id, _sh) shingle relation — shared by the MinHash-LSH and
-    prefix-filter plans so a fix to the verify math lands in both."""
+    prefix-filter plans so a fix to the verify math lands in both.
+    ``base_b``: separate shingle relation for the id_b side (the
+    cross-corpus generator — sides may reuse id values)."""
     out = (cand
            .join(base.select(F.col("_id").alias("id_a"),
                              F.col("_sh").alias("sh_a")), on="id_a")
-           .join(base.select(F.col("_id").alias("id_b"),
-                             F.col("_sh").alias("sh_b")), on="id_b"))
+           .join((base_b if base_b is not None else base)
+                 .select(F.col("_id").alias("id_b"),
+                         F.col("_sh").alias("sh_b")), on="id_b"))
     inter = F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
     union = F.size(F.array_union("sh_a", "sh_b")).cast("double")
     jac = F.when(union > 0, inter / union).otherwise(F.lit(0.0))

@@ -202,6 +202,14 @@ def datapipe_ops() -> dict[str, Callable]:
         "duplicate_spans": lambda df, k=5, text="text",
             idc="doc_id": dt.duplicate_spans(
                 df, str(text), str(idc), k=int(k)),
+        # incremental-ingest near-dup pairs (r07): NEW side = rows
+        # whose `src_col` equals the first argument, corpus = rest
+        # (split-of-self convention, like `contamination`)
+        "minhash_cross": lambda df, src="src0", thr=0.5, text="text",
+            idc="doc_id", src_col="source": dp.minhash_lsh_pairs_cross(
+                df.filter(F.col(str(src_col)) == str(src)),
+                df.filter(F.col(str(src_col)) != str(src)),
+                str(text), str(idc), threshold=float(thr)),
         # deterministic train/val/test assignment (r07): weights as
         # 'train:0.9,val:0.05,test:0.05'
         "split_assign": lambda df, weights="", seed=42, idc="doc_id",

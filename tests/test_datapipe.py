@@ -1860,3 +1860,44 @@ def test_knn_join_cross_table_column_names(spark):
         q_vec_col="qv", q_id_col="probe_id", method="blas").collect()
     key = lambda r: (r["qid"], r["nbr_id"], r["cos"])
     assert sorted(map(key, blas)) == sorted(map(key, out))
+
+
+def test_minhash_cross_matches_full_subset(spark, sf_dir):
+    """Cross-corpus pairs == the full self-join's (new, old) subset —
+    same buckets by construction (shared _band_buckets), so an
+    incremental ingest finds exactly what a full re-run would."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    new = docs.filter(F.col("source") == "src0")
+    corpus = docs.filter(F.col("source") != "src0")
+    got = {(r["id_new"], r["id_old"], r["jaccard"]) for r in
+           dedup.minhash_lsh_pairs_cross(new, corpus,
+                                         threshold=0.2).collect()}
+    new_ids = {r["doc_id"] for r in new.collect()}
+    old_ids = {r["doc_id"] for r in corpus.collect()}
+    want = set()
+    for r in dedup.minhash_lsh_pairs(docs, threshold=0.2).collect():
+        a, b, j = r["id_a"], r["id_b"], r["jaccard"]
+        if a in new_ids and b in old_ids:
+            want.add((a, b, j))
+        elif b in new_ids and a in old_ids:
+            want.add((b, a, j))
+    assert got == want and got  # non-empty at sf0.01/0.2
+
+
+def test_minhash_cross_shared_ids_and_bands_guard(spark):
+    """Sides may reuse id values (verify joins each side's own
+    shingles — no cross-contamination), and degenerate banding is
+    refused like the self-join."""
+    new = spark.createDataFrame(
+        [(1, "alpha beta gamma delta epsilon zeta")],
+        ["doc_id", "text"])
+    corpus = spark.createDataFrame(
+        [(1, "alpha beta gamma delta epsilon zeta eta"),
+         (2, "totally different words entirely here now")],
+        ["doc_id", "text"])
+    out = dedup.minhash_lsh_pairs_cross(new, corpus,
+                                        threshold=0.3).collect()
+    assert [(r["id_new"], r["id_old"]) for r in out] == [(1, 1)]
+    assert 0.5 < out[0]["jaccard"] < 1.0  # each side's OWN shingles
+    with pytest.raises(ValueError, match="bands"):
+        dedup.minhash_lsh_pairs_cross(new, corpus, bands=7)
