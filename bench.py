@@ -156,9 +156,15 @@ def main():
         row = df.agg(F.count(F.lit(1)).alias("n"),
                      F.max(F.xxhash64(*cols)).alias("h")).collect()[0]
         return row["n"]
+    # sweep controls for the scale runs (the driver's sf0.1 run sets
+    # neither): SPARK_GRAFT_ONLY / SPARK_GRAFT_SKIP are comma lists.
+    only = {s for s in os.environ.get("SPARK_GRAFT_ONLY", "").split(",") if s}
+    skip = {s for s in os.environ.get("SPARK_GRAFT_SKIP", "").split(",") if s}
+    selected = [n for n in HEADLINE
+                if (not only or n in only) and n not in skip]
     timings: dict[str, float | None] = {}
     errors: dict[str, str] = {}
-    for name in HEADLINE:
+    for name in selected:
         fn = qs.get(name)
         if fn is None:  # renamed/removed query must not kill the bench
             timings[name] = None
