@@ -357,3 +357,29 @@ G = STREAM D THROUGH take_top_frac('doc_id', 0.5);
 D = LOAD '{p}' USING ParquetStorage();
 X = STREAM D THROUGH not_a_real_op(1);
 """)
+
+
+def test_codegen_int_division_truncates(spark, tmp_path):
+    """Pig int/int division truncates toward zero (Java semantics) in
+    GENERATED code too, and int/double stays double — compile_binop
+    parity via the _pig_div runtime helper (fuzzer-found: codegen
+    emitted plain Column `/`, giving -1/3 = -0.333 where the engine
+    and Pig give 0)."""
+    df = spark.createDataFrame(
+        [(0, -1, 3, 2.0), (1, 7, 2, 0.5), (2, -7, -2, 4.0)],
+        ["rid", "a", "b", "d"])
+    p = tmp_path / "t.parquet"
+    df.write.mode("overwrite").parquet(str(p))
+    script = f"""
+A = LOAD '{p}' USING ParquetStorage();
+B = FOREACH A GENERATE rid, (a / b) AS q, (a / d) AS f;
+"""
+    eng = pg.PigEngine(spark)
+    eng.run(script)
+    ns = {"spark": spark}
+    exec(compile(eng.to_code(script), "<gen>", "exec"), ns)
+    for out in (eng.df("B"), ns["B"]):
+        got = {r["rid"]: (r["q"], r["f"]) for r in out.collect()}
+        assert got == {0: (0, -0.5), 1: (3, 14.0), 2: (3, -1.75)}
+        assert dict(out.dtypes)["q"] in ("int", "bigint")
+        assert dict(out.dtypes)["f"] == "double"
