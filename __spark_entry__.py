@@ -1214,6 +1214,60 @@ def q_contamination(spark, sf_dir):
         docs.filter(F.col("source") == "src0"), k=5)
 
 
+def q_bloom_decon(spark, sf_dir):
+    """Bloom-bitmap benchmark decontamination: benchmark (source=src0)
+    compressed to a 2^17-bit filter; corpus probe is map-only."""
+    docs = _docs(spark, sf_dir)
+    return dp_dedup.bloom_decontaminate(
+        docs.filter(F.col("source") != "src0"),
+        docs.filter(F.col("source") == "src0"),
+        k=5, m_bits=1 << 17, n_hashes=3)
+
+
+# Bit p set in the bitmap <=> p is in the benchmark's md5-probe
+# position set, so SQL reproduces the bloom (false positives
+# included) with an IN-join on positions.
+BLOOM_DECON_SQL = """
+WITH toks AS (
+    SELECT doc_id, source,
+           string_split(trim(regexp_replace(regexp_replace(lower(text),
+                        '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g')), ' ') AS t
+    FROM documents
+), sh AS (
+    SELECT doc_id, source,
+           list_distinct([array_to_string(t[i:i+4], ' ')
+                          for i in range(1, len(t) - 3)]) AS s
+    FROM toks
+), hidx AS (
+    SELECT unnest([0, 1, 2]) AS i
+), bench_pos AS (
+    SELECT DISTINCT
+           ('0x' || substr(md5(g), 8 * i + 1, 8))::BIGINT % 131072 AS p
+    FROM (SELECT DISTINCT unnest(s) AS g FROM sh WHERE source = 'src0'),
+         hidx
+), docs AS (
+    SELECT doc_id, s FROM sh WHERE source != 'src0'
+), probes AS (
+    SELECT doc_id, g,
+           ('0x' || substr(md5(g), 8 * i + 1, 8))::BIGINT % 131072 AS p
+    FROM (SELECT doc_id, unnest(s) AS g FROM docs), hidx
+), hits AS (
+    SELECT doc_id, COUNT(*) AS n_bloom_hits FROM (
+        SELECT doc_id, g FROM probes
+        GROUP BY doc_id, g
+        HAVING SUM(CASE WHEN p IN (SELECT p FROM bench_pos)
+                   THEN 1 ELSE 0 END) = 3
+    ) GROUP BY doc_id
+)
+SELECT d.doc_id, len(d.s)::INT AS n_shingles,
+       COALESCE(h.n_bloom_hits, 0) AS n_bloom_hits,
+       ROUND(CASE WHEN len(d.s) > 0
+             THEN COALESCE(h.n_bloom_hits, 0)::DOUBLE / len(d.s)
+             ELSE 0.0 END, 6) AS bloom_contamination
+FROM docs d LEFT JOIN hits h USING (doc_id)
+"""
+
+
 CONTAMINATION_SQL = """
 WITH toks AS (
     SELECT doc_id, source,
@@ -2544,6 +2598,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "embedding_neardup_exact": q_embedding_neardup_exact,
         "ngram_jaccard_pairs": q_ngram_jaccard,
         "contamination_scores": q_contamination,
+        "bloom_decontamination": q_bloom_decon,
         "dedup_minhash_lsh": q_minhash_lsh,
         "dedup_cluster_canonical": q_neardup_clusters,
         "dedup_simhash": q_simhash,
@@ -2637,6 +2692,7 @@ def oracle_sql() -> dict[str, str]:
         "embedding_neardup_exact": EMB_NEARDUP_SQL,
         "ngram_jaccard_pairs": NGRAM_JACCARD_SQL,
         "contamination_scores": CONTAMINATION_SQL,
+        "bloom_decontamination": BLOOM_DECON_SQL,
         "zip_index_stats": ZIP_INDEX_SQL,
         "rank_parts": RANK_SQL,
         "cube_rollup_grouping": CUBE_ROLLUP_SQL,

@@ -98,6 +98,8 @@ HEADLINE = [
     "take_top_frac",
     "split_assign",
     "minhash_cross",
+    # r07d: Bloom-bitmap decontamination (map-only corpus pass)
+    "bloom_decontamination",
 ]
 
 

@@ -654,6 +654,100 @@ def contamination_scores(df: DataFrame, bench_df: DataFrame,
     return out
 
 
+def bloom_decontaminate(df: DataFrame, bench_df: DataFrame,
+                        text_col: str = "text", id_col: str = "doc_id",
+                        k: int = 5, m_bits: int = 1 << 17,
+                        n_hashes: int = 3) -> DataFrame:
+    """Bloom-filter benchmark decontamination: like
+    ``contamination_scores`` but the benchmark side is compressed to
+    an m-bit Bloom bitmap instead of joined exactly — the standard
+    trick when the benchmark suite is itself huge (all MMLU + GSM8K +
+    … k-grams) and re-joining it against every corpus shard is the
+    bottleneck.
+
+    Returns (id, n_shingles, n_bloom_hits, bloom_contamination). A
+    shingle "hits" when all ``n_hashes`` Bloom probes are set, so
+    hits ⊇ the exact-join hits (no false negatives; false-positive
+    rate ≈ (1-e^{-kn/m})^k, sized by ``m_bits``).
+
+    Scale shape — the whole point vs the exact join:
+      * benchmark → DISTINCT shingles → ≤ ``m_bits`` distinct bit
+        positions (one aggregation), collected into an
+        ``m_bits/8``-byte bitmap (16 KiB at the default 2^17 —
+        bounded by construction, like the IVF training sample) and
+        embedded as a binary literal;
+      * corpus side is then MAP-ONLY: per-document shingle arrays are
+        probed against the literal bitmap inside array expressions —
+        no explode shuffle, no join, nothing leaves the task. At
+        100 TB the corpus pass is a pure scan; only the (small)
+        benchmark is ever aggregated.
+
+    Probes are portable md5 constructions (DuckDB:
+    ``('0x' || substr(md5(i || '|' || g), 1, 8))::BIGINT % m``), so
+    the result — false positives included — is value-hash
+    oracle-checkable: bit p set in the bitmap ⟺ p ∈ the benchmark
+    position set, which ANSI SQL reproduces with an IN-join."""
+    if m_bits % 8 != 0 or m_bits <= 0:
+        raise ValueError(f"m_bits must be a positive multiple of 8, "
+                         f"got {m_bits}")
+
+    def probe(i: int, s: Column) -> Column:
+        # probe i = 32-bit slice i%4 of md5 number i//4 — one md5
+        # evaluation serves four probes (measured 3 md5/shingle →
+        # 1 at the default n_hashes=3)
+        digest = F.md5(s) if i < 4 else \
+            F.md5(F.concat(F.lit(f"{i // 4}|"), s))
+        return (F.conv(F.substring(digest, 8 * (i % 4) + 1, 8), 16, 10)
+                .cast("long") % m_bits)
+
+    bench_sh = (bench_df
+                .select(F.explode(shingles_of(F.col(text_col), k))
+                        .alias("_g"))
+                .distinct())
+    pos_rows = (bench_sh
+                .select(F.explode(F.array(
+                    *[probe(i, F.col("_g")) for i in range(n_hashes)]))
+                    .alias("_p"))
+                .distinct().collect())          # ≤ m_bits rows, bounded
+    bitmap = bytearray(m_bits // 8)
+    for r in pos_rows:
+        p = r["_p"]
+        bitmap[p // 8] |= 1 << (p % 8)
+    blit = F.lit(bytes(bitmap))
+
+    def bit_set(p: Column) -> Column:
+        # byte extract via substring-on-binary (1-based) + hex; the
+        # bit shift is exact double math (byte value ≤ 255 « 2^53)
+        byte = F.conv(F.hex(F.substring(
+            blit, (F.floor(p / 8) + 1).cast("int"), F.lit(1))),
+            16, 10).cast("int")
+        return (F.floor(byte / F.pow(
+            F.lit(2.0), (p % 8).cast("double"))).cast("int") % 2) == 1
+
+    def shingle_hit(s: Column) -> Column:
+        cond = bit_set(probe(0, s))
+        for i in range(1, n_hashes):
+            cond = cond & bit_set(probe(i, s))
+        return cond
+
+    doc_sh = _spread(df, id_col).select(
+        F.col(id_col).alias("_id"),
+        shingles_of(F.col(text_col), k).alias("_sh"))
+    # two-step select so the array probe runs ONCE per doc (CSE does
+    # not fire across higher-order-function lambdas)
+    counted = doc_sh.select(
+        F.col("_id").alias(id_col),
+        F.size("_sh").alias("n_shingles"),
+        F.size(F.filter("_sh", shingle_hit)).alias("n_bloom_hits"))
+    return counted.select(
+        id_col, "n_shingles", "n_bloom_hits",
+        F.round(
+            F.when(F.col("n_shingles") > 0,
+                   F.col("n_bloom_hits").cast("double")
+                   / F.col("n_shingles"))
+            .otherwise(F.lit(0.0)), 6).alias("bloom_contamination"))
+
+
 # SimHash width: 15 hex chars of md5 = 60 bits. md5 (not xxhash64)
 # so the token hash is portable to ANSI SQL engines and the whole
 # pipeline is oracle-checkable; 60 bits keeps every intermediate

@@ -98,6 +98,15 @@ def datapipe_ops() -> dict[str, Callable]:
                 df.filter(F.col(str(src_col)) != str(src)),
                 df.filter(F.col(str(src_col)) == str(src)),
                 str(text), str(idc), k=int(k)),
+        # Bloom-bitmap variant: benchmark compressed to an m-bit
+        # filter, corpus pass is map-only (same split convention)
+        "bloom_decon": lambda df, src="src0", k=5, m=131072, h=3,
+            text="text", idc="doc_id", src_col="source":
+            dp.bloom_decontaminate(
+                df.filter(F.col(str(src_col)) != str(src)),
+                df.filter(F.col(str(src_col)) == str(src)),
+                str(text), str(idc), k=int(k), m_bits=int(m),
+                n_hashes=int(h)),
         # similarity search (r03): the query vector is a quoted
         # comma-separated string of floats, e.g.
         # `STREAM E THROUGH cosine_topk('0.1,0.2,…', 10)`

@@ -1901,3 +1901,92 @@ def test_minhash_cross_shared_ids_and_bands_guard(spark):
     assert 0.5 < out[0]["jaccard"] < 1.0  # each side's OWN shingles
     with pytest.raises(ValueError, match="bands"):
         dedup.minhash_lsh_pairs_cross(new, corpus, bands=7)
+
+
+def test_bloom_decontaminate_brute_force(spark):
+    """Per-doc bloom hits match a pure-Python bloom built with the
+    same md5 probe family — false positives and all."""
+    bench = spark.createDataFrame(
+        [(100, "the quick brown fox jumps over the dog")],
+        ["doc_id", "text"])
+    docs = spark.createDataFrame([
+        (0, "the quick brown fox runs fast today ok"),
+        (1, "completely different words here entirely now"),
+        (2, "tiny"),                                    # no shingles
+    ], ["doc_id", "text"])
+    m, h, k = 4096, 3, 3
+    got = {r["doc_id"]: r for r in dedup.bloom_decontaminate(
+        docs, bench, k=k, m_bits=m, n_hashes=h).collect()}
+
+    import hashlib
+
+    def probe(i, g):
+        return int(hashlib.md5(g.encode())
+                   .hexdigest()[8 * i:8 * i + 8], 16) % m
+
+    def sh(t):
+        toks = t.split()
+        return {" ".join(toks[i:i + k]) for i in range(len(toks) - k + 1)}
+
+    bloom = set()
+    for g in sh("the quick brown fox jumps over the dog"):
+        for i in range(h):
+            bloom.add(probe(i, g))
+    for did, text in [(0, "the quick brown fox runs fast today ok"),
+                      (1, "completely different words here entirely now"),
+                      (2, "tiny")]:
+        s = sh(text)
+        hits = sum(1 for g in s
+                   if all(probe(i, g) in bloom for i in range(h)))
+        assert got[did]["n_shingles"] == len(s)
+        assert got[did]["n_bloom_hits"] == hits, did
+        expected = round(hits / len(s), 6) if s else 0.0
+        assert abs(got[did]["bloom_contamination"] - expected) < 1e-9
+
+
+def test_bloom_decontaminate_no_false_negatives(spark, sf_dir):
+    """Every exact-join contaminated shingle also hits the bloom:
+    bloom hit count >= exact count per document, and with a
+    generously sized bitmap the two coincide on this corpus."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    corpus = docs.filter(F.col("source") != "src0")
+    bench = docs.filter(F.col("source") == "src0")
+    exact = {r["doc_id"]: r["n_contaminated"] for r in
+             dedup.contamination_scores(corpus, bench, k=5).collect()}
+    bloom = {r["doc_id"]: r["n_bloom_hits"] for r in
+             dedup.bloom_decontaminate(
+                 corpus, bench, k=5, m_bits=1 << 17).collect()}
+    assert set(exact) == set(bloom)
+    assert all(bloom[d] >= exact[d] for d in exact)
+    # false positives are EXPECTED bloom behavior, just rare: ~9k of
+    # 2^17 bits set -> (0.07)^3 = 3e-4 per shingle, ~28k corpus
+    # shingles -> E[excess] ~ 9. Bound it well above the mean.
+    excess = sum(bloom[d] - exact[d] for d in exact)
+    assert excess <= 60, excess
+
+
+def test_bloom_decontaminate_empty_benchmark_and_guards(spark):
+    docs = spark.createDataFrame(
+        [(0, "alpha beta gamma delta")], ["doc_id", "text"])
+    empty = docs.filter(F.col("doc_id") < 0)
+    out = dedup.bloom_decontaminate(docs, empty, k=2,
+                                    m_bits=1024).collect()
+    assert out[0]["n_bloom_hits"] == 0
+    assert out[0]["bloom_contamination"] == 0.0
+    with pytest.raises(ValueError, match="m_bits"):
+        dedup.bloom_decontaminate(docs, empty, m_bits=1001)
+
+
+def test_stream_through_bloom_decon(spark, sf_dir):
+    """DSL surface: STREAM ... THROUGH bloom_decon(...)."""
+    import piglet_spark as pg
+    eng = pg.PigEngine(spark)
+    eng.run(f"""
+D = LOAD '{sf_dir}/documents.parquet' USING ParquetStorage();
+C = STREAM D THROUGH bloom_decon('src0', 5, 131072, 3);
+""")
+    rows = eng.df("C").collect()
+    assert rows and all(0.0 <= r["bloom_contamination"] <= 1.0
+                        for r in rows)
+    assert eng.df("C").columns == [
+        "doc_id", "n_shingles", "n_bloom_hits", "bloom_contamination"]
