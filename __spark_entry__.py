@@ -1214,6 +1214,55 @@ def q_contamination(spark, sf_dir):
         docs.filter(F.col("source") == "src0"), k=5)
 
 
+def q_line_dedup_strip(spark, sf_dir):
+    """Boilerplate line stripping (MassiveText/Gopher hygiene):
+    deterministically append a per-source boilerplate line and a
+    per-doc unique line, flag cross-document duplicate lines
+    (line_dedup_stats), strip them (strip_dup_lines), and fingerprint
+    the rebuilt text. Boilerplate and any duplicated full-text lines
+    vanish; unique lines survive in order."""
+    docs = _docs(spark, sf_dir)
+    aug = docs.withColumn("text", F.concat(
+        F.col("text"),
+        F.lit("\nshared boilerplate notice "), F.col("source"),
+        F.lit("\nunique line "), F.col("doc_id").cast("string")))
+    fps = dp_dedup.line_dedup_stats(aug)
+    stripped = dp_dedup.strip_dup_lines(aug, fps)
+    return stripped.select(
+        "doc_id",
+        F.length("text").alias("n_chars_stripped"),
+        F.md5("text").alias("text_fp"))
+
+
+LINE_DEDUP_STRIP_SQL = """
+WITH aug AS (
+    SELECT doc_id,
+           text || chr(10) || 'shared boilerplate notice ' || source
+                || chr(10) || 'unique line ' || doc_id AS text
+    FROM documents
+), lines AS (
+    SELECT doc_id,
+           unnest(range(1, len(string_split(text, chr(10))) + 1)) AS pos,
+           unnest(string_split(text, chr(10))) AS line
+    FROM aug
+), dup AS (
+    SELECT md5(trim(line)) AS fp FROM lines
+    WHERE length(trim(line)) >= 10
+    GROUP BY 1 HAVING COUNT(DISTINCT doc_id) > 1
+), kept AS (
+    SELECT doc_id, pos, line FROM lines
+    WHERE md5(trim(line)) NOT IN (SELECT fp FROM dup)
+), rebuilt AS (
+    SELECT doc_id, string_agg(line, chr(10) ORDER BY pos) AS text
+    FROM kept GROUP BY doc_id
+)
+SELECT a.doc_id,
+       length(COALESCE(r.text, ''))::INT AS n_chars_stripped,
+       md5(COALESCE(r.text, '')) AS text_fp
+FROM aug a LEFT JOIN rebuilt r USING (doc_id)
+"""
+
+
 def q_bloom_decon(spark, sf_dir):
     """Bloom-bitmap benchmark decontamination: benchmark (source=src0)
     compressed to a 2^17-bit filter; corpus probe is map-only."""
@@ -2599,6 +2648,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "ngram_jaccard_pairs": q_ngram_jaccard,
         "contamination_scores": q_contamination,
         "bloom_decontamination": q_bloom_decon,
+        "line_dedup_strip": q_line_dedup_strip,
         "dedup_minhash_lsh": q_minhash_lsh,
         "dedup_cluster_canonical": q_neardup_clusters,
         "dedup_simhash": q_simhash,
@@ -2693,6 +2743,7 @@ def oracle_sql() -> dict[str, str]:
         "ngram_jaccard_pairs": NGRAM_JACCARD_SQL,
         "contamination_scores": CONTAMINATION_SQL,
         "bloom_decontamination": BLOOM_DECON_SQL,
+        "line_dedup_strip": LINE_DEDUP_STRIP_SQL,
         "zip_index_stats": ZIP_INDEX_SQL,
         "rank_parts": RANK_SQL,
         "cube_rollup_grouping": CUBE_ROLLUP_SQL,

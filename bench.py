@@ -98,8 +98,10 @@ HEADLINE = [
     "take_top_frac",
     "split_assign",
     "minhash_cross",
-    # r07d: Bloom-bitmap decontamination (map-only corpus pass)
+    # r07d: Bloom-bitmap decontamination (map-only corpus pass) +
+    # boilerplate line-dedup strip (Gopher hygiene)
     "bloom_decontamination",
+    "line_dedup_strip",
 ]
 
 

@@ -1070,3 +1070,35 @@ C = STREAM D THROUGH chunk_text(4, 1);
         got = sorted(map(tuple,
                          spark.sql(f"select * from t_dp_{a}").collect()))
         assert got == want[a], a
+
+
+def test_bloom_decontaminate_streaming_corpus(spark, tmp_path):
+    """Streaming decontamination-on-ingest: the benchmark side is
+    static (it becomes the broadcast bitmap literal), the corpus side
+    is a pure map-only probe — so it applies to an unbounded stream
+    unchanged and matches the batch run value-for-value."""
+    from piglet_spark.datapipe import dedup as dp_dedup
+    d = tmp_path / "docs"
+    d.mkdir()
+    (d / "a.csv").write_text(
+        "1\tthe quick brown fox jumps over the lazy dog\n"
+        "2\tcompletely different words in this one here\n"
+        "3\tthe quick brown fox appears here too today\n")
+    bench = spark.createDataFrame(
+        [(100, "the quick brown fox runs")], ["doc_id", "text"])
+    schema = "doc_id long, text string"
+
+    batch_docs = (spark.read.schema(schema).option("sep", "\t")
+                  .csv(str(d / "a.csv")))
+    want = sorted(map(tuple, dp_dedup.bloom_decontaminate(
+        batch_docs, bench, k=3, m_bits=4096).collect()))
+    assert any(r[2] > 0 for r in want)   # fox docs hit the bloom
+
+    sdf = (spark.readStream.schema(schema).option("sep", "\t")
+           .csv(str(d)))
+    out = dp_dedup.bloom_decontaminate(sdf, bench, k=3, m_bits=4096)
+    assert out.isStreaming
+    _drain(out, "t_bloom_stream")
+    got = sorted(map(tuple,
+                     spark.sql("select * from t_bloom_stream").collect()))
+    assert got == want
