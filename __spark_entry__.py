@@ -1265,12 +1265,12 @@ FROM aug a LEFT JOIN rebuilt r USING (doc_id)
 
 def q_bloom_decon(spark, sf_dir):
     """Bloom-bitmap benchmark decontamination: benchmark (source=src0)
-    compressed to a 2^17-bit filter; corpus probe is map-only."""
+    compressed to a 2^20-bit filter; corpus probe is map-only."""
     docs = _docs(spark, sf_dir)
     return dp_dedup.bloom_decontaminate(
         docs.filter(F.col("source") != "src0"),
         docs.filter(F.col("source") == "src0"),
-        k=5, m_bits=1 << 17, n_hashes=3)
+        k=5, m_bits=1 << 20, n_hashes=3)
 
 
 # Bit p set in the bitmap <=> p is in the benchmark's md5-probe
@@ -1291,14 +1291,14 @@ WITH toks AS (
     SELECT unnest([0, 1, 2]) AS i
 ), bench_pos AS (
     SELECT DISTINCT
-           ('0x' || substr(md5(g), 8 * i + 1, 8))::BIGINT % 131072 AS p
+           ('0x' || substr(md5(g), 8 * i + 1, 8))::BIGINT % 1048576 AS p
     FROM (SELECT DISTINCT unnest(s) AS g FROM sh WHERE source = 'src0'),
          hidx
 ), docs AS (
     SELECT doc_id, s FROM sh WHERE source != 'src0'
 ), probes AS (
     SELECT doc_id, g,
-           ('0x' || substr(md5(g), 8 * i + 1, 8))::BIGINT % 131072 AS p
+           ('0x' || substr(md5(g), 8 * i + 1, 8))::BIGINT % 1048576 AS p
     FROM (SELECT doc_id, unnest(s) AS g FROM docs), hidx
 ), hits AS (
     SELECT doc_id, COUNT(*) AS n_bloom_hits FROM (

@@ -656,7 +656,7 @@ def contamination_scores(df: DataFrame, bench_df: DataFrame,
 
 def bloom_decontaminate(df: DataFrame, bench_df: DataFrame,
                         text_col: str = "text", id_col: str = "doc_id",
-                        k: int = 5, m_bits: int = 1 << 17,
+                        k: int = 5, m_bits: int | str = 1 << 20,
                         n_hashes: int = 3) -> DataFrame:
     """Bloom-filter benchmark decontamination: like
     ``contamination_scores`` but the benchmark side is compressed to
@@ -676,20 +676,45 @@ def bloom_decontaminate(df: DataFrame, bench_df: DataFrame,
         ``m_bits/8``-byte bitmap (16 KiB at the default 2^17 —
         bounded by construction, like the IVF training sample) and
         embedded as a binary literal;
-      * corpus side is then MAP-ONLY: per-document shingle arrays are
-        probed against the literal bitmap inside array expressions —
-        no explode shuffle, no join, nothing leaves the task. At
-        100 TB the corpus pass is a pure scan; only the (small)
-        benchmark is ever aggregated.
+      * corpus side probes shingles against the literal bitmap with
+        PLAIN column expressions over an explode — whole-stage
+        codegen end-to-end (a per-element array-lambda formulation
+        measured 8× slower at sf10: higher-order functions are
+        interpreted, the same effect recorded in the MinHash
+        docstring) — then one partial-aggregated groupBy(id), so the
+        only shuffle carries ONE row per document. At 100 TB the
+        corpus pass is a scan plus a doc-count-sized shuffle; only
+        the (small) benchmark is ever aggregated.
 
     Probes are portable md5 constructions (DuckDB:
     ``('0x' || substr(md5(i || '|' || g), 1, 8))::BIGINT % m``), so
     the result — false positives included — is value-hash
     oracle-checkable: bit p set in the bitmap ⟺ p ∈ the benchmark
-    position set, which ANSI SQL reproduces with an IN-join."""
-    if m_bits % 8 != 0 or m_bits <= 0:
-        raise ValueError(f"m_bits must be a positive multiple of 8, "
-                         f"got {m_bits}")
+    position set, which ANSI SQL reproduces with an IN-join.
+
+    Sizing: a bloom saturates (all docs "contaminated") when
+    ``n_hashes × |bench shingles|`` approaches ``m_bits`` — at sf10
+    the benchmark carries 1.2M distinct 5-shingles, so the old 2^17
+    default filled every bit. Pass ``m_bits="auto"`` to size the
+    bitmap from the measured benchmark: next power of two ≥ 16 bits
+    per distinct shingle (fp ≈ 5e-3 at n_hashes=3), floor 2^14, cap
+    2^27 (16 MiB — still broadcast-literal friendly). Auto mode costs
+    one extra count over the (cached) benchmark shingles and is data-
+    dependent, so the fixed-m oracle queries don't use it."""
+    bench_sh_cached = None
+    if m_bits == "auto":
+        bench_sh_cached = (bench_df
+                           .select(F.explode(
+                               shingles_of(F.col(text_col), k))
+                               .alias("_g"))
+                           .distinct().cache())
+        n_elems = bench_sh_cached.count()
+        m_bits = max(1 << 14,
+                     1 << (16 * max(n_elems, 1) - 1).bit_length())
+        m_bits = min(m_bits, 1 << 27)
+    if not isinstance(m_bits, int) or m_bits % 8 != 0 or m_bits <= 0:
+        raise ValueError(f"m_bits must be a positive multiple of 8 "
+                         f"or 'auto', got {m_bits}")
 
     def probe(i: int, s: Column) -> Column:
         # probe i = 32-bit slice i%4 of md5 number i//4 — one md5
@@ -700,15 +725,18 @@ def bloom_decontaminate(df: DataFrame, bench_df: DataFrame,
         return (F.conv(F.substring(digest, 8 * (i % 4) + 1, 8), 16, 10)
                 .cast("long") % m_bits)
 
-    bench_sh = (bench_df
-                .select(F.explode(shingles_of(F.col(text_col), k))
-                        .alias("_g"))
-                .distinct())
+    bench_sh = bench_sh_cached if bench_sh_cached is not None else (
+        bench_df
+        .select(F.explode(shingles_of(F.col(text_col), k))
+                .alias("_g"))
+        .distinct())
     pos_rows = (bench_sh
                 .select(F.explode(F.array(
                     *[probe(i, F.col("_g")) for i in range(n_hashes)]))
                     .alias("_p"))
                 .distinct().collect())          # ≤ m_bits rows, bounded
+    if bench_sh_cached is not None:
+        bench_sh_cached.unpersist()
     bitmap = bytearray(m_bits // 8)
     for r in pos_rows:
         p = r["_p"]
@@ -724,23 +752,39 @@ def bloom_decontaminate(df: DataFrame, bench_df: DataFrame,
         return (F.floor(byte / F.pow(
             F.lit(2.0), (p % 8).cast("double"))).cast("int") % 2) == 1
 
-    def shingle_hit(s: Column) -> Column:
-        cond = bit_set(probe(0, s))
-        for i in range(1, n_hashes):
-            cond = cond & bit_set(probe(i, s))
-        return cond
+    def slice_probe(digest: Column, i: int) -> Column:
+        # probe i = 32-bit slice i%4 of md5 number i//4 (one digest
+        # serves four probes) — must stay in sync with probe() above
+        if i >= 4:
+            raise ValueError("slice_probe handles n_hashes <= 4; "
+                             "extend with a second digest column")
+        return (F.conv(F.substring(digest, 8 * (i % 4) + 1, 8), 16, 10)
+                .cast("long") % m_bits)
 
+    if n_hashes > 4:
+        raise ValueError("n_hashes > 4 not supported (one md5 digest "
+                         "yields four 32-bit probe slices)")
     doc_sh = _spread(df, id_col).select(
         F.col(id_col).alias("_id"),
         shingles_of(F.col(text_col), k).alias("_sh"))
-    # two-step select so the array probe runs ONCE per doc (CSE does
-    # not fire across higher-order-function lambdas)
-    counted = doc_sh.select(
-        F.col("_id").alias(id_col),
-        F.size("_sh").alias("n_shingles"),
-        F.size(F.filter("_sh", shingle_hit)).alias("n_bloom_hits"))
+    # explode_outer (empty-shingle docs keep a null row) + an explicit
+    # shared digest column, then plain-column bit tests
+    exploded = (doc_sh
+                .select("_id", F.size("_sh").alias("_n"),
+                        F.explode_outer("_sh").alias("_g"))
+                .withColumn("_d", F.md5("_g")))
+    hit = F.lit(True)
+    for i in range(n_hashes):
+        hit = hit & bit_set(slice_probe(F.col("_d"), i))
+    counted = (exploded
+               .withColumn("_hit", F.when(F.col("_g").isNull(),
+                                          F.lit(0))
+                           .otherwise(hit.cast("int")))
+               .groupBy("_id")
+               .agg(F.first("_n").alias("n_shingles"),
+                    F.sum("_hit").cast("int").alias("n_bloom_hits")))
     return counted.select(
-        id_col, "n_shingles", "n_bloom_hits",
+        F.col("_id").alias(id_col), "n_shingles", "n_bloom_hits",
         F.round(
             F.when(F.col("n_shingles") > 0,
                    F.col("n_bloom_hits").cast("double")

@@ -100,7 +100,7 @@ def datapipe_ops() -> dict[str, Callable]:
                 str(text), str(idc), k=int(k)),
         # Bloom-bitmap variant: benchmark compressed to an m-bit
         # filter, corpus pass is map-only (same split convention)
-        "bloom_decon": lambda df, src="src0", k=5, m=131072, h=3,
+        "bloom_decon": lambda df, src="src0", k=5, m=1048576, h=3,
             text="text", idc="doc_id", src_col="source":
             dp.bloom_decontaminate(
                 df.filter(F.col(str(src_col)) != str(src)),

@@ -1990,3 +1990,22 @@ C = STREAM D THROUGH bloom_decon('src0', 5, 131072, 3);
                         for r in rows)
     assert eng.df("C").columns == [
         "doc_id", "n_shingles", "n_bloom_hits", "bloom_contamination"]
+
+
+def test_bloom_decontaminate_auto_sizing(spark):
+    """m_bits='auto' sizes the bitmap from the measured benchmark
+    (next pow2 >= 16 bits/shingle, floor 2^14) and behaves like the
+    equivalent fixed size."""
+    bench = spark.createDataFrame(
+        [(100, "the quick brown fox jumps over the dog")],
+        ["doc_id", "text"])
+    docs = spark.createDataFrame(
+        [(0, "the quick brown fox runs fast today ok")],
+        ["doc_id", "text"])
+    auto = dedup.bloom_decontaminate(
+        docs, bench, k=3, m_bits="auto").collect()
+    fixed = dedup.bloom_decontaminate(
+        docs, bench, k=3, m_bits=1 << 14).collect()  # floor applies
+    assert [tuple(r) for r in auto] == [tuple(r) for r in fixed]
+    with pytest.raises(ValueError, match="m_bits"):
+        dedup.bloom_decontaminate(docs, bench, m_bits="big")
