@@ -793,6 +793,65 @@ GROUP BY lang
 """
 
 
+def q_corpus_report(spark, sf_dir):
+    """Per-source corpus card: doc/token counts, mean quality, exact
+    duplicate rate, language distribution with deterministic mode
+    (ties -> lexicographically largest lang)."""
+    return dp_text.corpus_report(_docs(spark, sf_dir))
+
+
+CORPUS_REPORT_SQL = """
+WITH base AS (
+    SELECT source AS g, COALESCE(lang, 'unknown') AS l,
+           CASE WHEN length(trim(COALESCE(text, ''))) = 0 THEN 0
+                ELSE len(string_split_regex(trim(COALESCE(text, '')),
+                                            '\\s+')) END AS tok,
+           ROUND(
+               0.4 * LEAST(length(text) / 500.0, 1.0)
+             + 0.3 * (CASE WHEN length(text) > 0
+                      THEN length(regexp_replace(text, '[^A-Za-z]', '',
+                                                 'g'))::DOUBLE
+                           / length(text) ELSE 0.0 END)
+             + 0.3 * (CASE WHEN ntok > 0
+                           AND (length(text) - nspace)::DOUBLE / ntok
+                               BETWEEN 3 AND 10
+                      THEN 1.0 ELSE 0.0 END), 6) AS q,
+           md5(trim(regexp_replace(regexp_replace(lower(text),
+               '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g'))) AS fp
+    FROM (
+        SELECT source, lang, text,
+               CASE WHEN length(trim(text)) = 0 THEN 0
+                    ELSE len(string_split_regex(trim(text), '\\s+'))
+                    END AS ntok,
+               length(text) - length(replace(text, ' ', '')) AS nspace
+        FROM documents)
+), pl AS (
+    SELECT g, l, COUNT(*) AS n, SUM(tok)::BIGINT AS tk,
+           SUM(q) AS qs
+    FROM base GROUP BY g, l
+), lf AS (
+    SELECT g, SUM(n)::BIGINT AS n_docs, SUM(tk)::BIGINT AS n_tokens,
+           SUM(qs) AS qsum, COUNT(*) AS n_langs
+    FROM pl GROUP BY g
+), top AS (
+    SELECT g, l AS top_lang FROM (
+        SELECT g, l, row_number() OVER (PARTITION BY g
+                     ORDER BY n DESC, l DESC) AS rn FROM pl)
+    WHERE rn = 1
+), dup AS (
+    SELECT g, SUM(c - 1)::BIGINT AS ndup FROM (
+        SELECT g, fp, COUNT(*) AS c FROM base GROUP BY g, fp)
+    GROUP BY g
+)
+SELECT lf.g AS source, n_docs, n_tokens,
+       ROUND(n_tokens::DOUBLE / n_docs, 6) AS avg_doc_tokens,
+       ROUND(qsum / n_docs, 6) AS avg_quality,
+       ROUND(ndup::DOUBLE / n_docs, 6) AS dup_rate,
+       n_langs, top_lang
+FROM lf JOIN top USING (g) JOIN dup USING (g)
+"""
+
+
 def q_lang_id(spark, sf_dir):
     df = _docs(spark, sf_dir)
     return (df.select("lang", dp_text.lang_id(F.col("text")).alias("lang_pred"))
@@ -2649,6 +2708,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "contamination_scores": q_contamination,
         "bloom_decontamination": q_bloom_decon,
         "line_dedup_strip": q_line_dedup_strip,
+        "corpus_report": q_corpus_report,
         "dedup_minhash_lsh": q_minhash_lsh,
         "dedup_cluster_canonical": q_neardup_clusters,
         "dedup_simhash": q_simhash,
@@ -2744,6 +2804,7 @@ def oracle_sql() -> dict[str, str]:
         "contamination_scores": CONTAMINATION_SQL,
         "bloom_decontamination": BLOOM_DECON_SQL,
         "line_dedup_strip": LINE_DEDUP_STRIP_SQL,
+        "corpus_report": CORPUS_REPORT_SQL,
         "zip_index_stats": ZIP_INDEX_SQL,
         "rank_parts": RANK_SQL,
         "cube_rollup_grouping": CUBE_ROLLUP_SQL,

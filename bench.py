@@ -102,6 +102,7 @@ HEADLINE = [
     # boilerplate line-dedup strip (Gopher hygiene)
     "bloom_decontamination",
     "line_dedup_strip",
+    "corpus_report",
 ]
 
 

@@ -197,6 +197,10 @@ def datapipe_ops() -> dict[str, Callable]:
                 str(text), str(idc), n_buckets=int(nb),
                 frac=float(frac), seed=int(seed), method=str(meth)),
         # per-doc top-k TF-IDF keyword extraction (r07)
+        # per-group corpus card (datasheet stats)
+        "corpus_report": lambda df, grp="source", text="text",
+            lang="lang", idc="doc_id": dt.corpus_report(
+                df, str(grp), str(text), str(lang), str(idc)),
         "tfidf_top_terms": lambda df, k=5, text="text",
             idc="doc_id": dt.tfidf_top_terms(
                 df, str(text), str(idc), k=int(k)),

@@ -597,3 +597,66 @@ def duplicate_spans(df: DataFrame, text_col: str = "text",
                                        F.col("_n").cast("double"),
                                        F.lit(0.0)), 6)
                     .alias("dup_frac")))
+
+
+def corpus_report(df: DataFrame, group_col: str = "source",
+                  text_col: str = "text", lang_col: str = "lang",
+                  id_col: str = "doc_id") -> DataFrame:
+    """Per-group corpus card — the datasheet-style summary every
+    curation pipeline publishes before training (group = source /
+    domain / shard): document and token counts, mean quality, exact
+    duplicate-text rate, and the language distribution (distinct
+    count + deterministic mode).
+
+    Returns (group, n_docs, n_tokens, avg_doc_tokens, avg_quality,
+    dup_rate, n_langs, top_lang).
+
+    Scale shape: one map-side pass computes tokens/quality/
+    fingerprint per doc, then two partial-aggregated shuffles — a
+    (group, lang) rollup folded into the per-group row via a
+    deterministic max on (count, lang) struct (mode with lexicographic
+    tie-break — no window, no arg_max nondeterminism), and a
+    (group, fingerprint) rollup for the duplicate rate. Everything is
+    whole-stage codegen; shuffle width is bounded by
+    |groups| x |langs| and |distinct texts|, never rows x rows."""
+    t = F.col(text_col)
+    base = df.select(
+        F.col(group_col).alias("_g"),
+        F.coalesce(F.col(lang_col).cast("string"),
+                   F.lit("unknown")).alias("_l"),
+        ws_token_count(t).alias("_tok"),
+        quality_score(t).alias("_q"),
+        fingerprint(t).alias("_fp"))
+    per_lang = (base.groupBy("_g", "_l")
+                .agg(F.count(F.lit(1)).alias("_n"),
+                     F.sum("_tok").alias("_tk"),
+                     F.sum("_q").alias("_qs")))
+    lang_fold = (per_lang.groupBy("_g")
+                 .agg(F.sum("_n").alias("n_docs"),
+                      F.sum("_tk").alias("n_tokens"),
+                      F.sum("_qs").alias("_qsum"),
+                      F.count(F.lit(1)).alias("n_langs"),
+                      # mode via struct max: highest count, ties ->
+                      # lexicographically LARGEST lang (deterministic;
+                      # SQL mirror: order by (n DESC, lang DESC))
+                      F.max(F.struct(F.col("_n"),
+                                     F.col("_l"))).alias("_top")))
+    dup = (base.groupBy("_g", "_fp")
+           .agg(F.count(F.lit(1)).alias("_c"))
+           .groupBy("_g")
+           .agg(F.sum(F.col("_c") - 1).alias("_ndup")))
+    return (lang_fold.join(dup, on="_g")
+            .select(
+                F.col("_g").alias(group_col),
+                "n_docs", "n_tokens",
+                F.round(F.col("n_tokens") /
+                        F.col("n_docs").cast("double"), 6)
+                .alias("avg_doc_tokens"),
+                F.round(F.col("_qsum") /
+                        F.col("n_docs").cast("double"), 6)
+                .alias("avg_quality"),
+                F.round(F.col("_ndup") /
+                        F.col("n_docs").cast("double"), 6)
+                .alias("dup_rate"),
+                "n_langs",
+                F.col("_top")["_l"].alias("top_lang")))

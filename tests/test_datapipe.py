@@ -2009,3 +2009,42 @@ def test_bloom_decontaminate_auto_sizing(spark):
     assert [tuple(r) for r in auto] == [tuple(r) for r in fixed]
     with pytest.raises(ValueError, match="m_bits"):
         dedup.bloom_decontaminate(docs, bench, m_bits="big")
+
+
+def test_corpus_report_brute_force(spark):
+    rows = [
+        (0, "the quick brown fox jumps over the lazy dog", "en", "s1"),
+        (1, "the quick brown fox jumps over the lazy dog", "en", "s1"),
+        (2, "der schnelle braune fuchs", "de", "s1"),
+        (3, "one two three", "en", "s2"),
+        (4, "uno dos tres cuatro cinco", None, "s2"),
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text", "lang", "source"])
+    got = {r["source"]: r for r in text.corpus_report(df).collect()}
+    s1, s2 = got["s1"], got["s2"]
+    assert s1["n_docs"] == 3 and s2["n_docs"] == 2
+    assert s1["n_tokens"] == 9 + 9 + 4
+    assert s2["n_tokens"] == 3 + 5
+    # docs 0 and 1 are exact duplicates -> 1 extra copy of 3 docs
+    assert abs(s1["dup_rate"] - round(1 / 3, 6)) < 1e-9
+    assert s2["dup_rate"] == 0.0
+    assert s1["n_langs"] == 2 and s2["n_langs"] == 2
+    # s1 mode: en (2) over de (1); s2 tie 1-1 -> lexicographically
+    # largest of {'en', 'unknown'}
+    assert s1["top_lang"] == "en"
+    assert s2["top_lang"] == "unknown"
+    assert abs(s1["avg_doc_tokens"] - round(22 / 3, 6)) < 1e-9
+
+
+def test_corpus_report_stream_through(spark, sf_dir):
+    import piglet_spark as pg
+    eng = pg.PigEngine(spark)
+    eng.run(f"""
+D = LOAD '{sf_dir}/documents.parquet' USING ParquetStorage();
+R = STREAM D THROUGH corpus_report('source');
+""")
+    rows = eng.df("R").collect()
+    assert rows and all(r["n_docs"] > 0 for r in rows)
+    assert eng.df("R").columns == [
+        "source", "n_docs", "n_tokens", "avg_doc_tokens",
+        "avg_quality", "dup_rate", "n_langs", "top_lang"]
