@@ -1176,6 +1176,43 @@ def _minhash_ctes(num_hashes: int = 32, bands: int = 8,
 )"""
 
 
+def q_neardup_ingest(spark, sf_dir):
+    """First-seen LSH near-dup detection (batch twin of the
+    streaming applyInPandasWithState detector — identical
+    signatures/buckets/agreement math, pinned by tests): per LSH
+    bucket the min-id holder, every other member scored by
+    signature agreement."""
+    return dp_dedup.neardup_pairs_first_seen(
+        _docs(spark, sf_dir), threshold=0.2)
+
+
+def _neardup_first_seen_sql(num_hashes: int = 32, bands: int = 8,
+                            threshold: float = 0.2) -> str:
+    """Generated oracle for q_neardup_ingest: the minhash CTE chain
+    up through bandrows, then min-id holder per bucket + per-pair
+    signature agreement."""
+    ctes = _minhash_ctes(num_hashes, bands, threshold)
+    marker = "), cand AS ("
+    assert marker in ctes, "minhash CTE chain changed — update oracle"
+    prefix = ctes.split(marker)[0]
+    agree = " + ".join(f"CASE WHEN a.m{i} = f.m{i} THEN 1 ELSE 0 END"
+                       for i in range(num_hashes))
+    return f"""WITH {prefix}), fs AS (
+    SELECT band, bucket, MIN(doc_id) AS fid
+    FROM bandrows GROUP BY band, bucket
+), cnd AS (
+    SELECT b.doc_id AS id_a, f.fid AS id_b, b.band
+    FROM bandrows b JOIN fs f ON b.band = f.band AND b.bucket = f.bucket
+    WHERE b.doc_id <> f.fid
+), agr AS (
+    SELECT c.id_a, c.id_b, c.band, ({agree}) AS na
+    FROM cnd c JOIN sig a ON a.doc_id = c.id_a
+               JOIN sig f ON f.doc_id = c.id_b
+)
+SELECT id_a, id_b, ROUND(na / {num_hashes}.0, 6) AS est_jaccard, band
+FROM agr WHERE ROUND(na / {num_hashes}.0, 6) >= {threshold}"""
+
+
 def q_neardup_clusters(spark, sf_dir):
     """Corpus-level dedup: connected components over the MinHash-LSH
     pair graph (min-label propagation on the edge subgraph only),
@@ -2710,6 +2747,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "line_dedup_strip": q_line_dedup_strip,
         "corpus_report": q_corpus_report,
         "dedup_minhash_lsh": q_minhash_lsh,
+        "neardup_ingest": q_neardup_ingest,
         "dedup_cluster_canonical": q_neardup_clusters,
         "dedup_simhash": q_simhash,
         "similarity_ann_lsh": q_ann_lsh,
@@ -2810,6 +2848,7 @@ def oracle_sql() -> dict[str, str]:
         "cube_rollup_grouping": CUBE_ROLLUP_SQL,
         "dedup_simhash": _simhash_sql(),
         "dedup_minhash_lsh": _minhash_sql(),
+        "neardup_ingest": _neardup_first_seen_sql(),
         "dedup_cluster_canonical": _cluster_sql(),
         "multimodal_features": MULTIMODAL_SQL,
         "winnow_fingerprints": WINNOW_SQL,

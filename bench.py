@@ -103,6 +103,7 @@ HEADLINE = [
     "bloom_decontamination",
     "line_dedup_strip",
     "corpus_report",
+    "neardup_ingest",
 ]
 
 

@@ -1213,3 +1213,167 @@ def embedding_neardup_pairs(df: DataFrame, vec_col: str = "embedding",
     cos = cosine_with_norms("v_a", "v_b", "n_a", "n_b", dim)
     return (cand.select("id_a", "id_b", F.round(cos, 6).alias("cos"))
             .filter(F.col("cos") >= threshold))
+
+
+# ---------------------------------------------------- streaming LSH
+# First-seen near-dup detection on ingest: bounded state (one holder
+# signature per LSH bucket), usable on unbounded streams.
+
+def _band_col_exprs(bands: int, rows_per_band: int) -> list[Column]:
+    """The band-bucket hash expressions over a ``_sig`` column —
+    the SAME portable construction as :func:`_band_buckets` (kept in
+    one place so the batch self-join, the cross-corpus generator and
+    the streaming detector all land in identical buckets)."""
+    cols = []
+    for b in range(bands):
+        piece = F.concat_ws(",", F.lit(str(b)), *[
+            F.element_at(F.col("_sig"), b * rows_per_band + i + 1)
+             .cast("string")
+            for i in range(rows_per_band)])
+        cols.append(token_hash60(piece))
+    return cols
+
+
+def _rowwise_banded(df: DataFrame, text_col: str, id_col: str,
+                    num_hashes: int, bands: int,
+                    shingle_k: int) -> DataFrame:
+    """(_id, _sig, _band, _bucket) computed entirely per-row (no
+    aggregation), so it applies to unbounded streams. Values are
+    IDENTICAL to the aggregated :func:`minhash_signatures` +
+    :func:`_band_buckets` path (pinned by test). The shingle-hash
+    array materializes as its own column first — 32 higher-order
+    transforms referencing an expression would recompute the md5 per
+    hash function; referencing a column evaluates it once."""
+    rows_per_band = _check_bands(bands, num_hashes)
+    xs = _spread(df, id_col).select(
+        F.col(id_col).cast("long").alias("_id"),
+        F.transform(shingles_of(F.col(text_col), shingle_k),
+                    lambda s: shingle_hash32(s) % F.lit(_P)).alias("_xs"))
+    def _perm(a: int, b: int):
+        # PySpark derives HOF arity from the lambda signature, so
+        # captures must close over a/b (default-arg capture would
+        # read as a 3-arg lambda)
+        return lambda x: (x * F.lit(a) + F.lit(b)) % F.lit(_P)
+
+    sig_cols = [
+        F.coalesce(F.array_min(F.transform(F.col("_xs"), _perm(a, b))),
+                   F.lit(_P))
+        for a, b in _hash_params(num_hashes)]
+    sigs = xs.select("_id", F.array(*sig_cols).alias("_sig"))
+    return sigs.select(
+        "_id", "_sig",
+        F.posexplode(F.array(*_band_col_exprs(bands, rows_per_band)))
+        .alias("_band", "_bucket"))
+
+
+def streaming_neardup_pairs(df: DataFrame, text_col: str = "text",
+                            id_col: str = "doc_id",
+                            threshold: float = 0.5,
+                            num_hashes: int = 32, bands: int = 8,
+                            shingle_k: int = 3,
+                            ttl_sec: int | None = None) -> DataFrame:
+    """MinHash-LSH near-duplicate detection ON INGEST — the streaming
+    counterpart of :func:`minhash_lsh_pairs`, for "is this new
+    document a near-dup of anything we've already accepted?".
+
+    Per-row signatures (map-only, aggregation-free) → band buckets →
+    ``applyInPandasWithState`` keyed on (band, bucket): the state
+    holds the FIRST-seen document per bucket (id + signature, bounded
+    — never a growing list), each later arrival is compared against
+    the holder and a ``(id_a, id_b, est_jaccard, band)`` row is
+    emitted when the signature-agreement estimate ≥ ``threshold``.
+    A pair colliding in several bands emits once per band (distinct
+    downstream if needed). Batch counterpart with identical
+    first-seen-is-min-id semantics: :func:`neardup_pairs_first_seen`
+    (the DuckDB-oracled twin); they agree whenever ids arrive in
+    ascending order (pinned by test).
+
+    Scale shape: state is one signature per OCCUPIED bucket —
+    ``ttl_sec`` bounds it on endless streams (processing-time GC);
+    the shuffle is the bands-per-doc explode, nothing quadratic.
+    Works on batch DataFrames too (dispatches to the twin).
+
+    Caveat: with ``ttl_sec`` set, drive the query with an
+    ``availableNow`` trigger (or a real long-running trigger) —
+    ``processAllAvailable()`` never settles while processing-time
+    timeouts are pending."""
+    if not df.isStreaming:
+        return neardup_pairs_first_seen(
+            df, text_col, id_col, threshold=threshold,
+            num_hashes=num_hashes, bands=bands, shingle_k=shingle_k)
+    from pyspark.sql.streaming.state import GroupStateTimeout
+    banded = _rowwise_banded(df, text_col, id_col, num_hashes, bands,
+                             shingle_k)
+    thr = float(threshold)
+    ttl = None if ttl_sec is None else int(ttl_sec) * 1000
+
+    def detect(key, pdf_iter, state):
+        import pandas as pd
+        if state.hasTimedOut:
+            state.remove()
+            return
+        parts = [p for p in pdf_iter if len(p)]
+        if not parts:
+            return
+        pdf = pd.concat(parts).sort_values("_id")
+        fid, fsig = state.get if state.exists else (None, None)
+        rows = []
+        band = int(key[0])
+        for _id, sig in zip(pdf["_id"], pdf["_sig"]):
+            if fid is None:
+                fid, fsig = int(_id), [int(v) for v in sig]
+                continue
+            if int(_id) == fid:
+                continue
+            agree = sum(1 for a, b in zip(sig, fsig) if int(a) == b)
+            est = round(agree / float(len(fsig)), 6)
+            if est >= thr:
+                rows.append((int(_id), fid, est, band))
+        state.update((fid, fsig))
+        if ttl is not None:
+            state.setTimeoutDuration(ttl)
+        if rows:
+            yield pd.DataFrame(
+                rows, columns=["id_a", "id_b", "est_jaccard", "band"])
+
+    return (banded.groupBy("_band", "_bucket").applyInPandasWithState(
+        detect,
+        "id_a long, id_b long, est_jaccard double, band int",
+        "first_id long, sig array<bigint>",
+        "append",
+        GroupStateTimeout.ProcessingTimeTimeout if ttl is not None
+        else GroupStateTimeout.NoTimeout))
+
+
+def neardup_pairs_first_seen(df: DataFrame, text_col: str = "text",
+                             id_col: str = "doc_id",
+                             threshold: float = 0.5,
+                             num_hashes: int = 32, bands: int = 8,
+                             shingle_k: int = 3) -> DataFrame:
+    """Batch twin of :func:`streaming_neardup_pairs`: per LSH bucket
+    the first-seen holder is the MINIMUM id; every other member is
+    compared against it by signature agreement. Uses the aggregated
+    (whole-stage-codegen) signature path; the zip_with agreement runs
+    only on bucket-mates, a small subset. DuckDB-oracle-checkable."""
+    rows_per_band = _check_bands(bands, num_hashes)
+    sigs = minhash_signatures(df, text_col, id_col, num_hashes,
+                              shingle_k)
+    banded = sigs.select(
+        "_id", "_sig",
+        F.posexplode(F.array(*_band_col_exprs(bands, rows_per_band)))
+        .alias("_band", "_bucket"))
+    first = (banded.groupBy("_band", "_bucket")
+             .agg(F.min("_id").alias("_fid")))
+    cand = (banded.join(first, on=["_band", "_bucket"])
+            .filter(F.col("_id") != F.col("_fid"))
+            .join(sigs.select(F.col("_id").alias("_fid"),
+                              F.col("_sig").alias("_fsig")), on="_fid"))
+    agree = F.aggregate(
+        F.zip_with("_sig", "_fsig",
+                   lambda x, y: (x == y).cast("int")),
+        F.lit(0), lambda acc, v: acc + v)
+    est = F.round(agree.cast("double") / num_hashes, 6)
+    scored = cand.select(
+        F.col("_id").alias("id_a"), F.col("_fid").alias("id_b"),
+        est.alias("est_jaccard"), F.col("_band").cast("int").alias("band"))
+    return scored.filter(F.col("est_jaccard") >= float(threshold))

@@ -107,6 +107,13 @@ def datapipe_ops() -> dict[str, Callable]:
                 df.filter(F.col(str(src_col)) == str(src)),
                 str(text), str(idc), k=int(k), m_bits=int(m),
                 n_hashes=int(h)),
+        # first-seen near-dup detection (r07d): streaming input ->
+        # applyInPandasWithState LSH; batch input -> the oracled twin
+        "neardup_ingest": lambda df, thr=0.5, nh=32, bands=8, k=3,
+            text="text", idc="doc_id": dp.streaming_neardup_pairs(
+                df, str(text), str(idc), threshold=float(thr),
+                num_hashes=int(nh), bands=int(bands),
+                shingle_k=int(k)),
         # similarity search (r03): the query vector is a quoted
         # comma-separated string of floats, e.g.
         # `STREAM E THROUGH cosine_topk('0.1,0.2,…', 10)`

@@ -2048,3 +2048,71 @@ R = STREAM D THROUGH corpus_report('source');
     assert eng.df("R").columns == [
         "source", "n_docs", "n_tokens", "avg_doc_tokens",
         "avg_quality", "dup_rate", "n_langs", "top_lang"]
+
+
+def test_rowwise_banded_matches_aggregated(spark, sf_dir):
+    """The streaming (per-row HOF) signature/bucket path produces
+    byte-identical values to the aggregated whole-stage-codegen path
+    — the invariant that makes streaming ingest find exactly the
+    buckets a batch re-run would."""
+    docs = (spark.read.parquet(f"{sf_dir}/documents.parquet")
+            .limit(50))
+    row = {(r["_id"], r["_band"]): (r["_bucket"], tuple(r["_sig"]))
+           for r in dedup._rowwise_banded(
+               docs, "text", "doc_id", 32, 8, 3).collect()}
+    sigs = dedup.minhash_signatures(docs, "text", "doc_id", 32, 3)
+    agg_sig = {r["_id"]: tuple(r["_sig"]) for r in sigs.collect()}
+    agg_bkt = {(r["_id"], r["_band"]): r["_bucket"]
+               for r in dedup._band_buckets(sigs, 8, 4).collect()}
+    assert len(row) == len(agg_bkt) and row
+    for (did, band), (bkt, sig) in row.items():
+        assert sig == agg_sig[did], did
+        assert bkt == agg_bkt[(did, band)], (did, band)
+
+
+def test_neardup_first_seen_brute_force(spark):
+    rows = [
+        (0, "alpha beta gamma delta epsilon zeta eta theta"),
+        (1, "alpha beta gamma delta epsilon zeta eta iota"),   # near 0
+        (2, "one two three four five six seven eight"),
+        (3, "alpha beta gamma delta epsilon zeta eta theta"),  # exact 0
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    got = {(r["id_a"], r["id_b"], r["band"]): r["est_jaccard"]
+           for r in dedup.neardup_pairs_first_seen(
+               df, threshold=0.5).collect()}
+    # brute force: sigs via the library, min-id holder per bucket
+    sigs = {r["_id"]: list(r["_sig"]) for r in
+            dedup.minhash_signatures(df, "text", "doc_id", 32, 3)
+            .collect()}
+    bkts = {}
+    for r in dedup._band_buckets(
+            dedup.minhash_signatures(df, "text", "doc_id", 32, 3),
+            8, 4).collect():
+        bkts.setdefault((r["_band"], r["_bucket"]), []).append(r["_id"])
+    want = {}
+    for (band, _), members in bkts.items():
+        fid = min(members)
+        for m in members:
+            if m == fid:
+                continue
+            agree = sum(1 for a, b in zip(sigs[m], sigs[fid]) if a == b)
+            est = round(agree / 32.0, 6)
+            if est >= 0.5:
+                want[(m, fid, band)] = est
+    assert got == want and got
+    # exact copy of doc 0 agrees on every hash in every shared bucket
+    assert all(abs(v - 1.0) < 1e-9 for (a, b, _), v in got.items()
+               if (a, b) == (3, 0))
+
+
+def test_streaming_neardup_batch_dispatch(spark):
+    """streaming_neardup_pairs on a BATCH frame dispatches to the
+    first-seen twin."""
+    rows = [(0, "alpha beta gamma delta epsilon zeta"),
+            (1, "alpha beta gamma delta epsilon zeta")]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    a = sorted(map(tuple, dedup.streaming_neardup_pairs(df).collect()))
+    b = sorted(map(tuple,
+                   dedup.neardup_pairs_first_seen(df).collect()))
+    assert a == b and a

@@ -1102,3 +1102,69 @@ def test_bloom_decontaminate_streaming_corpus(spark, tmp_path):
     got = sorted(map(tuple,
                      spark.sql("select * from t_bloom_stream").collect()))
     assert got == want
+
+
+def test_streaming_neardup_cross_batch(spark, tmp_path):
+    """First-seen LSH state survives micro-batch boundaries: a doc
+    arriving in batch 2 is flagged against the holder stored in
+    batch 1, and the total streamed output equals the batch twin on
+    the same (id-ordered) data."""
+    from piglet_spark.datapipe import dedup as dp_dedup
+    d = tmp_path / "docs"
+    d.mkdir()
+    schema = "doc_id long, text string"
+    (d / "b1.csv").write_text(
+        "0\talpha beta gamma delta epsilon zeta eta theta\n"
+        "1\tone two three four five six seven eight\n")
+    sdf = (spark.readStream.schema(schema).option("sep", "\t")
+           .csv(str(d)))
+    out = dp_dedup.streaming_neardup_pairs(sdf, threshold=0.5)
+    assert out.isStreaming
+    q = (out.writeStream.format("memory").queryName("t_neardup")
+         .outputMode("append").start())
+    q.processAllAvailable()
+    assert spark.sql("select * from t_neardup").count() == 0
+    # batch 2: a near-dup of doc 0 and an unrelated doc
+    (d / "b2.csv").write_text(
+        "2\talpha beta gamma delta epsilon zeta eta iota\n"
+        "3\tnine ten eleven twelve thirteen fourteen fifteen sixteen\n")
+    q.processAllAvailable()
+    q.stop()
+    got = sorted(map(tuple,
+                     spark.sql("select * from t_neardup").collect()))
+    assert got and all(b == 0 and a == 2 for a, b, _, _ in got)
+    # ids arrived in ascending order, so the stream's first-arrival
+    # holder == the twin's min-id holder: outputs must coincide
+    batch_docs = spark.createDataFrame(
+        [(0, "alpha beta gamma delta epsilon zeta eta theta"),
+         (1, "one two three four five six seven eight"),
+         (2, "alpha beta gamma delta epsilon zeta eta iota"),
+         (3, "nine ten eleven twelve thirteen fourteen fifteen sixteen")],
+        ["doc_id", "text"])
+    want = sorted(map(tuple, dp_dedup.neardup_pairs_first_seen(
+        batch_docs, threshold=0.5).collect()))
+    assert got == want
+
+
+def test_streaming_neardup_ttl_smoke(spark, tmp_path):
+    """ttl_sec wires ProcessingTimeTimeout without breaking emission
+    (GC itself needs wall-clock progress — not asserted here)."""
+    from piglet_spark.datapipe import dedup as dp_dedup
+    d = tmp_path / "docs"
+    d.mkdir()
+    (d / "a.csv").write_text(
+        "0\talpha beta gamma delta epsilon zeta\n"
+        "1\talpha beta gamma delta epsilon zeta\n")
+    sdf = (spark.readStream.schema("doc_id long, text string")
+           .option("sep", "\t").csv(str(d)))
+    out = dp_dedup.streaming_neardup_pairs(sdf, threshold=0.9,
+                                           ttl_sec=3600)
+    # availableNow (not processAllAvailable): pending processing-time
+    # timeouts keep the query perpetually busy, so processAllAvailable
+    # never settles — availableNow drains the data then terminates
+    q = (out.writeStream.format("memory").queryName("t_neardup_ttl")
+         .outputMode("append").trigger(availableNow=True).start())
+    q.awaitTermination(120)
+    q.stop()
+    rows = spark.sql("select * from t_neardup_ttl").collect()
+    assert [(r["id_a"], r["id_b"]) for r in rows].count((1, 0)) >= 1
