@@ -852,6 +852,39 @@ FROM lf JOIN top USING (g) JOIN dup USING (g)
 """
 
 
+def q_session_stats(spark, sf_dir):
+    """Gap-based sessionization rollup over the events table
+    (datapipe/events.py): per-user sessions split at >30 min gaps,
+    one row per session with count/start/end/duration. One hash
+    shuffle on the user key; both window passes share the
+    partitioning (single Exchange, plan-asserted in tests)."""
+    from piglet_spark.datapipe import events as dp_events
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return dp_events.session_stats(ev, gap_sec=1800)
+
+
+SESSION_STATS_SQL = """
+WITH x AS (
+    SELECT event_id, user_id, ts,
+           CASE WHEN lag(ts) OVER w IS NULL
+                OR epoch_us(ts) - epoch_us(lag(ts) OVER w) > 1800000000
+                THEN 1 ELSE 0 END AS ns
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+), s AS (
+    SELECT user_id, ts,
+           SUM(ns) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                         ROWS UNBOUNDED PRECEDING)::BIGINT AS session_seq
+    FROM x
+)
+SELECT user_id, session_seq, COUNT(*) AS n_events,
+       MIN(ts) AS session_start, MAX(ts) AS session_end,
+       (epoch_us(MAX(ts)) - epoch_us(MIN(ts))) / 1000000.0
+           AS duration_sec
+FROM s GROUP BY user_id, session_seq
+"""
+
+
 def q_lang_id(spark, sf_dir):
     df = _docs(spark, sf_dir)
     return (df.select("lang", dp_text.lang_id(F.col("text")).alias("lang_pred"))
@@ -2721,6 +2754,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "median_agg": _pig(MEDIAN_Q, "M"),
         "accumulate_op": _pig(ACCUMULATE_Q, "A"),
         "events_hourly": _pig(EVENTS_HOURLY, "A"),
+        "session_stats": q_session_stats,
         "wordcount_flatten": _pig(WORDCOUNT, "T"),
         "selfjoin_lineage": _pig(SELFJOIN, "Q"),
         "q6_forecast_revenue": _pig(Q6, "S"),
@@ -2819,6 +2853,7 @@ def oracle_sql() -> dict[str, str]:
         "median_agg": MEDIAN_SQL,
         "accumulate_op": ACCUMULATE_SQL,
         "events_hourly": EVENTS_HOURLY_SQL,
+        "session_stats": SESSION_STATS_SQL,
         "wordcount_flatten": WORDCOUNT_SQL,
         "selfjoin_lineage": SELFJOIN_SQL,
         "q6_forecast_revenue": Q6_SQL,

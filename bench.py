@@ -104,6 +104,7 @@ HEADLINE = [
     "line_dedup_strip",
     "corpus_report",
     "neardup_ingest",
+    "session_stats",
 ]
 
 

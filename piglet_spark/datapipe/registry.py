@@ -34,6 +34,11 @@ def _pk():
     return pack
 
 
+def _ev():
+    from . import events
+    return events
+
+
 def _parse_vec(qv) -> list[float]:
     """Query vector from a STREAM THROUGH string param:
     '0.1, 0.2, -3e-2' → [0.1, 0.2, -0.03]."""
@@ -107,6 +112,18 @@ def datapipe_ops() -> dict[str, Callable]:
                 df.filter(F.col(str(src_col)) == str(src)),
                 str(text), str(idc), k=int(k), m_bits=int(m),
                 n_hashes=int(h)),
+        # gap-based sessionization over event streams (r07d)
+        "sessionize": lambda df, gap=1800, user="user_id", ts="ts",
+            idc="event_id": _ev().sessionize(
+                df, str(user), str(ts), gap_sec=int(gap),
+                id_col=str(idc)),
+        "session_stats": lambda df, gap=1800, user="user_id", ts="ts",
+            idc="event_id": (
+                _ev().session_stats_stream(df, str(user), str(ts),
+                                           gap_sec=int(gap))
+                if df.isStreaming else
+                _ev().session_stats(df, str(user), str(ts),
+                                    gap_sec=int(gap), id_col=str(idc))),
         # first-seen near-dup detection (r07d): streaming input ->
         # applyInPandasWithState LSH; batch input -> the oracled twin
         "neardup_ingest": lambda df, thr=0.5, nh=32, bands=8, k=3,

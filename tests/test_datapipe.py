@@ -2116,3 +2116,95 @@ def test_streaming_neardup_batch_dispatch(spark):
     b = sorted(map(tuple,
                    dedup.neardup_pairs_first_seen(df).collect()))
     assert a == b and a
+
+
+def test_sessionize_brute_force(spark):
+    from piglet_spark.datapipe import events as ev
+    import datetime as dt
+    t0 = dt.datetime(2026, 1, 1, 0, 0, 0)
+    rows = [
+        # user 1: two sessions (gap 100s, threshold 60)
+        (1, 1, t0),
+        (2, 1, t0 + dt.timedelta(seconds=30)),
+        (3, 1, t0 + dt.timedelta(seconds=130)),
+        # user 2: one session, tie on ts broken by event_id
+        (4, 2, t0),
+        (5, 2, t0),
+        # sub-second boundary: 60.000001s gap -> NEW session
+        (6, 3, t0),
+        (7, 3, t0 + dt.timedelta(seconds=60, microseconds=1)),
+        # exactly 60s gap -> SAME session (strict >)
+        (8, 4, t0),
+        (9, 4, t0 + dt.timedelta(seconds=60)),
+    ]
+    df = spark.createDataFrame(rows, ["event_id", "user_id", "ts"])
+    got = {r["event_id"]: (r["session_seq"], r["session_id"])
+           for r in ev.sessionize(df, gap_sec=60).collect()}
+    assert got[1] == (1, "1-1") and got[2] == (1, "1-1")
+    assert got[3] == (2, "1-2")
+    assert got[4] == (1, "2-1") and got[5] == (1, "2-1")
+    assert got[6] == (1, "3-1") and got[7] == (2, "3-2")
+    assert got[8] == (1, "4-1") and got[9] == (1, "4-1")
+    st = {(r["user_id"], r["session_seq"]): (r["n_events"],
+                                             r["duration_sec"])
+          for r in ev.session_stats(df, gap_sec=60).collect()}
+    assert st[(1, 1)] == (2, 30.0) and st[(1, 2)] == (1, 0.0)
+    assert st[(4, 1)] == (2, 60.0)
+
+
+def test_sessionize_single_exchange(spark):
+    """Both window passes (lag + running sum) share one hash
+    partitioning on the user key — exactly one Exchange in the
+    plan."""
+    from piglet_spark.datapipe import events as ev
+    df = spark.createDataFrame(
+        [(1, 1, "2026-01-01 00:00:00")], ["event_id", "user_id", "s"]
+    ).withColumn("ts", F.to_timestamp("s")).drop("s")
+    plan = ev.sessionize(df)._jdf.queryExecution().executedPlan().toString()
+    assert plan.count("Exchange hashpartitioning") == 1, plan
+
+
+def test_session_stats_stream_cross_batch(spark, tmp_path):
+    """Native session_window aggregation: events of one logical
+    session arriving in different micro-batches merge into ONE
+    session row once the watermark closes it."""
+    from piglet_spark.datapipe import events as ev
+    d = tmp_path / "ev"
+    d.mkdir()
+    (d / "b1.csv").write_text(
+        "1,1,2026-01-01 00:00:00\n"
+        "2,1,2026-01-01 00:00:30\n")
+    schema = "event_id long, user_id long, raw string"
+    sdf = (spark.readStream.schema(schema).csv(str(d))
+           .withColumn("ts", F.to_timestamp("raw")).drop("raw"))
+    out = ev.session_stats_stream(sdf, gap_sec=60, watermark="0 seconds")
+    q = (out.writeStream.format("memory").queryName("t_sess")
+         .outputMode("append").start())
+    q.processAllAvailable()
+    # batch 2: continues the session (30s gap), then a far-future
+    # event pushes the watermark past the session's close
+    (d / "b2.csv").write_text(
+        "3,1,2026-01-01 00:01:00\n"
+        "4,9,2026-01-02 00:00:00\n")
+    q.processAllAvailable()
+    (d / "b3.csv").write_text("5,9,2026-01-03 00:00:00\n")
+    q.processAllAvailable()
+    q.stop()
+    rows = {(r["user_id"], r["n_events"])
+            for r in spark.sql("select * from t_sess").collect()}
+    assert (1, 3) in rows, rows  # the 3 events merged into 1 session
+
+
+def test_sessionize_stream_through(spark, sf_dir):
+    import piglet_spark as pg
+    eng = pg.PigEngine(spark)
+    eng.run(f"""
+E = LOAD '{sf_dir}/events.parquet' USING ParquetStorage();
+S = STREAM E THROUGH sessionize(1800);
+T = STREAM E THROUGH session_stats(1800);
+""")
+    srows = eng.df("S").limit(5).collect()
+    assert srows and all(r["session_seq"] >= 1 for r in srows)
+    assert eng.df("T").columns == [
+        "user_id", "session_seq", "n_events", "session_start",
+        "session_end", "duration_sec"]
