@@ -1434,6 +1434,14 @@ class Executor:
 
     def op_orderby(self, op: A.OrderBy) -> None:
         df = self.df(op.rel)
+        if getattr(op, "skip_sort", False):
+            # rewrite.drop_order_before_group: the sort's only
+            # consumer is a grouping op — bag order after GROUP is
+            # undefined (Pig semantics; ref SparkRuleset.scala:33-47
+            # removes the sort too), so skip the range-partition
+            # shuffle and pass rows through
+            self.env[op.out] = df
+            return
         ctx = self.ctx(df)
         if not op.specs:  # ORDER BY *
             cols = [df[c].asc() if op.star_asc else df[c].desc()

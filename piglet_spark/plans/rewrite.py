@@ -199,5 +199,31 @@ def consumer_counts(ops: list[A.Op]) -> dict[str, int]:
     return counts
 
 
+def drop_order_before_group(ops: list[A.Op]) -> list[A.Op]:
+    """Remove an ORDER BY whose ONLY consumer is a (CO)GROUP /
+    DISTINCT — grouping destroys row order, so the global sort is a
+    wasted range-partition shuffle. Reference parity:
+    SparkRuleset.scala:33-47 ("Remove OrderBy later followed by
+    GroupBy"); Catalyst does NOT do this (it keeps the Sort).
+
+    The OrderBy node is MARKED (``skip_sort``) rather than replaced:
+    the executor emits identity for it — alias and grouped-bag names
+    stay intact, Pig's bag order after GROUP is undefined anyway, and
+    ``to_code`` ignores the mark (generated programs keep the sort —
+    correct, just unoptimized). Only single-consumer sorts are
+    bypassed — a sort also feeding a LIMIT / STORE / window stays."""
+    counts = consumer_counts(ops)
+    order_ops = {op.out: op for op in ops if isinstance(op, A.OrderBy)}
+    for op in ops:
+        if not isinstance(op, (A.Group, A.CoGroup, A.Distinct)):
+            continue
+        ins = op.rels if isinstance(op, A.CoGroup) else [op.rel]
+        for rel in ins:
+            src = order_ops.get(rel)
+            if src is not None and counts.get(rel, 0) == 1:
+                src.skip_sort = True
+    return ops
+
+
 def rewrite(ops: list[A.Op]) -> list[A.Op]:
-    return expand_macros(ops)
+    return drop_order_before_group(expand_macros(ops))

@@ -171,3 +171,41 @@ def test_q21_self_aggregation_chain_no_cartesian(spark, entry):
     plan = _plan(entry.queries()["q21_waiting_suppliers"](spark, SF))
     assert "CartesianProduct" not in plan
     assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_order_before_group_bypassed(spark, sf_dir):
+    """SparkRuleset parity: a sort whose only consumer is a GROUP BY
+    is bypassed — no range-partition Sort in the grouped plan — while
+    a sort that also feeds an order-sensitive consumer stays."""
+    import piglet_spark as pg
+    eng = pg.PigEngine(spark)
+    eng.run(f"""
+A = LOAD '{sf_dir}/lineitem.parquet' USING ParquetStorage();
+O = ORDER A BY l_extendedprice DESC;
+G = GROUP O BY l_returnflag;
+C = FOREACH G GENERATE group AS flag, COUNT(O) AS n;
+""")
+    plan = eng.df("C")._jdf.queryExecution().executedPlan().toString()
+    assert "rangepartitioning" not in plan, plan
+    # values unchanged by the bypass
+    got = {r["flag"]: r["n"] for r in eng.df("C").collect()}
+    want = {r["l_returnflag"]: r["n"] for r in
+            spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+            .groupBy("l_returnflag").count()
+            .withColumnRenamed("count", "n").collect()}
+    assert got == want
+    # the ORDER alias is still resolvable (lazy, never executed)
+    assert eng.df("O") is not None
+
+    eng2 = pg.PigEngine(spark)
+    eng2.run(f"""
+A = LOAD '{sf_dir}/lineitem.parquet' USING ParquetStorage();
+O = ORDER A BY l_extendedprice DESC;
+L = LIMIT O 5;
+G = GROUP O BY l_returnflag;
+""")
+    # two consumers, one order-sensitive: the sort must stay wired
+    plan2 = eng2.df("L")._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan2 or "Sort" in plan2
+    prices = [r["l_extendedprice"] for r in eng2.df("L").collect()]
+    assert prices == sorted(prices, reverse=True)
