@@ -91,3 +91,28 @@ def test_rag_index_end_to_end(spark, sf_dir):
         v, [0.1] * 64, k=10).collect()}
     got = {r["vec_id"] for r in hits}
     assert len(got & exact) >= 5  # IVF probes >= half the exact set
+
+
+def test_corpus_curation_end_to_end(spark, sf_dir, tmp_path):
+    """The r07d curation example runs end-to-end: decontamination
+    gate keeps a non-trivial subset, the report covers every
+    surviving source, sessions are well-formed."""
+    import piglet_spark as pg
+    script = (EXAMPLES / "corpus_curation.pig").read_text()
+    eng = pg.PigEngine(spark,
+                       params={"sf": str(sf_dir),
+                               "out": str(tmp_path / "cur")})
+    eng.run(script)
+    n_docs = eng.df("D").count()
+    n_clean = eng.df("CLEAN").count()
+    assert 0 < n_clean < n_docs  # src0 (the benchmark) always drops
+    rpt = {r["source"]: r for r in eng.df("RPT").collect()}
+    assert "src0" not in rpt and rpt
+    assert all(r["n_docs"] > 0 and 0 <= r["dup_rate"] <= 1
+               for r in rpt.values())
+    nd = eng.df("ND").collect()
+    assert all(r["id_b"] < r["id_a"] for r in nd)  # first-seen = min id
+    sess = spark.read.parquet(str(tmp_path / "cur" / "sessions"))
+    srow = sess.collect()
+    assert srow and all(r["duration_sec"] >= 0 for r in srow)
+    assert sess.count() == eng.df("SESS").count()
