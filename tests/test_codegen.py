@@ -341,6 +341,8 @@ T = STREAM D THROUGH tfidf_top_terms(2);
 C = STREAM D THROUGH chunk_text(2, 1);
 S = STREAM D THROUGH global_shuffle(7);
 G = STREAM D THROUGH take_top_frac('doc_id', 0.5);
+N = STREAM D THROUGH neardup_ingest(0.1);
+R = STREAM D THROUGH corpus_report('doc_id', 'text', 'text');
 """
     eng = pg.PigEngine(spark)
     env = eng.run(script)
@@ -348,10 +350,12 @@ G = STREAM D THROUGH take_top_frac('doc_id', 0.5);
     assert "datapipe_ops()" in code
     ns = {"spark": spark}
     exec(compile(code, "<gen>", "exec"), ns)
-    for alias in ("T", "C", "S", "G"):
+    for alias in ("T", "C", "S", "G", "N", "R"):
         got = sorted(tuple(r) for r in ns[alias].collect())
         want = sorted(tuple(r) for r in env[alias].collect())
-        assert got == want and got
+        assert got == want
+        if alias != "N":   # 3 tiny docs may share no LSH bucket
+            assert got
     with pytest.raises(CodegenUnsupported, match="engine-only"):
         eng.to_code(f"""
 D = LOAD '{p}' USING ParquetStorage();
