@@ -767,22 +767,38 @@ def bloom_decontaminate(df: DataFrame, bench_df: DataFrame,
     doc_sh = _spread(df, id_col).select(
         F.col(id_col).alias("_id"),
         shingles_of(F.col(text_col), k).alias("_sh"))
-    # explode_outer (empty-shingle docs keep a null row) + an explicit
-    # shared digest column, then plain-column bit tests
-    exploded = (doc_sh
-                .select("_id", F.size("_sh").alias("_n"),
-                        F.explode_outer("_sh").alias("_g"))
-                .withColumn("_d", F.md5("_g")))
-    hit = F.lit(True)
-    for i in range(n_hashes):
-        hit = hit & bit_set(slice_probe(F.col("_d"), i))
-    counted = (exploded
-               .withColumn("_hit", F.when(F.col("_g").isNull(),
-                                          F.lit(0))
-                           .otherwise(hit.cast("int")))
-               .groupBy("_id")
-               .agg(F.first("_n").alias("n_shingles"),
-                    F.sum("_hit").cast("int").alias("n_bloom_hits")))
+    if df.isStreaming:
+        # TRULY map-only formulation (no aggregation — an
+        # unwatermarked streaming groupBy can't run append):
+        # per-element array filter. Interpreted HOF lambdas are fine
+        # at ingest rates; the batch path below is the codegen'd one.
+        def shingle_hit(s: Column) -> Column:
+            cond = bit_set(slice_probe(F.md5(s), 0))
+            for i in range(1, n_hashes):
+                cond = cond & bit_set(slice_probe(F.md5(s), i))
+            return cond
+        counted = doc_sh.select(
+            "_id",
+            F.size("_sh").alias("n_shingles"),
+            F.size(F.filter("_sh", shingle_hit)).alias("n_bloom_hits"))
+    else:
+        # explode_outer (empty-shingle docs keep a null row) + an
+        # explicit shared digest column, then plain-column bit tests
+        exploded = (doc_sh
+                    .select("_id", F.size("_sh").alias("_n"),
+                            F.explode_outer("_sh").alias("_g"))
+                    .withColumn("_d", F.md5("_g")))
+        hit = F.lit(True)
+        for i in range(n_hashes):
+            hit = hit & bit_set(slice_probe(F.col("_d"), i))
+        counted = (exploded
+                   .withColumn("_hit", F.when(F.col("_g").isNull(),
+                                              F.lit(0))
+                               .otherwise(hit.cast("int")))
+                   .groupBy("_id")
+                   .agg(F.first("_n").alias("n_shingles"),
+                        F.sum("_hit").cast("int")
+                        .alias("n_bloom_hits")))
     return counted.select(
         F.col("_id").alias(id_col), "n_shingles", "n_bloom_hits",
         F.round(

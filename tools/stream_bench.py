@@ -13,6 +13,9 @@ PUBLIC PigEngine streaming surface:
   per-key count window (applyInPandasWithState cross-batch state).
 - keyed_cep: MATCH_EVENT SEQ with a per-key NFA
   (applyInPandasWithState per-key streaming state).
+- neardup_ingest: first-seen MinHash-LSH near-dup detection over a
+  documents file stream (per-row signatures + per-bucket holder
+  state; r07d).
 
 Prints one JSON line: {"rows": N, "pipelines": {name: {"sec": s,
 "rows_per_sec": r, "out_rows": m}}}.
@@ -33,6 +36,17 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(
     os.path.abspath(__file__))))
+
+
+def stage_docs(spark, sf_dir: str, out_dir: str, n_files: int) -> int:
+    d = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    n = d.count()
+    # tab-separated; strip tabs/newlines from text so one row = one line
+    (d.selectExpr("doc_id",
+                  r"regexp_replace(text, '[\t\n\r]', ' ') AS text")
+       .repartition(n_files)
+       .write.mode("overwrite").option("sep", "\t").csv(out_dir))
+    return n
 
 
 def stage_csv(spark, sf_dir: str, out_dir: str, n_files: int) -> int:
@@ -110,7 +124,20 @@ def main() -> None:
                                 "rows_per_sec": round(n / sec),
                                 "out_rows": out}
 
-        print(json.dumps({"rows": n, "n_files": args.n_files,
+        dstage = tempfile.mkdtemp(prefix="pigstreamdocs_")
+        try:
+            nd = stage_docs(spark, args.sf_dir, dstage, args.n_files)
+            s = (f"D = LOAD '{dstage}' USING PigStorage('\\t') AS ("
+                 f"doc_id:long, text:chararray);\n"
+                 "N = STREAM D THROUGH neardup_ingest(0.5);\n")
+            sec, out = run_pipeline(spark, s, "N", "sb_neardup", "append")
+            results["neardup_ingest"] = {"sec": round(sec, 3),
+                                         "rows_per_sec": round(nd / sec),
+                                         "out_rows": out}
+        finally:
+            shutil.rmtree(dstage, ignore_errors=True)
+
+        print(json.dumps({"rows": n, "docs": nd, "n_files": args.n_files,
                           "pipelines": results}))
     finally:
         shutil.rmtree(stage, ignore_errors=True)
