@@ -885,6 +885,14 @@ FROM s GROUP BY user_id, session_seq
 """
 
 
+def q_compression_ratio(spark, sf_dir):
+    """zlib compression-ratio quality signal (Arrow mapInPandas —
+    zlib is not SQL-expressible, so this is the one registry entry
+    WITHOUT oracle SQL: the driver records a rows-only check, and
+    value determinism is pinned by pytest against python zlib)."""
+    return dp_text.compression_ratio(_docs(spark, sf_dir), level=6)
+
+
 def q_lang_id(spark, sf_dir):
     df = _docs(spark, sf_dir)
     return (df.select("lang", dp_text.lang_id(F.col("text")).alias("lang_pred"))
@@ -2780,6 +2788,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "bloom_decontamination": q_bloom_decon,
         "line_dedup_strip": q_line_dedup_strip,
         "corpus_report": q_corpus_report,
+        "compression_ratio": q_compression_ratio,
         "dedup_minhash_lsh": q_minhash_lsh,
         "neardup_ingest": q_neardup_ingest,
         "dedup_cluster_canonical": q_neardup_clusters,

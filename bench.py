@@ -105,6 +105,7 @@ HEADLINE = [
     "corpus_report",
     "neardup_ingest",
     "session_stats",
+    "compression_ratio",
 ]
 
 

@@ -221,6 +221,10 @@ def datapipe_ops() -> dict[str, Callable]:
                 str(text), str(idc), n_buckets=int(nb),
                 frac=float(frac), seed=int(seed), method=str(meth)),
         # per-doc top-k TF-IDF keyword extraction (r07)
+        # zlib quality signal (mapInPandas; not SQL-expressible)
+        "compression_ratio": lambda df, level=6, text="text",
+            idc="doc_id": dt.compression_ratio(
+                df, str(text), str(idc), level=int(level)),
         # per-group corpus card (datasheet stats)
         "corpus_report": lambda df, grp="source", text="text",
             lang="lang", idc="doc_id": dt.corpus_report(

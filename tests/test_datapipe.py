@@ -2208,3 +2208,35 @@ T = STREAM E THROUGH session_stats(1800);
     assert eng.df("T").columns == [
         "user_id", "session_seq", "n_events", "session_start",
         "session_end", "duration_sec"]
+
+
+def test_compression_ratio_brute_force(spark):
+    import zlib
+    rows = [(0, "abab" * 50),                 # highly repetitive
+            (1, "the quick brown fox jumps over one lazy dog"),
+            (2, ""), (3, None)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r["doc_id"]: r for r in
+           text.compression_ratio(df).collect()}
+    for did, t in rows:
+        raw = (t or "").encode()
+        assert got[did]["n_bytes"] == len(raw)
+        assert got[did]["n_compressed"] == len(zlib.compress(raw, 6))
+        want = round(len(zlib.compress(raw, 6)) / len(raw), 6) \
+            if raw else 0.0
+        assert abs(got[did]["compression_ratio"] - want) < 1e-9
+    # the repetitive doc compresses far better than the natural one
+    assert (got[0]["compression_ratio"]
+            < got[1]["compression_ratio"] * 0.5)
+
+
+def test_compression_ratio_stream_through(spark, sf_dir):
+    import piglet_spark as pg
+    eng = pg.PigEngine(spark)
+    eng.run(f"""
+D = LOAD '{sf_dir}/documents.parquet' USING ParquetStorage();
+C = STREAM D THROUGH compression_ratio(1);
+""")
+    rows = eng.df("C").limit(20).collect()
+    assert rows and all(0 < r["compression_ratio"] <= 1.2
+                        for r in rows)
