@@ -1250,6 +1250,73 @@ def _band_col_exprs(bands: int, rows_per_band: int) -> list[Column]:
     return cols
 
 
+def _rowwise_banded_pandas(df: DataFrame, text_col: str, id_col: str,
+                           num_hashes: int, bands: int,
+                           shingle_k: int) -> DataFrame:
+    """(_id, _sig, _band, _bucket) via an Arrow ``mapInPandas`` pass —
+    byte-identical values to :func:`_rowwise_banded` (pinned by test)
+    but ~two orders of magnitude faster per document: the Catalyst
+    HOF formulation interprets 32 transform lambdas per row (~ms/doc),
+    while hashlib md5 + one numpy (num_hashes × n_shingles) min is
+    ~0.1 ms/doc. Aggregation-free, so it applies to unbounded
+    streams; this is the path :func:`streaming_neardup_pairs` uses."""
+    import re as _re
+    import numpy as _np
+
+    rows_per_band = _check_bands(bands, num_hashes)
+    params = _np.array(_hash_params(num_hashes), dtype=_np.object_)
+    a_vec = params[:, 0].astype(object)   # python ints: exact mod-P
+    b_vec = params[:, 1].astype(object)
+    out_t = ("_id long, _sig array<bigint>, _band int, _bucket long")
+
+    def emit(batches):
+        import hashlib
+        import pandas as pd
+        for pdf in batches:
+            ids, sigs, bnds, bkts = [], [], [], []
+            for _id, text in zip(pdf[id_col], pdf[text_col]):
+                norm = _re.sub(r"[^a-z0-9]+", " ",
+                               ("" if text is None else text)
+                               .lower()).strip()
+                toks = norm.split(" ") if norm else []
+                seen, sh = set(), []
+                for i in range(len(toks) - shingle_k + 1):
+                    g = " ".join(toks[i:i + shingle_k])
+                    if g not in seen:
+                        seen.add(g)
+                        sh.append(g)
+                if sh:
+                    xs = _np.array(
+                        [int(hashlib.md5(g.encode()).hexdigest()[:8],
+                             16) % _P for g in sh],
+                        dtype=_np.int64)
+                    # (num_hashes, n) products stay < 2^62: int64 ok
+                    prods = (_np.asarray(a_vec, dtype=_np.int64)[:, None]
+                             * xs[None, :]
+                             + _np.asarray(b_vec,
+                                           dtype=_np.int64)[:, None])
+                    sig = (prods % _P).min(axis=1).tolist()
+                else:
+                    sig = [_P] * num_hashes
+                for b in range(bands):
+                    piece = ",".join(
+                        [str(b)] + [str(sig[b * rows_per_band + i])
+                                    for i in range(rows_per_band)])
+                    bkt = int(hashlib.md5(piece.encode())
+                              .hexdigest()[:15], 16)
+                    ids.append(_id)
+                    sigs.append(sig)
+                    bnds.append(b)
+                    bkts.append(bkt)
+            if ids:
+                yield pd.DataFrame({"_id": ids, "_sig": sigs,
+                                    "_band": bnds, "_bucket": bkts})
+
+    return (df.select(F.col(id_col).cast("long").alias(id_col),
+                      text_col)
+            .mapInPandas(emit, out_t))
+
+
 def _rowwise_banded(df: DataFrame, text_col: str, id_col: str,
                     num_hashes: int, bands: int,
                     shingle_k: int) -> DataFrame:
@@ -1292,22 +1359,30 @@ def streaming_neardup_pairs(df: DataFrame, text_col: str = "text",
     counterpart of :func:`minhash_lsh_pairs`, for "is this new
     document a near-dup of anything we've already accepted?".
 
-    Per-row signatures (map-only, aggregation-free) → band buckets →
-    ``applyInPandasWithState`` keyed on (band, bucket): the state
-    holds the FIRST-seen document per bucket (id + signature, bounded
-    — never a growing list), each later arrival is compared against
-    the holder and a ``(id_a, id_b, est_jaccard, band)`` row is
-    emitted when the signature-agreement estimate ≥ ``threshold``.
+    Per-row signatures (map-only, aggregation-free; Arrow fast path
+    — :func:`_rowwise_banded_pandas`) → band buckets →
+    ``applyInPandasWithState`` keyed on (band, bucket % n_shards):
+    per shard the state is a dict {bucket → first-seen (id,
+    signature)} — one holder per OCCUPIED bucket, never a growing
+    list per bucket. Sharding matters: the state function is invoked
+    per GROUP per trigger, so raw (band, bucket) keys cost one Python
+    call per occupied bucket (measured 40 s for 50k docs — pure
+    invocation overhead); 2^10 shards/band amortize it to ~8k calls.
+    Each later arrival in a bucket is compared against its holder and
+    a ``(id_a, id_b, est_jaccard, band)`` row is emitted when the
+    signature-agreement estimate ≥ ``threshold``.
     A pair colliding in several bands emits once per band (distinct
     downstream if needed). Batch counterpart with identical
     first-seen-is-min-id semantics: :func:`neardup_pairs_first_seen`
     (the DuckDB-oracled twin); they agree whenever ids arrive in
     ascending order (pinned by test).
 
-    Scale shape: state is one signature per OCCUPIED bucket —
-    ``ttl_sec`` bounds it on endless streams (processing-time GC);
-    the shuffle is the bands-per-doc explode, nothing quadratic.
-    Works on batch DataFrames too (dispatches to the twin).
+    Scale shape: state is one signature per OCCUPIED bucket,
+    pickled per shard — ``ttl_sec`` bounds it on endless streams
+    (processing-time GC, per SHARD: an idle shard drops all its
+    holders together); the shuffle is the bands-per-doc explode,
+    nothing quadratic. Works on batch DataFrames too (dispatches to
+    the twin).
 
     Caveat: with ``ttl_sec`` set, drive the query with an
     ``availableNow`` trigger (or a real long-running trigger) —
@@ -1318,12 +1393,16 @@ def streaming_neardup_pairs(df: DataFrame, text_col: str = "text",
             df, text_col, id_col, threshold=threshold,
             num_hashes=num_hashes, bands=bands, shingle_k=shingle_k)
     from pyspark.sql.streaming.state import GroupStateTimeout
-    banded = _rowwise_banded(df, text_col, id_col, num_hashes, bands,
-                             shingle_k)
+    banded = _rowwise_banded_pandas(df, text_col, id_col, num_hashes,
+                                    bands, shingle_k)
+    n_shards = 1 << 10
+    banded = banded.withColumn(
+        "_shard", (F.col("_bucket") % n_shards).cast("int"))
     thr = float(threshold)
     ttl = None if ttl_sec is None else int(ttl_sec) * 1000
 
     def detect(key, pdf_iter, state):
+        import pickle
         import pandas as pd
         if state.hasTimedOut:
             state.remove()
@@ -1332,30 +1411,34 @@ def streaming_neardup_pairs(df: DataFrame, text_col: str = "text",
         if not parts:
             return
         pdf = pd.concat(parts).sort_values("_id")
-        fid, fsig = state.get if state.exists else (None, None)
+        holders = (pickle.loads(state.get[0]) if state.exists
+                   else {})
         rows = []
         band = int(key[0])
-        for _id, sig in zip(pdf["_id"], pdf["_sig"]):
-            if fid is None:
-                fid, fsig = int(_id), [int(v) for v in sig]
+        for _id, sig, bkt in zip(pdf["_id"], pdf["_sig"],
+                                 pdf["_bucket"]):
+            got = holders.get(bkt)
+            if got is None:
+                holders[bkt] = (int(_id), [int(v) for v in sig])
                 continue
+            fid, fsig = got
             if int(_id) == fid:
                 continue
             agree = sum(1 for a, b in zip(sig, fsig) if int(a) == b)
             est = round(agree / float(len(fsig)), 6)
             if est >= thr:
                 rows.append((int(_id), fid, est, band))
-        state.update((fid, fsig))
+        state.update((pickle.dumps(holders),))
         if ttl is not None:
             state.setTimeoutDuration(ttl)
         if rows:
             yield pd.DataFrame(
                 rows, columns=["id_a", "id_b", "est_jaccard", "band"])
 
-    return (banded.groupBy("_band", "_bucket").applyInPandasWithState(
+    return (banded.groupBy("_band", "_shard").applyInPandasWithState(
         detect,
         "id_a long, id_b long, est_jaccard double, band int",
-        "first_id long, sig array<bigint>",
+        "holders binary",
         "append",
         GroupStateTimeout.ProcessingTimeTimeout if ttl is not None
         else GroupStateTimeout.NoTimeout))

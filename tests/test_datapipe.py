@@ -2240,3 +2240,18 @@ C = STREAM D THROUGH compression_ratio(1);
     rows = eng.df("C").limit(20).collect()
     assert rows and all(0 < r["compression_ratio"] <= 1.2
                         for r in rows)
+
+
+def test_rowwise_banded_pandas_matches_hof(spark, sf_dir):
+    """The Arrow fast path for streaming signatures is byte-identical
+    to the Catalyst HOF formulation (which test_rowwise_banded...
+    pins against the aggregated batch path)."""
+    docs = (spark.read.parquet(f"{sf_dir}/documents.parquet")
+            .limit(60))
+    fast = {(r["_id"], r["_band"]): (r["_bucket"], tuple(r["_sig"]))
+            for r in dedup._rowwise_banded_pandas(
+                docs, "text", "doc_id", 32, 8, 3).collect()}
+    hof = {(r["_id"], r["_band"]): (r["_bucket"], tuple(r["_sig"]))
+           for r in dedup._rowwise_banded(
+               docs, "text", "doc_id", 32, 8, 3).collect()}
+    assert fast == hof and fast
