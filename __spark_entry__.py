@@ -1574,9 +1574,12 @@ def q_knn_join(spark, sf_dir):
 def q_knn_join_lsh(spark, sf_dir):
     """LSH-bucketed batch kNN join: hyperplane sign buckets on both
     sides, hamming≤1 multi-probe explode on the query side, bucket
-    equi-join prunes candidates ~(1+p)/2^p before the exact re-rank.
+    equi-join prunes candidates before the exact re-rank.
     Deterministic (literal LCG hyperplanes) — the full candidate
-    pipeline reproduces in DuckDB."""
+    pipeline reproduces in DuckDB. The plane count is ADAPTIVE
+    (r08, similarity.lsh_planes): pure integer math on COUNT(*), so
+    the oracle regenerates the identical plane set from the table's
+    parquet row count (same target_bucket/max_bucket defaults)."""
     emb = _emb(spark, sf_dir)
     qs = emb.filter(F.col("vec_id") % 100 == 0)
     return dp_sim.knn_join(emb, qs, k=5, method="lsh", n_planes=4)
@@ -1590,37 +1593,68 @@ _COS_EQ = ("list_dot_product(e.embedding::DOUBLE[], q.qv)"
 
 def _knn_join_sql(k: int = 5, qmod: int = 100,
                   lsh: bool = False, n_planes: int = 4,
-                  dim: int = 64) -> str:
+                  dim: int = 64, corpus_count: int = 500,
+                  target_bucket: int = 128,
+                  max_bucket: int = 4096) -> str:
     """Generated oracle for q_knn_join / q_knn_join_lsh: queries =
     vec_id ≡ 0 (mod qmod); per query, ROW_NUMBER over round(cos,6)
-    desc, nbr_id asc; the lsh form adds the literal-hyperplane bucket
-    + hamming≤1 xor membership filter (same construction as
-    _ann_lsh_sql)."""
-    bucket_filter = ""
-    if lsh:
-        from piglet_spark.datapipe.similarity import hyperplanes
-        planes = hyperplanes(dim, n_planes)
-
-        def bucket(v: str) -> str:
-            return " + ".join(
-                "(CASE WHEN list_dot_product({}, [{}]::DOUBLE[]) > 0"
-                " THEN {} ELSE 0 END)".format(
-                    v, ", ".join(repr(x) for x in p), 1 << i)
-                for i, p in enumerate(planes))
-
-        probe_xors = ", ".join(
-            str(x) for x in [0] + [1 << i for i in range(n_planes)])
-        bucket_filter = (
-            f" AND xor(({bucket('e.embedding::DOUBLE[]')})::BIGINT,"
-            f" ({bucket('q.qv')})::BIGINT) IN ({probe_xors})")
-    return f"""
+    desc, nbr_id asc. The lsh form mirrors the r08 adaptive path:
+    plane count p = lsh_planes(corpus_count) (the SAME integer
+    formula the Spark side applies to corpus.count()), literal
+    hyperplane buckets in a CTE, hot buckets (> max_bucket rows)
+    excluded via a bucket-size histogram — every data-dependent step
+    is recomputed in SQL, so the oracle stays value-exact at ANY
+    scale factor as long as ``corpus_count`` matches the table."""
+    if not lsh:
+        return f"""
 WITH q AS (
     SELECT vec_id AS qid, embedding::DOUBLE[] AS qv
     FROM embeddings WHERE vec_id % {qmod} = 0
 ), scored AS (
     SELECT q.qid, e.vec_id AS nbr_id, ROUND({_COS_EQ}, 6) AS cos
     FROM embeddings e, q
-    WHERE e.vec_id <> q.qid{bucket_filter}
+    WHERE e.vec_id <> q.qid
+)
+SELECT qid, nbr_id, cos FROM (
+    SELECT *, ROW_NUMBER() OVER (
+        PARTITION BY qid ORDER BY cos DESC, nbr_id ASC) AS rn
+    FROM scored) WHERE rn <= {k}
+"""
+    from piglet_spark.datapipe.similarity import hyperplanes, lsh_planes
+    p = lsh_planes(corpus_count, n_planes, target_bucket)
+    planes = hyperplanes(dim, p)
+
+    def bucket(v: str) -> str:
+        return " + ".join(
+            "(CASE WHEN list_dot_product({}, [{}]::DOUBLE[]) > 0"
+            " THEN {} ELSE 0 END)".format(
+                v, ", ".join(repr(x) for x in pl), 1 << i)
+            for i, pl in enumerate(planes))
+
+    probe_xors = ", ".join(
+        str(x) for x in [0] + [1 << i for i in range(p)])
+    cos_ev = ("list_dot_product(e.v, q.qv)"
+              " / (sqrt(list_dot_product(e.v, e.v))"
+              " * sqrt(list_dot_product(q.qv, q.qv)))")
+    return f"""
+WITH q AS (
+    SELECT vec_id AS qid, embedding::DOUBLE[] AS qv,
+           ({bucket("embedding::DOUBLE[]")})::BIGINT AS qb
+    FROM embeddings WHERE vec_id % {qmod} = 0
+), eb AS (
+    SELECT vec_id, embedding::DOUBLE[] AS v,
+           ({bucket("embedding::DOUBLE[]")})::BIGINT AS b
+    FROM embeddings
+    WHERE len(embedding) >= {dim}
+      AND list_dot_product(embedding::DOUBLE[], embedding::DOUBLE[]) > 0
+), ok AS (
+    SELECT eb.* FROM eb
+    JOIN (SELECT b FROM eb GROUP BY b
+          HAVING COUNT(*) <= {max_bucket}) keep USING (b)
+), scored AS (
+    SELECT q.qid, e.vec_id AS nbr_id, ROUND({cos_ev}, 6) AS cos
+    FROM ok e, q
+    WHERE e.vec_id <> q.qid AND xor(e.b, q.qb) IN ({probe_xors})
 )
 SELECT qid, nbr_id, cos FROM (
     SELECT *, ROW_NUMBER() OVER (
@@ -2841,7 +2875,29 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     }
 
 
-def oracle_sql() -> dict[str, str]:
+def _emb_count(sf_dir: str | None = None) -> int:
+    """Embeddings-table row count at the oracle's scale factor — the
+    corpus_count the adaptive knn_join-lsh plane formula needs.
+    Parquet-metadata read only (no data scan); falls back to the
+    sf0.01 fixture count (500) if the file is absent, which keeps
+    oracle_sql() importable anywhere."""
+    import os as _os
+    try:
+        import pyarrow.parquet as _pq
+        d = sf_dir or "/root/testdata/sf0.01"
+        return _pq.ParquetFile(
+            _os.path.join(d, "embeddings.parquet")).metadata.num_rows
+    except Exception:
+        return 500
+
+
+def oracle_sql(sf_dir: str | None = None) -> dict[str, str]:
+    """DuckDB oracle SQL per query. The driver calls this with no
+    arguments and runs the SQL at sf0.01 (the default); local
+    checkers (tools/check_oracle.py) pass the sf dir they run at so
+    data-dependent generated oracles (knn_join_lsh's adaptive plane
+    count) regenerate the same math the Spark side derives from the
+    actual table."""
     return {
         "q1_pricing_summary": Q1_SQL,
         "q3_top_revenue": Q3_SQL,
@@ -2922,7 +2978,8 @@ def oracle_sql() -> dict[str, str]:
         "lm_perplexity": LM_PPL_SQL,
         "duplicate_spans": DUP_SPANS_SQL,
         "knn_join_exact": _knn_join_sql(),
-        "knn_join_lsh": _knn_join_sql(lsh=True),
+        "knn_join_lsh": _knn_join_sql(lsh=True,
+                                      corpus_count=_emb_count(sf_dir)),
         "global_shuffle": GLOBAL_SHUFFLE_SQL,
         "take_top_frac": TAKE_TOP_FRAC_SQL,
         "split_assign": SPLIT_ASSIGN_SQL,

@@ -673,7 +673,7 @@ def bloom_decontaminate(df: DataFrame, bench_df: DataFrame,
     Scale shape — the whole point vs the exact join:
       * benchmark → DISTINCT shingles → ≤ ``m_bits`` distinct bit
         positions (one aggregation), collected into an
-        ``m_bits/8``-byte bitmap (16 KiB at the default 2^17 —
+        ``m_bits/8``-byte bitmap (128 KiB at the default 2^20 —
         bounded by construction, like the IVF training sample) and
         embedded as a binary literal;
       * corpus side probes shingles against the literal bitmap with
@@ -686,8 +686,12 @@ def bloom_decontaminate(df: DataFrame, bench_df: DataFrame,
         corpus pass is a scan plus a doc-count-sized shuffle; only
         the (small) benchmark is ever aggregated.
 
-    Probes are portable md5 constructions (DuckDB:
-    ``('0x' || substr(md5(i || '|' || g), 1, 8))::BIGINT % m``), so
+    Probes are portable md5 constructions: probe i is the 32-bit hex
+    slice ``i % 4`` of digest ``i // 4``, where digest 0 is plain
+    ``md5(g)`` and digest d>0 is ``md5(d || '|' || g)`` — so probes
+    0-3 slice ``md5(g)`` directly and only probes ≥4 carry the
+    ``'d|'`` prefix (DuckDB for probe i<4:
+    ``('0x' || substr(md5(g), 8*i+1, 8))::BIGINT % m``). Hence
     the result — false positives included — is value-hash
     oracle-checkable: bit p set in the bitmap ⟺ p ∈ the benchmark
     position set, which ANSI SQL reproduces with an IN-join.
@@ -1392,6 +1396,22 @@ def streaming_neardup_pairs(df: DataFrame, text_col: str = "text",
         return neardup_pairs_first_seen(
             df, text_col, id_col, threshold=threshold,
             num_hashes=num_hashes, bands=bands, shingle_k=shingle_k)
+    from pyspark.sql import types as _T
+    # The streaming state/output schema types the doc id as LONG; a
+    # string/UUID id would silently cast to null and then crash in
+    # the stateful detector (int(None)). The batch twin accepts any
+    # orderable id type — fail loudly here rather than diverge
+    # silently by input mode. (Callers with string ids: pre-hash,
+    # e.g. .withColumn(id, xxhash64(id)), accepting collision odds.)
+    id_type = df.schema[id_col].dataType
+    if not isinstance(id_type, (_T.ByteType, _T.ShortType,
+                                _T.IntegerType, _T.LongType)):
+        raise ValueError(
+            f"streaming_neardup_pairs: id column {id_col!r} must be "
+            f"an integral type (state schema is long), got "
+            f"{id_type.simpleString()}; hash string ids to long "
+            f"first (e.g. F.xxhash64) on BOTH the stream and any "
+            f"batch corpus you compare against")
     from pyspark.sql.streaming.state import GroupStateTimeout
     banded = _rowwise_banded_pandas(df, text_col, id_col, num_hashes,
                                     bands, shingle_k)

@@ -14,10 +14,14 @@
 
 from __future__ import annotations
 
+import logging
+
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
 from .util import spread as _spread
+
+_LOG = logging.getLogger(__name__)
 
 
 def _lcg(seed: int):
@@ -287,6 +291,29 @@ def train_centroids(df: DataFrame, vec_col: str, id_col: str,
 _BLAS_QBLOCK = 2048
 
 
+def lsh_planes(corpus_count: int, n_planes: int = 4,
+               target_bucket: int = 128, max_planes: int = 20) -> int:
+    """Adaptive hyperplane count for the knn_join lsh path: enough
+    planes that the EXPECTED bucket size ``corpus_count / 2^p`` stays
+    ≤ ``target_bucket`` — i.e. ``max(n_planes,
+    ceil(log2(count / target_bucket)))``, capped at ``max_planes``.
+
+    Why this must be adaptive: with a fixed p the candidate stage is
+    quadratic whenever |Q| ∝ |C| (candidates ≈ |Q|·(1+p)/2^p·|C|);
+    the r07 scale sweep measured 79.7× wall-time for 10× data at the
+    old fixed p=4 (sf10: 524 s — half the sweep). With bucket size
+    pinned at ``target_bucket`` the candidate count is
+    |Q|·(1+p)·target — linear in the data (up to the log factor),
+    the same shape as the dedup LSH family. Pure integer math on the
+    corpus COUNT only, so a SQL oracle generator can recompute the
+    identical plane set from the table's row count."""
+    cc, tb = max(int(corpus_count), 1), int(target_bucket)
+    # smallest p with tb·2^p ≥ cc — integer ceil(log2(cc/tb)), no
+    # float log (exact at power-of-2 boundaries)
+    need = ((cc + tb - 1) // tb - 1).bit_length()
+    return min(max(int(n_planes), need), int(max_planes))
+
+
 def knn_join(corpus: DataFrame, queries: DataFrame, k: int = 5,
              vec_col: str = "embedding", id_col: str = "vec_id",
              q_vec_col: str | None = None, q_id_col: str | None = None,
@@ -296,7 +323,10 @@ def knn_join(corpus: DataFrame, queries: DataFrame, k: int = 5,
              batch_slack: int | None = None,
              n_cells: int = 16, n_probe: int = 4,
              refine_iters: int = 1,
-             train_sample: int = 256) -> DataFrame:
+             train_sample: int = 256,
+             target_bucket: int = 128,
+             max_bucket: int | None = 4096,
+             corpus_count: int | None = None) -> DataFrame:
     """Batch k-nearest-neighbor join: for EVERY row of ``queries``,
     the ``k`` rows of ``corpus`` with the highest cosine similarity.
     Returns (qid, nbr_id, cos) with deterministic ROW_NUMBER
@@ -331,8 +361,17 @@ def knn_join(corpus: DataFrame, queries: DataFrame, k: int = 5,
       training (observed: none; pytest asserts blas == exact).
     - ``lsh``: random-hyperplane buckets on both sides, hamming≤1
       multi-probe explode on the query side, bucket equi-join →
-      candidates shrink ~(1+n_planes)/2^n_planes before the exact
-      re-rank. Deterministic and oracle-reproducible.
+      candidates shrink ~(1+p)/2^p before the exact re-rank. The
+      plane count p is ADAPTIVE (:func:`lsh_planes`): at least
+      ``n_planes``, raised so expected bucket size |C|/2^p stays
+      ≤ ``target_bucket`` — candidates are then |Q|·(1+p)·target,
+      linear in the data instead of the fixed-p quadratic (r07
+      measured 79.7× wall for 10× data at fixed p=4). |C| comes from
+      one cheap count unless ``corpus_count`` is passed. Buckets
+      larger than ``max_bucket`` (pathological piles) are dropped
+      with a logged warning, like dedup's ``_cap_buckets``.
+      Deterministic and oracle-reproducible (p and the cap are pure
+      functions of COUNT(*) and the bucket histogram).
     - ``ivf``: FAISS-style IVF-Flat fused into the blas kernel — a
       trained coarse quantizer (:func:`train_centroids`, bounded
       driver sample) bins each batch's rows to their nearest cell
@@ -393,14 +432,48 @@ def knn_join(corpus: DataFrame, queries: DataFrame, k: int = 5,
         return _topk(scored)
 
     if method == "lsh":
+        # Adaptive plane count: the r07 scale sweep caught the fixed
+        # p=4 quadratic cliff (79.7× wall for 10× data). One cheap
+        # count (parquet metadata-only under column pruning) picks p
+        # so expected bucket size stays ≤ target_bucket; callers that
+        # know |C| pass corpus_count and skip the job. Deterministic
+        # — p is pure integer math on the count, so the SQL oracle
+        # regenerates the identical plane set from COUNT(*).
+        cc = int(corpus_count) if corpus_count is not None \
+            else corpus.count()
+        p = lsh_planes(cc, n_planes, target_bucket)
         probes = F.array(*[F.lit(x) for x in
-                           [0] + [1 << i for i in range(n_planes)]])
-        qb = (qs.withColumn("_qb", hyperplane_bucket("_qv", dim, n_planes))
+                           [0] + [1 << i for i in range(p)]])
+        qb = (qs.withColumn("_qb", hyperplane_bucket("_qv", dim, p))
               .withColumn("_probe",
                           F.explode(F.transform(
                               probes, lambda x: x.bitwiseXOR(F.col("_qb")))))
               .drop("_qb"))
-        scored = (base.withColumn("_b", hyperplane_bucket("_v", dim, n_planes))
+        bucketed = base.withColumn(
+            "_b", hyperplane_bucket("_v", dim, p))
+        if max_bucket is not None:
+            # Hot-bucket cap, same contract as dedup._cap_buckets:
+            # within a bucket the candidate join is quadratic, and
+            # real corpora have pathological piles (exact copies,
+            # zero-ish vectors all landing in one sign pattern).
+            # Drops are LOGGED, never silent (repo rule): the stats
+            # job is one map+partial-agg pass over the corpus —
+            # negligible next to the candidate join it bounds.
+            hot = (bucketed.groupBy("_b")
+                   .agg(F.count(F.lit(1)).alias("_bsz"))
+                   .filter(F.col("_bsz") > int(max_bucket)))
+            st = hot.agg(F.count(F.lit(1)).alias("nb"),
+                         F.sum("_bsz").alias("nr")).first()
+            if st["nb"]:
+                _LOG.warning(
+                    "knn_join(lsh): dropping %d corpus rows in %d "
+                    "hot buckets (> max_bucket=%d at p=%d); recall "
+                    "on those rows is 0 — raise max_bucket or "
+                    "dedup the corpus first",
+                    st["nr"], st["nb"], int(max_bucket), p)
+                bucketed = bucketed.join(hot.select("_b"),
+                                         on="_b", how="left_anti")
+        scored = (bucketed
                   .join(F.broadcast(qb),
                         (F.col("_b") == F.col("_probe")) & not_self)
                   .select("qid", "nbr_id", cos6.alias("cos")))
@@ -492,10 +565,15 @@ def knn_join(corpus: DataFrame, queries: DataFrame, k: int = 5,
                 col = np.repeat(np.arange(S.shape[1]), m)
                 row = top.T.ravel()
                 keep = np.isfinite(S[row, col])
+                # RAW scores out of the kernel — rounding happens
+                # Spark-side with F.round (HALF_UP) so blas/ivf round
+                # exactly like the exact path; np.round here
+                # (half-to-even) could flip k-boundary ranking on a
+                # 5e-7 midpoint and break the blas==exact contract
                 yield pd.DataFrame({
                     "qid": qa[col[keep]],
                     "nbr_id": ids_sub[row[keep]],
-                    "cos": np.round(S[row[keep], col[keep]], 6)})
+                    "cos": S[row[keep], col[keep]]})
 
         all_q = np.arange(len(q_ids), dtype=np.int64)
         for pdf in batches:
@@ -517,8 +595,9 @@ def knn_join(corpus: DataFrame, queries: DataFrame, k: int = 5,
                 rmask = cells == c
                 yield from emit(Vn[rmask], ids[rmask], q_idx)
 
-    cands = base.select("nbr_id", "_v").mapInPandas(
-        _batch_candidates, schema=out_schema)
+    cands = (base.select("nbr_id", "_v")
+             .mapInPandas(_batch_candidates, schema=out_schema)
+             .withColumn("cos", F.round(F.col("cos"), 6)))
     return _topk(cands)
 
 

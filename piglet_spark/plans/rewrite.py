@@ -206,6 +206,17 @@ def drop_order_before_group(ops: list[A.Op]) -> list[A.Op]:
     SparkRuleset.scala:33-47 ("Remove OrderBy later followed by
     GroupBy"); Catalyst does NOT do this (it keeps the Sort).
 
+    DELIBERATE EXTENSION beyond the reference rule: the reference
+    matches only the Grouping op; this version also bypasses a sort
+    feeding DISTINCT or COGROUP. For ORDER→DISTINCT→STORE the stored
+    row order can therefore differ from the reference (which keeps
+    that sort). This is intentional: Pig's spec leaves row order
+    after DISTINCT/COGROUP undefined (only a terminal ORDER BY
+    guarantees output order), DISTINCT's hash-aggregate destroys the
+    sort anyway, and dropping it saves a full range-partition
+    shuffle. Callers that need ordered distinct output must sort
+    AFTER the DISTINCT — same as in Pig itself.
+
     The OrderBy node is MARKED (``skip_sort``) rather than replaced:
     the executor emits identity for it — alias and grouped-bag names
     stay intact, Pig's bag order after GROUP is undefined anyway, and

@@ -277,6 +277,75 @@ def test_knn_join_lsh_subset_and_recall(spark, sf_dir):
     assert hit / len(ex_pairs) >= 0.4  # 4-plane hamming≤1 on random 64-d
 
 
+def test_lsh_planes_formula():
+    """Adaptive plane count: integer ceil(log2(count/target)),
+    floored at n_planes, capped at max_planes — and CRUCIALLY equal
+    to n_planes at both oracle gate scales (sf0.01: 500 rows,
+    sf0.1: 2000 rows) so the driver's fixed-plane history stays
+    valid."""
+    lp = similarity.lsh_planes
+    assert lp(500) == 4 and lp(2000) == 4      # oracle scales: p=4
+    assert lp(20000) == 8                       # sf1 scale-up
+    assert lp(200000) == 11                     # sf10 scale-up
+    assert lp(128) == 4 and lp(129) == 4 and lp(1) == 4
+    assert lp(128 * 1024) == 10                 # exact power boundary
+    assert lp(128 * 1024 + 1) == 11
+    assert lp(10 ** 12) == 20                   # max_planes cap
+    assert lp(500, n_planes=6) == 6             # floor respected
+    assert lp(500, target_bucket=16) == 5       # 500/32 ≤ 16
+
+
+def test_knn_join_lsh_adaptive_and_hint(spark, sf_dir):
+    """corpus_count hint must be equivalent to the measured count
+    (skipping the count job), and a hint that raises p still returns
+    only exact-scored subset results, deterministically."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    qs = emb.filter(F.col("vec_id") % 100 == 0)
+    cc = emb.count()
+    key = lambda r: (r["qid"], r["nbr_id"], r["cos"])
+    measured = sorted(map(key, similarity.knn_join(
+        emb, qs, k=5, method="lsh").collect()))
+    hinted = sorted(map(key, similarity.knn_join(
+        emb, qs, k=5, method="lsh", corpus_count=cc).collect()))
+    assert measured == hinted
+    # force adaptivity: pretend the corpus is 100× bigger → p rises
+    # (lsh_planes(50000)=9); results stay an exact-scored subset and
+    # are deterministic run-to-run
+    all_scores = {(r["qid"], r["nbr_id"]): r["cos"] for r in
+                  similarity.knn_join(emb, qs, k=10 ** 6,
+                                      method="exact").collect()}
+    r1 = sorted(map(key, similarity.knn_join(
+        emb, qs, k=5, method="lsh", corpus_count=cc * 100).collect()))
+    r2 = sorted(map(key, similarity.knn_join(
+        emb, qs, k=5, method="lsh", corpus_count=cc * 100).collect()))
+    assert r1 == r2
+    assert r1 != measured  # more planes genuinely changed buckets
+    for qid, nbr, cos in r1:
+        assert all_scores[(qid, nbr)] == cos
+
+
+def test_knn_join_lsh_hot_bucket_cap(spark, caplog):
+    """Corpus buckets above max_bucket are dropped WITH a logged
+    warning (no silent caps); max_bucket=None keeps them."""
+    import logging as _logging
+    # 40 copies of [1,0] pile into one sign bucket; [0.9,-0.4] and
+    # [-1,0.05] land elsewhere
+    rows = [(i, [1.0, 0.0]) for i in range(40)]
+    rows += [(100, [0.9, -0.4]), (101, [-1.0, 0.05])]
+    emb = spark.createDataFrame(rows, "vec_id int, embedding array<double>")
+    qs = spark.createDataFrame([(500, [1.0, 0.05])],
+                               "vec_id int, embedding array<double>")
+    with caplog.at_level(_logging.WARNING,
+                         logger="piglet_spark.datapipe.similarity"):
+        capped = similarity.knn_join(emb, qs, k=3, method="lsh",
+                                     n_planes=2, max_bucket=10).collect()
+    assert any("hot buckets" in r.message for r in caplog.records)
+    assert all(r["nbr_id"] >= 100 for r in capped)  # pile dropped
+    uncapped = similarity.knn_join(emb, qs, k=3, method="lsh",
+                                   n_planes=2, max_bucket=None).collect()
+    assert any(r["nbr_id"] < 40 for r in uncapped)
+
+
 def test_knn_join_self_and_ragged(spark):
     """exclude_self=False returns the query itself at cos 1.0;
     null/short/zero vectors drop from both sides instead of crashing

@@ -47,7 +47,12 @@ def main():
         con.sql(f"CREATE VIEW {t} AS SELECT * FROM '{sf_dir}/{t}.parquet'")
 
     qs = entrymod.queries()
-    oracles = entrymod.oracle_sql()
+    try:
+        # sf-aware oracles (knn_join_lsh's adaptive plane count is a
+        # function of the embeddings row count at THIS sf)
+        oracles = entrymod.oracle_sql(sf_dir)
+    except TypeError:
+        oracles = entrymod.oracle_sql()
     failures = []
     for name, fn in qs.items():
         if only and name not in only:
