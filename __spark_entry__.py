@@ -1862,6 +1862,52 @@ P = FOREACH M GENERATE ERR::event_id AS err_id, CLK::event_id AS clk_id,
     ERR::user_id AS user_id;
 """
 
+# Same SEQ(ERR, CLK) pattern under the reference's DEFAULT engine
+# (ceplib engines/NextMatch.scala, mapped from the reference's default
+# mode string): a pooled NFA where EVERY error spawns a run, runs
+# survive mismatches (no kill), and there is no clone-on-advance — so
+# a click consumes ALL pending error runs at once. This repo's default
+# engine is single-run FirstMatch (documented divergence, COVERAGE
+# §2.8); this query pins the reference-default mode with its own
+# oracle so the divergence is bounded by green oracles on BOTH modes.
+CEP_NEXT_POOLED = """
+SET piglet.cep.partition_key 'user_id';
+E = LOAD '$sf/events.parquet' USING ParquetStorage();
+F = FOREACH E GENERATE event_id, ts AS ets, user_id,
+    event_type, value;
+M = MATCH_EVENT F PATTERN SEQ(ERR, CLK)
+    WITH (ERR: event_type == 'error', CLK: event_type == 'click')
+    WITHIN 2 HOURS MODE next_match_pooled;
+P = FOREACH M GENERATE ERR::event_id AS err_id, CLK::event_id AS clk_id,
+    ERR::user_id AS user_id;
+"""
+
+# Closed-form oracle — NextMatch on SEQ(A, B) needs no recursion:
+# a run spawned by error e waits through every non-click event (no
+# kill-on-mismatch) and is finished at the FIRST click c after it —
+# consumed with a match if c.ts ≤ e.ts + horizon (expiry is checked
+# before the transition), GC'd otherwise. Either way the run cannot
+# reach a second click, so matches(e) = first-click-after(e) within
+# the horizon, per user. (events has no (user_id, ts) ties, so
+# "first" is well-defined — same precondition as CEP_SEQ_SQL.)
+CEP_NEXT_POOLED_SQL = """
+WITH err AS (
+  SELECT user_id, event_id AS err_id, ts AS err_ts
+  FROM events WHERE event_type = 'error'
+), clk AS (
+  SELECT user_id, event_id AS clk_id, ts AS clk_ts
+  FROM events WHERE event_type = 'click'
+), firstc AS (
+  SELECT e.user_id, e.err_id, e.err_ts, c.clk_id, c.clk_ts,
+         ROW_NUMBER() OVER (PARTITION BY e.user_id, e.err_id
+                            ORDER BY c.clk_ts) AS rn
+  FROM err e JOIN clk c
+    ON c.user_id = e.user_id AND c.clk_ts > e.err_ts
+)
+SELECT err_id, clk_id, user_id FROM firstc
+WHERE rn = 1 AND clk_ts <= err_ts + INTERVAL 2 HOUR
+"""
+
 SPATIAL_Q = """
 E = LOAD '$sf/events.parquet' USING ParquetStorage();
 P = FOREACH E GENERATE event_id,
@@ -2872,6 +2918,10 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "split_assign": q_split_assign,
         # r07e: incremental-ingest near-dup pairs
         "minhash_cross": q_minhash_cross,
+        # r08: the reference's DEFAULT CEP engine (NextMatch pooled),
+        # oracle-pinned so the FirstMatch-default divergence is
+        # bounded by green oracles on both modes
+        "cep_next_match_pooled": _pig(CEP_NEXT_POOLED, "P"),
     }
 
 
@@ -2984,4 +3034,5 @@ def oracle_sql(sf_dir: str | None = None) -> dict[str, str]:
         "take_top_frac": TAKE_TOP_FRAC_SQL,
         "split_assign": SPLIT_ASSIGN_SQL,
         "minhash_cross": _minhash_cross_sql(),
+        "cep_next_match_pooled": CEP_NEXT_POOLED_SQL,
     }

@@ -67,6 +67,7 @@ HEADLINE = [
     "similarity_ivf",
     "multimodal_features",
     "cep_seq_match",
+    "cep_next_match_pooled",
     # r05: training-set assembly (datapipe/pack.py)
     "seq_pack",
     "mixture_sample",
@@ -222,14 +223,26 @@ def main():
 
     total = round(sum(t for t in timings.values() if t is not None), 3)
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
-    print(json.dumps({
+    out = {
         "metric": "headline_queries_total_sec",
         "value": total,
         "unit": "sec",
         "queries": timings,
         "errors": errors,  # empty dict == every query succeeded
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-    }))
+    }
+    # No silent caps (repo rule): a sweep that excludes queries must
+    # SAY so in its artifact — a missing key reads as "covered" when
+    # it wasn't. SPARK_GRAFT_SKIP_REASON annotates why (one free-text
+    # string for the run); SPARK_GRAFT_ONLY runs are partial by
+    # construction and list what they omitted.
+    skipped = sorted((set(HEADLINE) - set(selected)))
+    if skipped:
+        out["skipped"] = skipped
+        out["skip_reason"] = os.environ.get(
+            "SPARK_GRAFT_SKIP_REASON",
+            "excluded via SPARK_GRAFT_ONLY/SPARK_GRAFT_SKIP")
+    print(json.dumps(out))
     # rc stays 0 even with per-query errors: the JSON artifact (with its
     # explicit "errors" field) must still be captured by the harness; a
     # non-zero rc would discard the partial result entirely.

@@ -48,6 +48,14 @@ class PigEngine:
         ops = P.parse(script, self.params)
         return R.rewrite(ops)
 
+    def parse_raw(self, script: str):
+        """Parse WITHOUT the rewrite pass — the pre-rewrite plan the
+        REPL's `rewrite` command diffs against (ref handleRewrite
+        prints each sink pretty-printed before and after rewriting,
+        PigletREPL.scala:227-235)."""
+        script = P.resolve_imports(script, self.base_dir)
+        return P.parse(script, self.params)
+
     def run(self, script: str,
             _ops: Optional[list] = None) -> dict[str, Relation]:
         """Execute a script; returns the alias → DataFrame environment.

@@ -1778,8 +1778,58 @@ class Executor:
         self.env[op.out] = self.df(op.rel)
 
     def op_delay(self, op: "A.Delay") -> None:
-        # profiling-only artificial latency (op/Delay.scala) — identity
-        self.env[op.out] = self.df(op.rel)
+        """DELAY rel BY (wtime, sample) — the reference's profiling
+        op (op/Delay.scala; spark emitter DelayEmitter.scala:6-27):
+        sleep ``wtime`` once per partition, then if ``sample`` < 0
+        keep ~1/|sample| of the rows, else emit each row ``sample``
+        times (0 empties, 1 is identity). Documented divergence: the
+        1/|f| subsample is a DETERMINISTIC hash threshold
+        (xxhash64(*row) % |f| == 0) instead of Random.nextInt — same
+        expected rate, reproducible, matching the repo-wide
+        SAMPLE … SEED policy. The sleep is an Arrow mapInPandas
+        pass-through (once per partition, like the reference's
+        mapPartitions Thread.sleep); skipped entirely at wtime=0 so
+        the common profiling-off path stays pure Catalyst."""
+        df = self.df(op.rel)
+
+        def _lit(e, default):
+            return e.value if isinstance(e, A.Literal) else default
+        wtime = _lit(op.wtime, 0)
+        sample = int(_lit(op.sample, 1))
+        if isinstance(wtime, str):
+            # ISO-8601 duration body, reference parses f"PT{s}"
+            # (PigParser.scala:1049-1051): trailing H/M/S unit
+            m = re.fullmatch(r"(?i)([0-9.]+)([HMS])", wtime.strip())
+            if not m:
+                raise ExecError(
+                    f"DELAY: unparseable wait time {wtime!r} "
+                    f"(expected e.g. '2.5S', '1M', '1H' or an int "
+                    f"millisecond count)")
+            ms = float(m.group(1)) * {"h": 3600_000, "m": 60_000,
+                                      "s": 1000}[m.group(2).lower()]
+        else:
+            ms = float(wtime)  # int literal = milliseconds
+        if ms > 0:
+            import time as _time
+            delay_s = ms / 1000.0
+
+            def _sleepy(batches):
+                _time.sleep(delay_s)  # once per partition
+                yield from batches
+            df = df.mapInPandas(_sleepy, schema=df.schema)
+        if sample < 0:
+            cols = [F.col(f.name).cast("string")
+                    if "map" in f.dataType.simpleString() else
+                    F.col(f.name) for f in df.schema.fields]
+            df = df.filter(F.pmod(F.xxhash64(*cols),
+                                  F.lit(-sample)) == 0)
+        elif sample != 1:
+            # duplicate each row `sample` times (0 until n semantics)
+            df = (df.withColumn(
+                "__dup", F.explode(F.array(
+                    *[F.lit(i) for i in range(sample)])))
+                .drop("__dup")) if sample > 0 else df.limit(0)
+        self.env[op.out] = df
 
     def op_visualize(self, op: "A.Visualize") -> None:
         """Scatter plot of point geometries → SVG (no plotting libs in

@@ -618,10 +618,16 @@ class IndexOp(Op):
 
 @dataclass
 class Delay(Op):
+    """DELAY rel BY (wtime, sample) — ref PigParser.scala:1041-1058:
+    the FIRST argument is the wait time (int = milliseconds, string =
+    ISO-8601 duration body, e.g. '2.5S' → PT2.5S), the SECOND the
+    sample factor (<0: keep ~1/|f| rows; ≥0: duplicate each row f
+    times, so 0 empties and 1 is identity — op
+    codegen/spark/DelayEmitter.scala:10-27)."""
     out: str
     rel: str
-    size: Expr = None
     wtime: Expr = None
+    sample: Expr = None
 
     def __post_init__(self):
         self.inputs = [self.rel]

@@ -866,11 +866,14 @@ class Parser:
         rel = self.ident()
         self.eat_kw("by")
         self.eat("(")
-        size = self.parse_expr()
-        self.eat(",")
+        # reference argument order (PigParser.scala:1041): wait time
+        # FIRST (ms int or ISO-8601 duration string), sample factor
+        # second
         wtime = self.parse_expr()
+        self.eat(",")
+        sample = self.parse_expr()
         self.eat(")")
-        return A.Delay(out=alias, rel=rel, size=size, wtime=wtime)
+        return A.Delay(out=alias, rel=rel, wtime=wtime, sample=sample)
 
     def op_rscript(self, alias: str) -> A.Op:
         self.eat_kw("rscript")

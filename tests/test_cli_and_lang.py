@@ -66,6 +66,39 @@ def test_repl_session(spark, data_dir, capsys):
     assert "f1: int" in captured
 
 
+def test_repl_prettyprint_and_rewrite(spark, data_dir):
+    """REPL prettyprint prints the session's rewritten dataflow tree;
+    rewrite prints each sink's plan before AND after the rewrite pass
+    — the ORDER feeding GROUP must show the bypass mark only in the
+    after-plan (ref PigletREPL.scala:227-255)."""
+    eng = pg.PigEngine(spark)
+    inputs = iter([
+        f"A = LOAD '{data_dir}/t.csv' USING PigStorage(',') "
+        f"AS (f1:int, f2:int, f3:int);",
+        "O = ORDER A BY f1;",
+        "G = GROUP O BY f1;",
+        "C = FOREACH G GENERATE group, COUNT(O);",
+        "prettyprint",
+        "rewrite",
+        "quit",
+    ])
+    out = io.StringIO()
+    rc = repl.repl(eng, input_fn=lambda _p: next(inputs), out=out)
+    assert rc == 0
+    text = out.getvalue()
+    # prettyprint: indented lineage from the sink alias down to LOAD
+    assert "C = Foreach(G)" in text
+    assert "G = Group(O)" in text
+    assert "A = Load(" in text
+    assert "[sort bypassed by rewrite]" in text
+    # rewrite: both plans printed; the bypass mark only appears after
+    before, after = text.split("-- after rewrite --")
+    assert "-- before rewrite --" in before
+    b_plan = before.split("-- before rewrite --")[1]
+    assert "[sort bypassed by rewrite]" not in b_plan
+    assert "[sort bypassed by rewrite]" in after
+
+
 def test_dedup_statement(spark, data_dir):
     eng = pg.PigEngine(spark)
     eng.run(f"""

@@ -193,9 +193,35 @@ def test_partition_and_index(spark, data_dir):
 A = LOAD '{data_dir}/t.csv' USING PigStorage(',') AS (f1:int, f2:int, f3:int);
 P = PARTITION A ON f1 USING grid(2.0);
 I = INDEX P ON f1 USING rtree();
-D = DELAY I BY (1, 0.0);
+D = DELAY I BY (1, 1);
 """)
+    # wtime=1ms/partition, sample factor 1 = identity (ref arg order:
+    # PigParser.scala:1041 — wait time first, sample second)
     assert len(rows(eng.df("D"))) == 4
+
+
+def test_delay_semantics(spark, data_dir):
+    """DELAY's real reference semantics (DelayEmitter.scala): sleep
+    per partition, then duplicate rows (sample ≥ 0) or hash-subsample
+    ~1/|sample| (sample < 0, deterministic divergence)."""
+    eng = pg.PigEngine(spark)
+    eng.run(f"""
+A = LOAD '{data_dir}/t.csv' USING PigStorage(',') AS (f1:int, f2:int, f3:int);
+T = DELAY A BY (0, 3);
+Z = DELAY A BY (0, 0);
+S = DELAY A BY ('0.01S', -2);
+""")
+    base = rows(eng.df("A"))
+    trip = rows(eng.df("T"))
+    assert len(trip) == 3 * len(base)       # each row 3×
+    assert sorted(set(trip)) == base
+    assert rows(eng.df("Z")) == []          # 0 until 0 = empty
+    sub = rows(eng.df("S"))
+    assert set(sub) <= set(base)            # deterministic subsample
+    assert rows(eng.df("S")) == sub          # reproducible
+    import pytest as _pytest
+    with _pytest.raises(Exception, match="unparseable wait time"):
+        eng.run("B = DELAY A BY ('nonsense', 1);\nDESCRIBE B;")
 
 
 def test_visualize_svg(spark, tmp_path):
