@@ -1358,7 +1358,8 @@ def streaming_neardup_pairs(df: DataFrame, text_col: str = "text",
                             threshold: float = 0.5,
                             num_hashes: int = 32, bands: int = 8,
                             shingle_k: int = 3,
-                            ttl_sec: int | None = None) -> DataFrame:
+                            ttl_sec: int | None = None,
+                            n_shards: int = 1 << 10) -> DataFrame:
     """MinHash-LSH near-duplicate detection ON INGEST — the streaming
     counterpart of :func:`minhash_lsh_pairs`, for "is this new
     document a near-dup of anything we've already accepted?".
@@ -1415,7 +1416,7 @@ def streaming_neardup_pairs(df: DataFrame, text_col: str = "text",
     from pyspark.sql.streaming.state import GroupStateTimeout
     banded = _rowwise_banded_pandas(df, text_col, id_col, num_hashes,
                                     bands, shingle_k)
-    n_shards = 1 << 10
+    n_shards = int(n_shards)  # sweepable: SCALE.md shards×throughput
     banded = banded.withColumn(
         "_shard", (F.col("_bucket") % n_shards).cast("int"))
     thr = float(threshold)
