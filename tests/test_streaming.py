@@ -1104,6 +1104,28 @@ def test_bloom_decontaminate_streaming_corpus(spark, tmp_path):
     assert got == want
 
 
+def test_streaming_neardup_rejects_string_ids(spark, tmp_path):
+    """The streaming state/output schema types the id as long; a
+    string id must fail LOUDLY at plan time (it used to cast to null
+    and crash inside the stateful detector) while the batch twin
+    keeps accepting any orderable id type — the r07 ADVICE finding."""
+    from piglet_spark.datapipe import dedup as dp_dedup
+    d = tmp_path / "docs_sid"
+    d.mkdir()
+    (d / "b1.csv").write_text("u-1\talpha beta gamma\n")
+    sdf = (spark.readStream.schema("doc_id string, text string")
+           .option("sep", "\t").csv(str(d)))
+    with pytest.raises(ValueError, match="integral type"):
+        dp_dedup.streaming_neardup_pairs(sdf)
+    # batch twin: string ids fine (min-id holder semantics)
+    bdf = spark.createDataFrame(
+        [("a", "alpha beta gamma delta"), ("b", "alpha beta gamma delta")],
+        "doc_id string, text string")
+    got = dp_dedup.streaming_neardup_pairs(bdf, threshold=0.5).collect()
+    assert all(r["id_a"] == "b" and r["id_b"] == "a" for r in got)
+    assert len(got) > 0
+
+
 def test_streaming_neardup_cross_batch(spark, tmp_path):
     """First-seen LSH state survives micro-batch boundaries: a doc
     arriving in batch 2 is flagged against the holder stored in
