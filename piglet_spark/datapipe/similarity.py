@@ -451,7 +451,10 @@ def knn_join(corpus: DataFrame, queries: DataFrame, k: int = 5,
               .drop("_qb"))
         bucketed = base.withColumn(
             "_b", hyperplane_bucket("_v", dim, p))
-        if max_bucket is not None:
+        # cc <= max_bucket ⇒ NO bucket can exceed the cap (a bucket
+        # holds at most the whole corpus) — skip the stats job and
+        # the anti-join entirely; provably identical results
+        if max_bucket is not None and cc > int(max_bucket):
             # Hot-bucket cap, same contract as dedup._cap_buckets:
             # within a bucket the candidate join is quadratic, and
             # real corpora have pathological piles (exact copies,
