@@ -214,3 +214,78 @@ def test_cep_modes_match_bruteforce(spark, tmp_path_factory, events,
         assert got(alias) == expect[alias], (
             alias, ks, ts, pos, guards, within,
             got(alias), expect[alias])
+
+
+# ------------------------------------------------- AND / OR patterns
+# (r08 — the SEQ/NEG arms above never exercised the conjunction
+# matcher in cep.py:_match_conjunction; its documented semantics:
+# single run, an event fills the FIRST unfilled slot in declaration
+# order whose predicate it satisfies, WITHIN resets the slots before
+# filling, AND emits when every slot is filled / OR as soon as any
+# slot fills, then the run resets.)
+
+conj_pattern_strategy = st.tuples(
+    st.lists(st.sampled_from(KINDS), min_size=2, max_size=3),  # slot kinds
+    st.booleans(),                                             # AND vs OR
+    st.one_of(st.none(), st.integers(min_value=3, max_value=12)),
+)
+
+
+def brute_conjunction(ks, ts, slot_kinds, within, require_all):
+    """Independent simulation of the conjunction matcher."""
+    m = len(slot_kinds)
+    slots: dict[int, int] = {}
+    start = None
+    out = []
+    for i, (k, t) in enumerate(zip(ks, ts)):
+        if within is not None and slots and (t - start) > within:
+            slots, start = {}, None
+        for j in range(m):
+            if j not in slots and k == slot_kinds[j]:
+                if not slots:
+                    start = t
+                slots[j] = i
+                break
+        done = (len(slots) == m) if require_all else bool(slots)
+        if done:
+            out.append(tuple(slots.get(j, -1) for j in range(m)))
+            slots, start = {}, None
+    return sorted(out)
+
+
+@given(events_strategy, conj_pattern_strategy)
+@settings(max_examples=12, deadline=None,
+          suppress_health_check=[HealthCheck.too_slow,
+                                 HealthCheck.function_scoped_fixture])
+def test_cep_and_or_match_bruteforce(spark, tmp_path_factory, events,
+                                     patspec):
+    kinds, deltas = events
+    slot_kinds, require_all, within = patspec
+    ks = list(kinds)
+    ts = list(itertools.accumulate(deltas[:len(ks)]))
+
+    import datetime
+    t0 = datetime.datetime(2024, 1, 1)
+    rows = [
+        f"{i},{(t0 + datetime.timedelta(seconds=ts[i]))},{ks[i]}"
+        for i in range(len(ks))
+    ]
+    p = tmp_path_factory.mktemp("cepconj") / "ev.csv"
+    p.write_text("\n".join(rows) + "\n")
+
+    names = [f"P{j}" for j in range(len(slot_kinds))]
+    defs = [f"{n}: k == '{k}'" for n, k in zip(names, slot_kinds)]
+    head = "AND" if require_all else "OR"
+    clauses = f" WITHIN {within} SECONDS" if within is not None else ""
+    eng = pg.PigEngine(spark)
+    eng.run(
+        f"E = LOAD '{p}' USING PigStorage(',') AS "
+        f"(id:int, ts:datetime, k:chararray) TIMESTAMP(ts);\n"
+        f"M = MATCH_EVENT E PATTERN {head}({', '.join(names)}) "
+        f"WITH ({', '.join(defs)}){clauses};")
+    cols = [f"{n}::id" for n in names]
+    got = sorted(tuple(-1 if v is None else v for v in r)
+                 for r in eng.df("M").select(*cols).collect())
+    want = brute_conjunction(ks, ts, slot_kinds, within, require_all)
+    assert got == want, (ks, ts, slot_kinds, require_all, within,
+                         got, want)
