@@ -629,6 +629,16 @@ def corpus_report(df: DataFrame, group_col: str = "source",
         ws_token_count(t).alias("_tok"),
         quality_score(t).alias("_q"),
         fingerprint(t).alias("_fp"))
+    # TWO aggregations consume this map pass ((g,lang) rollup and
+    # (g,fingerprint) dup rollup), so the regex/md5 projection runs
+    # twice — MEASURED faster than materializing it (r08, sf10,
+    # min-of-2 with cache cleared: plain 42.1 s vs persist 46.8 s vs
+    # localCheckpoint 45.8 s): each duplicate fuses into its
+    # consumer's whole-stage-codegen scan stage, while materializing
+    # breaks the pipeline into store+reload jobs that cost more than
+    # the recompute. Unlike the dedup signature passes (which DO win
+    # from _materialize), this projection is cheap relative to its
+    # scan.
     per_lang = (base.groupBy("_g", "_l")
                 .agg(F.count(F.lit(1)).alias("_n"),
                      F.sum("_tok").alias("_tk"),

@@ -28,6 +28,13 @@ from hypothesis import strategies as st
 
 import piglet_spark as pg
 
+# Deep-sweep control: PIGLET_FUZZ_SCALE multiplies every arm's
+# max_examples (default 1 — the CI-fast counts). A one-off
+# `PIGLET_FUZZ_SCALE=8 pytest tests/test_fuzz_*.py` is the deep
+# sweep recorded per round.
+import os as _os
+_FSCALE = max(1, int(_os.environ.get("PIGLET_FUZZ_SCALE", "1")))
+
 KINDS = "XYZ"
 
 # (kinds, deltas) — strictly increasing timestamps via positive deltas
@@ -148,7 +155,7 @@ def brute_greedy(ks, ts, pos, guards, within):
 
 
 @given(events_strategy, pattern_strategy)
-@settings(max_examples=10, deadline=None,
+@settings(max_examples=10 * _FSCALE, deadline=None,
           suppress_health_check=[HealthCheck.too_slow,
                                  HealthCheck.function_scoped_fixture])
 def test_cep_modes_match_bruteforce(spark, tmp_path_factory, events,
@@ -254,7 +261,7 @@ def brute_conjunction(ks, ts, slot_kinds, within, require_all):
 
 
 @given(events_strategy, conj_pattern_strategy)
-@settings(max_examples=12, deadline=None,
+@settings(max_examples=12 * _FSCALE, deadline=None,
           suppress_health_check=[HealthCheck.too_slow,
                                  HealthCheck.function_scoped_fixture])
 def test_cep_and_or_match_bruteforce(spark, tmp_path_factory, events,

@@ -38,6 +38,13 @@ from hypothesis import strategies as st
 
 import piglet_spark as pg
 
+# Deep-sweep control: PIGLET_FUZZ_SCALE multiplies every arm's
+# max_examples (default 1 — the CI-fast counts). A one-off
+# `PIGLET_FUZZ_SCALE=8 pytest tests/test_fuzz_*.py` is the deep
+# sweep recorded per round.
+import os as _os
+_FSCALE = max(1, int(_os.environ.get("PIGLET_FUZZ_SCALE", "1")))
+
 # ---------------------------------------------------------------- table
 
 ROWS = []
@@ -387,7 +394,7 @@ def _same(a, b) -> bool:
 
 # 40 examples x 25 expressions = 1000 differential cases per run.
 @given(st.lists(any_expr, min_size=25, max_size=25))
-@settings(max_examples=40, deadline=None,
+@settings(max_examples=40 * _FSCALE, deadline=None,
           suppress_health_check=[HealthCheck.too_slow,
                                  HealthCheck.filter_too_much,
                                  HealthCheck.data_too_large,
@@ -425,7 +432,7 @@ B = FOREACH A GENERATE rid, {gens};
 @given(bool_e, st.lists(st.tuples(
     st.sampled_from(["SUM", "AVG", "MIN", "MAX"]), _num_e),
     min_size=4, max_size=4))
-@settings(max_examples=20, deadline=None,
+@settings(max_examples=20 * _FSCALE, deadline=None,
           suppress_health_check=[HealthCheck.too_slow,
                                  HealthCheck.filter_too_much,
                                  HealthCheck.data_too_large,
@@ -556,7 +563,7 @@ FROM r WHERE rn <= 2 GROUP BY i1""").fetchall()
 # standalone PySpark (exec'd), so the generated expression rendering
 # gets the same null-semantics scrutiny as the engine.
 @given(st.lists(any_expr, min_size=15, max_size=15))
-@settings(max_examples=10, deadline=None,
+@settings(max_examples=10 * _FSCALE, deadline=None,
           suppress_health_check=[HealthCheck.too_slow,
                                  HealthCheck.filter_too_much,
                                  HealthCheck.data_too_large,
@@ -588,7 +595,7 @@ B = FOREACH A GENERATE rid, {gens};
 
 # FILTER: a null predicate excludes the row in both Pig and SQL WHERE.
 @given(st.lists(bool_e, min_size=8, max_size=8))
-@settings(max_examples=25, deadline=None,
+@settings(max_examples=25 * _FSCALE, deadline=None,
           suppress_health_check=[HealthCheck.too_slow,
                                  HealthCheck.filter_too_much,
                                  HealthCheck.data_too_large,
@@ -616,7 +623,7 @@ def test_filter_matches_duckdb(spark, fuzz_tab, preds):
 # size), SUM of an all-null group is 0 not NULL (reference parity),
 # AVG/MIN/MAX null-skip.
 @given(st.lists(_agg_slot, min_size=6, max_size=6))
-@settings(max_examples=25, deadline=None,
+@settings(max_examples=25 * _FSCALE, deadline=None,
           suppress_health_check=[HealthCheck.too_slow,
                                  HealthCheck.filter_too_much,
                                  HealthCheck.data_too_large,

@@ -30,6 +30,13 @@ from pyspark.sql import functions as F
 
 from piglet_spark.datapipe import text as dp_text
 
+# Deep-sweep control: PIGLET_FUZZ_SCALE multiplies every arm's
+# max_examples (default 1 — the CI-fast counts). A one-off
+# `PIGLET_FUZZ_SCALE=8 pytest tests/test_fuzz_*.py` is the deep
+# sweep recorded per round.
+import os as _os
+_FSCALE = max(1, int(_os.environ.get("PIGLET_FUZZ_SCALE", "1")))
+
 # ------------------------------------------------------------ corpus
 
 _MARKERS = [w for ws in dp_text.LANG_MARKERS.values() for w in ws]
@@ -84,7 +91,7 @@ def _compare(spark, rows, spark_cols, sql_select):
 # -------------------------------------------------------------- fuzz
 
 @given(texts)
-@settings(max_examples=15, deadline=None,
+@settings(max_examples=15 * _FSCALE, deadline=None,
           suppress_health_check=[HealthCheck.function_scoped_fixture])
 def test_token_and_char_stats_match_duckdb(spark, vals):
     rows = list(enumerate(vals))
@@ -113,7 +120,7 @@ def test_token_and_char_stats_match_duckdb(spark, vals):
 
 
 @given(texts)
-@settings(max_examples=15, deadline=None,
+@settings(max_examples=15 * _FSCALE, deadline=None,
           suppress_health_check=[HealthCheck.function_scoped_fixture])
 def test_quality_fingerprint_langid_match_duckdb(spark, vals):
     rows = list(enumerate(vals))
@@ -160,7 +167,7 @@ def test_quality_fingerprint_langid_match_duckdb(spark, vals):
 
 
 @given(texts)
-@settings(max_examples=15, deadline=None,
+@settings(max_examples=15 * _FSCALE, deadline=None,
           suppress_health_check=[HealthCheck.function_scoped_fixture])
 def test_pii_counts_and_scrub_match_duckdb(spark, vals):
     rows = list(enumerate(vals))
