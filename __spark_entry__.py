@@ -1925,6 +1925,43 @@ WHERE user_id < 50 AND value >= 0 AND value < 5
 """
 
 
+# SPATIAL_JOIN driver query (r08): events become points
+# (x = user_id/10 + 0.05, y = value), the region table becomes five
+# 3-wide rectangle strips [3k, 3(k+1)) × (-1, 600) — sized so ALL five
+# strips are populated at the driver's sf0.01 gate scale (x ≤ 15); the grid
+# pre-join (PARTITION BY grid(30)) + exact point-in-polygon assigns
+# each point its strip; rollup per region. Edge-free by construction:
+# x is never an integer (+0.05 with one-decimal user ids) and y is
+# strictly inside the strip (value ∈ [0, ~560]), so the oracle's
+# floor(x/3) = regionkey join is exact regardless of the pip
+# boundary convention. Ref op/SpatialJoin.scala:12 (STARK grid).
+SPATIAL_JOIN_Q = """
+E = LOAD '$sf/events.parquet' USING ParquetStorage();
+P = FOREACH E GENERATE event_id,
+    geometry('POINT(' + ((double)user_id / 10.0 + 0.05) + ' ' + value
+             + ')') AS loc;
+R0 = LOAD '$sf/region.parquet' USING ParquetStorage();
+B = FOREACH R0 GENERATE r_regionkey,
+    geometry('POLYGON((' + (r_regionkey * 3.0) + ' -1, '
+             + (r_regionkey * 3.0 + 3.0) + ' -1, '
+             + (r_regionkey * 3.0 + 3.0) + ' 600, '
+             + (r_regionkey * 3.0) + ' 600, '
+             + (r_regionkey * 3.0) + ' -1))') AS cell;
+J = SPATIAL_JOIN P PARTITION BY grid(3.0), B ON containedby(loc, cell);
+S = FOREACH J GENERATE B::r_regionkey AS region, P::event_id AS event_id;
+G = GROUP S BY region;
+C = FOREACH G GENERATE group AS region, COUNT(S) AS n_events,
+    MIN(S.event_id) AS min_eid, MAX(S.event_id) AS max_eid;
+"""
+
+SPATIAL_JOIN_SQL = """
+SELECT r.r_regionkey AS region, COUNT(*) AS n_events,
+       MIN(e.event_id) AS min_eid, MAX(e.event_id) AS max_eid
+FROM events e JOIN region r
+  ON floor((e.user_id / 10.0 + 0.05) / 3.0) = r.r_regionkey
+GROUP BY 1
+"""
+
 BGP_Q = """
 E = LOAD '$sf/events.parquet' USING ParquetStorage();
 T = FOREACH E GENERATE (chararray)user_id AS s, event_type AS p,
@@ -2922,6 +2959,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # oracle-pinned so the FirstMatch-default divergence is
         # bounded by green oracles on both modes
         "cep_next_match_pooled": _pig(CEP_NEXT_POOLED, "P"),
+        # r08: SPATIAL_JOIN (grid pre-join + exact pip) gets a full
+        # value-hash oracle — previously pytest-only
+        "spatial_join_grid": _pig(SPATIAL_JOIN_Q, "C"),
     }
 
 
@@ -3035,4 +3075,5 @@ def oracle_sql(sf_dir: str | None = None) -> dict[str, str]:
         "split_assign": SPLIT_ASSIGN_SQL,
         "minhash_cross": _minhash_cross_sql(),
         "cep_next_match_pooled": CEP_NEXT_POOLED_SQL,
+        "spatial_join_grid": SPATIAL_JOIN_SQL,
     }

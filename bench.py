@@ -68,6 +68,7 @@ HEADLINE = [
     "multimodal_features",
     "cep_seq_match",
     "cep_next_match_pooled",
+    "spatial_join_grid",
     # r05: training-set assembly (datapipe/pack.py)
     "seq_pack",
     "mixture_sample",
