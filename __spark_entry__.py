@@ -1962,6 +1962,30 @@ FROM events e JOIN region r
 GROUP BY 1
 """
 
+# Salted/skewed join driver query (r08): JOIN … USING 'salted(8)' —
+# the skew escape hatch (deterministic positional salt on the big
+# side, 8× dim replication; executor._salted_join) — must produce
+# EXACTLY the plain join's rows; the oracle is the plain SQL join.
+# Aggregates are count/min/max (order-insensitive, integer-exact) per
+# market segment so the value hash pins the join result, not float
+# summation order.
+SALTED_JOIN_Q = """
+O = LOAD '$sf/orders.parquet' USING ParquetStorage();
+C = LOAD '$sf/customer.parquet' USING ParquetStorage();
+J = JOIN O BY o_custkey, C BY c_custkey USING 'salted(8)';
+P = FOREACH J GENERATE C::c_mktsegment AS segment, O::o_orderkey AS okey;
+G = GROUP P BY segment;
+A = FOREACH G GENERATE group AS segment, COUNT(P) AS n_orders,
+    MIN(P.okey) AS min_okey, MAX(P.okey) AS max_okey;
+"""
+
+SALTED_JOIN_SQL = """
+SELECT c.c_mktsegment AS segment, COUNT(*) AS n_orders,
+       MIN(o.o_orderkey) AS min_okey, MAX(o.o_orderkey) AS max_okey
+FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+GROUP BY 1
+"""
+
 BGP_Q = """
 E = LOAD '$sf/events.parquet' USING ParquetStorage();
 T = FOREACH E GENERATE (chararray)user_id AS s, event_type AS p,
@@ -2962,6 +2986,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # r08: SPATIAL_JOIN (grid pre-join + exact pip) gets a full
         # value-hash oracle — previously pytest-only
         "spatial_join_grid": _pig(SPATIAL_JOIN_Q, "C"),
+        # r08: the salted skew-join path, oracled against the plain
+        # join it must be indistinguishable from
+        "salted_join_agg": _pig(SALTED_JOIN_Q, "A"),
     }
 
 
@@ -3076,4 +3103,5 @@ def oracle_sql(sf_dir: str | None = None) -> dict[str, str]:
         "minhash_cross": _minhash_cross_sql(),
         "cep_next_match_pooled": CEP_NEXT_POOLED_SQL,
         "spatial_join_grid": SPATIAL_JOIN_SQL,
+        "salted_join_agg": SALTED_JOIN_SQL,
     }

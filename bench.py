@@ -69,6 +69,7 @@ HEADLINE = [
     "cep_seq_match",
     "cep_next_match_pooled",
     "spatial_join_grid",
+    "salted_join_agg",
     # r05: training-set assembly (datapipe/pack.py)
     "seq_pack",
     "mixture_sample",
