@@ -47,8 +47,9 @@ import numpy as np
 import pyarrow as pa
 import pyarrow.parquet as pq
 
-# Strides are >10x each table's max base key at sf0.1 so replica key
-# ranges never collide even at factor 100.
+# Strides are >100x each table's max base key at sf0.1 (doc/vec/user
+# keys ≤5k vs 1M strides; event ids ≤100k vs 10M) so replica key
+# ranges never collide even at factor 1000 (the sf100 decade).
 STRIDE = {
     "c_custkey": 1_000_000,
     "s_suppkey": 100_000,
@@ -145,29 +146,51 @@ def scale_embeddings(base: str, out: str, factor: int) -> int:
     return res.num_rows
 
 
+ALL_TABLES = ("region", "nation", "customer", "supplier", "part",
+              "orders", "lineitem", "events", "documents", "embeddings")
+
+
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--factor", type=int, default=10)
     ap.add_argument("--base", default="/root/testdata/sf0.1")
     ap.add_argument("--out", default="/root/repo/.scaledata/sf1")
+    ap.add_argument("--tables", default=",".join(ALL_TABLES),
+                    help="comma subset — e.g. a targeted "
+                         "documents,embeddings,events decade without "
+                         "regenerating the 60M-row relational tables")
     args = ap.parse_args()
+    tables = [t for t in args.tables.split(",") if t]
     os.makedirs(args.out, exist_ok=True)
     con = duckdb.connect()
+    # a factor-1000 replication is a 1000-branch UNION ALL; DuckDB's
+    # default expression-depth cap is 1000
+    con.execute("SET max_expression_depth TO 100000")
     for t in ("region", "nation"):
+        if t not in tables:
+            continue
         con.execute(
             f"COPY (SELECT * FROM '{args.base}/{t}.parquet') TO "
             f"'{args.out}/{t}.parquet' (FORMAT PARQUET)")
-        print(t, "copied (fixed dimension)")
+        print(t, "copied (fixed dimension)", flush=True)
     for t in ("customer", "supplier", "part", "orders", "lineitem",
               "events"):
+        if t not in tables:
+            continue
         sql = _replicated_sql(t, args.base, args.factor)
         con.execute(
             f"COPY ({sql}) TO '{args.out}/{t}.parquet' (FORMAT PARQUET)")
         n = con.execute(
             f"SELECT count(*) FROM '{args.out}/{t}.parquet'").fetchone()[0]
-        print(t, n)
-    print("documents", scale_documents(args.base, args.out, args.factor))
-    print("embeddings", scale_embeddings(args.base, args.out, args.factor))
+        print(t, n, flush=True)
+    if "documents" in tables:
+        print("documents",
+              scale_documents(args.base, args.out, args.factor),
+              flush=True)
+    if "embeddings" in tables:
+        print("embeddings",
+              scale_embeddings(args.base, args.out, args.factor),
+              flush=True)
 
 
 if __name__ == "__main__":
