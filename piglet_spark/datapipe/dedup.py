@@ -892,19 +892,27 @@ def simhash_pairs(df: DataFrame, text_col: str = "text",
         ])).alias("_chunk_i", "_chunk"),
     )
     chunks = _cap_buckets(chunks, ["_chunk_i", "_chunk"], max_bucket)
-    cand = (chunks.alias("a").join(
+    # The hamming test is INSIDE the join condition, so candidates
+    # stream through the sort-merge join and die in-stage; only true
+    # near-dups (linear in the corpus) reach the dropDuplicates
+    # shuffle. The r07 formulation deduped FIRST — a shuffle of every
+    # candidate pair, which saturates at scale because the 15-bit
+    # chunk space is fixed: at 5M docs the average chunk bucket holds
+    # ~153 rows, ≈1.5e9 candidate pairs, and the sf100 sweep died on
+    # ~70 GB of dropDuplicates spill. Same result set either way
+    # (hamming is a pure function of the pair); measured sf100:
+    # disk-death → 170 s.
+    ham = F.bit_count(F.col("a._h").bitwiseXOR(F.col("b._h")))
+    return (chunks.alias("a").join(
                 chunks.alias("b"),
                 on=[F.col("a._chunk_i") == F.col("b._chunk_i"),
                     F.col("a._chunk") == F.col("b._chunk"),
-                    F.col("a._id") < F.col("b._id")])
+                    F.col("a._id") < F.col("b._id"),
+                    ham <= F.lit(int(max_hamming))])
             .select(F.col("a._id").alias("id_a"),
                     F.col("b._id").alias("id_b"),
-                    F.col("a._h").alias("h_a"),
-                    F.col("b._h").alias("h_b"))
+                    ham.alias("hamming"))
             .dropDuplicates(["id_a", "id_b"]))
-    ham = F.bit_count(F.col("h_a").bitwiseXOR(F.col("h_b")))
-    return (cand.select("id_a", "id_b", ham.alias("hamming"))
-            .filter(F.col("hamming") <= max_hamming))
 
 
 def neardup_clusters(df: DataFrame, text_col: str = "text",

@@ -198,18 +198,27 @@ def _argmin_assign(rows: DataFrame, cents: DataFrame, id_col: str,
     vector — a row_number window shuffles all n×C scored rows and
     sorts them (the r01 formulation; measured and flagged by the r01
     audit)."""
+    # NARROW rows through the aggregation — (id, cid, d) only. The
+    # r07 version carried _v (the dim-double array) inside the
+    # min_by struct; min_by is a TypedImperativeAggregate, which
+    # plans as SortAggregate, and sorting n×C crossed rows each
+    # dragging a 512-byte array was the r08 sf100 cliff (2M vectors:
+    # ~19 GB sort, 901 s — vs 4 s when Catalyst count-pruned the
+    # aggregate away). With the array projected OUT the same sort
+    # touches ~30-byte rows (seconds); _v re-attaches by one id-keyed
+    # join afterwards.
     scored = (rows.crossJoin(F.broadcast(cents))
               .withColumn("_d", cosine_with_norms("_v", "_cv",
-                                                  "_nv", "_ncv", dim)))
+                                                  "_nv", "_ncv", dim))
+              .select(F.col(id_col), F.col("_cid"), F.col("_d")))
     # min_by over (-cos, cid): argmax cosine, ties → smallest cid —
     # works for ANY orderable id type (negating the id would require
     # numeric ids; caught by r02 code review)
-    return (scored.groupBy(id_col)
-            .agg(F.min_by(F.struct(F.col("_cid"), F.col("_v")),
+    best = (scored.groupBy(id_col)
+            .agg(F.min_by(F.col("_cid"),
                           F.struct(-F.col("_d"), F.col("_cid")))
-                 .alias("_b"))
-            .select(F.col(id_col), F.col("_b._v").alias("_v"),
-                    F.col("_b._cid").alias("_cid")))
+                 .alias("_cid")))
+    return rows.select(F.col(id_col), F.col("_v")).join(best, on=id_col)
 
 
 def train_centroids(df: DataFrame, vec_col: str, id_col: str,
