@@ -2768,6 +2768,72 @@ WHERE rn <= 5
 """
 
 
+BM25_QUERIES = [(1, "spark window agg"), (2, "customer query filter"),
+                (3, "stream batch join vector")]
+
+
+def q_bm25_topk(spark, sf_dir):
+    """BM25 lexical retrieval (datapipe/text.py bm25_topk): top-10
+    corpus documents per literal query under the Lucene/ATIRE BM25
+    (k1=1.2, b=0.75). The corpus token stream is semi-joined against
+    the broadcast query-term set BEFORE the (doc, term) aggregation,
+    so the shuffle carries only query-term postings; N/avgdl fold in
+    via a 1-row broadcast; top-k is a keyed window over
+    |queries|·matched docs. Scores round to 6 decimals before the
+    rank window (ties → ascending doc_id)."""
+    return dp_text.bm25_topk(_docs(spark, sf_dir), BM25_QUERIES, k=10)
+
+
+# mirror of the Spark plan: same normalize rule on both sides, dl =
+# whitespace tokens of the RAW trimmed text (ws_token_count), Lucene
+# idf ln(1+(N-df+0.5)/(df+0.5)), round-6 before the rank window
+BM25_SQL = """
+WITH q AS (
+  SELECT * FROM (VALUES (1, 'spark window agg'),
+                        (2, 'customer query filter'),
+                        (3, 'stream batch join vector')) AS v(query_id, qtext)
+), qt AS (
+  SELECT DISTINCT query_id,
+         unnest(string_split(trim(regexp_replace(regexp_replace(
+             lower(qtext), '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g')),
+             ' ')) AS term
+  FROM q
+), docs AS (
+  SELECT doc_id,
+         CASE WHEN length(trim(text)) = 0 THEN 0
+              ELSE len(string_split_regex(trim(text), '\\s+')) END AS dl,
+         trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]',
+              ' ', 'g'), ' +', ' ', 'g')) AS t
+  FROM documents
+), stats AS (
+  SELECT COUNT(*) AS n, AVG(dl) AS avgdl FROM docs
+), toks AS (
+  SELECT doc_id, dl, unnest(string_split(t, ' ')) AS term
+  FROM docs WHERE t <> ''
+), tf AS (
+  SELECT doc_id, term, COUNT(*) AS tf, MAX(dl) AS dl
+  FROM toks
+  WHERE term IN (SELECT DISTINCT term FROM qt)
+  GROUP BY doc_id, term
+), dfreq AS (
+  SELECT term, COUNT(*) AS df FROM tf GROUP BY term
+), scored AS (
+  SELECT qt.query_id, tf.doc_id,
+         round(SUM(ln(1.0 + (stats.n - dfreq.df + 0.5) / (dfreq.df + 0.5))
+                   * tf.tf * (1.2 + 1.0)
+                   / (tf.tf + 1.2 * (1.0 - 0.75 + 0.75 * tf.dl
+                                     / stats.avgdl))), 6) AS score
+  FROM tf JOIN dfreq USING (term) JOIN qt USING (term) CROSS JOIN stats
+  GROUP BY qt.query_id, tf.doc_id
+)
+SELECT query_id, doc_id, score, CAST(rn AS INT) AS rank
+FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+          ORDER BY score DESC, doc_id ASC) AS rn
+      FROM scored)
+WHERE rn <= 10
+"""
+
+
 def q_lm_perplexity(spark, sf_dir):
     """CCNet-style LM quality scoring (Wenzek et al. 2019,
     arXiv:1911.00359; datapipe/text.py lm_perplexity): perplexity of
@@ -2967,6 +3033,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "q21_waiting_suppliers": _pig(Q21_ADAPT, "TOPW"),
         # r07c: CCNet LM-perplexity scoring + ExactSubstr-proxy spans
         "lm_perplexity": q_lm_perplexity,
+        "bm25_topk": q_bm25_topk,
         "duplicate_spans": q_duplicate_spans,
         # r07d: batch kNN join (exact baseline + LSH-bucketed)
         "knn_join_exact": q_knn_join,
@@ -3093,6 +3160,7 @@ def oracle_sql(sf_dir: str | None = None) -> dict[str, str]:
         "q20_promotion_suppliers": Q20_ADAPT_SQL,
         "q21_waiting_suppliers": Q21_ADAPT_SQL,
         "lm_perplexity": LM_PPL_SQL,
+        "bm25_topk": BM25_SQL,
         "duplicate_spans": DUP_SPANS_SQL,
         "knn_join_exact": _knn_join_sql(),
         "knn_join_lsh": _knn_join_sql(lsh=True,

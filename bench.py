@@ -109,6 +109,7 @@ HEADLINE = [
     "neardup_ingest",
     "session_stats",
     "compression_ratio",
+    "bm25_topk",
 ]
 
 

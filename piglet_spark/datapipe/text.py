@@ -674,6 +674,94 @@ def corpus_report(df: DataFrame, group_col: str = "source",
                 F.col("_top")["_l"].alias("top_lang")))
 
 
+def bm25_topk(df: DataFrame, queries: list[tuple[int, str]],
+              text_col: str = "text", id_col: str = "doc_id",
+              k: int = 10, k1: float = 1.2, b: float = 0.75) -> DataFrame:
+    """BM25 top-``k`` retrieval of corpus documents for a small set of
+    literal queries — the standard lexical-retrieval pass a curation
+    pipeline runs for benchmark decontamination spot-checks, RAG
+    evaluation, and hard-negative mining (Robertson & Zaragoza 2009,
+    "The Probabilistic Relevance Framework: BM25 and Beyond").
+
+    ``queries`` is a list of ``(query_id, query_text)`` pairs — a
+    driver-side literal, like the query vector in
+    :func:`~piglet_spark.datapipe.similarity.cosine_topk`. Query text
+    is normalized with the same :func:`normalize_text` rule as the
+    corpus; duplicate terms inside one query are collapsed (standard
+    BM25 ignores query-term frequency).
+
+    Scoring uses the Lucene/ATIRE variant (always non-negative):
+    ``idf(t) = ln(1 + (N - df + 0.5)/(df + 0.5))``,
+    ``score(q,d) = Σ_t idf(t) · tf·(k1+1)/(tf + k1·(1−b+b·dl/avgdl))``
+    with ``dl`` = whitespace tokens of the normalized doc and
+    ``avgdl`` their corpus mean. Returns (query_id, doc_id-typed id,
+    score, rank), rank 1..k per query; score rounded to 6 decimals,
+    ties broken by ascending id. Per-(query,doc) sums add at most
+    |query terms| floats, so round-6 is stable across partitionings.
+
+    Scale shape — the reason this beats "just groupBy every term":
+    the corpus token stream is SEMI-JOINED against the broadcast
+    query-term set BEFORE any shuffle, so the one (doc, term) hash
+    aggregation carries only postings of query terms (|terms| ≈ 10s,
+    not the vocabulary). ``N``/``avgdl`` fold in via a 1-row
+    broadcast cross join off the same doc-length projection (no
+    driver action); df(t) is a second tiny aggregation of the
+    filtered postings' distinct docs; the final top-k is a keyed
+    window over |queries| · matched-docs rows, never a global sort.
+    At 100 TB this is one corpus scan + two bounded shuffles."""
+    if not queries:
+        raise ValueError("bm25_topk needs at least one (id, text) query")
+    from .util import spread as _spread
+    spark = df.sparkSession
+    qterms = sorted({(int(qid), w)
+                     for qid, qtext in queries
+                     for w in _py_normalize(qtext).split(" ") if w})
+    if not qterms:
+        raise ValueError("bm25_topk: no query produced any term")
+    qt = F.broadcast(spark.createDataFrame(qterms, "query_id int, "
+                                                   "term string"))
+    df = _spread(df, id_col)
+    norm = normalize_text(F.col(text_col))
+    docs = df.select(F.col(id_col).alias("_id"),
+                     ws_token_count(F.col(text_col)).alias("_dl"),
+                     F.split(norm, " ").alias("_toks"))
+    stats = docs.agg(F.count(F.lit(1)).alias("_n"),
+                     F.avg("_dl").alias("_avgdl"))
+    toks = (docs.select("_id", "_dl", F.explode("_toks").alias("term"))
+            .filter(F.col("term") != ""))
+    # semi-join against the distinct broadcast term set FIRST — the
+    # (doc, term) shuffle then carries only query-term postings
+    term_set = qt.select("term").distinct()
+    tf = (toks.join(F.broadcast(term_set), on="term")
+          .groupBy("_id", "term")
+          .agg(F.count(F.lit(1)).alias("_tf"), F.max("_dl").alias("_dl")))
+    dfreq = tf.groupBy("term").agg(F.count(F.lit(1)).alias("_df"))
+    idf = F.log(1.0 + (F.col("_n") - F.col("_df") + 0.5)
+                / (F.col("_df") + 0.5))
+    tf_part = (F.col("_tf") * (k1 + 1.0)
+               / (F.col("_tf") + k1 * (1.0 - b + b * F.col("_dl")
+                                       / F.col("_avgdl"))))
+    scored = (tf.join(F.broadcast(dfreq), on="term")
+              .crossJoin(F.broadcast(stats))
+              .join(qt, on="term")
+              .groupBy("query_id", "_id")
+              .agg(F.round(F.sum(idf * tf_part), 6).alias("score")))
+    from pyspark.sql.window import Window as W
+    rn = F.row_number().over(
+        W.partitionBy("query_id").orderBy(F.desc("score"), F.asc("_id")))
+    return (scored.withColumn("rank", rn)
+            .filter(F.col("rank") <= int(k))
+            .select("query_id", F.col("_id").alias(id_col),
+                    "score", "rank"))
+
+
+def _py_normalize(s: str) -> str:
+    """Driver-side mirror of :func:`normalize_text` for literal query
+    strings (lowercase, non-alphanumerics → space, squeeze, trim)."""
+    import re as _re
+    return _re.sub(r"[^a-z0-9]+", " ", s.lower()).strip()
+
+
 def compression_ratio(df: DataFrame, text_col: str = "text",
                       id_col: str = "doc_id",
                       level: int = 6) -> DataFrame:

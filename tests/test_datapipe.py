@@ -2324,3 +2324,69 @@ def test_rowwise_banded_pandas_matches_hof(spark, sf_dir):
            for r in dedup._rowwise_banded(
                docs, "text", "doc_id", 32, 8, 3).collect()}
     assert fast == hof and fast
+
+
+def test_bm25_topk_brute_force(spark):
+    """bm25_topk vs a python brute-force reference: Lucene idf
+    ln(1+(N-df+.5)/(df+.5)), dl = whitespace tokens of the raw text,
+    round-6 before the per-query rank (ties -> ascending id)."""
+    import math
+    from collections import Counter
+    rows = [
+        (0, "apple banana apple cherry"),
+        (1, "banana cherry cherry date"),
+        (2, "apple apple apple elderberry date"),
+        (3, ""),
+        (4, "Apple, banana!  cherry date"),  # punctuation/space noise
+    ]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    queries = [(7, "apple date"), (8, "cherry"), (9, "missingword")]
+    got = text.bm25_topk(df, queries, k=3).collect()
+
+    import re
+    toks = {i: re.sub(r"[^a-z0-9]+", " ", t.lower()).strip().split()
+            for i, t in rows if t.strip()}
+    dls = {i: len(t.split()) for i, t in rows if t.strip()}
+    n = len(rows)
+    avgdl = sum(dls.get(i, 0) for i, t in rows) / n
+    qterms = {qid: sorted(set(q.split())) for qid, q in queries}
+    terms = {w for ws in qterms.values() for w in ws}
+    tf = {(i, w): Counter(ws)[w] for i, ws in toks.items()
+          for w in terms if Counter(ws)[w]}
+    dfreq = Counter(w for (_, w) in tf)
+    exp = {}
+    for qid, ws in qterms.items():
+        scored = {}
+        for i in toks:
+            s = 0.0
+            for w in ws:
+                f = tf.get((i, w), 0)
+                if not f:
+                    continue
+                idf = math.log(1 + (n - dfreq[w] + 0.5) / (dfreq[w] + 0.5))
+                s += idf * f * 2.2 / (f + 1.2 * (0.25 + 0.75
+                                                 * dls[i] / avgdl))
+            if s:
+                scored[i] = round(s, 6)
+        top = sorted(scored.items(), key=lambda kv: (-kv[1], kv[0]))[:3]
+        exp[qid] = [(i, s, r + 1) for r, (i, s) in enumerate(top)]
+    got_by_q = {}
+    for r in got:
+        got_by_q.setdefault(r["query_id"], []).append(
+            (r["doc_id"], r["score"], r["rank"]))
+    for qid in got_by_q:
+        got_by_q[qid].sort(key=lambda x: x[2])
+    assert 9 not in got_by_q  # no doc matches -> no rows
+    for qid, want in exp.items():
+        if want:
+            assert got_by_q[qid] == want, (qid, got_by_q[qid], want)
+        else:
+            assert qid not in got_by_q
+
+
+def test_bm25_topk_validates_inputs(spark):
+    df = spark.createDataFrame([(0, "a")], ["doc_id", "text"])
+    with pytest.raises(ValueError):
+        text.bm25_topk(df, [])
+    with pytest.raises(ValueError):
+        text.bm25_topk(df, [(1, "...")])  # normalizes to no terms
