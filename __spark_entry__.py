@@ -1571,6 +1571,22 @@ def q_knn_join(spark, sf_dir):
     return dp_sim.knn_join(emb, qs, k=5, method="exact")
 
 
+def q_hard_negatives(spark, sf_dir):
+    """Hard-negative mining (datapipe/similarity.knn_join with
+    band=(0.15, 0.30)): for every 100th vector, the 5 corpus
+    neighbors with the HIGHEST cosine inside [0.15, 0.30) — similar
+    enough to be informative contrastive negatives, below the
+    near-dup regime. The band filters rounded cosines BEFORE the
+    per-query top-k window, so k band members return even when
+    nearer near-duplicates exist; blas/ivf apply a 1e-6-widened mask
+    inside the Arrow kernel and re-filter Spark-side (pytest asserts
+    blas == exact under a band)."""
+    emb = _emb(spark, sf_dir)
+    qs = emb.filter(F.col("vec_id") % 100 == 0)
+    return dp_sim.knn_join(emb, qs, k=5, method="exact",
+                           band=(0.15, 0.30))
+
+
 def q_knn_join_lsh(spark, sf_dir):
     """LSH-bucketed batch kNN join: hyperplane sign buckets on both
     sides, hamming≤1 multi-probe explode on the query side, bucket
@@ -1595,7 +1611,8 @@ def _knn_join_sql(k: int = 5, qmod: int = 100,
                   lsh: bool = False, n_planes: int = 4,
                   dim: int = 64, corpus_count: int = 500,
                   target_bucket: int = 128,
-                  max_bucket: int = 4096) -> str:
+                  max_bucket: int = 4096,
+                  band: tuple[float, float] | None = None) -> str:
     """Generated oracle for q_knn_join / q_knn_join_lsh: queries =
     vec_id ≡ 0 (mod qmod); per query, ROW_NUMBER over round(cos,6)
     desc, nbr_id asc. The lsh form mirrors the r08 adaptive path:
@@ -1605,6 +1622,9 @@ def _knn_join_sql(k: int = 5, qmod: int = 100,
     excluded via a bucket-size histogram — every data-dependent step
     is recomputed in SQL, so the oracle stays value-exact at ANY
     scale factor as long as ``corpus_count`` matches the table."""
+    band_pred = ("" if band is None else
+                 f" AND ROUND({_COS_EQ}, 6) >= {band[0]!r}"
+                 f" AND ROUND({_COS_EQ}, 6) < {band[1]!r}")
     if not lsh:
         return f"""
 WITH q AS (
@@ -1613,7 +1633,7 @@ WITH q AS (
 ), scored AS (
     SELECT q.qid, e.vec_id AS nbr_id, ROUND({_COS_EQ}, 6) AS cos
     FROM embeddings e, q
-    WHERE e.vec_id <> q.qid
+    WHERE e.vec_id <> q.qid{band_pred}
 )
 SELECT qid, nbr_id, cos FROM (
     SELECT *, ROW_NUMBER() OVER (
@@ -3037,6 +3057,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "duplicate_spans": q_duplicate_spans,
         # r07d: batch kNN join (exact baseline + LSH-bucketed)
         "knn_join_exact": q_knn_join,
+        "hard_negatives": q_hard_negatives,
         "knn_join_lsh": q_knn_join_lsh,
         # r07d: reproducible corpus-order shuffle
         "global_shuffle": q_global_shuffle,
@@ -3163,6 +3184,7 @@ def oracle_sql(sf_dir: str | None = None) -> dict[str, str]:
         "bm25_topk": BM25_SQL,
         "duplicate_spans": DUP_SPANS_SQL,
         "knn_join_exact": _knn_join_sql(),
+        "hard_negatives": _knn_join_sql(band=(0.15, 0.30)),
         "knn_join_lsh": _knn_join_sql(lsh=True,
                                       corpus_count=_emb_count(sf_dir)),
         "global_shuffle": GLOBAL_SHUFFLE_SQL,

@@ -110,6 +110,7 @@ HEADLINE = [
     "session_stats",
     "compression_ratio",
     "bm25_topk",
+    "hard_negatives",
 ]
 
 

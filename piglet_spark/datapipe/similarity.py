@@ -335,7 +335,8 @@ def knn_join(corpus: DataFrame, queries: DataFrame, k: int = 5,
              train_sample: int = 256,
              target_bucket: int = 128,
              max_bucket: int | None = 4096,
-             corpus_count: int | None = None) -> DataFrame:
+             corpus_count: int | None = None,
+             band: tuple[float, float] | None = None) -> DataFrame:
     """Batch k-nearest-neighbor join: for EVERY row of ``queries``,
     the ``k`` rows of ``corpus`` with the highest cosine similarity.
     Returns (qid, nbr_id, cos) with deterministic ROW_NUMBER
@@ -405,11 +406,26 @@ def knn_join(corpus: DataFrame, queries: DataFrame, k: int = 5,
     small panels (it is the oracle), ``blas`` for bulk kNN, ``lsh``
     for near-dup linking, ``ivf`` for flop-bound panels that accept
     IVF recall.
+
+    ``band=(lo, hi)`` restricts ranking to neighbors with rounded
+    cosine in ``[lo, hi)`` — HARD-NEGATIVE MINING (top-k similar-but-
+    not-duplicate rows per query, the standard contrastive-training
+    companion to near-dup removal). The filter applies BEFORE the
+    top-k, so k band members are returned even when nearer
+    near-duplicates exist. In the blas/ivf kernel the mask is widened
+    by 1e-6 on each side and the precise rounded-band filter
+    re-applies Spark-side, so the k-boundary set matches ``exact``
+    bit-for-bit (boundary strays burn candidate slack, never recall).
     """
     q_vec_col = q_vec_col or vec_col
     q_id_col = q_id_col or id_col
     if method not in ("exact", "blas", "lsh", "ivf"):
         raise ValueError(f"knn_join: unknown method {method!r}")
+    if band is not None:
+        b_lo, b_hi = float(band[0]), float(band[1])
+        if not b_lo < b_hi:
+            raise ValueError(f"knn_join: band must be (lo, hi) with "
+                             f"lo < hi, got {band!r}")
     dim = dim if dim is not None else probe_dim(queries, q_vec_col)
 
     qs = (queries.select(F.col(q_id_col).alias("qid"),
@@ -427,6 +443,10 @@ def knn_join(corpus: DataFrame, queries: DataFrame, k: int = 5,
     from pyspark.sql import Window
 
     def _topk(scored: DataFrame) -> DataFrame:
+        if band is not None:
+            # on ROUNDED cosines — all four methods see the same set
+            scored = scored.filter((F.col("cos") >= b_lo)
+                                   & (F.col("cos") < b_hi))
         w = (Window.partitionBy("qid")
              .orderBy(F.col("cos").desc(), F.col("nbr_id").asc()))
         return (scored.withColumn("_rn", F.row_number().over(w))
@@ -573,6 +593,13 @@ def knn_join(corpus: DataFrame, queries: DataFrame, k: int = 5,
                     # slots
                     self_mask = ids_sub[:, None] == qa[None, :]
                     S = np.where(self_mask, -np.inf, S)
+                if band is not None:
+                    # widened by 1e-6 so a raw BLAS score that ROUNDS
+                    # into [lo, hi) can't be masked out by fold-order
+                    # ulp noise; the precise rounded-band filter
+                    # re-applies in _topk, strays just burn slack
+                    S = np.where((S < b_lo - 1e-6)
+                                 | (S >= b_hi + 1e-6), -np.inf, S)
                 top = np.argpartition(-S, m - 1, axis=0)[:m]  # (m, block)
                 col = np.repeat(np.arange(S.shape[1]), m)
                 row = top.T.ravel()

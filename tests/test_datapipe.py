@@ -2390,3 +2390,48 @@ def test_bm25_topk_validates_inputs(spark):
         text.bm25_topk(df, [])
     with pytest.raises(ValueError):
         text.bm25_topk(df, [(1, "...")])  # normalizes to no terms
+
+
+def test_knn_join_band_hard_negatives(spark, sf_dir):
+    """band=(lo, hi) (hard-negative mining): every returned cosine is
+    inside [lo, hi); per query the result is the top-k of the FULL
+    band-restricted candidate set (brute-force check); blas agrees
+    with exact bit-for-bit under a band; invalid bands raise."""
+    emb = spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    qs = emb.filter(F.col("vec_id") % 50 == 0)
+    lo, hi = 0.15, 0.30
+    key = lambda r: (r["qid"], r["nbr_id"], r["cos"])
+    ex = sorted(map(key, similarity.knn_join(
+        emb, qs, k=5, method="exact", band=(lo, hi)).collect()))
+    assert ex and all(lo <= c < hi for _, _, c in ex)
+
+    # brute force: rank only band members
+    import math
+    vecs = {r["vec_id"]: [float(x) for x in r["embedding"]]
+            for r in emb.collect()}
+    want = []
+    for qid in sorted(v for v in vecs if v % 50 == 0):
+        q = vecs[qid]
+        nq = math.sqrt(sum(x * x for x in q))
+        scored = []
+        for nid, v in vecs.items():
+            if nid == qid:
+                continue
+            dot = 0.0
+            na = 0.0
+            for a, b in zip(v, q):
+                dot += a * b
+                na += a * a
+            c = round(dot / (math.sqrt(na) * nq), 6)
+            if lo <= c < hi:
+                scored.append((c, nid))
+        top = sorted(scored, key=lambda t: (-t[0], t[1]))[:5]
+        want += [(qid, nid, c) for c, nid in top]
+    assert ex == sorted(want)
+
+    bl = sorted(map(key, similarity.knn_join(
+        emb, qs, k=5, method="blas", band=(lo, hi)).collect()))
+    assert ex == bl
+
+    with pytest.raises(ValueError):
+        similarity.knn_join(emb, qs, band=(0.5, 0.5))
