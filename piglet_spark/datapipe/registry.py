@@ -276,4 +276,19 @@ def datapipe_ops() -> dict[str, Callable]:
                 df, df.filter(F.col(str(idc)) % int(qmod) == 0),
                 k=int(k), method=str(meth), vec_col=str(vec),
                 id_col=str(idc)),
+        # hard-negative mining (r08): knn_join restricted to a cosine
+        # band [lo, hi) — similar-but-not-duplicate contrastive
+        # negatives per query (split-of-self convention)
+        "hard_negatives": lambda df, lo=0.15, hi=0.30, qmod=100, k=5,
+            meth="exact", vec="embedding", idc="vec_id": _sim().knn_join(
+                df, df.filter(F.col(str(idc)) % int(qmod) == 0),
+                k=int(k), method=str(meth), vec_col=str(vec),
+                id_col=str(idc), band=(float(lo), float(hi))),
+        # BM25 top-k lexical retrieval (r08): query literals as
+        # 'q1|q2|...' — ids are 1-based positions
+        "bm25": lambda df, queries, k=10, text="text",
+            idc="doc_id": dt.bm25_topk(
+                df, [(i + 1, q) for i, q in
+                     enumerate(str(queries).split("|"))],
+                str(text), str(idc), k=int(k)),
     }

@@ -2435,3 +2435,37 @@ def test_knn_join_band_hard_negatives(spark, sf_dir):
 
     with pytest.raises(ValueError):
         similarity.knn_join(emb, qs, band=(0.5, 0.5))
+
+
+def test_bm25_and_hard_negatives_via_stream_through(spark, tmp_path):
+    """bm25 and hard_negatives are reachable from the Pig DSL and
+    agree with the direct library calls."""
+    import piglet_spark as pg
+    rows = [(0, "apple banana apple cherry"),
+            (1, "banana cherry cherry date"),
+            (2, "apple apple date elderberry")]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    p = tmp_path / "docs.parquet"
+    df.write.mode("overwrite").parquet(str(p))
+    eng = pg.PigEngine(spark)
+    env = eng.run(f"""
+D = LOAD '{p}' USING ParquetStorage();
+R = STREAM D THROUGH bm25('apple date|cherry', 2);
+""")
+    got = sorted(tuple(r) for r in env["R"].collect())
+    want = sorted(tuple(r) for r in text.bm25_topk(
+        df, [(1, "apple date"), (2, "cherry")], k=2).collect())
+    assert got == want and len(got) > 0
+
+    emb = spark.read.parquet("/root/testdata/sf0.001/embeddings.parquet")
+    pe = tmp_path / "emb.parquet"
+    emb.write.mode("overwrite").parquet(str(pe))
+    env = eng.run(f"""
+E = LOAD '{pe}' USING ParquetStorage();
+H = STREAM E THROUGH hard_negatives(0.15, 0.30, 100, 5);
+""")
+    got = sorted(tuple(r) for r in env["H"].collect())
+    want = sorted(tuple(r) for r in similarity.knn_join(
+        emb, emb.filter(F.col("vec_id") % 100 == 0), k=5,
+        method="exact", band=(0.15, 0.30)).collect())
+    assert got == want and len(got) > 0
