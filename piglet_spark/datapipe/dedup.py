@@ -473,11 +473,30 @@ def _verify_jaccard_pairs(cand: DataFrame, base: DataFrame,
             .filter(F.col("jaccard") >= threshold))
 
 
+def _scaled_max_df(n_docs: int, base: int = 256, ref: int = 100_000,
+                   lo: int = 16) -> int:
+    """Corpus-size-aware document-frequency cap for the inverted
+    shingle index: ``clamp(isqrt(base² · ref / n), lo, base)`` —
+    pure integer math, so any SQL oracle regenerates it from
+    COUNT(*) (the ``lsh_planes`` precedent). Rationale: the
+    candidate-join volume is Σ min(df, cap)² and the number of
+    at-cap (boilerplate) shingles grows ∝ n, so candidates grow
+    ∝ n·cap²; cap ∝ 1/√n pins the candidate volume ≈ constant —
+    the bound a single box (or one executor's spill disk) needs.
+    ≤ ``ref`` docs keep the full ``base`` cap (the cap never binds
+    at oracle-gate scales, so correctness comparisons are
+    cap-free)."""
+    from math import isqrt
+    return max(lo, min(base, isqrt(base * base * ref
+                                   // max(int(n_docs), 1))))
+
+
 def ngram_jaccard_pairs(df: DataFrame, text_col: str = "text",
                         id_col: str = "doc_id", k: int = 3,
                         threshold: float = 0.5,
                         max_df: "int | str | None" = 256,
-                        method: str = "auto") -> DataFrame:
+                        method: str = "auto",
+                        n_docs: int | None = None) -> DataFrame:
     """Exact n-gram Jaccard pairs via inverted shingle index — a
     distributed exact algorithm, no LSH approximation.
 
@@ -507,6 +526,16 @@ def ngram_jaccard_pairs(df: DataFrame, text_col: str = "text",
     required prefix extends into the hot tail (prefix). Run
     ``exact_dedup`` first so boilerplate never piles up that hot.
     ``max_df=None`` disables the cap (test-scale only).
+    ``max_df='scale'`` (r08): corpus-size-aware cap
+    :func:`_scaled_max_df` — ``clamp(isqrt(256²·100k/N), 16, 256)``
+    from one ``count()`` (or the ``n_docs`` hint). The r08 sf100
+    sweep measured why: at 5M docs the fixed 256 cap admits ~1.7B
+    candidate pairs whose (id_a, id_b) shuffle has no map-side
+    merge (a pair repeats once per SHARED shingle, each landing in a
+    different shingle partition) — ~75 GB of spill, disk-death on
+    local[32]. cap=36 at 5M docs bounds candidates near the sf10
+    volume while values stay exact (the cap only ever costs recall
+    on pairs whose EVERY shared shingle is boilerplate-hot).
 
     Choosing ``max_df`` (measured regime guidance, SCALE.md): the
     candidate-join cost is Σ_shingles C(min(df, max_df), 2) ≈
@@ -537,7 +566,10 @@ def ngram_jaccard_pairs(df: DataFrame, text_col: str = "text",
     # prefix plan operate on the same hashed key space (r04)
     inv = base.select("_id", F.explode("_sh").alias("_s")) \
               .select("_id", F.xxhash64("_s").alias("_s"))
-    if max_df == "auto":
+    if max_df == "scale":
+        max_df = _scaled_max_df(n_docs if n_docs is not None
+                                else df.count())
+    elif max_df == "auto":
         # df-histogram pre-pass (one aggregate job): cap at the
         # 99.9th-percentile document frequency so only true
         # boilerplate is excluded, clamped to [16, 256] (cost is
@@ -1149,7 +1181,10 @@ def semantic_pairs(df: DataFrame, vec_col: str = "embedding",
             [], "id_a long, id_b long, cos double")
         return empty, rows.select(F.col(id_col).alias("_id"),
                                   F.lit(0.0).alias("_ccos"))
-    assigned = _argmin_assign(rows, cents_lit, id_col, dim)
+    # _argmin_assign is narrow (id, _cid) since r08; re-attach _v by
+    # one id-keyed join — paid once, the result materializes below
+    assigned = rows.join(
+        _argmin_assign(rows, cents_lit, id_col, dim), on=id_col)
     assigned = (assigned
                 .join(F.broadcast(cents_lit), on="_cid")
                 .withColumn("_nv", norm_expr("_v", dim))

@@ -191,22 +191,27 @@ def ann_lsh_topk(df: DataFrame, query_vec: list[float], k: int = 10,
 
 def _argmin_assign(rows: DataFrame, cents: DataFrame, id_col: str,
                    dim: int) -> DataFrame:
-    """(id, _v, _cid): nearest centroid per row. Broadcast crossJoin →
-    ``min_by(struct(-cos, cid))`` aggregation — argmax cosine, ties →
-    smallest _cid, valid for ANY orderable id type. min_by gets
-    map-side partial aggregation, so the shuffle carries ONE row per
-    vector — a row_number window shuffles all n×C scored rows and
-    sorts them (the r01 formulation; measured and flagged by the r01
-    audit)."""
-    # NARROW rows through the aggregation — (id, cid, d) only. The
-    # r07 version carried _v (the dim-double array) inside the
-    # min_by struct; min_by is a TypedImperativeAggregate, which
-    # plans as SortAggregate, and sorting n×C crossed rows each
-    # dragging a 512-byte array was the r08 sf100 cliff (2M vectors:
-    # ~19 GB sort, 901 s — vs 4 s when Catalyst count-pruned the
-    # aggregate away). With the array projected OUT the same sort
-    # touches ~30-byte rows (seconds); _v re-attaches by one id-keyed
-    # join afterwards.
+    """(id, _cid): nearest centroid per row — NARROW. Broadcast
+    crossJoin → ``min_by(struct(-cos, cid))`` aggregation — argmax
+    cosine, ties → smallest _cid, valid for ANY orderable id type.
+    min_by gets map-side partial aggregation, so the shuffle carries
+    ONE narrow row per vector — a row_number window shuffles all n×C
+    scored rows and sorts them (the r01 formulation; flagged by the
+    r01 audit)."""
+    # NARROW through the aggregation — (id, cid, d) only. The r07
+    # version carried _v (the dim-double array) inside the min_by
+    # struct; min_by is a TypedImperativeAggregate, which plans as
+    # SortAggregate, and sorting n×C crossed rows each dragging a
+    # 512-byte array was the r08 sf100 cliff (2M vectors: ~19 GB
+    # sort, 901 s). The first r08 fix projected the array out but
+    # JOINED IT BACK here — re-sorting 2M wide rows in the SMJ, and
+    # AQE coalesces that narrow-BYTES shuffle to 1-2 reducers while
+    # the per-row CPU (interpreted `transform` cast + unrolled dots)
+    # is the real cost: 2 tasks ground for 20+ min at sf100 while 30
+    # cores idled. So the assignment stays (id, _cid) and each
+    # CALLER attaches what it needs — ivf_topk computes its query
+    # cosine map-side and joins narrow-to-narrow; semantic_pairs
+    # joins _v back once and immediately materializes.
     scored = (rows.crossJoin(F.broadcast(cents))
               .withColumn("_d", cosine_with_norms("_v", "_cv",
                                                   "_nv", "_ncv", dim))
@@ -214,11 +219,10 @@ def _argmin_assign(rows: DataFrame, cents: DataFrame, id_col: str,
     # min_by over (-cos, cid): argmax cosine, ties → smallest cid —
     # works for ANY orderable id type (negating the id would require
     # numeric ids; caught by r02 code review)
-    best = (scored.groupBy(id_col)
+    return (scored.groupBy(id_col)
             .agg(F.min_by(F.col("_cid"),
                           F.struct(-F.col("_d"), F.col("_cid")))
                  .alias("_cid")))
-    return rows.select(F.col(id_col), F.col("_v")).join(best, on=id_col)
 
 
 def train_centroids(df: DataFrame, vec_col: str, id_col: str,
@@ -673,7 +677,6 @@ def ivf_topk(df: DataFrame, query_vec: list[float], k: int = 10,
     if not cent_rows:  # no trainable vectors → no neighbors
         return rows.select(F.col(id_col),
                            F.lit(0.0).alias("cos")).limit(0)
-    assigned = _argmin_assign(rows, cents_lit, id_col, dim)
 
     def cos_py(a, b):
         num = sum(x * y for x, y in zip(a, b))
@@ -684,9 +687,15 @@ def ivf_topk(df: DataFrame, query_vec: list[float], k: int = 10,
     best = sorted(cent_rows,
                   key=lambda r: (-cos_py(r["_cv"], query_vec), r["_cid"]))
     probe = [r["_cid"] for r in best[:n_probe]]
-    return (assigned.filter(F.col("_cid").isin(probe))
-            .select(F.col(id_col),
-                    F.round(cosine_to_query_expr("_v", query_vec), 6)
-                    .alias("cos"))
+    # query cosine computes MAP-SIDE in the scan stage (codegen'd
+    # unrolled dot over all 32 input splits); the probed-cell
+    # assignment joins narrow (id, cos) ⋈ (id) — the embedding array
+    # never crosses a shuffle (see _argmin_assign's r08 note)
+    probed = (_argmin_assign(rows, cents_lit, id_col, dim)
+              .filter(F.col("_cid").isin(probe)).drop("_cid"))
+    scored = rows.select(
+        F.col(id_col),
+        F.round(cosine_to_query_expr("_v", query_vec), 6).alias("cos"))
+    return (scored.join(probed, on=id_col)
             .orderBy(F.col("cos").desc(), F.col(id_col).asc())
             .limit(k))

@@ -265,33 +265,60 @@ def repetition_stats(df: DataFrame, text_col: str = "text",
     for n in (2, 3, 4):
         out_cols.append(dup_frac(text_ngrams(norm, n))
                         .alias(f"dup_{n}gram_frac"))
-    base = df.select(*out_cols, norm.alias("__norm"))
-    grams = (df.select(F.col(id_col).alias("_id"),
-                       F.explode(text_ngrams(normalize_text(t), 2))
-                       .alias("_g")))
-    top = (grams.groupBy("_id", "_g")
-           .agg(F.count(F.lit(1)).alias("_c"))
-           .groupBy("_id")
-           .agg(F.max(F.struct(F.col("_c"), F.length("_g").alias("_l")))
-                .alias("_top")))
-    out = (base.join(top, on="_id", how="left")
-           .select(
-               F.col("_id").alias(id_col),
-               "dup_line_frac", "dup_2gram_frac", "dup_3gram_frac",
-               "dup_4gram_frac",
-               F.coalesce(F.col("_top._c"), F.lit(0))
-               .alias("top_2gram_count"),
-               # count×len over-counts characters shared by
-               # OVERLAPPING occurrences ('a a a a': 3 hits × 3 chars
-               # over 7), so clamp at 1.0 — full coverage (r05; exact
-               # union coverage needs per-occurrence positions, which
-               # would turn this map-only stat into a heavy explode)
-               F.round(F.least(F.coalesce(
-                   F.col("_top._c") * F.col("_top._l")
-                   / F.nullif(F.length("__norm"), F.lit(0)).cast("double"),
-                   F.lit(0.0)), F.lit(1.0)), 6)
-               .alias("top_2gram_char_frac")))
-    return out
+    # top 2-gram per doc MAP-ONLY: sort the (already computed) gram
+    # array and fold equal-neighbor runs with one aggregate() — the
+    # per-doc max (count, gram-length) needs no explode, no
+    # (doc, gram) shuffle, and no join-back. The r07 explode
+    # formulation shuffled every gram occurrence (≈ token count of
+    # the corpus) to find one number per doc; at sf100 (5M docs)
+    # that shuffle + join was most of the query. aggregate() lambdas
+    # evaluate interpreted (~µs/element), but docs carry ~50 grams —
+    # far cheaper than shuffling 250M rows (A/B: see SCALE.md).
+    # Tie-break mirrors the old max(struct(count, length)) exactly:
+    # lexicographic (c, l) max.
+    def _top2(sorted_grams: Column) -> Column:
+        def step(acc, x):
+            is_run = acc["prev"] == x
+            run = F.when(is_run, acc["run"] + 1).otherwise(F.lit(1))
+            close = (~is_run) & (acc["prev"] != "")
+            cand_c, cand_l = acc["run"], F.length(acc["prev"])
+            better = close & (
+                (cand_c > acc["bc"])
+                | ((cand_c == acc["bc"]) & (cand_l > acc["bl"])))
+            return F.struct(
+                x.alias("prev"), run.alias("run"),
+                F.when(better, cand_c).otherwise(acc["bc"]).alias("bc"),
+                F.when(better, cand_l).otherwise(acc["bl"]).alias("bl"))
+
+        def fin(acc):
+            cand_c, cand_l = acc["run"], F.length(acc["prev"])
+            better = (acc["prev"] != "") & (
+                (cand_c > acc["bc"])
+                | ((cand_c == acc["bc"]) & (cand_l > acc["bl"])))
+            return F.struct(
+                F.when(better, cand_c).otherwise(acc["bc"]).alias("_c"),
+                F.when(better, cand_l).otherwise(acc["bl"]).alias("_l"))
+
+        zero = F.struct(F.lit("").alias("prev"), F.lit(0).alias("run"),
+                        F.lit(0).alias("bc"), F.lit(0).alias("bl"))
+        return F.aggregate(sorted_grams, zero, step, fin)
+
+    top = _top2(F.array_sort(text_ngrams(norm, 2)))
+    return df.select(*out_cols, norm.alias("__norm"),
+                     top.alias("_top")).select(
+        F.col("_id").alias(id_col),
+        "dup_line_frac", "dup_2gram_frac", "dup_3gram_frac",
+        "dup_4gram_frac",
+        F.col("_top._c").alias("top_2gram_count"),
+        # count×len over-counts characters shared by OVERLAPPING
+        # occurrences ('a a a a': 3 hits × 3 chars over 7), so clamp
+        # at 1.0 — full coverage (r05; exact union coverage needs
+        # per-occurrence positions)
+        F.round(F.least(F.coalesce(
+            F.col("_top._c") * F.col("_top._l")
+            / F.nullif(F.length("__norm"), F.lit(0)).cast("double"),
+            F.lit(0.0)), F.lit(1.0)), 6)
+        .alias("top_2gram_char_frac"))
 
 
 def gopher_repetition_ok(df: DataFrame, text_col: str = "text",

@@ -2469,3 +2469,25 @@ H = STREAM E THROUGH hard_negatives(0.15, 0.30, 100, 5);
         emb, emb.filter(F.col("vec_id") % 100 == 0), k=5,
         method="exact", band=(0.15, 0.30)).collect())
     assert got == want and len(got) > 0
+
+
+def test_scaled_max_df_formula_and_equivalence(spark):
+    """_scaled_max_df: pure integer math with the documented clamps;
+    max_df='scale' on a small corpus equals the explicit base cap
+    (the cap never binds at oracle-gate scales)."""
+    f = dedup._scaled_max_df
+    assert f(1) == 256 and f(100_000) == 256
+    assert f(500_000) == 114 and f(5_000_000) == 36
+    assert f(10**12) == 16  # lo clamp
+    rows = [(i, f"w{i} w{i+1} w{i+2} common gram here") for i in range(8)]
+    df = spark.createDataFrame(rows, ["doc_id", "text"])
+    key = lambda r: (r["id_a"], r["id_b"], r["jaccard"])
+    a = sorted(map(key, dedup.ngram_jaccard_pairs(
+        df, threshold=0.1, max_df="scale").collect()))
+    b = sorted(map(key, dedup.ngram_jaccard_pairs(
+        df, threshold=0.1, max_df=256).collect()))
+    assert a == b and len(a) > 0
+    # n_docs hint skips the count job and gives the same cap path
+    c = sorted(map(key, dedup.ngram_jaccard_pairs(
+        df, threshold=0.1, max_df="scale", n_docs=8).collect()))
+    assert c == a
