@@ -186,6 +186,19 @@ def main():
         # Marker BEFORE the query so any JVM-side log output (stack
         # traces etc.) in the stderr stream is attributable to a query.
         print(f"# >>> {name}", file=sys.stderr, flush=True)
+        # Nudge the driver JVM GC so ContextCleaner deletes the
+        # PREVIOUS queries' shuffle files before this one runs. All
+        # queries share one session, and shuffle files on disk are
+        # freed only when their ShuffleDependency is GC'd on the
+        # driver — with a 24g heap that can be never, so a big-SF
+        # sweep otherwise needs disk = SUM of all queries' shuffles,
+        # not MAX (measured: r08 sf100 ngram died on disk while 60+GB
+        # of the PRECEDING simhash query's shuffle files sat in
+        # blockmgr). Untimed (runs before t0).
+        try:
+            spark.sparkContext._jvm.System.gc()
+        except Exception:
+            pass
         # codegen/JIT warm-up at tiny scale (untimed). TWO iterations:
         # the generated whole-stage-codegen classes (60+ methods for
         # the wide-aggregate queries) need several executions before
@@ -203,7 +216,12 @@ def main():
         # spikes (noisy neighbor) that can inflate a single run 5-20×
         best, n = None, 0
         err = None
-        for _ in range(2):
+        for it in range(2):
+            if it:  # free run 1's shuffle files before run 2 (pre-t0)
+                try:
+                    spark.sparkContext._jvm.System.gc()
+                except Exception:
+                    pass
             t0 = time.perf_counter()
             try:
                 df = fn(spark, sf_dir)

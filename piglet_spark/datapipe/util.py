@@ -53,11 +53,50 @@ def spread(df: DataFrame, *key_cols: str) -> DataFrame:
     if _plan_has(plan, _WIDE_NODES):
         return df
     target = df.sparkSession.sparkContext.defaultParallelism
-    if df.rdd.getNumPartitions() < target:
+    n_parts = df.rdd.getNumPartitions()
+    if n_parts >= target and _parquet_row_groups(df, target) < target:
+        # The split COUNT can lie: Spark byte-range-splits a parquet
+        # file to ≥ defaultParallelism, but a split with no ROW GROUP
+        # START in it yields zero rows — a file written with huge row
+        # groups (pyarrow's default is 1M ROWS ≈ 550 MB for a wide
+        # table) reports 32 splits of which 30 are empty, and every
+        # map stage serializes on the 2 real ones while the
+        # partition-count probe says "fine" (r08: the whole sf100
+        # decade ran documents on 5 cores and embeddings on 2 before
+        # this footer probe; similarity_ivf sat 20+ min on 2 tasks).
+        # One pyarrow footer read per input file — metadata-only.
+        n_parts = 0
+    if n_parts < target:
         if key_cols:
             return df.repartition(target, *[F.col(c) for c in key_cols])
         return df.repartition(target)
     return df
+
+
+def _parquet_row_groups(df: DataFrame, stop_at: int) -> int:
+    """Total row groups across the scan's parquet input files
+    (footer metadata only), stopping early once ``stop_at`` is
+    reached. Non-parquet or unreadable inputs return ``stop_at``
+    (treated as splittable — no behavior change)."""
+    try:
+        files = df.inputFiles()
+    except Exception:
+        return stop_at
+    if not files or not all(f.endswith(".parquet") for f in files):
+        return stop_at
+    if len(files) >= stop_at:
+        return stop_at
+    try:
+        import pyarrow.parquet as pq
+        total = 0
+        for f in files:
+            total += pq.ParquetFile(
+                f.removeprefix("file:")).metadata.num_row_groups
+            if total >= stop_at:
+                return stop_at
+        return total
+    except Exception:
+        return stop_at
 
 
 def pin_if_wide(df: DataFrame) -> DataFrame:

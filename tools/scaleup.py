@@ -117,7 +117,12 @@ def scale_documents(base: str, out: str, factor: int) -> int:
     res = pa.table(
         {c: pa.array(out_cols[c], type=tbl.schema.field(c).type)
          for c in tbl.column_names})
-    pq.write_table(res, f"{out}/documents.parquet")
+    # pyarrow's default row_group_size is 1M ROWS — ~300 MB groups for
+    # this table, so Spark gets ≤5 non-empty splits at factor 1000 and
+    # map stages serialize on 5 cores (r08 finding). 256k rows ≈
+    # 75 MB groups, the conventional parquet layout.
+    pq.write_table(res, f"{out}/documents.parquet",
+                   row_group_size=1 << 18)
     return res.num_rows
 
 
@@ -142,7 +147,10 @@ def scale_embeddings(base: str, out: str, factor: int) -> int:
         "label": pa.array(np.concatenate(all_lab),
                           type=tbl.schema.field("label").type),
     })
-    pq.write_table(res, f"{out}/embeddings.parquet")
+    # 128k rows × ~550 B/row ≈ 70 MB row groups (default 1M rows was
+    # a ~550 MB group: 2 non-empty Spark splits at factor 1000)
+    pq.write_table(res, f"{out}/embeddings.parquet",
+                   row_group_size=1 << 17)
     return res.num_rows
 
 
