@@ -3084,6 +3084,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # r08: the salted skew-join path, oracled against the plain
         # join it must be indistinguishable from
         "salted_join_agg": _pig(SALTED_JOIN_Q, "A"),
+        # r08f: hybrid retrieval + curation additions
+        "hybrid_rrf": q_hybrid_rrf,
+        "funnel_conversion": q_funnel,
+        "latest_by_key": q_latest_by_key,
+        "vocab_coverage": q_vocab_coverage,
+        "quantize_embeddings": q_quantize_embeddings,
+        "stratified_sample": q_stratified_sample,
     }
 
 
@@ -3201,4 +3208,266 @@ def oracle_sql(sf_dir: str | None = None) -> dict[str, str]:
         "cep_next_match_pooled": CEP_NEXT_POOLED_SQL,
         "spatial_join_grid": SPATIAL_JOIN_SQL,
         "salted_join_agg": SALTED_JOIN_SQL,
+        "hybrid_rrf": _hybrid_rrf_sql(),
+        "funnel_conversion": FUNNEL_SQL,
+        "latest_by_key": LATEST_BY_KEY_SQL,
+        "vocab_coverage": VOCAB_COVERAGE_SQL,
+        "quantize_embeddings": QUANTIZE_SQL,
+        "stratified_sample": STRATIFIED_SAMPLE_SQL,
     }
+
+
+# ----------------------------------------------- r08f: curation additions
+
+def q_hybrid_rrf(spark, sf_dir):
+    """Hybrid lexical+dense retrieval fused with Reciprocal Rank
+    Fusion (datapipe/retrieval.py hybrid_search; Cormack et al.,
+    SIGIR 2009): BM25 top-10 over documents RRF-fused (k_rrf=60)
+    with an exact cosine kNN of query embeddings vec_id∈{1,2,3}
+    against the embeddings table, doc/vec id spaces aligned.
+    Score = Σ 1/(60+rank), round-6 before the per-query rank window
+    (ties → ascending doc id). Fusion consumes top-k-truncated
+    inputs only — |Q|·k rows per retriever, bounded at any corpus
+    size; the scans live in the upstream retrievers."""
+    from piglet_spark.datapipe import retrieval as dp_ret
+    docs = _docs(spark, sf_dir)
+    emb = _emb(spark, sf_dir)
+    qv = (emb.filter(F.col("vec_id").isin([1, 2, 3]))
+          .select(F.col("vec_id").alias("query_id"), "embedding"))
+    return dp_ret.hybrid_search(docs, emb, BM25_QUERIES, qv, k=10)
+
+
+def _hybrid_rrf_sql() -> str:
+    """Oracle: BM25 CTE chain (identical to BM25_SQL) + exact-cosine
+    dense CTE (no self-exclusion, qids 1-3) + RRF fold."""
+    return f"""
+WITH q AS (
+  SELECT * FROM (VALUES (1, 'spark window agg'),
+                        (2, 'customer query filter'),
+                        (3, 'stream batch join vector')) AS v(query_id, qtext)
+), qt AS (
+  SELECT DISTINCT query_id,
+         unnest(string_split(trim(regexp_replace(regexp_replace(
+             lower(qtext), '[^a-z0-9 ]', ' ', 'g'), ' +', ' ', 'g')),
+             ' ')) AS term
+  FROM q
+), docs AS (
+  SELECT doc_id,
+         CASE WHEN length(trim(text)) = 0 THEN 0
+              ELSE len(string_split_regex(trim(text), '\\s+')) END AS dl,
+         trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]',
+              ' ', 'g'), ' +', ' ', 'g')) AS t
+  FROM documents
+), stats AS (
+  SELECT COUNT(*) AS n, AVG(dl) AS avgdl FROM docs
+), toks AS (
+  SELECT doc_id, dl, unnest(string_split(t, ' ')) AS term
+  FROM docs WHERE t <> ''
+), tf AS (
+  SELECT doc_id, term, COUNT(*) AS tf, MAX(dl) AS dl
+  FROM toks
+  WHERE term IN (SELECT DISTINCT term FROM qt)
+  GROUP BY doc_id, term
+), dfreq AS (
+  SELECT term, COUNT(*) AS df FROM tf GROUP BY term
+), bm AS (
+  SELECT qt.query_id, tf.doc_id,
+         round(SUM(ln(1.0 + (stats.n - dfreq.df + 0.5) / (dfreq.df + 0.5))
+                   * tf.tf * (1.2 + 1.0)
+                   / (tf.tf + 1.2 * (1.0 - 0.75 + 0.75 * tf.dl
+                                     / stats.avgdl))), 6) AS score
+  FROM tf JOIN dfreq USING (term) JOIN qt USING (term) CROSS JOIN stats
+  GROUP BY qt.query_id, tf.doc_id
+), lex AS (
+  SELECT query_id, doc_id, CAST(rn AS INT) AS rank
+  FROM (SELECT *, row_number() OVER (PARTITION BY query_id
+            ORDER BY score DESC, doc_id ASC) AS rn
+        FROM bm)
+  WHERE rn <= 10
+), dq AS (
+  SELECT vec_id AS qid, embedding::DOUBLE[] AS qv
+  FROM embeddings WHERE vec_id IN (1, 2, 3)
+), dscored AS (
+  SELECT dq.qid, e.vec_id AS nbr_id, ROUND({_COS_EQ.replace("q.qv", "dq.qv")}, 6) AS cos
+  FROM embeddings e, dq
+), dense AS (
+  SELECT qid, nbr_id, CAST(rn AS INT) AS rank
+  FROM (SELECT *, ROW_NUMBER() OVER (
+            PARTITION BY qid ORDER BY cos DESC, nbr_id ASC) AS rn
+        FROM dscored)
+  WHERE rn <= 10
+), contrib AS (
+  SELECT query_id AS q, doc_id AS d, 1.0 / (60 + rank) AS c FROM lex
+  UNION ALL
+  SELECT qid, nbr_id, 1.0 / (60 + rank) FROM dense
+), fused AS (
+  SELECT q, d, round(SUM(c), 6) AS rrf_score,
+         CAST(COUNT(*) AS INT) AS n_lists
+  FROM contrib GROUP BY q, d
+)
+SELECT q AS query_id, d AS doc_id, rrf_score, n_lists,
+       CAST(rn AS INT) AS rank
+FROM (SELECT *, row_number() OVER (PARTITION BY q
+          ORDER BY rrf_score DESC, d ASC) AS rn
+      FROM fused)
+WHERE rn <= 10
+"""
+
+
+def q_funnel(spark, sf_dir):
+    """Strictly-ordered funnel (datapipe/events.py funnel_conversion):
+    view → click → purchase over the events table, step i+1 counting
+    only strictly after the user's earliest step-i event ((ts,
+    event_id) lexicographic micro-key breaks equal-timestamp ties).
+    The step chain is keyed user-side aggregations sharing one hash
+    partitioning; the rollup is |steps| scalar counts."""
+    from piglet_spark.datapipe import events as dp_ev
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return dp_ev.funnel_conversion(ev, ["view", "click", "purchase"])
+
+
+FUNNEL_SQL = """
+WITH f AS (
+  SELECT user_id, event_type, epoch_us(ts::TIMESTAMP) AS us, event_id
+  FROM events WHERE event_type IN ('view', 'click', 'purchase')
+), s1 AS (
+  SELECT user_id, min({'us': us, 'i': event_id}) AS k
+  FROM f WHERE event_type = 'view' GROUP BY 1
+), s2 AS (
+  SELECT f.user_id, min({'us': f.us, 'i': f.event_id}) AS k
+  FROM f JOIN s1 USING (user_id)
+  WHERE f.event_type = 'click'
+    AND (f.us > s1.k.us OR (f.us = s1.k.us AND f.event_id > s1.k.i))
+  GROUP BY 1
+), s3 AS (
+  SELECT f.user_id, min({'us': f.us, 'i': f.event_id}) AS k
+  FROM f JOIN s2 USING (user_id)
+  WHERE f.event_type = 'purchase'
+    AND (f.us > s2.k.us OR (f.us = s2.k.us AND f.event_id > s2.k.i))
+  GROUP BY 1
+), c AS (
+  SELECT 1 AS step, 'view' AS event_type,
+         (SELECT COUNT(*) FROM s1) AS users
+  UNION ALL SELECT 2, 'click', (SELECT COUNT(*) FROM s2)
+  UNION ALL SELECT 3, 'purchase', (SELECT COUNT(*) FROM s3)
+)
+SELECT CAST(step AS INT) AS step, event_type, users,
+       round(users / CAST(NULLIF(first_value(users)
+             OVER (ORDER BY step), 0) AS DOUBLE), 6) AS conv_overall,
+       round(users / CAST(NULLIF(COALESCE(lag(users)
+             OVER (ORDER BY step), users), 0) AS DOUBLE), 6) AS conv_step
+FROM c
+"""
+
+
+def q_latest_by_key(spark, sf_dir):
+    """CDC changelog compaction (datapipe/events.py latest_by_key):
+    last-write-wins current state per user over the events table —
+    latest = lexicographic max of (ts, event_id). ONE
+    partial-aggregating max_by shuffle, deliberately not a window
+    (plan-asserted in pytest)."""
+    from piglet_spark.datapipe import events as dp_ev
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return dp_ev.latest_by_key(ev, key_col="user_id", ts_col="ts",
+                               tiebreak_col="event_id")
+
+
+LATEST_BY_KEY_SQL = """
+SELECT event_id, ts, user_id, event_type, value, props
+FROM events
+QUALIFY row_number() OVER (PARTITION BY user_id
+    ORDER BY ts DESC, event_id DESC) = 1
+"""
+
+
+def q_vocab_coverage(spark, sf_dir):
+    """Per-document OOV rate against the corpus's own top-100 terms
+    (datapipe/text.py vocab_coverage): vocabulary = 100 most frequent
+    normalized terms (ties lexical — deterministic), TakeOrdered
+    selection, broadcast membership join, partial-agg per-doc rollup.
+    Two bounded shuffles per corpus scan."""
+    return dp_text.vocab_coverage(_docs(spark, sf_dir), vocab_size=100)
+
+
+VOCAB_COVERAGE_SQL = """
+WITH nrm AS (
+  SELECT doc_id,
+         trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]',
+              ' ', 'g'), ' +', ' ', 'g')) AS t
+  FROM documents
+), tk AS (
+  SELECT doc_id, w
+  FROM (SELECT doc_id, unnest(string_split(t, ' ')) AS w
+        FROM nrm WHERE t <> '')
+  WHERE w <> ''
+), vocab AS (
+  SELECT w FROM (SELECT w, COUNT(*) AS c FROM tk GROUP BY 1)
+  QUALIFY row_number() OVER (ORDER BY c DESC, w ASC) <= 100
+), per AS (
+  SELECT doc_id, COUNT(*) AS n_tokens,
+         SUM(CASE WHEN w NOT IN (SELECT w FROM vocab)
+             THEN 1 ELSE 0 END) AS n_oov
+  FROM tk GROUP BY 1
+)
+SELECT d.doc_id,
+       COALESCE(per.n_tokens, 0) AS n_tokens,
+       COALESCE(per.n_oov, 0) AS n_oov,
+       round(COALESCE(per.n_oov / CAST(per.n_tokens AS DOUBLE), 0.0),
+             6) AS oov_rate
+FROM documents d LEFT JOIN per USING (doc_id)
+"""
+
+
+def q_quantize_embeddings(spark, sf_dir):
+    """int8 scalar-quantization audit (datapipe/similarity.py
+    quantize_embeddings): per-vector symmetric max-abs step size,
+    round-half-away codes, reconstruction MSE (round-9) and
+    original-vs-dequantized cosine (round-6). Map-only HOF
+    projections — no shuffle, no UDF; runs at scan speed."""
+    return dp_sim.quantize_embeddings(_emb(spark, sf_dir))
+
+
+QUANTIZE_SQL = """
+WITH v AS (
+  SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings
+  WHERE len(embedding) > 0
+), s AS (
+  SELECT vec_id, v,
+         list_max(list_transform(v, x -> abs(x))) AS amax
+  FROM v
+), q AS (
+  SELECT vec_id, v, amax / 127.0 AS scale,
+         list_transform(v, x -> round(x / (amax / 127.0), 0)
+                               * (amax / 127.0)) AS dq
+  FROM s WHERE amax > 0
+)
+SELECT vec_id, round(scale, 6) AS scale,
+       round(list_sum(list_transform(range(1, len(v) + 1),
+             i -> (v[i] - dq[i]) * (v[i] - dq[i]))) / len(v), 9) AS mse,
+       round(list_sum(list_transform(range(1, len(v) + 1),
+             i -> v[i] * dq[i]))
+             / sqrt(list_sum(list_transform(v, x -> x * x))
+                    * list_sum(list_transform(dq, x -> x * x))),
+             6) AS cos_q
+FROM q
+"""
+
+
+def q_stratified_sample(spark, sf_dir):
+    """Deterministic stratified sample (datapipe/pack.py
+    stratified_sample_n): exactly 5 docs per source by md5-hash
+    order, seed 7 — two-phase salted rank (64 lanes) so no reducer
+    ever holds a full group; provably identical to the
+    single-window answer."""
+    return dp_pack.stratified_sample_n(_docs(spark, sf_dir), 5,
+                                       group_col="source",
+                                       id_col="doc_id", seed=7)
+
+
+STRATIFIED_SAMPLE_SQL = """
+SELECT doc_id, text, lang, source, n_chars
+FROM documents
+QUALIFY row_number() OVER (PARTITION BY source
+    ORDER BY md5(concat('7:', CAST(doc_id AS VARCHAR))),
+             doc_id) <= 5
+"""

@@ -111,6 +111,13 @@ HEADLINE = [
     "compression_ratio",
     "bm25_topk",
     "hard_negatives",
+    # r08f: hybrid retrieval fusion + curation ops
+    "hybrid_rrf",
+    "funnel_conversion",
+    "latest_by_key",
+    "vocab_coverage",
+    "quantize_embeddings",
+    "stratified_sample",
 ]
 
 

@@ -84,3 +84,106 @@ def session_stats_stream(df: DataFrame, user_col: str = "user_id",
                     F.col("session_window.start").alias("session_start"),
                     F.col("session_window.end").alias("session_end"),
                     "n_events"))
+
+
+def funnel_conversion(df: DataFrame, steps: list[str],
+                      user_col: str = "user_id", ts_col: str = "ts",
+                      type_col: str = "event_type",
+                      id_col: str = "event_id") -> DataFrame:
+    """Strictly-ordered funnel analysis: for each user, step ``i+1``
+    counts only if an event of type ``steps[i+1]`` occurs STRICTLY
+    AFTER the user's earliest qualifying step-``i`` event (the
+    standard product-analytics funnel — Amplitude/Mixpanel "this
+    order" semantics; ties on the timestamp break by ``id_col`` so
+    an equal-timestamp later step still converts iff its id is
+    larger).
+
+    Returns one row per funnel step:
+    ``(step, event_type, users, conv_overall, conv_step)`` where
+    ``conv_overall`` = users ÷ step-1 users and ``conv_step`` =
+    users ÷ previous-step users (both round-6; step 1 is 1.0, and a
+    0-user previous step yields null).
+
+    Scale shape: the step chain is |steps|−1 self-aggregations, ALL
+    keyed on the user column — the first ``groupBy`` establishes the
+    hash partitioning and every later join + ``groupBy`` reuses the
+    same key, so Catalyst plans ONE user-key Exchange per step input
+    with no data-sized windows and no collect. Per-step frontier
+    DataFrames carry one row per surviving user (monotonically
+    shrinking). The final rollup is |steps| tiny counts unioned
+    driver-free. Events not in ``steps`` are filtered before any
+    shuffle; at 100 TB the dominant cost is the one filtered scan.
+    """
+    if len(steps) < 2:
+        raise ValueError("funnel_conversion needs >= 2 steps")
+    # (ts, id) as a lexicographic micro-key: "strictly after" on the
+    # pair gives deterministic semantics on equal timestamps
+    us = F.unix_micros(F.col(ts_col).cast("timestamp"))
+    base = (df.filter(F.col(type_col).isin([str(s) for s in steps]))
+            .select(F.col(user_col).alias("_u"),
+                    F.col(type_col).alias("_t"),
+                    F.struct(us.alias("_us"),
+                             F.col(id_col).cast("long").alias("_i"))
+                    .alias("_k")))
+    frontier = (base.filter(F.col("_t") == steps[0])
+                .groupBy("_u").agg(F.min("_k").alias("_k")))
+    reached = [frontier.select("_u")]
+    for step in steps[1:]:
+        nxt = (base.filter(F.col("_t") == step)
+               .join(frontier.withColumnRenamed("_k", "_prev"),
+                     on="_u")
+               .filter((F.col("_k._us") > F.col("_prev._us"))
+                       | ((F.col("_k._us") == F.col("_prev._us"))
+                          & (F.col("_k._i") > F.col("_prev._i"))))
+               .groupBy("_u").agg(F.min("_k").alias("_k")))
+        reached.append(nxt.select("_u"))
+        frontier = nxt
+    counts = None
+    for i, (step, users) in enumerate(zip(steps, reached), start=1):
+        c = users.agg(F.count(F.lit(1)).alias("users")).select(
+            F.lit(i).alias("step"),
+            F.lit(str(step)).alias("event_type"), "users")
+        counts = c if counts is None else counts.unionByName(c)
+    wp = Window.orderBy("step")
+    first = F.first("users").over(
+        wp.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+    prev = F.lag("users").over(wp)
+    # the window runs over |steps| rows total — not a scale concern
+    return (counts.withColumn(
+                "conv_overall",
+                F.round(F.col("users") / F.nullif(first, F.lit(0)), 6))
+            .withColumn(
+                "conv_step",
+                F.round(F.col("users")
+                        / F.nullif(F.coalesce(prev, F.col("users")),
+                                   F.lit(0)), 6)))
+
+
+def latest_by_key(df: DataFrame, key_col: str = "user_id",
+                  ts_col: str = "ts",
+                  tiebreak_col: str = "event_id") -> DataFrame:
+    """CDC changelog compaction / upsert materialization: the latest
+    record per key, "latest" = lexicographic max of
+    ``(ts, tiebreak)``. The standard last-write-wins pass that turns
+    an append-only event/change stream into current state (Kafka
+    log compaction, Delta/Hudi upsert semantics) — and, in a
+    training-data pipeline, "keep the newest crawl of each URL".
+
+    Returns the full input row (original column order), one per key.
+
+    Scale shape: ONE partial-aggregating hash shuffle — ``max_by``
+    over the (ts, tiebreak) pair combines map-side, so the exchange
+    carries one candidate row per key per map partition. Deliberately
+    NOT a row_number window (a window shuffles every input row and
+    sorts each key group; at 100 TB of events that is strictly
+    worse). Deterministic when ``(ts, tiebreak)`` is unique per key,
+    which a changelog's sequence column guarantees.
+    """
+    others = [c for c in df.columns if c not in (key_col,)]
+    ordk = F.struct(F.col(ts_col).alias("_ts"),
+                    F.col(tiebreak_col).alias("_tb"))
+    agg = (df.groupBy(key_col)
+           .agg(F.max_by(F.struct(*[F.col(c) for c in others]),
+                         ordk).alias("_r")))
+    return agg.select(key_col, *[F.col(f"_r.{c}").alias(c)
+                                 for c in others]).select(*df.columns)

@@ -452,3 +452,56 @@ def dsir_resample(raw: DataFrame, target: DataFrame,
             .withColumn("__rk", rn + F.col("__off"))
             .filter(F.col("__rk") <= k)
             .select(id_col, "dsir_logw", "sel_key"))
+
+
+def stratified_sample_n(df: DataFrame, n_per_group: int,
+                        group_col: str = "source",
+                        id_col: str = "doc_id",
+                        seed: int = 42) -> DataFrame:
+    """Deterministic stratified sample: exactly ``n_per_group`` rows
+    per group (fewer iff the group is smaller), selected by md5-hash
+    order — the balanced-evaluation-set / per-domain-quota pass a
+    mixture pipeline runs when it needs exact counts rather than
+    :func:`mixture_sample`'s Bernoulli rates. Same seed → the same
+    rows on any cluster size or partitioning.
+
+    Selection = the first ``n_per_group`` rows per group under
+    ``ORDER BY md5('<seed>:' || id), id`` — oracle-portable as a
+    plain ROW_NUMBER. Returns the input columns (``id_col`` must be
+    unique, the shared precondition of this module's samplers).
+
+    Scale shape — why not one window: a per-group window shuffles
+    EVERY row into |groups| partitions, and a corpus with 10 sources
+    lands 100 TB on 10 reducers (catastrophic skew). Instead the
+    rank runs in two phases: (1) per (group, salt) — 64 salt lanes
+    from the hash key's low bits — a partial ROW_NUMBER keeps each
+    lane's first ``n``: candidates shrink to ≤ 64·n per group while
+    every reducer holds a bounded heap-sized slice; (2) the final
+    per-group ROW_NUMBER ranks only those ≤ 64·n survivors. Phase 1
+    can never evict a final winner (a group's global top-n by the
+    key is a subset of the union of its per-lane top-n), so the
+    result is EXACTLY the single-window answer; both shuffles after
+    phase 1 are candidate-sized. The wide payload joins back by id
+    at the end — the sort key never drags the full row through the
+    rank shuffles."""
+    from pyspark.sql.window import Window
+
+    n = int(n_per_group)
+    if n <= 0:
+        raise ValueError("stratified_sample_n: n_per_group must be >= 1")
+    key = F.md5(F.concat(F.lit(f"{seed}:"),
+                         F.col(id_col).cast("string")))
+    narrow = df.select(group_col, id_col).withColumn("_k", key)
+    # salt from the key's trailing hex — independent of its leading
+    # sort order, deterministic, partitioning-free
+    salted = narrow.withColumn(
+        "_s", F.conv(F.substring("_k", 29, 4), 16, 10).cast("int") % 64)
+    w1 = (Window.partitionBy(group_col, "_s")
+          .orderBy("_k", id_col))
+    cand = (salted.withColumn("_r", F.row_number().over(w1))
+            .filter(F.col("_r") <= n).drop("_r", "_s"))
+    w2 = Window.partitionBy(group_col).orderBy("_k", id_col)
+    picked = (cand.withColumn("_r", F.row_number().over(w2))
+              .filter(F.col("_r") <= n)
+              .select(id_col))
+    return df.join(picked, on=id_col).select(*df.columns)

@@ -291,4 +291,22 @@ def datapipe_ops() -> dict[str, Callable]:
                 df, [(i + 1, q) for i, q in
                      enumerate(str(queries).split("|"))],
                 str(text), str(idc), k=int(k)),
+        # r08f curation additions
+        "funnel": lambda df, steps="view,click,purchase",
+            user="user_id", ts="ts", typ="event_type",
+            idc="event_id": _ev().funnel_conversion(
+                df, [s.strip() for s in str(steps).split(",")],
+                str(user), str(ts), str(typ), str(idc)),
+        "latest_by_key": lambda df, key="user_id", ts="ts",
+            tb="event_id": _ev().latest_by_key(
+                df, str(key), str(ts), str(tb)),
+        "vocab_coverage": lambda df, n=1000, text="text",
+            idc="doc_id": dt.vocab_coverage(
+                df, int(n), str(text), str(idc)),
+        "quantize_embeddings": lambda df, vec="embedding",
+            idc="vec_id": _sim().quantize_embeddings(
+                df, str(vec), str(idc)),
+        "stratified_sample": lambda df, n, grp="source",
+            idc="doc_id", seed=42: _pk().stratified_sample_n(
+                df, int(n), str(grp), str(idc), int(seed)),
     }

@@ -1,0 +1,120 @@
+"""Hybrid-retrieval operators: rank fusion over multiple retrievers.
+
+A curation/RAG pipeline rarely trusts ONE retriever: the standard
+recipe runs a lexical ranker (BM25) and a dense ranker (kNN over an
+embedding index) and fuses the two top-k lists per query.
+Reciprocal Rank Fusion (Cormack, Clarke & Buettcher, SIGIR 2009:
+"Reciprocal rank fusion outperforms Condorcet and individual rank
+learning methods") is the fusion every major engine ships
+(Elasticsearch/OpenSearch "rrf", Vespa, Milvus) because it needs no
+score calibration — only ranks.
+
+Reference parity note: the reference engine (dbis-ilm/piglet) has no
+retrieval fusion; the nearest shape is its JOIN + FOREACH idiom over
+two ranked relations. This module is part of the training-data
+toolkit layered on the same engine.
+
+Scale shape: fusion consumes ALREADY top-k-truncated rankings —
+|queries| x k rows per retriever, never corpus-sized — so the union +
+per-(query,doc) aggregation + per-query rank window all operate on
+bounded data. The heavy lifting (corpus scans, ANN) lives in the
+upstream retrievers (text.bm25_topk, similarity.knn_join); at 100 TB
+this operator's own cost is noise.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def rrf_fusion(rankings: dict[str, DataFrame], k_rrf: int = 60,
+               topk: int = 10, query_col: str = "query_id",
+               id_col: str = "doc_id",
+               rank_col: str = "rank") -> DataFrame:
+    """Reciprocal Rank Fusion of named per-query rankings.
+
+    Each value of ``rankings`` is a DataFrame carrying at least
+    ``(query_col, id_col, rank_col)`` with ``rank_col`` 1-based per
+    query (the shape ``text.bm25_topk`` and a windowed
+    ``similarity.knn_join`` both produce). A document absent from one
+    list simply contributes nothing from it — RRF's outer-union
+    semantics, no imputation.
+
+    ``rrf_score(q, d) = Σ_lists 1 / (k_rrf + rank_list(q, d))``
+    with the SIGIR-2009 default ``k_rrf=60``. Returns
+    ``(query_col, id_col, rrf_score, n_lists, rank)`` — score rounded
+    to 6 decimals BEFORE the rank window (ties → ascending id), rank
+    1..``topk`` per query. ``n_lists`` counts the lists that
+    contributed (diagnostic: 2-list agreement is the usual relevance
+    signal).
+
+    Deterministic and oracle-reproducible: the score is a sum of at
+    most ``len(rankings)`` reciprocals per (query, doc) — round-6 is
+    stable under any addition order at realistic list counts.
+    """
+    if not rankings:
+        raise ValueError("rrf_fusion needs at least one ranking")
+    contribs = []
+    for name, df in rankings.items():
+        contribs.append(
+            df.select(F.col(query_col).alias("_q"),
+                      F.col(id_col).cast("long").alias("_d"),
+                      (1.0 / (F.lit(int(k_rrf))
+                              + F.col(rank_col).cast("double")))
+                      .alias("_c")))
+    allc = contribs[0]
+    for c in contribs[1:]:
+        allc = allc.unionByName(c)
+    fused = (allc.groupBy("_q", "_d")
+             .agg(F.round(F.sum("_c"), 6).alias("rrf_score"),
+                  F.count(F.lit(1)).cast("int").alias("n_lists")))
+    rn = F.row_number().over(
+        Window.partitionBy("_q").orderBy(F.desc("rrf_score"),
+                                         F.asc("_d")))
+    return (fused.withColumn("rank", rn)
+            .filter(F.col("rank") <= int(topk))
+            .select(F.col("_q").alias(query_col),
+                    F.col("_d").alias(id_col),
+                    "rrf_score", "n_lists", "rank"))
+
+
+def hybrid_search(docs: DataFrame, embeddings: DataFrame,
+                  queries: list[tuple[int, str]],
+                  query_vecs: DataFrame,
+                  k: int = 10, k_rrf: int = 60,
+                  text_col: str = "text", doc_id_col: str = "doc_id",
+                  vec_col: str = "embedding",
+                  vec_id_col: str = "vec_id",
+                  knn_method: str = "exact") -> DataFrame:
+    """Lexical + dense hybrid retrieval: BM25 over ``docs`` fused
+    (RRF) with a cosine kNN join of ``query_vecs`` against
+    ``embeddings``. ``queries`` supplies ``(query_id, text)`` pairs;
+    ``query_vecs`` supplies ``(query_id, vector)`` rows (column names
+    ``query_id`` / ``vec_col``) for the SAME query ids. Document ids
+    on both sides must live in one id space (doc_id == vec_id), as
+    in any store that indexes text and embedding per document.
+
+    Returns the :func:`rrf_fusion` shape. Scale: one corpus text
+    scan (BM25 semi-joined postings) + one embedding scan (kNN, see
+    ``similarity.knn_join`` strategy notes); fusion is bounded."""
+    from . import similarity as _sim
+    from . import text as _text
+    lex = _text.bm25_topk(docs, queries, text_col=text_col,
+                          id_col=doc_id_col, k=k)
+    qv = query_vecs.select(F.col("query_id").alias("_qid2"),
+                           F.col(vec_col).alias(vec_col))
+    dense = _sim.knn_join(embeddings, qv, k=k, vec_col=vec_col,
+                          id_col=vec_id_col, q_vec_col=vec_col,
+                          q_id_col="_qid2", exclude_self=False,
+                          method=knn_method)
+    rnw = F.row_number().over(
+        Window.partitionBy("qid").orderBy(F.desc("cos"),
+                                          F.asc("nbr_id")))
+    dense_rk = (dense.withColumn("rank", rnw)
+                .select(F.col("qid").alias("query_id"),
+                        F.col("nbr_id").alias(doc_id_col), "rank"))
+    lex_rk = lex.select("query_id", doc_id_col, "rank")
+    return rrf_fusion({"bm25": lex_rk, "dense": dense_rk},
+                      k_rrf=k_rrf, topk=k, query_col="query_id",
+                      id_col=doc_id_col)

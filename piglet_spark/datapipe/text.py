@@ -835,3 +835,53 @@ def compression_ratio(df: DataFrame, text_col: str = "text",
 
     return (df.select(id_col, text_col)
             .mapInPandas(score, out_schema))
+
+
+def vocab_coverage(df: DataFrame, vocab_size: int = 1000,
+                   text_col: str = "text",
+                   id_col: str = "doc_id") -> DataFrame:
+    """Per-document vocabulary coverage against the corpus's own
+    top-``vocab_size`` terms — the cheap OOV screen a tokenizer/
+    pretraining pipeline runs before committing a corpus to a fixed
+    vocabulary (high OOV rate ⇒ the doc is boilerplate, another
+    language, or noise relative to the corpus).
+
+    The vocabulary is the ``vocab_size`` most frequent normalized
+    terms (ties → lexicographically smaller term wins — fully
+    deterministic, oracle-reproducible). Returns
+    ``(id, n_tokens, n_oov, oov_rate)`` with ``oov_rate`` round-6
+    (0.0 for empty docs).
+
+    Scale shape: one (term) partial-agg shuffle for corpus term
+    counts; the top-N selection is ``orderBy().limit()`` — Catalyst
+    plans TakeOrderedAndProject (per-partition heaps + driver merge
+    of N·parts rows, never a global sort). The vocab (≤ vocab_size
+    rows) broadcasts into a left join marker on the exploded token
+    stream, and the per-doc rollup partial-aggregates, so the second
+    shuffle carries one row per document. Two bounded shuffles per
+    100 TB scan; no window over data."""
+    from .util import spread as _spread
+    df = _spread(df, id_col)
+    toks = (df.select(F.col(id_col).alias("_id"),
+                      F.explode(F.split(normalize_text(F.col(text_col)),
+                                        " ")).alias("_w"))
+            .filter(F.col("_w") != ""))
+    vocab = (toks.groupBy("_w").agg(F.count(F.lit(1)).alias("_c"))
+             .orderBy(F.desc("_c"), F.asc("_w"))
+             .limit(int(vocab_size))
+             .select("_w", F.lit(1).alias("_in")))
+    marked = toks.join(F.broadcast(vocab), on="_w", how="left")
+    per_doc = (marked.groupBy("_id")
+               .agg(F.count(F.lit(1)).alias("n_tokens"),
+                    F.sum(F.when(F.col("_in").isNull(), 1)
+                          .otherwise(0)).alias("n_oov")))
+    # left join back so token-less docs report (0, 0, 0.0)
+    return (df.select(F.col(id_col).alias("_id"))
+            .join(per_doc, on="_id", how="left")
+            .select(F.col("_id").alias(id_col),
+                    F.coalesce("n_tokens", F.lit(0)).alias("n_tokens"),
+                    F.coalesce("n_oov", F.lit(0)).alias("n_oov"),
+                    F.round(F.coalesce(F.col("n_oov")
+                                       / F.col("n_tokens"),
+                                       F.lit(0.0)), 6)
+                    .alias("oov_rate")))
