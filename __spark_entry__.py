@@ -3091,6 +3091,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "vocab_coverage": q_vocab_coverage,
         "quantize_embeddings": q_quantize_embeddings,
         "stratified_sample": q_stratified_sample,
+        "mmr_rerank": q_mmr_rerank,
     }
 
 
@@ -3214,6 +3215,7 @@ def oracle_sql(sf_dir: str | None = None) -> dict[str, str]:
         "vocab_coverage": VOCAB_COVERAGE_SQL,
         "quantize_embeddings": QUANTIZE_SQL,
         "stratified_sample": STRATIFIED_SAMPLE_SQL,
+        "mmr_rerank": _mmr_sql(),
     }
 
 
@@ -3471,3 +3473,84 @@ QUALIFY row_number() OVER (PARTITION BY source
     ORDER BY md5(concat('7:', CAST(doc_id AS VARCHAR))),
              doc_id) <= 5
 """
+
+
+def q_mmr_rerank(spark, sf_dir):
+    """MMR diversification (datapipe/retrieval.py mmr_rerank;
+    Carbonell & Goldstein 1998): every 100th vector is a query; its
+    top-20 cosine pool is greedily re-ranked to 5 slots under
+    λ=0.7 relevance-vs-redundancy. Round-6 before every argmax →
+    the greedy ITERATION is fully value-hash oracled (the SQL
+    unrolls the k steps — see _mmr_sql)."""
+    from piglet_spark.datapipe import retrieval as dp_ret
+    emb = _emb(spark, sf_dir)
+    return dp_ret.mmr_rerank(emb, emb.filter(F.col("vec_id") % 100 == 0),
+                             k=5, pool=20, lam=0.7)
+
+
+def _mmr_sql(k: int = 5, pool: int = 20, lam: float = 0.7,
+             qmod: int = 100) -> str:
+    """Generated oracle for q_mmr_rerank: the greedy MMR loop unrolled
+    into k CTE layers — step t joins the step-(t−1) selected set to a
+    max-sim penalty, scores in EXACT integer nano-units
+    (lam_mill·round(cos·1e6) − (1000−lam_mill)·round(pen·1e6) — a
+    float re-round of λ·cos − (1−λ)·pen sits within a digit of a
+    decimal boundary and diverged between engines on a real sf0.01
+    row), and picks the per-query argmax on that integer (ties →
+    ascending id)."""
+    lam_mill = int(round(float(lam) * 1000))
+    cos_pair = ("list_dot_product(a.v, b.v)"
+                " / (sqrt(list_dot_product(a.v, a.v))"
+                " * sqrt(list_dot_product(b.v, b.v)))")
+    parts = [f"""
+WITH q AS (
+  SELECT vec_id AS qid, embedding::DOUBLE[] AS qv
+  FROM embeddings WHERE vec_id % {qmod} = 0
+), scored AS (
+  SELECT q.qid, e.vec_id AS nbr_id, ROUND({_COS_EQ}, 6) AS cos
+  FROM embeddings e, q WHERE e.vec_id <> q.qid
+), cand AS (
+  SELECT qid, nbr_id, cos FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY qid
+        ORDER BY cos DESC, nbr_id ASC) AS rn
+    FROM scored) WHERE rn <= {pool}
+), cv AS (
+  SELECT c.qid, c.nbr_id, e.embedding::DOUBLE[] AS v
+  FROM cand c JOIN embeddings e ON e.vec_id = c.nbr_id
+), sims AS (
+  SELECT a.qid, a.nbr_id AS ca, b.nbr_id AS cb,
+         ROUND({cos_pair}, 6) AS sim
+  FROM cv a JOIN cv b ON a.qid = b.qid AND a.nbr_id <> b.nbr_id
+), sel1 AS (
+  SELECT qid, nbr_id, 1 AS mmr_rank, cos AS mmr_score FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY qid
+        ORDER BY cos DESC, nbr_id ASC) AS rn
+    FROM cand) WHERE rn = 1
+)"""]
+    for t in range(2, int(k) + 1):
+        parts.append(f""", p{t} AS (
+  SELECT s.qid, s.ca AS nbr_id, MAX(s.sim) AS pen
+  FROM sims s JOIN sel{t - 1} x ON s.qid = x.qid AND s.cb = x.nbr_id
+  GROUP BY 1, 2
+), g{t} AS (
+  SELECT c.qid, c.nbr_id,
+         {lam_mill} * CAST(round(c.cos * 1000000, 0) AS BIGINT)
+         - {1000 - lam_mill} * CAST(round(p.pen * 1000000, 0) AS BIGINT)
+           AS si
+  FROM cand c JOIN p{t} p USING (qid, nbr_id)
+  WHERE NOT EXISTS (SELECT 1 FROM sel{t - 1} x
+                    WHERE x.qid = c.qid AND x.nbr_id = c.nbr_id)
+), s{t} AS (
+  SELECT qid, nbr_id, {t} AS mmr_rank,
+         si / 1000000000.0 AS mmr_score FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY qid
+        ORDER BY si DESC, nbr_id ASC) AS rn
+    FROM g{t}) WHERE rn = 1
+), sel{t} AS (
+  SELECT * FROM sel{t - 1} UNION ALL SELECT * FROM s{t}
+)""")
+    parts.append(f"""
+SELECT qid, nbr_id, CAST(mmr_rank AS INT) AS mmr_rank, mmr_score
+FROM sel{int(k)}
+""")
+    return "".join(parts)

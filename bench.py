@@ -118,6 +118,7 @@ HEADLINE = [
     "vocab_coverage",
     "quantize_embeddings",
     "stratified_sample",
+    "mmr_rerank",
 ]
 
 

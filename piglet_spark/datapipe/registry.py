@@ -39,6 +39,11 @@ def _ev():
     return events
 
 
+def _ret():
+    from . import retrieval
+    return retrieval
+
+
 def _parse_vec(qv) -> list[float]:
     """Query vector from a STREAM THROUGH string param:
     '0.1, 0.2, -3e-2' → [0.1, 0.2, -0.03]."""
@@ -309,4 +314,10 @@ def datapipe_ops() -> dict[str, Callable]:
         "stratified_sample": lambda df, n, grp="source",
             idc="doc_id", seed=42: _pk().stratified_sample_n(
                 df, int(n), str(grp), str(idc), int(seed)),
+        # MMR diversification (split-of-self convention like knn_join)
+        "mmr": lambda df, qmod=100, k=5, pool=20, lam=0.7,
+            vec="embedding", idc="vec_id": _ret().mmr_rerank(
+                df, df.filter(F.col(str(idc)) % int(qmod) == 0),
+                k=int(k), pool=int(pool), lam=float(lam),
+                vec_col=str(vec), id_col=str(idc)),
     }

@@ -118,3 +118,113 @@ def hybrid_search(docs: DataFrame, embeddings: DataFrame,
     return rrf_fusion({"bm25": lex_rk, "dense": dense_rk},
                       k_rrf=k_rrf, topk=k, query_col="query_id",
                       id_col=doc_id_col)
+
+
+def mmr_rerank(corpus: DataFrame, queries: DataFrame, k: int = 5,
+               pool: int = 20, lam: float = 0.7,
+               vec_col: str = "embedding", id_col: str = "vec_id",
+               q_vec_col: str | None = None,
+               q_id_col: str | None = None,
+               exclude_self: bool = True,
+               dim: int | None = None,
+               method: str = "exact") -> DataFrame:
+    """Maximal Marginal Relevance re-ranking (Carbonell & Goldstein,
+    SIGIR 1998): per query, greedily select ``k`` of the top-``pool``
+    cosine candidates trading relevance against redundancy —
+    ``score_t(c) = λ·rel(c) − (1−λ)·max_{s∈selected} sim(c, s)`` —
+    the standard diversification pass for RAG context assembly and
+    diverse few-shot / training-subset selection (a near-dup-heavy
+    corpus otherwise fills all k slots with copies).
+
+    Returns ``(qid, nbr_id, mmr_rank, mmr_score)`` — rank 1 is the
+    pure-relevance argmax (its score = rel, round-6); later ranks
+    carry the penalized score at selection time. Relevances and
+    pairwise similarities round to 6 decimals; the penalized score
+    then computes in EXACT INTEGER nano-units
+    (``lam_mill·ci − (1000−lam_mill)·pi`` over micro-unit ints — λ
+    must be a multiple of 0.001) and every argmax orders on that
+    integer (ties → ascending id), so the selection is deterministic
+    and oracle-reproducible: the greedy loop unrolls into k SQL
+    layers (see the registry's generated oracle) because each step is
+    a plain argmax over bounded relations — an ITERATIVE algorithm
+    with a full value-hash oracle.
+
+    Scale shape: the corpus-sized work is the candidate retrieval
+    (``knn_join``, see its strategy notes). Everything after is
+    bounded by construction: candidates are |Q|·pool rows, pairwise
+    sims |Q|·pool² (pool defaults to 20 → 400 rows/query), and each
+    of the k−1 greedy steps is a keyed argmax over those bounded
+    relations — no data-sized shuffle, no driver loop over rows (the
+    loop builds the PLAN, k is small). Candidate vectors join the
+    pool by id, so the wide arrays never enter the iteration."""
+    from . import similarity as _sim
+    if k > pool:
+        raise ValueError(f"mmr_rerank: k={k} > pool={pool}")
+    if not 0.0 <= lam <= 1.0:
+        raise ValueError(f"mmr_rerank: lambda must be in [0,1], "
+                         f"got {lam}")
+    dim = dim or _sim.probe_dim(corpus, vec_col)
+    cand = _sim.knn_join(corpus, queries, k=pool, vec_col=vec_col,
+                         id_col=id_col, q_vec_col=q_vec_col,
+                         q_id_col=q_id_col, exclude_self=exclude_self,
+                         dim=dim, method=method)
+    vecs = corpus.select(
+        F.col(id_col).alias("nbr_id"),
+        F.transform(F.col(vec_col), lambda x: x.cast("double"))
+        .alias("_v")).withColumn("_n", _sim.norm_expr("_v", dim))
+    cv = cand.join(vecs, on="nbr_id").select("qid", "nbr_id", "cos",
+                                             "_v", "_n")
+    a = cv.select("qid", F.col("nbr_id").alias("_a"),
+                  F.col("_v").alias("_va"), F.col("_n").alias("_na"))
+    b = cv.select("qid", F.col("nbr_id").alias("_b"),
+                  F.col("_v").alias("_vb"), F.col("_n").alias("_nb"))
+    sims = (a.join(b, on="qid")
+            .filter(F.col("_a") != F.col("_b"))
+            .select("qid", "_a", "_b",
+                    F.round(_sim.cosine_with_norms("_va", "_vb",
+                                                   "_na", "_nb", dim),
+                            6).alias("_sim")))
+    # λ in exact per-mille so the penalized score computes in INTEGER
+    # nano-units: cos/pen are round-6 values, so λ·cos − (1−λ)·pen
+    # always lands within a digit of a decimal ROUNDING BOUNDARY —
+    # re-rounding that in binary doubles is engine-dependent (Spark's
+    # exact-decimal HALF_UP vs DuckDB's float-multiply round disagreed
+    # on a real sf0.01 row). `lam_mill·ci − (1000−lam_mill)·pi` over
+    # micro-unit ints is exact, ordered exactly, and divides back to
+    # the identical double on every engine.
+    lam_mill = int(round(float(lam) * 1000))
+    if abs(float(lam) * 1000 - lam_mill) > 1e-9:
+        raise ValueError(f"mmr_rerank: lambda must be a multiple of "
+                         f"0.001 (exact integer scoring), got {lam}")
+    w1 = Window.partitionBy("qid").orderBy(F.desc("cos"),
+                                           F.asc("nbr_id"))
+    selected = (cand.withColumn("_rn", F.row_number().over(w1))
+                .filter(F.col("_rn") == 1)
+                .select("qid", "nbr_id",
+                        F.lit(1).alias("mmr_rank"),
+                        F.col("cos").alias("mmr_score")))
+    for t in range(2, int(k) + 1):
+        sel_ids = selected.select("qid", F.col("nbr_id").alias("_b"))
+        pen = (sims.join(sel_ids, on=["qid", "_b"])
+               .groupBy("qid", "_a").agg(F.max("_sim").alias("_pen")))
+        remaining = cand.join(selected.select("qid", "nbr_id"),
+                              on=["qid", "nbr_id"], how="left_anti")
+        ci = F.round(F.col("cos") * 1e6, 0).cast("long")
+        pi = F.round(F.col("_pen") * 1e6, 0).cast("long")
+        si = (F.lit(lam_mill) * ci
+              - F.lit(1000 - lam_mill) * pi)
+        scored = (remaining
+                  .join(pen, (remaining["qid"] == pen["qid"])
+                        & (remaining["nbr_id"] == pen["_a"]))
+                  .select(remaining["qid"], "nbr_id", "cos", "_pen")
+                  .withColumn("_si", si))
+        ws = Window.partitionBy("qid").orderBy(F.desc("_si"),
+                                               F.asc("nbr_id"))
+        pick = (scored.withColumn("_rn", F.row_number().over(ws))
+                .filter(F.col("_rn") == 1)
+                .select("qid", "nbr_id",
+                        F.lit(t).alias("mmr_rank"),
+                        (F.col("_si").cast("double") / F.lit(1.0e9))
+                        .alias("mmr_score")))
+        selected = selected.unionByName(pick)
+    return selected

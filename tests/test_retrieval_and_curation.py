@@ -305,3 +305,79 @@ Q = STREAM V THROUGH quantize_embeddings();
     assert sorted(tuple(r) for r in env["Q"].collect()) == \
         sorted(tuple(r) for r in
                dps.quantize_embeddings(emb).collect())
+
+
+# ---------------------------------------------------------------- MMR
+
+def test_mmr_rerank_brute_force(spark):
+    emb = _emb(spark)
+    out = dpr.mmr_rerank(emb,
+                         emb.filter(F.col("vec_id") % 100 == 0),
+                         k=4, pool=10, lam=0.7)
+    got = {(r.qid, r.mmr_rank): (r.nbr_id, r.mmr_score)
+           for r in out.collect()}
+    # python reference: greedy MMR over the same rounded inputs
+    vecs = {r.vec_id: [float(x) for x in r.embedding]
+            for r in emb.collect()}
+
+    def cos(a, b):
+        num = sum(x * y for x, y in zip(a, b))
+        na = math.sqrt(sum(x * x for x in a))
+        nb = math.sqrt(sum(x * x for x in b))
+        return num / (na * nb)
+
+    qids = [v for v in vecs if v % 100 == 0]
+    for q in qids:
+        rel = sorted(((round(cos(vecs[q], vecs[c]), 6), -c, c)
+                      for c in vecs if c != q),
+                     key=lambda t: (-t[0], t[2]))
+        pool = [(c, r) for r, _, c in rel[:10]]
+        sel = [pool[0]]
+        while len(sel) < 4:
+            best = None
+            for c, r in pool:
+                if any(c == s for s, _ in sel):
+                    continue
+                pen = max(round(cos(vecs[c], vecs[s]), 6)
+                          for s, _ in sel)
+                # exact integer nano-unit scoring, like the operator
+                si = 700 * round(r * 1e6) - 300 * round(pen * 1e6)
+                if best is None or (si, -c) > (best[1], -best[0]):
+                    best = (c, si)
+            sel.append((best[0], best[1] / 1e9))
+        for t, (c, sc) in enumerate(sel, start=1):
+            assert got[(q, t)][0] == c, (q, t)
+            assert abs(got[(q, t)][1] - sc) <= 2e-9, (q, t)
+
+
+def test_mmr_diversifies(spark):
+    # corpus of two tight clusters; relevance favors cluster A, but
+    # rank-2 must come from cluster B once redundancy is penalized
+    rows = [(0, [1.0, 0.0]),            # query
+            (1, [0.99, 0.14]), (2, [0.98, 0.19]), (3, [0.97, 0.24]),
+            (4, [0.0, 1.0]), (5, [0.1, 0.99])]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+    out = dpr.mmr_rerank(emb, emb.filter("vec_id = 0"), k=3, pool=5,
+                         lam=0.2, dim=2)
+    ranks = {r.mmr_rank: r.nbr_id for r in out.collect()}
+    assert ranks[1] == 1           # most relevant
+    assert ranks[2] in (4, 5)      # diversity beats redundancy
+    with __import__("pytest").raises(ValueError):
+        dpr.mmr_rerank(emb, emb, k=10, pool=5)
+
+
+def test_mmr_via_stream_through(spark, tmp_path):
+    import piglet_spark as pg
+    emb = _emb(spark)
+    pv = tmp_path / "emb2.parquet"
+    emb.write.mode("overwrite").parquet(str(pv))
+    eng = pg.PigEngine(spark)
+    env = eng.run(f"""
+V = LOAD '{pv}' USING ParquetStorage();
+M = STREAM V THROUGH mmr(100, 3, 10, 0.7);
+""")
+    got = sorted(tuple(r) for r in env["M"].collect())
+    want = sorted(tuple(r) for r in dpr.mmr_rerank(
+        emb, emb.filter(F.col("vec_id") % 100 == 0),
+        k=3, pool=10, lam=0.7).collect())
+    assert got == want and len(got) > 0
