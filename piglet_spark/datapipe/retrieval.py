@@ -184,6 +184,14 @@ def mmr_rerank(corpus: DataFrame, queries: DataFrame, k: int = 5,
                     F.round(_sim.cosine_with_norms("_va", "_vb",
                                                    "_na", "_nb", dim),
                             6).alias("_sim")))
+    # cand/sims are consumed by every one of the k−1 greedy steps —
+    # without a checkpoint each step RE-RUNS the upstream kNN (the
+    # corpus-sized part) through its growing lineage: measured 72 s
+    # vs 9 s at sf1 (20k vectors, k=5). Both are bounded (|Q|·pool
+    # and |Q|·pool² rows), so materializing them is cheap and cuts
+    # the lineage the loop would otherwise replay.
+    cand = cand.localCheckpoint()
+    sims = sims.localCheckpoint()
     # λ in exact per-mille so the penalized score computes in INTEGER
     # nano-units: cos/pen are round-6 values, so λ·cos − (1−λ)·pen
     # always lands within a digit of a decimal ROUNDING BOUNDARY —
@@ -226,5 +234,8 @@ def mmr_rerank(corpus: DataFrame, queries: DataFrame, k: int = 5,
                         F.lit(t).alias("mmr_rank"),
                         (F.col("_si").cast("double") / F.lit(1.0e9))
                         .alias("mmr_score")))
-        selected = selected.unionByName(pick)
+        # selected feeds both the next step's penalty and its
+        # anti-join — un-checkpointed, step t replays every earlier
+        # step's windows (depth-squared recompute over the loop)
+        selected = selected.unionByName(pick).localCheckpoint()
     return selected
