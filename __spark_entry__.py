@@ -3092,6 +3092,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quantize_embeddings": q_quantize_embeddings,
         "stratified_sample": q_stratified_sample,
         "mmr_rerank": q_mmr_rerank,
+        "pagerank_graph": q_pagerank,
     }
 
 
@@ -3216,6 +3217,7 @@ def oracle_sql(sf_dir: str | None = None) -> dict[str, str]:
         "quantize_embeddings": QUANTIZE_SQL,
         "stratified_sample": STRATIFIED_SAMPLE_SQL,
         "mmr_rerank": _mmr_sql(),
+        "pagerank_graph": _pagerank_sql(),
     }
 
 
@@ -3554,3 +3556,70 @@ SELECT qid, nbr_id, CAST(mmr_rank AS INT) AS mmr_rank, mmr_score
 FROM sel{int(k)}
 """)
     return "".join(parts)
+
+
+def q_pagerank(spark, sf_dir):
+    """Fixed-3-iteration PageRank (datapipe/graph.py pagerank) on the
+    supplier→customer interaction graph (one edge per lineitem via
+    its order — duplicate edges act as weight), node ids prefixed
+    's'/'c' into one string id space. Link-graph centrality is the
+    standard corpus-quality prior (Common Crawl ranks hosts the same
+    way). Per iteration: one src-keyed join + one dst-keyed
+    partial-agg sum + a 1-row dangling aggregate; ranks round-12
+    between steps so the float fold order can't flip a value, and
+    the whole ITERATION unrolls into generated SQL (the MMR
+    precedent) for a full value-hash oracle."""
+    from piglet_spark.datapipe import graph as dp_graph
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
+    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    edges = (li.join(orders,
+                     li["l_orderkey"] == orders["o_orderkey"])
+             .select(F.concat(F.lit("s"),
+                              F.col("l_suppkey").cast("string"))
+                     .alias("src"),
+                     F.concat(F.lit("c"),
+                              F.col("o_custkey").cast("string"))
+                     .alias("dst")))
+    return dp_graph.pagerank(edges, iters=3, damping=0.85)
+
+
+def _pagerank_sql(iters: int = 3, d: float = 0.85) -> str:
+    """Generated oracle for q_pagerank: the PageRank iteration
+    unrolled into CTE layers. Every arithmetic step mirrors the Spark
+    side op-for-op — teleport is (1.0 − d) · (1.0/N) (two ops, NOT a
+    pre-folded literal: 1.0−0.85 is 0.15000000000000002 in binary),
+    the dangling mass redistributes as dm · (1.0/N), and ranks round
+    to 12 between iterations, 9 at the end."""
+    layers = [f"""
+WITH edges AS (
+  SELECT 's' || CAST(l_suppkey AS VARCHAR) AS s,
+         'c' || CAST(o_custkey AS VARCHAR) AS t
+  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+), nodes AS (
+  SELECT s AS node FROM edges UNION SELECT t FROM edges
+), cnt AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM nodes),
+od AS (SELECT s, COUNT(*) AS deg FROM edges GROUP BY 1),
+r0 AS (
+  SELECT node, round(1.0 / cnt.n, 12) AS pr FROM nodes CROSS JOIN cnt
+)"""]
+    for t in range(1, int(iters) + 1):
+        layers.append(f""", c{t} AS (
+  SELECT e.t AS node, SUM(r.pr / od.deg) AS inc
+  FROM edges e JOIN r{t - 1} r ON e.s = r.node
+  JOIN od ON od.s = e.s
+  GROUP BY 1
+), d{t} AS (
+  SELECT COALESCE(SUM(pr), 0.0) AS dm FROM r{t - 1}
+  WHERE node NOT IN (SELECT s FROM od)
+), r{t} AS (
+  SELECT n.node,
+         round((1.0 - {d!r}) * (1.0 / cnt.n)
+               + {d!r} * (COALESCE(c.inc, 0.0)
+                          + dg.dm * (1.0 / cnt.n)), 12) AS pr
+  FROM nodes n CROSS JOIN cnt CROSS JOIN d{t} dg
+  LEFT JOIN c{t} c ON c.node = n.node
+)""")
+    layers.append(f"""
+SELECT node, round(pr, 9) AS pagerank FROM r{int(iters)}
+""")
+    return "".join(layers)

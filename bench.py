@@ -119,6 +119,7 @@ HEADLINE = [
     "quantize_embeddings",
     "stratified_sample",
     "mmr_rerank",
+    "pagerank_graph",
 ]
 
 

@@ -44,6 +44,11 @@ def _ret():
     return retrieval
 
 
+def _gr():
+    from . import graph
+    return graph
+
+
 def _parse_vec(qv) -> list[float]:
     """Query vector from a STREAM THROUGH string param:
     '0.1, 0.2, -3e-2' → [0.1, 0.2, -0.03]."""
@@ -320,4 +325,8 @@ def datapipe_ops() -> dict[str, Callable]:
                 df, df.filter(F.col(str(idc)) % int(qmod) == 0),
                 k=int(k), pool=int(pool), lam=float(lam),
                 vec_col=str(vec), id_col=str(idc)),
+        # fixed-iteration PageRank over an edge-list relation
+        "pagerank": lambda df, iters=3, damping=0.85, src="src",
+            dst="dst": _gr().pagerank(df, int(iters), float(damping),
+                                      str(src), str(dst)),
     }

@@ -381,3 +381,57 @@ M = STREAM V THROUGH mmr(100, 3, 10, 0.7);
         emb, emb.filter(F.col("vec_id") % 100 == 0),
         k=3, pool=10, lam=0.7).collect())
     assert got == want and len(got) > 0
+
+
+# ----------------------------------------------------------- pagerank
+
+def test_pagerank_brute_force(spark):
+    from piglet_spark.datapipe import graph as dpg
+    # 1->2, 1->3, 2->3, 3->1, 4->3 ; 4 is a source-only node,
+    # and 5 exists only as a destination (dangling)
+    edges = spark.createDataFrame(
+        [(1, 2), (1, 3), (2, 3), (3, 1), (4, 3), (3, 5)],
+        "src long, dst long")
+    out = {r.node: r.pagerank
+           for r in dpg.pagerank(edges, iters=3).collect()}
+    # python reference (same rounding discipline)
+    nodes = [1, 2, 3, 4, 5]
+    n = len(nodes)
+    deg = {1: 2, 2: 1, 3: 2, 4: 1}
+    adj = {(1, 2), (1, 3), (2, 3), (3, 1), (4, 3), (3, 5)}
+    pr = {v: round(1.0 / n, 12) for v in nodes}
+    d = 0.85
+    tele = (1.0 - d) * (1.0 / n)
+    for _ in range(3):
+        dang = sum(pr[v] for v in nodes if v not in deg)
+        nxt = {}
+        for v in nodes:
+            inc = sum(pr[u] / deg[u] for u, w in adj if w == v)
+            nxt[v] = round(tele + d * (inc + dang * (1.0 / n)), 12)
+        pr = nxt
+    for v in nodes:
+        assert abs(out[v] - round(pr[v], 9)) <= 1e-9, v
+    # total mass conserved (teleport + dangling redistribution)
+    assert abs(sum(out.values()) - 1.0) < 1e-6
+    import pytest
+    with pytest.raises(ValueError):
+        dpg.pagerank(edges, iters=0)
+    with pytest.raises(ValueError):
+        dpg.pagerank(edges, damping=1.5)
+
+
+def test_pagerank_via_stream_through(spark, tmp_path):
+    import piglet_spark as pg
+    from piglet_spark.datapipe import graph as dpg
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 1), (1, 3)], "src long, dst long")
+    p = tmp_path / "edges.parquet"
+    edges.write.mode("overwrite").parquet(str(p))
+    eng = pg.PigEngine(spark)
+    env = eng.run(f"""
+E = LOAD '{p}' USING ParquetStorage();
+P = STREAM E THROUGH pagerank(3, 0.85, 'src', 'dst');
+""")
+    got = sorted(tuple(r) for r in env["P"].collect())
+    want = sorted(tuple(r) for r in dpg.pagerank(edges, 3).collect())
+    assert got == want and len(got) == 3
