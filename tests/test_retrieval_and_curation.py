@@ -435,3 +435,45 @@ P = STREAM E THROUGH pagerank(3, 0.85, 'src', 'dst');
     got = sorted(tuple(r) for r in env["P"].collect())
     want = sorted(tuple(r) for r in dpg.pagerank(edges, 3).collect())
     assert got == want and len(got) == 3
+
+
+# ------------------------------------------- determinism under layout
+
+def test_r08f_ops_partitioning_invariant(spark):
+    """The deterministic contracts survive arbitrary repartitioning —
+    same rows, same scores, same ranks on 1 partition and on 13."""
+    from piglet_spark.datapipe import graph as dpg
+    docs = _docs(spark)
+    emb = _emb(spark)
+    for mk in (lambda d: d.coalesce(1), lambda d: d.repartition(13)):
+        s1 = sorted(tuple(r) for r in dpp.stratified_sample_n(
+            mk(docs), 4, "source", "doc_id", seed=9).collect())
+        s2 = sorted(tuple(r) for r in dpp.stratified_sample_n(
+            docs, 4, "source", "doc_id", seed=9).collect())
+        assert s1 == s2
+        q1 = sorted(tuple(r) for r in
+                    dps.quantize_embeddings(mk(emb)).collect())
+        q2 = sorted(tuple(r) for r in
+                    dps.quantize_embeddings(emb).collect())
+        assert q1 == q2
+    edges = spark.createDataFrame(
+        [(i % 7, (i * 3) % 7) for i in range(40) if i % 7 != (i * 3) % 7],
+        "src long, dst long")
+    p1 = sorted(tuple(r) for r in
+                dpg.pagerank(edges.coalesce(1), 3).collect())
+    p2 = sorted(tuple(r) for r in
+                dpg.pagerank(edges.repartition(11), 3).collect())
+    assert p1 == p2
+
+
+def test_rrf_fusion_input_order_invariant(spark):
+    """RRF must not care which ranking is listed first."""
+    a = spark.createDataFrame([(1, 10, 1), (1, 11, 2)],
+                              "query_id int, doc_id long, rank int")
+    b = spark.createDataFrame([(1, 11, 1), (1, 12, 2)],
+                              "query_id int, doc_id long, rank int")
+    r1 = sorted(tuple(r) for r in
+                dpr.rrf_fusion({"a": a, "b": b}).collect())
+    r2 = sorted(tuple(r) for r in
+                dpr.rrf_fusion({"b": b, "a": a}).collect())
+    assert r1 == r2
