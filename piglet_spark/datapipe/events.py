@@ -178,6 +178,14 @@ def latest_by_key(df: DataFrame, key_col: str = "user_id",
     sorts each key group; at 100 TB of events that is strictly
     worse). Deterministic when ``(ts, tiebreak)`` is unique per key,
     which a changelog's sequence column guarantees.
+
+    STREAMS TOO: on a streaming DataFrame the same ``max_by``
+    aggregation runs stateful — state is exactly the current row per
+    key (the upsert view itself, the minimum any engine must hold),
+    updated incrementally each micro-batch. Emit with
+    ``outputMode("update")`` (changed keys per trigger — a changelog
+    of the compaction) or ``"complete"`` (the full state). Pinned by
+    a cross-batch pytest.
     """
     others = [c for c in df.columns if c not in (key_col,)]
     ordk = F.struct(F.col(ts_col).alias("_ts"),

@@ -116,3 +116,27 @@ def test_corpus_curation_end_to_end(spark, sf_dir, tmp_path):
     srow = sess.collect()
     assert srow and all(r["duration_sec"] >= 0 for r in srow)
     assert sess.count() == eng.df("SESS").count()
+
+
+def test_retrieval_quality_end_to_end(spark, sf_dir):
+    """The r08f surfaces compose in one DSL script: MMR ranks are
+    dense 1..5 per query, the quantization audit partitions the
+    vectors, the OOV screen covers every doc, the funnel is monotone,
+    and compaction yields one row per user."""
+    script = (EXAMPLES / "retrieval_quality.pig").read_text()
+    eng = pg.PigEngine(spark, params={"sf": str(sf_dir)})
+    env = eng.run(script)
+    m = env["M"].collect()
+    per_q = {}
+    for r in m:
+        per_q.setdefault(r.qid, []).append(r.mmr_rank)
+    assert per_q and all(sorted(v) == list(range(1, len(v) + 1))
+                         for v in per_q.values())
+    n_vec = env["E"].count()
+    assert env["Q"].count() <= n_vec          # degenerate excluded
+    assert env["SAFE"].count() <= env["Q"].count()
+    assert env["VC"].count() == env["D"].count()
+    fu = {r.step: r.users for r in env["FU"].collect()}
+    assert list(fu) and fu[1] >= fu[2] >= fu[3] >= 0
+    users = env["EV"].select("user_id").distinct().count()
+    assert env["CUR"].count() == users

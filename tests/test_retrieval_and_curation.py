@@ -477,3 +477,32 @@ def test_rrf_fusion_input_order_invariant(spark):
     r2 = sorted(tuple(r) for r in
                 dpr.rrf_fusion({"b": b, "a": a}).collect())
     assert r1 == r2
+
+
+def test_latest_by_key_streaming_cross_batch(spark, tmp_path):
+    """latest_by_key runs stateful on a stream: a key updated in a
+    LATER micro-batch reflects the newest record, one row per key."""
+    d = tmp_path / "cdc"
+    d.mkdir()
+    (d / "b1.csv").write_text(
+        "1,100,2026-01-01 00:00:00,view,1.0\n"
+        "2,200,2026-01-01 00:00:10,view,2.0\n")
+    schema = ("event_id long, user_id long, raw string,"
+              " event_type string, value double")
+    sdf = (spark.readStream.schema(schema).csv(str(d))
+           .withColumn("ts", F.to_timestamp("raw")).drop("raw"))
+    out = dpe.latest_by_key(sdf, key_col="user_id", ts_col="ts",
+                            tiebreak_col="event_id")
+    q = (out.writeStream.format("memory").queryName("t_cdc")
+         .outputMode("complete").start())
+    q.processAllAvailable()
+    # batch 2: user 100 gets a NEWER record; 300 appears
+    (d / "b2.csv").write_text(
+        "3,100,2026-01-01 00:05:00,click,3.0\n"
+        "4,300,2026-01-01 00:00:01,view,4.0\n")
+    q.processAllAvailable()
+    q.stop()
+    rows = {r.user_id: (r.event_id, r.event_type)
+            for r in spark.sql("select * from t_cdc").collect()}
+    assert rows == {100: (3, "click"), 200: (2, "view"),
+                    300: (4, "view")}
