@@ -3093,6 +3093,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stratified_sample": q_stratified_sample,
         "mmr_rerank": q_mmr_rerank,
         "pagerank_graph": q_pagerank,
+        "trending_keys": q_trending_keys,
     }
 
 
@@ -3218,6 +3219,7 @@ def oracle_sql(sf_dir: str | None = None) -> dict[str, str]:
         "stratified_sample": STRATIFIED_SAMPLE_SQL,
         "mmr_rerank": _mmr_sql(),
         "pagerank_graph": _pagerank_sql(),
+        "trending_keys": TRENDING_SQL,
     }
 
 
@@ -3623,3 +3625,30 @@ r0 AS (
 SELECT node, round(pr, 9) AS pagerank FROM r{int(iters)}
 """)
     return "".join(layers)
+
+
+def q_trending_keys(spark, sf_dir):
+    """Per-hour trending event types (datapipe/events.py
+    trending_keys): tumbling 1-hour windows by integer-μs bucket
+    math (oracle-exact boundaries), per-window top-3 keys by count
+    (ties → key ascending) via the two-phase salted rank, so a
+    million-key trending-terms window never lands on one reducer."""
+    from piglet_spark.datapipe import events as dp_ev
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    return dp_ev.trending_keys(ev, key_col="event_type",
+                               window_sec=3600, k=3)
+
+
+TRENDING_SQL = """
+WITH c AS (
+  SELECT make_timestamp(CAST(floor(epoch_us(ts::TIMESTAMP)
+             / 3600000000) * 3600000000 AS BIGINT)) AS window_start,
+         event_type, COUNT(*) AS n
+  FROM events GROUP BY 1, 2
+)
+SELECT window_start, event_type, n, CAST(rn AS INT) AS rank
+FROM (SELECT *, row_number() OVER (PARTITION BY window_start
+          ORDER BY n DESC, event_type ASC) AS rn
+      FROM c)
+WHERE rn <= 3
+"""

@@ -120,6 +120,7 @@ HEADLINE = [
     "stratified_sample",
     "mmr_rerank",
     "pagerank_graph",
+    "trending_keys",
 ]
 
 

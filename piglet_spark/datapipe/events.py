@@ -195,3 +195,68 @@ def latest_by_key(df: DataFrame, key_col: str = "user_id",
                          ordk).alias("_r")))
     return agg.select(key_col, *[F.col(f"_r.{c}").alias(c)
                                  for c in others]).select(*df.columns)
+
+
+def trending_keys(df: DataFrame, key_col: str = "event_type",
+                  ts_col: str = "ts", window_sec: int = 3600,
+                  k: int = 3) -> DataFrame:
+    """Per-tumbling-window top-``k`` keys by count — trending
+    detection (terms, entities, event types) over a timestamped
+    stream's batch view. Returns ``(window_start, key, n, rank)``,
+    rank 1..k per window (ties → count desc, then key ascending —
+    deterministic, oracle-portable).
+
+    Window starts are computed with plain integer-μs math
+    (``floor(unix_micros/W)·W``), not ``F.window``, so the DuckDB
+    oracle reproduces the exact bucket boundaries.
+
+    Scale shape: one (window, key) partial-agg shuffle — the only
+    data-sized move. The top-k rank does NOT use a bare per-window
+    window (trending TERMS puts millions of keys in each window
+    partition): the same two-phase salted rank as
+    ``pack.stratified_sample_n`` — 64 lanes per window keep every
+    reducer bounded at lane-top-k, the final rank sees ≤ 64·k
+    survivors per window, and the result is provably the exact
+    single-window answer."""
+    from pyspark.sql.window import Window as W
+    w_us = int(window_sec) * 1_000_000
+    us = F.unix_micros(F.col(ts_col).cast("timestamp"))
+    ws = F.timestamp_micros(
+        (F.floor(us / F.lit(w_us)) * F.lit(w_us)).cast("long"))
+    counts = (df.select(ws.alias("window_start"),
+                        F.col(key_col).alias("key"))
+              .groupBy("window_start", "key")
+              .agg(F.count(F.lit(1)).alias("n")))
+    salt = (F.conv(F.substring(F.md5(F.col("key").cast("string")),
+                               29, 4), 16, 10).cast("int") % 64)
+    w1 = (W.partitionBy("window_start", "_s")
+          .orderBy(F.desc("n"), F.asc("key")))
+    cand = (counts.withColumn("_s", salt)
+            .withColumn("_r", F.row_number().over(w1))
+            .filter(F.col("_r") <= int(k)).drop("_r", "_s"))
+    w2 = W.partitionBy("window_start").orderBy(F.desc("n"),
+                                               F.asc("key"))
+    return (cand.withColumn("rank", F.row_number().over(w2))
+            .filter(F.col("rank") <= int(k))
+            .select("window_start",
+                    F.col("key").alias(key_col), "n", "rank"))
+
+
+def trending_keys_stream(df: DataFrame, key_col: str = "event_type",
+                         ts_col: str = "ts", window_sec: int = 3600,
+                         watermark: str = "1 hour") -> DataFrame:
+    """Streaming twin of :func:`trending_keys`: event-time tumbling
+    windowed counts with a watermark — closed windows emit in append
+    mode; the per-window top-k rank applies downstream (a rank over
+    a CLOSED window's counts is a bounded batch step —
+    ``foreachBatch`` or the batch :func:`trending_keys` over the
+    sink). State = one count per open (window, key)."""
+    if not df.isStreaming:
+        raise ValueError("trending_keys_stream needs a streaming "
+                         "DataFrame; use trending_keys for batch")
+    win = F.window(F.col(ts_col), f"{int(window_sec)} seconds")
+    return (df.withWatermark(ts_col, watermark)
+            .groupBy(win, F.col(key_col))
+            .agg(F.count(F.lit(1)).alias("n"))
+            .select(F.col("window.start").alias("window_start"),
+                    key_col, "n"))

@@ -325,6 +325,10 @@ def datapipe_ops() -> dict[str, Callable]:
                 df, df.filter(F.col(str(idc)) % int(qmod) == 0),
                 k=int(k), pool=int(pool), lam=float(lam),
                 vec_col=str(vec), id_col=str(idc)),
+        # per-window trending top-k keys (batch form)
+        "trending_keys": lambda df, k=3, win=3600, key="event_type",
+            ts="ts": _ev().trending_keys(df, str(key), str(ts),
+                                         int(win), int(k)),
         # fixed-iteration PageRank over an edge-list relation
         "pagerank": lambda df, iters=3, damping=0.85, src="src",
             dst="dst": _gr().pagerank(df, int(iters), float(damping),

@@ -506,3 +506,77 @@ def test_latest_by_key_streaming_cross_batch(spark, tmp_path):
             for r in spark.sql("select * from t_cdc").collect()}
     assert rows == {100: (3, "click"), 200: (2, "view"),
                     300: (4, "view")}
+
+
+# ------------------------------------------------------ trending keys
+
+def test_trending_keys_brute_force(spark):
+    from collections import Counter
+    ev = spark.read.parquet(os.path.join(SF_DIR, "events.parquet"))
+    out = {(r.window_start, r.rank): (r.event_type, r.n)
+           for r in dpe.trending_keys(ev, k=2,
+                                      window_sec=3600).collect()}
+    rows = ev.select("ts", "event_type").collect()
+    byw = {}
+    for r in rows:
+        w = int(r.ts.timestamp() * 1e6) // 3_600_000_000
+        byw.setdefault(w, Counter())[r.event_type] += 1
+    n_checked = 0
+    for w, cnt in byw.items():
+        top = sorted(cnt.items(), key=lambda kv: (-kv[1], kv[0]))[:2]
+        for rk, (key, n) in enumerate(top, start=1):
+            match = [(ws, r) for (ws, r) in out if r == rk
+                     and int(ws.timestamp() * 1e6)
+                     // 3_600_000_000 == w]
+            assert len(match) == 1, (w, rk)
+            assert out[match[0]] == (key, n), (w, rk)
+            n_checked += 1
+    assert n_checked > 0 and len(out) == n_checked
+
+
+def test_trending_keys_stream_cross_batch(spark, tmp_path):
+    """Windowed counts close at watermark passage and emit once."""
+    d = tmp_path / "trend"
+    d.mkdir()
+    (d / "b1.csv").write_text(
+        "1,2026-01-01 00:10:00,click\n"
+        "2,2026-01-01 00:20:00,click\n"
+        "3,2026-01-01 00:30:00,view\n")
+    schema = "event_id long, raw string, event_type string"
+    sdf = (spark.readStream.schema(schema).csv(str(d))
+           .withColumn("ts", F.to_timestamp("raw")).drop("raw"))
+    out = dpe.trending_keys_stream(sdf, window_sec=3600,
+                                   watermark="0 seconds")
+    q = (out.writeStream.format("memory").queryName("t_trend")
+         .outputMode("append").start())
+    q.processAllAvailable()
+    # push the watermark past the first window
+    (d / "b2.csv").write_text("4,2026-01-01 02:00:00,view\n")
+    q.processAllAvailable()
+    (d / "b3.csv").write_text("5,2026-01-01 03:00:00,view\n")
+    q.processAllAvailable()
+    q.stop()
+    got = {(str(r.window_start), r.event_type): r.n
+           for r in spark.sql("select * from t_trend").collect()}
+    assert got[("2026-01-01 00:00:00", "click")] == 2
+    assert got[("2026-01-01 00:00:00", "view")] == 1
+    import pytest
+    ev = spark.createDataFrame([(1, "x")], "event_id long, t string")
+    with pytest.raises(ValueError):
+        dpe.trending_keys_stream(ev)
+
+
+def test_trending_keys_via_stream_through(spark, tmp_path):
+    import piglet_spark as pg
+    ev = spark.read.parquet(os.path.join(SF_DIR, "events.parquet"))
+    p = tmp_path / "ev3.parquet"
+    ev.write.mode("overwrite").parquet(str(p))
+    eng = pg.PigEngine(spark)
+    env = eng.run(f"""
+E = LOAD '{p}' USING ParquetStorage();
+T = STREAM E THROUGH trending_keys(2, 3600);
+""")
+    got = sorted(tuple(r) for r in env["T"].collect())
+    want = sorted(tuple(r) for r in dpe.trending_keys(
+        ev, k=2, window_sec=3600).collect())
+    assert got == want and len(got) > 0
