@@ -580,3 +580,21 @@ T = STREAM E THROUGH trending_keys(2, 3600);
     want = sorted(tuple(r) for r in dpe.trending_keys(
         ev, k=2, window_sec=3600).collect())
     assert got == want and len(got) > 0
+
+
+# ------------------------------------------------- plan shape guards
+
+def test_new_op_plan_shapes(spark):
+    """The scale claims are plan-asserted, not just narrated:
+    vocab's top-N is TakeOrderedAndProject (never a global sort),
+    and trending's count aggregate partial-aggregates before its
+    exchange."""
+    docs = _docs(spark)
+    ev = spark.read.parquet(os.path.join(SF_DIR, "events.parquet"))
+    vp = (dpt.vocab_coverage(docs, 100)
+          ._jdf.queryExecution().executedPlan().toString())
+    assert "TakeOrderedAndProject" in vp
+    assert "Sort [" not in vp.split("TakeOrderedAndProject")[0]
+    tp = (dpe.trending_keys(ev, k=2)
+          ._jdf.queryExecution().executedPlan().toString())
+    assert "partial_count" in tp
