@@ -598,3 +598,27 @@ def test_new_op_plan_shapes(spark):
     tp = (dpe.trending_keys(ev, k=2)
           ._jdf.queryExecution().executedPlan().toString())
     assert "partial_count" in tp
+
+
+# ----------------------------------------------- persisted IVF index
+
+def test_ivf_index_build_query_matches_fused(spark, tmp_path):
+    """Build-once/query-many IVF: the persisted-index query equals
+    the fused ivf_topk at the same training parameters, and the
+    probe filter reaches the parquet source as PARTITION PRUNING
+    (unprobed cells are never read)."""
+    emb = _emb(spark)
+    qv = [float(x) for x in
+          emb.filter("vec_id = 7").first()["embedding"]]
+    path = str(tmp_path / "ivf_idx")
+    cents = dps.ivf_write_index(emb, path, n_cells=8)
+    assert len(cents) > 0
+    got = dps.ivf_query_index(spark, path, qv, k=5, n_probe=3)
+    want = dps.ivf_topk(emb, qv, k=5, n_cells=8, n_probe=3)
+    g = [(r.vec_id, r.cos) for r in got.collect()]
+    w = [(r.vec_id, r.cos) for r in want.collect()]
+    assert g == w and len(g) == 5
+    plan = got._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [_cid" in plan.replace(
+        "PartitionFilters: [isnotnull(_cid", "PartitionFilters: [_cid"
+    ) or "_cid" in plan.split("PartitionFilters")[1].split("]")[0]
