@@ -260,3 +260,75 @@ def trending_keys_stream(df: DataFrame, key_col: str = "event_type",
             .agg(F.count(F.lit(1)).alias("n"))
             .select(F.col("window.start").alias("window_start"),
                     key_col, "n"))
+
+
+def funnel_stream(df: DataFrame, steps: list[str],
+                  user_col: str = "user_id", ts_col: str = "ts",
+                  type_col: str = "event_type",
+                  id_col: str = "event_id") -> DataFrame:
+    """Streaming twin of :func:`funnel_conversion`: a per-user funnel
+    state machine over an unbounded event stream. Emits one row per
+    ADVANCE — ``(user, step, event_type, reached_us)`` when a user
+    first reaches step ``step`` — so per-step user counts are a
+    bounded downstream aggregation of the emission stream.
+
+    Semantics: within each micro-batch events process in (ts, id)
+    order and a step advances only strictly after the previous
+    step's reach key — identical to the batch min-chain when each
+    user's events arrive in order across batches (pinned by test).
+    Under cross-batch reordering the reach TIME can be later than
+    the batch answer (a greedy machine can't retroactively prefer an
+    earlier event it hadn't seen) — the standard caveat of any
+    single-pass funnel; replay through the batch operator for the
+    exact retrospective answer.
+
+    Scale shape: state per user is THREE integers (stage, last-us,
+    last-id) — no event buffering, unlike windowed joins; events not
+    in ``steps`` are filtered before the shuffle; the one shuffle is
+    the keyed state exchange."""
+    if not df.isStreaming:
+        return funnel_conversion(df, steps, user_col, ts_col,
+                                 type_col, id_col)
+    if len(steps) < 2:
+        raise ValueError("funnel_stream needs >= 2 steps")
+    from pyspark.sql.streaming.state import GroupStateTimeout
+    steps = [str(s) for s in steps]
+    us = F.unix_micros(F.col(ts_col).cast("timestamp"))
+    base = (df.filter(F.col(type_col).isin(steps))
+            .select(F.col(user_col).cast("long").alias("_u"),
+                    F.col(type_col).alias("_t"),
+                    us.alias("_us"),
+                    F.col(id_col).cast("long").alias("_i")))
+    out_t = ("user_id long, step int, event_type string, "
+             "reached_us long")
+    state_t = "stage int, last_us long, last_id long"
+
+    def machine(key, pdf_iter, state):
+        import pandas as pd
+        stage, last_us, last_id = (state.get if state.exists
+                                   else (0, -1, -1))
+        rows = []
+        evs = []
+        for pdf in pdf_iter:
+            evs.extend(zip(pdf["_us"], pdf["_i"], pdf["_t"]))
+        evs.sort()
+        for e_us, e_id, e_t in evs:
+            if stage >= len(steps):
+                break
+            if e_t != steps[stage]:
+                continue
+            if stage > 0 and (e_us, e_id) <= (last_us, last_id):
+                continue
+            stage += 1
+            last_us, last_id = int(e_us), int(e_id)
+            rows.append((key[0], stage, e_t, last_us))
+        state.update((stage, last_us, last_id))
+        if rows:
+            yield pd.DataFrame(rows, columns=["user_id", "step",
+                                              "event_type",
+                                              "reached_us"])
+
+    return (base.groupBy("_u")
+            .applyInPandasWithState(machine, out_t, state_t,
+                                    "append",
+                                    GroupStateTimeout.NoTimeout))

@@ -304,7 +304,7 @@ def datapipe_ops() -> dict[str, Callable]:
         # r08f curation additions
         "funnel": lambda df, steps="view,click,purchase",
             user="user_id", ts="ts", typ="event_type",
-            idc="event_id": _ev().funnel_conversion(
+            idc="event_id": _ev().funnel_stream(
                 df, [s.strip() for s in str(steps).split(",")],
                 str(user), str(ts), str(typ), str(idc)),
         "latest_by_key": lambda df, key="user_id", ts="ts",

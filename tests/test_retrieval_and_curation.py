@@ -622,3 +622,62 @@ def test_ivf_index_build_query_matches_fused(spark, tmp_path):
     assert "PartitionFilters: [_cid" in plan.replace(
         "PartitionFilters: [isnotnull(_cid", "PartitionFilters: [_cid"
     ) or "_cid" in plan.split("PartitionFilters")[1].split("]")[0]
+
+
+def test_mmr_blas_matches_exact(spark):
+    """mmr_rerank(method='blas') — the scale path for large query
+    panels — selects identical documents with identical scores."""
+    emb = _emb(spark)
+    q = emb.filter(F.col("vec_id") % 100 == 0)
+    a = sorted(tuple(r) for r in dpr.mmr_rerank(
+        emb, q, k=4, pool=10, lam=0.7, method="exact").collect())
+    b = sorted(tuple(r) for r in dpr.mmr_rerank(
+        emb, q, k=4, pool=10, lam=0.7, method="blas").collect())
+    assert a == b and len(a) > 0
+
+
+def test_funnel_stream_cross_batch_matches_batch(spark, tmp_path):
+    """In-order staged stream: the emission stream's per-step user
+    counts equal the batch funnel, with a user completing ACROSS
+    micro-batches (state survives the boundary)."""
+    d = tmp_path / "fun"
+    d.mkdir()
+    (d / "b1.csv").write_text(
+        "1,100,2026-01-01 00:00:00,view\n"
+        "2,100,2026-01-01 00:01:00,click\n"
+        "3,200,2026-01-01 00:00:30,view\n")
+    schema = ("event_id long, user_id long, raw string,"
+              " event_type string")
+    sdf = (spark.readStream.schema(schema).csv(str(d))
+           .withColumn("ts", F.to_timestamp("raw")).drop("raw"))
+    out = dpe.funnel_stream(sdf, ["view", "click", "purchase"])
+    q = (out.writeStream.format("memory").queryName("t_fun")
+         .outputMode("append").start())
+    q.processAllAvailable()
+    # batch 2: user 100 purchases (stage crosses the batch
+    # boundary); 200 clicks
+    (d / "b2.csv").write_text(
+        "4,100,2026-01-01 00:02:00,purchase\n"
+        "5,200,2026-01-01 00:01:30,click\n")
+    q.processAllAvailable()
+    q.stop()
+    got = spark.sql("select * from t_fun").collect()
+    from collections import Counter
+    per_step = Counter(r.step for r in got)
+    # batch reference on the full data
+    batch = spark.createDataFrame(
+        [(1, 100, "2026-01-01 00:00:00", "view"),
+         (2, 100, "2026-01-01 00:01:00", "click"),
+         (3, 200, "2026-01-01 00:00:30", "view"),
+         (4, 100, "2026-01-01 00:02:00", "purchase"),
+         (5, 200, "2026-01-01 00:01:30", "click")],
+        "event_id long, user_id long, ts string, event_type string"
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    ref = {r.step: r.users for r in dpe.funnel_conversion(
+        batch, ["view", "click", "purchase"]).collect()}
+    assert dict(per_step) == {s: n for s, n in ref.items() if n > 0}
+    # the cross-batch completion is attributed to user 100
+    assert any(r.user_id == 100 and r.step == 3 for r in got)
+    # batch input dispatches to the batch operator
+    assert dpe.funnel_stream(batch, ["view", "click"]).columns == \
+        dpe.funnel_conversion(batch, ["view", "click"]).columns
