@@ -3094,6 +3094,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "mmr_rerank": q_mmr_rerank,
         "pagerank_graph": q_pagerank,
         "trending_keys": q_trending_keys,
+        # r08f: semi-structured JSON extraction through the Pig
+        # expression language (JSON_GET builtin + cast + fused agg)
+        "events_props_json": _pig(EVENTS_JSON_PIG, "A"),
     }
 
 
@@ -3220,6 +3223,7 @@ def oracle_sql(sf_dir: str | None = None) -> dict[str, str]:
         "mmr_rerank": _mmr_sql(),
         "pagerank_graph": _pagerank_sql(),
         "trending_keys": TRENDING_SQL,
+        "events_props_json": EVENTS_JSON_SQL,
     }
 
 
@@ -3651,4 +3655,20 @@ FROM (SELECT *, row_number() OVER (PARTITION BY window_start
           ORDER BY n DESC, event_type ASC) AS rn
       FROM c)
 WHERE rn <= 3
+"""
+
+
+EVENTS_JSON_PIG = """
+E = LOAD '$sf/events.parquet' USING ParquetStorage();
+P = FOREACH E GENERATE event_type, (int)JSON_GET(props, 'k') AS k;
+G = GROUP P BY event_type;
+A = FOREACH G GENERATE group AS event_type, COUNT(P) AS n,
+    ROUND(AVG(P.k), 6) AS avg_k;
+"""
+
+
+EVENTS_JSON_SQL = """
+SELECT event_type, COUNT(*) AS n,
+       round(AVG(json_extract_string(props, '$.k')::INT), 6) AS avg_k
+FROM events GROUP BY 1
 """

@@ -121,6 +121,7 @@ HEADLINE = [
     "mmr_rerank",
     "pagerank_graph",
     "trending_keys",
+    "events_props_json",
 ]
 
 

@@ -242,6 +242,11 @@ SCALARS: dict[str, Callable[..., Column]] = {
     "getday": lambda c: F.dayofmonth(c),
     "getmonth": lambda c: F.month(c),
     "getyear": lambda c: F.year(c),
+    # semi-structured extraction (beyond-reference; event `props`
+    # columns): JSON_GET(col, 'k') / JSON_GET(col, '$.a.b') → string
+    # (null on missing path / invalid JSON, Pig null-on-error style)
+    "json_get": lambda c, path: F.get_json_object(
+        c, path if str(path).startswith("$") else f"$.{path}"),
 }
 
 

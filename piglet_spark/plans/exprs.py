@@ -500,7 +500,8 @@ def compile_func(expr: A.FuncCall, ctx: Ctx) -> Column:
         # string; the first (haystack) arg is always lit-wrapped, or a
         # literal haystack would resolve as a column name (r06 fuzzer:
         # INDEXOF('', 'a') raised UNRESOLVED_COLUMN).
-        raw_str_tail = name in ("strsplit", "regex_extract", "indexof")
+        raw_str_tail = name in ("strsplit", "regex_extract", "indexof",
+                                "json_get")
 
         def conv(i, a):
             if isinstance(a, A.Literal):

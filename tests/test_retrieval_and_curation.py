@@ -681,3 +681,25 @@ def test_funnel_stream_cross_batch_matches_batch(spark, tmp_path):
     # batch input dispatches to the batch operator
     assert dpe.funnel_stream(batch, ["view", "click"]).columns == \
         dpe.funnel_conversion(batch, ["view", "click"]).columns
+
+
+# ------------------------------------------------------------ JSON_GET
+
+def test_json_get_builtin(spark):
+    import piglet_spark as pg
+    eng = pg.PigEngine(spark)
+    env = eng.run("""
+E = LOAD '/root/testdata/sf0.001/events.parquet' USING ParquetStorage();
+P = FOREACH E GENERATE event_id, (int)JSON_GET(props, 'k') AS k,
+    JSON_GET(props, '$.k') AS k_str,
+    JSON_GET(props, 'missing') AS gone;
+""")
+    rows = env["P"].limit(50).collect()
+    import json as _json
+    ref = {r.event_id: r for r in rows}
+    raw = {r.event_id: r.props for r in spark.read.parquet(
+        "/root/testdata/sf0.001/events.parquet")
+        .filter(F.col("event_id").isin(list(ref))).collect()}
+    for eid, r in ref.items():
+        k = _json.loads(raw[eid])["k"]
+        assert r.k == k and r.k_str == str(k) and r.gone is None
