@@ -703,3 +703,22 @@ P = FOREACH E GENERATE event_id, (int)JSON_GET(props, 'k') AS k,
     for eid, r in ref.items():
         k = _json.loads(raw[eid])["k"]
         assert r.k == k and r.k_str == str(k) and r.gone is None
+
+
+def test_json_get_to_code_parity(spark):
+    """JSON_GET and ROUND-wrapped aggregates survive the generated-
+    PySpark path: exec'd to_code output equals the engine."""
+    import piglet_spark as pg
+    eng = pg.PigEngine(spark)
+    script = """
+E = LOAD '/root/testdata/sf0.001/events.parquet' USING ParquetStorage();
+P = FOREACH E GENERATE event_type, (int)JSON_GET(props, 'k') AS k;
+G = GROUP P BY event_type;
+A = FOREACH G GENERATE group AS event_type, COUNT(P) AS n,
+    ROUND(AVG(P.k), 6) AS avg_k;
+"""
+    ns = {"spark": spark}
+    exec(compile(eng.to_code(script), "<gen>", "exec"), ns)
+    env = eng.run(script)
+    assert sorted(tuple(r) for r in ns["A"].collect()) == \
+        sorted(tuple(r) for r in env["A"].collect())
