@@ -3097,6 +3097,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # r08f: semi-structured JSON extraction through the Pig
         # expression language (JSON_GET builtin + cast + fused agg)
         "events_props_json": _pig(EVENTS_JSON_PIG, "A"),
+        "token_entropy": q_token_entropy,
     }
 
 
@@ -3224,6 +3225,7 @@ def oracle_sql(sf_dir: str | None = None) -> dict[str, str]:
         "pagerank_graph": _pagerank_sql(),
         "trending_keys": TRENDING_SQL,
         "events_props_json": EVENTS_JSON_SQL,
+        "token_entropy": TOKEN_ENTROPY_SQL,
     }
 
 
@@ -3671,4 +3673,40 @@ EVENTS_JSON_SQL = """
 SELECT event_type, COUNT(*) AS n,
        round(AVG(json_extract_string(props, '$.k')::INT), 6) AS avg_k
 FROM events GROUP BY 1
+"""
+
+
+def q_token_entropy(spark, sf_dir):
+    """Lexical-diversity screen (datapipe/text.py token_entropy):
+    per-doc Shannon entropy of the token distribution + type-token
+    ratio — two partial-agg shuffles, the vocab_coverage bound."""
+    return dp_text.token_entropy(_docs(spark, sf_dir))
+
+
+TOKEN_ENTROPY_SQL = """
+WITH nrm AS (
+  SELECT doc_id,
+         trim(regexp_replace(regexp_replace(lower(text), '[^a-z0-9 ]',
+              ' ', 'g'), ' +', ' ', 'g')) AS t
+  FROM documents
+), tk AS (
+  SELECT doc_id, w
+  FROM (SELECT doc_id, unnest(string_split(t, ' ')) AS w
+        FROM nrm WHERE t <> '')
+  WHERE w <> ''
+), tf AS (
+  SELECT doc_id, w, COUNT(*) AS c FROM tk GROUP BY 1, 2
+), per AS (
+  SELECT doc_id, SUM(c) AS n_tokens, COUNT(*) AS n_types,
+         SUM(CAST(c AS DOUBLE) * ln(CAST(c AS DOUBLE))) AS clc
+  FROM tf GROUP BY 1
+)
+SELECT d.doc_id,
+       COALESCE(per.n_tokens, 0) AS n_tokens,
+       COALESCE(per.n_types, 0) AS n_types,
+       COALESCE(round(ln(CAST(per.n_tokens AS DOUBLE))
+                      - per.clc / per.n_tokens, 6), 0.0) AS entropy,
+       round(COALESCE(per.n_types / CAST(per.n_tokens AS DOUBLE),
+                      0.0), 6) AS ttr
+FROM documents d LEFT JOIN per USING (doc_id)
 """

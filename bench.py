@@ -122,6 +122,7 @@ HEADLINE = [
     "pagerank_graph",
     "trending_keys",
     "events_props_json",
+    "token_entropy",
 ]
 
 

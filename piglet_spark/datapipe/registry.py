@@ -310,6 +310,8 @@ def datapipe_ops() -> dict[str, Callable]:
         "latest_by_key": lambda df, key="user_id", ts="ts",
             tb="event_id": _ev().latest_by_key(
                 df, str(key), str(ts), str(tb)),
+        "token_entropy": lambda df, text="text", idc="doc_id":
+            dt.token_entropy(df, str(text), str(idc)),
         "vocab_coverage": lambda df, n=1000, text="text",
             idc="doc_id": dt.vocab_coverage(
                 df, int(n), str(text), str(idc)),

@@ -885,3 +885,49 @@ def vocab_coverage(df: DataFrame, vocab_size: int = 1000,
                                        / F.col("n_tokens"),
                                        F.lit(0.0)), 6)
                     .alias("oov_rate")))
+
+
+def token_entropy(df: DataFrame, text_col: str = "text",
+                  id_col: str = "doc_id") -> DataFrame:
+    """Per-document token-distribution statistics: Shannon entropy of
+    the normalized-token frequency distribution (nats) and the
+    type-token ratio — the classic lexical-diversity screens (a
+    low-entropy doc is repetitive boilerplate; an abnormally high
+    TTR at length is often gibberish). Complements
+    :func:`repetition_stats` (which looks at n-gram runs, not the
+    unigram distribution).
+
+    Returns ``(id, n_tokens, n_types, entropy, ttr)``; entropy =
+    ``ln(n) − (Σ c·ln c)/n`` round-6, ttr = types/n round-6; empty
+    docs report zeros.
+
+    Scale shape: one (doc, term) partial-agg shuffle + one per-doc
+    partial-agg rollup (one row per document) — the same two-shuffle
+    bound as vocab_coverage; everything stays in whole-stage codegen.
+    """
+    from .util import spread as _spread
+    df = _spread(df, id_col)
+    toks = (df.select(F.col(id_col).alias("_id"),
+                      F.explode(F.split(normalize_text(F.col(text_col)),
+                                        " ")).alias("_w"))
+            .filter(F.col("_w") != ""))
+    tf = (toks.groupBy("_id", "_w")
+          .agg(F.count(F.lit(1)).alias("_c")))
+    per = (tf.groupBy("_id")
+           .agg(F.sum("_c").alias("n_tokens"),
+                F.count(F.lit(1)).alias("n_types"),
+                F.sum(F.col("_c").cast("double")
+                      * F.log(F.col("_c").cast("double")))
+                .alias("_clc")))
+    ent = F.round(
+        F.log(F.col("n_tokens").cast("double"))
+        - F.col("_clc") / F.col("n_tokens"), 6)
+    return (df.select(F.col(id_col).alias("_id"))
+            .join(per, on="_id", how="left")
+            .select(F.col("_id").alias(id_col),
+                    F.coalesce("n_tokens", F.lit(0)).alias("n_tokens"),
+                    F.coalesce("n_types", F.lit(0)).alias("n_types"),
+                    F.coalesce(ent, F.lit(0.0)).alias("entropy"),
+                    F.round(F.coalesce(F.col("n_types")
+                                       / F.col("n_tokens"),
+                                       F.lit(0.0)), 6).alias("ttr")))

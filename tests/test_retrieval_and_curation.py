@@ -722,3 +722,27 @@ A = FOREACH G GENERATE group AS event_type, COUNT(P) AS n,
     env = eng.run(script)
     assert sorted(tuple(r) for r in ns["A"].collect()) == \
         sorted(tuple(r) for r in env["A"].collect())
+
+
+# -------------------------------------------------------- token entropy
+
+def test_token_entropy_brute_force(spark):
+    import math as _m
+    from collections import Counter
+    docs = _docs(spark)
+    out = {r.doc_id: (r.n_tokens, r.n_types, r.entropy, r.ttr)
+           for r in dpt.token_entropy(docs).collect()}
+    for r in docs.select("doc_id", "text").limit(100).collect():
+        t = re.sub(r"[^a-z0-9]+", " ", (r.text or "").lower()).strip()
+        ws = [w for w in t.split(" ") if w] if t else []
+        if not ws:
+            assert out[r.doc_id] == (0, 0, 0.0, 0.0)
+            continue
+        cnt = Counter(ws)
+        n = len(ws)
+        ent = round(_m.log(n) - sum(c * _m.log(c)
+                                    for c in cnt.values()) / n, 6)
+        got = out[r.doc_id]
+        assert got[0] == n and got[1] == len(cnt)
+        assert abs(got[2] - ent) <= 2e-6
+        assert abs(got[3] - round(len(cnt) / n, 6)) <= 1e-6
