@@ -294,12 +294,16 @@ def funnel_stream(df: DataFrame, steps: list[str],
     from pyspark.sql.streaming.state import GroupStateTimeout
     steps = [str(s) for s in steps]
     us = F.unix_micros(F.col(ts_col).cast("timestamp"))
+    # the state key keeps user_col's NATIVE type — casting string
+    # ids to long would NULL them and merge every user into one
+    # state group (and diverge from the batch funnel's semantics)
+    u_type = df.select(user_col).schema[0].dataType.simpleString()
     base = (df.filter(F.col(type_col).isin(steps))
-            .select(F.col(user_col).cast("long").alias("_u"),
+            .select(F.col(user_col).alias("_u"),
                     F.col(type_col).alias("_t"),
                     us.alias("_us"),
                     F.col(id_col).cast("long").alias("_i")))
-    out_t = ("user_id long, step int, event_type string, "
+    out_t = (f"user_id {u_type}, step int, event_type string, "
              "reached_us long")
     state_t = "stage int, last_us long, last_id long"
 

@@ -52,6 +52,10 @@ def rrf_fusion(rankings: dict[str, DataFrame], k_rrf: int = 60,
     Deterministic and oracle-reproducible: the score is a sum of at
     most ``len(rankings)`` reciprocals per (query, doc) — round-6 is
     stable under any addition order at realistic list counts.
+
+    ``id_col`` keeps its NATIVE type (string ids group correctly —
+    no cast; tie ordering is the type's natural order), so every
+    list must carry the same id type or a union-compatible one.
     """
     if not rankings:
         raise ValueError("rrf_fusion needs at least one ranking")
@@ -59,7 +63,7 @@ def rrf_fusion(rankings: dict[str, DataFrame], k_rrf: int = 60,
     for name, df in rankings.items():
         contribs.append(
             df.select(F.col(query_col).alias("_q"),
-                      F.col(id_col).cast("long").alias("_d"),
+                      F.col(id_col).alias("_d"),
                       (1.0 / (F.lit(int(k_rrf))
                               + F.col(rank_col).cast("double")))
                       .alias("_c")))

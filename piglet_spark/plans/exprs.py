@@ -502,6 +502,15 @@ def compile_func(expr: A.FuncCall, ctx: Ctx) -> Column:
         # INDEXOF('', 'a') raised UNRESOLVED_COLUMN).
         raw_str_tail = name in ("strsplit", "regex_extract", "indexof",
                                 "json_get")
+        if name == "json_get":
+            # the path drives get_json_object's JSONPath STRING —
+            # a Column here would stringify as "Column<...>" and
+            # build garbage; mirror codegen.py's literal-only rule
+            if len(raw_args) != 2 or \
+                    not isinstance(raw_args[1], A.Literal) or \
+                    not isinstance(raw_args[1].value, str):
+                raise CompileError(
+                    "JSON_GET path must be a string literal")
 
         def conv(i, a):
             if isinstance(a, A.Literal):

@@ -387,3 +387,21 @@ B = FOREACH A GENERATE rid, (a / b) AS q, (a / d) AS f;
         assert got == {0: (0, -0.5), 1: (3, 14.0), 2: (3, -1.75)}
         assert dict(out.dtypes)["q"] in ("int", "bigint")
         assert dict(out.dtypes)["f"] == "double"
+
+
+def test_codegen_round_agg_arity_and_bool_scale(spark, sf_dir):
+    """ROUND-wrapped aggregates: >2 args and bool scale literals are
+    explicit CodegenUnsupported, not a silent scale=0 fallthrough."""
+    eng = pg.PigEngine(spark)
+    base = (
+        "L = LOAD '{d}/lineitem.parquet' USING ParquetStorage();\n"
+        "G = GROUP L BY l_returnflag;\n"
+    ).format(d=sf_dir)
+    with pytest.raises(CodegenUnsupported, match="at most 2"):
+        eng.to_code(base +
+                    "A = FOREACH G GENERATE group AS rf,"
+                    " ROUND(AVG(L.l_quantity), 6, 1) AS x;\n")
+    with pytest.raises(CodegenUnsupported, match="integer literal"):
+        eng.to_code(base +
+                    "A = FOREACH G GENERATE group AS rf,"
+                    " ROUND(AVG(L.l_quantity), true) AS x;\n")

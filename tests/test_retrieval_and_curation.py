@@ -746,3 +746,63 @@ def test_token_entropy_brute_force(spark):
         assert got[0] == n and got[1] == len(cnt)
         assert abs(got[2] - ent) <= 2e-6
         assert abs(got[3] - round(len(cnt) / n, 6)) <= 1e-6
+
+
+# ----------------------------------------------- r09 ADVICE regressions
+
+def test_rrf_fusion_string_ids(spark):
+    """String doc ids keep their native type — no long cast that
+    NULLs every id and collapses fusion into one group."""
+    lex = spark.createDataFrame(
+        [(1, "doc-a", 1), (1, "doc-b", 2), (2, "doc-c", 1)],
+        "query_id int, doc_id string, rank int")
+    dense = spark.createDataFrame(
+        [(1, "doc-b", 1), (2, "doc-d", 1)],
+        "query_id int, doc_id string, rank int")
+    out = dpr.rrf_fusion({"lex": lex, "dense": dense}, topk=5)
+    rows = out.collect()
+    assert dict(out.dtypes)["doc_id"] == "string"
+    got = {(r.query_id, r.doc_id): r.n_lists for r in rows}
+    assert got == {(1, "doc-a"): 1, (1, "doc-b"): 2,
+                   (2, "doc-c"): 1, (2, "doc-d"): 1}
+    # doc-b (both lists) outranks single-list docs for q1
+    assert [r.doc_id for r in rows
+            if r.query_id == 1 and r.rank == 1] == ["doc-b"]
+
+
+def test_funnel_stream_string_user_ids(spark, tmp_path):
+    """String user ids are valid state keys — every user keeps its
+    own funnel state and emits its own id (no long-cast NULLing)."""
+    d = tmp_path / "funs"
+    d.mkdir()
+    (d / "b1.csv").write_text(
+        "1,alice,2026-01-01 00:00:00,view\n"
+        "2,alice,2026-01-01 00:01:00,click\n"
+        "3,bob,2026-01-01 00:00:30,view\n")
+    schema = ("event_id long, user_id string, raw string,"
+              " event_type string")
+    sdf = (spark.readStream.schema(schema).csv(str(d))
+           .withColumn("ts", F.to_timestamp("raw")).drop("raw"))
+    out = dpe.funnel_stream(sdf, ["view", "click"])
+    q = (out.writeStream.format("memory").queryName("t_funs")
+         .outputMode("append").start())
+    q.processAllAvailable()
+    q.stop()
+    got = {(r.user_id, r.step) for r in
+           spark.sql("select * from t_funs").collect()}
+    assert got == {("alice", 1), ("alice", 2), ("bob", 1)}
+
+
+def test_json_get_non_literal_path_rejected(spark):
+    """Engine path mirrors codegen: a non-literal JSON_GET path is a
+    clean CompileError, not a garbage JSONPath built from str(Column)."""
+    import pytest
+    import piglet_spark as pg
+    from piglet_spark.plans.exprs import CompileError
+    eng = pg.PigEngine(spark)
+    with pytest.raises(CompileError, match="string literal"):
+        eng.run("""
+E = LOAD '/root/testdata/sf0.001/events.parquet' USING ParquetStorage();
+P = FOREACH E GENERATE JSON_GET(props, event_type) AS v;
+DUMP P;
+""")
