@@ -496,7 +496,8 @@ def ngram_jaccard_pairs(df: DataFrame, text_col: str = "text",
                         threshold: float = 0.5,
                         max_df: "int | str | None" = 256,
                         method: str = "auto",
-                        n_docs: int | None = None) -> DataFrame:
+                        n_docs: int | None = None,
+                        n_slices: "int | str" = "auto") -> DataFrame:
     """Exact n-gram Jaccard pairs via inverted shingle index — a
     distributed exact algorithm, no LSH approximation.
 
@@ -548,7 +549,27 @@ def ngram_jaccard_pairs(df: DataFrame, text_col: str = "text",
     corpora the cap rarely binds and 256 keeps recall.
     ``max_df='auto'`` (r05, opt-in) runs that pre-pass for you: one
     aggregate job takes the 99.9th-percentile document frequency of
-    the inverted index, clamped to [16, 256]."""
+    the inverted index, clamped to [16, 256].
+
+    ``n_slices`` (r09): bound the cooccur plan's PEAK state by
+    iterating the inverted index in disjoint shingle-hash slices
+    (``pmod(_s, S) == i``). Each slice's self-join + partial pair
+    count runs as its OWN eagerly-materialized job, so the box
+    needs disk/heap for ONE slice's co-occurrence state, not all
+    of it at once; partial counts then sum per pair — the same
+    exact output for every S (each (doc, doc, shingle) triple lands
+    in exactly one slice). ``'auto'`` = 1 below 1M docs (the plan
+    is single-pass, identical to r08, wherever the corpus is known
+    small or unknown) else ``clamp(ceil(n_docs/2M), 2, 8)``. The
+    corpus size comes from ``n_docs`` or the ``max_df='scale'``
+    count; with neither, auto stays 1. Known-big corpora also get
+    scale-aware shuffle WIDTH: the pair stream aggregates and
+    hot-set joins repartition to ``clamp(n_docs/10k, parallelism,
+    2048)`` reducers instead of ``spark.sql.shuffle.partitions``
+    (the r08c sf100 heap death was 5M docs' pair state forced
+    through 32 reducers), and the narrow per-doc size table
+    broadcasts instead of sort-merge-joining the pair stream
+    (n_docs ≤ 20M — 16 B/doc)."""
     # _materialize: the shingling regex pass feeds sizes, the
     # inverted index (plus its df/hot aggregates) and the final
     # verify/size joins — up to 5 consumers that would each re-run
@@ -567,8 +588,9 @@ def ngram_jaccard_pairs(df: DataFrame, text_col: str = "text",
     inv = base.select("_id", F.explode("_sh").alias("_s")) \
               .select("_id", F.xxhash64("_s").alias("_s"))
     if max_df == "scale":
-        max_df = _scaled_max_df(n_docs if n_docs is not None
-                                else df.count())
+        if n_docs is None:
+            n_docs = df.count()
+        max_df = _scaled_max_df(n_docs)
     elif max_df == "auto":
         # df-histogram pre-pass (one aggregate job): cap at the
         # 99.9th-percentile document frequency so only true
@@ -615,25 +637,77 @@ def ngram_jaccard_pairs(df: DataFrame, text_col: str = "text",
         doc_hot = (inv.join(hot, on="_s", how="left_semi")
                    .groupBy("_id").agg(F.collect_set("_s").alias("_hs")))
         inv = inv.join(hot, on="_s", how="left_anti")
-    shared = (inv.alias("a").join(
-                  inv.alias("b"),
-                  on=[F.col("a._s") == F.col("b._s"),
-                      F.col("a._id") < F.col("b._id")])
-              .groupBy(F.col("a._id").alias("id_a"),
-                       F.col("b._id").alias("id_b"))
-              .agg(F.count(F.lit(1)).alias("_inter")))
-    out = (shared
-           .join(sizes.withColumnRenamed("_id", "id_a")
-                 .withColumnRenamed("_n", "_na"), on="id_a")
-           .join(sizes.withColumnRenamed("_id", "id_b")
-                 .withColumnRenamed("_n", "_nb"), on="id_b"))
+    # ---- scale plumbing (engages only on a KNOWN-big corpus; with
+    # n_docs unknown or < 1M the plan below is the r08 single-pass
+    # one — oracle-gate scales never see slices or width overrides)
+    big = n_docs is not None and int(n_docs) >= 1_000_000
+    if n_slices == "auto":
+        n_slices = (max(2, min(8, -(-int(n_docs) // 2_000_000)))
+                    if big else 1)
+    n_slices = max(1, int(n_slices))
+    pair_parts = None
+    if big:
+        sc = df.sparkSession.sparkContext
+        pair_parts = max(sc.defaultParallelism,
+                         min(2048, int(n_docs) // 10_000))
+
+    def _cooccur(part: DataFrame) -> DataFrame:
+        pairs = (part.alias("a").join(
+                     part.alias("b"),
+                     on=[F.col("a._s") == F.col("b._s"),
+                         F.col("a._id") < F.col("b._id")])
+                 .select(F.col("a._id").alias("id_a"),
+                         F.col("b._id").alias("id_b")))
+        if pair_parts:
+            # the pair count has NO map-side merge (a pair repeats
+            # once per SHARED shingle, each in a different shingle
+            # partition) — aggregate at corpus-proportional width,
+            # not spark.sql.shuffle.partitions
+            pairs = pairs.repartition(pair_parts, "id_a", "id_b")
+        return (pairs.groupBy("id_a", "id_b")
+                .agg(F.count(F.lit(1)).alias("_inter")))
+
+    if n_slices <= 1:
+        shared = _cooccur(inv)
+    else:
+        parts = []
+        for i in range(n_slices):
+            sl = inv.filter(F.pmod(F.col("_s"),
+                                   F.lit(n_slices)) == F.lit(i))
+            # EAGER materialization runs each slice as its own job:
+            # peak co-occurrence join/shuffle state on the cluster is
+            # one slice's, not the whole index's
+            parts.append(_materialize(_cooccur(sl)))
+        u = parts[0]
+        for p in parts[1:]:
+            u = u.unionByName(p)
+        if pair_parts:
+            u = u.repartition(pair_parts, "id_a", "id_b")
+        shared = (u.groupBy("id_a", "id_b")
+                  .agg(F.sum("_inter").alias("_inter")))
+    # per-doc size table: narrow (16 B/doc) — broadcast on big
+    # corpora so the pair stream never sort-merge-shuffles for it
+    sz_a = sizes.withColumnRenamed("_id", "id_a") \
+                .withColumnRenamed("_n", "_na")
+    sz_b = sizes.withColumnRenamed("_id", "id_b") \
+                .withColumnRenamed("_n", "_nb")
+    if big and int(n_docs) <= 20_000_000:
+        sz_a, sz_b = F.broadcast(sz_a), F.broadcast(sz_b)
+    out = shared.join(sz_a, on="id_a").join(sz_b, on="id_b")
     inter = F.col("_inter").cast("double")
     if doc_hot is not None:
-        out = (out
-               .join(doc_hot.withColumnRenamed("_id", "id_a")
-                     .withColumnRenamed("_hs", "_ha"), on="id_a", how="left")
-               .join(doc_hot.withColumnRenamed("_id", "id_b")
-                     .withColumnRenamed("_hs", "_hb"), on="id_b", how="left"))
+        # hot sets carry arrays (too wide to broadcast at scale);
+        # keep these joins shuffled but at pair width
+        ha = doc_hot.withColumnRenamed("_id", "id_a") \
+                    .withColumnRenamed("_hs", "_ha")
+        hb = doc_hot.withColumnRenamed("_id", "id_b") \
+                    .withColumnRenamed("_hs", "_hb")
+        if pair_parts:
+            out = out.repartition(pair_parts, "id_a")
+        out = out.join(ha, on="id_a", how="left")
+        if pair_parts:
+            out = out.repartition(pair_parts, "id_b")
+        out = out.join(hb, on="id_b", how="left")
         hot_inter = F.when(
             F.col("_ha").isNotNull() & F.col("_hb").isNotNull(),
             F.size(F.array_intersect("_ha", "_hb"))).otherwise(F.lit(0))

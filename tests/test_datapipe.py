@@ -2491,3 +2491,21 @@ def test_scaled_max_df_formula_and_equivalence(spark):
     c = sorted(map(key, dedup.ngram_jaccard_pairs(
         df, threshold=0.1, max_df="scale", n_docs=8).collect()))
     assert c == a
+
+
+def test_ngram_jaccard_slices_and_big_plan_invariant(docs):
+    """The r09 scale plumbing never changes values: hash-sliced
+    co-occurrence (any n_slices) and the known-big plan (width
+    overrides + broadcast size joins, forced via the n_docs hint)
+    both equal the single-pass plan exactly — each (doc, doc,
+    shingle) triple lands in exactly one slice, partial counts sum."""
+    ref = sorted(tuple(r) for r in dedup.ngram_jaccard_pairs(
+        docs, threshold=0.2, n_slices=1).collect())
+    assert ref  # non-vacuous
+    for kw in ({"n_slices": 3},
+               {"n_slices": 4, "max_df": 3},
+               {"n_docs": 2_000_000},           # auto slices + width
+               {"n_docs": 25_000_000}):         # big but no broadcast
+        got = sorted(tuple(r) for r in dedup.ngram_jaccard_pairs(
+            docs, threshold=0.2, **kw).collect())
+        assert got == ref, kw
