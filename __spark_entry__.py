@@ -887,9 +887,11 @@ FROM s GROUP BY user_id, session_seq
 
 def q_compression_ratio(spark, sf_dir):
     """zlib compression-ratio quality signal (Arrow mapInPandas —
-    zlib is not SQL-expressible, so this is the one registry entry
-    WITHOUT oracle SQL: the driver records a rows-only check, and
-    value determinism is pinned by pytest against python zlib)."""
+    zlib is not SQL-expressible, so the oracle (r09) is a
+    python-zlib recompute: _zlib_oracle_sql builds a fixture parquet
+    independently of Spark (pyarrow + zlib on the driver) and the
+    DuckDB oracle reads it; value determinism is additionally pinned
+    by pytest against python zlib)."""
     return dp_text.compression_ratio(_docs(spark, sf_dir), level=6)
 
 
@@ -3117,13 +3119,68 @@ def _emb_count(sf_dir: str | None = None) -> int:
         return 500
 
 
+def _zlib_oracle_sql(sf_dir: str | None = None) -> str | None:
+    """Oracle for compression_ratio (r09, closing the one rows-only
+    gap): zlib has no SQL expression, so the expected values are
+    RECOMPUTED INDEPENDENTLY of Spark — pyarrow reads the documents
+    table directly and python zlib compresses each text on the
+    driver, mirroring the operator's contract (utf-8 bytes, level 6,
+    ratio rounded to 6) — and written to a per-sf fixture parquet
+    that the returned SQL simply reads. Same independence as a
+    reference truth file, regenerated from the actual table at the
+    gate's scale factor (stale fixtures are rebuilt when the source
+    is newer). Returns None when the table is missing or too big to
+    recompute driver-side (> 1M docs), which keeps the driver's
+    rows-only fallback instead of erroring."""
+    import hashlib as _hl
+    import os as _os
+    try:
+        import pyarrow as _pa
+        import pyarrow.parquet as _pq
+        d = sf_dir or "/root/testdata/sf0.01"
+        src = _os.path.join(d, "documents.parquet")
+        if _pq.ParquetFile(src).metadata.num_rows > 1_000_000:
+            return None
+        fix = _os.path.join(
+            "/tmp", "piglet_zlib_oracle_"
+            + _hl.md5(_os.path.abspath(src).encode()).hexdigest()[:12]
+            + ".parquet")
+        if not _os.path.exists(fix) or \
+                _os.path.getmtime(fix) < _os.path.getmtime(src):
+            import zlib as _zl
+            t = _pq.read_table(src, columns=["doc_id", "text"])
+            ids = t.column("doc_id").to_pylist()
+            texts = t.column("text").to_pylist()
+            nb, nc, ratio = [], [], []
+            for s in texts:
+                b = (s or "").encode("utf-8")
+                c = len(_zl.compress(b, 6))
+                nb.append(len(b))
+                nc.append(c)
+                ratio.append(round(c / len(b), 6) if b else 0.0)
+            out = _pa.table({
+                "doc_id": t.column("doc_id"),
+                "n_bytes": _pa.array(nb, _pa.int32()),
+                "n_compressed": _pa.array(nc, _pa.int32()),
+                "compression_ratio": _pa.array(ratio, _pa.float64()),
+            })
+            _pq.write_table(out, fix + ".tmp")
+            _os.replace(fix + ".tmp", fix)
+        return ("SELECT doc_id, n_bytes, n_compressed, "
+                f"compression_ratio FROM '{fix}'")
+    except Exception:
+        return None
+
+
 def oracle_sql(sf_dir: str | None = None) -> dict[str, str]:
     """DuckDB oracle SQL per query. The driver calls this with no
     arguments and runs the SQL at sf0.01 (the default); local
     checkers (tools/check_oracle.py) pass the sf dir they run at so
     data-dependent generated oracles (knn_join_lsh's adaptive plane
     count) regenerate the same math the Spark side derives from the
-    actual table."""
+    actual table. ``compression_ratio`` (r09) gets a python-zlib
+    fixture oracle built by :func:`_zlib_oracle_sql` — omitted (the
+    old rows-only behavior) only if that recompute is infeasible."""
     return {
         "q1_pricing_summary": Q1_SQL,
         "q3_top_revenue": Q3_SQL,
@@ -3226,6 +3283,8 @@ def oracle_sql(sf_dir: str | None = None) -> dict[str, str]:
         "trending_keys": TRENDING_SQL,
         "events_props_json": EVENTS_JSON_SQL,
         "token_entropy": TOKEN_ENTROPY_SQL,
+        **({"compression_ratio": _zlib_oracle_sql(sf_dir)}
+           if _zlib_oracle_sql(sf_dir) else {}),
     }
 
 

@@ -276,7 +276,25 @@ def main():
         out["skip_reason"] = os.environ.get(
             "SPARK_GRAFT_SKIP_REASON",
             "excluded via SPARK_GRAFT_ONLY/SPARK_GRAFT_SKIP")
-    print(json.dumps(out))
+    # Full per-query artifact: compact separators (the r08 driver
+    # capture kept only a ~2 KB output tail and the padded 2.5 KB
+    # line lost its head, leaving BENCH_r08.json unparsed), printed
+    # FIRST and also written to BENCH_LOCAL.json so the numbers
+    # survive any tail window. A minimal totals line prints LAST —
+    # small enough that a tail capture of any plausible size parses.
+    full = json.dumps(out, separators=(",", ":"))
+    print(full, flush=True)
+    try:
+        with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                               "BENCH_LOCAL.json"), "w") as fh:
+            fh.write(full + "\n")
+    except OSError:
+        pass  # read-only checkout must not kill the bench
+    print(json.dumps({
+        "metric": out["metric"], "value": out["value"], "unit": "sec",
+        "sf": out["sf"], "n_queries": len(timings),
+        "n_errors": len(errors), "full": "BENCH_LOCAL.json",
+    }, separators=(",", ":")), flush=True)
     # rc stays 0 even with per-query errors: the JSON artifact (with its
     # explicit "errors" field) must still be captured by the harness; a
     # non-zero rc would discard the partial result entirely.

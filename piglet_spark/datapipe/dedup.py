@@ -670,14 +670,18 @@ def ngram_jaccard_pairs(df: DataFrame, text_col: str = "text",
     if n_slices <= 1:
         shared = _cooccur(inv)
     else:
+        from pyspark import StorageLevel
         parts = []
         for i in range(n_slices):
             sl = inv.filter(F.pmod(F.col("_s"),
                                    F.lit(n_slices)) == F.lit(i))
             # EAGER materialization runs each slice as its own job:
             # peak co-occurrence join/shuffle state on the cluster is
-            # one slice's, not the whole index's
-            parts.append(_materialize(_cooccur(sl)))
+            # one slice's, not the whole index's. DISK_ONLY: the
+            # partials total ~the raw pair stream — on-heap caching
+            # of that is exactly the pressure slicing exists to avoid
+            parts.append(_cooccur(sl).localCheckpoint(
+                eager=True, storageLevel=StorageLevel.DISK_ONLY))
         u = parts[0]
         for p in parts[1:]:
             u = u.unionByName(p)
@@ -685,19 +689,42 @@ def ngram_jaccard_pairs(df: DataFrame, text_col: str = "text",
             u = u.repartition(pair_parts, "id_a", "id_b")
         shared = (u.groupBy("id_a", "id_b")
                   .agg(F.sum("_inter").alias("_inter")))
-    # per-doc size table: narrow (16 B/doc) — broadcast on big
-    # corpora so the pair stream never sort-merge-shuffles for it
-    sz_a = sizes.withColumnRenamed("_id", "id_a") \
-                .withColumnRenamed("_n", "_na")
-    sz_b = sizes.withColumnRenamed("_id", "id_b") \
-                .withColumnRenamed("_n", "_nb")
+    # per-doc side table: sizes (+ hot-set SIZE, not the set) —
+    # narrow (≤20 B/doc), broadcast on big corpora so the pair
+    # stream never sort-merge-shuffles for it
+    side = sizes
+    if doc_hot is not None:
+        side = side.join(doc_hot.select("_id", F.size("_hs")
+                                        .alias("_nh")),
+                         on="_id", how="left") \
+                   .fillna({"_nh": 0})
+    sd_a = side.select(F.col("_id").alias("id_a"),
+                       F.col("_n").alias("_na"),
+                       *([F.col("_nh").alias("_nha")]
+                         if doc_hot is not None else []))
+    sd_b = side.select(F.col("_id").alias("id_b"),
+                       F.col("_n").alias("_nb"),
+                       *([F.col("_nh").alias("_nhb")]
+                         if doc_hot is not None else []))
     if big and int(n_docs) <= 20_000_000:
-        sz_a, sz_b = F.broadcast(sz_a), F.broadcast(sz_b)
-    out = shared.join(sz_a, on="id_a").join(sz_b, on="id_b")
+        sd_a, sd_b = F.broadcast(sd_a), F.broadcast(sd_b)
+    out = shared.join(sd_a, on="id_a").join(sd_b, on="id_b")
     inter = F.col("_inter").cast("double")
     if doc_hot is not None:
-        # hot sets carry arrays (too wide to broadcast at scale);
-        # keep these joins shuffled but at pair width
+        # Upper-bound prefilter (r09): the hot top-up can add at most
+        # min(|hot_a|, |hot_b|) to the intersection, so any pair
+        # whose jaccard is < threshold even WITH that bonus is
+        # provably below threshold — dropped here, map-side, from
+        # the narrow broadcast columns alone. Only the survivors
+        # (≈ the output size, not the candidate volume) carry the
+        # hot-set ARRAYS through a join: at sf100 the r09a run OOM'd
+        # sort-merge-joining 2×~100-entry arrays onto ~5e8 candidate
+        # rows; the bound shrinks that join's input by ~100×.
+        bonus = F.least("_nha", "_nhb").cast("double")
+        ub = ((inter + bonus)
+              / (F.col("_na") + F.col("_nb") - inter - bonus)
+              .cast("double"))
+        out = out.filter(ub >= threshold)
         ha = doc_hot.withColumnRenamed("_id", "id_a") \
                     .withColumnRenamed("_hs", "_ha")
         hb = doc_hot.withColumnRenamed("_id", "id_b") \

@@ -792,15 +792,46 @@ def ivf_write_index(df: DataFrame, path: str,
      .write.mode("overwrite").partitionBy("_cid").parquet(path))
     cents = [{"cid": r["_cid"], "vec": [float(x) for x in r["_cv"]]}
              for r in cent_rows]
+    # corpus fingerprint (r09): row count + cell set from the files
+    # just written (parquet FOOTERS only, no Spark job) so queries
+    # can refuse a stale/foreign index instead of silently serving it
+    n_rows, cids = _ivf_footer_stats(path)
     with open(f"{path}/_ivf_centroids.json", "w") as fh:
-        _json.dump({"dim": dim, "centroids": cents}, fh)
+        _json.dump({"dim": dim, "centroids": cents,
+                    "n_rows": n_rows, "cells": sorted(cids),
+                    "id_col": id_col, "vec_col": vec_col}, fh)
     return cents
+
+
+def _ivf_footer_stats(path: str) -> "tuple[int | None, set]":
+    """(total rows, cell ids) of a persisted IVF index from parquet
+    footers + hive dir names — metadata-only, no data read. Returns
+    ``(None, set())`` for non-local paths (S3/HDFS URIs have no
+    os.walk; the staleness check degrades to dim-only there)."""
+    import os as _os
+    import pyarrow.parquet as _pq
+    if not _os.path.isdir(path):
+        return None, set()
+    n, cids = 0, set()
+    for root, _dirs, files in _os.walk(path):
+        base = _os.path.basename(root)
+        cid = None
+        if base.startswith("_cid="):
+            cid = base.split("=", 1)[1]
+        for f in files:
+            if not f.endswith(".parquet"):
+                continue
+            n += _pq.ParquetFile(_os.path.join(root, f)).metadata.num_rows
+            if cid is not None:
+                cids.add(cid)
+    return n, cids
 
 
 def ivf_query_index(spark, path: str, query_vec: list[float],
                     k: int = 10, n_probe: int = 4,
                     vec_col: str = "embedding",
-                    id_col: str = "vec_id") -> DataFrame:
+                    id_col: str = "vec_id",
+                    verify: bool = True) -> DataFrame:
     """Query a persisted IVF index (:func:`ivf_write_index`): pick
     the ``n_probe`` centroids nearest the query driver-side (a few
     dot products on the JSON sidecar), then scan ONLY those cells'
@@ -815,6 +846,29 @@ def ivf_query_index(spark, path: str, query_vec: list[float],
     with open(f"{path}/_ivf_centroids.json") as fh:
         meta = _json.load(fh)
     dim = int(meta["dim"])
+    if len(query_vec) != dim:
+        raise ValueError(
+            f"ivf_query_index: query dim {len(query_vec)} != index "
+            f"dim {dim} ({path})")
+    if verify and meta.get("n_rows") is not None:
+        # staleness guard (r09): build-once/query-many must not
+        # silently serve an index whose data files were replaced or
+        # partially rewritten after the sidecar was written. Footer
+        # metadata only — no data read, so the check is cheap even
+        # on a big index; pass verify=False on a hot path that has
+        # already checked once this session.
+        n_rows, cids = _ivf_footer_stats(path)
+        if n_rows is not None:
+            want_cells = set(str(c) for c in meta.get("cells", []))
+            if n_rows != int(meta["n_rows"]) or \
+                    (want_cells and not cids <= want_cells):
+                raise ValueError(
+                    f"ivf_query_index: stale index at {path}: data "
+                    f"files hold {n_rows} rows in cells "
+                    f"{sorted(cids)} but the centroid sidecar was "
+                    f"written for {meta['n_rows']} rows in cells "
+                    f"{sorted(want_cells)} — rebuild with "
+                    f"ivf_write_index")
     nq = math.sqrt(sum(x * x for x in query_vec))
 
     def cos_py(v):

@@ -2072,8 +2072,14 @@ class Executor:
     def op_bgpfilter(self, op: A.BGPFilter) -> None:
         """SPARQL BGP over a triple relation: each pattern = filter on
         constants; shared variables = equi-joins
-        (ref rulesets/RDFRuleset.scala star/path join generation)."""
+        (ref rulesets/RDFRuleset.scala star/path join generation).
+        Grouped-schema inputs (RDFLOAD … GROUPED ON x / TUPLIFY)
+        route to the specialized group-level plan (r09, ref F4-F8/J2
+        of the same ruleset / the SPARQling-Pig BTW'15 paper)."""
         triples = self.df(op.rel)
+        if self._bgp_grouped_col(triples) is not None:
+            self.env[op.out] = self._bgp_grouped(op, triples)
+            return
         s, p, o = triples.columns[:3]
         if len(op.patterns) == 1:
             # single pattern = plain filter; schema stays the triple
@@ -2109,6 +2115,130 @@ class Executor:
         if sel:
             out = out.select(*sel)
         self.env[op.out] = out
+
+    @staticmethod
+    def _bgp_grouped_col(df: DataFrame) -> "str | None":
+        """The grouping column name if ``df`` has the grouped RDF
+        schema ``(subject|predicate|object, stmts: bag)``, else
+        None (ref RDFLoad.groupedSchemas / groupedSchemaEarlyAbort,
+        RDFRuleset.scala:219-231)."""
+        from pyspark.sql import types as T
+        if len(df.columns) != 2 or df.columns[1] != "stmts":
+            return None
+        g = df.columns[0]
+        if g not in ("subject", "predicate", "object"):
+            return None
+        st = df.schema["stmts"].dataType
+        if not (isinstance(st, T.ArrayType)
+                and isinstance(st.elementType, T.StructType)):
+            return None
+        return g
+
+    def _bgp_grouped(self, op: A.BGPFilter,
+                     grouped: DataFrame) -> DataFrame:
+        """BGP over the grouped RDF schema — the RDFRuleset.scala
+        specializations (F4-F8 single-pattern, J2 star join;
+        SPARQling Pig, BTW'15) re-expressed group-level, NEVER
+        re-exploding the grouped layout when the pattern structure
+        allows it:
+
+        - a constant in the GROUPING position filters the group key
+          directly (F4/F7/F8's group_filter — at scale this is a
+          partition-prunable key predicate, the whole point of
+          storing RDF grouped);
+        - constants in the OTHER positions become an EXISTS over the
+          group's statement bag (F5/F6's nested filter-then-COUNT>0
+          plan, fused to one ``F.exists`` — no explode, no shuffle,
+          map-only);
+        - multiple patterns forming a STAR on the grouping position
+          (every pattern carries the same variable there, no other
+          variable shared across patterns) AND each bag constraint
+          independently — J2's GENERATE cnt_i / FILTER AND(cnt_i>0)
+          without materializing the counts.
+
+        Output keeps the grouped schema (the group survives) — the
+        reference's rewritten plans flow the grouped relation onward
+        the same way (its cnt columns are internal helpers). Pattern
+        shapes the grouped rules don't cover (a path join, variables
+        shared outside the grouping position, or a variable/mixed
+        grouping term) fall back to exploding into plain triples and
+        running the general BGP plan — always correct, just not
+        grouped-specialized (the reference has no rule for those
+        either: its F/J rules return None and the BGPFilter runs on
+        re-read plain data)."""
+        gcol = self._bgp_grouped_col(grouped)
+        order = ("subject", "predicate", "object")
+        others = [c for c in order if c != gcol]
+
+        def pat_terms(pat):
+            return dict(zip(order, (pat.subj, pat.pred, pat.obj)))
+
+        # --- decide specializability: grouping term per pattern is
+        # the one shared variable (star) or a constant; every other
+        # variable appears in only one pattern
+        star_var = None
+        var_seen: dict[str, int] = {}
+        specializable = True
+        for pat in op.patterns:
+            t = pat_terms(pat)
+            g = t[gcol]
+            if isinstance(g, A.NamedField) and g.name.startswith("?"):
+                if star_var is None:
+                    star_var = g.name
+                elif g.name != star_var:
+                    specializable = False
+            elif not isinstance(g, A.Literal):
+                specializable = False
+            for c in others:
+                term = t[c]
+                if isinstance(term, A.NamedField) and \
+                        term.name.startswith("?"):
+                    var_seen[term.name] = var_seen.get(term.name, 0) + 1
+        if len(op.patterns) > 1:
+            if any(n > 1 for n in var_seen.values()):
+                specializable = False  # path join — explode fallback
+            # mixed star var + per-pattern constants on the grouping
+            # term is fine (F7/F8 chain group filters); a variable
+            # grouping term must be THE star variable in all patterns
+            if star_var is not None:
+                for pat in op.patterns:
+                    g = pat_terms(pat)[gcol]
+                    if isinstance(g, A.NamedField) and \
+                            g.name != star_var:
+                        specializable = False
+        if not specializable:
+            exploded = (grouped
+                        .select(F.col(gcol), F.explode("stmts")
+                                .alias("_t"))
+                        .select(*[F.col(gcol) if c == gcol
+                                  else F.col(f"_t.{c}").alias(c)
+                                  for c in order]))
+            tmp = f"__bgp_exploded_{op.out}"
+            self.env[tmp] = exploded
+            inner = A.BGPFilter(out=op.out, rel=tmp,
+                                patterns=op.patterns)
+            self.op_bgpfilter(inner)
+            del self.env[tmp]
+            return self.env[op.out]
+        out = grouped
+        for pat in op.patterns:
+            t = pat_terms(pat)
+            if isinstance(t[gcol], A.Literal):
+                out = out.filter(F.col(gcol) == t[gcol].value)
+            consts = [(c, t[c].value) for c in others
+                      if isinstance(t[c], A.Literal)]
+            if consts:
+                # closure factory: F.exists inspects the lambda's
+                # arity, so no default-arg capture
+                def _mk(cs):
+                    def pred(s):
+                        cond = F.lit(True)
+                        for col, val in cs:
+                            cond = cond & (s[col] == val)
+                        return cond
+                    return pred
+                out = out.filter(F.exists("stmts", _mk(consts)))
+        return out
 
     # ------------------------------------------------------ streaming
 

@@ -993,3 +993,82 @@ A = LOAD '{data_dir}/person.tsv' USING PigStorage('\\t') AS (name:chararray, age
 B = FOREACH A GENERATE ROUND(3.14159, age);
 """)
         eng.df("B").collect()
+
+
+def test_bgp_filter_grouped_single_pattern(spark, data_dir):
+    """BGP over RDFLOAD … GROUPED ON subject: a constant in a
+    non-grouping position keeps GROUPS whose statement bag contains
+    a match (ref RDFRuleset.scala F5/F6 — nested filter + COUNT>0,
+    here one F.exists, no explode); output keeps the grouped
+    schema."""
+    df = run(spark, f"""
+T = RDFLOAD('{data_dir}/triples.nt') GROUPED ON subject;
+B = BGP_FILTER T BY {{ ?s <age> '"30"' }};
+""", "B")
+    assert df.columns == ["subject", "stmts"]
+    got = {r["subject"]: sorted(tuple(t) for t in r["stmts"])
+           for r in df.collect()}
+    # only <a> has an <age> "30" statement; its FULL bag survives
+    assert list(got) == ["<a>"]
+    assert got["<a>"] == [("<age>", '"30"'), ("<knows>", "<b>")]
+    # no explode in the plan: the grouped relation filters in place
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Generate" not in plan  # Spark's explode node
+
+
+def test_bgp_filter_grouped_group_key_constant(spark, data_dir):
+    """A constant in the GROUPING position filters the group key
+    directly (ref F4/F8): key predicate, no bag scan needed for
+    that term."""
+    df = run(spark, f"""
+T = RDFLOAD('{data_dir}/triples.nt') GROUPED ON subject;
+B = BGP_FILTER T BY {{ <b> <knows> ?o }};
+""", "B")
+    got = {r["subject"] for r in df.collect()}
+    assert got == {"<b>"}
+
+
+def test_bgp_filter_grouped_star_join(spark, data_dir):
+    """Multi-pattern STAR on the grouping variable (ref J2): the
+    group survives iff EVERY pattern finds a matching statement in
+    its bag — <a> and <b> both know someone AND have an age."""
+    df = run(spark, f"""
+T = RDFLOAD('{data_dir}/triples.nt') GROUPED ON subject;
+B = BGP_FILTER T BY {{ ?s <knows> ?o . ?s <age> ?a }};
+""", "B")
+    assert df.columns == ["subject", "stmts"]
+    assert {r["subject"] for r in df.collect()} == {"<a>", "<b>"}
+    # tightening one arm drops groups lacking that statement
+    df2 = run(spark, f"""
+T = RDFLOAD('{data_dir}/triples.nt') GROUPED ON subject;
+B = BGP_FILTER T BY {{ ?s <knows> <c> . ?s <age> ?a }};
+""", "B")
+    assert {r["subject"] for r in df2.collect()} == {"<b>"}
+
+
+def test_bgp_filter_grouped_path_join_fallback(spark, data_dir):
+    """A PATH join (variable shared outside the grouping position)
+    has no grouped specialization in the reference either — the
+    rebuild explodes back to triples and runs the general BGP plan,
+    so results equal the plain-input run exactly."""
+    script = """
+T = {load};
+B = BGP_FILTER T BY {{ ?s <knows> ?o . ?o <age> ?a }};
+"""
+    plain = run(spark, script.format(
+        load=f"LOAD '{data_dir}/triples.nt' USING RDFFileStorage()"), "B")
+    grouped = run(spark, script.format(
+        load=f"RDFLOAD('{data_dir}/triples.nt') GROUPED ON subject"), "B")
+    assert grouped.columns == plain.columns == ["a", "o", "s"]
+    assert rows(grouped) == rows(plain) == [('"25"', "<b>", "<a>")]
+
+
+def test_bgp_filter_grouped_on_object(spark, data_dir):
+    """Grouping column other than subject: constants in subject/
+    predicate positions go through the bag EXISTS against the right
+    struct fields."""
+    df = run(spark, f"""
+T = RDFLOAD('{data_dir}/triples.nt') GROUPED ON object;
+B = BGP_FILTER T BY {{ <a> <knows> ?o }};
+""", "B")
+    assert {r["object"] for r in df.collect()} == {"<b>"}

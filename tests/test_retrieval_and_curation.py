@@ -806,3 +806,30 @@ E = LOAD '/root/testdata/sf0.001/events.parquet' USING ParquetStorage();
 P = FOREACH E GENERATE JSON_GET(props, event_type) AS v;
 DUMP P;
 """)
+
+
+def test_ivf_index_staleness_guard(spark, tmp_path):
+    """The r09 staleness guard: a persisted index whose data files no
+    longer match the centroid sidecar's corpus fingerprint (row count
+    / cell set) refuses to serve; dim-mismatched queries refuse too;
+    verify=False opts out for a session that already checked."""
+    import glob
+    import pytest
+    emb = _emb(spark).filter("vec_id < 500")
+    qv = [float(x) for x in
+          emb.filter("vec_id = 7").first()["embedding"]]
+    path = str(tmp_path / "ivf_stale")
+    dps.ivf_write_index(emb, path, n_cells=4)
+    assert dps.ivf_query_index(spark, path, qv, k=3).count() == 3
+    # wrong query dim is a usage error, caught before any scan
+    with pytest.raises(ValueError, match="query dim"):
+        dps.ivf_query_index(spark, path, qv[:-1], k=3)
+    # simulate a partial rewrite: drop one cell's data files
+    cell_dir = sorted(glob.glob(f"{path}/_cid=*"))[0]
+    for f in glob.glob(f"{cell_dir}/*.parquet"):
+        os.remove(f)
+    with pytest.raises(ValueError, match="stale index"):
+        dps.ivf_query_index(spark, path, qv, k=3)
+    # explicit opt-out still serves (the caller owns the risk)
+    assert dps.ivf_query_index(spark, path, qv, k=3,
+                               verify=False).count() == 3
