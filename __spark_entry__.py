@@ -1596,6 +1596,20 @@ def q_hard_negatives(spark, sf_dir):
                            band=(0.15, 0.30))
 
 
+def q_hard_negatives_blas(spark, sf_dir):
+    """Scale path of q_hard_negatives (r09): the SAME banded mining
+    through the Arrow-batched BLAS kernel (query-block × corpus-chunk
+    matmuls) instead of the per-pair HOF fold. Output is pinned
+    identical to exact (pytest test_knn_join_band_hard_negatives),
+    so it shares the exact oracle; boarded separately so the board
+    carries a measured number for the method the 100 TB story
+    actually recommends."""
+    emb = _emb(spark, sf_dir)
+    qs = emb.filter(F.col("vec_id") % 100 == 0)
+    return dp_sim.knn_join(emb, qs, k=5, method="blas",
+                           band=(0.15, 0.30))
+
+
 def q_knn_join_lsh(spark, sf_dir):
     """LSH-bucketed batch kNN join: hyperplane sign buckets on both
     sides, hamming≤1 multi-probe explode on the query side, bucket
@@ -3067,6 +3081,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # r07d: batch kNN join (exact baseline + LSH-bucketed)
         "knn_join_exact": q_knn_join,
         "hard_negatives": q_hard_negatives,
+        "hard_negatives_blas": q_hard_negatives_blas,
         "knn_join_lsh": q_knn_join_lsh,
         # r07d: reproducible corpus-order shuffle
         "global_shuffle": q_global_shuffle,
@@ -3094,6 +3109,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "quantize_embeddings": q_quantize_embeddings,
         "stratified_sample": q_stratified_sample,
         "mmr_rerank": q_mmr_rerank,
+        "mmr_rerank_blas": q_mmr_rerank_blas,
         "pagerank_graph": q_pagerank,
         "trending_keys": q_trending_keys,
         # r08f: semi-structured JSON extraction through the Pig
@@ -3263,6 +3279,7 @@ def oracle_sql(sf_dir: str | None = None) -> dict[str, str]:
         "duplicate_spans": DUP_SPANS_SQL,
         "knn_join_exact": _knn_join_sql(),
         "hard_negatives": _knn_join_sql(band=(0.15, 0.30)),
+        "hard_negatives_blas": _knn_join_sql(band=(0.15, 0.30)),
         "knn_join_lsh": _knn_join_sql(lsh=True,
                                       corpus_count=_emb_count(sf_dir)),
         "global_shuffle": GLOBAL_SHUFFLE_SQL,
@@ -3279,6 +3296,7 @@ def oracle_sql(sf_dir: str | None = None) -> dict[str, str]:
         "quantize_embeddings": QUANTIZE_SQL,
         "stratified_sample": STRATIFIED_SAMPLE_SQL,
         "mmr_rerank": _mmr_sql(),
+        "mmr_rerank_blas": _mmr_sql(),
         "pagerank_graph": _pagerank_sql(),
         "trending_keys": TRENDING_SQL,
         "events_props_json": EVENTS_JSON_SQL,
@@ -3555,6 +3573,19 @@ def q_mmr_rerank(spark, sf_dir):
     emb = _emb(spark, sf_dir)
     return dp_ret.mmr_rerank(emb, emb.filter(F.col("vec_id") % 100 == 0),
                              k=5, pool=20, lam=0.7)
+
+
+def q_mmr_rerank_blas(spark, sf_dir):
+    """Scale path of q_mmr_rerank (r09): the pool comes from the
+    BLAS kNN kernel instead of the exact HOF join; the greedy loop
+    and integer nano-unit scoring are identical, and the output is
+    pinned blas==exact by pytest (test_mmr_blas_matches_exact) — so
+    it shares the exact unrolled-CTE oracle. Boarded separately to
+    carry a measured sf10/sf100 number for the recommended method."""
+    from piglet_spark.datapipe import retrieval as dp_ret
+    emb = _emb(spark, sf_dir)
+    return dp_ret.mmr_rerank(emb, emb.filter(F.col("vec_id") % 100 == 0),
+                             k=5, pool=20, lam=0.7, method="blas")
 
 
 def _mmr_sql(k: int = 5, pool: int = 20, lam: float = 0.7,

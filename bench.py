@@ -111,6 +111,7 @@ HEADLINE = [
     "compression_ratio",
     "bm25_topk",
     "hard_negatives",
+    "hard_negatives_blas",
     # r08f: hybrid retrieval fusion + curation ops
     "hybrid_rrf",
     "funnel_conversion",
@@ -119,6 +120,7 @@ HEADLINE = [
     "quantize_embeddings",
     "stratified_sample",
     "mmr_rerank",
+    "mmr_rerank_blas",
     "pagerank_graph",
     "trending_keys",
     "events_props_json",

@@ -630,6 +630,8 @@ def ngram_jaccard_pairs(df: DataFrame, text_col: str = "text",
                 .dropDuplicates(["id_a", "id_b"]))
         return _verify_jaccard_pairs(cand, base, threshold)
     doc_hot = None
+    hot = None
+    inv_raw = inv
     if max_df is not None:
         hot = (inv.groupBy("_s").agg(F.count(F.lit(1)).alias("_df"))
                .filter(F.col("_df") > max_df).select("_s"))
@@ -667,28 +669,6 @@ def ngram_jaccard_pairs(df: DataFrame, text_col: str = "text",
         return (pairs.groupBy("id_a", "id_b")
                 .agg(F.count(F.lit(1)).alias("_inter")))
 
-    if n_slices <= 1:
-        shared = _cooccur(inv)
-    else:
-        from pyspark import StorageLevel
-        parts = []
-        for i in range(n_slices):
-            sl = inv.filter(F.pmod(F.col("_s"),
-                                   F.lit(n_slices)) == F.lit(i))
-            # EAGER materialization runs each slice as its own job:
-            # peak co-occurrence join/shuffle state on the cluster is
-            # one slice's, not the whole index's. DISK_ONLY: the
-            # partials total ~the raw pair stream — on-heap caching
-            # of that is exactly the pressure slicing exists to avoid
-            parts.append(_cooccur(sl).localCheckpoint(
-                eager=True, storageLevel=StorageLevel.DISK_ONLY))
-        u = parts[0]
-        for p in parts[1:]:
-            u = u.unionByName(p)
-        if pair_parts:
-            u = u.repartition(pair_parts, "id_a", "id_b")
-        shared = (u.groupBy("id_a", "id_b")
-                  .agg(F.sum("_inter").alias("_inter")))
     # per-doc side table: sizes (+ hot-set SIZE, not the set) —
     # narrow (≤20 B/doc), broadcast on big corpora so the pair
     # stream never sort-merge-shuffles for it
@@ -708,40 +688,100 @@ def ngram_jaccard_pairs(df: DataFrame, text_col: str = "text",
                          if doc_hot is not None else []))
     if big and int(n_docs) <= 20_000_000:
         sd_a, sd_b = F.broadcast(sd_a), F.broadcast(sd_b)
-    out = shared.join(sd_a, on="id_a").join(sd_b, on="id_b")
-    inter = F.col("_inter").cast("double")
+
+    def _finish(shared: DataFrame) -> DataFrame:
+        """Pair counts → exact jaccard ≥ threshold (shared by the
+        single-pass and per-slice plans)."""
+        out = shared.join(sd_a, on="id_a").join(sd_b, on="id_b")
+        inter = F.col("_inter").cast("double")
+        if doc_hot is not None:
+            # Upper-bound prefilter (r09): the hot top-up adds at
+            # most min(|hot_a|, |hot_b|) to the intersection, so any
+            # pair below threshold even WITH that bonus is provably
+            # below threshold — dropped map-side from the narrow
+            # broadcast columns alone. Only survivors (≈ the output
+            # size, not the candidate volume) carry the hot-set
+            # ARRAYS through a join: the r09a sf100 run OOM'd
+            # sort-merge-joining 2×arrays onto ~1e9 candidate rows.
+            bonus = F.least("_nha", "_nhb").cast("double")
+            ub = ((inter + bonus)
+                  / (F.col("_na") + F.col("_nb") - inter - bonus)
+                  .cast("double"))
+            out = out.filter(ub >= threshold)
+            ha = doc_hot.withColumnRenamed("_id", "id_a") \
+                        .withColumnRenamed("_hs", "_ha")
+            hb = doc_hot.withColumnRenamed("_id", "id_b") \
+                        .withColumnRenamed("_hs", "_hb")
+            out = out.join(ha, on="id_a", how="left")
+            out = out.join(hb, on="id_b", how="left")
+            hot_inter = F.when(
+                F.col("_ha").isNotNull() & F.col("_hb").isNotNull(),
+                F.size(F.array_intersect("_ha", "_hb"))) \
+                .otherwise(F.lit(0))
+            inter = inter + hot_inter.cast("double")
+        jac = inter / (F.col("_na") + F.col("_nb") - inter) \
+            .cast("double")
+        return (out.select("id_a", "id_b",
+                           F.round(jac, 6).alias("jaccard"))
+                .filter(F.col("jaccard") >= threshold))
+
+    if n_slices <= 1:
+        return _finish(_cooccur(inv))
+    # ---- sliced plan (r09b): slice by the SMALLER doc id, not the
+    # shingle hash. A pair (a, b), a < b, forms ONLY in slice
+    # pmod(hash(a), S) — every slice's pair counts are already
+    # FINAL, so the whole verify pipeline (size join, upper-bound
+    # prefilter, hot top-up, threshold) runs inside the slice and
+    # only rows ≥ threshold (output-sized) are kept. The r09a
+    # shingle-hash slicing needed a cross-slice re-aggregation of
+    # the full candidate stream — a second full pair shuffle that
+    # took the sf100 run to 59 GB of simultaneous shuffle files;
+    # this shape caps live state at ONE slice's join (the b-side
+    # index re-shuffles per slice — (1+1/S)·|inv| per slice, but
+    # the GC nudge below lets finished slices' files delete, so
+    # peak disk ≈ one slice, not the sum).
+    from pyspark import StorageLevel
+    spark = df.sparkSession
     if doc_hot is not None:
-        # Upper-bound prefilter (r09): the hot top-up can add at most
-        # min(|hot_a|, |hot_b|) to the intersection, so any pair
-        # whose jaccard is < threshold even WITH that bonus is
-        # provably below threshold — dropped here, map-side, from
-        # the narrow broadcast columns alone. Only the survivors
-        # (≈ the output size, not the candidate volume) carry the
-        # hot-set ARRAYS through a join: at sf100 the r09a run OOM'd
-        # sort-merge-joining 2×~100-entry arrays onto ~5e8 candidate
-        # rows; the bound shrinks that join's input by ~100×.
-        bonus = F.least("_nha", "_nhb").cast("double")
-        ub = ((inter + bonus)
-              / (F.col("_na") + F.col("_nb") - inter - bonus)
-              .cast("double"))
-        out = out.filter(ub >= threshold)
-        ha = doc_hot.withColumnRenamed("_id", "id_a") \
-                    .withColumnRenamed("_hs", "_ha")
-        hb = doc_hot.withColumnRenamed("_id", "id_b") \
-                    .withColumnRenamed("_hs", "_hb")
+        # checkpoint the global small relations once, or every slice
+        # job re-runs the full df-histogram aggregate behind them
+        hot = hot.localCheckpoint(
+            eager=True, storageLevel=StorageLevel.DISK_ONLY)
+        doc_hot = doc_hot.localCheckpoint(
+            eager=True, storageLevel=StorageLevel.DISK_ONLY)
+        inv = inv_raw.join(F.broadcast(hot), on="_s", how="left_anti")
+    parts = []
+    for i in range(n_slices):
+        inv_a = inv.filter(
+            F.pmod(F.xxhash64("_id"), F.lit(n_slices)) == F.lit(i))
+        pairs_i = (inv_a.alias("a").join(
+                       inv.alias("b"),
+                       on=[F.col("a._s") == F.col("b._s"),
+                           F.col("a._id") < F.col("b._id")])
+                   .select(F.col("a._id").alias("id_a"),
+                           F.col("b._id").alias("id_b")))
         if pair_parts:
-            out = out.repartition(pair_parts, "id_a")
-        out = out.join(ha, on="id_a", how="left")
-        if pair_parts:
-            out = out.repartition(pair_parts, "id_b")
-        out = out.join(hb, on="id_b", how="left")
-        hot_inter = F.when(
-            F.col("_ha").isNotNull() & F.col("_hb").isNotNull(),
-            F.size(F.array_intersect("_ha", "_hb"))).otherwise(F.lit(0))
-        inter = inter + hot_inter.cast("double")
-    jac = inter / (F.col("_na") + F.col("_nb") - inter).cast("double")
-    return (out.select("id_a", "id_b", F.round(jac, 6).alias("jaccard"))
-            .filter(F.col("jaccard") >= threshold))
+            pairs_i = pairs_i.repartition(pair_parts, "id_a", "id_b")
+        shared_i = (pairs_i.groupBy("id_a", "id_b")
+                    .agg(F.count(F.lit(1)).alias("_inter")))
+        # EAGER checkpoint runs the slice as its own job and keeps
+        # only threshold survivors (tiny); the slice's shuffle files
+        # become unreachable once this returns
+        parts.append(_finish(shared_i).localCheckpoint(
+            eager=True, storageLevel=StorageLevel.DISK_ONLY))
+        try:
+            # let ContextCleaner delete the finished slice's shuffle
+            # files before the next slice writes its own (same
+            # rationale as bench.py's inter-query nudge: local-mode
+            # drivers with big heaps may otherwise never GC the
+            # ShuffleDependency, and disk needs SUM not MAX)
+            spark.sparkContext._jvm.System.gc()
+        except Exception:
+            pass
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
 
 
 def contamination_scores(df: DataFrame, bench_df: DataFrame,

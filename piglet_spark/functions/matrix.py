@@ -106,6 +106,71 @@ def matrix_transpose(m: Column) -> Column:
                  F.transform(pairs, lambda p: p["v"]).alias("data")))
 
 
+def _dense_data(m: Column) -> Column:
+    """Column-major dense array view of either representation —
+    sparse rows expand to rows*cols with absent entries as 0 (typed
+    by the stored data, so int matrices stay int)."""
+    n = (m["rows"] * m["cols"]).cast("int")
+    expand = F.transform(F.sequence(F.lit(0), n - 1),
+                         lambda k: _sparse_get(m, k))
+    return F.when(m["idx"].isNull(), m["data"]).otherwise(expand)
+
+
+def _dense_struct(rows: Column, cols: Column, data: Column) -> Column:
+    return F.struct(rows.cast("int").alias("rows"),
+                    cols.cast("int").alias("cols"),
+                    F.lit(None).cast("array<int>").alias("idx"),
+                    data.alias("data"))
+
+
+def matrix_add(a: Column, b: Column) -> Column:
+    """Element-wise sum (Breeze `+` on the reference's matrix values;
+    the reference only reaches matrix arithmetic through RSCRIPT —
+    exposing it engine-side closes that gap without an R runtime).
+    Dimension mismatch → NULL (Pig null-on-error). Dense result."""
+    data = F.zip_with(_dense_data(a), _dense_data(b),
+                      lambda x, y: x + y)
+    ok = (a["rows"] == b["rows"]) & (a["cols"] == b["cols"])
+    return F.when(ok, _dense_struct(a["rows"], a["cols"], data))
+
+
+def matrix_sub(a: Column, b: Column) -> Column:
+    """Element-wise difference; NULL on dimension mismatch."""
+    data = F.zip_with(_dense_data(a), _dense_data(b),
+                      lambda x, y: x - y)
+    ok = (a["rows"] == b["rows"]) & (a["cols"] == b["cols"])
+    return F.when(ok, _dense_struct(a["rows"], a["cols"], data))
+
+
+def matrix_scale(m: Column, s) -> Column:
+    """Scalar multiple. Sparse stays sparse (zeros stay zero), dense
+    stays dense — same O(nnz) row cost as the storage."""
+    s = s if isinstance(s, Column) else F.lit(s)
+    scaled = F.transform(m["data"], lambda x: x * s)
+    return F.struct(m["rows"].alias("rows"), m["cols"].alias("cols"),
+                    m["idx"].alias("idx"), scaled.alias("data"))
+
+
+def matrix_mul(a: Column, b: Column) -> Column:
+    """Matrix product (r×n · n×c → r×c, col-major dense). Inner-dim
+    mismatch → NULL. Everything is one HOF expression per row —
+    JVM-side, no UDF — sized for the small per-row matrices the
+    matrix type exists for (feature blocks, confusion tallies)."""
+    da, db = _dense_data(a), _dense_data(b)
+    r, n, c = a["rows"], a["cols"], b["cols"]
+    zero = F.element_at(da, 1) * F.element_at(db, 1) * 0
+    out = F.transform(
+        F.sequence(F.lit(0), (r * c - 1).cast("int")),
+        lambda k: F.aggregate(
+            F.sequence(F.lit(0), (n - 1).cast("int")),
+            zero,
+            lambda acc, t: acc
+            + F.element_at(da, (t * r + (k % r) + 1).cast("int"))
+            * F.element_at(db, (F.floor(k / r).cast("int") * n + t
+                                + 1).cast("int"))))
+    return F.when(a["cols"] == b["rows"], _dense_struct(r, c, out))
+
+
 def register(scalars: dict) -> None:
     for prefix, et in (("di", "int"), ("dd", "double"),
                        ("si", "int"), ("sd", "double")):
@@ -114,3 +179,7 @@ def register(scalars: dict) -> None:
             lambda r, c, *v, _et=et, _sp=sparse: matrix_cons(_et, _sp, r, c, *v))
     scalars["matrix_get"] = matrix_get
     scalars["matrix_transpose"] = matrix_transpose
+    scalars["matrix_add"] = matrix_add
+    scalars["matrix_sub"] = matrix_sub
+    scalars["matrix_scale"] = matrix_scale
+    scalars["matrix_mul"] = matrix_mul

@@ -386,3 +386,58 @@ B = FOREACH A GENERATE dimatrix(1, 1, x) AS m;
 C = FOREACH B GENERATE matrix_get(m, 0, 0) AS v;
 """)
     assert env["C"].first()["v"] == 7
+
+
+def test_matrix_algebra_numpy_parity(spark, tmp_path):
+    """r09: matrix_add/sub/scale/mul vs numpy on a dense×sparse mix —
+    Breeze arithmetic the reference only reaches via RSCRIPT, exposed
+    engine-side as pure HOF expressions (no UDF, no R runtime)."""
+    import numpy as np
+    p = tmp_path / "ma.csv"
+    p.write_text("1.0,2.0,3.0,4.0,5.0,6.0\n")
+    eng = pg.PigEngine(spark)
+    eng.run(f"""
+A = LOAD '{p}' USING PigStorage(',') AS (a: double, b: double, c: double, d: double, e: double, f: double);
+B = FOREACH A GENERATE ddmatrix(2, 3, a, b, c, d, e, f) AS m,
+    sdmatrix(2, 3, a, 0.0, c, 0.0, e, f) AS s,
+    ddmatrix(3, 2, a, b, c, d, e, f) AS n;
+C = FOREACH B GENERATE matrix_add(m, s) AS madd, matrix_sub(m, s) AS msub,
+    matrix_scale(m, 2.5) AS msc, matrix_mul(m, n) AS mprod,
+    matrix_mul(s, n) AS sprod, matrix_add(m, n) AS bad;
+""")
+    r = eng.df("C").collect()[0]
+    M = np.array([1, 2, 3, 4, 5, 6], dtype=float).reshape((3, 2)).T
+    S = np.array([1, 0, 3, 0, 5, 6], dtype=float).reshape((3, 2)).T
+    N = np.array([1, 2, 3, 4, 5, 6], dtype=float).reshape((2, 3)).T
+
+    def as_np(mr):
+        return np.array(mr["data"]).reshape((mr["cols"], mr["rows"])).T
+
+    assert np.allclose(as_np(r["madd"]), M + S)
+    assert np.allclose(as_np(r["msub"]), M - S)
+    assert np.allclose(as_np(r["msc"]), M * 2.5)
+    assert r["mprod"]["rows"] == 2 and r["mprod"]["cols"] == 2
+    assert np.allclose(as_np(r["mprod"]), M @ N)
+    assert np.allclose(as_np(r["sprod"]), S @ N)
+    # dimension mismatch is Pig null-on-error, not an exception
+    assert r["bad"] is None
+
+
+def test_matrix_algebra_int_and_sparse_scale(spark, tmp_path):
+    """Int matrices keep int arithmetic; scaling a sparse matrix
+    keeps the sparse representation (O(nnz), zeros never stored)."""
+    p = tmp_path / "mi.csv"
+    p.write_text("1,2,3,4\n")
+    eng = pg.PigEngine(spark)
+    eng.run(f"""
+A = LOAD '{p}' USING PigStorage(',') AS (a: int, b: int, c: int, d: int);
+B = FOREACH A GENERATE dimatrix(2, 2, a, b, c, d) AS m,
+    simatrix(2, 2, a, 0, 0, d) AS s;
+C = FOREACH B GENERATE matrix_mul(m, m) AS sq, matrix_scale(s, 3) AS s3;
+D = FOREACH C GENERATE matrix_get(sq, 0, 0) AS p00, matrix_get(sq, 1, 1) AS p11,
+    matrix_get(s3, 0, 0) AS t00, matrix_get(s3, 1, 0) AS t10;
+""")
+    # col-major [1,2,3,4] = [[1,3],[2,4]]; square = [[7,15],[10,22]]
+    assert rows(eng.df("D")) == [(7, 22, 3, 0)]
+    r = eng.df("C").collect()[0]
+    assert r["s3"]["idx"] is not None and len(r["s3"]["data"]) == 2
