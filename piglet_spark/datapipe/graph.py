@@ -30,7 +30,8 @@ from pyspark.sql import functions as F
 
 
 def pagerank(edges: DataFrame, iters: int = 3, damping: float = 0.85,
-             src_col: str = "src", dst_col: str = "dst") -> DataFrame:
+             src_col: str = "src", dst_col: str = "dst",
+             persist_edges: "bool | None" = None) -> DataFrame:
     """Fixed-``iters`` PageRank on a directed edge list (duplicate
     edges act as weight — the natural semantics when edges come from
     an interaction log). Returns ``(node, pagerank)`` for every node
@@ -77,7 +78,7 @@ def pagerank(edges: DataFrame, iters: int = 3, damping: float = 0.85,
         return nodes.withColumn("pagerank", F.lit(0.0))
     outdeg = e.groupBy("_s").agg(F.count(F.lit(1)).alias("_deg"))
     persisted = []
-    if iters > 2:
+    if persist_edges if persist_edges is not None else iters > 2:
         e, outdeg = e.persist(), outdeg.persist()
         persisted = [e, outdeg]
     # contribution fraction per edge: pr(u)/outdeg(u) sums over
