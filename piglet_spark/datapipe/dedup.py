@@ -552,24 +552,29 @@ def ngram_jaccard_pairs(df: DataFrame, text_col: str = "text",
     the inverted index, clamped to [16, 256].
 
     ``n_slices`` (r09): bound the cooccur plan's PEAK state by
-    iterating the inverted index in disjoint shingle-hash slices
-    (``pmod(_s, S) == i``). Each slice's self-join + partial pair
-    count runs as its OWN eagerly-materialized job, so the box
-    needs disk/heap for ONE slice's co-occurrence state, not all
-    of it at once; partial counts then sum per pair — the same
-    exact output for every S (each (doc, doc, shingle) triple lands
-    in exactly one slice). ``'auto'`` = 1 below 1M docs (the plan
-    is single-pass, identical to r08, wherever the corpus is known
-    small or unknown) else ``clamp(ceil(n_docs/2M), 2, 8)``. The
-    corpus size comes from ``n_docs`` or the ``max_df='scale'``
-    count; with neither, auto stays 1. Known-big corpora also get
-    scale-aware shuffle WIDTH: the pair stream aggregates and
-    hot-set joins repartition to ``clamp(n_docs/10k, parallelism,
-    2048)`` reducers instead of ``spark.sql.shuffle.partitions``
-    (the r08c sf100 heap death was 5M docs' pair state forced
-    through 32 reducers), and the narrow per-doc size table
+    slicing the candidate join on the SMALLER doc id
+    (``pmod(xxhash64(id_a), S) == i``) and running each slice as
+    its own eagerly-materialized job. A pair (a, b), a < b, forms
+    in exactly ONE slice, so every slice's pair counts are FINAL —
+    the size join, hot-set upper-bound prefilter, and threshold all
+    run inside the slice, each slice checkpoint holds only
+    output-sized rows, and a GC nudge between slice jobs releases
+    the finished slice's shuffle files (peak disk ≈ one slice's
+    join, not the sum). Same exact output for every S (the sf100
+    decade measured identical 260,595 rows across two structurally
+    different plans; SCALE.md r09 records why id-slicing beats
+    shingle-hash slicing 1.94×: the latter needs a cross-slice
+    re-aggregation of the full candidate stream). ``'auto'`` = 1
+    below 1M docs (single-pass, identical to r08, whenever the
+    corpus is known small or unknown) else
+    ``clamp(ceil(n_docs/2M), 2, 8)``; corpus size comes from
+    ``n_docs`` or the ``max_df='scale'`` count. Known-big corpora
+    also get scale-aware shuffle WIDTH (the pair aggregation
+    repartitions to ``clamp(n_docs/10k, parallelism, 2048)``
+    reducers — the r08c sf100 heap death was 5M docs' pair state
+    forced through 32 reducers) and the narrow per-doc size table
     broadcasts instead of sort-merge-joining the pair stream
-    (n_docs ≤ 20M — 16 B/doc)."""
+    (n_docs ≤ 20M — ≤20 B/doc)."""
     # _materialize: the shingling regex pass feeds sizes, the
     # inverted index (plus its df/hot aggregates) and the final
     # verify/size joins — up to 5 consumers that would each re-run
