@@ -286,12 +286,18 @@ def main():
     # small enough that a tail capture of any plausible size parses.
     full = json.dumps(out, separators=(",", ":"))
     print(full, flush=True)
-    try:
-        with open(os.path.join(os.path.dirname(os.path.abspath(__file__)),
-                               "BENCH_LOCAL.json"), "w") as fh:
-            fh.write(full + "\n")
-    except OSError:
-        pass  # read-only checkout must not kill the bench
+    # BENCH_LOCAL.json is the canonical sf0.1 board — scale sweeps
+    # (SPARK_GRAFT_SF_DIR=sf1/sf10/sf100, usually with ONLY filters)
+    # must not clobber it; their numbers land in BENCH_SF*.json with
+    # per-query provenance instead
+    if out["sf"] == 0.1 and not only and not skip:
+        try:
+            with open(os.path.join(
+                    os.path.dirname(os.path.abspath(__file__)),
+                    "BENCH_LOCAL.json"), "w") as fh:
+                fh.write(full + "\n")
+        except OSError:
+            pass  # read-only checkout must not kill the bench
     print(json.dumps({
         "metric": out["metric"], "value": out["value"], "unit": "sec",
         "sf": out["sf"], "n_queries": len(timings),
