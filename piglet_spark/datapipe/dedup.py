@@ -674,6 +674,18 @@ def ngram_jaccard_pairs(df: DataFrame, text_col: str = "text",
         return (pairs.groupBy("id_a", "id_b")
                 .agg(F.count(F.lit(1)).alias("_inter")))
 
+    if n_slices > 1 and doc_hot is not None:
+        # checkpoint the global small relations BEFORE anything
+        # derives from them: the side tables and hot joins below are
+        # re-executed inside EVERY slice job (broadcasts re-run per
+        # action), and an un-truncated doc_hot lineage would re-run
+        # the full inverted-index aggregation each time
+        from pyspark import StorageLevel as _SL
+        hot = hot.localCheckpoint(
+            eager=True, storageLevel=_SL.DISK_ONLY)
+        doc_hot = doc_hot.localCheckpoint(
+            eager=True, storageLevel=_SL.DISK_ONLY)
+        inv = inv_raw.join(F.broadcast(hot), on="_s", how="left_anti")
     # per-doc side table: sizes (+ hot-set SIZE, not the set) —
     # narrow (≤20 B/doc), broadcast on big corpora so the pair
     # stream never sort-merge-shuffles for it
@@ -747,14 +759,6 @@ def ngram_jaccard_pairs(df: DataFrame, text_col: str = "text",
     # peak disk ≈ one slice, not the sum).
     from pyspark import StorageLevel
     spark = df.sparkSession
-    if doc_hot is not None:
-        # checkpoint the global small relations once, or every slice
-        # job re-runs the full df-histogram aggregate behind them
-        hot = hot.localCheckpoint(
-            eager=True, storageLevel=StorageLevel.DISK_ONLY)
-        doc_hot = doc_hot.localCheckpoint(
-            eager=True, storageLevel=StorageLevel.DISK_ONLY)
-        inv = inv_raw.join(F.broadcast(hot), on="_s", how="left_anti")
     parts = []
     for i in range(n_slices):
         inv_a = inv.filter(
