@@ -158,7 +158,11 @@ def matrix_mul(a: Column, b: Column) -> Column:
     matrix type exists for (feature blocks, confusion tallies)."""
     da, db = _dense_data(a), _dense_data(b)
     r, n, c = a["rows"], a["cols"], b["cols"]
-    zero = F.element_at(da, 1) * F.element_at(db, 1) * 0
+    # type-seeded accumulator zero; coalesce so an all-zero SPARSE
+    # input (empty data array → NULL element) still sums to 0, not
+    # NULL (int 0 promotes under double operands, so types hold)
+    zero = (F.coalesce(F.element_at(da, 1), F.lit(0))
+            * F.coalesce(F.element_at(db, 1), F.lit(0)) * 0)
     out = F.transform(
         F.sequence(F.lit(0), (r * c - 1).cast("int")),
         lambda k: F.aggregate(

@@ -441,3 +441,19 @@ D = FOREACH C GENERATE matrix_get(sq, 0, 0) AS p00, matrix_get(sq, 1, 1) AS p11,
     assert rows(eng.df("D")) == [(7, 22, 3, 0)]
     r = eng.df("C").collect()[0]
     assert r["s3"]["idx"] is not None and len(r["s3"]["data"]) == 2
+
+
+def test_matrix_mul_all_zero_sparse(spark, tmp_path):
+    """An all-zero sparse operand (empty data array) multiplies to
+    zeros, not NULLs."""
+    p = tmp_path / "mz.csv"
+    p.write_text("1.0,2.0,3.0,4.0\n")
+    eng = pg.PigEngine(spark)
+    eng.run(f"""
+A = LOAD '{p}' USING PigStorage(',') AS (a: double, b: double, c: double, d: double);
+B = FOREACH A GENERATE ddmatrix(2, 2, a, b, c, d) AS m,
+    sdmatrix(2, 2, 0.0, 0.0, 0.0, 0.0) AS z;
+C = FOREACH B GENERATE matrix_mul(m, z) AS mz;
+D = FOREACH C GENERATE matrix_get(mz, 0, 0) AS e00, matrix_get(mz, 1, 1) AS e11;
+""")
+    assert rows(eng.df("D")) == [(0.0, 0.0)]
