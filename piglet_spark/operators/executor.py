@@ -2091,6 +2091,25 @@ class Executor:
                     df = df.filter(F.col(col) == term.value)
             self.env[op.out] = df
             return
+        # no variable shared between patterns → the reference's F9
+        # rule (RDFRuleset.scala:585-604) splits the BGP into CHAINED
+        # single-pattern filters: triples matching every pattern's
+        # constants, triple schema kept — not a binding cross join
+        seen_vars: dict[str, int] = {}
+        for pat in op.patterns:
+            for term in (pat.subj, pat.pred, pat.obj):
+                if isinstance(term, A.NamedField) and \
+                        term.name.startswith("?"):
+                    seen_vars[term.name] = seen_vars.get(term.name, 0) + 1
+        if all(n == 1 for n in seen_vars.values()):
+            df = triples
+            for pat in op.patterns:
+                for col, term in ((s, pat.subj), (p, pat.pred),
+                                  (o, pat.obj)):
+                    if isinstance(term, A.Literal):
+                        df = df.filter(F.col(col) == term.value)
+            self.env[op.out] = df
+            return
         parts = []
         variables: set[str] = set()
         for i, pat in enumerate(op.patterns):

@@ -1072,3 +1072,18 @@ T = RDFLOAD('{data_dir}/triples.nt') GROUPED ON object;
 B = BGP_FILTER T BY {{ <a> <knows> ?o }};
 """, "B")
     assert {r["object"] for r in df.collect()} == {"<b>"}
+
+
+def test_bgp_filter_no_shared_vars_chains_filters(spark, data_dir):
+    """Multi-pattern BGP with NO shared variables follows the
+    reference's F9 rewrite (RDFRuleset.scala:585-604): the patterns
+    chain into sequential single-pattern filters over the SAME
+    triple relation — triple schema kept, constants AND-ed — not a
+    binding cross join."""
+    df = run(spark, f"""
+T = LOAD '{data_dir}/triples.nt' USING RDFFileStorage();
+B = BGP_FILTER T BY {{ ?a <knows> ?b . ?c <knows> <c> }};
+""", "B")
+    assert df.columns[:3] == ["subject", "predicate", "object"]
+    # chained: predicate == <knows> AND object == <c>
+    assert rows(df) == [("<b>", "<knows>", "<c>")]
