@@ -140,3 +140,35 @@ def test_retrieval_quality_end_to_end(spark, sf_dir):
     assert list(fu) and fu[1] >= fu[2] >= fu[3] >= 0
     users = env["EV"].select("user_id").distinct().count()
     assert env["CUR"].count() == users
+
+
+def test_knowledge_graph_end_to_end(spark, sf_dir):
+    """RDF example: plain BGP, TUPLIFY'd grouped layout, grouped star
+    join and bound-group-key patterns — results pinned against
+    DataFrame-computed truth on the same events table."""
+    script = (EXAMPLES / "knowledge_graph.pig").read_text()
+    eng = pg.PigEngine(spark, params={"sf": str(sf_dir)})
+    env = eng.run(script)
+
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    # plain path: one row per purchase edge, triple schema kept
+    assert env["PUR"].columns == ["subject", "predicate", "object"]
+    assert env["PUR"].count() == ev.filter("event_type = 'purchase'").count()
+    # grouped star join: users with BOTH a click and a purchase
+    want = {f"u{r['user_id']}" for r in
+            (ev.filter("event_type = 'click'").select("user_id")
+             .intersect(ev.filter("event_type = 'purchase'")
+                        .select("user_id")).collect())}
+    got = {r["subject"] for r in env["BUYERS"].collect()}
+    assert env["BUYERS"].columns == ["subject", "stmts"]
+    assert got == want and len(got) > 0
+    # bound group key: u1's bag survives iff u1 ever clicked
+    u1_clicked = ev.filter("user_id = 1 and event_type = 'click'").count() > 0
+    assert (env["U1"].count() == 1) == u1_clicked
+    # report: edge counts equal the user's full event count
+    n1 = {r["user"]: r["n_edges"] for r in eng.df("N").collect()}
+    per_user = {f"u{r['user_id']}": r["n"] for r in
+                ev.groupBy("user_id").agg(F.count(F.lit(1)).alias("n"))
+                .collect()}
+    for u, n in n1.items():
+        assert per_user[u] == n
