@@ -209,3 +209,25 @@ G = GROUP O BY l_returnflag;
     assert "TakeOrderedAndProject" in plan2 or "Sort" in plan2
     prices = [r["l_extendedprice"] for r in eng2.df("L").collect()]
     assert prices == sorted(prices, reverse=True)
+
+
+def test_ngram_big_plan_broadcasts_and_slices(spark, sf_dir):
+    """The r09 known-big ngram plan (forced via the n_docs hint):
+    the per-doc size table reaches the pair stream as a BROADCAST
+    hash join (never a sort-merge of the candidate stream), and the
+    id-slice predicate (pmod(xxhash64(id))) is present in the sliced
+    plan. Values are invariance-pinned elsewhere
+    (test_ngram_jaccard_slices_and_big_plan_invariant)."""
+    from piglet_spark.datapipe import dedup
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    out = dedup.ngram_jaccard_pairs(docs, threshold=0.2,
+                                    n_docs=2_000_000, n_slices=1)
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "BroadcastHashJoin" in plan, plan
+    sliced = dedup.ngram_jaccard_pairs(docs, threshold=0.2,
+                                       n_docs=2_000_000, n_slices=2)
+    # sliced plan: union of per-slice checkpoints — the heavy lifting
+    # already ran eagerly; the final plan is a cheap union scan
+    splan = sliced._jdf.queryExecution().executedPlan().toString()
+    assert "Union" in splan, splan
+    assert sliced.count() == out.count()
