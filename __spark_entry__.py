@@ -2062,6 +2062,30 @@ TUPLIFY_SQL = """
 SELECT user_id::VARCHAR AS s, COUNT(*) AS n_stmts FROM events GROUP BY 1
 """
 
+# grouped-schema BGP (r09, ref RDFRuleset.scala F4-F8/J2): star join
+# over the TUPLIFY'd (subject, stmts) layout — a group survives iff
+# its statement bag holds a match for EVERY pattern arm (here: users
+# with both a click and a purchase); no re-explode in the plan. The
+# bag itself isn't emitted (nested-struct hashing is undefined across
+# engines) — the projection (user, n_edges) is the oracle surface.
+BGP_GROUPED_Q = """
+E = LOAD '$sf/events.parquet' USING ParquetStorage();
+T = FOREACH E GENERATE CONCAT('u', (chararray)user_id) AS subject,
+    event_type AS predicate, CONCAT('e', (chararray)event_id) AS object;
+G = TUPLIFY T ON subject;
+B = BGP_FILTER G BY { ?u 'click' ?a . ?u 'purchase' ?b };
+N = FOREACH B GENERATE subject AS user, COUNT(stmts) AS n_edges;
+"""
+
+BGP_GROUPED_SQL = """
+SELECT concat('u', user_id::VARCHAR) AS user,
+       COUNT(*)::BIGINT AS n_edges
+FROM events
+WHERE user_id IN (SELECT user_id FROM events WHERE event_type = 'click')
+  AND user_id IN (SELECT user_id FROM events WHERE event_type = 'purchase')
+GROUP BY user_id
+"""
+
 
 def q_multimodal(spark, sf_dir):
     """Binary-column plumbing: synthetic payloads → mapInPandas feature
@@ -3004,6 +3028,7 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "cep_seq_match": _pig(CEP_SEQ, "P"),
         "spatial_filter_pip": _pig(SPATIAL_Q, "R"),
         "bgp_filter_join": _pig(BGP_Q, "B"),
+        "bgp_grouped_star": _pig(BGP_GROUPED_Q, "N"),
         "tuplify_group": _pig(TUPLIFY_Q, "C"),
         "cross_op": _pig(CROSS_Q, "P"),
         "cogroup_op": _pig(COGROUP_Q, "A"),
@@ -3209,6 +3234,7 @@ def oracle_sql(sf_dir: str | None = None) -> dict[str, str]:
         "cep_seq_match": CEP_SEQ_SQL,
         "spatial_filter_pip": SPATIAL_SQL,
         "bgp_filter_join": BGP_SQL,
+        "bgp_grouped_star": BGP_GROUPED_SQL,
         "tuplify_group": TUPLIFY_SQL,
         "cross_op": CROSS_SQL,
         "cogroup_op": COGROUP_SQL,

@@ -125,6 +125,7 @@ HEADLINE = [
     "trending_keys",
     "events_props_json",
     "token_entropy",
+    "bgp_grouped_star",
 ]
 
 
