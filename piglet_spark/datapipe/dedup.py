@@ -724,7 +724,12 @@ def ngram_jaccard_pairs(df: DataFrame, text_col: str = "text",
             ub = ((inter + bonus)
                   / (F.col("_na") + F.col("_nb") - inter - bonus)
                   .cast("double"))
-            out = out.filter(ub >= threshold)
+            # the final filter keeps round(jaccard, 6) >= threshold,
+            # so a pair sitting within 5e-7 BELOW threshold still
+            # rounds up into the output — the prefilter must be a
+            # true superset of the rounded filter, hence the 1e-6
+            # slack (r10 ADVICE: float-boundary hole)
+            out = out.filter(ub >= threshold - 1e-6)
             ha = doc_hot.withColumnRenamed("_id", "id_a") \
                         .withColumnRenamed("_hs", "_ha")
             hb = doc_hot.withColumnRenamed("_id", "id_b") \

@@ -2083,12 +2083,23 @@ class Executor:
         s, p, o = triples.columns[:3]
         if len(op.patterns) == 1:
             # single pattern = plain filter; schema stays the triple
-            # (ref truth/bgpfilter.data keeps (s, p, o))
+            # (ref truth/bgpfilter.data keeps (s, p, o)). A variable
+            # repeated WITHIN the pattern ({ ?s <likes> ?s }) is a
+            # same-triple equality constraint (SPARQL join-on-self
+            # semantics) — column-equality filter (r10 ADVICE)
             pat = op.patterns[0]
             df = triples
+            var_cols: dict[str, str] = {}
             for col, term in ((s, pat.subj), (p, pat.pred), (o, pat.obj)):
                 if isinstance(term, A.Literal):
                     df = df.filter(F.col(col) == term.value)
+                elif isinstance(term, A.NamedField) and \
+                        term.name.startswith("?"):
+                    if term.name in var_cols:
+                        df = df.filter(
+                            F.col(col) == F.col(var_cols[term.name]))
+                    else:
+                        var_cols[term.name] = col
             self.env[op.out] = df
             return
         # no variable shared between patterns → the reference's F9
@@ -2115,13 +2126,22 @@ class Executor:
         for i, pat in enumerate(op.patterns):
             df = triples
             sel = []
+            bound: dict[str, str] = {}
             for col, term in ((s, pat.subj), (p, pat.pred), (o, pat.obj)):
                 if isinstance(term, A.Literal):
                     df = df.filter(F.col(col) == term.value)
                 elif isinstance(term, A.NamedField) and term.name.startswith("?"):
                     v = term.name[1:]
-                    sel.append(F.col(col).alias(v))
-                    variables.add(v)
+                    if v in bound:
+                        # repeated variable within ONE pattern =
+                        # same-triple equality, not a second output
+                        # column (a duplicate alias would poison the
+                        # downstream join — r10 ADVICE)
+                        df = df.filter(F.col(col) == F.col(bound[v]))
+                    else:
+                        bound[v] = col
+                        sel.append(F.col(col).alias(v))
+                        variables.add(v)
             parts.append(df.select(*sel) if sel else df.select(F.lit(1).alias(f"_m{i}")))
         out = parts[0]
         for nxt in parts[1:]:
@@ -2201,7 +2221,9 @@ class Executor:
         for pat in op.patterns:
             t = pat_terms(pat)
             g = t[gcol]
+            in_pat: dict[str, int] = {}
             if isinstance(g, A.NamedField) and g.name.startswith("?"):
+                in_pat[g.name] = 1
                 if star_var is None:
                     star_var = g.name
                 elif g.name != star_var:
@@ -2213,6 +2235,21 @@ class Executor:
                 if isinstance(term, A.NamedField) and \
                         term.name.startswith("?"):
                     var_seen[term.name] = var_seen.get(term.name, 0) + 1
+                    in_pat[term.name] = in_pat.get(term.name, 0) + 1
+            if any(n > 1 for n in in_pat.values()):
+                # intra-pattern equality ({ ?s <likes> ?s } or
+                # { ?g ?v ?v }): the grouped F/J rules carry no
+                # same-triple equality constraint, so specializing
+                # would silently drop it and return a superset (r10
+                # ADVICE fix) — take the explode fallback, which
+                # behaves exactly like the plain path
+                specializable = False
+        if star_var is not None and star_var in var_seen:
+            # the star variable also occurs in a NON-grouping
+            # position of some pattern: the bag constraint
+            # "other-position == group key" has no group-level rule
+            # either — explode fallback (r10 ADVICE fix)
+            specializable = False
         if len(op.patterns) > 1:
             if any(n > 1 for n in var_seen.values()):
                 specializable = False  # path join — explode fallback

@@ -1063,6 +1063,48 @@ B = BGP_FILTER T BY {{ ?s <knows> ?o . ?o <age> ?a }};
     assert rows(grouped) == rows(plain) == [('"25"', "<b>", "<a>")]
 
 
+def test_bgp_filter_self_reference_equality(spark, tmp_path):
+    """A variable repeated WITHIN one pattern ({ ?s <likes> ?s }) is
+    a same-triple equality constraint (SPARQL semantics). r10 ADVICE
+    fix: the grouped star specialization used to treat the shape as
+    specializable and silently DROP the object==group-key constraint
+    (returning a superset); the plain multi-pattern path built a
+    duplicate-alias projection that blew up at the join. Both paths
+    now agree on the exact SPARQL answer."""
+    nt = tmp_path / "self.nt"
+    nt.write_text(
+        "<a> <knows> <b> .\n<b> <knows> <c> .\n"
+        "<b> <likes> <b> .\n<a> <likes> <c> .\n")
+    # single pattern, plain input: triple schema, equality filtered
+    df = run(spark, f"""
+T = LOAD '{nt}' USING RDFFileStorage();
+B = BGP_FILTER T BY {{ ?s <likes> ?s }};
+""", "B")
+    assert rows(df) == [("<b>", "<likes>", "<b>")]
+    # single pattern, grouped input: explode fallback, same answer
+    dfg = run(spark, f"""
+T = RDFLOAD('{nt}') GROUPED ON subject;
+B = BGP_FILTER T BY {{ ?s <likes> ?s }};
+""", "B")
+    assert rows(dfg) == [("<b>", "<likes>", "<b>")]
+    # star + self-loop arm, plain: join on s, only <b> self-likes
+    df2 = run(spark, f"""
+T = LOAD '{nt}' USING RDFFileStorage();
+B = BGP_FILTER T BY {{ ?s <knows> ?o . ?s <likes> ?s }};
+""", "B")
+    assert df2.columns == ["o", "s"]
+    assert rows(df2) == [("<c>", "<b>")]
+    # star + self-loop arm, grouped: NOT specializable (the advisor's
+    # exact shape) — explode fallback must match the plain answer,
+    # not the old superset {<a>, <b>}
+    df2g = run(spark, f"""
+T = RDFLOAD('{nt}') GROUPED ON subject;
+B = BGP_FILTER T BY {{ ?s <knows> ?o . ?s <likes> ?s }};
+""", "B")
+    assert df2g.columns == ["o", "s"]
+    assert rows(df2g) == [("<c>", "<b>")]
+
+
 def test_bgp_filter_grouped_on_object(spark, data_dir):
     """Grouping column other than subject: constants in subject/
     predicate positions go through the bag EXISTS against the right
