@@ -3074,6 +3074,9 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "stratified_sample": q_stratified_sample,
         "mmr_rerank": q_mmr_rerank,
         "mmr_rerank_blas": q_mmr_rerank_blas,
+        # r10: MMR composed with the persisted IVF index (boarded
+        # straight into the gate, the bgp_grouped_star precedent)
+        "mmr_rerank_ivf": q_mmr_rerank_ivf,
         "pagerank_graph": q_pagerank,
         "trending_keys": q_trending_keys,
         # semi-structured JSON extraction through the Pig expression
@@ -3086,8 +3089,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "multimodal_features": q_multimodal,
         "zip_index_stats": _pig(ZIP_INDEX, "A"),
         "rank_parts": _pig(RANK_Q, "O"),
-        "cube_rollup_grouping": _pig(CUBE_ROLLUP_Q, "A"),
         # ---------------- past the 50-entry gate cap ----------------
+        "cube_rollup_grouping": _pig(CUBE_ROLLUP_Q, "A"),
         "sample_op": _pig(SAMPLE_Q, "P"),
         # relational core (Pig scripts through the engine) — every
         # entry below was green in CORRECTNESS_r09.json
@@ -3324,6 +3327,7 @@ def oracle_sql(sf_dir: str | None = None) -> dict[str, str]:
         "stratified_sample": STRATIFIED_SAMPLE_SQL,
         "mmr_rerank": _mmr_sql(),
         "mmr_rerank_blas": _mmr_sql(),
+        "mmr_rerank_ivf": _mmr_ivf_sql(),
         "pagerank_graph": _pagerank_sql(),
         "trending_keys": TRENDING_SQL,
         "events_props_json": EVENTS_JSON_SQL,
@@ -3626,9 +3630,6 @@ def _mmr_sql(k: int = 5, pool: int = 20, lam: float = 0.7,
     row), and picks the per-query argmax on that integer (ties →
     ascending id)."""
     lam_mill = int(round(float(lam) * 1000))
-    cos_pair = ("list_dot_product(a.v, b.v)"
-                " / (sqrt(list_dot_product(a.v, a.v))"
-                " * sqrt(list_dot_product(b.v, b.v)))")
     parts = [f"""
 WITH q AS (
   SELECT vec_id AS qid, embedding::DOUBLE[] AS qv
@@ -3641,7 +3642,21 @@ WITH q AS (
     SELECT *, ROW_NUMBER() OVER (PARTITION BY qid
         ORDER BY cos DESC, nbr_id ASC) AS rn
     FROM scored) WHERE rn <= {pool}
-), cv AS (
+)"""]
+    parts.append(_mmr_greedy_layers(k, lam_mill))
+    return "".join(parts)
+
+
+def _mmr_greedy_layers(k: int, lam_mill: int) -> str:
+    """The greedy-MMR CTE layers shared by every mmr oracle (exact/
+    blas/ivf-index candidates): pairwise pool similarities, sel1 =
+    pure-relevance argmax, then k−1 penalty/argmax layers in exact
+    integer nano-units. Expects an upstream ``cand(qid, nbr_id,
+    cos)`` CTE."""
+    cos_pair = ("list_dot_product(a.v, b.v)"
+                " / (sqrt(list_dot_product(a.v, a.v))"
+                " * sqrt(list_dot_product(b.v, b.v)))")
+    parts = [f""", cv AS (
   SELECT c.qid, c.nbr_id, e.embedding::DOUBLE[] AS v
   FROM cand c JOIN embeddings e ON e.vec_id = c.nbr_id
 ), sims AS (
@@ -3680,6 +3695,119 @@ WITH q AS (
 SELECT qid, nbr_id, CAST(mmr_rank AS INT) AS mmr_rank, mmr_score
 FROM sel{int(k)}
 """)
+    return "".join(parts)
+
+
+def _ivf_index_path(spark, sf_dir: str) -> str:
+    """Build-once/query-many: the persisted IVF index over THIS sf's
+    embeddings table (similarity.ivf_write_index, default training
+    parameters), cached under /tmp keyed by the source path and
+    rebuilt when the source parquet is newer — the same fixture
+    discipline as the zlib oracle. Returns the index directory."""
+    import hashlib as _hl
+    import os as _os
+    src = _os.path.join(sf_dir, "embeddings.parquet")
+    idx = ("/tmp/piglet_ivf_index_"
+           + _hl.md5(_os.path.abspath(src).encode()).hexdigest()[:12])
+    sidecar = _os.path.join(idx, "_ivf_centroids.json")
+    if not _os.path.exists(sidecar) or \
+            _os.path.getmtime(sidecar) < _os.path.getmtime(src):
+        emb = spark.read.parquet(src)
+        dp_sim.ivf_write_index(emb, idx)
+    return idx
+
+
+def q_mmr_rerank_ivf(spark, sf_dir):
+    """r10: MMR served from the PERSISTED IVF index
+    (retrieval.mmr_rerank(index_path=...) over
+    similarity.knn_join_ivf_index): the candidate pool comes from a
+    partition-pruned read of each query's n_probe=4 nearest cells —
+    ~n_probe/n_cells of the corpus bytes instead of the blas full
+    scan — and the kernel rides each neighbor's vector out, so the
+    pairwise-similarity stage needs no second corpus scan. The
+    greedy loop and integer nano-unit scoring are identical to
+    q_mmr_rerank; candidates are IVF-approximate, so the oracle
+    (_mmr_ivf_sql) reproduces the trained quantizer + probing in
+    SQL rather than sharing the exact-kNN oracle."""
+    from piglet_spark.datapipe import retrieval as dp_ret
+    emb = _emb(spark, sf_dir)
+    idx = _ivf_index_path(spark, sf_dir)
+    return dp_ret.mmr_rerank(None,
+                             emb.filter(F.col("vec_id") % 100 == 0),
+                             k=5, pool=20, lam=0.7, index_path=idx,
+                             n_probe=4)
+
+
+def _mmr_ivf_sql(k: int = 5, pool: int = 20, lam: float = 0.7,
+                 qmod: int = 100, n_cells: int = 16,
+                 n_probe: int = 4, dim: int = 64,
+                 train_sample: int = 256) -> str:
+    """Generated oracle for q_mmr_rerank_ivf: the IVF candidate
+    stage (md5-spread seeds → one Lloyd refinement → full-corpus
+    assignment → per-query top-n_probe cells → exact cosine
+    top-pool within probed cells, self excluded — the _ivf_sql
+    pipeline generalized to a query panel) feeding the SAME greedy
+    MMR layers as _mmr_sql."""
+    lam_mill = int(round(float(lam) * 1000))
+
+    def cos_vc(v: str, c: str) -> str:
+        return (f"list_dot_product({v}, {c})"
+                f" / (sqrt(list_dot_product({v}, {v}))"
+                f" * sqrt(list_dot_product({c}, {c})))")
+
+    mean_list = ", ".join(f"AVG(v[{i + 1}])" for i in range(dim))
+    cos_aq = cos_vc("a.v", "q.qv")
+    parts = [f"""
+WITH q AS (
+  SELECT vec_id AS qid, embedding::DOUBLE[] AS qv
+  FROM embeddings WHERE vec_id % {qmod} = 0
+), seeds AS (
+  SELECT vec_id AS cid, embedding::DOUBLE[] AS cv
+  FROM embeddings ORDER BY md5(vec_id::VARCHAR) ASC, vec_id ASC
+  LIMIT {n_cells}
+), sample AS (
+  SELECT vec_id, embedding::DOUBLE[] AS sv
+  FROM embeddings ORDER BY md5(vec_id::VARCHAR) ASC, vec_id ASC
+  LIMIT {train_sample}
+), a0 AS (
+  SELECT vec_id, v, cid FROM (
+    SELECT s.vec_id, s.sv AS v, c.cid,
+           ROW_NUMBER() OVER (PARTITION BY s.vec_id
+               ORDER BY {cos_vc("s.sv", "c.cv")} DESC,
+                        c.cid ASC) AS rk
+    FROM sample s CROSS JOIN seeds c)
+  WHERE rk = 1
+), cents AS (
+  SELECT cid, [{mean_list}]::DOUBLE[] AS cv FROM a0 GROUP BY cid
+), assigned AS (
+  SELECT vec_id, v, cid FROM (
+    SELECT e.vec_id, e.embedding::DOUBLE[] AS v, c.cid,
+           ROW_NUMBER() OVER (PARTITION BY e.vec_id
+               ORDER BY {cos_vc("e.embedding::DOUBLE[]", "c.cv")} DESC,
+                        c.cid ASC) AS rk
+    FROM embeddings e CROSS JOIN cents c)
+  WHERE rk = 1
+), probe AS (
+  SELECT qid, cid FROM (
+    SELECT q.qid, c.cid,
+           ROW_NUMBER() OVER (PARTITION BY q.qid
+               ORDER BY {cos_vc("c.cv", "q.qv")} DESC,
+                        c.cid ASC) AS rk
+    FROM cents c CROSS JOIN q)
+  WHERE rk <= {n_probe}
+), scored AS (
+  SELECT q.qid, a.vec_id AS nbr_id, ROUND({cos_aq}, 6) AS cos
+  FROM assigned a
+  JOIN probe p ON a.cid = p.cid
+  JOIN q ON q.qid = p.qid
+  WHERE a.vec_id <> q.qid
+), cand AS (
+  SELECT qid, nbr_id, cos FROM (
+    SELECT *, ROW_NUMBER() OVER (PARTITION BY qid
+        ORDER BY cos DESC, nbr_id ASC) AS rn
+    FROM scored) WHERE rn <= {pool}
+)"""]
+    parts.append(_mmr_greedy_layers(k, lam_mill))
     return "".join(parts)
 
 

@@ -121,6 +121,9 @@ HEADLINE = [
     "stratified_sample",
     "mmr_rerank",
     "mmr_rerank_blas",
+    # r10: MMR served from the persisted IVF index (partition-pruned
+    # candidate read instead of the blas full scan)
+    "mmr_rerank_ivf",
     "pagerank_graph",
     "trending_keys",
     "events_props_json",

@@ -124,14 +124,17 @@ def hybrid_search(docs: DataFrame, embeddings: DataFrame,
                       id_col=doc_id_col)
 
 
-def mmr_rerank(corpus: DataFrame, queries: DataFrame, k: int = 5,
+def mmr_rerank(corpus: DataFrame | None, queries: DataFrame,
+               k: int = 5,
                pool: int = 20, lam: float = 0.7,
                vec_col: str = "embedding", id_col: str = "vec_id",
                q_vec_col: str | None = None,
                q_id_col: str | None = None,
                exclude_self: bool = True,
                dim: int | None = None,
-               method: str = "exact") -> DataFrame:
+               method: str = "exact",
+               index_path: str | None = None,
+               n_probe: int = 4) -> DataFrame:
     """Maximal Marginal Relevance re-ranking (Carbonell & Goldstein,
     SIGIR 1998): per query, greedily select ``k`` of the top-``pool``
     cosine candidates trading relevance against redundancy —
@@ -167,17 +170,40 @@ def mmr_rerank(corpus: DataFrame, queries: DataFrame, k: int = 5,
     if not 0.0 <= lam <= 1.0:
         raise ValueError(f"mmr_rerank: lambda must be in [0,1], "
                          f"got {lam}")
-    dim = dim or _sim.probe_dim(corpus, vec_col)
-    cand = _sim.knn_join(corpus, queries, k=pool, vec_col=vec_col,
-                         id_col=id_col, q_vec_col=q_vec_col,
-                         q_id_col=q_id_col, exclude_self=exclude_self,
-                         dim=dim, method=method)
-    vecs = corpus.select(
-        F.col(id_col).alias("nbr_id"),
-        F.transform(F.col(vec_col), lambda x: x.cast("double"))
-        .alias("_v")).withColumn("_n", _sim.norm_expr("_v", dim))
-    cv = cand.join(vecs, on="nbr_id").select("qid", "nbr_id", "cos",
-                                             "_v", "_n")
+    if index_path is not None:
+        # r10: query-many composition — candidates come from the
+        # PERSISTED IVF index (partition-pruned read, ~n_probe/
+        # n_cells of the corpus bytes instead of the full blas
+        # scan), and the kernel emits each neighbor's vector
+        # alongside, so the pool's pairwise-similarity stage needs
+        # NO second corpus scan and no unprunable id join. Same
+        # greedy loop below, byte-identical given the same pool.
+        dim = dim or int(_sim._ivf_load_meta(index_path,
+                                             verify=False)["dim"])
+        cand_v = _sim.knn_join_ivf_index(
+            queries.sparkSession, index_path, queries, k=pool,
+            n_probe=n_probe, q_vec_col=q_vec_col or vec_col,
+            q_id_col=q_id_col or id_col, exclude_self=exclude_self,
+            return_vecs=True)
+        cand = cand_v.select("qid", "nbr_id", "cos")
+        cv = (cand_v.withColumn("_n", _sim.norm_expr("_v", dim))
+              .select("qid", "nbr_id", "cos", "_v", "_n"))
+    else:
+        if corpus is None:
+            raise ValueError("mmr_rerank: corpus is required unless "
+                             "index_path is given")
+        dim = dim or _sim.probe_dim(corpus, vec_col)
+        cand = _sim.knn_join(corpus, queries, k=pool, vec_col=vec_col,
+                             id_col=id_col, q_vec_col=q_vec_col,
+                             q_id_col=q_id_col,
+                             exclude_self=exclude_self,
+                             dim=dim, method=method)
+        vecs = corpus.select(
+            F.col(id_col).alias("nbr_id"),
+            F.transform(F.col(vec_col), lambda x: x.cast("double"))
+            .alias("_v")).withColumn("_n", _sim.norm_expr("_v", dim))
+        cv = cand.join(vecs, on="nbr_id").select("qid", "nbr_id",
+                                                 "cos", "_v", "_n")
     a = cv.select("qid", F.col("nbr_id").alias("_a"),
                   F.col("_v").alias("_va"), F.col("_n").alias("_na"))
     b = cv.select("qid", F.col("nbr_id").alias("_b"),

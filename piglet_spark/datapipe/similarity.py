@@ -827,6 +827,33 @@ def _ivf_footer_stats(path: str) -> "tuple[int | None, set]":
     return n, cids
 
 
+def _ivf_load_meta(path: str, verify: bool = True) -> dict:
+    """Load a persisted IVF index's centroid sidecar and (when
+    ``verify``) run the r09 staleness guard: build-once/query-many
+    must not silently serve an index whose data files were replaced
+    or partially rewritten after the sidecar was written. Footer
+    metadata only — no data read, so the check is cheap even on a
+    big index; pass ``verify=False`` on a hot path that has already
+    checked once this session."""
+    import json as _json
+    with open(f"{path}/_ivf_centroids.json") as fh:
+        meta = _json.load(fh)
+    if verify and meta.get("n_rows") is not None:
+        n_rows, cids = _ivf_footer_stats(path)
+        if n_rows is not None:
+            want_cells = set(str(c) for c in meta.get("cells", []))
+            if n_rows != int(meta["n_rows"]) or \
+                    (want_cells and not cids <= want_cells):
+                raise ValueError(
+                    f"stale index at {path}: data files hold "
+                    f"{n_rows} rows in cells {sorted(cids)} but the "
+                    f"centroid sidecar was written for "
+                    f"{meta['n_rows']} rows in cells "
+                    f"{sorted(want_cells)} — rebuild with "
+                    f"ivf_write_index")
+    return meta
+
+
 def ivf_query_index(spark, path: str, query_vec: list[float],
                     k: int = 10, n_probe: int = 4,
                     vec_col: str = "embedding",
@@ -841,34 +868,13 @@ def ivf_query_index(spark, path: str, query_vec: list[float],
     Returns (id, cos), round-6, ties → ascending id, identical to
     :func:`ivf_topk` at the same training parameters (pinned by
     pytest)."""
-    import json as _json
     import math
-    with open(f"{path}/_ivf_centroids.json") as fh:
-        meta = _json.load(fh)
+    meta = _ivf_load_meta(path, verify)
     dim = int(meta["dim"])
     if len(query_vec) != dim:
         raise ValueError(
             f"ivf_query_index: query dim {len(query_vec)} != index "
             f"dim {dim} ({path})")
-    if verify and meta.get("n_rows") is not None:
-        # staleness guard (r09): build-once/query-many must not
-        # silently serve an index whose data files were replaced or
-        # partially rewritten after the sidecar was written. Footer
-        # metadata only — no data read, so the check is cheap even
-        # on a big index; pass verify=False on a hot path that has
-        # already checked once this session.
-        n_rows, cids = _ivf_footer_stats(path)
-        if n_rows is not None:
-            want_cells = set(str(c) for c in meta.get("cells", []))
-            if n_rows != int(meta["n_rows"]) or \
-                    (want_cells and not cids <= want_cells):
-                raise ValueError(
-                    f"ivf_query_index: stale index at {path}: data "
-                    f"files hold {n_rows} rows in cells "
-                    f"{sorted(cids)} but the centroid sidecar was "
-                    f"written for {meta['n_rows']} rows in cells "
-                    f"{sorted(want_cells)} — rebuild with "
-                    f"ivf_write_index")
     nq = math.sqrt(sum(x * x for x in query_vec))
 
     def cos_py(v):
@@ -889,3 +895,179 @@ def ivf_query_index(spark, path: str, query_vec: list[float],
                               6).alias("cos")))
     return (scored.orderBy(F.col("cos").desc(), F.col(id_col).asc())
             .limit(int(k)))
+
+
+def knn_join_ivf_index(spark, path: str, queries: DataFrame,
+                       k: int = 5, n_probe: int = 4,
+                       q_vec_col: str = "embedding",
+                       q_id_col: str = "vec_id",
+                       exclude_self: bool = True,
+                       max_queries: int = 65536,
+                       batch_slack: int | None = None,
+                       band: tuple[float, float] | None = None,
+                       verify: bool = True,
+                       return_vecs: bool = False) -> DataFrame:
+    """Batch kNN join against a PERSISTED IVF index
+    (:func:`ivf_write_index`) — the query-many composition path
+    (r10): where the fused ``knn_join(method='ivf')`` re-trains the
+    quantizer and re-scans the whole corpus per call, this probes
+    each query's ``n_probe`` nearest cells driver-side (a nq×n_cells
+    matmul on the JSON sidecar) and scans ONLY the union of probed
+    partitions — the ``_cid isin`` filter lands in the parquet
+    source as a partition filter, so at 100 TB a query panel that
+    probes 4/16 cells reads ~25% of the bytes instead of 100%, and
+    the blas kernel then matmuls each cell's rows against just the
+    queries probing it (the same flop shape as the fused ivf
+    kernel, minus the training scan and the unprobed bytes).
+
+    Semantics match ``knn_join(method='ivf')`` built with the SAME
+    training parameters on the SAME corpus exactly (pinned by
+    pytest): identical deterministic centroids (md5-spread sample),
+    identical cell assignment (argmax cosine, ties → smallest cid —
+    the persisted hive layout just materializes it), identical
+    kernel math and Spark-side round-6. ``band=(lo, hi)`` gives
+    index-served HARD-NEGATIVE MINING with the same widened-mask /
+    precise-refilter contract as the fused kernel. With
+    ``return_vecs`` the output carries each neighbor's double-cast
+    vector as ``_v`` — downstream rerankers (MMR) consume the pool
+    vectors without a second corpus scan or an unprunable id join.
+    """
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import Window
+    from pyspark.sql import types as _T
+
+    meta = _ivf_load_meta(path, verify)
+    dim = int(meta["dim"])
+    id_col, vec_col = meta["id_col"], meta["vec_col"]
+    if band is not None:
+        b_lo, b_hi = float(band[0]), float(band[1])
+        if not b_lo < b_hi:
+            raise ValueError(f"knn_join_ivf_index: band must be "
+                             f"(lo, hi) with lo < hi, got {band!r}")
+
+    qs = (queries.select(F.col(q_id_col).alias("qid"),
+                         _as_double(F.col(q_vec_col)).alias("_qv"))
+          .filter(F.size(F.col("_qv")) >= dim)
+          .withColumn("_nq", norm_expr("_qv", dim))
+          .filter(F.col("_nq") > 0))
+    qrows = qs.limit(max_queries + 1).collect()
+    if len(qrows) > max_queries:
+        raise ValueError(
+            f"knn_join_ivf_index: query side exceeds "
+            f"max_queries={max_queries}; raise the cap or "
+            f"pre-partition the queries")
+    q_id_type = queries.schema[q_id_col].dataType
+    # nbr_id keeps the INDEX's id type (metadata-only schema read)
+    nbr_type = spark.read.parquet(path).schema[id_col].dataType
+    out_fields = [
+        _T.StructField("qid", q_id_type),
+        _T.StructField("nbr_id", nbr_type),
+        _T.StructField("cos", _T.DoubleType())]
+    if return_vecs:
+        out_fields.append(
+            _T.StructField("_v", _T.ArrayType(_T.DoubleType())))
+    out_schema = _T.StructType(out_fields)
+    if not qrows:
+        return spark.createDataFrame([], out_schema)
+    q_ids = [r["qid"] for r in qrows]
+    Q = np.array([[float(x) for x in r["_qv"][:dim]] for r in qrows],
+                 dtype=np.float64)
+    Qn = Q / np.sqrt((Q ** 2).sum(axis=1, keepdims=True))
+
+    # per-query probe cells from the sidecar centroids (driver-side,
+    # identical math to the fused ivf path), inverted to
+    # cell → query-index arrays for the kernel
+    # natural cid order (matches the fused kernel's cent_rows order
+    # and the SQL oracle's "cos DESC, cid ASC" tie-break)
+    cents = sorted(meta["centroids"], key=lambda c: c["cid"])
+    C = np.array([c["vec"] for c in cents], dtype=np.float64)
+    Cn = C / np.sqrt((C ** 2).sum(axis=1, keepdims=True))
+    probes_per_q = np.argsort(-(Qn @ Cn.T), kind="stable",
+                              axis=1)[:, :min(int(n_probe), len(Cn))]
+    cell_queries: dict = {}
+    for qi, cells in enumerate(probes_per_q):
+        for c in cells:
+            cell_queries.setdefault(cents[int(c)]["cid"],
+                                    []).append(qi)
+    cell_queries = {cid: np.asarray(ix, dtype=np.int64)
+                    for cid, ix in cell_queries.items()}
+    probed = sorted(cell_queries)
+
+    # partition-pruned read: only probed cells' files are opened
+    part = (spark.read.parquet(path)
+            .filter(F.col("_cid").isin(list(probed))))
+    base = (part.select(F.col(id_col).alias("nbr_id"),
+                        _as_double(F.col(vec_col)).alias("_v"),
+                        F.col("_cid"))
+            .filter(F.size(F.col("_v")) >= dim)
+            .withColumn("_nv", norm_expr("_v", dim))
+            .filter(F.col("_nv") > 0)
+            .select("nbr_id", "_v", "_cid"))
+
+    kk, slack = int(k), int(batch_slack if batch_slack is not None
+                            else 3 * k + 8)
+    excl, want_v = bool(exclude_self), bool(return_vecs)
+    QBLOCK = _BLAS_QBLOCK
+    bnd = (b_lo, b_hi) if band is not None else None
+
+    def _batch_candidates(batches):
+        q_arr = np.asarray(q_ids, dtype=object)
+
+        def emit(Vn_sub, ids_sub, q_idx, raw_sub):
+            m = min(slack + kk, len(ids_sub))
+            for lo in range(0, len(q_idx), QBLOCK):
+                qix = q_idx[lo:lo + QBLOCK]
+                qa = q_arr[qix]
+                S = Vn_sub @ Qn[qix].T
+                if excl:
+                    self_mask = ids_sub[:, None] == qa[None, :]
+                    S = np.where(self_mask, -np.inf, S)
+                if bnd is not None:
+                    # widened by 1e-6; the precise rounded-band
+                    # filter re-applies Spark-side (same contract as
+                    # the fused blas/ivf kernel)
+                    S = np.where((S < bnd[0] - 1e-6)
+                                 | (S >= bnd[1] + 1e-6), -np.inf, S)
+                top = np.argpartition(-S, m - 1, axis=0)[:m]
+                col = np.repeat(np.arange(S.shape[1]), m)
+                row = top.T.ravel()
+                keep = np.isfinite(S[row, col])
+                # RAW scores out of the kernel — rounding happens
+                # Spark-side with F.round (HALF_UP), exactly like
+                # knn_join's kernel
+                out = {"qid": qa[col[keep]],
+                       "nbr_id": ids_sub[row[keep]],
+                       "cos": S[row[keep], col[keep]]}
+                if want_v:
+                    out["_v"] = [raw_sub[i] for i in row[keep]]
+                yield pd.DataFrame(out)
+
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            V = np.array([v[:dim] for v in pdf["_v"]],
+                         dtype=np.float64)
+            ids = pdf["nbr_id"].to_numpy()
+            Vn = V / np.sqrt((V ** 2).sum(axis=1, keepdims=True))
+            raw = ([list(v[:dim]) for v in pdf["_v"]]
+                   if want_v else None)
+            cells = pdf["_cid"].to_numpy()
+            for c in pd.unique(cells):
+                q_idx = cell_queries.get(c)
+                if q_idx is None or not len(q_idx):
+                    continue
+                rmask = np.flatnonzero(cells == c)
+                yield from emit(Vn[rmask], ids[rmask], q_idx,
+                                [raw[i] for i in rmask]
+                                if want_v else None)
+
+    cands = (base.mapInPandas(_batch_candidates, schema=out_schema)
+             .withColumn("cos", F.round(F.col("cos"), 6)))
+    if bnd is not None:
+        cands = cands.filter((F.col("cos") >= bnd[0])
+                             & (F.col("cos") < bnd[1]))
+    w = (Window.partitionBy("qid")
+         .orderBy(F.col("cos").desc(), F.col("nbr_id").asc()))
+    return (cands.withColumn("_rn", F.row_number().over(w))
+            .filter(F.col("_rn") <= kk).drop("_rn"))

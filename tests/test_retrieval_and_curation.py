@@ -636,6 +636,69 @@ def test_mmr_blas_matches_exact(spark):
     assert a == b and len(a) > 0
 
 
+def test_knn_join_ivf_index_matches_fused(spark, tmp_path):
+    """r10: the batch kNN join served from a PERSISTED IVF index
+    equals the fused knn_join(method='ivf') at the same training
+    parameters (identical deterministic centroids + assignment), and
+    the probe filter reaches the parquet source as partition
+    pruning."""
+    emb = _emb(spark)
+    q = emb.filter(F.col("vec_id") % 100 == 0)
+    path = str(tmp_path / "ivf_knn_idx")
+    dps.ivf_write_index(emb, path, n_cells=8)
+    got = dps.knn_join_ivf_index(spark, path, q, k=5, n_probe=3)
+    want = dps.knn_join(emb, q, k=5, method="ivf", n_cells=8,
+                        n_probe=3)
+    g = sorted(tuple(r) for r in got.collect())
+    w = sorted(tuple(r) for r in want.collect())
+    assert g == w and len(g) > 0
+    plan = got._jdf.queryExecution().executedPlan().toString()
+    assert "_cid" in plan.split("PartitionFilters")[1].split("]")[0]
+
+
+def test_knn_join_ivf_index_band_and_vecs(spark, tmp_path):
+    """Index-served hard-negative mining: band=(lo, hi) through the
+    persisted index equals the fused ivf band run; return_vecs
+    carries each neighbor's exact double-cast vector."""
+    emb = _emb(spark)
+    q = emb.filter(F.col("vec_id") % 100 == 0)
+    path = str(tmp_path / "ivf_band_idx")
+    dps.ivf_write_index(emb, path, n_cells=8)
+    band = (0.15, 0.30)
+    got = dps.knn_join_ivf_index(spark, path, q, k=5, n_probe=3,
+                                 band=band)
+    want = dps.knn_join(emb, q, k=5, method="ivf", n_cells=8,
+                        n_probe=3, band=band)
+    g = sorted(tuple(r) for r in got.collect())
+    w = sorted(tuple(r) for r in want.collect())
+    assert g == w and len(g) > 0
+    withv = dps.knn_join_ivf_index(spark, path, q, k=3, n_probe=3,
+                                   return_vecs=True).collect()
+    assert withv and all(len(r["_v"]) > 0 for r in withv)
+    truth = {r["vec_id"]: [float(x) for x in r["embedding"]]
+             for r in emb.collect()}
+    for r in withv:
+        assert r["_v"] == truth[r["nbr_id"]]
+
+
+def test_mmr_rerank_ivf_index_matches_fused(spark, tmp_path):
+    """r10: mmr_rerank(index_path=...) — candidates from the
+    persisted IVF index, pool vectors ridden out of the kernel (no
+    second corpus scan) — selects identical documents with identical
+    scores as mmr_rerank(method='ivf') at the same training
+    parameters (defaults: n_cells=16, n_probe=4)."""
+    emb = _emb(spark)
+    q = emb.filter(F.col("vec_id") % 100 == 0)
+    path = str(tmp_path / "ivf_mmr_idx")
+    dps.ivf_write_index(emb, path)  # default n_cells=16
+    a = sorted(tuple(r) for r in dpr.mmr_rerank(
+        emb, q, k=4, pool=10, lam=0.7, method="ivf").collect())
+    b = sorted(tuple(r) for r in dpr.mmr_rerank(
+        None, q, k=4, pool=10, lam=0.7, index_path=path,
+        n_probe=4).collect())
+    assert a == b and len(a) > 0
+
+
 def test_funnel_stream_cross_batch_matches_batch(spark, tmp_path):
     """In-order staged stream: the emission stream's per-step user
     counts equal the batch funnel, with a user completing ACROSS
