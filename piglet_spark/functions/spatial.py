@@ -223,3 +223,122 @@ def grid_cells_bbox(g: Column, cell_size: float) -> Column:
             F.sequence(y0, y1),
             lambda cy: F.struct(cx.alias("cx"), cy.alias("cy"))),
     ))
+
+
+# ---------------------------------------------------------------- BSP
+#
+# PARTITION … USING BSP: data-adaptive binary-space partitioning, the
+# rebuild of the reference's STARK BSPartitioner option
+# (codegen/spark/PartitionerEmitter.scala:29, op/Partition.scala).
+# Spark-first shape: a BOUNDED deterministic sample (md5-ordered, the
+# train_centroids precedent) builds a k-d split tree DRIVER-SIDE;
+# the tree broadcasts as literal bounds inside one nested CASE
+# expression, so assignment is pure codegen — no UDF, no second scan,
+# and the split planes adapt to the data (median splits along the
+# wider axis), which is the whole point vs the fixed grid: skewed
+# data on a fixed grid hot-spots one cell, while equi-depth splits
+# bound every leaf at ~|sample|/2^depth.
+
+
+def bsp_sample_points(df, g, sample: int = 4096) -> list:
+    """Bounded deterministic (x, y) sample for BSP training: bbox
+    centers of the geometry column ``g`` (points are their own
+    center), md5-hash-ordered so the sample is reproducible and not
+    spatially correlated. One small job, ≤ ``sample`` rows collected
+    — driver-safe at any input size."""
+    cx = (F.array_min(g["xs"]) + F.array_max(g["xs"])) / 2.0
+    cy = (F.array_min(g["ys"]) + F.array_max(g["ys"])) / 2.0
+    rows = (df.select(cx.alias("_x"), cy.alias("_y"))
+            .filter(F.col("_x").isNotNull() & F.col("_y").isNotNull())
+            .orderBy(F.md5(F.concat_ws(",", F.col("_x").cast("string"),
+                                       F.col("_y").cast("string"))),
+                     F.col("_x"), F.col("_y"))
+            .limit(int(sample)).collect())
+    return [(float(r["_x"]), float(r["_y"])) for r in rows]
+
+
+def bsp_tree(points: list, n_parts: int) -> dict:
+    """k-d BSP tree from sample points (driver-side, pure python —
+    deterministic given the deterministic sample). Each node splits
+    the WIDER axis at the sample median; recursion stops at
+    ceil(log2(n_parts)) depth or when a side would be empty, so the
+    leaf count is ≤ the next power of two ≥ n_parts and every leaf
+    holds ~|sample|/2^depth of the sample — equi-depth under any
+    skew."""
+    import math
+    depth = max(0, math.ceil(math.log2(max(1, int(n_parts)))))
+    counter = [0]
+
+    def build(pts, d):
+        if d == 0 or len(pts) < 2:
+            leaf = {"leaf": counter[0]}
+            counter[0] += 1
+            return leaf
+        xs = [p[0] for p in pts]
+        ys = [p[1] for p in pts]
+        axis = 0 if (max(xs) - min(xs)) >= (max(ys) - min(ys)) else 1
+        vals = sorted(p[axis] for p in pts)
+        split = vals[len(vals) // 2]
+        lo = [p for p in pts if p[axis] < split]
+        hi = [p for p in pts if p[axis] >= split]
+        if not lo or not hi:  # degenerate (all equal on this axis)
+            leaf = {"leaf": counter[0]}
+            counter[0] += 1
+            return leaf
+        return {"axis": axis, "split": float(split),
+                "lo": build(lo, d - 1), "hi": build(hi, d - 1)}
+
+    return build(list(points), depth)
+
+
+def bsp_assign(x: Column, y: Column, tree: dict) -> Column:
+    """Leaf id of a point under the BSP tree — one nested CASE
+    expression of literal bounds (depth ≤ log2(n_parts)), fully
+    codegen'd."""
+    if "leaf" in tree:
+        return F.lit(int(tree["leaf"]))
+    v = x if tree["axis"] == 0 else y
+    return F.when(v < F.lit(tree["split"]),
+                  bsp_assign(x, y, tree["lo"])) \
+        .otherwise(bsp_assign(x, y, tree["hi"]))
+
+
+def bsp_leaf_rects(tree: dict) -> list:
+    """(leaf_id, x0, x1, y0, y1) closed rectangles of every leaf
+    (±inf at the outer edges) — the literal region list the
+    spatial-join bbox explode tests against."""
+    inf = float("inf")
+    rects = []
+
+    def rec(node, x0, x1, y0, y1):
+        if "leaf" in node:
+            rects.append((int(node["leaf"]), x0, x1, y0, y1))
+            return
+        s = node["split"]
+        if node["axis"] == 0:
+            rec(node["lo"], x0, s, y0, y1)
+            rec(node["hi"], s, x1, y0, y1)
+        else:
+            rec(node["lo"], x0, x1, y0, s)
+            rec(node["hi"], x0, x1, s, y1)
+
+    rec(tree, -inf, inf, -inf, inf)
+    return rects
+
+
+def bsp_cells_bbox(g: Column, rects: list) -> Column:
+    """All BSP leaves whose (closed) rectangle intersects the
+    geometry's bbox — array of leaf ids, the BSP analogue of
+    :func:`grid_cells_bbox`. Closed-rect intersection means a
+    geometry exactly on a split plane lists BOTH adjacent leaves, so
+    candidate completeness holds: two intersecting geometries always
+    share at least one listed leaf."""
+    bx0, bx1 = F.array_min(g["xs"]), F.array_max(g["xs"])
+    by0, by1 = F.array_min(g["ys"]), F.array_max(g["ys"])
+    arrs = []
+    for i, x0, x1, y0, y1 in rects:
+        hit = ((F.lit(x0) <= bx1) & (bx0 <= F.lit(x1))
+               & (F.lit(y0) <= by1) & (by0 <= F.lit(y1)))
+        arrs.append(F.when(hit, F.array(F.lit(int(i))))
+                    .otherwise(F.array().cast("array<int>")))
+    return F.flatten(F.array(*arrs))

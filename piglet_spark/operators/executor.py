@@ -1727,9 +1727,11 @@ class Executor:
                 or len(op.pred.args) != 2:
             raise ExecError("SPATIAL_JOIN needs two inputs and a binary "
                             "predicate pred(left_field, right_field)")
-        cell = 1.0
+        cell, bsp_args = 1.0, None
         for part in op.partitioners or []:
-            if part and part[1]:
+            if part and part[0].lower() == "bsp":
+                bsp_args = part[1] or []
+            elif part and part[1]:
                 try:
                     cell = float(part[1][-1])
                 except (TypeError, ValueError):
@@ -1741,10 +1743,29 @@ class Executor:
             .withColumn("__rid", F.monotonically_increasing_id())
         lgeom = compile_expr(op.pred.args[0], self.ctx(left.drop("__lid")))
         rgeom = compile_expr(op.pred.args[1], self.ctx(right.drop("__rid")))
-        lc = left.withColumn("__cell", F.explode(
-            sp.grid_cells_bbox(lgeom, cell)))
-        rc = right.withColumn("__cell", F.explode(
-            sp.grid_cells_bbox(rgeom, cell)))
+        if bsp_args is not None:
+            # r10: adaptive BSP prejoin (PARTITION BY BSP(n[, sample])
+            # on either input). The tree trains on the LEFT side's
+            # bbox centers; both sides explode to the leaves their
+            # bbox intersects (closed rects ⇒ candidate completeness),
+            # so a skewed corpus can't pile one grid cell — each leaf
+            # holds ~equal sample mass. Exact predicate unchanged.
+            n_parts = (int(float(bsp_args[0])) if bsp_args
+                       else int(self.spark.conf.get(
+                           "spark.sql.shuffle.partitions", "32")))
+            sample = (int(float(bsp_args[1]))
+                      if len(bsp_args) > 1 else 4096)
+            pts = sp.bsp_sample_points(left, lgeom, sample)
+            rects = sp.bsp_leaf_rects(sp.bsp_tree(pts, n_parts))
+            lc = left.withColumn("__cell", F.explode(
+                sp.bsp_cells_bbox(lgeom, rects)))
+            rc = right.withColumn("__cell", F.explode(
+                sp.bsp_cells_bbox(rgeom, rects)))
+        else:
+            lc = left.withColumn("__cell", F.explode(
+                sp.grid_cells_bbox(lgeom, cell)))
+            rc = right.withColumn("__cell", F.explode(
+                sp.grid_cells_bbox(rgeom, cell)))
         joined = (lc.join(rc, on="__cell", how="inner")
                   .dropDuplicates(["__lid", "__rid"]))
         # pred args resolve positionally: first → left, second → right
@@ -1758,6 +1779,17 @@ class Executor:
                             .drop("__cell", "__lid", "__rid"))
 
     def op_partition(self, op: "A.Partition") -> None:
+        """PARTITION rel ON field USING scheme(args) — ref
+        op/Partition.scala via PartitionerEmitter.scala:29 (STARK
+        SpatialGridPartitioner / BSPartitioner / HashPartitioner).
+        grid(cell): fixed cells. bsp(n_parts[, sample]): the
+        data-ADAPTIVE partitioner (r10) — a bounded md5-ordered
+        sample trains a driver-side k-d median-split tree
+        (functions/spatial.bsp_tree) whose literal bounds broadcast
+        into one codegen'd CASE assignment, so skewed data gets
+        equi-depth leaves instead of one hot grid cell. No scheme =
+        hash repartition on the field (the reference's
+        HashPartitioner arm)."""
         from ..functions import spatial as sp
         df = self.df(op.rel)
         ctx = self.ctx(df)
@@ -1769,6 +1801,31 @@ class Executor:
                 col = sp.grid_cell(col, cell)
             else:  # plain numeric field → 1-D grid
                 col = F.floor(col.cast("double") / F.lit(cell)).cast("long")
+            self.env[op.out] = df.repartition(col)
+            return
+        if op.scheme == "bsp":
+            n_parts = (int(float(op.args[0])) if op.args
+                       else int(self.spark.conf.get(
+                           "spark.sql.shuffle.partitions", "32")))
+            sample = (int(float(op.args[1]))
+                      if len(op.args) > 1 else 4096)
+            dt = E.static_dtype(op.on, ctx)
+            if isinstance(dt, T.StructType):  # geometry column
+                pts = sp.bsp_sample_points(df, col, sample)
+                tree = sp.bsp_tree(pts, n_parts)
+                leaf = sp.bsp_assign(col["xs"][0], col["ys"][0], tree)
+            else:  # plain numeric field → 1-D equi-depth splits
+                v = col.cast("double")
+                rows = (df.select(v.alias("_x"))
+                        .filter(F.col("_x").isNotNull())
+                        .orderBy(F.md5(F.col("_x").cast("string")),
+                                 F.col("_x"))
+                        .limit(sample).collect())
+                tree = sp.bsp_tree([(float(r["_x"]), 0.0)
+                                    for r in rows], n_parts)
+                leaf = sp.bsp_assign(v, F.lit(0.0), tree)
+            self.env[op.out] = df.repartition(n_parts, leaf)
+            return
         self.env[op.out] = df.repartition(col)
 
     def op_indexop(self, op: "A.IndexOp") -> None:

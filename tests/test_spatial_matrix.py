@@ -457,3 +457,122 @@ C = FOREACH B GENERATE matrix_mul(m, z) AS mz;
 D = FOREACH C GENERATE matrix_get(mz, 0, 0) AS e00, matrix_get(mz, 1, 1) AS e11;
 """)
     assert rows(eng.df("D")) == [(0.0, 0.0)]
+
+
+def test_spatial_join_bsp_matches_grid(spark, tmp_path):
+    """r10 BSP prejoin (ref PartitionerEmitter.scala:29 STARK
+    BSPartitioner): SPATIAL_JOIN routed through PARTITION BY bsp(n)
+    returns exactly the grid-prejoin result set — the prejoin only
+    shapes the candidate set (closed leaf rects ⇒ completeness); the
+    exact predicate decides membership either way."""
+    import random
+    rng = random.Random(11)
+    p = tmp_path / "pts_bsp.csv"
+    rows_ = [f"p{i},{rng.uniform(0, 4):.3f},{rng.uniform(0, 4):.3f}"
+             for i in range(60)]
+    p.write_text("\n".join(rows_) + "\n")
+    poly = tmp_path / "poly_bsp.csv"
+    poly.write_text(  # ';'-delimited: the WKT itself contains commas
+        "z1;POLYGON((0 0, 2 0, 2 2, 0 2, 0 0))\n"
+        "z2;POLYGON((1 1, 4 1, 4 4, 1 4, 1 1))\n")
+    script = """
+a1 = LOAD '{pts}' USING PigStorage(',') AS (name: chararray, x: double, y: double);
+b1 = FOREACH a1 GENERATE name, geometry('POINT(' + x + ' ' + y + ')') AS loc;
+a2 = LOAD '{poly}' USING PigStorage(';') AS (zone: chararray, wkt: chararray);
+b2 = FOREACH a2 GENERATE zone, geometry(wkt) AS area;
+c = SPATIAL_JOIN b1{lp}, b2{rp} ON containedby(loc, area);
+d = FOREACH c GENERATE b1::name AS n, b2::zone AS z;
+"""
+    eng1 = pg.PigEngine(spark)
+    eng1.run(script.format(pts=p, poly=poly, lp="", rp=""))
+    grid = rows(eng1.df("d"))
+    eng2 = pg.PigEngine(spark)
+    eng2.run(script.format(pts=p, poly=poly,
+                           lp=" PARTITION BY bsp(8)", rp=""))
+    bsp = rows(eng2.df("d"))
+    assert bsp == grid and len(grid) > 0
+
+
+def test_partition_bsp_keeps_rows_and_balances_skew(spark, tmp_path):
+    """PARTITION … USING bsp(n): the relation's rows are unchanged
+    (it is a partitioning, not a filter), and on SKEWED points the
+    adaptive median splits bound every leaf near the equi-depth
+    ideal while a fixed grid piles ~90% of the data into one hot
+    cell — the reason STARK ships a BSPartitioner at all."""
+    import random
+    from pyspark.sql import functions as F
+    from piglet_spark.functions import spatial as sp
+    rng = random.Random(7)
+    # 90% clustered in [0, 0.1)², 10% spread over [0, 10)²
+    lines = []
+    for i in range(900):
+        lines.append(f"c{i},{rng.uniform(0, 0.1):.5f},"
+                     f"{rng.uniform(0, 0.1):.5f}")
+    for i in range(100):
+        lines.append(f"s{i},{rng.uniform(0, 10):.5f},"
+                     f"{rng.uniform(0, 10):.5f}")
+    p = tmp_path / "skew.csv"
+    p.write_text("\n".join(lines) + "\n")
+    eng = pg.PigEngine(spark)
+    eng.run(f"""
+a = LOAD '{p}' USING PigStorage(',') AS (name: chararray, x: double, y: double);
+b = FOREACH a GENERATE name, geometry('POINT(' + x + ' ' + y + ')') AS loc;
+P = PARTITION b ON loc USING bsp(16);
+""")
+    out = eng.df("P")
+    assert out.count() == 1000
+    assert sorted(r["name"] for r in out.collect()) == \
+        sorted(l.split(",")[0] for l in lines)
+    # leaf balance, measured directly on the assignment expression
+    df = out
+    g = F.col("loc")
+    pts = sp.bsp_sample_points(df, g, 4096)
+    tree = sp.bsp_tree(pts, 16)
+    leaf = sp.bsp_assign(g["xs"][0], g["ys"][0], tree)
+    counts = sorted(
+        r["n"] for r in
+        df.groupBy(leaf.alias("_l")).agg(F.count("*").alias("n"))
+        .collect())
+    ideal = 1000 / 16
+    assert counts[-1] <= 3 * ideal, counts  # no hot leaf
+    # the fixed 1.0-grid piles the whole cluster into ONE cell
+    gcounts = sorted(
+        r["n"] for r in
+        df.groupBy(sp.grid_cell(g, 1.0).alias("_c"))
+        .agg(F.count("*").alias("n")).collect())
+    assert gcounts[-1] >= 900  # hot cell
+    assert counts[-1] < gcounts[-1] / 4
+
+
+def test_partition_bsp_numeric_field(spark, data_dir):
+    """1-D BSP on a plain numeric field: equi-depth value splits,
+    rows unchanged."""
+    eng = pg.PigEngine(spark)
+    eng.run(f"""
+A = LOAD '{data_dir}/t.csv' USING PigStorage(',') AS (f1: int, f2: int, f3: int);
+P = PARTITION A ON f1 USING bsp(2);
+""")
+    assert rows(eng.df("P")) == rows(eng.df("A"))
+
+
+def test_spatial_join_bsp_to_code_parity(spark, tmp_path):
+    """to_code emits the runtime-trained BSP prejoin; exec'd code
+    matches the engine result."""
+    p = tmp_path / "pts_cg.csv"
+    p.write_text("a,1.0,1.0\nb,2.0,2.0\nc,1.0,1.0\n")
+    script = f"""
+a1 = LOAD '{p}' USING PigStorage(',') AS (name: chararray, x: double, y: double);
+b1 = FOREACH a1 GENERATE name, geometry('POINT(' + x + ' ' + y + ')') AS loc;
+a2 = LOAD '{p}' USING PigStorage(',') AS (name: chararray, x: double, y: double);
+b2 = FOREACH a2 GENERATE name, geometry('POINT(' + x + ' ' + y + ')') AS loc;
+c = SPATIAL_JOIN b1 PARTITION BY bsp(4), b2 ON containedby(loc, loc);
+d = FOREACH c GENERATE b1::name AS n1, b2::name AS n2;
+"""
+    eng = pg.PigEngine(spark)
+    eng.run(script)
+    want = rows(eng.df("d"))
+    code = eng.to_code(script)
+    ns = {"spark": spark}
+    exec(code, ns)
+    assert rows(ns["d"]) == want == [
+        ("a", "a"), ("a", "c"), ("b", "b"), ("c", "a"), ("c", "c")]
