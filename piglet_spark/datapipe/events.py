@@ -265,27 +265,39 @@ def trending_keys_stream(df: DataFrame, key_col: str = "event_type",
 def funnel_stream(df: DataFrame, steps: list[str],
                   user_col: str = "user_id", ts_col: str = "ts",
                   type_col: str = "event_type",
-                  id_col: str = "event_id") -> DataFrame:
+                  id_col: str = "event_id",
+                  event_time_buffer: str | None = None) -> DataFrame:
     """Streaming twin of :func:`funnel_conversion`: a per-user funnel
     state machine over an unbounded event stream. Emits one row per
     ADVANCE — ``(user, step, event_type, reached_us)`` when a user
     first reaches step ``step`` — so per-step user counts are a
     bounded downstream aggregation of the emission stream.
 
-    Semantics: within each micro-batch events process in (ts, id)
-    order and a step advances only strictly after the previous
-    step's reach key — identical to the batch min-chain when each
-    user's events arrive in order across batches (pinned by test).
-    Under cross-batch reordering the reach TIME can be later than
-    the batch answer (a greedy machine can't retroactively prefer an
+    DEFAULT (``event_time_buffer=None``) — greedy single-pass:
+    within each micro-batch events process in (ts, id) order and a
+    step advances only strictly after the previous step's reach key
+    — identical to the batch min-chain when each user's events
+    arrive in order across batches (pinned by test). Under
+    cross-batch reordering the reach TIME can be later than the
+    batch answer (a greedy machine can't retroactively prefer an
     earlier event it hadn't seen) — the standard caveat of any
-    single-pass funnel; replay through the batch operator for the
-    exact retrospective answer.
+    single-pass funnel. State per user is THREE integers (stage,
+    last-us, last-id) — no event buffering.
 
-    Scale shape: state per user is THREE integers (stage, last-us,
-    last-id) — no event buffering, unlike windowed joins; events not
-    in ``steps`` are filtered before the shuffle; the one shuffle is
-    the keyed state exchange."""
+    ``event_time_buffer='10 minutes'`` (r10) — watermark-buffered
+    EXACT variant: a watermark of that delay is attached to the
+    event time, per-user events BUFFER in state until the watermark
+    passes them, and each batch replays the funnel over the
+    now-FINAL sorted prefix (events with time < watermark can no
+    longer arrive — Spark drops them as late). Emissions are
+    therefore exactly the batch min-chain regardless of delivery
+    order within the horizon (pinned by a shuffled-delivery test);
+    the trade is state = the per-user events inside the watermark
+    horizon (the same bound as a stream-stream join buffer) and
+    emission latency = the watermark delay.
+
+    Scale shape: events not in ``steps`` are filtered before the
+    shuffle; the one shuffle is the keyed state exchange."""
     if not df.isStreaming:
         return funnel_conversion(df, steps, user_col, ts_col,
                                  type_col, id_col)
@@ -293,29 +305,33 @@ def funnel_stream(df: DataFrame, steps: list[str],
         raise ValueError("funnel_stream needs >= 2 steps")
     from pyspark.sql.streaming.state import GroupStateTimeout
     steps = [str(s) for s in steps]
-    us = F.unix_micros(F.col(ts_col).cast("timestamp"))
     # the state key keeps user_col's NATIVE type — casting string
     # ids to long would NULL them and merge every user into one
     # state group (and diverge from the batch funnel's semantics)
     u_type = df.select(user_col).schema[0].dataType.simpleString()
+    if event_time_buffer is not None:
+        # the watermark column must be a timestamp. NOTE: Catalyst
+        # pushes the step filter BELOW the EventTimeWatermark node
+        # (it doesn't reference the event-time column), so only
+        # STEP-TYPE events advance the watermark — the funnel's
+        # emissions flush when later step events flow, which is the
+        # natural trigger for a funnel anyway
+        df = df.withColumn("_wts", F.col(ts_col).cast("timestamp")) \
+               .withWatermark("_wts", str(event_time_buffer))
+    us = F.unix_micros(F.col(ts_col).cast("timestamp"))
     base = (df.filter(F.col(type_col).isin(steps))
             .select(F.col(user_col).alias("_u"),
                     F.col(type_col).alias("_t"),
                     us.alias("_us"),
-                    F.col(id_col).cast("long").alias("_i")))
+                    F.col(id_col).cast("long").alias("_i"),
+                    *([F.col("_wts")]
+                      if event_time_buffer is not None else [])))
     out_t = (f"user_id {u_type}, step int, event_type string, "
              "reached_us long")
-    state_t = "stage int, last_us long, last_id long"
 
-    def machine(key, pdf_iter, state):
-        import pandas as pd
-        stage, last_us, last_id = (state.get if state.exists
-                                   else (0, -1, -1))
-        rows = []
-        evs = []
-        for pdf in pdf_iter:
-            evs.extend(zip(pdf["_us"], pdf["_i"], pdf["_t"]))
-        evs.sort()
+    def advance(stage, last_us, last_id, evs, key, rows):
+        """Shared greedy core: replay sorted (us, id, type) events
+        from the given machine state, appending ADVANCE rows."""
         for e_us, e_id, e_t in evs:
             if stage >= len(steps):
                 break
@@ -325,12 +341,73 @@ def funnel_stream(df: DataFrame, steps: list[str],
                 continue
             stage += 1
             last_us, last_id = int(e_us), int(e_id)
-            rows.append((key[0], stage, e_t, last_us))
-        state.update((stage, last_us, last_id))
-        if rows:
-            yield pd.DataFrame(rows, columns=["user_id", "step",
-                                              "event_type",
-                                              "reached_us"])
+            rows.append((key, stage, e_t, last_us))
+        return stage, last_us, last_id
+
+    if event_time_buffer is None:
+        state_t = "stage int, last_us long, last_id long"
+
+        def machine(key, pdf_iter, state):
+            import pandas as pd
+            stage, last_us, last_id = (state.get if state.exists
+                                       else (0, -1, -1))
+            rows = []
+            evs = []
+            for pdf in pdf_iter:
+                evs.extend(zip(pdf["_us"], pdf["_i"], pdf["_t"]))
+            evs.sort()
+            stage, last_us, last_id = advance(
+                stage, last_us, last_id, evs, key[0], rows)
+            state.update((stage, last_us, last_id))
+            if rows:
+                yield pd.DataFrame(rows, columns=["user_id", "step",
+                                                  "event_type",
+                                                  "reached_us"])
+    else:
+        state_t = ("stage int, last_us long, last_id long, "
+                   "buf_us array<long>, buf_id array<long>, "
+                   "buf_t array<string>")
+
+        def machine(key, pdf_iter, state):
+            import pandas as pd
+            if state.exists:
+                stage, last_us, last_id, bus, bid, bt = state.get
+                buf = list(zip(bus or [], bid or [], bt or []))
+            else:
+                stage, last_us, last_id, buf = 0, -1, -1, []
+            for pdf in pdf_iter:
+                buf.extend(zip(pdf["_us"], pdf["_i"], pdf["_t"]))
+            buf = sorted((int(a), int(b), str(c)) for a, b, c in buf)
+            # events with time < watermark are FINAL — no earlier
+            # event can still arrive (Spark drops late rows before
+            # the state op), so replaying the final prefix in (ts,
+            # id) order reproduces the batch min-chain exactly
+            wm_us = (state.getCurrentWatermarkMs() or 0) * 1000
+            final = [e for e in buf if e[0] < wm_us]
+            pend = [e for e in buf if e[0] >= wm_us]
+            rows = []
+            stage, last_us, last_id = advance(
+                stage, last_us, last_id, final, key[0], rows)
+            state.update((stage, last_us, last_id,
+                          [e[0] for e in pend],
+                          [e[1] for e in pend],
+                          [e[2] for e in pend]))
+            if pend:
+                # a group is only re-invoked on NEW data or a
+                # timeout — without this, a user whose events all
+                # arrived would never flush once the watermark
+                # passes them. Fire when the watermark crosses the
+                # earliest pending event.
+                state.setTimeoutTimestamp(pend[0][0] // 1000 + 1)
+            if rows:
+                yield pd.DataFrame(rows, columns=["user_id", "step",
+                                                  "event_type",
+                                                  "reached_us"])
+
+        return (base.groupBy("_u")
+                .applyInPandasWithState(
+                    machine, out_t, state_t, "append",
+                    GroupStateTimeout.EventTimeTimeout))
 
     return (base.groupBy("_u")
             .applyInPandasWithState(machine, out_t, state_t,

@@ -746,6 +746,78 @@ def test_funnel_stream_cross_batch_matches_batch(spark, tmp_path):
         dpe.funnel_conversion(batch, ["view", "click"]).columns
 
 
+def test_funnel_stream_event_time_buffer_exact(spark, tmp_path):
+    """r10: the watermark-buffered funnel variant matches the batch
+    min-chain EXACTLY under out-of-order cross-batch delivery — the
+    case the default greedy machine is documented to diverge on
+    (user 100's view arrives a batch AFTER its click+purchase; the
+    greedy machine would stall at step 1 with a late reach time).
+    Events buffer until the watermark passes them, then replay in
+    (ts, id) order, so emissions carry the batch answer's exact
+    reach keys."""
+    d = tmp_path / "funwm"
+    d.mkdir()
+    schema = ("event_id long, user_id long, raw string,"
+              " event_type string")
+    sdf = (spark.readStream.schema(schema).csv(str(d))
+           .withColumn("ts", F.to_timestamp("raw")).drop("raw"))
+    out = dpe.funnel_stream(sdf, ["view", "click", "purchase"],
+                            event_time_buffer="10 minutes")
+    q = (out.writeStream.format("memory").queryName("t_funwm")
+         .outputMode("append").start())
+    # batch 1: user 100's LATER steps arrive first (out of order)
+    (d / "b1.csv").write_text(
+        "2,100,2026-01-01 00:01:00,click\n"
+        "3,100,2026-01-01 00:02:00,purchase\n"
+        "10,200,2026-01-01 00:00:30,view\n")
+    q.processAllAvailable()
+    # batch 2: the missing first step arrives late (within horizon)
+    (d / "b2.csv").write_text(
+        "1,100,2026-01-01 00:00:00,view\n"
+        "11,200,2026-01-01 00:01:30,click\n")
+    q.processAllAvailable()
+    # two sentinel batches push the watermark past every real event
+    # (step-type events — Catalyst pushes the step filter below the
+    # watermark node, so only step events advance event time); the
+    # second is needed because the machine sees the watermark
+    # computed from the PREVIOUS batch's data
+    (d / "b3.csv").write_text("90,999,2026-01-01 01:00:00,view\n")
+    q.processAllAvailable()
+    (d / "b4.csv").write_text("91,999,2026-01-01 01:01:00,view\n")
+    q.processAllAvailable()
+    q.stop()
+    got = sorted((r.user_id, r.step, r.event_type, r.reached_us)
+                 for r in spark.sql("select * from t_funwm").collect())
+
+    def us(s):  # session-tz-consistent (same conversion the op uses)
+        return spark.sql(
+            f"select unix_micros(timestamp'{s}') as u").first()["u"]
+
+    # exact batch min-chain, brute-forced: user 100 completes all 3
+    # steps at the TRUE event times; user 200 reaches 2
+    assert got == sorted([
+        (100, 1, "view", us("2026-01-01 00:00:00")),
+        (100, 2, "click", us("2026-01-01 00:01:00")),
+        (100, 3, "purchase", us("2026-01-01 00:02:00")),
+        (200, 1, "view", us("2026-01-01 00:00:30")),
+        (200, 2, "click", us("2026-01-01 00:01:30")),
+    ])
+    # per-step counts equal the batch operator on the union
+    batch = spark.createDataFrame(
+        [(2, 100, "2026-01-01 00:01:00", "click"),
+         (3, 100, "2026-01-01 00:02:00", "purchase"),
+         (10, 200, "2026-01-01 00:00:30", "view"),
+         (1, 100, "2026-01-01 00:00:00", "view"),
+         (11, 200, "2026-01-01 00:01:30", "click")],
+        "event_id long, user_id long, ts string, event_type string"
+    ).withColumn("ts", F.col("ts").cast("timestamp"))
+    ref = {r.step: r.users for r in dpe.funnel_conversion(
+        batch, ["view", "click", "purchase"]).collect()}
+    from collections import Counter
+    per_step = Counter(s for _, s, _, _ in got)
+    assert dict(per_step) == {s: n for s, n in ref.items() if n > 0}
+
+
 # ------------------------------------------------------------ JSON_GET
 
 def test_json_get_builtin(spark):
