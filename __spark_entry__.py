@@ -3054,6 +3054,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "knn_join_exact": q_knn_join,
         "hard_negatives": q_hard_negatives,
         "hard_negatives_blas": q_hard_negatives_blas,
+        # r10: index-served banded mining (partition-pruned read)
+        "hard_negatives_ivf": q_hard_negatives_ivf,
         "knn_join_lsh": q_knn_join_lsh,
         "global_shuffle": q_global_shuffle,
         "take_top_frac": q_take_top_frac,
@@ -3088,8 +3090,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "similarity_ivf": q_ivf,
         "multimodal_features": q_multimodal,
         "zip_index_stats": _pig(ZIP_INDEX, "A"),
-        "rank_parts": _pig(RANK_Q, "O"),
         # ---------------- past the 50-entry gate cap ----------------
+        "rank_parts": _pig(RANK_Q, "O"),
         "cube_rollup_grouping": _pig(CUBE_ROLLUP_Q, "A"),
         "sample_op": _pig(SAMPLE_Q, "P"),
         # relational core (Pig scripts through the engine) — every
@@ -3310,6 +3312,7 @@ def oracle_sql(sf_dir: str | None = None) -> dict[str, str]:
         "knn_join_exact": _knn_join_sql(),
         "hard_negatives": _knn_join_sql(band=(0.15, 0.30)),
         "hard_negatives_blas": _knn_join_sql(band=(0.15, 0.30)),
+        "hard_negatives_ivf": _knn_ivf_sql(band=(0.15, 0.30)),
         "knn_join_lsh": _knn_join_sql(lsh=True,
                                       corpus_count=_emb_count(sf_dir)),
         "global_shuffle": GLOBAL_SHUFFLE_SQL,
@@ -3738,17 +3741,29 @@ def q_mmr_rerank_ivf(spark, sf_dir):
                              n_probe=4)
 
 
-def _mmr_ivf_sql(k: int = 5, pool: int = 20, lam: float = 0.7,
-                 qmod: int = 100, n_cells: int = 16,
-                 n_probe: int = 4, dim: int = 64,
-                 train_sample: int = 256) -> str:
-    """Generated oracle for q_mmr_rerank_ivf: the IVF candidate
-    stage (md5-spread seeds → one Lloyd refinement → full-corpus
-    assignment → per-query top-n_probe cells → exact cosine
-    top-pool within probed cells, self excluded — the _ivf_sql
-    pipeline generalized to a query panel) feeding the SAME greedy
-    MMR layers as _mmr_sql."""
-    lam_mill = int(round(float(lam) * 1000))
+def q_hard_negatives_ivf(spark, sf_dir):
+    """r10: index-served hard-negative mining
+    (similarity.knn_join_ivf_index with band=(0.15, 0.30)): the
+    banded top-5 per query, candidates read from the persisted IVF
+    index's probed partitions only (partition pruning) instead of a
+    full corpus scan. IVF-approximate — a band member in an unprobed
+    cell is missed — so the oracle (_knn_ivf_sql) reproduces the
+    trained quantizer + probing rather than sharing the exact-kNN
+    oracle."""
+    emb = _emb(spark, sf_dir)
+    qs = emb.filter(F.col("vec_id") % 100 == 0)
+    idx = _ivf_index_path(spark, sf_dir)
+    return dp_sim.knn_join_ivf_index(spark, idx, qs, k=5, n_probe=4,
+                                     band=(0.15, 0.30))
+
+
+def _ivf_cand_ctes(qmod: int, n_cells: int, n_probe: int, dim: int,
+                   train_sample: int) -> str:
+    """The shared IVF candidate CTE chain (query panel version of
+    _ivf_sql): md5-spread seeds → one Lloyd refinement → full-corpus
+    assignment → per-query top-n_probe cells → exact cosine of every
+    (query, probed row) pair with self excluded. Ends with a
+    ``scored(qid, nbr_id, cos)`` CTE for the caller to rank."""
 
     def cos_vc(v: str, c: str) -> str:
         return (f"list_dot_product({v}, {c})"
@@ -3757,7 +3772,7 @@ def _mmr_ivf_sql(k: int = 5, pool: int = 20, lam: float = 0.7,
 
     mean_list = ", ".join(f"AVG(v[{i + 1}])" for i in range(dim))
     cos_aq = cos_vc("a.v", "q.qv")
-    parts = [f"""
+    return f"""
 WITH q AS (
   SELECT vec_id AS qid, embedding::DOUBLE[] AS qv
   FROM embeddings WHERE vec_id % {qmod} = 0
@@ -3801,7 +3816,39 @@ WITH q AS (
   JOIN probe p ON a.cid = p.cid
   JOIN q ON q.qid = p.qid
   WHERE a.vec_id <> q.qid
-), cand AS (
+)"""
+
+
+def _knn_ivf_sql(k: int = 5, qmod: int = 100, n_cells: int = 16,
+                 n_probe: int = 4, dim: int = 64,
+                 train_sample: int = 256,
+                 band: tuple[float, float] | None = None) -> str:
+    """Generated oracle for q_hard_negatives_ivf: the IVF candidate
+    pipeline, band-filtered on rounded cosines, per-query top-k."""
+    bandf = (f"WHERE cos >= {band[0]!r} AND cos < {band[1]!r}"
+             if band is not None else "")
+    return _ivf_cand_ctes(qmod, n_cells, n_probe, dim,
+                          train_sample) + f"""
+SELECT qid, nbr_id, cos FROM (
+  SELECT *, ROW_NUMBER() OVER (PARTITION BY qid
+      ORDER BY cos DESC, nbr_id ASC) AS rn
+  FROM scored {bandf}) WHERE rn <= {k}
+"""
+
+
+def _mmr_ivf_sql(k: int = 5, pool: int = 20, lam: float = 0.7,
+                 qmod: int = 100, n_cells: int = 16,
+                 n_probe: int = 4, dim: int = 64,
+                 train_sample: int = 256) -> str:
+    """Generated oracle for q_mmr_rerank_ivf: the IVF candidate
+    stage (md5-spread seeds → one Lloyd refinement → full-corpus
+    assignment → per-query top-n_probe cells → exact cosine
+    top-pool within probed cells, self excluded — the _ivf_sql
+    pipeline generalized to a query panel via _ivf_cand_ctes)
+    feeding the SAME greedy MMR layers as _mmr_sql."""
+    lam_mill = int(round(float(lam) * 1000))
+    parts = [_ivf_cand_ctes(qmod, n_cells, n_probe, dim,
+                            train_sample), f""", cand AS (
   SELECT qid, nbr_id, cos FROM (
     SELECT *, ROW_NUMBER() OVER (PARTITION BY qid
         ORDER BY cos DESC, nbr_id ASC) AS rn

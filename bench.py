@@ -112,6 +112,7 @@ HEADLINE = [
     "bm25_topk",
     "hard_negatives",
     "hard_negatives_blas",
+    "hard_negatives_ivf",
     # r08f: hybrid retrieval fusion + curation ops
     "hybrid_rrf",
     "funnel_conversion",
