@@ -929,8 +929,14 @@ def knn_join_ivf_index(spark, path: str, queries: DataFrame,
     index-served HARD-NEGATIVE MINING with the same widened-mask /
     precise-refilter contract as the fused kernel. With
     ``return_vecs`` the output carries each neighbor's double-cast
-    vector as ``_v`` — downstream rerankers (MMR) consume the pool
-    vectors without a second corpus scan or an unprunable id join.
+    vector as ``_v`` for downstream rerankers (MMR). The kernel's
+    candidate stream stays NARROW (qid, nbr_id, cos): per-batch
+    slack means ~(3k+8) candidates per query PER ARROW BATCH, and
+    carrying a dim-double array on each was a measured ~45 GB Arrow
+    shuffle at sf100 (2M vectors) that OOM-killed every worker —
+    instead the bounded winner set (|Q|·k rows) broadcast-joins back
+    into the same partition-pruned, column-pruned index read to
+    attach vectors AFTER the top-k.
     """
     import numpy as np
     import pandas as pd
@@ -960,10 +966,11 @@ def knn_join_ivf_index(spark, path: str, queries: DataFrame,
     q_id_type = queries.schema[q_id_col].dataType
     # nbr_id keeps the INDEX's id type (metadata-only schema read)
     nbr_type = spark.read.parquet(path).schema[id_col].dataType
-    out_fields = [
+    kern_schema = _T.StructType([
         _T.StructField("qid", q_id_type),
         _T.StructField("nbr_id", nbr_type),
-        _T.StructField("cos", _T.DoubleType())]
+        _T.StructField("cos", _T.DoubleType())])
+    out_fields = list(kern_schema.fields)
     if return_vecs:
         out_fields.append(
             _T.StructField("_v", _T.ArrayType(_T.DoubleType())))
@@ -1007,28 +1014,30 @@ def knn_join_ivf_index(spark, path: str, queries: DataFrame,
 
     kk, slack = int(k), int(batch_slack if batch_slack is not None
                             else 3 * k + 8)
-    excl, want_v = bool(exclude_self), bool(return_vecs)
+    excl = bool(exclude_self)
     QBLOCK = _BLAS_QBLOCK
     bnd = (b_lo, b_hi) if band is not None else None
 
     def _batch_candidates(batches):
         q_arr = np.asarray(q_ids, dtype=object)
 
-        def emit(Vn_sub, ids_sub, q_idx, raw_sub):
+        def emit(Vn_sub, ids_sub, q_idx):
             m = min(slack + kk, len(ids_sub))
             for lo in range(0, len(q_idx), QBLOCK):
                 qix = q_idx[lo:lo + QBLOCK]
                 qa = q_arr[qix]
                 S = Vn_sub @ Qn[qix].T
+                # in-place masking (np.where copies S — at a 10k-row
+                # Arrow batch × QBLOCK doubles each copy is ~160 MB
+                # per worker, ×32 workers of transient peak)
                 if excl:
-                    self_mask = ids_sub[:, None] == qa[None, :]
-                    S = np.where(self_mask, -np.inf, S)
+                    S[ids_sub[:, None] == qa[None, :]] = -np.inf
                 if bnd is not None:
                     # widened by 1e-6; the precise rounded-band
                     # filter re-applies Spark-side (same contract as
                     # the fused blas/ivf kernel)
-                    S = np.where((S < bnd[0] - 1e-6)
-                                 | (S >= bnd[1] + 1e-6), -np.inf, S)
+                    S[(S < bnd[0] - 1e-6)
+                      | (S >= bnd[1] + 1e-6)] = -np.inf
                 top = np.argpartition(-S, m - 1, axis=0)[:m]
                 col = np.repeat(np.arange(S.shape[1]), m)
                 row = top.T.ravel()
@@ -1036,12 +1045,10 @@ def knn_join_ivf_index(spark, path: str, queries: DataFrame,
                 # RAW scores out of the kernel — rounding happens
                 # Spark-side with F.round (HALF_UP), exactly like
                 # knn_join's kernel
-                out = {"qid": qa[col[keep]],
-                       "nbr_id": ids_sub[row[keep]],
-                       "cos": S[row[keep], col[keep]]}
-                if want_v:
-                    out["_v"] = [raw_sub[i] for i in row[keep]]
-                yield pd.DataFrame(out)
+                yield pd.DataFrame(
+                    {"qid": qa[col[keep]],
+                     "nbr_id": ids_sub[row[keep]],
+                     "cos": S[row[keep], col[keep]]})
 
         for pdf in batches:
             if not len(pdf):
@@ -1050,24 +1057,32 @@ def knn_join_ivf_index(spark, path: str, queries: DataFrame,
                          dtype=np.float64)
             ids = pdf["nbr_id"].to_numpy()
             Vn = V / np.sqrt((V ** 2).sum(axis=1, keepdims=True))
-            raw = ([list(v[:dim]) for v in pdf["_v"]]
-                   if want_v else None)
             cells = pdf["_cid"].to_numpy()
             for c in pd.unique(cells):
                 q_idx = cell_queries.get(c)
                 if q_idx is None or not len(q_idx):
                     continue
                 rmask = np.flatnonzero(cells == c)
-                yield from emit(Vn[rmask], ids[rmask], q_idx,
-                                [raw[i] for i in rmask]
-                                if want_v else None)
+                yield from emit(Vn[rmask], ids[rmask], q_idx)
 
-    cands = (base.mapInPandas(_batch_candidates, schema=out_schema)
+    cands = (base.mapInPandas(_batch_candidates, schema=kern_schema)
              .withColumn("cos", F.round(F.col("cos"), 6)))
     if bnd is not None:
         cands = cands.filter((F.col("cos") >= bnd[0])
                              & (F.col("cos") < bnd[1]))
     w = (Window.partitionBy("qid")
          .orderBy(F.col("cos").desc(), F.col("nbr_id").asc()))
-    return (cands.withColumn("_rn", F.row_number().over(w))
-            .filter(F.col("_rn") <= kk).drop("_rn"))
+    top = (cands.withColumn("_rn", F.row_number().over(w))
+           .filter(F.col("_rn") <= kk).drop("_rn"))
+    if not return_vecs:
+        return top
+    # attach neighbor vectors AFTER the top-k: the winner set is
+    # bounded (|Q|·k rows, narrow) — broadcast it into the SAME
+    # partition-pruned, column-pruned index read instead of carrying
+    # a dim-double array on every per-batch candidate through the
+    # window shuffle
+    vecs = (part.select(F.col(id_col).alias("nbr_id"),
+                        _as_double(F.col(vec_col)).alias("_v"))
+            .filter(F.size(F.col("_v")) >= dim))
+    return (vecs.join(F.broadcast(top), on="nbr_id")
+            .select("qid", "nbr_id", "cos", "_v"))
