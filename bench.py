@@ -101,6 +101,8 @@ HEADLINE = [
     "take_top_frac",
     "split_assign",
     "minhash_cross",
+    # r10: ingest served from the persisted LSH index
+    "minhash_cross_index",
     # r07d: Bloom-bitmap decontamination (map-only corpus pass) +
     # boilerplate line-dedup strip (Gopher hygiene)
     "bloom_decontamination",

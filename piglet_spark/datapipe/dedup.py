@@ -402,6 +402,119 @@ def minhash_lsh_pairs_cross(new: DataFrame, corpus: DataFrame,
             .withColumnRenamed("id_b", "id_old"))
 
 
+def lsh_write_index(df: DataFrame, path: str, text_col: str = "text",
+                    id_col: str = "doc_id", num_hashes: int = 32,
+                    bands: int = 8, shingle_k: int = 3,
+                    max_bucket: int | None = 1024) -> None:
+    """Persist an LSH near-dup index: the standing corpus's band
+    buckets and shingle sets, computed ONCE and written as parquet,
+    with the LSH parameters in a JSON sidecar. The
+    build-once/query-many analog of :func:`ivf_write_index
+    <piglet_spark.datapipe.similarity.ivf_write_index>` for
+    INCREMENTAL-CRAWL DEDUP — the shape a continuously-fed corpus
+    actually runs: :func:`minhash_lsh_pairs_cross` re-shingles and
+    re-minhashes the ENTIRE standing corpus on every arriving batch
+    (at 100 TB, a full text scan + 32 hash aggregations per day),
+    whereas querying the index (:func:`minhash_cross_index`) reads
+    only the precomputed bucket table for candidates and fetches the
+    shingle sets of candidate ids alone for the exact-Jaccard verify.
+
+    Layout under ``path``:
+      - ``buckets/`` — ``(_bucket, _id)`` partitioned by ``_band``,
+        hot buckets already capped at ``max_bucket`` (a corpus
+        property, so the cap is paid once at build time);
+      - ``shingles/`` — ``(_id, _sh)`` shingle-string sets for the
+        verify join (the index stores them like FAISS stores raw
+        vectors: ~corpus-sized, the price of never re-scanning the
+        raw text);
+      - ``_lsh_meta.json`` — parameters + row-count fingerprints so
+        a query refuses a stale/foreign index.
+
+    Buckets use the same portable md5-prefix construction as the
+    self-join (shared :func:`_band_buckets`), so index-served ingest
+    finds exactly the cross pairs a full re-run would."""
+    import json as _json
+    rows_per_band = _check_bands(bands, num_hashes)
+    base = _spread(df, id_col).select(
+        F.col(id_col).alias("_id"),
+        shingles_of(F.col(text_col), shingle_k).alias("_sh"))
+    sigs = minhash_signatures(df, text_col, id_col, num_hashes,
+                              shingle_k, base_df=base)
+    banded = _cap_buckets(_band_buckets(sigs, bands, rows_per_band),
+                          ["_band", "_bucket"], max_bucket)
+    (banded.select("_band", "_bucket", "_id")
+     .write.mode("overwrite").partitionBy("_band")
+     .parquet(f"{path}/buckets"))
+    base.write.mode("overwrite").parquet(f"{path}/shingles")
+    from .similarity import _ivf_footer_stats
+    n_buckets, _ = _ivf_footer_stats(f"{path}/buckets")
+    n_shingles, _ = _ivf_footer_stats(f"{path}/shingles")
+    with open(f"{path}/_lsh_meta.json", "w") as fh:
+        _json.dump({"num_hashes": num_hashes, "bands": bands,
+                    "shingle_k": shingle_k, "max_bucket": max_bucket,
+                    "id_col": id_col, "text_col": text_col,
+                    "n_bucket_rows": n_buckets,
+                    "n_shingle_rows": n_shingles}, fh)
+
+
+def minhash_cross_index(spark, path: str, new: DataFrame,
+                        text_col: str | None = None,
+                        id_col: str | None = None,
+                        threshold: float = 0.5,
+                        verify: bool = True) -> DataFrame:
+    """Incremental-ingest near-dup pairs against a PERSISTED LSH
+    index (:func:`lsh_write_index`): (id_new, id_old, jaccard),
+    jaccard ≥ threshold — value-identical to
+    :func:`minhash_lsh_pairs_cross` on the same corpus with the same
+    parameters (pinned by pytest), but the corpus side costs a
+    parquet read instead of a full re-shingle + re-minhash:
+      - candidates: the new batch's banded relation (batch·bands
+        rows, typically tiny → AQE broadcast) equi-joins the
+        precomputed bucket table on (band, bucket);
+      - verify: exact Jaccard joins the stored shingle sets for
+        CANDIDATE ids only (semi-join pattern — the corpus-sized
+        shingle table is probed, never fully shuffled).
+    LSH parameters come from the index sidecar, so a batch can never
+    be hashed with different parameters than the corpus was."""
+    import json as _json
+    with open(f"{path}/_lsh_meta.json") as fh:
+        meta = _json.load(fh)
+    if verify:
+        from .similarity import _ivf_footer_stats
+        nb, _ = _ivf_footer_stats(f"{path}/buckets")
+        ns, _ = _ivf_footer_stats(f"{path}/shingles")
+        if nb is not None and (nb != meta["n_bucket_rows"]
+                               or ns != meta["n_shingle_rows"]):
+            raise ValueError(
+                f"stale index at {path}: data files hold {nb} bucket "
+                f"/ {ns} shingle rows but the sidecar was written for "
+                f"{meta['n_bucket_rows']} / {meta['n_shingle_rows']} "
+                f"— rebuild with lsh_write_index")
+    text_col = text_col or meta["text_col"]
+    id_col = id_col or meta["id_col"]
+    num_hashes, bands = meta["num_hashes"], meta["bands"]
+    rows_per_band = _check_bands(bands, num_hashes)
+    base_n = _spread(new, id_col).select(
+        F.col(id_col).alias("_id"),
+        shingles_of(F.col(text_col), meta["shingle_k"]).alias("_sh"))
+    sig_n = minhash_signatures(new, text_col, id_col, num_hashes,
+                               meta["shingle_k"], base_df=base_n)
+    banded_n = _band_buckets(sig_n, bands, rows_per_band)
+    banded_c = spark.read.parquet(f"{path}/buckets")
+    cand = (banded_n.alias("l").join(
+                banded_c.alias("r"),
+                on=[F.col("l._band") == F.col("r._band"),
+                    F.col("l._bucket") == F.col("r._bucket")],
+                how="inner")
+            .select(F.col("l._id").alias("id_a"),
+                    F.col("r._id").alias("id_b"))
+            .dropDuplicates(["id_a", "id_b"]))
+    base_c = spark.read.parquet(f"{path}/shingles")
+    out = _verify_jaccard_pairs(cand, base_n, threshold, base_b=base_c)
+    return (out.withColumnRenamed("id_a", "id_new")
+            .withColumnRenamed("id_b", "id_old"))
+
+
 def minhash_lsh_pairs(df: DataFrame, text_col: str = "text",
                       id_col: str = "doc_id", num_hashes: int = 32,
                       bands: int = 8, shingle_k: int = 3,

@@ -1953,6 +1953,38 @@ def test_minhash_cross_matches_full_subset(spark, sf_dir):
     assert got == want and got  # non-empty at sf0.01/0.2
 
 
+def test_minhash_cross_index_matches_fused(spark, sf_dir, tmp_path):
+    """Index-served incremental dedup == the fused cross-corpus run:
+    lsh_write_index persists the corpus's band buckets + shingles
+    once; minhash_cross_index joins a new batch against the parquet
+    tables and must produce the exact (id_new, id_old, jaccard) set
+    minhash_lsh_pairs_cross computes from raw text. Also pins the
+    staleness guard: an index whose data files no longer match the
+    sidecar fingerprints is refused."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    new = docs.filter(F.col("source") == "src0")
+    corpus = docs.filter(F.col("source") != "src0")
+    idx = str(tmp_path / "lsh_idx")
+    dedup.lsh_write_index(corpus, idx)
+    key = lambda r: (r["id_new"], r["id_old"], r["jaccard"])
+    got = sorted(map(key, dedup.minhash_cross_index(
+        spark, idx, new, threshold=0.2).collect()))
+    want = sorted(map(key, dedup.minhash_lsh_pairs_cross(
+        new, corpus, threshold=0.2).collect()))
+    assert got == want and got
+    # staleness guard: drop a bucket data file → footer row counts
+    # disagree with the sidecar → refuse
+    import glob as _glob
+    import os as _os
+    victim = _glob.glob(f"{idx}/buckets/_band=*/part-*.parquet")[0]
+    _os.remove(victim)
+    with pytest.raises(ValueError, match="stale index"):
+        dedup.minhash_cross_index(spark, idx, new, threshold=0.2)
+    # verify=False skips the guard (hot path that already checked)
+    assert dedup.minhash_cross_index(
+        spark, idx, new, threshold=0.2, verify=False) is not None
+
+
 def test_minhash_cross_shared_ids_and_bands_guard(spark):
     """Sides may reuse id values (verify joins each side's own
     shingles — no cross-contamination), and degenerate banding is
