@@ -515,6 +515,79 @@ def minhash_cross_index(spark, path: str, new: DataFrame,
             .withColumnRenamed("id_b", "id_old"))
 
 
+def minhash_cross_index_stream(spark, path: str, df: DataFrame,
+                               text_col: str | None = None,
+                               id_col: str | None = None,
+                               threshold: float = 0.5) -> DataFrame:
+    """Near-dup detection ON INGEST against a PERSISTED LSH index
+    (:func:`lsh_write_index`) — the Structured Streaming face of
+    :func:`minhash_cross_index`: a continuously-arriving document
+    stream checked against the standing corpus as a STREAM-STATIC
+    join, entirely STATELESS (no watermark, no state store — the
+    corpus lives in the index's parquet tables, not in stream state,
+    unlike :func:`streaming_neardup_pairs`, whose stream-vs-stream
+    state grows with everything ever accepted).
+
+    Per micro-batch: per-row signatures + band buckets + shingle
+    sets via the Arrow row-wise pass (aggregation-free, so legal on
+    unbounded streams) → inner join against the static bucket table
+    → exact-Jaccard verify against the static shingle table for
+    candidate ids only. Emits ``(id_new, id_old, jaccard, band)``
+    in append mode — one row per COLLIDING BAND (the
+    streaming_neardup_pairs precedent; distinct downstream if
+    needed). After a per-batch distinct on (id_new, id_old,
+    jaccard), each micro-batch's pair set equals
+    :func:`minhash_cross_index` on the same rows (pinned by
+    cross-batch pytest). Batch input dispatches to the batch twin
+    (which dedups bands itself).
+
+    Staleness is checked ONCE at plan-build time; a corpus rebuild
+    requires restarting the query (the standard stream-static
+    contract — Spark re-lists static files per batch but the plan's
+    schema/meta are fixed)."""
+    if not df.isStreaming:
+        return minhash_cross_index(spark, path, df, text_col, id_col,
+                                   threshold)
+    import json as _json
+    with open(f"{path}/_lsh_meta.json") as fh:
+        meta = _json.load(fh)
+    from .similarity import _ivf_footer_stats
+    nb, _ = _ivf_footer_stats(f"{path}/buckets")
+    ns, _ = _ivf_footer_stats(f"{path}/shingles")
+    if nb is not None and (nb != meta["n_bucket_rows"]
+                           or ns != meta["n_shingle_rows"]):
+        raise ValueError(
+            f"stale index at {path}: data files hold {nb} bucket / "
+            f"{ns} shingle rows but the sidecar was written for "
+            f"{meta['n_bucket_rows']} / {meta['n_shingle_rows']} — "
+            f"rebuild with lsh_write_index")
+    text_col = text_col or meta["text_col"]
+    id_col = id_col or meta["id_col"]
+    banded_n = _rowwise_banded_pandas(
+        df, text_col, id_col, meta["num_hashes"], meta["bands"],
+        meta["shingle_k"], keep_shingles=True)
+    banded_c = spark.read.parquet(f"{path}/buckets")
+    cand = (banded_n.alias("l").join(
+                banded_c.alias("r"),
+                on=[F.col("l._band") == F.col("r._band"),
+                    F.col("l._bucket") == F.col("r._bucket")],
+                how="inner")
+            .select(F.col("l._id").alias("id_new"),
+                    F.col("r._id").alias("id_old"),
+                    F.col("l._sh").alias("sh_a"),
+                    F.col("l._band").alias("band")))
+    base_c = spark.read.parquet(f"{path}/shingles")
+    out = cand.join(base_c.select(F.col("_id").alias("id_old"),
+                                  F.col("_sh").alias("sh_b")),
+                    on="id_old")
+    inter = F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
+    union = F.size(F.array_union("sh_a", "sh_b")).cast("double")
+    jac = F.when(union > 0, inter / union).otherwise(F.lit(0.0))
+    return (out.select("id_new", "id_old",
+                       F.round(jac, 6).alias("jaccard"), "band")
+            .filter(F.col("jaccard") >= threshold))
+
+
 def minhash_lsh_pairs(df: DataFrame, text_col: str = "text",
                       id_col: str = "doc_id", num_hashes: int = 32,
                       bands: int = 8, shingle_k: int = 3,
@@ -1567,14 +1640,20 @@ def _band_col_exprs(bands: int, rows_per_band: int) -> list[Column]:
 
 def _rowwise_banded_pandas(df: DataFrame, text_col: str, id_col: str,
                            num_hashes: int, bands: int,
-                           shingle_k: int) -> DataFrame:
-    """(_id, _sig, _band, _bucket) via an Arrow ``mapInPandas`` pass —
-    byte-identical values to :func:`_rowwise_banded` (pinned by test)
-    but ~two orders of magnitude faster per document: the Catalyst
-    HOF formulation interprets 32 transform lambdas per row (~ms/doc),
-    while hashlib md5 + one numpy (num_hashes × n_shingles) min is
-    ~0.1 ms/doc. Aggregation-free, so it applies to unbounded
-    streams; this is the path :func:`streaming_neardup_pairs` uses."""
+                           shingle_k: int,
+                           keep_shingles: bool = False) -> DataFrame:
+    """(_id, _sig, _band, _bucket[, _sh]) via an Arrow ``mapInPandas``
+    pass — byte-identical values to :func:`_rowwise_banded` (pinned by
+    test) but ~two orders of magnitude faster per document: the
+    Catalyst HOF formulation interprets 32 transform lambdas per row
+    (~ms/doc), while hashlib md5 + one numpy (num_hashes × n_shingles)
+    min is ~0.1 ms/doc. Aggregation-free, so it applies to unbounded
+    streams; this is the path :func:`streaming_neardup_pairs` uses.
+    ``keep_shingles`` rides the shingle-string SET out alongside (the
+    same set :func:`shingles_of` computes, order irrelevant to the
+    set-based Jaccard) — the index-served streaming ingest needs it
+    for the exact verify; duplicated ×bands, so only sensible on
+    batch-sized (stream micro-batch) inputs."""
     import re as _re
     import numpy as _np
 
@@ -1583,12 +1662,14 @@ def _rowwise_banded_pandas(df: DataFrame, text_col: str, id_col: str,
     a_vec = params[:, 0].astype(object)   # python ints: exact mod-P
     b_vec = params[:, 1].astype(object)
     out_t = ("_id long, _sig array<bigint>, _band int, _bucket long")
+    if keep_shingles:
+        out_t += ", _sh array<string>"
 
     def emit(batches):
         import hashlib
         import pandas as pd
         for pdf in batches:
-            ids, sigs, bnds, bkts = [], [], [], []
+            ids, sigs, bnds, bkts, shs = [], [], [], [], []
             for _id, text in zip(pdf[id_col], pdf[text_col]):
                 norm = _re.sub(r"[^a-z0-9]+", " ",
                                ("" if text is None else text)
@@ -1623,9 +1704,14 @@ def _rowwise_banded_pandas(df: DataFrame, text_col: str, id_col: str,
                     sigs.append(sig)
                     bnds.append(b)
                     bkts.append(bkt)
+                    if keep_shingles:
+                        shs.append(sh)
             if ids:
-                yield pd.DataFrame({"_id": ids, "_sig": sigs,
-                                    "_band": bnds, "_bucket": bkts})
+                out = {"_id": ids, "_sig": sigs,
+                       "_band": bnds, "_bucket": bkts}
+                if keep_shingles:
+                    out["_sh"] = shs
+                yield pd.DataFrame(out)
 
     return (df.select(F.col(id_col).cast("long").alias(id_col),
                       text_col)

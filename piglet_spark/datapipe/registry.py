@@ -261,6 +261,13 @@ def datapipe_ops() -> dict[str, Callable]:
                 df.filter(F.col(str(src_col)) == str(src)),
                 df.filter(F.col(str(src_col)) != str(src)),
                 str(text), str(idc), threshold=float(thr)),
+        # r10: the same ingest served from a PERSISTED LSH index
+        # (dedup.lsh_write_index) — batch or stream input; streaming
+        # runs as a stateless stream-static join against the index
+        "minhash_cross_index": lambda df, path, thr=0.5, text="text",
+            idc="doc_id": dp.minhash_cross_index_stream(
+                df.sparkSession, str(path), df, str(text), str(idc),
+                threshold=float(thr)),
         # deterministic train/val/test assignment (r07): weights as
         # 'train:0.9,val:0.05,test:0.05'
         "split_assign": lambda df, weights="", seed=42, idc="doc_id",

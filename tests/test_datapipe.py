@@ -1985,6 +1985,51 @@ def test_minhash_cross_index_matches_fused(spark, sf_dir, tmp_path):
         spark, idx, new, threshold=0.2, verify=False) is not None
 
 
+def test_minhash_cross_index_stream_cross_batch(spark, sf_dir,
+                                                tmp_path):
+    """Streaming ingest vs the persisted LSH index (stream-static
+    join, stateless): per micro-batch, the emitted pairs — after the
+    documented per-batch distinct over the per-band emissions —
+    equal the batch index query on that batch's rows; across two
+    micro-batches the union equals the batch query on the union.
+    Also pins batch-input dispatch to the batch twin."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    new = docs.filter(F.col("source") == "src0")
+    corpus = docs.filter(F.col("source") != "src0")
+    idx = str(tmp_path / "lsh_idx")
+    dedup.lsh_write_index(corpus, idx)
+    # split the arriving batch into two micro-batches (one file each)
+    half = new.filter(F.col("doc_id") % 2 == 0)
+    rest = new.filter(F.col("doc_id") % 2 == 1)
+    d = tmp_path / "arrivals"
+    d.mkdir()
+    half.coalesce(1).write.parquet(str(d / "b1"))
+    sdf = (spark.readStream.schema(new.schema)
+           .option("maxFilesPerTrigger", 1)
+           .parquet(str(d / "*")))
+    out = dedup.minhash_cross_index_stream(spark, idx, sdf,
+                                           threshold=0.2)
+    assert out.isStreaming
+    q = (out.writeStream.format("memory").queryName("t_mci")
+         .outputMode("append").start())
+    q.processAllAvailable()
+    rest.coalesce(1).write.parquet(str(d / "b2"))
+    q.processAllAvailable()
+    q.stop()
+    got = {(r["id_new"], r["id_old"], r["jaccard"]) for r in
+           spark.sql("select distinct id_new, id_old, jaccard "
+                     "from t_mci").collect()}
+    want = {(r["id_new"], r["id_old"], r["jaccard"]) for r in
+            dedup.minhash_cross_index(spark, idx, new,
+                                      threshold=0.2).collect()}
+    assert got == want and got
+    # batch input dispatches to the batch twin (no band column)
+    b = dedup.minhash_cross_index_stream(spark, idx, new,
+                                         threshold=0.2)
+    assert not b.isStreaming and b.columns == ["id_new", "id_old",
+                                               "jaccard"]
+
+
 def test_minhash_cross_shared_ids_and_bands_guard(spark):
     """Sides may reuse id values (verify joins each side's own
     shingles — no cross-contamination), and degenerate banding is
@@ -2091,6 +2136,28 @@ C = STREAM D THROUGH bloom_decon('src0', 5, 131072, 3);
                         for r in rows)
     assert eng.df("C").columns == [
         "doc_id", "n_shingles", "n_bloom_hits", "bloom_contamination"]
+
+
+def test_stream_through_minhash_cross_index(spark, sf_dir, tmp_path):
+    """DSL surface: STREAM ... THROUGH minhash_cross_index(path, thr)
+    — batch input dispatches to the batch index query."""
+    import piglet_spark as pg
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    idx = str(tmp_path / "lsh_idx")
+    dedup.lsh_write_index(docs.filter(F.col("source") != "src0"), idx)
+    eng = pg.PigEngine(spark)
+    eng.run(f"""
+D = LOAD '{sf_dir}/documents.parquet' USING ParquetStorage();
+N = FILTER D BY source == 'src0';
+P = STREAM N THROUGH minhash_cross_index('{idx}', 0.2);
+""")
+    got = {(r["id_new"], r["id_old"], r["jaccard"])
+           for r in eng.df("P").collect()}
+    want = {(r["id_new"], r["id_old"], r["jaccard"]) for r in
+            dedup.minhash_cross_index(
+                spark, idx, docs.filter(F.col("source") == "src0"),
+                threshold=0.2).collect()}
+    assert got == want and got
 
 
 def test_bloom_decontaminate_auto_sizing(spark):
