@@ -518,7 +518,8 @@ def minhash_cross_index(spark, path: str, new: DataFrame,
 def minhash_cross_index_stream(spark, path: str, df: DataFrame,
                                text_col: str | None = None,
                                id_col: str | None = None,
-                               threshold: float = 0.5) -> DataFrame:
+                               threshold: float = 0.5,
+                               cache_static: bool = True) -> DataFrame:
     """Near-dup detection ON INGEST against a PERSISTED LSH index
     (:func:`lsh_write_index`) — the Structured Streaming face of
     :func:`minhash_cross_index`: a continuously-arriving document
@@ -544,7 +545,21 @@ def minhash_cross_index_stream(spark, path: str, df: DataFrame,
     Staleness is checked ONCE at plan-build time; a corpus rebuild
     requires restarting the query (the standard stream-static
     contract — Spark re-lists static files per batch but the plan's
-    schema/meta are fixed)."""
+    schema/meta are fixed).
+
+    Plan-shape note for big corpora: streaming plans fix the join
+    strategy at plan time (no AQE), so the per-micro-batch joins
+    against the static tables run as shuffle joins — with
+    ``cache_static`` (default) both index relations persist
+    MEMORY_AND_DISK after the first trigger, so later triggers
+    re-shuffle from cache instead of re-reading parquet (measured:
+    the dominant per-trigger cost on small batches). When the index
+    is too large to re-shuffle per trigger at all, drive the ingest
+    with ``foreachBatch`` over the BATCH query instead —
+    ``q = stream.writeStream.foreachBatch(lambda b, _:
+    sink(minhash_cross_index(spark, path, b, verify=False)))`` —
+    which plans each micro-batch adaptively (AQE broadcasts the
+    arriving batch into the bucket and shingle scans)."""
     if not df.isStreaming:
         return minhash_cross_index(spark, path, df, text_col, id_col,
                                    threshold)
@@ -567,6 +582,11 @@ def minhash_cross_index_stream(spark, path: str, df: DataFrame,
         df, text_col, id_col, meta["num_hashes"], meta["bands"],
         meta["shingle_k"], keep_shingles=True)
     banded_c = spark.read.parquet(f"{path}/buckets")
+    base_c = spark.read.parquet(f"{path}/shingles")
+    if cache_static:
+        from pyspark import StorageLevel
+        banded_c = banded_c.persist(StorageLevel.MEMORY_AND_DISK)
+        base_c = base_c.persist(StorageLevel.MEMORY_AND_DISK)
     cand = (banded_n.alias("l").join(
                 banded_c.alias("r"),
                 on=[F.col("l._band") == F.col("r._band"),
@@ -576,7 +596,6 @@ def minhash_cross_index_stream(spark, path: str, df: DataFrame,
                     F.col("r._id").alias("id_old"),
                     F.col("l._sh").alias("sh_a"),
                     F.col("l._band").alias("band")))
-    base_c = spark.read.parquet(f"{path}/shingles")
     out = cand.join(base_c.select(F.col("_id").alias("id_old"),
                                   F.col("_sh").alias("sh_b")),
                     on="id_old")
