@@ -421,8 +421,12 @@ def lsh_write_index(df: DataFrame, path: str, text_col: str = "text",
 
     Layout under ``path``:
       - ``buckets/`` — ``(_bucket, _id)`` partitioned by ``_band``,
-        hot buckets already capped at ``max_bucket`` (a corpus
-        property, so the cap is paid once at build time);
+        UNCAPPED (hot-bucket capping happens at QUERY time with the
+        sidecar's ``max_bucket``, exactly the fused path's
+        :func:`_cap_buckets` — so :func:`lsh_append_index` stays
+        trivially correct: a bucket that crosses the cap only after
+        an append drops out of candidate generation just like a
+        fresh rebuild would drop it);
       - ``shingles/`` — ``(_id, _sh)`` shingle-string sets for the
         verify join (the index stores them like FAISS stores raw
         vectors: ~corpus-sized, the price of never re-scanning the
@@ -440,21 +444,63 @@ def lsh_write_index(df: DataFrame, path: str, text_col: str = "text",
         shingles_of(F.col(text_col), shingle_k).alias("_sh"))
     sigs = minhash_signatures(df, text_col, id_col, num_hashes,
                               shingle_k, base_df=base)
-    banded = _cap_buckets(_band_buckets(sigs, bands, rows_per_band),
-                          ["_band", "_bucket"], max_bucket)
+    banded = _band_buckets(sigs, bands, rows_per_band)
     (banded.select("_band", "_bucket", "_id")
      .write.mode("overwrite").partitionBy("_band")
      .parquet(f"{path}/buckets"))
     base.write.mode("overwrite").parquet(f"{path}/shingles")
+    _lsh_write_meta(path, {"num_hashes": num_hashes, "bands": bands,
+                           "shingle_k": shingle_k,
+                           "max_bucket": max_bucket,
+                           "id_col": id_col, "text_col": text_col})
+
+
+def _lsh_write_meta(path: str, params: dict) -> None:
+    """Write/refresh the LSH index sidecar: parameters + row-count
+    fingerprints read from the parquet footers just written."""
+    import json as _json
     from .similarity import _ivf_footer_stats
     n_buckets, _ = _ivf_footer_stats(f"{path}/buckets")
     n_shingles, _ = _ivf_footer_stats(f"{path}/shingles")
     with open(f"{path}/_lsh_meta.json", "w") as fh:
-        _json.dump({"num_hashes": num_hashes, "bands": bands,
-                    "shingle_k": shingle_k, "max_bucket": max_bucket,
-                    "id_col": id_col, "text_col": text_col,
-                    "n_bucket_rows": n_buckets,
+        _json.dump({**params, "n_bucket_rows": n_buckets,
                     "n_shingle_rows": n_shingles}, fh)
+
+
+def lsh_append_index(df: DataFrame, path: str) -> None:
+    """ACCEPT a new batch into a persisted LSH index
+    (:func:`lsh_write_index`) — the write half of the incremental
+    ingest loop: check an arriving batch with
+    :func:`minhash_cross_index`, drop/cluster the near-dups, then
+    append the accepted rows so the NEXT batch is checked against
+    them too. Computes the batch's band buckets and shingle sets
+    with the SIDECAR's parameters (a batch can never be hashed
+    differently than the corpus) and appends them to the parquet
+    tables — no corpus rescan, cost ∝ batch size. Queries after an
+    append equal a fresh :func:`lsh_write_index` over the grown
+    corpus (pinned by pytest), including hot-bucket capping, which
+    is applied at query time from full bucket counts. The caller
+    owns id uniqueness across appends (duplicate ids would verify
+    against themselves at jaccard 1.0, like any re-ingested row)."""
+    import json as _json
+    with open(f"{path}/_lsh_meta.json") as fh:
+        meta = _json.load(fh)
+    rows_per_band = _check_bands(meta["bands"], meta["num_hashes"])
+    base = _spread(df, meta["id_col"]).select(
+        F.col(meta["id_col"]).alias("_id"),
+        shingles_of(F.col(meta["text_col"]),
+                    meta["shingle_k"]).alias("_sh"))
+    sigs = minhash_signatures(df, meta["text_col"], meta["id_col"],
+                              meta["num_hashes"], meta["shingle_k"],
+                              base_df=base)
+    banded = _band_buckets(sigs, meta["bands"], rows_per_band)
+    (banded.select("_band", "_bucket", "_id")
+     .write.mode("append").partitionBy("_band")
+     .parquet(f"{path}/buckets"))
+    base.write.mode("append").parquet(f"{path}/shingles")
+    _lsh_write_meta(path, {k: meta[k] for k in
+                           ("num_hashes", "bands", "shingle_k",
+                            "max_bucket", "id_col", "text_col")})
 
 
 def minhash_cross_index(spark, path: str, new: DataFrame,
@@ -500,7 +546,14 @@ def minhash_cross_index(spark, path: str, new: DataFrame,
     sig_n = minhash_signatures(new, text_col, id_col, num_hashes,
                                meta["shingle_k"], base_df=base_n)
     banded_n = _band_buckets(sig_n, bands, rows_per_band)
-    banded_c = spark.read.parquet(f"{path}/buckets")
+    # hot-bucket capping at query time from FULL bucket counts —
+    # identical to the fused path's corpus-side _cap_buckets, and
+    # append-safe (a bucket crossing the cap via lsh_append_index
+    # drops out exactly as a fresh rebuild would drop it); the extra
+    # narrow aggregation rides the bucket-table scan the join needs
+    # anyway
+    banded_c = _cap_buckets(spark.read.parquet(f"{path}/buckets"),
+                            ["_band", "_bucket"], meta["max_bucket"])
     cand = (banded_n.alias("l").join(
                 banded_c.alias("r"),
                 on=[F.col("l._band") == F.col("r._band"),
@@ -581,7 +634,8 @@ def minhash_cross_index_stream(spark, path: str, df: DataFrame,
     banded_n = _rowwise_banded_pandas(
         df, text_col, id_col, meta["num_hashes"], meta["bands"],
         meta["shingle_k"], keep_shingles=True)
-    banded_c = spark.read.parquet(f"{path}/buckets")
+    banded_c = _cap_buckets(spark.read.parquet(f"{path}/buckets"),
+                            ["_band", "_bucket"], meta["max_bucket"])
     base_c = spark.read.parquet(f"{path}/shingles")
     if cache_static:
         from pyspark import StorageLevel

@@ -1985,6 +1985,54 @@ def test_minhash_cross_index_matches_fused(spark, sf_dir, tmp_path):
         spark, idx, new, threshold=0.2, verify=False) is not None
 
 
+def test_lsh_append_index_equals_rebuild(spark, sf_dir, tmp_path):
+    """The incremental write half: building over half the corpus and
+    appending the other half must answer queries identically to a
+    fresh build over the whole corpus (and to the fused cross run)."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    new = docs.filter(F.col("source") == "src0")
+    corpus = docs.filter(F.col("source") != "src0")
+    half1 = corpus.filter(F.col("doc_id") % 2 == 0)
+    half2 = corpus.filter(F.col("doc_id") % 2 == 1)
+    idx_a = str(tmp_path / "grown")
+    dedup.lsh_write_index(half1, idx_a)
+    dedup.lsh_append_index(half2, idx_a)
+    idx_b = str(tmp_path / "fresh")
+    dedup.lsh_write_index(corpus, idx_b)
+    key = lambda r: (r["id_new"], r["id_old"], r["jaccard"])
+    got = sorted(map(key, dedup.minhash_cross_index(
+        spark, idx_a, new, threshold=0.2).collect()))
+    want = sorted(map(key, dedup.minhash_cross_index(
+        spark, idx_b, new, threshold=0.2).collect()))
+    fused = sorted(map(key, dedup.minhash_lsh_pairs_cross(
+        new, corpus, threshold=0.2).collect()))
+    assert got == want == fused and got
+
+
+def test_lsh_append_crosses_hot_bucket_cap(spark, tmp_path):
+    """A bucket that crosses max_bucket only AFTER an append must
+    drop out of candidate generation exactly like a fresh rebuild
+    would drop it (query-time capping from full counts)."""
+    T = "alpha beta gamma delta epsilon zeta eta theta"
+    mk = lambda rows: spark.createDataFrame(rows, ["doc_id", "text"])
+    idx = str(tmp_path / "idx")
+    dedup.lsh_write_index(mk([(10, T), (11, T)]), idx, max_bucket=2)
+    probe = mk([(1, T)])
+    # 2 holders <= cap: the probe finds both corpus copies
+    before = dedup.minhash_cross_index(spark, idx, probe,
+                                       threshold=0.5).collect()
+    assert {r["id_old"] for r in before} == {10, 11}
+    dedup.lsh_append_index(mk([(12, T)]), idx)
+    after = dedup.minhash_cross_index(spark, idx, probe,
+                                      threshold=0.5).collect()
+    fresh = str(tmp_path / "fresh")
+    dedup.lsh_write_index(mk([(10, T), (11, T), (12, T)]), fresh,
+                          max_bucket=2)
+    fresh_rows = dedup.minhash_cross_index(spark, fresh, probe,
+                                           threshold=0.5).collect()
+    assert after == fresh_rows == []  # hot bucket dropped both ways
+
+
 def test_minhash_cross_index_stream_cross_batch(spark, sf_dir,
                                                 tmp_path):
     """Streaming ingest vs the persisted LSH index (stream-static
