@@ -803,6 +803,59 @@ def ivf_write_index(df: DataFrame, path: str,
     return cents
 
 
+def ivf_append_index(df: DataFrame, path: str) -> None:
+    """ADD new vectors to a persisted IVF index
+    (:func:`ivf_write_index`) — FAISS ``add()`` semantics: the coarse
+    quantizer stays FROZEN (centroids from the sidecar), each new
+    vector is assigned to its nearest existing cell with the same
+    argmax-cosine/ties→smallest-cid rule as the build
+    (:func:`_argmin_assign` on a centroid literal), and the rows
+    append into the hive cell partitions — batch-sized work, no
+    retraining, no corpus rescan. The sidecar's row-count/cell
+    fingerprints refresh so the staleness guard accepts the grown
+    index. Queries (:func:`ivf_query_index`,
+    :func:`knn_join_ivf_index`) serve the union immediately: exact
+    cosine top-k inside the probed cells of corpus ∪ appended
+    (pinned by pytest against brute force over the probed cells).
+    Standard ANN-index caveat applies: the quantizer was trained on
+    the ORIGINAL corpus, so heavy distribution drift degrades recall
+    (cells stop matching the data) — rebuild with
+    :func:`ivf_write_index` periodically; the index records no drift
+    statistic itself."""
+    import json as _json
+    import math as _math
+    from pyspark.sql import types as _T
+    meta = _ivf_load_meta(path, verify=True)
+    dim = int(meta["dim"])
+    id_col, vec_col = meta["id_col"], meta["vec_col"]
+    spark = df.sparkSession
+    # the sidecar's cid values must keep the INDEX's _cid type so the
+    # appended rows land in the same hive partition directories
+    cid_type = spark.read.parquet(path).schema["_cid"].dataType
+    cents_lit = spark.createDataFrame(
+        [(c["cid"], [float(x) for x in c["vec"]],
+          float(_math.sqrt(sum(x * x for x in c["vec"]))))
+         for c in meta["centroids"]],
+        schema=_T.StructType([
+            _T.StructField("_cid", cid_type),
+            _T.StructField("_cv", _T.ArrayType(_T.DoubleType())),
+            _T.StructField("_ncv", _T.DoubleType())]))
+    rows = df.select(F.col(id_col), F.col(vec_col),
+                     _as_double(F.col(vec_col)).alias("_v"))
+    rows = (rows.filter(F.size("_v") >= dim)
+            .withColumn("_nv", norm_expr("_v", dim))
+            .filter(F.col("_nv") > 0))
+    assign = _argmin_assign(rows, cents_lit, id_col, dim)
+    (rows.select(id_col, vec_col).join(assign, on=id_col)
+     .write.mode("append").partitionBy("_cid").parquet(path))
+    n_rows, cids = _ivf_footer_stats(path)
+    meta_out = {"dim": dim, "centroids": meta["centroids"],
+                "n_rows": n_rows, "cells": sorted(cids),
+                "id_col": id_col, "vec_col": vec_col}
+    with open(f"{path}/_ivf_centroids.json", "w") as fh:
+        _json.dump(meta_out, fh)
+
+
 def _ivf_footer_stats(path: str) -> "tuple[int | None, set]":
     """(total rows, cell ids) of a persisted IVF index from parquet
     footers + hive dir names — metadata-only, no data read. Returns

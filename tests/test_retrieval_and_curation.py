@@ -943,6 +943,72 @@ DUMP P;
 """)
 
 
+def test_ivf_append_index_add_semantics(spark, tmp_path):
+    """FAISS add() semantics: append assigns new vectors to their
+    nearest FROZEN centroid (argmax cosine, ties → smallest cid —
+    verified against numpy), the sidecar fingerprints refresh so the
+    staleness guard accepts the grown index, and a query serves the
+    union: exact top-k inside the probed cells of corpus ∪ appended,
+    verified against brute force over the stored cell contents."""
+    import json
+    import math
+    import numpy as np
+    emb = _emb(spark)
+    half1 = emb.filter(F.col("vec_id") % 2 == 0)
+    half2 = emb.filter(F.col("vec_id") % 2 == 1)
+    path = str(tmp_path / "ivf_grow")
+    dps.ivf_write_index(half1, path, n_cells=8)
+    meta0 = json.load(open(f"{path}/_ivf_centroids.json"))
+    dps.ivf_append_index(half2, path)
+    meta1 = json.load(open(f"{path}/_ivf_centroids.json"))
+    assert meta1["centroids"] == meta0["centroids"]  # frozen
+    assert meta1["n_rows"] > meta0["n_rows"]
+    stored = spark.read.parquet(path).collect()
+    assert meta1["n_rows"] == len(stored)
+    # appended rows sit in their argmax-cosine cell (ties → min cid)
+    cents = sorted(meta1["centroids"], key=lambda c: c["cid"])
+    C = np.array([c["vec"] for c in cents])
+    Cn = C / np.sqrt((C ** 2).sum(axis=1, keepdims=True))
+    by_id = {}
+    for r in stored:
+        by_id[r["vec_id"]] = (r["_cid"], list(r["embedding"]))
+    for r in half2.collect():
+        v = np.array([float(x) for x in r["embedding"]])
+        if not v.any():
+            assert r["vec_id"] not in by_id  # degenerate filtered
+            continue
+        cos = (v / np.linalg.norm(v)) @ Cn.T
+        want_cid = cents[int(np.argmax(cos))]["cid"]
+        assert by_id[r["vec_id"]][0] == want_cid, r["vec_id"]
+    # query over the grown index == brute force over probed cells
+    qv = [float(x) for x in
+          emb.filter("vec_id = 7").first()["embedding"]]
+    got = [(r.vec_id, r.cos) for r in
+           dps.ivf_query_index(spark, path, qv, k=5,
+                               n_probe=3).collect()]
+    nq = math.sqrt(sum(x * x for x in qv))
+    probe_cos = [(sum(a * b for a, b in zip(c["vec"], qv))
+                  / (math.sqrt(sum(x * x for x in c["vec"])) * nq),
+                  c["cid"]) for c in cents]
+    probes = {cid for _, cid in
+              sorted(probe_cos, key=lambda t: (-t[0], t[1]))[:3]}
+    cand = []
+    for r in stored:
+        if r["_cid"] not in probes:
+            continue
+        v = [float(x) for x in r["embedding"]]
+        nv = math.sqrt(sum(x * x for x in v))
+        cand.append((r["vec_id"],
+                     round(sum(a * b for a, b in zip(v, qv))
+                           / (nv * nq), 6)))
+    want = sorted(cand, key=lambda t: (-t[1], t[0]))[:5]
+    assert got == want
+    # the batch kNN join accepts the grown index (staleness ok)
+    out = dps.knn_join_ivf_index(spark, path, emb.limit(3), k=2,
+                                 n_probe=8)
+    assert out.count() == 6
+
+
 def test_ivf_index_staleness_guard(spark, tmp_path):
     """The r09 staleness guard: a persisted index whose data files no
     longer match the centroid sidecar's corpus fingerprint (row count
