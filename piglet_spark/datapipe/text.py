@@ -340,6 +340,108 @@ def gopher_repetition_ok(df: DataFrame, text_col: str = "text",
     return st.select(id_col, keep.alias("keep"))
 
 
+def quality_filter_chain(df: DataFrame, text_col: str = "text",
+                         id_col: str = "doc_id",
+                         min_tokens: int = 20,
+                         max_tokens: int = 100_000,
+                         min_mean_word_len: float = 3.0,
+                         max_mean_word_len: float = 10.0,
+                         min_alpha_ratio: float = 0.6,
+                         max_punct_ratio: float = 0.25,
+                         gopher_repetition: bool = True) -> DataFrame:
+    """Composable C4/Gopher-style pre-training quality filter with a
+    COMPLETE per-document audit — the single pass a FineWeb-style
+    pipeline runs before dedup: every rule evaluates on every
+    document (no short-circuit), so the output names every rule a
+    document fails, not just the first.
+
+    Returns ``(id, keep, fail_reasons array<string>)`` —
+    ``fail_reasons`` is sorted (deterministic) and empty iff
+    ``keep``. Rules (all published-practice shapes):
+      - ``too_short`` / ``too_long``: whitespace token count outside
+        [min_tokens, max_tokens] (C4 length rule);
+      - ``word_length``: mean word length outside
+        [min_mean_word_len, max_mean_word_len] (Gopher);
+      - ``alpha_ratio``: alphabetic-character fraction below
+        ``min_alpha_ratio``;
+      - ``punct_ratio``: punctuation fraction above
+        ``max_punct_ratio`` (C4 symbol-ratio shape);
+      - ``repetition``: any of the five Gopher repetition cut-offs
+        (:func:`gopher_repetition_ok`; skipped when
+        ``gopher_repetition=False``).
+
+    Scale shape: everything except ``repetition`` is map-only column
+    arithmetic over one text scan; ``repetition`` adds
+    :func:`repetition_stats`'s one (doc, gram) partial-agg shuffle
+    and joins back on the id. No UDFs, no collect."""
+    text = F.coalesce(F.col(text_col), F.lit(""))
+    st = char_stats(text)
+    n = st["n_chars"].cast("double")
+    ntok = ws_token_count(text)
+    mwl = F.when(ntok > 0, (n - st["n_space"]) / ntok).otherwise(
+        F.lit(0.0))
+    alpha_ratio = F.when(n > 0, st["n_alpha"] / n).otherwise(
+        F.lit(0.0))
+    punct_ratio = F.when(n > 0, st["n_punct"] / n).otherwise(
+        F.lit(0.0))
+    rules = [
+        ("too_short", ntok < F.lit(int(min_tokens))),
+        ("too_long", ntok > F.lit(int(max_tokens))),
+        ("word_length", (mwl < F.lit(float(min_mean_word_len)))
+                        | (mwl > F.lit(float(max_mean_word_len)))),
+        ("alpha_ratio", alpha_ratio < F.lit(float(min_alpha_ratio))),
+        ("punct_ratio", punct_ratio > F.lit(float(max_punct_ratio))),
+    ]
+    out = df.select(F.col(id_col),
+                    *[fail.alias(f"_f_{name}") for name, fail in rules])
+    names = [name for name, _ in rules]
+    if gopher_repetition:
+        rep = gopher_repetition_ok(df, text_col, id_col)
+        out = out.join(rep.select(F.col(id_col),
+                                  (~F.col("keep")).alias("_f_repetition")),
+                       on=id_col)
+        names.append("repetition")
+    reasons = F.array_sort(F.filter(
+        F.array(*[F.when(F.col(f"_f_{nm}"), F.lit(nm)) for nm in names]),
+        lambda x: x.isNotNull()))
+    return out.select(
+        F.col(id_col),
+        (F.size(reasons) == 0).alias("keep"),
+        reasons.alias("fail_reasons"))
+
+
+def quality_filter_report(df: DataFrame, text_col: str = "text",
+                          id_col: str = "doc_id",
+                          **rules) -> DataFrame:
+    """Corpus-level audit of :func:`quality_filter_chain`: one row
+    per rule with the number of documents failing it (a document
+    failing several rules counts toward each — the chain audits
+    completely), plus ``docs_total`` and ``docs_kept`` rows. Returns
+    ``(rule, n_docs)``. The standard filter-pass report a pipeline
+    publishes alongside a corpus release; bounded output (≤ 8 rows),
+    one pass over the chain."""
+    ch = quality_filter_chain(df, text_col, id_col, **rules)
+    names = ["too_short", "too_long", "word_length", "alpha_ratio",
+             "punct_ratio"]
+    if rules.get("gopher_repetition", True):
+        names.append("repetition")
+    # single aggregation row → map explode: every rule appears even
+    # at zero failures (a groupBy over exploded reasons would drop
+    # clean rules from the report)
+    aggs = [F.sum(F.array_contains("fail_reasons", F.lit(nm))
+                  .cast("long")).alias(f"_n_{nm}") for nm in names]
+    totals = ch.agg(*aggs,
+                    F.count(F.lit(1)).alias("_total"),
+                    F.sum(F.col("keep").cast("long")).alias("_kept"))
+    entries = []
+    for nm in names:
+        entries += [F.lit(nm), F.col(f"_n_{nm}")]
+    entries += [F.lit("docs_total"), F.col("_total"),
+                F.lit("docs_kept"), F.col("_kept")]
+    return totals.select(F.explode(F.create_map(*entries))
+                         .alias("rule", "n_docs"))
+
+
 def winnow_fingerprints(df: DataFrame, text_col: str = "text",
                         id_col: str = "doc_id", k: int = 5,
                         w: int = 4) -> DataFrame:

@@ -1194,6 +1194,70 @@ def test_pii_ipv4_octet_range(spark):
     assert out[3] == "edge 256.1.1.1 is not an address but <IP> is"
 
 
+def test_quality_filter_chain_brute_force(spark, sf_dir):
+    """Every rule flag vs a python reference on the real documents
+    table (repetition delegates to gopher_repetition_ok, which has
+    its own brute-force pin); keep == no reasons; reasons sorted."""
+    import re
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    got = {r["doc_id"]: (r["keep"], tuple(r["fail_reasons"]))
+           for r in text.quality_filter_chain(docs).collect()}
+    rep = {r["doc_id"]: r["keep"]
+           for r in text.gopher_repetition_ok(docs).collect()}
+    for row in docs.collect():
+        t = row["text"] or ""
+        n = len(t)
+        alpha = len(re.sub("[^A-Za-z]", "", t))
+        digit = len(re.sub("[^0-9]", "", t))
+        space = t.count(" ")
+        punct = n - alpha - digit - space
+        ntok = 0 if not t.strip() else len(re.split(r"\s+", t.strip()))
+        mwl = (n - space) / ntok if ntok > 0 else 0.0
+        want = set()
+        if ntok < 20:
+            want.add("too_short")
+        if ntok > 100_000:
+            want.add("too_long")
+        if mwl < 3.0 or mwl > 10.0:
+            want.add("word_length")
+        if (alpha / n if n else 0.0) < 0.6:
+            want.add("alpha_ratio")
+        if (punct / n if n else 0.0) > 0.25:
+            want.add("punct_ratio")
+        if not rep[row["doc_id"]]:
+            want.add("repetition")
+        keep, reasons = got[row["doc_id"]]
+        assert reasons == tuple(sorted(want)), row["doc_id"]
+        assert keep == (not want)
+    # the report counts match the chain, zero-count rules included
+    rpt = {r["rule"]: r["n_docs"]
+           for r in text.quality_filter_report(docs).collect()}
+    n_docs = len(got)
+    assert rpt["docs_total"] == n_docs
+    assert rpt["docs_kept"] == sum(1 for k, _ in got.values() if k)
+    for nm in ("too_short", "too_long", "word_length", "alpha_ratio",
+               "punct_ratio", "repetition"):
+        assert rpt[nm] == sum(1 for _, rs in got.values() if nm in rs)
+    assert len(rpt) == 8
+
+
+def test_stream_through_quality_filter(spark, sf_dir):
+    """DSL surface: STREAM ... THROUGH quality_filter /
+    quality_filter_report."""
+    import piglet_spark as pg
+    eng = pg.PigEngine(spark)
+    eng.run(f"""
+D = LOAD '{sf_dir}/documents.parquet' USING ParquetStorage();
+Q = STREAM D THROUGH quality_filter();
+R = STREAM D THROUGH quality_filter_report();
+""")
+    qrows = eng.df("Q").limit(5).collect()
+    assert qrows and eng.df("Q").columns == ["doc_id", "keep",
+                                             "fail_reasons"]
+    rpt = {r["rule"]: r["n_docs"] for r in eng.df("R").collect()}
+    assert rpt["docs_total"] > 0 and "repetition" in rpt
+
+
 def test_repetition_stats_brute_force(spark):
     """Repetition fractions vs a python brute-force reference."""
     rows = [
