@@ -124,6 +124,8 @@ HEADLINE = [
     "vocab_coverage",
     "quantize_embeddings",
     "stratified_sample",
+    # r10: token-budget mixture sampling
+    "token_budget_sample",
     "mmr_rerank",
     "mmr_rerank_blas",
     # r10: MMR served from the persisted IVF index (partition-pruned

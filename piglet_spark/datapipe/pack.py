@@ -454,6 +454,99 @@ def dsir_resample(raw: DataFrame, target: DataFrame,
             .select(id_col, "dsir_logw", "sel_key"))
 
 
+def token_budget_sample(df: DataFrame,
+                        budgets: "dict[str, int] | int",
+                        group_col: str = "source",
+                        text_col: str = "text",
+                        id_col: str = "doc_id",
+                        token_col: Optional[str] = None,
+                        seed: int = 42) -> DataFrame:
+    """Deterministic TOKEN-budget mixture sampling: per group, keep
+    documents in seeded md5-hash order while the group's running
+    token total (EXCLUSIVE of the current doc) is under the budget —
+    the "sample 10B tokens of web, 2B of code" pass a pre-training
+    mixture runs when quotas are token counts, not document counts
+    (:func:`mixture_sample` rates / :func:`stratified_sample_n`
+    doc quotas). The doc that crosses the budget is kept (overshoot
+    ≤ one document — the standard greedy-prefix contract), so a
+    group's selection is a deterministic prefix of its hash order:
+    same seed → same docs on any cluster size or partitioning.
+    ``budgets``: one int for every group, or a dict {group: budget}
+    — groups absent from the dict get budget 0 (excluded).
+
+    Scale shape: the per-group running sum is the TeraSort two-phase
+    pattern (:func:`chunk_pack`): range-partition on (group, key),
+    per-(partition, group) window cumsum — every window is bounded
+    by a partition — plus a driver-side exclusive prefix over the
+    per-(partition, group) totals (≤ partitions × groups rows
+    collected, never data). A plain per-group window would land each
+    group on ONE reducer: 10 sources × 100 TB on 10 reducers. Token
+    counts default to whitespace tokens; pass ``token_col`` for a
+    real tokenizer's counts carried in the table."""
+    from pyspark.sql.window import Window
+
+    spark = df.sparkSession
+    toks = (F.col(token_col) if token_col
+            else ws_token_count(F.col(text_col))).cast("long")
+    if isinstance(budgets, dict):
+        if not budgets:
+            raise ValueError("token_budget_sample: empty budgets")
+        pairs = []
+        for g, b in sorted(budgets.items()):
+            pairs += [F.lit(g), F.lit(int(b))]
+        budget = F.coalesce(
+            F.element_at(F.create_map(*pairs), F.col(group_col)),
+            F.lit(0))
+    else:
+        budget = F.lit(int(budgets))
+    key = F.md5(F.concat(F.lit(f"{seed}:"),
+                         F.col(id_col).cast("string")))
+    nparts = int(spark.conf.get("spark.sql.shuffle.partitions"))
+    # tokenize once (chunk_pack lesson: repartitionByRange's sampling
+    # job would re-run the token scan otherwise)
+    counted = (df.select(F.col(group_col), F.col(id_col),
+                         toks.alias("_tok"))
+               .withColumn("_k", key).localCheckpoint())
+    base = (counted.repartitionByRange(nparts, F.col(group_col),
+                                       F.col("_k"))
+            .withColumn("__pid", F.spark_partition_id())
+            .localCheckpoint())  # pin partition ids across branches
+    stats = (base.groupBy("__pid", group_col)
+             .agg(F.sum("_tok").alias("_cnt")).collect())
+    # exclusive prefix of earlier partitions' totals WITHIN the group
+    # — range partitioning orders pids by (group, key), so a group's
+    # rows occupy a contiguous pid run
+    by_group: dict = {}
+    for r in sorted(stats, key=lambda r: r["__pid"]):
+        g = r[group_col]
+        run = by_group.setdefault(g, [0])
+        run.append(run[-1] + r["_cnt"])
+    off_rows, seen = [], {}
+    for r in sorted(stats, key=lambda r: r["__pid"]):
+        g = r[group_col]
+        i = seen.get(g, 0)
+        off_rows.append((r["__pid"], g, by_group[g][i]))
+        seen[g] = i + 1
+    from pyspark.sql import types as _T
+    g_type = df.schema[group_col].dataType
+    offsets = spark.createDataFrame(
+        off_rows, schema=_T.StructType([
+            _T.StructField("__pid", _T.IntegerType()),
+            _T.StructField(group_col, g_type),
+            _T.StructField("__goff", _T.LongType())]))
+    w = (Window.partitionBy("__pid", group_col)
+         .orderBy("_k", id_col)
+         .rowsBetween(Window.unboundedPreceding, -1))
+    cum_before = (F.coalesce(F.sum("_tok").over(w), F.lit(0))
+                  + F.col("__goff"))
+    picked = (base.join(F.broadcast(offsets),
+                        on=["__pid", group_col])
+              .withColumn("_cb", cum_before)
+              .filter(F.col("_cb") < budget)
+              .select(id_col))
+    return df.join(picked, on=id_col).select(*df.columns)
+
+
 def stratified_sample_n(df: DataFrame, n_per_group: int,
                         group_col: str = "source",
                         id_col: str = "doc_id",

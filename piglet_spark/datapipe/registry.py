@@ -280,6 +280,14 @@ def datapipe_ops() -> dict[str, Callable]:
             col="split": _pk().split_assign(
                 df, _parse_rates(weights) if weights else None,
                 str(idc), seed=int(seed), split_col=str(col)),
+        # r10: token-budget mixture sampling — quota in TOKENS per
+        # group (flat int budget via the DSL; dict budgets from the
+        # Python API)
+        "token_budget_sample": lambda df, budget, grp="source",
+            text="text", idc="doc_id", seed=42:
+            _pk().token_budget_sample(
+                df, int(budget), str(grp), str(text), str(idc),
+                seed=int(seed)),
         # rank-based quality gate (r07): keep the best frac by a
         # score column; asc=1 keeps the smallest (perplexity-style)
         "take_top_frac": lambda df, by, frac=0.5, asc=0,

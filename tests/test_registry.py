@@ -66,6 +66,7 @@ def test_gate_window_holds_rotation_targets():
               "minhash_cross", "dsir_resample", "token_entropy",
               "mmr_rerank_ivf", "hard_negatives_ivf",
               "minhash_cross_index", "quality_filter_report",
+              "token_budget_sample",
               "cep_next_match_pooled", "spatial_join_grid",
               "salted_join_agg", "lm_perplexity", "duplicate_spans"):
         assert k in first50, f"{k} fell out of the driver-gate window"

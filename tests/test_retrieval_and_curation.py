@@ -11,6 +11,7 @@ import math
 import os
 import re
 
+import pytest
 from pyspark.sql import functions as F
 
 from piglet_spark.datapipe import events as dpe
@@ -250,6 +251,52 @@ def test_stratified_sample_matches_single_window(spark):
     assert out.columns == docs.columns
 
 
+def test_token_budget_sample_brute_force(spark):
+    """Greedy-prefix token-budget selection vs a single-ordered
+    python reference: per group, docs in seeded md5-hash order kept
+    while the EXCLUSIVE running token total is under the budget (the
+    crossing doc included); dict budgets exclude absent groups; a
+    flat int budget covers every group; partitioning-invariant."""
+    import re
+    docs = _docs(spark)
+    budgets = {"src0": 2000, "src1": 500}
+    out = dpp.token_budget_sample(docs, budgets, seed=7)
+    got = sorted(r.doc_id for r in out.collect())
+
+    def ntok(t):
+        t = (t or "").strip()
+        return 0 if not t else len(re.split(r"\s+", t))
+
+    rows = docs.select("source", "doc_id", "text").collect()
+    by_g = {}
+    for r in rows:
+        key = hashlib.md5(f"7:{r.doc_id}".encode()).hexdigest()
+        by_g.setdefault(r.source, []).append(
+            (key, r.doc_id, ntok(r.text)))
+    exp = []
+    for g, lst in by_g.items():
+        b = budgets.get(g, 0)
+        cum = 0
+        for _, d, n in sorted(lst):
+            if cum < b:
+                exp.append(d)
+            cum += n
+    assert got == sorted(exp) and got
+    assert out.columns == docs.columns
+    # flat budget covers every group; repartitioned input agrees
+    flat = sorted(r.doc_id for r in
+                  dpp.token_budget_sample(docs, 1000, seed=7).collect())
+    flat2 = sorted(r.doc_id for r in dpp.token_budget_sample(
+        docs.repartition(7), 1000, seed=7).collect())
+    assert flat == flat2
+    assert {r.source for r in docs.join(
+        spark.createDataFrame([(d,) for d in flat], "doc_id long"),
+        on="doc_id").select("source").distinct().collect()} \
+        == {r.source for r in docs.select("source").distinct().collect()}
+    with pytest.raises(ValueError, match="empty budgets"):
+        dpp.token_budget_sample(docs, {})
+
+
 def test_stratified_sample_small_groups(spark):
     df = spark.createDataFrame(
         [(1, "a"), (2, "a"), (3, "b")], "doc_id long, source string")
@@ -287,6 +334,7 @@ LK = STREAM E THROUGH latest_by_key();
 D = LOAD '{pd_}' USING ParquetStorage();
 VC = STREAM D THROUGH vocab_coverage(50);
 SS = STREAM D THROUGH stratified_sample(3, 'source', 'doc_id', 7);
+TB = STREAM D THROUGH token_budget_sample(1000, 'source', 'text', 'doc_id', 7);
 """)
     assert sorted(tuple(r) for r in env["VC"].collect()) == \
         sorted(tuple(r) for r in
@@ -294,6 +342,9 @@ SS = STREAM D THROUGH stratified_sample(3, 'source', 'doc_id', 7);
     assert sorted(tuple(r) for r in env["SS"].collect()) == \
         sorted(tuple(r) for r in dpp.stratified_sample_n(
             docs, 3, "source", "doc_id", 7).collect())
+    assert sorted(r.doc_id for r in env["TB"].collect()) == \
+        sorted(r.doc_id for r in dpp.token_budget_sample(
+            docs, 1000, "source", "text", "doc_id", seed=7).collect())
 
     emb = _emb(spark)
     pv = tmp_path / "emb.parquet"
