@@ -80,6 +80,77 @@ STORE P INTO '{out}' USING ParquetStorage();
     assert by_src.get("src1", 0) > by_src.get("src2", 0)
 
 
+def test_incremental_ingest_lifecycle(spark, tmp_path):
+    """The r10 build-once/append loop composed end-to-end across two
+    'daily' batches: standing corpus → lsh_write_index; each batch
+    runs quality_filter_chain → minhash_cross_index vs the standing
+    index → accepted (clean AND novel) docs lsh_append_index'd. A
+    day-2 near-dup of a doc ACCEPTED on day 1 must be caught (the
+    append is what makes that possible), and the grown index must
+    answer exactly like a fresh build over corpus + all accepted."""
+    from piglet_spark.datapipe import dedup as dp
+    from piglet_spark.datapipe import text as dt
+
+    words = ["alpha", "beta", "gamma", "delta", "epsilon", "zeta",
+             "eta", "theta", "iota", "kappa", "lam", "mu", "nu",
+             "xi", "omicron", "pi", "rho", "sigma", "tau", "upsilon"]
+
+    def mk_text(seed, mutate=None):
+        import random
+        toks = random.Random(seed).choices(words, k=25)
+        if mutate is not None:
+            toks[mutate] = "changed"
+        return " ".join(toks)
+
+    corpus = spark.createDataFrame(
+        [(i, mk_text(i)) for i in range(10)], ["doc_id", "text"])
+    idx = str(tmp_path / "standing")
+    dp.lsh_write_index(corpus, idx)
+
+    def ingest(batch):
+        ok = dt.quality_filter_chain(batch).filter("keep") \
+            .select("doc_id")
+        clean = batch.join(ok, on="doc_id")
+        dup_ids = (dp.minhash_cross_index(spark, idx, clean,
+                                          threshold=0.5)
+                   .select(F.col("id_new").alias("doc_id")).distinct())
+        accepted = clean.join(dup_ids, on="doc_id", how="left_anti")
+        dp.lsh_append_index(accepted, idx)
+        return (sorted(r.doc_id for r in accepted.collect()),
+                sorted(r.doc_id for r in dup_ids.collect()))
+
+    # day 1: 100/101 novel, 102 near-dups corpus doc 3, 103 too short
+    day1 = spark.createDataFrame(
+        [(100, mk_text(50)), (101, mk_text(51)),
+         (102, mk_text(3, mutate=5)), (103, "tiny text")],
+        ["doc_id", "text"])
+    acc1, dup1 = ingest(day1)
+    assert acc1 == [100, 101] and dup1 == [102]
+
+    # day 2: 200 near-dups doc 100 (ACCEPTED day 1 — only the append
+    # makes it visible), 201 novel
+    day2 = spark.createDataFrame(
+        [(200, mk_text(50, mutate=2)), (201, mk_text(60))],
+        ["doc_id", "text"])
+    acc2, dup2 = ingest(day2)
+    assert acc2 == [201] and dup2 == [200]
+
+    # grown index == fresh build over corpus + everything accepted
+    fresh = str(tmp_path / "fresh")
+    dp.lsh_write_index(
+        corpus.union(day1.filter("doc_id in (100, 101)"))
+        .union(day2.filter("doc_id = 201")), fresh)
+    probe = spark.createDataFrame(
+        [(900, mk_text(60, mutate=1)), (901, mk_text(3, mutate=9))],
+        ["doc_id", "text"])
+    key = lambda r: (r["id_new"], r["id_old"], r["jaccard"])
+    got = sorted(map(key, dp.minhash_cross_index(
+        spark, idx, probe, threshold=0.5).collect()))
+    want = sorted(map(key, dp.minhash_cross_index(
+        spark, fresh, probe, threshold=0.5).collect()))
+    assert got == want and {p[1] for p in got} == {201, 3}
+
+
 def test_partitioned_parquet_store(spark, docs_parquet, tmp_path):
     out = str(tmp_path / "bysrc")
     eng = pg.PigEngine(spark)
