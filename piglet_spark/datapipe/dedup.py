@@ -503,6 +503,40 @@ def lsh_append_index(df: DataFrame, path: str) -> None:
                             "max_bucket", "id_col", "text_col")})
 
 
+def lsh_compact_index(spark, path: str,
+                      files_per_band: int = 1) -> None:
+    """Compact a persisted LSH index's parquet tables
+    (:func:`lsh_write_index`): every :func:`lsh_append_index` adds a
+    task's worth of new files per partition, and a daily append
+    cadence turns the bucket table into thousands of small files —
+    the classic small-file problem (footer reads and task scheduling
+    start to dominate the partition-pruned scans the index exists
+    for). Rewrites each table with ``files_per_band`` files per band
+    directory (shingles: ``files_per_band × bands`` total), swaps the
+    rewritten directories in, and refreshes the sidecar fingerprints
+    — row contents identical (query equality pinned by pytest), so
+    it can run any time between ingest batches."""
+    import os as _os
+    import shutil as _shutil
+    import json as _json
+    with open(f"{path}/_lsh_meta.json") as fh:
+        meta = _json.load(fh)
+    n = max(1, int(files_per_band))
+    b = spark.read.parquet(f"{path}/buckets")
+    (b.repartition(n * int(meta["bands"]), "_band", "_bucket")
+     .write.mode("overwrite").partitionBy("_band")
+     .parquet(f"{path}/buckets_compact"))
+    s = spark.read.parquet(f"{path}/shingles")
+    (s.repartition(n * int(meta["bands"]))
+     .write.mode("overwrite").parquet(f"{path}/shingles_compact"))
+    for t in ("buckets", "shingles"):
+        _shutil.rmtree(f"{path}/{t}")
+        _os.rename(f"{path}/{t}_compact", f"{path}/{t}")
+    _lsh_write_meta(path, {k: meta[k] for k in
+                           ("num_hashes", "bands", "shingle_k",
+                            "max_bucket", "id_col", "text_col")})
+
+
 def minhash_cross_index(spark, path: str, new: DataFrame,
                         text_col: str | None = None,
                         id_col: str | None = None,

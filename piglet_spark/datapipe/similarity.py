@@ -856,6 +856,42 @@ def ivf_append_index(df: DataFrame, path: str) -> None:
         _json.dump(meta_out, fh)
 
 
+def ivf_compact_index(spark, path: str,
+                      files_per_cell: int = 1) -> None:
+    """Compact a persisted IVF index's cell partitions
+    (:func:`ivf_write_index`): each :func:`ivf_append_index` adds a
+    task's worth of files per touched cell, and a steady append
+    cadence fragments the hive layout into small files that blunt
+    the partition-pruned reads. Rewrites the corpus with
+    ``files_per_cell`` files per cell directory, swaps the cell
+    directories in, and refreshes the sidecar fingerprints — rows
+    and centroids identical (query equality pinned by pytest)."""
+    import json as _json
+    import os as _os
+    import shutil as _shutil
+    meta = _ivf_load_meta(path, verify=True)
+    n = max(1, int(files_per_cell))
+    n_cells = max(1, len(meta["centroids"]))
+    df = spark.read.parquet(path)
+    tmp = f"{path}_compact"
+    (df.repartition(n * n_cells, "_cid")
+     .write.mode("overwrite").partitionBy("_cid").parquet(tmp))
+    for d in list(_os.listdir(path)):
+        if d.startswith("_cid="):
+            _shutil.rmtree(_os.path.join(path, d))
+    for d in list(_os.listdir(tmp)):
+        if d.startswith("_cid="):
+            _os.rename(_os.path.join(tmp, d), _os.path.join(path, d))
+    _shutil.rmtree(tmp)
+    n_rows, cids = _ivf_footer_stats(path)
+    with open(f"{path}/_ivf_centroids.json", "w") as fh:
+        _json.dump({"dim": meta["dim"],
+                    "centroids": meta["centroids"],
+                    "n_rows": n_rows, "cells": sorted(cids),
+                    "id_col": meta["id_col"],
+                    "vec_col": meta["vec_col"]}, fh)
+
+
 def _ivf_footer_stats(path: str) -> "tuple[int | None, set]":
     """(total rows, cell ids) of a persisted IVF index from parquet
     footers + hive dir names — metadata-only, no data read. Returns

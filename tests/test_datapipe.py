@@ -2097,6 +2097,31 @@ def test_lsh_append_crosses_hot_bucket_cap(spark, tmp_path):
     assert after == fresh_rows == []  # hot bucket dropped both ways
 
 
+def test_lsh_compact_index_preserves_queries(spark, sf_dir, tmp_path):
+    """Compaction after appends shrinks the file count and changes
+    nothing else: identical query output, staleness guard still
+    green on the refreshed fingerprints."""
+    import glob
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    new = docs.filter(F.col("source") == "src0")
+    corpus = docs.filter(F.col("source") != "src0")
+    idx = str(tmp_path / "idx")
+    dedup.lsh_write_index(corpus.filter(F.col("doc_id") % 3 == 0), idx)
+    dedup.lsh_append_index(corpus.filter(F.col("doc_id") % 3 == 1), idx)
+    dedup.lsh_append_index(corpus.filter(F.col("doc_id") % 3 == 2), idx)
+    key = lambda r: (r["id_new"], r["id_old"], r["jaccard"])
+    before = sorted(map(key, dedup.minhash_cross_index(
+        spark, idx, new, threshold=0.2).collect()))
+    nf = lambda: len(glob.glob(f"{idx}/buckets/_band=*/*.parquet")) \
+        + len(glob.glob(f"{idx}/shingles/*.parquet"))
+    n_before = nf()
+    dedup.lsh_compact_index(spark, idx)
+    assert nf() < n_before
+    after = sorted(map(key, dedup.minhash_cross_index(
+        spark, idx, new, threshold=0.2).collect()))
+    assert after == before and after
+
+
 def test_minhash_cross_index_stream_cross_batch(spark, sf_dir,
                                                 tmp_path):
     """Streaming ingest vs the persisted LSH index (stream-static

@@ -1060,6 +1060,36 @@ def test_ivf_append_index_add_semantics(spark, tmp_path):
     assert out.count() == 6
 
 
+def test_ivf_compact_index_preserves_queries(spark, tmp_path):
+    """Compaction after appends shrinks per-cell file counts and
+    changes nothing else: centroids frozen, identical query output,
+    staleness guard green on the refreshed fingerprints."""
+    import glob
+    import json
+    emb = _emb(spark)
+    path = str(tmp_path / "ivf")
+    dps.ivf_write_index(emb.filter(F.col("vec_id") % 2 == 0), path,
+                        n_cells=8)
+    dps.ivf_append_index(emb.filter(F.col("vec_id") % 2 == 1), path)
+    qv = [float(x) for x in
+          emb.filter("vec_id = 7").first()["embedding"]]
+    before = [(r.vec_id, r.cos) for r in
+              dps.ivf_query_index(spark, path, qv, k=5,
+                                  n_probe=8).collect()]
+    meta0 = json.load(open(f"{path}/_ivf_centroids.json"))
+    nf = lambda: len(glob.glob(f"{path}/_cid=*/*.parquet"))
+    n_before = nf()
+    dps.ivf_compact_index(spark, path)
+    assert nf() < n_before
+    meta1 = json.load(open(f"{path}/_ivf_centroids.json"))
+    assert meta1["centroids"] == meta0["centroids"]
+    assert meta1["n_rows"] == meta0["n_rows"]
+    after = [(r.vec_id, r.cos) for r in
+             dps.ivf_query_index(spark, path, qv, k=5,
+                                 n_probe=8).collect()]
+    assert after == before and len(after) == 5
+
+
 def test_ivf_index_staleness_guard(spark, tmp_path):
     """The r09 staleness guard: a persisted index whose data files no
     longer match the centroid sidecar's corpus fingerprint (row count
