@@ -392,3 +392,37 @@ def test_minhash_estimator_tracks_jaccard(spark, s1, s2):
     j = len(s1 & s2) / len(s1 | s2)
     # 32 hashes → σ = sqrt(J(1-J)/32) ≤ 0.089; allow 4σ + slack
     assert abs(agree - j) <= 0.40, (agree, j)
+
+
+@given(st.lists(
+    st.tuples(st.sampled_from(["a", "b", "c"]),
+              st.lists(st.sampled_from(WORDS), min_size=0,
+                       max_size=30).map(" ".join)),
+    min_size=1, max_size=12),
+    st.integers(min_value=0, max_value=60))
+@SETTINGS
+def test_token_budget_sample_monotone_prefix(spark, rows, budget):
+    """token_budget_sample invariants on random corpora: (1) raising
+    the budget only ADDS documents (greedy-prefix monotonicity);
+    (2) each group's selection is a PREFIX of its seeded hash order;
+    (3) zero budget selects nothing."""
+    from piglet_spark.datapipe import pack as dpp
+    import hashlib
+    df = spark.createDataFrame(
+        [(i, g, t) for i, (g, t) in enumerate(rows)],
+        ["doc_id", "source", "text"])
+    small = {r.doc_id for r in
+             dpp.token_budget_sample(df, budget, seed=3).collect()}
+    big = {r.doc_id for r in
+           dpp.token_budget_sample(df, budget + 17, seed=3).collect()}
+    assert small <= big
+    assert not {r.doc_id for r in
+                dpp.token_budget_sample(df, 0, seed=3).collect()}
+    order = {}
+    for i, (g, _t) in enumerate(rows):
+        order.setdefault(g, []).append(
+            (hashlib.md5(f"3:{i}".encode()).hexdigest(), i))
+    for g, lst in order.items():
+        ids = [d for _, d in sorted(lst)]
+        got = [d for d in ids if d in small]
+        assert got == ids[:len(got)]  # a prefix, never a gap
