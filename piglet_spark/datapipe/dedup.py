@@ -1134,10 +1134,82 @@ def contamination_scores(df: DataFrame, bench_df: DataFrame,
     return out
 
 
-def bloom_decontaminate(df: DataFrame, bench_df: DataFrame,
+def _bloom_build(bench_df: DataFrame, text_col: str, k: int,
+                 m_bits: "int | str", n_hashes: int) -> "tuple[bytes, int]":
+    """(bitmap bytes, resolved m_bits) for the benchmark side of
+    :func:`bloom_decontaminate` — factored out so
+    :func:`bloom_write` can persist the same bitmap."""
+    bench_sh_cached = None
+    if m_bits == "auto":
+        bench_sh_cached = (bench_df
+                           .select(F.explode(
+                               shingles_of(F.col(text_col), k))
+                               .alias("_g"))
+                           .distinct().cache())
+        n_elems = bench_sh_cached.count()
+        m_bits = max(1 << 14,
+                     1 << (16 * max(n_elems, 1) - 1).bit_length())
+        m_bits = min(m_bits, 1 << 27)
+    if not isinstance(m_bits, int) or m_bits % 8 != 0 or m_bits <= 0:
+        raise ValueError(f"m_bits must be a positive multiple of 8 "
+                         f"or 'auto', got {m_bits}")
+
+    def probe(i: int, s: Column) -> Column:
+        # probe i = 32-bit slice i%4 of md5 number i//4 — one md5
+        # evaluation serves four probes (measured 3 md5/shingle →
+        # 1 at the default n_hashes=3)
+        digest = F.md5(s) if i < 4 else \
+            F.md5(F.concat(F.lit(f"{i // 4}|"), s))
+        return (F.conv(F.substring(digest, 8 * (i % 4) + 1, 8), 16, 10)
+                .cast("long") % m_bits)
+
+    bench_sh = bench_sh_cached if bench_sh_cached is not None else (
+        bench_df
+        .select(F.explode(shingles_of(F.col(text_col), k))
+                .alias("_g"))
+        .distinct())
+    pos_rows = (bench_sh
+                .select(F.explode(F.array(
+                    *[probe(i, F.col("_g")) for i in range(n_hashes)]))
+                    .alias("_p"))
+                .distinct().collect())          # ≤ m_bits rows, bounded
+    if bench_sh_cached is not None:
+        bench_sh_cached.unpersist()
+    bitmap = bytearray(m_bits // 8)
+    for r in pos_rows:
+        p = r["_p"]
+        bitmap[p // 8] |= 1 << (p % 8)
+    return bytes(bitmap), m_bits
+
+
+def bloom_write(bench_df: DataFrame, path: str,
+                text_col: str = "text", k: int = 5,
+                m_bits: "int | str" = "auto",
+                n_hashes: int = 3) -> None:
+    """Persist the decontamination Bloom bitmap
+    (:func:`bloom_decontaminate`'s benchmark side) — benchmarks
+    change rarely while corpus batches arrive daily, so the bitmap
+    belongs with the persisted-index family (LSH/IVF): build once
+    from the full benchmark suite, then every ingest batch loads a
+    ≤16 MiB JSON sidecar instead of re-aggregating the benchmark
+    k-grams. Parameters ride in the sidecar so a batch can never be
+    probed with different hashing than the bitmap was built with."""
+    import base64 as _b64
+    import json as _json
+    bitmap, m = _bloom_build(bench_df, text_col, k, m_bits, n_hashes)
+    with open(path, "w") as fh:
+        _json.dump({"k": k, "m_bits": m, "n_hashes": n_hashes,
+                    "n_set_bits": sum(bin(b).count("1")
+                                      for b in bitmap),
+                    "bitmap_b64":
+                        _b64.b64encode(bitmap).decode("ascii")}, fh)
+
+
+def bloom_decontaminate(df: DataFrame, bench_df: DataFrame | None,
                         text_col: str = "text", id_col: str = "doc_id",
                         k: int = 5, m_bits: int | str = 1 << 20,
-                        n_hashes: int = 3) -> DataFrame:
+                        n_hashes: int = 3,
+                        bloom_path: str | None = None) -> DataFrame:
     """Bloom-filter benchmark decontamination: like
     ``contamination_scores`` but the benchmark side is compressed to
     an m-bit Bloom bitmap instead of joined exactly — the standard
@@ -1184,48 +1256,30 @@ def bloom_decontaminate(df: DataFrame, bench_df: DataFrame,
     per distinct shingle (fp ≈ 5e-3 at n_hashes=3), floor 2^14, cap
     2^27 (16 MiB — still broadcast-literal friendly). Auto mode costs
     one extra count over the (cached) benchmark shingles and is data-
-    dependent, so the fixed-m oracle queries don't use it."""
-    bench_sh_cached = None
-    if m_bits == "auto":
-        bench_sh_cached = (bench_df
-                           .select(F.explode(
-                               shingles_of(F.col(text_col), k))
-                               .alias("_g"))
-                           .distinct().cache())
-        n_elems = bench_sh_cached.count()
-        m_bits = max(1 << 14,
-                     1 << (16 * max(n_elems, 1) - 1).bit_length())
-        m_bits = min(m_bits, 1 << 27)
-    if not isinstance(m_bits, int) or m_bits % 8 != 0 or m_bits <= 0:
-        raise ValueError(f"m_bits must be a positive multiple of 8 "
-                         f"or 'auto', got {m_bits}")
+    dependent, so the fixed-m oracle queries don't use it.
 
-    def probe(i: int, s: Column) -> Column:
-        # probe i = 32-bit slice i%4 of md5 number i//4 — one md5
-        # evaluation serves four probes (measured 3 md5/shingle →
-        # 1 at the default n_hashes=3)
-        digest = F.md5(s) if i < 4 else \
-            F.md5(F.concat(F.lit(f"{i // 4}|"), s))
-        return (F.conv(F.substring(digest, 8 * (i % 4) + 1, 8), 16, 10)
-                .cast("long") % m_bits)
-
-    bench_sh = bench_sh_cached if bench_sh_cached is not None else (
-        bench_df
-        .select(F.explode(shingles_of(F.col(text_col), k))
-                .alias("_g"))
-        .distinct())
-    pos_rows = (bench_sh
-                .select(F.explode(F.array(
-                    *[probe(i, F.col("_g")) for i in range(n_hashes)]))
-                    .alias("_p"))
-                .distinct().collect())          # ≤ m_bits rows, bounded
-    if bench_sh_cached is not None:
-        bench_sh_cached.unpersist()
-    bitmap = bytearray(m_bits // 8)
-    for r in pos_rows:
-        p = r["_p"]
-        bitmap[p // 8] |= 1 << (p % 8)
-    blit = F.lit(bytes(bitmap))
+    ``bloom_path`` (r10): load a bitmap persisted by
+    :func:`bloom_write` instead of aggregating ``bench_df`` — the
+    per-ingest-batch path once the benchmark suite's bitmap is
+    built; k/m_bits/n_hashes come from the sidecar (call-site values
+    are ignored so probing always matches the build)."""
+    if bloom_path is not None:
+        # persisted-bitmap path (bloom_write): k/m/n_hashes come
+        # from the sidecar so probing always matches the build
+        import base64 as _b64
+        import json as _json
+        with open(bloom_path) as fh:
+            meta = _json.load(fh)
+        k, m_bits = int(meta["k"]), int(meta["m_bits"])
+        n_hashes = int(meta["n_hashes"])
+        bitmap = _b64.b64decode(meta["bitmap_b64"])
+    else:
+        if bench_df is None:
+            raise ValueError("bloom_decontaminate: pass bench_df or "
+                             "bloom_path")
+        bitmap, m_bits = _bloom_build(bench_df, text_col, k, m_bits,
+                                      n_hashes)
+    blit = F.lit(bitmap)
 
     def bit_set(p: Column) -> Column:
         # byte extract via substring-on-binary (1-based) + hex; the

@@ -2297,6 +2297,26 @@ P = STREAM N THROUGH minhash_cross_index('{idx}', 0.2);
     assert got == want and got
 
 
+def test_bloom_write_load_matches_direct(spark, sf_dir, tmp_path):
+    """A bitmap persisted by bloom_write and loaded via bloom_path
+    reproduces the direct bench_df run exactly (false positives and
+    all); sidecar parameters override mismatched call-site values."""
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet")
+    bench = docs.filter(F.col("source") == "src0")
+    corpus = docs.filter(F.col("source") != "src0")
+    p = str(tmp_path / "bench.bloom.json")
+    dedup.bloom_write(bench, p, k=5, m_bits=1 << 17, n_hashes=3)
+    direct = sorted(tuple(r) for r in dedup.bloom_decontaminate(
+        corpus, bench, k=5, m_bits=1 << 17, n_hashes=3).collect())
+    # deliberately wrong call-site params — the sidecar must win
+    loaded = sorted(tuple(r) for r in dedup.bloom_decontaminate(
+        corpus, None, k=9, m_bits=1 << 14, n_hashes=1,
+        bloom_path=p).collect())
+    assert loaded == direct and loaded
+    with pytest.raises(ValueError, match="bench_df or bloom_path"):
+        dedup.bloom_decontaminate(corpus, None)
+
+
 def test_bloom_decontaminate_auto_sizing(spark):
     """m_bits='auto' sizes the bitmap from the measured benchmark
     (next pow2 >= 16 bits/shingle, floor 2^14) and behaves like the
