@@ -899,6 +899,20 @@ def ngram_jaccard_pairs(df: DataFrame, text_col: str = "text",
              [0][0])
         max_df = max(16, min(256, int(p or 256)))
     use_prefix = method == "prefix"
+    if use_prefix and (n_docs or 0) >= 1_000_000:
+        # r10: the prefix plan DIED at sf100 (5M dup-dense docs) —
+        # its per-candidate verify join spilled shuffle until a
+        # 252 GB disk filled. Its regime is many-candidates-few-
+        # matches (diffuse corpora); dup density isn't knowable a
+        # priori, so warn rather than refuse (SCALE.md "measured
+        # refusal" for the numbers).
+        import warnings
+        warnings.warn(
+            f"ngram_jaccard_pairs(method='prefix') on {n_docs} docs: "
+            f"on dup-dense corpora the prefix plan's verify join is "
+            f"candidate-sized and has filled local disk at 5M docs; "
+            f"method='cooccur' (the default regime choice) bounds "
+            f"per-slice state — see SCALE.md's regime rule")
     if use_prefix:
         dftab = inv.groupBy("_s").agg(F.count(F.lit(1)).alias("_df"))
         if max_df is not None:
