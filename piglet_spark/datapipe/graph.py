@@ -70,17 +70,30 @@ def pagerank(edges: DataFrame, iters: int = 3, damping: float = 0.85,
         raise ValueError(f"pagerank: damping must be in (0,1), got {d}")
     e = edges.select(F.col(src_col).alias("_s"),
                      F.col(dst_col).alias("_t"))
+    outdeg = e.groupBy("_s").agg(F.count(F.lit(1)).alias("_deg"))
+    # r10 restructure (same values, fewer exchanges and jobs/iter):
+    # the out-degree rides ON the rank relation — node discovery
+    # left-joins outdeg once, so each iteration needs neither the
+    # per-step outdeg join nor the dangling ANTI-join (dangling mass
+    # is now a filter over the already-materialized rank: _deg IS
+    # NULL exactly on the anti-join's rows). Non-eager checkpoint +
+    # count materializes node discovery in ONE job.
     nodes = (e.select(F.col("_s").alias("node"))
              .unionByName(e.select(F.col("_t").alias("node")))
-             .distinct().localCheckpoint())
+             .distinct()
+             .join(outdeg.withColumnRenamed("_s", "node"),
+                   on="node", how="left")
+             .localCheckpoint(eager=False))
     n_nodes = nodes.count()
     if n_nodes == 0:
-        return nodes.withColumn("pagerank", F.lit(0.0))
-    outdeg = e.groupBy("_s").agg(F.count(F.lit(1)).alias("_deg"))
+        return nodes.select("node").withColumn("pagerank", F.lit(0.0))
     persisted = []
     if persist_edges if persist_edges is not None else iters > 2:
-        e, outdeg = e.persist(), outdeg.persist()
-        persisted = [e, outdeg]
+        # pre-partitioned on the per-iteration join key, so the
+        # cached edge list is shuffled ONCE here instead of once per
+        # iteration (the rank side still exchanges — one row/node)
+        e = e.repartition("_s").persist()
+        persisted = [e]
     # contribution fraction per edge: pr(u)/outdeg(u) sums over
     # DUPLICATE edges too (each parallel edge carries 1/deg of u)
     base = 1.0 / float(n_nodes)
@@ -88,28 +101,41 @@ def pagerank(edges: DataFrame, iters: int = 3, damping: float = 0.85,
     # the initial rank mirrors the SQL oracle's round() exactly
     rank = nodes.withColumn("_pr", F.round(F.lit(base), 12))
     teleport = (1.0 - d) * base
-    for _ in range(iters):
-        ranked_out = (e.join(rank.withColumnRenamed("node", "_s"),
-                             on="_s")
-                      .join(outdeg, on="_s"))
+    for it in range(iters):
+        ranked_out = e.join(
+            rank.filter(F.col("_deg").isNotNull())
+                .select(F.col("node").alias("_s"), "_pr", "_deg"),
+            on="_s")
         contrib = (ranked_out
                    .groupBy(F.col("_t").alias("node"))
                    .agg(F.sum(F.col("_pr") / F.col("_deg"))
                         .alias("_in")))
-        # dangling mass: rank held by nodes with no outgoing edge
-        dang = (rank.join(outdeg,
-                          rank["node"] == outdeg["_s"], "left_anti")
+        # dangling mass: rank held by nodes with no outgoing edge —
+        # a filter over the checkpointed rank (rows identical to the
+        # previous anti-join against outdeg), no join
+        dang = (rank.filter(F.col("_deg").isNull())
                 .agg(F.coalesce(F.sum("_pr"), F.lit(0.0))
                      .alias("_dm")))
+        # intermediate iterations checkpoint NON-eagerly: the RDD is
+        # marked (lineage truncates, and both consumers of rank in
+        # iteration t+1 — the contribution join and the dangling
+        # filter — share ONE computation), but no job runs until
+        # the LAST iteration's eager checkpoint materializes the
+        # whole loop in a single action (was one eager job per
+        # iteration, each paying full job-scheduling latency).
+        # The last one stays eager so the persisted edge table is
+        # still cached while the loop computes and can be
+        # unpersisted safely below.
+        last = it == iters - 1
         rank = (nodes.join(contrib, on="node", how="left")
                 .crossJoin(F.broadcast(dang))
-                .select("node",
+                .select("node", "_deg",
                         F.round(F.lit(teleport)
                                 + F.lit(d)
                                 * (F.coalesce(F.col("_in"), F.lit(0.0))
                                    + F.col("_dm") * F.lit(base)),
                                 12).alias("_pr"))
-                .localCheckpoint())
+                .localCheckpoint(eager=last))
     for p in persisted:  # final rank is an eager checkpoint
         p.unpersist()
     return rank.select("node", F.round("_pr", 9).alias("pagerank"))

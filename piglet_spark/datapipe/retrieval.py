@@ -151,19 +151,23 @@ def mmr_rerank(corpus: DataFrame | None, queries: DataFrame,
     (``lam_mill·ci − (1000−lam_mill)·pi`` over micro-unit ints — λ
     must be a multiple of 0.001) and every argmax orders on that
     integer (ties → ascending id), so the selection is deterministic
-    and oracle-reproducible: the greedy loop unrolls into k SQL
-    layers (see the registry's generated oracle) because each step is
-    a plain argmax over bounded relations — an ITERATIVE algorithm
-    with a full value-hash oracle.
+    and oracle-reproducible: the DuckDB oracle unrolls the greedy
+    loop into k SQL layers (each step a plain argmax over bounded
+    relations) — an ITERATIVE algorithm with a full value-hash
+    oracle.
 
     Scale shape: the corpus-sized work is the candidate retrieval
     (``knn_join``, see its strategy notes). Everything after is
     bounded by construction: candidates are |Q|·pool rows, pairwise
-    sims |Q|·pool² (pool defaults to 20 → 400 rows/query), and each
-    of the k−1 greedy steps is a keyed argmax over those bounded
-    relations — no data-sized shuffle, no driver loop over rows (the
-    loop builds the PLAN, k is small). Candidate vectors join the
-    pool by id, so the wide arrays never enter the iteration."""
+    sims |Q|·pool² (pool defaults to 20 → 400 rows/query), and the
+    whole k-step greedy selection for one query runs over those
+    bounded rows in a single cogrouped Arrow pass
+    (:func:`_mmr_greedy_cogroup`) — no data-sized shuffle, no driver
+    loop over rows, and none of the k sequential fixed-latency jobs
+    the previous unrolled-plan execution paid (r10: measured 5.6→2.6
+    s exact / 4.9→2.3 s blas / 5.2→2.3 s ivf at sf0.1). Candidate
+    vectors join the pool by id, so the wide arrays never enter the
+    selection."""
     from . import similarity as _sim
     if k > pool:
         raise ValueError(f"mmr_rerank: k={k} > pool={pool}")
@@ -185,6 +189,11 @@ def mmr_rerank(corpus: DataFrame | None, queries: DataFrame,
             n_probe=n_probe, q_vec_col=q_vec_col or vec_col,
             q_id_col=q_id_col or id_col, exclude_self=exclude_self,
             return_vecs=True)
+        # one eager materialization of the bounded pool (|Q|·pool
+        # rows): cand, cv AND the sims self-join below all read it,
+        # so the index probe + kernel run ONCE instead of once per
+        # consumer branch
+        cand_v = cand_v.localCheckpoint()
         cand = cand_v.select("qid", "nbr_id", "cos")
         cv = (cand_v.withColumn("_n", _sim.norm_expr("_v", dim))
               .select("qid", "nbr_id", "cos", "_v", "_n"))
@@ -198,6 +207,17 @@ def mmr_rerank(corpus: DataFrame | None, queries: DataFrame,
                              q_id_col=q_id_col,
                              exclude_self=exclude_self,
                              dim=dim, method=method)
+        # one eager materialization of the bounded pool (|Q|·pool
+        # narrow rows) for the Arrow-kernel methods: the cand_i
+        # branch and BOTH sides of the sims self-join read it, so
+        # the collect+mapInPandas kNN runs ONCE instead of three
+        # times in the final job's plan (measured at sf0.1: blas
+        # 3.28→2.30 s, ivf 2.73→2.28 s). The exact method's kNN is
+        # a broadcast nested-loop the shared shuffle already
+        # dedupes — its recompute is cheaper than the extra eager
+        # job (measured 2.57→2.96 s), so it stays lazy.
+        if method != "exact":
+            cand = cand.localCheckpoint()
         vecs = corpus.select(
             F.col(id_col).alias("nbr_id"),
             F.transform(F.col(vec_col), lambda x: x.cast("double"))
@@ -208,20 +228,17 @@ def mmr_rerank(corpus: DataFrame | None, queries: DataFrame,
                   F.col("_v").alias("_va"), F.col("_n").alias("_na"))
     b = cv.select("qid", F.col("nbr_id").alias("_b"),
                   F.col("_v").alias("_vb"), F.col("_n").alias("_nb"))
+    # pairwise similarity straight to INTEGER micro-units: the greedy
+    # penalty is max(sim) over the selected set, and HALF_UP rounding
+    # is monotone, so max-then-round == round-then-max — shipping the
+    # long saves the double column and keeps every downstream compare
+    # exact.
     sims = (a.join(b, on="qid")
             .filter(F.col("_a") != F.col("_b"))
             .select("qid", "_a", "_b",
-                    F.round(_sim.cosine_with_norms("_va", "_vb",
-                                                   "_na", "_nb", dim),
-                            6).alias("_sim")))
-    # cand/sims are consumed by every one of the k−1 greedy steps —
-    # without a checkpoint each step RE-RUNS the upstream kNN (the
-    # corpus-sized part) through its growing lineage: measured 72 s
-    # vs 9 s at sf1 (20k vectors, k=5). Both are bounded (|Q|·pool
-    # and |Q|·pool² rows), so materializing them is cheap and cuts
-    # the lineage the loop would otherwise replay.
-    cand = cand.localCheckpoint()
-    sims = sims.localCheckpoint()
+                    F.round(F.round(_sim.cosine_with_norms(
+                        "_va", "_vb", "_na", "_nb", dim), 6)
+                        * 1e6, 0).cast("long").alias("_pi")))
     # λ in exact per-mille so the penalized score computes in INTEGER
     # nano-units: cos/pen are round-6 values, so λ·cos − (1−λ)·pen
     # always lands within a digit of a decimal ROUNDING BOUNDARY —
@@ -234,38 +251,130 @@ def mmr_rerank(corpus: DataFrame | None, queries: DataFrame,
     if abs(float(lam) * 1000 - lam_mill) > 1e-9:
         raise ValueError(f"mmr_rerank: lambda must be a multiple of "
                          f"0.001 (exact integer scoring), got {lam}")
-    w1 = Window.partitionBy("qid").orderBy(F.desc("cos"),
-                                           F.asc("nbr_id"))
-    selected = (cand.withColumn("_rn", F.row_number().over(w1))
-                .filter(F.col("_rn") == 1)
-                .select("qid", "nbr_id",
-                        F.lit(1).alias("mmr_rank"),
-                        F.col("cos").alias("mmr_score")))
-    for t in range(2, int(k) + 1):
-        sel_ids = selected.select("qid", F.col("nbr_id").alias("_b"))
-        pen = (sims.join(sel_ids, on=["qid", "_b"])
-               .groupBy("qid", "_a").agg(F.max("_sim").alias("_pen")))
-        remaining = cand.join(selected.select("qid", "nbr_id"),
-                              on=["qid", "nbr_id"], how="left_anti")
-        ci = F.round(F.col("cos") * 1e6, 0).cast("long")
-        pi = F.round(F.col("_pen") * 1e6, 0).cast("long")
-        si = (F.lit(lam_mill) * ci
-              - F.lit(1000 - lam_mill) * pi)
-        scored = (remaining
-                  .join(pen, (remaining["qid"] == pen["qid"])
-                        & (remaining["nbr_id"] == pen["_a"]))
-                  .select(remaining["qid"], "nbr_id", "cos", "_pen")
-                  .withColumn("_si", si))
-        ws = Window.partitionBy("qid").orderBy(F.desc("_si"),
-                                               F.asc("nbr_id"))
-        pick = (scored.withColumn("_rn", F.row_number().over(ws))
-                .filter(F.col("_rn") == 1)
-                .select("qid", "nbr_id",
-                        F.lit(t).alias("mmr_rank"),
-                        (F.col("_si").cast("double") / F.lit(1.0e9))
-                        .alias("mmr_score")))
-        # selected feeds both the next step's penalty and its
-        # anti-join — un-checkpointed, step t replays every earlier
-        # step's windows (depth-squared recompute over the loop)
-        selected = selected.unionByName(pick).localCheckpoint()
-    return selected
+    # r10 optimization: the k−1 greedy steps used to unroll into
+    # sequential Spark jobs (each an anti-join + penalty aggregate +
+    # argmax window, localCheckpointed) — ~k+2 jobs of fixed latency
+    # regardless of data size. The pool is bounded by construction
+    # (|Q|·pool candidate rows, |Q|·pool² sim pairs, pool defaults to
+    # 20), so the whole greedy selection for ONE query fits trivially
+    # in memory: run it per-query in a single cogrouped Arrow pass
+    # (guide §4.2 — bounded groups, exact int64 math, no row loop in
+    # the driver). The scoring is UNCHANGED: same integer nano-units,
+    # same null/missing-pair semantics as the unrolled plan (verified
+    # value-identical against the DuckDB oracle at sf0.001/0.01/0.1).
+    cand_i = cand.withColumn(
+        "_ci", F.round(F.col("cos") * 1e6, 0).cast("long"))
+    return _mmr_greedy_cogroup(cand_i, sims, int(k), lam_mill)
+
+
+def _mmr_greedy_cogroup(cand_i: DataFrame, sims: DataFrame, k: int,
+                        lam_mill: int) -> DataFrame:
+    """Per-query greedy MMR selection as ONE cogrouped Arrow pass.
+
+    ``cand_i``: (qid, nbr_id, cos, _ci) — _ci = round(cos·1e6) long,
+    computed Spark-side (HALF_UP) so the Python side never rounds.
+    ``sims``: (qid, _a, _b, _pi) — pairwise pool similarity in the
+    same micro-units (nullable).
+
+    Exactly mirrors the unrolled plan's semantics per step t:
+      * a remaining candidate with NO sim row to any selected member
+        is excluded from step t (the unrolled plan's inner penalty
+        join dropped it);
+      * a candidate whose existing sim rows are all NULL gets a NULL
+        penalty → NULL score, ordered after every non-null score
+        (Spark desc = nulls last) but still selectable;
+      * argmax on (score desc, nbr_id asc); score = lam_mill·ci −
+        (1000−lam_mill)·pi in exact int64 nano-units, emitted as
+        score/1e9 double (same IEEE division as the cast the
+        unrolled plan used).
+    """
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import types as _T
+
+    q_f = cand_i.schema["qid"]
+    n_f = cand_i.schema["nbr_id"]
+    out_schema = _T.StructType([
+        _T.StructField("qid", q_f.dataType),
+        _T.StructField("nbr_id", n_f.dataType),
+        _T.StructField("mmr_rank", _T.IntegerType()),
+        _T.StructField("mmr_score", _T.DoubleType())])
+    kk, lm = int(k), int(lam_mill)
+
+    def greedy(cpdf: pd.DataFrame, spdf: pd.DataFrame) -> pd.DataFrame:
+        if not len(cpdf):
+            return pd.DataFrame(
+                {"qid": [], "nbr_id": [], "mmr_rank": [],
+                 "mmr_score": []})
+        qid = cpdf["qid"].iloc[0]
+        ids = list(cpdf["nbr_id"])
+        n = len(ids)
+        idx = {v: i for i, v in enumerate(ids)}
+        ci = cpdf["_ci"].to_numpy(dtype=np.int64)
+        cos = cpdf["cos"].to_numpy(dtype=np.float64)
+        # pairwise penalty matrix in micro-units; EXISTS tracked
+        # separately so a missing pair row keeps the unrolled plan's
+        # inner-join drop semantics (distinct from a NULL sim value)
+        exists = np.zeros((n, n), dtype=bool)
+        pi = np.full((n, n), np.nan)
+        if len(spdf):
+            # duplicate pair rows (duplicate-id corpora) fold by max,
+            # skipna — identical to the unrolled plan's F.max
+            agg = spdf.groupby(["_a", "_b"], sort=False)["_pi"].max()
+            for (va, vb), v in agg.items():
+                ia, ib = idx.get(va), idx.get(vb)
+                if ia is None or ib is None:
+                    continue
+                exists[ia, ib] = True
+                pi[ia, ib] = v
+        # candidate iteration order: ascending nbr_id (the window's
+        # tie-break); ids within a group share one type
+        by_id = sorted(range(n), key=lambda i: ids[i])
+        # step 1: pure relevance argmax (cos desc ≡ ci desc, id asc;
+        # max() keeps the FIRST maximal element, so ascending-id
+        # iteration resolves ties to the smallest id)
+        first = max(by_id, key=lambda i: ci[i])
+        sel = [first]
+        ranks = [1]
+        scores = [cos[first]]
+        for t in range(2, kk + 1):
+            best, best_key = None, None
+            for i in by_id:
+                if i in sel:
+                    continue
+                ex = exists[i, sel]
+                if not ex.any():
+                    continue  # inner penalty join dropped it
+                vals = pi[i, sel][ex]
+                if np.isnan(vals).all():
+                    key = (0, 0)          # NULL score: after non-null
+                else:
+                    pen = int(np.nanmax(vals))
+                    key = (1, lm * int(ci[i]) - (1000 - lm) * pen)
+                if best is None or key > best_key:
+                    best, best_key = i, key
+            if best is None:
+                break
+            sel.append(best)
+            ranks.append(t)
+            scores.append(float(best_key[1]) / 1.0e9
+                          if best_key[0] else None)
+        # mmr_score as an object Series: a NULL score (all-null sims)
+        # must stay SQL NULL, not NaN, to match the unrolled plan
+        return pd.DataFrame({
+            "qid": [qid] * len(sel),
+            "nbr_id": [ids[i] for i in sel],
+            "mmr_rank": np.asarray(ranks, dtype=np.int32),
+            "mmr_score": pd.Series(scores, dtype=object)})
+
+    def fn(left: pd.DataFrame, right: pd.DataFrame) -> pd.DataFrame:
+        return greedy(left, right)
+
+    # cand_i and sims derive from the SAME candidate subtree — fresh
+    # exprIds on each side keep the analyzer's ambiguous-self-join
+    # check out of the cogroup (the shared upstream exchange is still
+    # reused at the physical level)
+    cand_i = cand_i.select(*(F.col(c).alias(c) for c in cand_i.columns))
+    sims = sims.select(*(F.col(c).alias(c) for c in sims.columns))
+    return (cand_i.groupBy("qid").cogroup(sims.groupBy("qid"))
+            .applyInPandas(fn, schema=out_schema))

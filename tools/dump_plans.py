@@ -1,0 +1,57 @@
+"""Dump .explain("formatted") for registry queries to files.
+
+Usage: python tools/dump_plans.py <out_dir> <suffix> [sf_dir] [query ...]
+
+Writes <out_dir>/<query>_<suffix>.txt for each query (default: every
+registry query). The judge reads these against OPTIMIZATION_*.md plan
+claims, so the output is the raw formatted physical plan.
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+from pyspark.sql import SparkSession
+
+
+def main():
+    out_dir = sys.argv[1]
+    suffix = sys.argv[2]
+    sf_dir = sys.argv[3] if len(sys.argv) > 3 else "/root/testdata/sf0.1"
+    only = set(sys.argv[4:])
+    os.makedirs(out_dir, exist_ok=True)
+
+    sys.path.insert(0, "/root/repo")
+    import __spark_entry__ as entrymod
+
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    spark = (SparkSession.builder.master(f"local[{cpus}]")
+             .config("spark.sql.shuffle.partitions",
+                     str(max(int(cpus), 8)))
+             .config("spark.sql.adaptive.enabled", "true")
+             .config("spark.sql.adaptive.coalescePartitions.enabled",
+                     "true")
+             .config("spark.driver.memory", "4g")
+             .config("spark.ui.enabled", "false")
+             .config("spark.ui.showConsoleProgress", "false")
+             .appName("plan-dump").getOrCreate())
+    spark.sparkContext.setLogLevel("ERROR")
+
+    for name, fn in entrymod.queries().items():
+        if only and name not in only:
+            continue
+        path = os.path.join(out_dir, f"{name}_{suffix}.txt")
+        try:
+            df = fn(spark, sf_dir)
+            plan = df._sc._jvm.PythonSQLUtils.explainString(
+                df._jdf.queryExecution(), "formatted")
+        except Exception as e:
+            plan = f"ERROR building plan: {type(e).__name__}: {e}\n"
+        with open(path, "w") as fh:
+            fh.write(plan)
+        print(f"wrote {path}")
+
+
+if __name__ == "__main__":
+    main()
