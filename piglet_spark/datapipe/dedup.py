@@ -387,6 +387,12 @@ def minhash_lsh_pairs_cross(new: DataFrame, corpus: DataFrame,
     sig_c = minhash_signatures(corpus, text_col, id_col, num_hashes,
                                shingle_k, base_df=base_c)
     banded_n = _band_buckets(sig_n, bands, rows_per_band)
+    # NOT checkpointed (r10, measured): unlike minhash_lsh_pairs —
+    # whose capped bucket relation feeds BOTH sides of a self-join
+    # and is cheaper materialized once — the cross plan re-reads the
+    # corpus bucket subtree for hot-stats/cap/join, and an A/B at
+    # sf0.1 read 2.8 s lazy vs 3.1 s checkpointed: the narrow-row
+    # materialization costs more than the recompute here.
     banded_c = _cap_buckets(_band_buckets(sig_c, bands, rows_per_band),
                             ["_band", "_bucket"], max_bucket)
     cand = (banded_n.alias("l").join(
@@ -726,9 +732,17 @@ def minhash_lsh_pairs(df: DataFrame, text_col: str = "text",
                               base_df=base)
     # band buckets (_band_buckets): only (id, band, bucket) travels
     # through the self-join shuffle — the shingle arrays stay out of
-    # it; ReuseExchange dedups the two sides' signature aggregation.
-    banded = _cap_buckets(_band_buckets(sigs, bands, rows_per_band),
-                          ["_band", "_bucket"], max_bucket)
+    # it. r10: the bucket relation is materialized ONCE (narrow:
+    # id + two ints per band row). Its consumers — the hot-bucket
+    # stats, the cap anti-join, and BOTH sides of the candidate
+    # self-join — previously each re-ran the scan → shingle regex →
+    # 32-min signature aggregation subtree (the broadcast join gives
+    # ReuseExchange nothing to dedupe): 6 corpus scans in the plan,
+    # now 3 (one here, two in the candidate-only verify, which the
+    # r03 measurement showed is cheaper left unmaterialized).
+    bucketed = _band_buckets(sigs, bands,
+                             rows_per_band).localCheckpoint(eager=False)
+    banded = _cap_buckets(bucketed, ["_band", "_bucket"], max_bucket)
     cand = (banded.alias("l").join(
                 banded.alias("r"),
                 on=[F.col("l._band") == F.col("r._band"),

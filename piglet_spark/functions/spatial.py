@@ -326,6 +326,45 @@ def bsp_leaf_rects(tree: dict) -> list:
     return rects
 
 
+def grid_shared_corner_cell(a: Column, b: Column,
+                            cell_size: float) -> Column:
+    """Canonical shared grid cell of two geometries' bbox cell
+    rectangles: the componentwise MAX of the two min cells (r10,
+    spatial-join reference-cell dedup). Each geometry's covered
+    cells form an axis-aligned rectangle [x0..x1]×[y0..y1]; whenever
+    two such rectangles intersect, (max(ax0,bx0), max(ay0,by0)) lies
+    in the intersection — and it equals the intersection's smallest
+    (cx, cy), so keeping a joined pair only in this cell keeps it
+    exactly once."""
+    ax0 = F.floor(F.array_min(a["xs"]) / F.lit(cell_size)).cast("long")
+    ay0 = F.floor(F.array_min(a["ys"]) / F.lit(cell_size)).cast("long")
+    bx0 = F.floor(F.array_min(b["xs"]) / F.lit(cell_size)).cast("long")
+    by0 = F.floor(F.array_min(b["ys"]) / F.lit(cell_size)).cast("long")
+    return F.struct(F.greatest(ax0, bx0).alias("cx"),
+                    F.greatest(ay0, by0).alias("cy"))
+
+
+def bsp_first_shared_cell(a: Column, b: Column, rects: list) -> Column:
+    """Canonical shared BSP leaf of two geometries: the LOWEST leaf
+    id whose closed rect intersects BOTH bboxes (r10, spatial-join
+    reference-cell dedup). Identical to
+    min(bsp_cells_bbox(a) ∩ bsp_cells_bbox(b)) because listing is
+    exactly rect-vs-bbox intersection; evaluated as one literal
+    coalesce chain in leaf-id order — no arrays on the rows."""
+    ax0, ax1 = F.array_min(a["xs"]), F.array_max(a["xs"])
+    ay0, ay1 = F.array_min(a["ys"]), F.array_max(a["ys"])
+    bx0, bx1 = F.array_min(b["xs"]), F.array_max(b["xs"])
+    by0, by1 = F.array_min(b["ys"]), F.array_max(b["ys"])
+    arms = []
+    for i, x0, x1, y0, y1 in sorted(rects):
+        hit_a = ((F.lit(x0) <= ax1) & (ax0 <= F.lit(x1))
+                 & (F.lit(y0) <= ay1) & (ay0 <= F.lit(y1)))
+        hit_b = ((F.lit(x0) <= bx1) & (bx0 <= F.lit(x1))
+                 & (F.lit(y0) <= by1) & (by0 <= F.lit(y1)))
+        arms.append(F.when(hit_a & hit_b, F.lit(int(i))))
+    return F.coalesce(*arms) if len(arms) > 1 else arms[0]
+
+
 def bsp_cells_bbox(g: Column, rects: list) -> Column:
     """All BSP leaves whose (closed) rectangle intersects the
     geometry's bbox — array of leaf ids, the BSP analogue of

@@ -1737,12 +1737,10 @@ class Executor:
                 except (TypeError, ValueError):
                     pass
         lrel, rrel = op.rels
-        left = self._lineage_rename(self.df(lrel), lrel) \
-            .withColumn("__lid", F.monotonically_increasing_id())
-        right = self._lineage_rename(self.df(rrel), rrel) \
-            .withColumn("__rid", F.monotonically_increasing_id())
-        lgeom = compile_expr(op.pred.args[0], self.ctx(left.drop("__lid")))
-        rgeom = compile_expr(op.pred.args[1], self.ctx(right.drop("__rid")))
+        left = self._lineage_rename(self.df(lrel), lrel)
+        right = self._lineage_rename(self.df(rrel), rrel)
+        lgeom = compile_expr(op.pred.args[0], self.ctx(left))
+        rgeom = compile_expr(op.pred.args[1], self.ctx(right))
         if bsp_args is not None:
             # r10: adaptive BSP prejoin (PARTITION BY BSP(n[, sample])
             # on either input). The tree trains on the LEFT side's
@@ -1755,19 +1753,39 @@ class Executor:
                            "spark.sql.shuffle.partitions", "32")))
             sample = (int(float(bsp_args[1]))
                       if len(bsp_args) > 1 else 4096)
+        # Reference-cell dedup (r10): a pair whose geometries cover
+        # several cells used to match once per shared cell and was
+        # deduped by a dropDuplicates over synthetic row ids — a
+        # full extra shuffle whose rows carry the geometry structs
+        # (SortAggregate, the costliest nodes in the plan). Instead
+        # a pair survives only in its CANONICAL shared cell, a cheap
+        # per-row expression over the two bboxes — deterministic,
+        # exactly one survivor per matched pair, map-side, no
+        # shuffle; provably the same pair set (the covered-cell sets
+        # are axis-aligned intervals / closed rects, so the
+        # canonical cell below always lies in their intersection).
+        if bsp_args is not None:
             pts = sp.bsp_sample_points(left, lgeom, sample)
             rects = sp.bsp_leaf_rects(sp.bsp_tree(pts, n_parts))
             lc = left.withColumn("__cell", F.explode(
                 sp.bsp_cells_bbox(lgeom, rects)))
             rc = right.withColumn("__cell", F.explode(
                 sp.bsp_cells_bbox(rgeom, rects)))
+            # canonical leaf: the LOWEST-id rect intersecting BOTH
+            # bboxes — identical to min(listed(l) ∩ listed(r))
+            # because listing is exactly rect-vs-bbox intersection
+            canon = sp.bsp_first_shared_cell(lgeom, rgeom, rects)
         else:
             lc = left.withColumn("__cell", F.explode(
                 sp.grid_cells_bbox(lgeom, cell)))
             rc = right.withColumn("__cell", F.explode(
                 sp.grid_cells_bbox(rgeom, cell)))
+            # canonical grid cell: componentwise max of the two
+            # bboxes' min cells — in both covered rectangles of
+            # cells whenever they intersect at all
+            canon = sp.grid_shared_corner_cell(lgeom, rgeom, cell)
         joined = (lc.join(rc, on="__cell", how="inner")
-                  .dropDuplicates(["__lid", "__rid"]))
+                  .filter(F.col("__cell") == canon))
         # pred args resolve positionally: first → left, second → right
         # (ref SpatialJoin schema rules; see spatialjoin.pig comment) —
         # the per-side Columns stay valid through the join
@@ -1776,7 +1794,7 @@ class Executor:
         if fn is None:
             raise ExecError(f"unknown spatial predicate {op.pred.name!r}")
         self.env[op.out] = (joined.filter(fn(lgeom, rgeom))
-                            .drop("__cell", "__lid", "__rid"))
+                            .drop("__cell"))
 
     def op_partition(self, op: "A.Partition") -> None:
         """PARTITION rel ON field USING scheme(args) — ref

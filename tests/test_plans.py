@@ -62,12 +62,21 @@ def test_q1_group_foreach_fuses_without_bags(spark, entry):
 
 
 def test_minhash_signature_aggregates_map_side(spark, entry):
-    df = entry.queries()["dedup_minhash_lsh"](spark, SF)
-    plan = _plan(df)
+    # r10: dedup_minhash_lsh's bucket relation is localCheckpointed
+    # (its plan shows an ExistingRDD), so the signature invariant is
+    # pinned on the signature relation itself
+    from pyspark.sql import functions as F
+    from piglet_spark.datapipe import dedup as dp_dedup
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    sigs = dp_dedup.minhash_signatures(docs)
+    plan = _plan(sigs)
     # partial min() aggregation before the shuffle: the signature
     # shuffle carries 32 longs/doc, not shingle sets
     assert "partial_min" in plan
     assert "collect_list" not in plan
+    # and the full query must still never collect shingle bags
+    full = _plan(entry.queries()["dedup_minhash_lsh"](spark, SF))
+    assert "collect_list" not in full
 
 
 def test_events_hourly_pushes_column_pruning(spark, entry):
