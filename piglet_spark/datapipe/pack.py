@@ -343,18 +343,21 @@ def dsir_weights(raw: DataFrame, target: DataFrame,
     def buckets_of(d: DataFrame) -> DataFrame:
         tok = F.explode(F.split(normalize_text(F.col(text_col)),
                                 " ")).alias("_tok")
+        # project the token string away immediately: only the bucket id
+        # survives, so the pinned raw-side relation is two ints per token
         return (d.select(F.col(id_col).alias("_id"), tok)
                 .filter(F.col("_tok") != "")
-                .withColumn("_b", _hash32(F.col("_tok")) % n_buckets))
+                .select("_id",
+                        (_hash32(F.col("_tok")) % n_buckets).alias("_b")))
 
-    def probs(d: DataFrame, name: str):
+    def probs(bk: DataFrame, name: str):
         # bucket table materialized ONCE (≤ n_buckets rows): the
         # total, the fallback, and the ratio join all read the
         # checkpointed counts — the corpus text is scanned exactly
         # once per side, not once per consumer (r05: the un-pinned
         # plan re-ran the tokenize scan 3× — for the counts, for the
         # ws-token total, and for the range sampler downstream)
-        cnt = (buckets_of(d).groupBy("_b")
+        cnt = (bk.groupBy("_b")
                .agg(F.count(F.lit(1)).alias("_n"))
                .localCheckpoint())
         # bucket-entry count == normalized ws-token total (normalize
@@ -367,8 +370,16 @@ def dsir_weights(raw: DataFrame, target: DataFrame,
                               ).alias(name))
         return p, tot
 
-    pt, t_tot = probs(target, "_pt")
-    pr, r_tot = probs(raw, "_pr")
+    # r10 (guide §1.2 "don't compute things twice"): the raw side's
+    # exploded bucket relation feeds BOTH the raw probability counts
+    # and the per-document scoring join — pin the narrow (_id, _b)
+    # rows once instead of running normalize→split→explode→hash over
+    # the raw corpus twice. Two ints/token materialized vs a second
+    # full regex-tokenize pass; the target side has one consumer and
+    # stays lazy.
+    raw_bk = buckets_of(raw).localCheckpoint(eager=False)
+    pt, t_tot = probs(buckets_of(target), "_pt")
+    pr, r_tot = probs(raw_bk, "_pr")
     # missing buckets get the pure-smoothing probability via coalesce
     # with a per-side fallback computed against each side's total
     t_fb = alpha / (t_tot + alpha * n_buckets)
@@ -377,7 +388,7 @@ def dsir_weights(raw: DataFrame, target: DataFrame,
              .select("_b", F.log(
                  F.coalesce(F.col("_pt"), F.lit(t_fb))
                  / F.coalesce(F.col("_pr"), F.lit(r_fb))).alias("_lr")))
-    scored = (buckets_of(raw)
+    scored = (raw_bk
               .join(F.broadcast(ratio), on="_b", how="left")
               .groupBy("_id")
               .agg(F.count(F.lit(1)).alias("n_feat"),

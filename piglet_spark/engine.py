@@ -19,6 +19,39 @@ from .plans import parser as P
 from .plans import rewrite as R
 
 
+_SIZE_CACHE: dict[str, int] = {}
+
+
+def _paths_bytes(paths) -> int:
+    """Total on-disk bytes of the LOAD paths feeding a shared subplan
+    (file or directory; globs/remote schemes conservatively count 0 —
+    unknown size stays lazy). Cached per path: stat'ing the same
+    parquet dir for every script in a session is wasted syscalls, and
+    a bench run replays the same script many times."""
+    import os
+    total = 0
+    for p in paths:
+        if p in _SIZE_CACHE:
+            total += _SIZE_CACHE[p]
+            continue
+        n = 0
+        try:
+            if os.path.isfile(p):
+                n = os.path.getsize(p)
+            elif os.path.isdir(p):
+                for root, _dirs, files in os.walk(p):
+                    for f in files:
+                        try:
+                            n += os.path.getsize(os.path.join(root, f))
+                        except OSError:
+                            pass
+        except OSError:
+            n = 0
+        _SIZE_CACHE[p] = n
+        total += n
+    return total
+
+
 class PigEngine:
     def __init__(self, spark: SparkSession,
                  params: Optional[dict[str, str]] = None,
@@ -80,6 +113,27 @@ class PigEngine:
             # recompute them per consumer
             self.executor.shared_aliases = {
                 a for a, n in counts.items() if n >= 2}
+        elif self.executor.options.get("auto_cache") is not False:
+            # default (r10): shared REDUCTION-POINT subplans (aggregate/
+            # distinct outputs with 2+ consumers) over enough input
+            # bytes are pinned with a non-eager localCheckpoint so each
+            # consumer reads the materialized partitions instead of
+            # re-running the whole subtree (guide §2.4 — the Q2/Q21
+            # shapes re-executed a grouped join 3-4×; ckpt_ab.py
+            # measured 1.43×/1.15× at sf1 on q21/q15). The input-size
+            # gate keeps small inputs lazy, where the recompute is
+            # cheaper than the materialization barrier (measured
+            # 0.78-0.91× at sf0.1 ≈ 17 MB of input). localCheckpoint —
+            # unlike persist — leaves the session CacheManager alone,
+            # so a later identical query never silently reads this
+            # run's result. Opt out with options={"auto_cache": False};
+            # tune the gate with options={"shared_ckpt_min_bytes": N}.
+            min_bytes = int(self.executor.options.get(
+                "shared_ckpt_min_bytes", 64 * 1024 * 1024))
+            self.executor.ckpt_aliases = {
+                a for a, paths in
+                R.checkpoint_candidates(ops, counts).items()
+                if _paths_bytes(paths) >= min_bytes}
         self.executor.mm_spliced = set()  # fresh per run()
         self.executor.bound_this_run = set()  # scope mm profiling to this run
         self._maybe_init_mm(ops)

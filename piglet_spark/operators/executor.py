@@ -563,6 +563,7 @@ class Executor:
         # script to bind such a signature persists it into
         # session_cache and later scripts splice the persisted
         # DataFrame in — the common prefix executes once per session
+        self.ckpt_aliases: set[str] = set()
         self.share_sigs: set[str] = set()
         self.session_cache: dict[str, DataFrame] = {}
         self._cached: set[str] = set()
@@ -598,6 +599,18 @@ class Executor:
             rel = rel.persist(StorageLevel.MEMORY_AND_DISK)
             self.env[alias] = rel
             self._cached.add(alias)
+        elif alias in self.ckpt_aliases and alias not in self._cached:
+            # default sharing path (engine.run → checkpoint_candidates):
+            # pin a multi-consumer shuffle-bearing subplan with a NON-
+            # EAGER localCheckpoint — materialized by the first action,
+            # every consumer reads the stored partitions, and (unlike
+            # persist) nothing is registered in the CacheManager, so a
+            # later identical plan in the same session recomputes.
+            if (isinstance(rel, DataFrame) and not rel.isStreaming
+                    and alias not in self._loads):
+                rel = rel.localCheckpoint(eager=False)
+                self.env[alias] = rel
+                self._cached.add(alias)
         return rel
 
     def rel(self, alias: str) -> Relation:

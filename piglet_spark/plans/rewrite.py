@@ -199,6 +199,82 @@ def consumer_counts(ops: list[A.Op]) -> dict[str, int]:
     return counts
 
 
+# Reduction ops: output is (usually far) smaller than input, and the
+# subtree below them carries at least one exchange — the sweet spot
+# for a materialization point (small bytes stored, large recompute
+# avoided). Joins/CROSS/Rank/Cube are deliberately absent: their
+# output is input-sized or larger, so re-running the (often broadcast)
+# join per consumer measured CHEAPER than materializing its output
+# (tools/ckpt_ab.py: q14/q11's shared post-join projection read
+# 0.87-0.97× with a checkpoint at sf1; the shared agg/distinct outputs
+# of q21/q15 read 1.43×/1.15×).
+_REDUCTION_OPS = (A.Group, A.CoGroup, A.Distinct, A.Intersection,
+                  A.Difference)
+# Single-input narrow ops a reduction may be seen through: `S = FOREACH
+# G GENERATE …aggregates…` makes S, not G, the shared alias.
+_NARROW_OPS = (A.Foreach, A.Filter, A.Limit, A.Sample)
+
+
+def checkpoint_candidates(ops: list[A.Op],
+                          counts: dict[str, int]
+                          ) -> dict[str, set[str]]:
+    """Aliases worth pinning with a non-eager localCheckpoint: consumed
+    by 2+ downstream operators AND a reduction point — an aggregate/
+    distinct output (possibly behind narrow ops). Without the pin,
+    Spark re-executes the whole subtree once per consumer (the
+    formatted plans of the TPC-H Q2/Q21 shapes show the grouped
+    lineitem⋈orders subtree 3-4×; ReuseExchange never fires because
+    per-consumer column pruning makes the duplicated exchanges
+    structurally different).
+
+    Returns {alias: load paths in its lineage} — the caller gates each
+    candidate on total input bytes (materialization has a fixed cost
+    that only pays off once the recomputed subtree reads enough data;
+    measured crossover in tools/ckpt_ab.py).
+
+    localCheckpoint (NOT persist): persist registers the analyzed plan
+    in the session CacheManager, so a *later identical query* would
+    silently read the cached result — cross-run result reuse that a
+    benchmark must not get. A localCheckpoint is private to the
+    DataFrame object that created it; a fresh run recomputes."""
+    producers: dict[str, A.Op] = {}
+    for op in ops:
+        if isinstance(op, A.SplitInto):
+            for b in op.branches:
+                producers[b.out] = op
+        elif op.out:
+            producers[op.out] = op
+
+    def is_reduction(alias: str, hops: int = 0) -> bool:
+        op = producers.get(alias)
+        if op is None or hops > 8:
+            return False
+        if isinstance(op, _REDUCTION_OPS):
+            return True
+        if isinstance(op, _NARROW_OPS) and len(op.inputs) == 1:
+            return is_reduction(op.inputs[0], hops + 1)
+        return False
+
+    loads_memo: dict[str, set[str]] = {}
+
+    def lineage_loads(alias: str) -> set[str]:
+        if alias in loads_memo:
+            return loads_memo[alias]
+        loads_memo[alias] = set()  # rebind-cycle guard (A = FILTER A …)
+        op = producers.get(alias)
+        paths: set[str] = set()
+        if isinstance(op, A.Load):
+            paths.add(op.path)
+        elif op is not None:
+            for i in op.inputs:
+                paths |= lineage_loads(i)
+        loads_memo[alias] = paths
+        return paths
+
+    return {a: lineage_loads(a) for a, n in counts.items()
+            if n >= 2 and is_reduction(a)}
+
+
 def drop_order_before_group(ops: list[A.Op]) -> list[A.Op]:
     """Remove an ORDER BY whose ONLY consumer is a (CO)GROUP /
     DISTINCT — grouping destroys row order, so the global sort is a

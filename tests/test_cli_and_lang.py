@@ -276,6 +276,48 @@ U = UNION X, Y;
     assert "InMemoryTableScan" in plan
 
 
+def test_default_shared_shuffle_checkpoint(spark, data_dir):
+    # r10 default sharing: a shared REDUCTION point (aggregate output
+    # with 2+ consumers) over enough input bytes is pinned with a
+    # non-eager localCheckpoint, so the grouped subtree executes once,
+    # not once per consumer (the TPC-H Q2/Q21 shape). Unlike the
+    # auto_cache persist path, nothing registers in the CacheManager —
+    # a later identical plan must recompute, not read this run's data.
+    script = f"""
+A = LOAD '{data_dir}/t.csv' USING PigStorage(',') AS (f1:int, f2:int, f3:int);
+G = GROUP A BY f1;
+S = FOREACH G GENERATE group AS k, SUM(A.f3) AS tot;
+X = FILTER S BY tot > 6;
+Y = FILTER S BY tot <= 6;
+U = UNION X, Y;
+"""
+    eng = pg.PigEngine(spark, options={"shared_ckpt_min_bytes": 0})
+    eng.run(script)
+    assert rows(eng.df("U")) == [(1, 7), (4, 6), (7, 9)]
+    assert "S" in eng.executor._cached       # pinned …
+    assert "A" not in eng.executor._cached   # … but not the raw load
+    plan = eng.df("X")._jdf.queryExecution().executedPlan().toString()
+    assert "ExistingRDD" in plan             # localCheckpoint, visible
+    assert "InMemoryTableScan" not in plan   # NOT the persist path
+    # size gate: with the default 64 MB floor this tiny input stays
+    # lazy — the materialization barrier costs more than recompute
+    eng2 = pg.PigEngine(spark)
+    eng2.run(script)
+    assert rows(eng2.df("U")) == [(1, 7), (4, 6), (7, 9)]
+    assert "S" not in eng2.executor._cached
+    # non-reduction shared subplans (narrow projection) stay lazy too
+    eng3 = pg.PigEngine(spark, options={"shared_ckpt_min_bytes": 0})
+    eng3.run(f"""
+A = LOAD '{data_dir}/t.csv' USING PigStorage(',') AS (f1:int, f2:int, f3:int);
+E = FOREACH A GENERATE f1, f2 + f3 AS s;
+X = FILTER E BY s > 5;
+Y = FILTER E BY s <= 5;
+U = UNION X, Y;
+""")
+    assert len(rows(eng3.df("U"))) == 4
+    assert "E" not in eng3.executor._cached
+
+
 def test_unknown_function_suggestion(spark, data_dir):
     from piglet_spark.plans.exprs import CompileError
     import pytest as _pytest
