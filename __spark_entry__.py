@@ -19,6 +19,7 @@ from piglet_spark.datapipe import dedup as dp_dedup
 from piglet_spark.datapipe import pack as dp_pack
 from piglet_spark.datapipe import similarity as dp_sim
 from piglet_spark.datapipe import text as dp_text
+from piglet_spark.datapipe.util import cached_parquet as _cached_pq
 
 
 def _pig(script: str, result: str) -> Callable[[SparkSession, str], DataFrame]:
@@ -713,11 +714,11 @@ ORDER BY c_nationkey ASC
 # ------------------------------------------------ datapipe (DataFrame)
 
 def _docs(spark, sf_dir):
-    return spark.read.parquet(f"{sf_dir}/documents.parquet")
+    return _cached_pq(spark, f"{sf_dir}/documents.parquet")
 
 
 def _emb(spark, sf_dir):
-    return spark.read.parquet(f"{sf_dir}/embeddings.parquet")
+    return _cached_pq(spark, f"{sf_dir}/embeddings.parquet")
 
 
 def q_dedup_exact(spark, sf_dir):
@@ -859,7 +860,7 @@ def q_session_stats(spark, sf_dir):
     shuffle on the user key; both window passes share the
     partitioning (single Exchange, plan-asserted in tests)."""
     from piglet_spark.datapipe import events as dp_events
-    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    ev = _cached_pq(spark, f"{sf_dir}/events.parquet")
     return dp_events.session_stats(ev, gap_sec=1800)
 
 
@@ -1146,7 +1147,7 @@ def _lsh_index_path(spark, sf_dir: str) -> str:
     sidecar = _os.path.join(idx, "_lsh_meta.json")
     if not _os.path.exists(sidecar) or \
             _os.path.getmtime(sidecar) < _os.path.getmtime(src):
-        docs = spark.read.parquet(src)
+        docs = _cached_pq(spark, src)
         dp_dedup.lsh_write_index(
             docs.filter(F.col("source") != "src0"), idx)
     return idx
@@ -3572,7 +3573,7 @@ def q_funnel(spark, sf_dir):
     The step chain is keyed user-side aggregations sharing one hash
     partitioning; the rollup is |steps| scalar counts."""
     from piglet_spark.datapipe import events as dp_ev
-    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    ev = _cached_pq(spark, f"{sf_dir}/events.parquet")
     return dp_ev.funnel_conversion(ev, ["view", "click", "purchase"])
 
 
@@ -3617,7 +3618,7 @@ def q_latest_by_key(spark, sf_dir):
     partial-aggregating max_by shuffle, deliberately not a window
     (plan-asserted in pytest)."""
     from piglet_spark.datapipe import events as dp_ev
-    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    ev = _cached_pq(spark, f"{sf_dir}/events.parquet")
     return dp_ev.latest_by_key(ev, key_col="user_id", ts_col="ts",
                                tiebreak_col="event_id")
 
@@ -3872,7 +3873,7 @@ def _ivf_index_path(spark, sf_dir: str) -> str:
     sidecar = _os.path.join(idx, "_ivf_centroids.json")
     if not _os.path.exists(sidecar) or \
             _os.path.getmtime(sidecar) < _os.path.getmtime(src):
-        emb = spark.read.parquet(src)
+        emb = _cached_pq(spark, src)
         dp_sim.ivf_write_index(emb, idx)
     return idx
 
@@ -4028,8 +4029,8 @@ def q_pagerank(spark, sf_dir):
     the whole ITERATION unrolls into generated SQL (the MMR
     precedent) for a full value-hash oracle."""
     from piglet_spark.datapipe import graph as dp_graph
-    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet")
-    orders = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    li = _cached_pq(spark, f"{sf_dir}/lineitem.parquet")
+    orders = _cached_pq(spark, f"{sf_dir}/orders.parquet")
     edges = (li.join(orders,
                      li["l_orderkey"] == orders["o_orderkey"])
              .select(F.concat(F.lit("s"),
@@ -4090,7 +4091,7 @@ def q_trending_keys(spark, sf_dir):
     (ties → key ascending) via the two-phase salted rank, so a
     million-key trending-terms window never lands on one reducer."""
     from piglet_spark.datapipe import events as dp_ev
-    ev = spark.read.parquet(f"{sf_dir}/events.parquet")
+    ev = _cached_pq(spark, f"{sf_dir}/events.parquet")
     return dp_ev.trending_keys(ev, key_col="event_type",
                                window_sec=3600, k=3)
 

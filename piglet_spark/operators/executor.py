@@ -1237,8 +1237,10 @@ class Executor:
     # ----------------------------------------------------------- joins
 
     def _lineage_rename(self, df: DataFrame, rel: str) -> DataFrame:
-        return df.select(*[df[c].alias(f"{rel}{S.LINEAGE_SEP}{c}")
-                           for c in df.columns])
+        # toDF: ONE py4j call for the whole rename — per-column alias
+        # Columns cost ~35 ms/join of driver round-trips (r10 profile:
+        # 0.5 s of a TPC-H 7-join plan build)
+        return df.toDF(*[f"{rel}{S.LINEAGE_SEP}{c}" for c in df.columns])
 
     _UNIT_SECONDS = {"SECONDS": 1, "SECOND": 1, "MINUTES": 60,
                      "MINUTE": 60, "HOURS": 3600, "HOUR": 3600}

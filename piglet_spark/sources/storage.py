@@ -142,8 +142,12 @@ def _load_parquet(spark, path, args, decl):
         # TIMESTAMP(NANOS) parquet in this session get longs instead
         # of Spark's default PARQUET_TYPE_ILLEGAL error.
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    # cached_parquet: memoized lazy HANDLE per (session, path, file
+    # fingerprint) — skips ~60-90 ms of py4j + footer schema work per
+    # re-read of the same path; never caches data (r10)
+    from ..datapipe.util import cached_parquet
     try:
-        df = spark.read.parquet(path)
+        df = cached_parquet(spark, path)
         df.schema  # force schema resolution
     except Exception as e:  # fallback if the probe missed it
         if "PARQUET_TYPE_ILLEGAL" not in str(e):
