@@ -350,26 +350,6 @@ def dsir_weights(raw: DataFrame, target: DataFrame,
                 .select("_id",
                         (_hash32(F.col("_tok")) % n_buckets).alias("_b")))
 
-    def probs(bk: DataFrame, name: str):
-        # bucket table materialized ONCE (≤ n_buckets rows): the
-        # total, the fallback, and the ratio join all read the
-        # checkpointed counts — the corpus text is scanned exactly
-        # once per side, not once per consumer (r05: the un-pinned
-        # plan re-ran the tokenize scan 3× — for the counts, for the
-        # ws-token total, and for the range sampler downstream)
-        cnt = (bk.groupBy("_b")
-               .agg(F.count(F.lit(1)).alias("_n"))
-               .localCheckpoint())
-        # bucket-entry count == normalized ws-token total (normalize
-        # squeezes whitespace, so the split yields no empty tokens);
-        # the collected scalar goes back in as a literal — no second
-        # aggregation job, no crossJoin (r05 review)
-        tot = cnt.agg(F.sum("_n")).collect()[0][0] or 0
-        p = cnt.select("_b", ((F.col("_n") + F.lit(alpha))
-                              / F.lit(float(tot + alpha * n_buckets))
-                              ).alias(name))
-        return p, tot
-
     # r10 (guide §1.2 "don't compute things twice"): the raw side's
     # exploded bucket relation feeds BOTH the raw probability counts
     # and the per-document scoring join — pin the narrow (_id, _b)
@@ -378,8 +358,33 @@ def dsir_weights(raw: DataFrame, target: DataFrame,
     # full regex-tokenize pass; the target side has one consumer and
     # stays lazy.
     raw_bk = buckets_of(raw).localCheckpoint(eager=False)
-    pt, t_tot = probs(buckets_of(target), "_pt")
-    pr, r_tot = probs(raw_bk, "_pr")
+    # BOTH sides' bucket counts in ONE side-tagged aggregation job
+    # (r10b): the former per-side probs() ran an eager checkpoint +
+    # a total-collect per side — four driver-synchronized jobs; the
+    # union aggregates once (≤ 2·n_buckets rows, map-side partials),
+    # one checkpoint, one collect for both totals, and the two
+    # tokenize scans overlap inside the one job. Values unchanged:
+    # counts, totals and the smoothing formulas are per-side exactly
+    # as before.
+    cnt = (buckets_of(target).select(F.lit(0).alias("_side"), "_b")
+           .unionByName(raw_bk.select(F.lit(1).alias("_side"), "_b"))
+           .groupBy("_side", "_b")
+           .agg(F.count(F.lit(1)).alias("_n"))
+           .localCheckpoint())
+    # bucket-entry count == normalized ws-token total (normalize
+    # squeezes whitespace, so the split yields no empty tokens);
+    # the collected scalars go back in as literals — no crossJoin
+    tots = dict(cnt.groupBy("_side").agg(F.sum("_n")).collect())
+    t_tot = tots.get(0, 0) or 0
+    r_tot = tots.get(1, 0) or 0
+    pt = (cnt.filter(F.col("_side") == 0)
+          .select("_b", ((F.col("_n") + F.lit(alpha))
+                         / F.lit(float(t_tot + alpha * n_buckets))
+                         ).alias("_pt")))
+    pr = (cnt.filter(F.col("_side") == 1)
+          .select("_b", ((F.col("_n") + F.lit(alpha))
+                         / F.lit(float(r_tot + alpha * n_buckets))
+                         ).alias("_pr")))
     # missing buckets get the pure-smoothing probability via coalesce
     # with a per-side fallback computed against each side's total
     t_fb = alpha / (t_tot + alpha * n_buckets)
