@@ -53,16 +53,20 @@ def cosine(a: Column, b: Column) -> Column:
 
 # --- fixed-dimension vector math as generated SQL strings ----------
 #
-# For a KNOWN dimension, an unrolled element_at(...) sum compiles into
-# whole-stage codegen, while aggregate/zip_with lambdas are
-# interpreted per element (measured ~25× slower on an all-pairs
-# join). Generating the expression as ONE SQL string parsed by
-# F.expr() also avoids building a 200-node Column tree through py4j
-# (hundreds of driver round-trips — measured ~1 s of pure plan-
-# construction overhead per query). The arithmetic keeps the exact
-# left-fold order ((0+x₁y₁)+x₂y₂)+… of the generic aggregate()
-# formulation, so results are bit-identical and oracle SQL written
-# against the generic formula still matches.
+# One SQL string parsed by F.expr() (not a py4j-built Column tree),
+# formulated as aggregate/zip_with higher-order functions over a
+# slice() of the probed dimension. r10 re-measurement overturned the
+# earlier unrolled-try_element_at formulation: on Spark 4.1 the
+# 64-term unrolled trees cost ~0.3-0.5 s of per-query planning/
+# codegen AND evaluate slower inside the broadcast nested-loop join
+# (knn_join exact, sf1 = 4M pairs: 11.9 s unrolled vs 2.0 s HOF,
+# hash-identical; sf0.1: 0.97 vs 0.51 s). The HOF fold keeps the
+# exact left-fold order ((0+x₁y₁)+x₂y₂)+… so results are
+# bit-identical and oracle SQL written against the generic formula
+# still matches; an explicit size guard reproduces the unrolled
+# form's null-when-short semantics (try_element_at past the end made
+# the whole sum null; a bare zip_with over two equally-short arrays
+# would not).
 
 def _flit(x: float) -> str:
     """A double literal that Spark SQL parses for ANY float value —
@@ -77,16 +81,18 @@ def _flit(x: float) -> str:
 
 
 def dot_sql(a: str, b: str, dim: int) -> str:
-    """SQL text for the dot product of two array<double> columns
-    (``a``/``b`` are SQL identifiers). try_element_at, not
-    element_at: a row whose array is shorter than the probed dim
-    yields a null product → null cosine → filtered/sorted out, the
-    same graceful degradation the zip_with formulation had
-    (element_at would throw INVALID_ARRAY_INDEX under ANSI mode)."""
-    terms = " + ".join(
-        f"(try_element_at({a}, {i + 1}) * try_element_at({b}, {i + 1}))"
-        for i in range(dim))
-    return f"(0.0 + {terms})"
+    """SQL text for the dot product of the first ``dim`` elements of
+    two array<double> columns (``a``/``b`` are SQL identifiers).
+    A row whose array is shorter than the probed dim yields NULL →
+    null cosine → filtered/sorted out (the unrolled try_element_at
+    form's graceful degradation, reproduced by the explicit size
+    guard — zip_with alone pads the SHORTER side with nulls, which
+    matches only when the sides differ in length)."""
+    agg = (f"aggregate(zip_with(slice({a}, 1, {dim}), "
+           f"slice({b}, 1, {dim}), (x, y) -> x * y), "
+           f"0.0D, (acc, x) -> acc + x)")
+    return (f"(IF(size({a}) >= {dim} AND size({b}) >= {dim}, "
+            f"{agg}, CAST(NULL AS DOUBLE)))")
 
 
 def norm_expr(v: str, dim: int) -> Column:
@@ -115,9 +121,12 @@ def cosine_to_query_expr(v: str, query_vec: list[float]) -> Column:
     for x in query_vec:
         nq = nq + x * x
     nq = math.sqrt(nq)  # correctly-rounded IEEE sqrt = JVM Math.sqrt
-    dot = " + ".join(f"(try_element_at({v}, {i + 1}) * {_flit(query_vec[i])})"
-                     for i in range(dim))
-    return F.expr(f"(0.0 + {dot}) / (sqrt({dot_sql(v, v, dim)})"
+    qlit = "array(" + ", ".join(_flit(x) for x in query_vec) + ")"
+    # the literal always has exactly dim elements, so zip_with pads a
+    # short v with nulls → null dot, the unrolled form's semantics
+    dot = (f"aggregate(zip_with(slice({v}, 1, {dim}), {qlit}, "
+           f"(x, y) -> x * y), 0.0D, (acc, x) -> acc + x)")
+    return F.expr(f"({dot}) / (sqrt({dot_sql(v, v, dim)})"
                   f" * {_flit(nq)})")
 
 
@@ -140,9 +149,12 @@ def hyperplane_bucket(vec: str, dim: int, n_planes: int,
     planes = hyperplanes(dim, n_planes, seed)
     terms = []
     for i, p in enumerate(planes):
-        d = " + ".join(f"(try_element_at({vec}, {j + 1}) * {_flit(p[j])})"
-                       for j in range(dim))
-        terms.append(f"(CASE WHEN (0.0 + {d}) > 0 THEN {1 << i}L"
+        plit = "array(" + ", ".join(_flit(x) for x in p) + ")"
+        # plane literal has exactly dim elements → a short vec pads
+        # with nulls → null dot → CASE null>0 → 0, same as unrolled
+        d = (f"aggregate(zip_with(slice({vec}, 1, {dim}), {plit}, "
+             f"(x, y) -> x * y), 0.0D, (acc, x) -> acc + x)")
+        terms.append(f"(CASE WHEN ({d}) > 0 THEN {1 << i}L"
                      f" ELSE 0L END)")
     return F.expr("(" + " + ".join(terms) + ")")
 
