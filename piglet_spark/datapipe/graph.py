@@ -32,7 +32,8 @@ from pyspark.sql import functions as F
 def pagerank(edges: DataFrame, iters: int = 3, damping: float = 0.85,
              src_col: str = "src", dst_col: str = "dst",
              persist_edges: "bool | None" = None,
-             broadcast_nodes: int = 2_000_000) -> DataFrame:
+             broadcast_nodes: int = 2_000_000,
+             kernel_edges: int = 2_000_000) -> DataFrame:
     """Fixed-``iters`` PageRank on a directed edge list (duplicate
     edges act as weight — the natural semantics when edges come from
     an interaction log). Returns ``(node, pagerank)`` for every node
@@ -62,7 +63,17 @@ def pagerank(edges: DataFrame, iters: int = 3, damping: float = 0.85,
     for the loop's duration — every iteration re-scans both, so a
     3+-iteration run otherwise pays the edge scan ``iters`` times
     (r09, VERDICT item; unpersisted before return — safe because
-    the final rank is an eager checkpoint)."""
+    the final rank is an eager checkpoint).
+
+    Three physical regimes, decided from EXACT counts (never
+    estimates), all value-identical (pytest cross-regime pin +
+    DuckDB oracle): edge lists at most ``kernel_edges`` run the
+    whole loop as ONE single-task Arrow pass
+    (:func:`_pagerank_kernel` — small graphs are dominated by
+    driver job latency, not data); node counts at most
+    ``broadcast_nodes`` broadcast the rank relation into the
+    per-iteration joins (no rank exchange); larger graphs keep the
+    shuffle plan with edges pre-partitioned on the join key."""
     iters = int(iters)
     if iters < 1:
         raise ValueError("pagerank: iters must be >= 1")
@@ -71,21 +82,46 @@ def pagerank(edges: DataFrame, iters: int = 3, damping: float = 0.85,
         raise ValueError(f"pagerank: damping must be in (0,1), got {d}")
     e = edges.select(F.col(src_col).alias("_s"),
                      F.col(dst_col).alias("_t"))
+    same_type = e.schema["_s"].dataType == e.schema["_t"].dataType
+    kernel_probe = same_type and int(kernel_edges) > 0
     persisted = []
-    if persist_edges if persist_edges is not None else iters > 2:
+    do_persist = (persist_edges if persist_edges is not None
+                  else iters > 2)
+    if do_persist:
         # persist BEFORE node discovery (r10): discovery's
         # union+distinct+outdeg join evaluates the edge subtree three
         # times, and the loop once more per iteration — with an
         # upstream join producing the edges (the registry query joins
         # two TPC-H tables) that was 3 full joins before the first
         # iteration ran (measured: the node-discovery count job was
-        # ~60% of the query). Pre-partitioned on the per-iteration
-        # join key, so the cached edge list is shuffled ONCE here
-        # instead of once per iteration (the rank side still
-        # exchanges — one row/node), and outdeg's groupBy reuses the
-        # cached partitioning outright.
-        e = e.repartition("_s").persist()
+        # ~60% of the query).
+        # r10c: NOT pre-partitioned on _s any more — the kernel and
+        # broadcast regimes never reshuffle the edge list, so the
+        # repartition exchange was pure cost for them (~0.3-0.5 s of
+        # the sf0.1 query); the big-graph shuffle regime re-adds it
+        # after discovery decides the regime.
+        e = e.persist()
         persisted = [e]
+    if kernel_probe:
+        # cheap regime probe (r10c): ONE partially-aggregated row
+        # over the edge list — no explode, no groupBy shuffle. In
+        # the kernel regime the full node/out-degree discovery is
+        # skipped outright (the kernel derives both from the edges
+        # it already holds); discovery only runs for graphs that
+        # stay on the Spark loop plans.
+        st = e.agg(
+            F.count(F.lit(1)).alias("m"),
+            F.sum((F.col("_s").isNull() | F.col("_t").isNull())
+                  .cast("bigint")).alias("nulls")).collect()[0]
+        if (int(st["nulls"] or 0) == 0
+                and 0 < int(st["m"]) <= int(kernel_edges)):
+            # eager checkpoint (bounded: one row per node) so the
+            # edge cache can be dropped before returning
+            out = _pagerank_kernel(e, iters, d).localCheckpoint()
+            for p in persisted:
+                p.unpersist()
+            return out.select("node",
+                              F.round("_pr", 9).alias("pagerank"))
     # r10 restructure (same values, fewer exchanges and jobs/iter):
     # the out-degree rides ON the rank relation — so each iteration
     # needs neither a per-step outdeg join nor the dangling ANTI-join
@@ -99,7 +135,7 @@ def pagerank(edges: DataFrame, iters: int = 3, damping: float = 0.85,
     # plan cost two scans of e and three exchanges; this is one scan
     # and one exchange (A/B: discovery 1.4→0.7 s at 600k edges,
     # hash-identical final ranks).
-    if e.schema["_s"].dataType == e.schema["_t"].dataType:
+    if same_type:
         nodes = (e.selectExpr(
                     "explode(array(named_struct('node', _s, 'o', 1L), "
                     "named_struct('node', _t, 'o', 0L))) as x")
@@ -139,6 +175,14 @@ def pagerank(edges: DataFrame, iters: int = 3, damping: float = 0.85,
     # DuckDB value-hash oracle at two SFs). Graphs beyond the
     # threshold keep the shuffle plan unchanged.
     bcast = 0 < n_nodes <= int(broadcast_nodes)
+    if not bcast and do_persist:
+        # big-graph shuffle regime: re-establish the _s partitioning
+        # the per-iteration rank joins reuse (r10c moved it out of
+        # the shared persist — kernel/broadcast regimes never
+        # reshuffle the edges, so they skip this exchange entirely)
+        e2 = e.repartition("_s").persist()
+        persisted.append(e2)
+        e = e2
     for it in range(iters):
         r_out = (rank.filter(F.col("_deg").isNotNull())
                  .select(F.col("node").alias("_s"), "_pr", "_deg"))
@@ -184,3 +228,77 @@ def pagerank(edges: DataFrame, iters: int = 3, damping: float = 0.85,
     for p in persisted:  # final rank is an eager checkpoint
         p.unpersist()
     return rank.select("node", F.round("_pr", 9).alias("pagerank"))
+
+
+def _pagerank_kernel(e: DataFrame, iters: int, d: float) -> DataFrame:
+    """Small-graph regime (r10, guide §1.2 step 1): the whole
+    ``iters``-step loop as ONE single-task Arrow pass over the edge
+    list, instead of ~3 driver-scheduled jobs per iteration (broadcast
+    builds + checkpoint) whose fixed latency dominates small graphs
+    (measured: 3.4 → 1.9 s at 600k edges / 16k nodes, sf0.1).
+
+    Gated by the caller on an EXACT edge count (``kernel_edges``,
+    default 2M ≈ tens of MB in one task), same-typed null-free node
+    ids. Arithmetic is step-for-step identical to the loop plan:
+    same node/out-degree derivation (bincount ≡ the explode+sum
+    discovery), same IEEE update expression
+    ``teleport + d·(contrib + dm·base)``, and the same per-step
+    round-12. Per-step rounding uses ``floor(x·1e12 + 0.5)/1e12`` —
+    HALF_UP for positive doubles, the exact formulation DuckDB's
+    ``round(double, 12)`` evaluates, which the value-hash oracle
+    already proves equal to Spark's BigDecimal HALF_UP on every
+    dataset (the round-12 design keeps sums ≥ several ulps away from
+    rounding boundaries; see the main docstring). The float-sum fold
+    order differs from Spark's partial aggregation, absorbed by the
+    same per-step rounding (the property the DuckDB oracle already
+    relies on). Cross-regime equality is pinned by pytest on random
+    graphs and by the collect-compare in the registry oracle."""
+    import numpy as np
+    import pandas as pd
+    from pyspark.sql import types as _T
+
+    n_iters = int(iters)
+    schema = _T.StructType([
+        _T.StructField("node", e.schema["_s"].dataType),
+        _T.StructField("_pr", _T.DoubleType())])
+
+    def run(batches):
+        from decimal import Decimal, ROUND_HALF_UP
+        parts = list(batches)
+        if not parts:
+            return
+        s = pd.concat([p["_s"] for p in parts], ignore_index=True)
+        t = pd.concat([p["_t"] for p in parts], ignore_index=True)
+        codes, uniq = pd.factorize(pd.concat([s, t],
+                                             ignore_index=True))
+        n = len(uniq)
+        # same scalar derivation (and the same Python IEEE ops) the
+        # loop plan runs on the driver; the initial rank is an exact
+        # BigDecimal HALF_UP quantize, bit-identical to
+        # F.round(F.lit(base), 12)
+        base = 1.0 / float(n)
+        teleport = (1.0 - d) * base
+        pr0 = float(Decimal(base).quantize(Decimal("1e-12"),
+                                           ROUND_HALF_UP))
+        src, dst = codes[:len(s)], codes[len(s):]
+        deg = np.bincount(src, minlength=n).astype(np.float64)
+        nz = deg > 0
+        pr = np.full(n, pr0)
+        for _ in range(n_iters):
+            w = np.zeros(n)
+            w[nz] = pr[nz] / deg[nz]
+            contrib = np.bincount(dst, weights=w[src], minlength=n)
+            dm = pr[~nz].sum()
+            x = teleport + d * (contrib + dm * base)
+            pr = np.floor(x * 1e12 + 0.5) / 1e12
+        yield pd.DataFrame({"node": uniq, "_pr": pr})
+
+    # persisted edges: coalesce(1) reads the cached blocks into the
+    # one kernel task with no exchange. Unpersisted edges: coalesce
+    # would collapse the UPSTREAM (e.g. an edge-producing join) to a
+    # single thread — pay a repartition(1) exchange instead so the
+    # upstream keeps its parallelism.
+    sl = e.storageLevel
+    one = e.coalesce(1) if (sl.useMemory or sl.useDisk) \
+        else e.repartition(1)
+    return one.mapInPandas(run, schema=schema)

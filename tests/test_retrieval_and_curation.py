@@ -471,6 +471,25 @@ def test_pagerank_brute_force(spark):
         dpg.pagerank(edges, damping=1.5)
 
 
+def test_pagerank_kernel_matches_loop_regime(spark):
+    """r10: the single-task Arrow kernel regime (small graphs) must
+    equal the Spark loop plan (kernel_edges=0 forces it) exactly —
+    duplicate edges, dangling nodes, source-only nodes, string ids."""
+    import random
+    from piglet_spark.datapipe import graph as dpg
+    rng = random.Random(11)
+    for trial, n in [(0, 12), (1, 60), (2, 200)]:
+        rows = [(f"n{rng.randrange(n)}", f"n{rng.randrange(n)}")
+                for _ in range(4 * n)]
+        edges = spark.createDataFrame(rows, "src string, dst string")
+        kern = sorted(tuple(r) for r in
+                      dpg.pagerank(edges, iters=3).collect())
+        loop = sorted(tuple(r) for r in
+                      dpg.pagerank(edges, iters=3,
+                                   kernel_edges=0).collect())
+        assert kern == loop, f"trial {trial}"
+
+
 def test_pagerank_via_stream_through(spark, tmp_path):
     import piglet_spark as pg
     from piglet_spark.datapipe import graph as dpg
