@@ -423,6 +423,22 @@ def compile_cmp(expr: A.Cmp, ctx: Ctx) -> Column:
     raise CompileError(f"unknown comparison {op}")
 
 
+def _flatten_string_concat(e: A.Expr) -> list:
+    """Flatten a Pig string-concat `+` chain into its segments,
+    mirroring compile_binop's concat decision exactly (a BinOp `+`
+    with a stringy side concatenates; anything else is one segment)."""
+    if isinstance(e, A.BinOp) and e.op == "+" \
+            and (_is_stringy(e.left) or _is_stringy(e.right)):
+        return _flatten_string_concat(e.left) \
+            + _flatten_string_concat(e.right)
+    return [e]
+
+
+def _is_str_lit(e: A.Expr, value: str) -> bool:
+    return (isinstance(e, A.Literal) and e.pig_type == "chararray"
+            and e.value == value)
+
+
 def compile_func(expr: A.FuncCall, ctx: Ctx) -> Column:
     name = expr.name.lower()
 
@@ -438,6 +454,37 @@ def compile_func(expr: A.FuncCall, ctx: Ctx) -> Column:
                 return (F.length(c) == 0) if name == "isempty" \
                     else (F.length(c) > 0)
         return compile_aggregate(expr, ctx)
+
+    # r10: geometry('POINT(' + x + ' ' + y + ')') — the dominant
+    # spatial idiom builds a WKT string per row only to regex-parse
+    # it straight back (measured 1.39 s vs 0.16 s for 100k points at
+    # sf0.1). When the argument is exactly that concat template with
+    # NUMERIC x/y, construct the (gtype, xs, ys) struct directly.
+    # Exact equivalence: the old path casts x to string (concat),
+    # then the parser casts the token back to double — reproduced
+    # verbatim as x.cast(string).cast(double) (NOT a direct numeric
+    # cast: a float's shortest-decimal string re-parses to a
+    # different double than float→double widening). Numeric string
+    # forms never contain the parser's delimiters, and a NULL x or y
+    # nulls the whole WKT → a struct with all-null fields, mirrored
+    # by the when() guards.
+    if name == "geometry" and len(expr.args) == 1:
+        segs = _flatten_string_concat(expr.args[0])
+        if (len(segs) == 5
+                and _is_str_lit(segs[0], "POINT(")
+                and _is_str_lit(segs[2], " ")
+                and _is_str_lit(segs[4], ")")
+                and isinstance(static_dtype(segs[1], ctx),
+                               T.NumericType)
+                and isinstance(static_dtype(segs[3], ctx),
+                               T.NumericType)):
+            xs_ = compile_expr(segs[1], ctx).cast("string")
+            ys_ = compile_expr(segs[3], ctx).cast("string")
+            ok = xs_.isNotNull() & ys_.isNotNull()
+            return F.struct(
+                F.when(ok, F.lit("POINT")).alias("gtype"),
+                F.when(ok, F.array(xs_.cast("double"))).alias("xs"),
+                F.when(ok, F.array(ys_.cast("double"))).alias("ys"))
 
     # classic-Pig TOP(n, field, bag): the n largest tuples of the bag
     # by the given field (index or name). Needs the bag's static
