@@ -907,7 +907,8 @@ def ngram_jaccard_pairs(df: DataFrame, text_col: str = "text",
               .select("_id", F.xxhash64("_s").alias("_s"))
     if max_df == "scale":
         if n_docs is None:
-            n_docs = df.count()
+            from .util import memo_on_df
+            n_docs = memo_on_df(df, "count", df.count)
         max_df = _scaled_max_df(n_docs)
     elif max_df == "auto":
         # df-histogram pre-pass (one aggregate job): cap at the
@@ -1709,8 +1710,10 @@ def semantic_pairs(df: DataFrame, vec_col: str = "embedding",
         # count job, clamped to the trainer's sample budget (raise
         # train_sample for corpora beyond train_sample² vectors)
         import math as _math
-        n_clusters = max(4, min(_math.isqrt(max(df.count(), 1)),
-                                train_sample))
+        from .util import memo_on_df
+        n_clusters = max(4, min(
+            _math.isqrt(max(memo_on_df(df, "count", df.count), 1)),
+            train_sample))
     cent_rows, cents_lit = train_centroids(
         df, vec_col, id_col, n_clusters, refine_iters, train_sample)
     rows = (_spread(df, id_col)

@@ -137,9 +137,15 @@ def probe_dim(df: DataFrame, vec_col: str = "embedding",
     stops at the first match). Null/empty leading rows are skipped —
     size(NULL) is null under ANSI and a 0 dim would generate
     unparseable '(0.0 + )' SQL."""
-    first = (df.select(F.size(F.col(vec_col)).alias("n"))
-             .filter(F.col("n") > 0).first())
-    return int(first["n"]) if first is not None else default
+    def probe() -> int:
+        first = (df.select(F.size(F.col(vec_col)).alias("n"))
+                 .filter(F.col("n") > 0).first())
+        return int(first["n"]) if first is not None else default
+    # memoized on the handle (r10): with the cached_parquet handle
+    # shared across the suite this one fixed-latency job ran once per
+    # similarity query for the same immutable plan
+    from .util import memo_on_df
+    return memo_on_df(df, f"dim:{vec_col}", probe)
 
 
 def hyperplane_bucket(vec: str, dim: int, n_planes: int,
@@ -484,8 +490,9 @@ def knn_join(corpus: DataFrame, queries: DataFrame, k: int = 5,
         # know |C| pass corpus_count and skip the job. Deterministic
         # — p is pure integer math on the count, so the SQL oracle
         # regenerates the identical plane set from COUNT(*).
+        from .util import memo_on_df
         cc = int(corpus_count) if corpus_count is not None \
-            else corpus.count()
+            else memo_on_df(corpus, "count", corpus.count)
         p = lsh_planes(cc, n_planes, target_bucket)
         probes = F.array(*[F.lit(x) for x in
                            [0] + [1 << i for i in range(p)]])

@@ -64,6 +64,23 @@ def cached_parquet(spark, path: str) -> DataFrame:
         per_session[key] = df
     return df
 
+def memo_on_df(df: DataFrame, key: str, fn):
+    """Memoize a small plan-derived statistic (a probed dimension, a
+    row count) ON the DataFrame handle object. DataFrames are
+    immutable plans, so the statistic is a pure function of the
+    handle; for `cached_parquet` handles the memo's lifetime and
+    invalidation are exactly the handle cache's (a changed file is a
+    new fingerprint → a new handle → a fresh probe). Never stores
+    query RESULTS — only scalar metadata the next plan build would
+    re-derive with an identical job (r10: probe_dim + the LSH corpus
+    count were one fixed-latency job each, per query, on the same
+    memoized corpus handle)."""
+    memo = df.__dict__.setdefault("_piglet_stat_memo", {})
+    if key not in memo:
+        memo[key] = fn()
+    return memo[key]
+
+
 # logical nodes that imply an exchange downstream of the scan — if one
 # is present, the data is already redistributed across
 # spark.sql.shuffle.partitions and spread() has nothing to fix
