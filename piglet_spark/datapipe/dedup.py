@@ -2082,12 +2082,18 @@ def neardup_pairs_first_seen(df: DataFrame, text_col: str = "text",
         "_id", "_sig",
         F.posexplode(F.array(*_band_col_exprs(bands, rows_per_band)))
         .alias("_band", "_bucket"))
-    first = (banded.groupBy("_band", "_bucket")
-             .agg(F.min("_id").alias("_fid")))
-    cand = (banded.join(first, on=["_band", "_bucket"])
-            .filter(F.col("_id") != F.col("_fid"))
-            .join(sigs.select(F.col("_id").alias("_fid"),
-                              F.col("_sig").alias("_fsig")), on="_fid"))
+    # holder id AND its signature via one bucket window (r10): the
+    # former groupBy+double-join evaluated the scan→shingle→signature
+    # subtree three times (banded on both join sides + the sigs
+    # join-back for the holder's signature). min_by is deterministic
+    # here — ids are unique within a (band, bucket). Same rows, one
+    # signature pass, one (band, bucket) exchange.
+    from pyspark.sql import Window as _W
+    w = _W.partitionBy("_band", "_bucket")
+    cand = (banded
+            .withColumn("_fid", F.min("_id").over(w))
+            .withColumn("_fsig", F.min_by("_sig", "_id").over(w))
+            .filter(F.col("_id") != F.col("_fid")))
     agree = F.aggregate(
         F.zip_with("_sig", "_fsig",
                    lambda x, y: (x == y).cast("int")),

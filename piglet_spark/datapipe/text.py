@@ -727,9 +727,17 @@ def duplicate_spans(df: DataFrame, text_col: str = "text",
         .select("_id", F.conv(F.substring(F.md5(F.col("_g")), 1, 8),
                               16, 10).cast("long").alias("_h")))
     per = grams.groupBy("_id", "_h").agg(F.count(F.lit(1)).alias("_c"))
-    docfreq = (per.groupBy("_h")
-               .agg(F.count(F.lit(1)).alias("_nd")))
-    stats = (per.join(docfreq, on="_h")
+    # document frequency as a window count over the per-doc rows
+    # (r10, the bm25 df-window formulation): the former
+    # groupBy(_h)+join-back evaluated the corpus explode+md5+aggregate
+    # subtree TWICE (per-doc side and docfreq side diverge under
+    # column pruning, so ReuseExchange never fires). One window over
+    # _h yields the identical per-hash document count in a single
+    # corpus pass.
+    from pyspark.sql import Window as _W
+    per_w = per.withColumn(
+        "_nd", F.count(F.lit(1)).over(_W.partitionBy("_h")))
+    stats = (per_w
              .groupBy("_id")
              .agg(F.sum("_c").alias("_n"),
                   F.sum(F.when(F.col("_nd") >= 2, F.col("_c"))
