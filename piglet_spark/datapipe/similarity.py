@@ -121,12 +121,14 @@ def cosine_to_query_expr(v: str, query_vec: list[float]) -> Column:
     for x in query_vec:
         nq = nq + x * x
     nq = math.sqrt(nq)  # correctly-rounded IEEE sqrt = JVM Math.sqrt
-    qlit = "array(" + ", ".join(_flit(x) for x in query_vec) + ")"
-    # the literal always has exactly dim elements, so zip_with pads a
-    # short v with nulls → null dot, the unrolled form's semantics
-    dot = (f"aggregate(zip_with(slice({v}, 1, {dim}), {qlit}, "
-           f"(x, y) -> x * y), 0.0D, (acc, x) -> acc + x)")
-    return F.expr(f"({dot}) / (sqrt({dot_sql(v, v, dim)})"
+    # LITERAL-side dot stays UNROLLED (r10): with one side a constant,
+    # codegen emits straight-line multiply-adds — measured faster than
+    # the interpreted per-element HOF lambda at sf1 (similarity_ann_lsh
+    # 1.5-2.1 s unrolled vs 2.5-3.8 s HOF); the HOF rewrite pays off
+    # only for column-column dots inside joins (see dot_sql).
+    dot = " + ".join(f"(try_element_at({v}, {i + 1}) * {_flit(query_vec[i])})"
+                     for i in range(dim))
+    return F.expr(f"(0.0 + {dot}) / (sqrt({dot_sql(v, v, dim)})"
                   f" * {_flit(nq)})")
 
 
@@ -153,14 +155,12 @@ def hyperplane_bucket(vec: str, dim: int, n_planes: int,
     """Sign-pattern bucket id (0..2^n_planes-1) of a named
     array<double> column (one generated-SQL expression, codegen'd)."""
     planes = hyperplanes(dim, n_planes, seed)
+    # literal-side dots stay UNROLLED — see cosine_to_query_expr
     terms = []
     for i, p in enumerate(planes):
-        plit = "array(" + ", ".join(_flit(x) for x in p) + ")"
-        # plane literal has exactly dim elements → a short vec pads
-        # with nulls → null dot → CASE null>0 → 0, same as unrolled
-        d = (f"aggregate(zip_with(slice({vec}, 1, {dim}), {plit}, "
-             f"(x, y) -> x * y), 0.0D, (acc, x) -> acc + x)")
-        terms.append(f"(CASE WHEN ({d}) > 0 THEN {1 << i}L"
+        d = " + ".join(f"(try_element_at({vec}, {j + 1}) * {_flit(p[j])})"
+                       for j in range(dim))
+        terms.append(f"(CASE WHEN (0.0 + {d}) > 0 THEN {1 << i}L"
                      f" ELSE 0L END)")
     return F.expr("(" + " + ".join(terms) + ")")
 
