@@ -47,12 +47,14 @@ def test_q3_topk_avoids_global_sort(spark, entry):
 def test_cosine_topk_avoids_global_sort(spark, entry):
     plan = _plan(entry.queries()["similarity_cosine_topk"](spark, SF))
     assert "TakeOrderedAndProject" in plan
-    # the dot product is the unrolled codegen formulation (rendered
-    # as element_at(..., failOnError=false)), not an interpreted
-    # aggregate() lambda fold; the only lambda left is the
-    # once-per-row float->double cast transform
+    # r10 split formulation: the LITERAL-side dot (query vector) is
+    # the unrolled codegen form (element_at × literal multiply-adds —
+    # measured faster than the interpreted lambda when one side is a
+    # constant), while the self-norm v·v is the HOF aggregate fold
+    # (smaller tree, faster for column-column — see similarity.py's
+    # generated-SQL block). Pin both halves of that contract.
     assert "element_at" in plan
-    assert "aggregate(" not in plan
+    assert "aggregate(" in plan and "zip_with" in plan
 
 
 def test_q1_group_foreach_fuses_without_bags(spark, entry):
