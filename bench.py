@@ -198,10 +198,35 @@ def main():
     # neither): SPARK_GRAFT_ONLY / SPARK_GRAFT_SKIP are comma lists.
     only = {s for s in os.environ.get("SPARK_GRAFT_ONLY", "").split(",") if s}
     skip = {s for s in os.environ.get("SPARK_GRAFT_SKIP", "").split(",") if s}
+
+    def cpu_sample():
+        """(steal, total) jiffies from /proc/stat — the host-noise
+        instrument (r10): this VM shows intermittent CPU steal that
+        inflates same-code boards ±20%, so every board now carries
+        the measured steal fraction alongside the timings. Returns
+        None where /proc/stat is unavailable (non-Linux)."""
+        try:
+            with open("/proc/stat") as fh:
+                parts = fh.readline().split()
+            vals = [int(x) for x in parts[1:]]
+            steal = vals[7] if len(vals) > 7 else 0
+            return steal, sum(vals)
+        except (OSError, ValueError, IndexError):
+            return None
+
+    def steal_pct(before, after):
+        if before is None or after is None:
+            return None
+        dt = after[1] - before[1]
+        if dt <= 0:
+            return None
+        return round(100.0 * (after[0] - before[0]) / dt, 2)
     selected = [n for n in HEADLINE
                 if (not only or n in only) and n not in skip]
     timings: dict[str, float | None] = {}
     errors: dict[str, str] = {}
+    steals: dict[str, float | None] = {}
+    run_cpu0 = cpu_sample()
     for name in selected:
         fn = qs.get(name)
         if fn is None:  # renamed/removed query must not kill the bench
@@ -241,6 +266,7 @@ def main():
         # spikes (noisy neighbor) that can inflate a single run 5-20×
         best, n = None, 0
         err = None
+        q_cpu0 = cpu_sample()
         for it in range(2):
             if it:  # free run 1's shuffle files before run 2 (pre-t0)
                 try:
@@ -266,7 +292,9 @@ def main():
                   file=sys.stderr)
             continue
         timings[name] = round(best, 3)
-        print(f"# {name}: {timings[name]}s ({n} rows)", file=sys.stderr)
+        steals[name] = steal_pct(q_cpu0, cpu_sample())
+        print(f"# {name}: {timings[name]}s ({n} rows, "
+              f"steal {steals[name]}%)", file=sys.stderr)
 
     total = round(sum(t for t in timings.values() if t is not None), 3)
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
@@ -277,6 +305,13 @@ def main():
         "queries": timings,
         "errors": errors,  # empty dict == every query succeeded
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+        # host-noise annotation (additive fields — the contract keys
+        # above are unchanged): per-query and whole-run CPU-steal
+        # percentages, so a board cell can be read against the noise
+        # it was measured under (same-code boards drifted ±20% on
+        # this VM; see OPTIMIZATION_r10.md)
+        "steal_pct": steals,
+        "steal_pct_run": steal_pct(run_cpu0, cpu_sample()),
     }
     # No silent caps (repo rule): a sweep that excludes queries must
     # SAY so in its artifact — a missing key reads as "covered" when
