@@ -570,6 +570,13 @@ class Executor:
         self._loads: set[str] = set()  # raw-scan aliases (never cached)
         self.stream_queries: list[Any] = []  # active StreamingQuery handles
         self.zmq_pumps: list[Any] = []  # this executor's ZMQ SUB pumps
+        # alias → (producing op, {input alias: generation when bound})
+        # and alias → rebind counter: lets op_join recognize the
+        # JOIN-with-own-aggregate idiom (r10 window rewrite) while
+        # generation checks refuse a chain whose alias was redefined
+        # between the GROUP and the JOIN
+        self.producers: dict[str, tuple] = {}
+        self.alias_gen: dict[str, int] = {}
         self._register_datapipe_ops()
 
     def _register_datapipe_ops(self) -> None:
@@ -634,15 +641,35 @@ class Executor:
 
     def execute_op(self, op: A.Op) -> None:
         if self.share_sigs and self._try_session_splice(op):
+            self._note_rebind(op, spliced=True)
             return
         if self.mm is not None and self._try_mm_splice(op):
+            self._note_rebind(op, spliced=True)
             return
         meth = getattr(self, "op_" + type(op).__name__.lower(), None)
         if meth is None:
             raise ExecError(f"operator {type(op).__name__} not implemented")
         meth(op)
+        self._note_rebind(op)
         self._propagate_stream_meta(op)
         self._update_lineage(op)
+
+    def _note_rebind(self, op: A.Op, spliced: bool = False) -> None:
+        """Track alias (re)bindings for the join→window rewrite: bump
+        the generation counter and record the producing op with the
+        generations of its inputs at bind time. A spliced binding
+        (session/mm cache) records no producer — the rewrite must not
+        see through a cache splice."""
+        out = getattr(op, "out", None)
+        if not out:
+            return
+        self.alias_gen[out] = self.alias_gen.get(out, 0) + 1
+        if spliced:
+            self.producers.pop(out, None)
+        else:
+            self.producers[out] = (op, {
+                i: self.alias_gen.get(i, 0)
+                for i in (getattr(op, "inputs", None) or [])})
 
     # pure single-output transformations whose cached result may be
     # spliced in from the materialization cache (ref getCandidates'
@@ -1305,6 +1332,14 @@ class Executor:
             raise ExecError(
                 "JOIN inputs must be distinct aliases; for a self-join, "
                 "load or FOREACH-copy the relation under a second alias")
+        if len(op.rels) == 2 and not (op.strategy or "").strip():
+            # r10 window rewrite: JOIN A BY k, B BY gk where B is A's
+            # own per-k aggregate is exactly a window over A — see
+            # _join_group_window
+            rewritten = self._join_group_window(op)
+            if rewritten is not None:
+                self.env[op.out] = rewritten
+                return
         dfs = []
         keycols: list[list[Column]] = []
         for rel, keys in zip(op.rels, op.keys):
@@ -1336,6 +1371,174 @@ class Executor:
                 right = right.hint("MERGE")
             out = out.join(right, on=cond, how="inner")
         self.env[op.out] = out
+
+    # deterministic aggregates whose fused compilation is a single
+    # window-able function call; first/last-style and distinct
+    # aggregates are excluded (windows reject or reorder them)
+    _WINDOWABLE_AGGS = frozenset(
+        {"count", "count_star", "sum", "min", "max", "avg"})
+
+    def _join_group_window(self, op: A.Join) -> Optional[DataFrame]:
+        """Rewrite `J = JOIN A BY k, B BY gk` where
+        `B = FOREACH (GROUP A BY k) GENERATE group [AS gk], aggs…`
+        into a WINDOW over A partitioned by k (guide §2.4: two
+        operations keyed the same way share one exchange; the join
+        formulation re-executes A's whole subtree for the aggregate
+        side — TPC-H Q21's sf0.1 plan held 18 parquet scans and 36
+        exchanges from three stacked instances of this idiom).
+
+        Exact-equivalence argument: B has one row per group key
+        (including a null-key group), but an equi-join never matches
+        null keys, so the join (a) keeps each A-row whose key is
+        fully non-null exactly once (its group always exists in B)
+        and (b) drops null-key rows. The window version filters null
+        keys and computes the same deterministic aggregates over the
+        same partitions (NaN keys group and join identically in
+        Spark). Column names, order and types replicate the join
+        output exactly (A::cols… then B::gen-names in FOREACH
+        order).
+
+        Conservative gating — returns None (generic join runs)
+        unless: the producer chain is literally Foreach(Group(A))
+        with no rebind in between (generation counters), no
+        nested_ops, no streaming/window metadata, every FOREACH gen
+        is either a group-key reference or an aliased whitelisted
+        aggregate over the bag (no casts, no flatten), the join keys
+        structurally equal the GROUP keys, and the rewritten plan
+        ANALYZES (any resolution surprise falls back)."""
+        try:
+            for agg_side in (1, 0):
+                out = self._join_group_window_side(op, agg_side)
+                if out is not None:
+                    return out
+        except Exception:
+            return None
+        return None
+
+    def _join_group_window_side(self, op: A.Join,
+                                agg_side: int) -> Optional[DataFrame]:
+        from pyspark.sql.window import Window as _W
+        base_side = 1 - agg_side
+        b_alias, a_alias = op.rels[agg_side], op.rels[base_side]
+        fe = self.producers.get(b_alias)
+        if fe is None:
+            return None
+        f_op, f_snap = fe
+        if not isinstance(f_op, A.Foreach) or f_op.nested_ops:
+            return None
+        ge = self.producers.get(f_op.rel)
+        if ge is None:
+            return None
+        g_op, g_snap = ge
+        if not isinstance(g_op, A.Group) or not g_op.keys:
+            return None
+        if g_op.rel != a_alias:
+            return None
+        # rebind guards: the Foreach must still see the CURRENT Group
+        # binding, and the Group the CURRENT A binding
+        if f_snap.get(f_op.rel) != self.alias_gen.get(f_op.rel, 0):
+            return None
+        if g_snap.get(a_alias) != self.alias_gen.get(a_alias, 0):
+            return None
+        if any(r in self.window_specs
+               for r in (a_alias, b_alias, f_op.rel)):
+            return None
+        if op.keys[base_side] != g_op.keys:
+            return None
+        nkeys = len(g_op.keys)
+        key_names = [k.name if isinstance(k, A.NamedField) else None
+                     for k in g_op.keys]
+        # classify B's generate list
+        b_cols: list[tuple[str, str, Any]] = []  # (name, kind, payload)
+        for gen in f_op.gens:
+            if gen.flatten or gen.pig_type is not None:
+                return None
+            e = gen.expr
+            if (isinstance(e, A.DerefTuple)
+                    and isinstance(e.base, A.NamedField)
+                    and e.base.name == a_alias
+                    and isinstance(e.field, A.NamedField)
+                    and e.field.name in key_names):
+                # `A.f` where f is a group key — the same lineage
+                # simplification _foreach_fused applies
+                idx = key_names.index(e.field.name)
+                b_cols.append((gen.alias or e.field.name, "key", idx))
+                continue
+            if isinstance(e, A.NamedField) and e.name == "group":
+                if nkeys != 1:
+                    return None  # whole-struct key output unsupported
+                b_cols.append((gen.alias or "group", "key", 0))
+                continue
+            if (isinstance(e, A.DerefTuple)
+                    and isinstance(e.base, A.NamedField)
+                    and e.base.name == "group"):
+                f = e.field
+                if isinstance(f, A.NamedField) and f.name in key_names:
+                    idx = key_names.index(f.name)
+                    b_cols.append((gen.alias or f.name, "key", idx))
+                    continue
+                if isinstance(f, A.PositionalField) \
+                        and 0 <= f.pos < nkeys:
+                    nm = gen.alias or key_names[f.pos]
+                    if nm is None:
+                        return None
+                    b_cols.append((nm, "key", f.pos))
+                    continue
+                return None
+            if isinstance(e, A.FuncCall) \
+                    and e.name.lower() in self._WINDOWABLE_AGGS \
+                    and gen.alias:
+                if len(e.args) > 1:
+                    return None
+                arg = e.args[0] if e.args else None
+                arg_ok = (arg is None or isinstance(arg, A.Star)
+                          or (isinstance(arg, A.NamedField)
+                              and arg.name == a_alias)
+                          or (isinstance(arg, A.DerefTuple)
+                              and isinstance(arg.base, A.NamedField)
+                              and arg.base.name == a_alias
+                              and isinstance(arg.field, (
+                                  A.NamedField, A.PositionalField))))
+                if not arg_ok:
+                    return None
+                b_cols.append((gen.alias, "agg", e))
+                continue
+            return None
+        names_seen = [n for n, _, _ in b_cols]
+        if len(set(names_seen)) != len(names_seen):
+            return None
+        # right join keys must name B's key columns in left-key order
+        right = op.keys[agg_side]
+        if len(right) != nkeys:
+            return None
+        keymap = {n: p for n, kind, p in b_cols if kind == "key"}
+        for i, rk in enumerate(right):
+            if not isinstance(rk, A.NamedField) or rk.lineage:
+                return None
+            if keymap.get(rk.name) != i:
+                return None
+        dfA = self.df(a_alias)
+        if not isinstance(dfA, DataFrame) or dfA.isStreaming:
+            return None
+        dfA = self._lineage_rename(dfA, a_alias)
+        ctxA = self.ctx(dfA)
+        kcols = [compile_expr(k, ctxA) for k in g_op.keys]
+        w = _W.partitionBy(*kcols)
+        fctx = Ctx(dfA, mode="fused", bag_name=a_alias, udfs=self.udfs)
+        appended = []
+        for nm, kind, payload in b_cols:
+            if kind == "key":
+                c = kcols[payload]
+            else:
+                c = compile_expr(payload, fctx).over(w)
+            appended.append(c.alias(f"{b_alias}{S.LINEAGE_SEP}{nm}"))
+        notnull = kcols[0].isNotNull()
+        for k in kcols[1:]:
+            notnull = notnull & k.isNotNull()
+        out = dfA.filter(notnull).select(
+            *[dfA[c] for c in dfA.columns], *appended)
+        out.schema  # force analysis — resolution surprises fall back
+        return out
 
     def _salted_join(self, op: A.Join, dfs: list[DataFrame],
                      keycols: list[list[Column]], strat: str) -> DataFrame:

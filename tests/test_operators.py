@@ -1129,3 +1129,85 @@ B = BGP_FILTER T BY {{ ?a <knows> ?b . ?c <knows> <c> }};
     assert df.columns[:3] == ["subject", "predicate", "object"]
     # chained: predicate == <knows> AND object == <c>
     assert rows(df) == [("<b>", "<knows>", "<c>")]
+
+
+# ------------------------- r10: JOIN-with-own-aggregate window rewrite
+
+def _mk_kv_parquet(spark, tmp_path, rows_, name="kv.parquet"):
+    p = str(tmp_path / name)
+    spark.createDataFrame(rows_, "k int, v int").write.mode(
+        "overwrite").parquet(p)
+    return p
+
+
+def test_join_own_aggregate_rewrites_to_window(spark, tmp_path):
+    """`JOIN A BY k, B BY gk` with B = FOREACH (GROUP A BY k) is one
+    window over A: values identical to the join semantics (null keys
+    dropped, per-key aggregates attached, lineage-prefixed names) and
+    the executed plan carries a Window instead of a second scan."""
+    p = _mk_kv_parquet(spark, tmp_path,
+                       [(1, 10), (1, 20), (2, 5), (None, 99)])
+    df = run(spark, f"""
+A = LOAD '{p}' USING ParquetStorage();
+G = GROUP A BY k;
+B = FOREACH G GENERATE group AS gk, MAX(A.v) AS mx, COUNT(A) AS n;
+J = JOIN A BY k, B BY gk;
+""", "J")
+    assert df.columns == ["A::k", "A::v", "B::gk", "B::mx", "B::n"]
+    # null-key row dropped (join semantics); aggregates per key
+    assert rows(df) == [(1, 10, 1, 20, 2), (1, 20, 1, 20, 2),
+                        (2, 5, 2, 5, 1)]
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    assert "Window" in plan
+    # the join operator is gone entirely (AQE's final-plan string
+    # repeats stage subtrees, so scan-counting is unreliable here;
+    # the pre-execution plan shows exactly one FileScan)
+    assert "Join" not in plan
+
+
+def test_join_own_aggregate_agg_side_first(spark, tmp_path):
+    """Same idiom with the aggregated relation on the LEFT: column
+    order must match the generic join (B cols first)."""
+    p = _mk_kv_parquet(spark, tmp_path, [(1, 10), (1, 20), (2, 5)])
+    df = run(spark, f"""
+A = LOAD '{p}' USING ParquetStorage();
+G = GROUP A BY k;
+B = FOREACH G GENERATE group AS gk, SUM(A.v) AS s;
+J = JOIN B BY gk, A BY k;
+""", "J")
+    assert df.columns == ["B::gk", "B::s", "A::k", "A::v"]
+    assert rows(df) == [(1, 30, 1, 10), (1, 30, 1, 20), (2, 5, 2, 5)]
+
+
+def test_join_own_aggregate_rebind_blocks_rewrite(spark, tmp_path):
+    """A redefined between the GROUP and the JOIN must take the
+    generic join against the OLD aggregate, not a window over the new
+    A (generation guard)."""
+    p1 = _mk_kv_parquet(spark, tmp_path, [(1, 10), (1, 20)], "kv1.parquet")
+    p2 = _mk_kv_parquet(spark, tmp_path, [(1, 100), (3, 7)], "kv2.parquet")
+    df = run(spark, f"""
+A = LOAD '{p1}' USING ParquetStorage();
+G = GROUP A BY k;
+B = FOREACH G GENERATE group AS gk, COUNT(A) AS n;
+A = LOAD '{p2}' USING ParquetStorage();
+J = JOIN A BY k, B BY gk;
+""", "J")
+    # B counts the OLD A (k=1 -> 2); new A's k=3 has no match
+    assert rows(df) == [(1, 100, 1, 2)]
+
+
+def test_join_own_aggregate_multikey_and_filter_chain(spark, tmp_path):
+    """Composite keys + a FILTER between the aggregate and a second
+    idiom instance (the q21 shape)."""
+    p = str(tmp_path / "kv3.parquet")
+    spark.createDataFrame(
+        [(1, 1, 5), (1, 1, 9), (1, 2, 3), (2, 1, 4)],
+        "a int, b int, v int").write.mode("overwrite").parquet(p)
+    df = run(spark, f"""
+A = LOAD '{p}' USING ParquetStorage();
+G = GROUP A BY (a, b);
+B = FOREACH G GENERATE group.a AS ga, group.b AS gb, MAX(A.v) AS mx;
+J = JOIN A BY (a, b), B BY (ga, gb);
+K = FILTER J BY mx > 4;
+""", "K")
+    assert rows(df) == [(1, 1, 5, 1, 1, 9), (1, 1, 9, 1, 1, 9)]
