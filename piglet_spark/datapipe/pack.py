@@ -163,7 +163,8 @@ def global_shuffle(df: DataFrame, id_col: str = "doc_id",
 
 def take_top_frac(df: DataFrame, by_col: str, frac: float,
                   id_col: str = "doc_id",
-                  ascending: bool = False) -> DataFrame:
+                  ascending: bool = False,
+                  small_rows: int = 2_000_000) -> DataFrame:
     """Quality gate: keep exactly ``ceil(frac · n)`` rows — the best
     by ``by_col`` (descending by default; ``ascending=True`` keeps
     the smallest, e.g. a perplexity score). The rank-based form of
@@ -203,6 +204,16 @@ def take_top_frac(df: DataFrame, by_col: str, frac: float,
     order = [F.col("__key").asc_nulls_last() if ascending
              else F.col("__key").desc_nulls_last(),
              F.col(id_col).asc()]
+    # small-input regime (r10, the dsir_resample gate): up to
+    # ``small_rows`` (exact count on the pinned narrow projection)
+    # the identical kept-set is one TakeOrderedAndProject job over
+    # the same total order — the TeraSort machinery's ~4 eager jobs
+    # are pure latency there. Large inputs keep the two-phase rank.
+    total = keyed.count()
+    if total <= int(small_rows):
+        k = int(math.ceil(frac * total))
+        kept = keyed.orderBy(*order).limit(k).select(id_col)
+        return df.join(kept, on=id_col)
     base = (keyed.repartitionByRange(nparts, *order)
             .withColumn("__pid", F.spark_partition_id())
             .localCheckpoint())  # pin partition ids across branches
@@ -412,7 +423,8 @@ def dsir_resample(raw: DataFrame, target: DataFrame,
                   text_col: str = "text", id_col: str = "doc_id",
                   n_buckets: int = 4096, frac: float = 0.1,
                   seed: int = 42, alpha: float = 1.0,
-                  method: str = "gumbel") -> DataFrame:
+                  method: str = "gumbel",
+                  small_rows: int = 2_000_000) -> DataFrame:
     """DSIR resampling (the paper's step after weighting): keep the
     ``ceil(frac · n)`` most target-like documents. Returns
     (id, dsir_logw, sel_key) of the kept docs.
@@ -452,6 +464,20 @@ def dsir_resample(raw: DataFrame, target: DataFrame,
     # weights pipeline (measured 2.6× the whole query at sf10)
     keyed = w.select(F.col(id_col), F.col("dsir_logw"),
                      key.alias("sel_key")).localCheckpoint()
+    # small-input regime (r10): the TeraSort two-phase rank costs ~4
+    # sequential eager jobs (range-sampling, partition-id pin,
+    # offset collect) — pure driver latency when the keyed relation
+    # is small. Up to 2M rows (exact count on the already-pinned
+    # checkpoint) the identical selection is one TakeOrderedAndProject
+    # job: top-k by the same (sel_key desc, id asc) TOTAL order is
+    # exactly rank ≤ k. Larger inputs keep the TeraSort plan — a
+    # global top-k at 10% of a 100 TB corpus must never single-merge.
+    total = keyed.count()
+    if total <= int(small_rows):
+        k = int(math.ceil(frac * total))
+        return (keyed.orderBy(F.col("sel_key").desc(),
+                              F.col(id_col).asc())
+                .limit(k).select(id_col, "dsir_logw", "sel_key"))
     nparts = int(spark.conf.get("spark.sql.shuffle.partitions"))
     base = (keyed.repartitionByRange(nparts, F.col("sel_key").desc(),
                                      F.col(id_col).asc())

@@ -257,6 +257,21 @@ def test_dsir_resample_gumbel_matches_bruteforce(corpus):
         assert kept[i]["sel_key"] == pytest.approx(keys[i], abs=2e-6)
 
 
+def test_dsir_resample_regimes_agree(corpus):
+    """r10: the small-input TakeOrdered path (default gate) and the
+    TeraSort two-phase rank (small_rows=0 forces it) select the
+    identical set with identical keys."""
+    from pyspark.sql import functions as F
+    raw = corpus.filter(F.col("source") != "src0")
+    tgt = corpus.filter(F.col("source") == "src0")
+    small = sorted(tuple(r) for r in pack.dsir_resample(
+        raw, tgt, n_buckets=64, frac=0.3, seed=9).collect())
+    tera = sorted(tuple(r) for r in pack.dsir_resample(
+        raw, tgt, n_buckets=64, frac=0.3, seed=9,
+        small_rows=0).collect())
+    assert small == tera and len(small) > 0
+
+
 def test_dsir_resample_topk_prefers_target_like(corpus, spark):
     tgt = spark.createDataFrame(
         [(100, "machine learning models train on tokens")],
@@ -405,6 +420,18 @@ def test_take_top_frac_matches_bruteforce(corpus):
     got = {r["doc_id"] for r in out.collect()}
     assert got == want
     assert set(out.columns) == {"doc_id", "text", "source", "score"}
+
+
+def test_take_top_frac_regimes_agree(corpus):
+    """r10: the small-input TakeOrdered path and the TeraSort rank
+    (small_rows=0) keep the identical set, both directions."""
+    df = corpus.withColumn("score", pack.F.length("text"))
+    for asc in (False, True):
+        small = sorted(r["doc_id"] for r in pack.take_top_frac(
+            df, "score", 0.3, ascending=asc).collect())
+        tera = sorted(r["doc_id"] for r in pack.take_top_frac(
+            df, "score", 0.3, ascending=asc, small_rows=0).collect())
+        assert small == tera and len(small) > 0
 
 
 def test_take_top_frac_ascending_and_nulls(spark):
