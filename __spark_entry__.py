@@ -3656,8 +3656,8 @@ WITH nrm AS (
   QUALIFY row_number() OVER (ORDER BY c DESC, w ASC) <= 100
 ), per AS (
   SELECT doc_id, COUNT(*) AS n_tokens,
-         SUM(CASE WHEN w NOT IN (SELECT w FROM vocab)
-             THEN 1 ELSE 0 END) AS n_oov
+         CAST(SUM(CASE WHEN w NOT IN (SELECT w FROM vocab)
+             THEN 1 ELSE 0 END) AS BIGINT) AS n_oov
   FROM tk GROUP BY 1
 )
 SELECT d.doc_id,
@@ -4047,8 +4047,14 @@ def _pagerank_sql(iters: int = 3, d: float = 0.85) -> str:
     unrolled into CTE layers. Every arithmetic step mirrors the Spark
     side op-for-op — teleport is (1.0 − d) · (1.0/N) (two ops, NOT a
     pre-folded literal: 1.0−0.85 is 0.15000000000000002 in binary),
-    the dangling mass redistributes as dm · (1.0/N), and ranks round
-    to 12 between iterations, 9 at the end."""
+    the dangling mass redistributes as dm · (1.0/N), and ranks
+    HALF_UP-round to 12 between iterations, 9 at the end, via the
+    explicit floor(x·1eN + 0.5)/1eN formulation the engine evaluates
+    (r11: on values that land exactly on a rounding tie — round-12
+    grid values CAN tie at the final round-9; 2 of 15999 sf0.1 ranks
+    did — DuckDB's native round(double) and Spark's BigDecimal
+    HALF_UP disagree; both engines running these same IEEE ops
+    cannot)."""
     layers = [f"""
 WITH edges AS (
   SELECT 's' || CAST(l_suppkey AS VARCHAR) AS s,
@@ -4059,7 +4065,8 @@ WITH edges AS (
 ), cnt AS (SELECT CAST(COUNT(*) AS DOUBLE) AS n FROM nodes),
 od AS (SELECT s, COUNT(*) AS deg FROM edges GROUP BY 1),
 r0 AS (
-  SELECT node, round(1.0 / cnt.n, 12) AS pr FROM nodes CROSS JOIN cnt
+  SELECT node, floor((1.0 / cnt.n) * 1e12 + 0.5) / 1e12 AS pr
+  FROM nodes CROSS JOIN cnt
 )"""]
     for t in range(1, int(iters) + 1):
         layers.append(f""", c{t} AS (
@@ -4072,14 +4079,15 @@ r0 AS (
   WHERE node NOT IN (SELECT s FROM od)
 ), r{t} AS (
   SELECT n.node,
-         round((1.0 - {d!r}) * (1.0 / cnt.n)
+         floor(((1.0 - {d!r}) * (1.0 / cnt.n)
                + {d!r} * (COALESCE(c.inc, 0.0)
-                          + dg.dm * (1.0 / cnt.n)), 12) AS pr
+                          + dg.dm * (1.0 / cnt.n))) * 1e12 + 0.5)
+         / 1e12 AS pr
   FROM nodes n CROSS JOIN cnt CROSS JOIN d{t} dg
   LEFT JOIN c{t} c ON c.node = n.node
 )""")
     layers.append(f"""
-SELECT node, round(pr, 9) AS pagerank FROM r{int(iters)}
+SELECT node, floor(pr * 1e9 + 0.5) / 1e9 AS pagerank FROM r{int(iters)}
 """)
     return "".join(layers)
 
@@ -4148,7 +4156,7 @@ WITH nrm AS (
 ), tf AS (
   SELECT doc_id, w, COUNT(*) AS c FROM tk GROUP BY 1, 2
 ), per AS (
-  SELECT doc_id, SUM(c) AS n_tokens, COUNT(*) AS n_types,
+  SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_tokens, COUNT(*) AS n_types,
          SUM(CAST(c AS DOUBLE) * ln(CAST(c AS DOUBLE))) AS clc
   FROM tf GROUP BY 1
 )

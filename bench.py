@@ -302,16 +302,21 @@ def main():
         "metric": "headline_queries_total_sec",
         "value": total,
         "unit": "sec",
-        "queries": timings,
         "errors": errors,  # empty dict == every query succeeded
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
         # host-noise annotation (additive fields — the contract keys
-        # above are unchanged): per-query and whole-run CPU-steal
+        # are unchanged): per-query and whole-run CPU-steal
         # percentages, so a board cell can be read against the noise
         # it was measured under (same-code boards drifted ±20% on
         # this VM; see OPTIMIZATION_r10.md)
         "steal_pct": steals,
         "steal_pct_run": steal_pct(run_cpu0, cpu_sample()),
+        # "queries" is deliberately the LAST key: the driver keeps
+        # only a ~2 KB tail of this stream, and in r10 that tail
+        # ended inside the steal dict, leaving the round-over-round
+        # per-query comparison empty (PERF_r10 per_query: {}). With
+        # the timings last, any plausible tail window ends with them.
+        "queries": timings,
     }
     # No silent caps (repo rule): a sweep that excludes queries must
     # SAY so in its artifact — a missing key reads as "covered" when
@@ -332,18 +337,23 @@ def main():
     # small enough that a tail capture of any plausible size parses.
     full = json.dumps(out, separators=(",", ":"))
     print(full, flush=True)
-    # BENCH_LOCAL.json is the canonical sf0.1 board — scale sweeps
-    # (SPARK_GRAFT_SF_DIR=sf1/sf10/sf100, usually with ONLY filters)
-    # must not clobber it; their numbers land in BENCH_SF*.json with
-    # per-query provenance instead
-    if out["sf"] == 0.1 and not only and not skip:
-        try:
+    # BENCH_LOCAL.json is the canonical sf0.1/32-core board — scale
+    # sweeps (SPARK_GRAFT_SF_DIR=sf1/sf10/sf100, usually with ONLY
+    # filters) must not clobber it, and neither may the driver's
+    # low-core scaling rerun (in r10 the 8-core pass overwrote the
+    # 32-core board). Every full run additionally lands in a
+    # per-(sf, cpus) snapshot so both boards survive side by side.
+    here = os.path.dirname(os.path.abspath(__file__))
+    try:
+        if not only and not skip:
             with open(os.path.join(
-                    os.path.dirname(os.path.abspath(__file__)),
-                    "BENCH_LOCAL.json"), "w") as fh:
+                    here, f"BENCH_RUN_sf{sf}_c{cpus}.json"), "w") as fh:
                 fh.write(full + "\n")
-        except OSError:
-            pass  # read-only checkout must not kill the bench
+        if out["sf"] == 0.1 and not only and not skip and str(cpus) == "32":
+            with open(os.path.join(here, "BENCH_LOCAL.json"), "w") as fh:
+                fh.write(full + "\n")
+    except OSError:
+        pass  # read-only checkout must not kill the bench
     print(json.dumps({
         "metric": out["metric"], "value": out["value"], "unit": "sec",
         "sf": out["sf"], "n_queries": len(timings),

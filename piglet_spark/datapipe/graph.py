@@ -25,8 +25,22 @@ mitigation and the operator leaves that choice to the caller.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+import math
+
+from pyspark.sql import Column, DataFrame
 from pyspark.sql import functions as F
+
+
+def _half_up(c: Column, scale: float) -> Column:
+    """HALF_UP rounding of a non-negative double as explicit IEEE ops:
+    ``floor(x·scale + 0.5)/scale``. Used instead of ``F.round`` so the
+    ENGINE and the DuckDB oracle evaluate the *same* double
+    expression bit-for-bit: on a value that lands exactly on a
+    rounding tie (round-12 grid values CAN tie at the final round-9 —
+    2 of 15999 sf0.1 ranks did), Spark's BigDecimal HALF_UP and
+    DuckDB's double ``round`` disagree; two engines running this one
+    formulation cannot (r11)."""
+    return F.floor(c * F.lit(scale) + F.lit(0.5)) / F.lit(scale)
 
 
 def pagerank(edges: DataFrame, iters: int = 3, damping: float = 0.85,
@@ -120,8 +134,8 @@ def pagerank(edges: DataFrame, iters: int = 3, damping: float = 0.85,
             out = _pagerank_kernel(e, iters, d).localCheckpoint()
             for p in persisted:
                 p.unpersist()
-            return out.select("node",
-                              F.round("_pr", 9).alias("pagerank"))
+            return out.select("node", _half_up(F.col("_pr"), 1e9)
+                              .alias("pagerank"))
     # r10 restructure (same values, fewer exchanges and jobs/iter):
     # the out-degree rides ON the rank relation — so each iteration
     # needs neither a per-step outdeg join nor the dangling ANTI-join
@@ -159,9 +173,10 @@ def pagerank(edges: DataFrame, iters: int = 3, damping: float = 0.85,
     # contribution fraction per edge: pr(u)/outdeg(u) sums over
     # DUPLICATE edges too (each parallel edge carries 1/deg of u)
     base = 1.0 / float(n_nodes)
-    # F.round (HALF_UP) rather than python round (half-to-even) so
-    # the initial rank mirrors the SQL oracle's round() exactly
-    rank = nodes.withColumn("_pr", F.round(F.lit(base), 12))
+    # the same floor-formulation HALF_UP the kernel and the SQL
+    # oracle evaluate (Python doubles are the same IEEE ops)
+    rank = nodes.withColumn(
+        "_pr", F.lit(math.floor(base * 1e12 + 0.5) / 1e12))
     teleport = (1.0 - d) * base
     # broadcast regime (r10b, guide §3.1): n_nodes is an EXACT count
     # already in hand, so the choice is deterministic, not an
@@ -219,15 +234,17 @@ def pagerank(edges: DataFrame, iters: int = 3, damping: float = 0.85,
                              on="node", how="left")
                 .crossJoin(F.broadcast(dang))
                 .select("node", "_deg",
-                        F.round(F.lit(teleport)
-                                + F.lit(d)
-                                * (F.coalesce(F.col("_in"), F.lit(0.0))
-                                   + F.col("_dm") * F.lit(base)),
-                                12).alias("_pr"))
+                        _half_up(
+                            F.lit(teleport)
+                            + F.lit(d)
+                            * (F.coalesce(F.col("_in"), F.lit(0.0))
+                               + F.col("_dm") * F.lit(base)),
+                            1e12).alias("_pr"))
                 .localCheckpoint(eager=last))
     for p in persisted:  # final rank is an eager checkpoint
         p.unpersist()
-    return rank.select("node", F.round("_pr", 9).alias("pagerank"))
+    return rank.select("node",
+                       _half_up(F.col("_pr"), 1e9).alias("pagerank"))
 
 
 def _pagerank_kernel(e: DataFrame, iters: int, d: float) -> DataFrame:
@@ -263,7 +280,7 @@ def _pagerank_kernel(e: DataFrame, iters: int, d: float) -> DataFrame:
         _T.StructField("_pr", _T.DoubleType())])
 
     def run(batches):
-        from decimal import Decimal, ROUND_HALF_UP
+        import math as _math
         parts = list(batches)
         if not parts:
             return
@@ -273,13 +290,12 @@ def _pagerank_kernel(e: DataFrame, iters: int, d: float) -> DataFrame:
                                              ignore_index=True))
         n = len(uniq)
         # same scalar derivation (and the same Python IEEE ops) the
-        # loop plan runs on the driver; the initial rank is an exact
-        # BigDecimal HALF_UP quantize, bit-identical to
-        # F.round(F.lit(base), 12)
+        # loop plan runs on the driver; the initial rank is the same
+        # floor-formulation HALF_UP every regime and the SQL oracle
+        # evaluate (r11)
         base = 1.0 / float(n)
         teleport = (1.0 - d) * base
-        pr0 = float(Decimal(base).quantize(Decimal("1e-12"),
-                                           ROUND_HALF_UP))
+        pr0 = _math.floor(base * 1e12 + 0.5) / 1e12
         src, dst = codes[:len(s)], codes[len(s):]
         deg = np.bincount(src, minlength=n).astype(np.float64)
         nz = deg > 0

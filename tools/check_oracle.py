@@ -8,6 +8,7 @@ Usage: python tools/check_oracle.py [sf_dir] [query ...]
 from __future__ import annotations
 
 import math
+import os
 import sys
 
 import duckdb
@@ -16,11 +17,18 @@ from pyspark.sql import SparkSession
 TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
           "lineitem", "events", "documents", "embeddings"]
 
+# STRICT=1 compares float bit patterns exactly (the driver hashes raw
+# values, so a last-ulp difference the re-rounding below would absorb
+# still fails the driver's gate).
+STRICT = os.environ.get("STRICT", "") == "1"
+
 
 def norm(v):
     if isinstance(v, float):
         if math.isnan(v):
             return "nan"
+        if STRICT:
+            return v.hex()
         return round(v, 6)
     if hasattr(v, "isoformat"):
         return v.isoformat()
