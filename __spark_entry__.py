@@ -761,7 +761,9 @@ def q_doc_quality(spark, sf_dir):
     """Per-language quality-score rollup (C4/Gopher-style heuristic);
     the SQL oracle replicates the score formula term-for-term in the
     same operation order so doubles match bit-for-bit."""
-    df = _docs(spark, sf_dir)
+    from piglet_spark.datapipe.util import spread as _spread
+    df = _spread(_docs(spark, sf_dir))  # quality map pass on a
+    # 1-row-group local scan otherwise runs on 1 core (r11, guide §6)
     q = dp_text.quality_score(F.col("text"))
     return (df.select(F.col("lang"), q.alias("q"))
             .groupBy("lang")

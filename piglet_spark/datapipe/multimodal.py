@@ -685,6 +685,9 @@ def attach_binary_payload(df: DataFrame, text_col: str = "text",
     """Build a synthetic binary column from text (test fixture for the
     multimodal path: real datasets carry bytes in parquet the same
     way)."""
+    from .util import spread as _spread
+    df = _spread(df, id_col)  # downstream decode is a Python pass —
+    # 1 worker on a 1-row-group local scan otherwise (r11, guide §6)
     return df.select(
         F.col(id_col),
         F.encode(F.col(text_col), "utf-8").alias("payload"),

@@ -545,9 +545,12 @@ def token_budget_sample(df: DataFrame,
                          F.col(id_col).cast("string")))
     nparts = int(spark.conf.get("spark.sql.shuffle.partitions"))
     # tokenize once (chunk_pack lesson: repartitionByRange's sampling
-    # job would re-run the token scan otherwise)
-    counted = (df.select(F.col(group_col), F.col(id_col),
-                         toks.alias("_tok"))
+    # job would re-run the token scan otherwise); spread first — the
+    # tokenize pass on a 1-row-group local scan otherwise runs on 1
+    # core (r11, guide §6; no-op at scale)
+    from .util import spread as _spread
+    counted = (_spread(df).select(F.col(group_col), F.col(id_col),
+                                  toks.alias("_tok"))
                .withColumn("_k", key).localCheckpoint())
     base = (counted.repartitionByRange(nparts, F.col(group_col),
                                        F.col("_k"))

@@ -136,7 +136,12 @@ def fingerprint(text: Column) -> Column:
 
 def doc_stats(df: DataFrame, text_col: str = "text",
               id_col: str = "doc_id") -> DataFrame:
-    """Per-document stats table — the standard pre-filter pass."""
+    """Per-document stats table — the standard pre-filter pass.
+    r11: spread — sf1 documents arrive as ONE row group, so this
+    regex/translate map pass ran on 1 of 32 cores (guide §6 scan
+    parallelism; a no-op at scale)."""
+    from .util import spread as _spread
+    df = _spread(df, id_col)
     t = F.col(text_col)
     st = char_stats(t)
     return df.select(
@@ -519,6 +524,9 @@ def chunk_text(df: DataFrame, text_col: str = "text",
         # negative overlap (stride > size) would silently skip tokens
         # between chunks, violating the every-token-covered guarantee
         raise ValueError("overlap must be in [0, size)")
+    from .util import spread as _spread
+    df = _spread(df, id_col)  # 1-row-group local scans: the split +
+    # slice + explode pass otherwise runs on 1 core (r11, guide §6)
     stride = size - overlap
     t = F.trim(F.col(text_col))
     toks = F.when(F.length(t) == 0, F.array().cast("array<string>")) \
@@ -774,6 +782,9 @@ def corpus_report(df: DataFrame, group_col: str = "source",
     (group, fingerprint) rollup for the duplicate rate. Everything is
     whole-stage codegen; shuffle width is bounded by
     |groups| x |langs| and |distinct texts|, never rows x rows."""
+    from .util import spread as _spread
+    df = _spread(df, id_col)  # the tokens/quality/fingerprint map
+    # pass is ~15× the scan cost — never leave it on 1 core (r11)
     t = F.col(text_col)
     base = df.select(
         F.col(group_col).alias("_g"),
@@ -956,6 +967,9 @@ def compression_ratio(df: DataFrame, text_col: str = "text",
     import pandas as pd  # noqa: F401 (document the dependency)
     from pyspark.sql import types as T
 
+    from .util import spread as _spread
+    df = _spread(df, id_col)  # DEFLATE on 1 Python worker otherwise
+    # (sf1 documents = one row group; no-op at scale — r11)
     out_schema = T.StructType([
         df.schema[id_col],
         T.StructField("n_bytes", T.IntegerType()),
