@@ -78,9 +78,12 @@ def chunk_pack(df: DataFrame, text_col: str = "text",
             else ws_token_count(F.col(text_col))).cast("long")
     nparts = int(spark.conf.get("spark.sql.shuffle.partitions"))
     # tokenize once: repartitionByRange's range-bounds sampling job
-    # would re-run the token-count scan over the full text otherwise
-    counted = df.select(F.col(id_col),
-                        toks.alias("n_tokens")).localCheckpoint()
+    # would re-run the token-count scan over the full text otherwise.
+    # spread first — the tokenize on a 1-row-group local scan
+    # otherwise runs on 1 core (r11, guide §6; no-op at scale)
+    from .util import spread as _spread
+    counted = _spread(df).select(F.col(id_col),
+                                 toks.alias("n_tokens")).localCheckpoint()
     base = (counted.repartitionByRange(nparts, F.col(id_col))
             .withColumn("__pid", F.spark_partition_id())
             .localCheckpoint())  # pin partitioning: stats + cumsum
@@ -352,11 +355,14 @@ def dsir_weights(raw: DataFrame, target: DataFrame,
     data-sized shuffle is the per-document sum on the id.
     """
     def buckets_of(d: DataFrame) -> DataFrame:
+        from .util import spread as _spread
         tok = F.explode(F.split(normalize_text(F.col(text_col)),
                                 " ")).alias("_tok")
         # project the token string away immediately: only the bucket id
-        # survives, so the pinned raw-side relation is two ints per token
-        return (d.select(F.col(id_col).alias("_id"), tok)
+        # survives, so the pinned raw-side relation is two ints per
+        # token. spread first: the normalize+explode+md5 pass on a
+        # 1-row-group local scan otherwise runs on 1 core (r11).
+        return (_spread(d, id_col).select(F.col(id_col).alias("_id"), tok)
                 .filter(F.col("_tok") != "")
                 .select("_id",
                         (_hash32(F.col("_tok")) % n_buckets).alias("_b")))
