@@ -734,7 +734,9 @@ FROM documents GROUP BY 1
 
 
 def q_doc_tokens(spark, sf_dir):
-    df = _docs(spark, sf_dir)
+    from piglet_spark.datapipe.util import spread as _spread
+    df = _spread(_docs(spark, sf_dir))  # regex map pass on a
+    # 1-row-group local scan otherwise runs on 1 core (r11, guide §6)
     t = F.col("text")
     return df.select(
         "doc_id",
@@ -899,7 +901,10 @@ def q_compression_ratio(spark, sf_dir):
 
 
 def q_lang_id(spark, sf_dir):
-    df = _docs(spark, sf_dir)
+    from piglet_spark.datapipe.util import spread as _spread
+    df = _spread(_docs(spark, sf_dir))  # the marker-word replace
+    # ladder is the most expensive map pass in the suite — never on
+    # 1 core (r11, guide §6)
     return (df.select("lang", dp_text.lang_id(F.col("text")).alias("lang_pred"))
             .groupBy("lang", "lang_pred")
             .agg(F.count(F.lit(1)).alias("n")))

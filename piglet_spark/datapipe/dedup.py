@@ -92,7 +92,8 @@ def exact_dedup(df: DataFrame, text_col: str = "text",
                 id_col: str = "doc_id") -> DataFrame:
     """Keep the lowest-id document per exact (normalized) text
     fingerprint. Returns (keep_id, n_copies)."""
-    return (df
+    return (_spread(df, id_col)  # normalize+md5 map pass on a
+            # 1-row-group local scan otherwise runs on 1 core (r11)
             .select(F.col(id_col), fingerprint(F.col(text_col)).alias("fp"))
             .groupBy("fp")
             .agg(F.min(id_col).alias("keep_id"),
