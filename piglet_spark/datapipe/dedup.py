@@ -394,14 +394,22 @@ def minhash_lsh_pairs_cross(new: DataFrame, corpus: DataFrame,
     sig_c = minhash_signatures(corpus, text_col, id_col, num_hashes,
                                shingle_k, base_df=base_c)
     banded_n = _band_buckets(sig_n, bands, rows_per_band)
-    # NOT checkpointed (r10, measured): unlike minhash_lsh_pairs —
-    # whose capped bucket relation feeds BOTH sides of a self-join
-    # and is cheaper materialized once — the cross plan re-reads the
-    # corpus bucket subtree for hot-stats/cap/join, and an A/B at
-    # sf0.1 read 2.8 s lazy vs 3.1 s checkpointed: the narrow-row
-    # materialization costs more than the recompute here.
-    banded_c = _cap_buckets(_band_buckets(sig_c, bands, rows_per_band),
-                            ["_band", "_bucket"], max_bucket)
+    # Size-gated checkpoint of the corpus bucket relation (r11,
+    # re-deciding the r10 no-checkpoint call at scale per VERDICT):
+    # the cross plan re-reads the corpus bucket subtree for
+    # hot-stats/cap/join, and the trade flips with input size —
+    # interleaved A/B read 2.8 s lazy vs 3.1 s checkpointed at sf0.1
+    # (1.7 MB of documents: parallel recompute rides idle cores) but
+    # 3.14 s lazy vs 2.3-2.9 s checkpointed at sf1 (19 MB). Gate at
+    # 8 MB of corpus input (parameter-free: measured boundary sits
+    # between those two points; unknown sizes conservatively stay
+    # lazy).
+    from .util import input_bytes as _input_bytes
+    banded_c = _band_buckets(sig_c, bands, rows_per_band)
+    if not corpus.isStreaming and \
+            _input_bytes(corpus) >= 8 * 1024 * 1024:
+        banded_c = banded_c.localCheckpoint(eager=False)
+    banded_c = _cap_buckets(banded_c, ["_band", "_bucket"], max_bucket)
     cand = (banded_n.alias("l").join(
                 banded_c.alias("r"),
                 on=[F.col("l._band") == F.col("r._band"),

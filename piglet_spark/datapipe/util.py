@@ -81,6 +81,28 @@ def memo_on_df(df: DataFrame, key: str, fn):
     return memo[key]
 
 
+def input_bytes(df: DataFrame) -> int:
+    """Total on-disk bytes of the DataFrame's input files (local
+    paths; unknown schemes/errors conservatively count 0 — size-gated
+    optimizations then stay on their lazy/small side). Metadata only,
+    no job. The datapipe twin of the engine's ``_paths_bytes`` gate
+    helper (r11)."""
+    import os
+    from urllib.parse import urlparse
+    total = 0
+    try:
+        for f in df.inputFiles():
+            p = urlparse(f)
+            if p.scheme in ("", "file"):
+                try:
+                    total += os.path.getsize(p.path)
+                except OSError:
+                    pass
+    except Exception:
+        return 0
+    return total
+
+
 # logical nodes that imply an exchange downstream of the scan — if one
 # is present, the data is already redistributed across
 # spark.sql.shuffle.partitions and spread() has nothing to fix
