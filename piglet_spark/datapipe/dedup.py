@@ -1212,17 +1212,30 @@ def _bloom_build(bench_df: DataFrame, text_col: str, k: int,
         .select(F.explode(shingles_of(F.col(text_col), k))
                 .alias("_g"))
         .distinct())
-    pos_rows = (bench_sh
-                .select(F.explode(F.array(
-                    *[probe(i, F.col("_g")) for i in range(n_hashes)]))
-                    .alias("_p"))
-                .distinct().collect())          # ≤ m_bits rows, bounded
+    pos_df = (bench_sh
+              .select(F.explode(F.array(
+                  *[probe(i, F.col("_g")) for i in range(n_hashes)]))
+                  .alias("_p"))
+              .distinct())                      # ≤ m_bits rows, bounded
+    try:
+        # Arrow transfer + vectorized bitmap fill (r11): the py4j
+        # row collect + per-row Python loop cost ~1 s at 300k set
+        # positions; toArrow + numpy bitwise_or build the identical
+        # bitmap (pinned equal in the A/B) in ~0.25 s.
+        import numpy as np
+        arr = (pos_df.toArrow()["_p"]
+               .to_numpy(zero_copy_only=False).astype(np.int64))
+        bm = np.zeros(m_bits // 8, dtype=np.uint8)
+        np.bitwise_or.at(bm, arr // 8,
+                         (1 << (arr % 8)).astype(np.uint8))
+        bitmap = bytearray(bm.tobytes())
+    except Exception:  # no pyarrow/numpy → row path, same values
+        bitmap = bytearray(m_bits // 8)
+        for r in pos_df.collect():
+            p = r["_p"]
+            bitmap[p // 8] |= 1 << (p % 8)
     if bench_sh_cached is not None:
         bench_sh_cached.unpersist()
-    bitmap = bytearray(m_bits // 8)
-    for r in pos_rows:
-        p = r["_p"]
-        bitmap[p // 8] |= 1 << (p % 8)
     return bytes(bitmap), m_bits
 
 
