@@ -399,15 +399,15 @@ def minhash_lsh_pairs_cross(new: DataFrame, corpus: DataFrame,
     # the cross plan re-reads the corpus bucket subtree for
     # hot-stats/cap/join, and the trade flips with input size —
     # interleaved A/B read 2.8 s lazy vs 3.1 s checkpointed at sf0.1
-    # (1.7 MB of documents: parallel recompute rides idle cores) but
-    # 3.14 s lazy vs 2.3-2.9 s checkpointed at sf1 (19 MB). Gate at
-    # 8 MB of corpus input (parameter-free: measured boundary sits
-    # between those two points; unknown sizes conservatively stay
-    # lazy).
+    # (0.6 MB of documents on disk: parallel recompute rides idle
+    # cores) but 3.14 s lazy vs 2.3-2.9 s checkpointed at sf1 (6 MB
+    # on disk / 19 MB of text). Gate at 2 MB of on-disk corpus input
+    # (parameter-free: the measured boundary sits between those two
+    # points; unknown sizes conservatively stay lazy).
     from .util import input_bytes as _input_bytes
     banded_c = _band_buckets(sig_c, bands, rows_per_band)
     if not corpus.isStreaming and \
-            _input_bytes(corpus) >= 8 * 1024 * 1024:
+            _input_bytes(corpus) >= 2 * 1024 * 1024:
         banded_c = banded_c.localCheckpoint(eager=False)
     banded_c = _cap_buckets(banded_c, ["_band", "_bucket"], max_bucket)
     cand = (banded_n.alias("l").join(
