@@ -92,8 +92,9 @@ def exact_dedup(df: DataFrame, text_col: str = "text",
                 id_col: str = "doc_id") -> DataFrame:
     """Keep the lowest-id document per exact (normalized) text
     fingerprint. Returns (keep_id, n_copies)."""
-    return (_spread(df, id_col)  # normalize+md5 map pass on a
-            # 1-row-group local scan otherwise runs on 1 core (r11)
+    return (_spread(df, id_col, min_bytes=2 * 1024 * 1024)
+            # normalize+md5 map pass on a 1-row-group local scan
+            # otherwise runs on 1 core; tiny inputs stay put (r11)
             .select(F.col(id_col), fingerprint(F.col(text_col)).alias("fp"))
             .groupBy("fp")
             .agg(F.min(id_col).alias("keep_id"),

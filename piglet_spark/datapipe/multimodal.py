@@ -686,8 +686,9 @@ def attach_binary_payload(df: DataFrame, text_col: str = "text",
     multimodal path: real datasets carry bytes in parquet the same
     way)."""
     from .util import spread as _spread
-    df = _spread(df, id_col)  # downstream decode is a Python pass —
-    # 1 worker on a 1-row-group local scan otherwise (r11, guide §6)
+    df = _spread(df, id_col, min_bytes=2 * 1024 * 1024)  # downstream
+    # decode is a Python pass — 1 worker on a 1-row-group local scan
+    # otherwise (r11, guide §6)
     return df.select(
         F.col(id_col),
         F.encode(F.col(text_col), "utf-8").alias("payload"),

@@ -82,8 +82,8 @@ def chunk_pack(df: DataFrame, text_col: str = "text",
     # spread first — the tokenize on a 1-row-group local scan
     # otherwise runs on 1 core (r11, guide §6; no-op at scale)
     from .util import spread as _spread
-    counted = _spread(df).select(F.col(id_col),
-                                 toks.alias("n_tokens")).localCheckpoint()
+    counted = _spread(df, min_bytes=2 * 1024 * 1024).select(
+        F.col(id_col), toks.alias("n_tokens")).localCheckpoint()
     base = (counted.repartitionByRange(nparts, F.col(id_col))
             .withColumn("__pid", F.spark_partition_id())
             .localCheckpoint())  # pin partitioning: stats + cumsum
@@ -362,7 +362,8 @@ def dsir_weights(raw: DataFrame, target: DataFrame,
         # survives, so the pinned raw-side relation is two ints per
         # token. spread first: the normalize+explode+md5 pass on a
         # 1-row-group local scan otherwise runs on 1 core (r11).
-        return (_spread(d, id_col).select(F.col(id_col).alias("_id"), tok)
+        return (_spread(d, id_col, min_bytes=2 * 1024 * 1024)
+                .select(F.col(id_col).alias("_id"), tok)
                 .filter(F.col("_tok") != "")
                 .select("_id",
                         (_hash32(F.col("_tok")) % n_buckets).alias("_b")))
@@ -555,8 +556,9 @@ def token_budget_sample(df: DataFrame,
     # tokenize pass on a 1-row-group local scan otherwise runs on 1
     # core (r11, guide §6; no-op at scale)
     from .util import spread as _spread
-    counted = (_spread(df).select(F.col(group_col), F.col(id_col),
-                                  toks.alias("_tok"))
+    counted = (_spread(df, min_bytes=2 * 1024 * 1024)
+               .select(F.col(group_col), F.col(id_col),
+                       toks.alias("_tok"))
                .withColumn("_k", key).localCheckpoint())
     base = (counted.repartitionByRange(nparts, F.col(group_col),
                                        F.col("_k"))

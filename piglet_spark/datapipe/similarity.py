@@ -749,8 +749,8 @@ def quantize_embeddings(df: DataFrame, vec_col: str = "embedding",
     fold-order-sensitive sums (mse, cosine) are rounded far above
     ulp noise."""
     v = F.transform(F.col(vec_col), lambda x: x.cast("double"))
-    df = _spread(df)  # HOF projections on a 1-row-group local scan
-    # otherwise run on 1 core (r11, guide §6; no-op at scale)
+    df = _spread(df, min_bytes=2 * 1024 * 1024)  # HOF projections on
+    # a 1-row-group local scan otherwise run on 1 core (r11, §6)
     base = (df.select(F.col(id_col), v.alias("_v"))
             .filter(F.size("_v") > 0)
             .withColumn("_amax",

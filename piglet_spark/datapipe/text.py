@@ -783,8 +783,9 @@ def corpus_report(df: DataFrame, group_col: str = "source",
     whole-stage codegen; shuffle width is bounded by
     |groups| x |langs| and |distinct texts|, never rows x rows."""
     from .util import spread as _spread
-    df = _spread(df, id_col)  # the tokens/quality/fingerprint map
-    # pass is ~15× the scan cost — never leave it on 1 core (r11)
+    df = _spread(df, id_col, min_bytes=2 * 1024 * 1024)  # the
+    # tokens/quality/fingerprint map pass is ~15× the scan cost —
+    # never leave it on 1 core; sf0.1 A/B says gate tiny inputs (r11)
     t = F.col(text_col)
     base = df.select(
         F.col(group_col).alias("_g"),
@@ -968,8 +969,9 @@ def compression_ratio(df: DataFrame, text_col: str = "text",
     from pyspark.sql import types as T
 
     from .util import spread as _spread
-    df = _spread(df, id_col)  # DEFLATE on 1 Python worker otherwise
-    # (sf1 documents = one row group; no-op at scale — r11)
+    df = _spread(df, id_col, min_bytes=2 * 1024 * 1024)  # DEFLATE on
+    # 1 Python worker otherwise (sf1 documents = one row group;
+    # no-op at scale and on tiny inputs — r11)
     out_schema = T.StructType([
         df.schema[id_col],
         T.StructField("n_bytes", T.IntegerType()),

@@ -128,11 +128,18 @@ def _plan_has(plan: str, nodes) -> bool:
     return pat.search(plan) is not None
 
 
-def spread(df: DataFrame, *key_cols: str) -> DataFrame:
+def spread(df: DataFrame, *key_cols: str,
+           min_bytes: int = 0) -> DataFrame:
     """Repartition up to the cluster's parallelism when the scan
     produced too few splits (small local files → 1 partition → any
     CPU-heavy map stage runs on one core). A no-op at scale, where
     scans already have ≥ defaultParallelism splits.
+
+    ``min_bytes`` (r11): also a no-op below this many ON-DISK input
+    bytes — for map passes where the sf0.1 A/B showed the added
+    exchange costing more than the parallelism buys on tiny inputs
+    (the new r11 call sites pass 2 MB; the 29 pre-r11 sites keep the
+    unconditional probe their rounds measured).
 
     With ``key_cols``, hash-partition on those columns so a downstream
     groupBy/join on the same keys reuses this exchange instead of
@@ -145,6 +152,8 @@ def spread(df: DataFrame, *key_cols: str) -> DataFrame:
     jobs are then thrown away and re-run by the real action), and its
     parallelism is already spark.sql.shuffle.partitions."""
     from pyspark.sql import functions as F
+    if min_bytes and input_bytes(df) < min_bytes:
+        return df
     try:
         plan = df._jdf.queryExecution().optimizedPlan().toString()
     except Exception:

@@ -888,6 +888,19 @@ class Executor:
     def _foreach_rows(self, op: A.Foreach, df: DataFrame) -> DataFrame:
         if op.nested_ops:
             raise ExecError("nested FOREACH requires a grouped input")
+        if any(gen.flatten for gen in op.gens) and not df.isStreaming:
+            # FLATTEN explodes rows map-side BEFORE any shuffle — on a
+            # local scan with fewer splits than cores (sf1 documents
+            # arrive as ONE row group) the whole tokenize+explode runs
+            # on 1-2 cores. spread() is a metadata-only probe that
+            # repartitions only in that case and is a no-op at scale
+            # or on already-shuffled inputs. Size-gated at 2 MB of
+            # on-disk input: below it the extra exchange costs more
+            # than the parallelism buys (sf0.1 A/B 0.6 -> 0.9 s;
+            # sf1 A/B 2.6-2.8 -> 1.9-2.1 s) (r11, guide §6).
+            from ..datapipe.util import input_bytes, spread as _spread
+            if input_bytes(df) >= 2 * 1024 * 1024:
+                df = _spread(df)
         ctx = self.ctx(df)
         sel: list[Column] = []
         names: list[Optional[str]] = []
