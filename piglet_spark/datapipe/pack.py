@@ -52,7 +52,8 @@ def _pid_offsets(base: DataFrame, weight: Column) -> DataFrame:
 
 def chunk_pack(df: DataFrame, text_col: str = "text",
                id_col: str = "doc_id", seq_len: int = 2048,
-               token_col: Optional[str] = None) -> DataFrame:
+               token_col: Optional[str] = None,
+               small_rows: int = 2_000_000) -> DataFrame:
     """Concat-and-chunk sequence packing: documents concatenated in
     ``id_col`` order and split into fixed ``seq_len``-token training
     sequences. Returns one row per document:
@@ -84,17 +85,32 @@ def chunk_pack(df: DataFrame, text_col: str = "text",
     from .util import spread as _spread
     counted = _spread(df, min_bytes=2 * 1024 * 1024).select(
         F.col(id_col), toks.alias("n_tokens")).localCheckpoint()
-    base = (counted.repartitionByRange(nparts, F.col(id_col))
-            .withColumn("__pid", F.spark_partition_id())
-            .localCheckpoint())  # pin partitioning: stats + cumsum
-    # branches must see the SAME partition ids (rank pattern)
-    offsets = _pid_offsets(base, F.col("n_tokens"))
-    w = (Window.partitionBy("__pid").orderBy(id_col)
-         .rowsBetween(Window.unboundedPreceding, -1))
-    start = (F.coalesce(F.sum("n_tokens").over(w), F.lit(0))
-             + F.col("__off")).alias("start_tok")
-    out = (base.join(F.broadcast(offsets), on="__pid")
-           .select(F.col(id_col), F.col("n_tokens"), start))
+    # small-input regime (r11, the take_top_frac/dsir_resample gate):
+    # up to ``small_rows`` (exact count on the already-pinned narrow
+    # checkpoint) the IDENTICAL prefix sum comes from one
+    # constant-key window — the TeraSort machinery's extra eager
+    # checkpoint + offsets collect are pure driver latency there.
+    # Large inputs keep the two-phase rank (a global cumsum of a
+    # 100 TB corpus must never single-partition).
+    if counted.count() <= int(small_rows):
+        w1 = (Window.partitionBy(F.lit(0)).orderBy(id_col)
+              .rowsBetween(Window.unboundedPreceding, -1))
+        out = counted.select(
+            F.col(id_col), F.col("n_tokens"),
+            F.coalesce(F.sum("n_tokens").over(w1), F.lit(0))
+            .alias("start_tok"))
+    else:
+        base = (counted.repartitionByRange(nparts, F.col(id_col))
+                .withColumn("__pid", F.spark_partition_id())
+                .localCheckpoint())  # pin partitioning: stats + cumsum
+        # branches must see the SAME partition ids (rank pattern)
+        offsets = _pid_offsets(base, F.col("n_tokens"))
+        w = (Window.partitionBy("__pid").orderBy(id_col)
+             .rowsBetween(Window.unboundedPreceding, -1))
+        start = (F.coalesce(F.sum("n_tokens").over(w), F.lit(0))
+                 + F.col("__off")).alias("start_tok")
+        out = (base.join(F.broadcast(offsets), on="__pid")
+               .select(F.col(id_col), F.col("n_tokens"), start))
     end = F.col("start_tok") + F.col("n_tokens") - 1
     return out.select(
         id_col, "n_tokens", "start_tok",
@@ -108,7 +124,8 @@ def chunk_pack(df: DataFrame, text_col: str = "text",
 
 def global_shuffle(df: DataFrame, id_col: str = "doc_id",
                    seed: int = 42,
-                   pos_col: str = "shuffle_pos") -> DataFrame:
+                   pos_col: str = "shuffle_pos",
+                   small_rows: int = 2_000_000) -> DataFrame:
     """Deterministic global shuffle: every row gets a reproducible
     pseudo-random global position ``pos_col`` (0-based, dense), the
     order a training run reads the corpus in. Same seed → the same
@@ -151,6 +168,17 @@ def global_shuffle(df: DataFrame, id_col: str = "doc_id",
         F.md5(F.concat(F.lit(f"{seed}:"),
                        F.col(id_col).cast("string"))).alias("__key"))
         .localCheckpoint())  # narrow: range sampler re-scans ~32 B/row
+    # small-input regime (r11, the take_top_frac gate): up to
+    # ``small_rows`` (exact count on the pinned narrow projection)
+    # the IDENTICAL permutation comes from one constant-key
+    # row_number window — skipping the second eager checkpoint and
+    # the offsets collect, which are pure driver latency there.
+    # Large inputs keep the TeraSort two-phase rank.
+    if keyed.count() <= int(small_rows):
+        rn1 = F.row_number().over(
+            Window.partitionBy(F.lit(0)).orderBy("__key", id_col))
+        pos = keyed.select(F.col(id_col), (rn1 - 1).alias(pos_col))
+        return df.join(pos, on=id_col)
     base = (keyed.repartitionByRange(nparts, F.col("__key"),
                                      F.col(id_col))
             .withColumn("__pid", F.spark_partition_id())
@@ -509,7 +537,8 @@ def token_budget_sample(df: DataFrame,
                         text_col: str = "text",
                         id_col: str = "doc_id",
                         token_col: Optional[str] = None,
-                        seed: int = 42) -> DataFrame:
+                        seed: int = 42,
+                        small_rows: int = 2_000_000) -> DataFrame:
     """Deterministic TOKEN-budget mixture sampling: per group, keep
     documents in seeded md5-hash order while the group's running
     token total (EXCLUSIVE of the current doc) is under the budget —
@@ -560,6 +589,22 @@ def token_budget_sample(df: DataFrame,
                .select(F.col(group_col), F.col(id_col),
                        toks.alias("_tok"))
                .withColumn("_k", key).localCheckpoint())
+    # small-input regime (r11, the take_top_frac gate): up to 2M rows
+    # (exact count on the pinned narrow checkpoint) the IDENTICAL
+    # greedy prefix comes from one per-GROUP window (each group fits
+    # one reducer comfortably at this size) — the second eager
+    # checkpoint and the per-(pid, group) offsets collect are pure
+    # driver latency there. Large inputs keep the two-phase pattern
+    # (a 100 TB group must never land on one reducer).
+    if counted.count() <= int(small_rows):
+        ws = (Window.partitionBy(group_col).orderBy("_k", id_col)
+              .rowsBetween(Window.unboundedPreceding, -1))
+        picked = (counted
+                  .withColumn("_cb", F.coalesce(F.sum("_tok").over(ws),
+                                                F.lit(0)))
+                  .filter(F.col("_cb") < budget)
+                  .select(id_col))
+        return df.join(picked, on=id_col).select(*df.columns)
     base = (counted.repartitionByRange(nparts, F.col(group_col),
                                        F.col("_k"))
             .withColumn("__pid", F.spark_partition_id())

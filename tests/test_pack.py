@@ -538,3 +538,29 @@ S = STREAM D THROUGH split_assign('train:0.8,val:0.2', 7);
     direct = {r["doc_id"]: r["split"] for r in pack.split_assign(
         corpus, {"train": 0.8, "val": 0.2}, seed=7).collect()}
     assert got == direct
+
+
+def test_pack_small_window_regimes_agree(corpus):
+    """r11: the small-input single-window regimes (default gate) and
+    the TeraSort two-phase plans (small_rows=0 forces them) produce
+    identical rows for chunk_pack, global_shuffle and
+    token_budget_sample."""
+    small = sorted(tuple(r) for r in
+                   pack.chunk_pack(corpus, seq_len=8).collect())
+    tera = sorted(tuple(r) for r in
+                  pack.chunk_pack(corpus, seq_len=8,
+                                  small_rows=0).collect())
+    assert small == tera and len(small) > 0
+
+    s2 = sorted(tuple(r) for r in
+                pack.global_shuffle(corpus, seed=5).collect())
+    t2 = sorted(tuple(r) for r in
+                pack.global_shuffle(corpus, seed=5,
+                                    small_rows=0).collect())
+    assert s2 == t2 and len(s2) > 0
+
+    s3 = sorted(tuple(r) for r in pack.token_budget_sample(
+        corpus, 20, seed=5).collect())
+    t3 = sorted(tuple(r) for r in pack.token_budget_sample(
+        corpus, 20, seed=5, small_rows=0).collect())
+    assert s3 == t3 and len(s3) > 0
