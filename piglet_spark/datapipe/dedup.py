@@ -395,22 +395,18 @@ def minhash_lsh_pairs_cross(new: DataFrame, corpus: DataFrame,
     sig_c = minhash_signatures(corpus, text_col, id_col, num_hashes,
                                shingle_k, base_df=base_c)
     banded_n = _band_buckets(sig_n, bands, rows_per_band)
-    # Size-gated checkpoint of the corpus bucket relation (r11,
-    # re-deciding the r10 no-checkpoint call at scale per VERDICT):
-    # the cross plan re-reads the corpus bucket subtree for
-    # hot-stats/cap/join, and the trade flips with input size —
-    # interleaved A/B read 2.8 s lazy vs 3.1 s checkpointed at sf0.1
-    # (0.6 MB of documents on disk: parallel recompute rides idle
-    # cores) but 3.14 s lazy vs 2.3-2.9 s checkpointed at sf1 (6 MB
-    # on disk / 19 MB of text). Gate at 2 MB of on-disk corpus input
-    # (parameter-free: the measured boundary sits between those two
-    # points; unknown sizes conservatively stay lazy).
-    from .util import input_bytes as _input_bytes
-    banded_c = _band_buckets(sig_c, bands, rows_per_band)
-    if not corpus.isStreaming and \
-            _input_bytes(corpus) >= 2 * 1024 * 1024:
-        banded_c = banded_c.localCheckpoint(eager=False)
-    banded_c = _cap_buckets(banded_c, ["_band", "_bucket"], max_bucket)
+    # NOT checkpointed — re-decided AGAIN at sf1 this round (r11,
+    # VERDICT item 5) and the r10 lazy call stands: a 2 MB-gated
+    # non-eager localCheckpoint of this relation read 2.3-2.9 s vs
+    # 3.14 s lazy in a direct same-session A/B, but under the bench
+    # methodology (fresh session, warmups, min-of-2 — what the
+    # driver measures) the SAME gate read 3.12-3.29 s vs 2.44-3.20 s
+    # lazy at ≤2.4% steal: the parallel recompute of the bucket
+    # subtree rides cores the materialization barrier leaves idle.
+    # Plan diff evidence for the tried gate: 5 parquet scans → 3 +
+    # 2 checkpoint reads, 6 → 4 Exchanges — fewer scans, more wall.
+    banded_c = _cap_buckets(_band_buckets(sig_c, bands, rows_per_band),
+                            ["_band", "_bucket"], max_bucket)
     cand = (banded_n.alias("l").join(
                 banded_c.alias("r"),
                 on=[F.col("l._band") == F.col("r._band"),
