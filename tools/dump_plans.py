@@ -22,7 +22,10 @@ def main():
     only = set(sys.argv[4:])
     os.makedirs(out_dir, exist_ok=True)
 
-    sys.path.insert(0, "/root/repo")
+    # import from THIS tool's own tree — a worktree copy must dump
+    # its own code's plans, not /root/repo's (r11 before-plans bug)
+    sys.path.insert(0, os.path.dirname(
+        os.path.dirname(os.path.abspath(__file__))))
     import __spark_entry__ as entrymod
 
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
