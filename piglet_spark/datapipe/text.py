@@ -248,6 +248,73 @@ def pii_stats(df: DataFrame, text_col: str = "text",
 # computed on the normalized text.
 
 
+def _repetition_exprs(t: Column) -> "dict[str, Column]":
+    """The :func:`repetition_stats` output columns as pure map-only
+    expressions over the text column (r11: factored out so
+    quality_filter_chain can inline the repetition rule into its one
+    map pass instead of scanning the corpus a second time and
+    joining back on the id)."""
+    norm = normalize_text(t)
+    lines = F.filter(F.transform(F.split(t, "\n"), F.trim),
+                     lambda x: x != "")
+
+    def dup_frac(arr: Column) -> Column:
+        n = F.size(arr)
+        return F.when(n > 0, F.round(
+            1.0 - F.size(F.array_distinct(arr)) / n.cast("double"), 6)
+        ).otherwise(F.lit(0.0))
+
+    top = _top2(F.array_sort(text_ngrams(norm, 2)))
+    out = {"dup_line_frac": dup_frac(lines)}
+    for n in (2, 3, 4):
+        out[f"dup_{n}gram_frac"] = dup_frac(text_ngrams(norm, n))
+    out["top_2gram_count"] = top["_c"]
+    # count×len over-counts characters shared by OVERLAPPING
+    # occurrences ('a a a a': 3 hits × 3 chars over 7), so clamp
+    # at 1.0 — full coverage (r05; exact union coverage needs
+    # per-occurrence positions)
+    out["top_2gram_char_frac"] = F.round(F.least(F.coalesce(
+        top["_c"] * top["_l"]
+        / F.nullif(F.length(norm), F.lit(0)).cast("double"),
+        F.lit(0.0)), F.lit(1.0)), 6)
+    return out
+
+
+def _top2(sorted_grams: Column) -> Column:
+    """Per-doc most-frequent 2-gram as (count, gram-length) — sort
+    the (already computed) gram array and fold equal-neighbor runs
+    with one aggregate(); no explode, no (doc, gram) shuffle, no
+    join-back (r10 — the r07 explode formulation shuffled every gram
+    occurrence; at sf100 that shuffle + join was most of the query).
+    Tie-break mirrors the old max(struct(count, length)) exactly:
+    lexicographic (c, l) max."""
+    def step(acc, x):
+        is_run = acc["prev"] == x
+        run = F.when(is_run, acc["run"] + 1).otherwise(F.lit(1))
+        close = (~is_run) & (acc["prev"] != "")
+        cand_c, cand_l = acc["run"], F.length(acc["prev"])
+        better = close & (
+            (cand_c > acc["bc"])
+            | ((cand_c == acc["bc"]) & (cand_l > acc["bl"])))
+        return F.struct(
+            x.alias("prev"), run.alias("run"),
+            F.when(better, cand_c).otherwise(acc["bc"]).alias("bc"),
+            F.when(better, cand_l).otherwise(acc["bl"]).alias("bl"))
+
+    def fin(acc):
+        cand_c, cand_l = acc["run"], F.length(acc["prev"])
+        better = (acc["prev"] != "") & (
+            (cand_c > acc["bc"])
+            | ((cand_c == acc["bc"]) & (cand_l > acc["bl"])))
+        return F.struct(
+            F.when(better, cand_c).otherwise(acc["bc"]).alias("_c"),
+            F.when(better, cand_l).otherwise(acc["bl"]).alias("_l"))
+
+    zero = F.struct(F.lit("").alias("prev"), F.lit(0).alias("run"),
+                    F.lit(0).alias("bc"), F.lit(0).alias("bl"))
+    return F.aggregate(sorted_grams, zero, step, fin)
+
+
 def repetition_stats(df: DataFrame, text_col: str = "text",
                      id_col: str = "doc_id") -> DataFrame:
     """Per-document repetition fractions:
@@ -267,76 +334,9 @@ def repetition_stats(df: DataFrame, text_col: str = "text",
     from .util import spread as _spread
     df = _spread(df, id_col)  # few-split local inputs: the 3 n-gram
     # regex passes are the map-side cost; see util.spread
-    t = F.col(text_col)
-    norm = normalize_text(t)
-    lines = F.filter(F.transform(F.split(t, "\n"), F.trim),
-                     lambda x: x != "")
-    out_cols = [F.col(id_col).alias("_id")]
-
-    def dup_frac(arr: Column) -> Column:
-        n = F.size(arr)
-        return F.when(n > 0, F.round(
-            1.0 - F.size(F.array_distinct(arr)) / n.cast("double"), 6)
-        ).otherwise(F.lit(0.0))
-
-    out_cols.append(dup_frac(lines).alias("dup_line_frac"))
-    for n in (2, 3, 4):
-        out_cols.append(dup_frac(text_ngrams(norm, n))
-                        .alias(f"dup_{n}gram_frac"))
-    # top 2-gram per doc MAP-ONLY: sort the (already computed) gram
-    # array and fold equal-neighbor runs with one aggregate() — the
-    # per-doc max (count, gram-length) needs no explode, no
-    # (doc, gram) shuffle, and no join-back. The r07 explode
-    # formulation shuffled every gram occurrence (≈ token count of
-    # the corpus) to find one number per doc; at sf100 (5M docs)
-    # that shuffle + join was most of the query. aggregate() lambdas
-    # evaluate interpreted (~µs/element), but docs carry ~50 grams —
-    # far cheaper than shuffling 250M rows (A/B: see SCALE.md).
-    # Tie-break mirrors the old max(struct(count, length)) exactly:
-    # lexicographic (c, l) max.
-    def _top2(sorted_grams: Column) -> Column:
-        def step(acc, x):
-            is_run = acc["prev"] == x
-            run = F.when(is_run, acc["run"] + 1).otherwise(F.lit(1))
-            close = (~is_run) & (acc["prev"] != "")
-            cand_c, cand_l = acc["run"], F.length(acc["prev"])
-            better = close & (
-                (cand_c > acc["bc"])
-                | ((cand_c == acc["bc"]) & (cand_l > acc["bl"])))
-            return F.struct(
-                x.alias("prev"), run.alias("run"),
-                F.when(better, cand_c).otherwise(acc["bc"]).alias("bc"),
-                F.when(better, cand_l).otherwise(acc["bl"]).alias("bl"))
-
-        def fin(acc):
-            cand_c, cand_l = acc["run"], F.length(acc["prev"])
-            better = (acc["prev"] != "") & (
-                (cand_c > acc["bc"])
-                | ((cand_c == acc["bc"]) & (cand_l > acc["bl"])))
-            return F.struct(
-                F.when(better, cand_c).otherwise(acc["bc"]).alias("_c"),
-                F.when(better, cand_l).otherwise(acc["bl"]).alias("_l"))
-
-        zero = F.struct(F.lit("").alias("prev"), F.lit(0).alias("run"),
-                        F.lit(0).alias("bc"), F.lit(0).alias("bl"))
-        return F.aggregate(sorted_grams, zero, step, fin)
-
-    top = _top2(F.array_sort(text_ngrams(norm, 2)))
-    return df.select(*out_cols, norm.alias("__norm"),
-                     top.alias("_top")).select(
-        F.col("_id").alias(id_col),
-        "dup_line_frac", "dup_2gram_frac", "dup_3gram_frac",
-        "dup_4gram_frac",
-        F.col("_top._c").alias("top_2gram_count"),
-        # count×len over-counts characters shared by OVERLAPPING
-        # occurrences ('a a a a': 3 hits × 3 chars over 7), so clamp
-        # at 1.0 — full coverage (r05; exact union coverage needs
-        # per-occurrence positions)
-        F.round(F.least(F.coalesce(
-            F.col("_top._c") * F.col("_top._l")
-            / F.nullif(F.length("__norm"), F.lit(0)).cast("double"),
-            F.lit(0.0)), F.lit(1.0)), 6)
-        .alias("top_2gram_char_frac"))
+    ex = _repetition_exprs(F.col(text_col))
+    return df.select(F.col(id_col),
+                     *[c.alias(nm) for nm, c in ex.items()])
 
 
 def gopher_repetition_ok(df: DataFrame, text_col: str = "text",
@@ -413,15 +413,26 @@ def quality_filter_chain(df: DataFrame, text_col: str = "text",
         ("alpha_ratio", alpha_ratio < F.lit(float(min_alpha_ratio))),
         ("punct_ratio", punct_ratio > F.lit(float(max_punct_ratio))),
     ]
-    out = df.select(F.col(id_col),
-                    *[fail.alias(f"_f_{name}") for name, fail in rules])
     names = [name for name, _ in rules]
     if gopher_repetition:
-        rep = gopher_repetition_ok(df, text_col, id_col)
-        out = out.join(rep.select(F.col(id_col),
-                                  (~F.col("keep")).alias("_f_repetition")),
-                       on=id_col)
+        # INLINE the Gopher repetition rule (r11): repetition_stats
+        # has been map-only since the r10 run-fold rewrite, so the
+        # rule rides the SAME projection — the former formulation
+        # scanned the corpus a second time and joined back on the id
+        # (plan: 2 scans + 2 exchanges → 1 scan, 0 exchanges).
+        # Expressions and thresholds identical to
+        # :func:`gopher_repetition_ok`.
+        rx = _repetition_exprs(F.col(text_col))
+        rep_keep = ((rx["dup_line_frac"] <= 0.30)
+                    & (rx["dup_2gram_frac"] <= 0.20)
+                    & (rx["dup_3gram_frac"] <= 0.18)
+                    & (rx["dup_4gram_frac"] <= 0.16)
+                    & ((rx["top_2gram_count"] <= 1)
+                       | (rx["top_2gram_char_frac"] <= 0.20)))
+        rules.append(("repetition", ~rep_keep))
         names.append("repetition")
+    out = df.select(F.col(id_col),
+                    *[fail.alias(f"_f_{name}") for name, fail in rules])
     reasons = F.array_sort(F.filter(
         F.array(*[F.when(F.col(f"_f_{nm}"), F.lit(nm)) for nm in names]),
         lambda x: x.isNotNull()))
